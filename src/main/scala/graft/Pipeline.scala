@@ -1,0 +1,94 @@
+package graft
+
+import graft.curate.Adressen
+import graft.curate.Adressen.BagTables
+import graft.export.Exports
+import graft.ingest.{BagXml, BagZip, Gemeenten}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * O2: the pipeline driver — the reference's fixed stage DAG
+ * (import_bag.py:13-90) as one lazy Spark plan per layer:
+ *
+ *   stage(zip)  ->  raw layer (8 XML reads + gemeenten CSV)  [parquet]
+ *               ->  curated adressen                          [parquet]
+ *               ->  exports / stats / validation
+ *
+ * Materializing the raw layer as parquet mirrors the reference's SQLite raw
+ * tables and turns the XML scan (90% of the reference's runtime,
+ * database_sqlite.py:16-17) into a one-time cost; every downstream query then
+ * reads columnar storage with pushdown + pruning. Pass `materializeRaw=false`
+ * to fuse everything into a single plan instead.
+ */
+object Pipeline {
+
+  final case class Layout(stagingDir: String, warehouseDir: String)
+
+  /** Ingest: stage zips (if a zip is given) and load the raw tables. */
+  def rawTables(spark: SparkSession, xmlDirs: Map[String, String],
+      gemeentenCsv: String, cfg: Config): BagTables = {
+    val bag = BagXml.allSpecs.map { spec =>
+      spec.name -> BagXml.read(spark, xmlDirs(spec.zipCode), spec, cfg)
+    }.toMap
+    val gem = Gemeenten.read(spark, gemeentenCsv)
+    BagTables(
+      woonplaatsen = bag("woonplaatsen"),
+      gemeenteWoonplaatsen = bag("gemeente_woonplaatsen"),
+      openbareRuimten = bag("openbare_ruimten"),
+      nummers = bag("nummers"),
+      panden = bag("panden"),
+      verblijfsobjecten = bag("verblijfsobjecten"),
+      ligplaatsen = bag("ligplaatsen"),
+      standplaatsen = bag("standplaatsen"),
+      gemeenten = gem.gemeenten,
+      provincies = gem.provincies)
+  }
+
+  /** Write each raw table as parquet and re-read — layer materialization
+    * (K1/K5: parallel job-atomic write replaces the single-writer sink). */
+  def materialize(spark: SparkSession, t: BagTables, warehouseDir: String): BagTables = {
+    def save(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$warehouseDir/$name")
+      spark.read.parquet(s"$warehouseDir/$name")
+    }
+    BagTables(
+      woonplaatsen = save(t.woonplaatsen, "woonplaatsen"),
+      gemeenteWoonplaatsen = save(t.gemeenteWoonplaatsen, "gemeente_woonplaatsen"),
+      openbareRuimten = save(t.openbareRuimten, "openbare_ruimten"),
+      nummers = save(t.nummers, "nummers"),
+      panden = save(t.panden, "panden"),
+      verblijfsobjecten = save(t.verblijfsobjecten, "verblijfsobjecten"),
+      ligplaatsen = save(t.ligplaatsen, "ligplaatsen"),
+      standplaatsen = save(t.standplaatsen, "standplaatsen"),
+      gemeenten = save(t.gemeenten, "gemeenten"),
+      provincies = save(t.provincies, "provincies"))
+  }
+
+  /** Full import: zip -> staging -> raw -> curated adressen parquet. */
+  def importBag(spark: SparkSession, bagZip: String, gemeentenCsv: String,
+      layout: Layout, cfg: Config = Config(), materializeRaw: Boolean = true): DataFrame = {
+    val xmlDirs = BagZip.stage(bagZip, layout.stagingDir)
+    val raw0 = rawTables(spark, xmlDirs, gemeentenCsv, cfg)
+    val raw = if (materializeRaw) materialize(spark, raw0, s"${layout.warehouseDir}/raw") else raw0
+    val adressen =
+      if (cfg.createAdressenTable && cfg.activeOnly) Adressen.curated(raw, cfg)
+      else raw.nummers
+    adressen.write.mode("overwrite").parquet(s"${layout.warehouseDir}/adressen")
+    spark.read.parquet(s"${layout.warehouseDir}/adressen")
+  }
+
+  /** The five export variants (export_to_csv.py:7-22). */
+  def export(adressen: DataFrame, t: BagTables, cfg: Config, variant: String,
+      outPath: String): Unit = {
+    val oprNamed = Adressen.withStraatNaam(t.openbareRuimten, cfg.useShortStreetNames)
+    val df = variant match {
+      case "all"      => Exports.fullExport(adressen, t, oprNamed)
+      case "postcode" => Exports.postcodeExport(adressen, t, oprNamed)
+      case "pc4"      => Exports.postcodeStats(adressen, t.woonplaatsen, 4)
+      case "pc5"      => Exports.postcodeStats(adressen, t.woonplaatsen, 5)
+      case "pc6"      => Exports.postcodeStats(adressen, t.woonplaatsen, 6)
+      case other      => throw new IllegalArgumentException(s"unknown export: $other")
+    }
+    Exports.writeCsv(df, outPath)
+  }
+}

@@ -1,0 +1,242 @@
+package graft.curate
+
+import graft.Config
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The curate layer: builds the denormalized 24-column `adressen` table
+ * (reference: database_sqlite.py:291-529) from the 8 raw BAG tables.
+ *
+ * SQLite's imperative UPDATE-FROM chain becomes a sequence of left joins with
+ * `when(matched, new).otherwise(old)` re-selects. Order matters and mirrors
+ * the reference's call order (database_sqlite.py:378-394):
+ *   J1 five-way join -> J3 multi-pand repair -> J4 ligplaatsen ->
+ *   J5 standplaatsen -> J7 woonplaats override -> J6 nevenadressen (last),
+ * then U1-U3 dummy-value cleaning (database_sqlite.py:542-614).
+ *
+ * Scale notes (100 TB thinking):
+ *  - nummers/verblijfsobjecten/panden are the big fan (~9M each in the real
+ *    BAG; arbitrarily larger in principle): those joins shuffle on their keys.
+ *  - openbare_ruimten (~250k) and woonplaatsen (~2.5k) are dimension-sized:
+ *    broadcast them so the J1 chain costs exactly two shuffles
+ *    (vbo-by-nummer_id, panden-by-id).
+ *  - every enrichment join (J3-J7) keys on nummer_id, the same key as the
+ *    J1 output — consecutive joins reuse the shuffle partitioning, so the
+ *    whole enrichment chain adds no extra full shuffles of adressen.
+ */
+object Adressen {
+
+  /** Raw-layer inputs, as produced by BagXml.readAll + Gemeenten.read. */
+  final case class BagTables(
+      woonplaatsen: DataFrame,
+      gemeenteWoonplaatsen: DataFrame,
+      openbareRuimten: DataFrame,
+      nummers: DataFrame,
+      panden: DataFrame,
+      verblijfsobjecten: DataFrame,
+      ligplaatsen: DataFrame,
+      standplaatsen: DataFrame,
+      gemeenten: DataFrame,
+      provincies: DataFrame)
+
+  /**
+   * J2: copy gemeente_id from the bridge table into woonplaatsen
+   * (reference: database_sqlite.py:79-85). UPDATE-join -> join + coalesce.
+   * The bridge may carry duplicates per woonplaats; pick deterministically
+   * the greatest gemeente_id (the reference's UPDATE order is arbitrary).
+   */
+  def woonplaatsenWithGemeente(woonplaatsen: DataFrame, gwr: DataFrame): DataFrame = {
+    val gw = gwr.groupBy("woonplaats_id").agg(max("gemeente_id").as("gemeente_id"))
+    woonplaatsen.join(broadcast(gw), woonplaatsen("id") === gw("woonplaats_id"), "left")
+      .select(woonplaatsen("*"), gw("gemeente_id"))
+  }
+
+  /** P4: street display name (reference: database_sqlite.py:94-97). */
+  def withStraatNaam(openbareRuimten: DataFrame, useShort: Boolean): DataFrame =
+    openbareRuimten.withColumn("naam",
+      if (useShort) when(col("verkorte_naam") =!= "", col("verkorte_naam"))
+        .otherwise(col("lange_naam"))
+      else col("lange_naam"))
+
+  /** Overwrite a set of columns from a matched update-side, preserving the
+    * original values on non-matched rows — the DataFrame form of SQLite's
+    * `UPDATE t SET ... FROM u WHERE u.k = t.k`. */
+  private def updateJoin(
+      base: DataFrame,
+      updates: DataFrame,          // must contain `key` + the new-value columns
+      key: String,
+      setCols: Map[String, Column => Column]): DataFrame = {
+    // updates often derive from base (e.g. the nevenadres self-join), so
+    // qualify both sides with aliases to defeat self-join ambiguity.
+    val b = base.alias("__base")
+    val u = updates.withColumn("__matched", lit(true)).alias("__upd")
+    val joined = b.join(u, col(s"__base.$key") === col(s"__upd.$key"), "left")
+    val out = base.columns.map { c =>
+      if (setCols.contains(c))
+        when(col("__upd.__matched"), setCols(c)(col(s"__base.$c")))
+          .otherwise(col(s"__base.$c")).as(c)
+      else col(s"__base.$c").as(c)
+    }
+    joined.select(out.toIndexedSeq: _*)
+  }
+
+  /** J1 + J3..J7 + J6: the full adressen build. */
+  def build(t: BagTables, cfg: Config): DataFrame = {
+    val n = t.nummers
+    val o = withStraatNaam(t.openbareRuimten, cfg.useShortStreetNames).alias("o")
+    val w = woonplaatsenWithGemeente(t.woonplaatsen, t.gemeenteWoonplaatsen).alias("w")
+    val v = t.verblijfsobjecten.alias("v")
+    val p = t.panden.alias("p")
+
+    // ---- J1: five-way left join (database_sqlite.py:323-375).
+    // The reference joins panden on the raw comma-joined pand_id, so only
+    // single-pand verblijfsobjecten match; multi-pand rows stay NULL here and
+    // are repaired by J3. With arrays: join on the sole element iff size==1.
+    val vSingle = v.withColumn("__pand_join_id",
+      when(size(col("pand_id")) === 1, element_at(col("pand_id"), 1)))
+
+    val j1 = n.alias("n")
+      .join(broadcast(o), col("o.id") === col("n.openbare_ruimte_id"), "left")
+      .join(broadcast(w), col("w.id") === col("o.woonplaats_id"), "left")
+      .join(vSingle.alias("v"), col("v.nummer_id") === col("n.id"), "left")
+      .join(p, col("v.__pand_join_id") === col("p.id"), "left")
+      .select(
+        col("n.id").as("nummer_id"),
+        col("n.begindatum_geldigheid").as("nummer_begindatum_geldigheid"),
+        col("n.einddatum_geldigheid").as("nummer_einddatum_geldigheid"),
+        col("p.id").as("pand_id"),
+        col("p.begindatum_geldigheid").as("pand_begindatum_geldigheid"),
+        col("p.einddatum_geldigheid").as("pand_einddatum_geldigheid"),
+        col("v.id").as("verblijfsobject_id"),
+        col("w.gemeente_id").as("gemeente_id"),
+        col("o.woonplaats_id").as("woonplaats_id"),
+        col("o.id").as("openbare_ruimte_id"),
+        lit("verblijfsobject").as("object_type"),
+        concat_ws(",", col("v.gebruiksdoel")).as("gebruiksdoel"),
+        col("n.postcode"), col("n.huisnummer"), col("n.huisletter"), col("n.toevoeging"),
+        col("v.oppervlakte"),
+        col("v.rd_x"), col("v.rd_y"), col("v.latitude"), col("v.longitude"),
+        col("p.bouwjaar"),
+        lit(null).cast("string").as("hoofd_nummer_id"),
+        coalesce(col("p.geometry"), lit(null).cast("string")).as("geometry"))
+
+    // nummer_id is the PK (reference: PRIMARY KEY on adressen.nummer_id); a
+    // nummer referenced by >1 hoofdadres-vbo would crash the reference's
+    // INSERT — we keep a deterministic winner instead.
+    val wPk = Window.partitionBy(col("nummer_id"))
+      .orderBy(col("verblijfsobject_id").desc_nulls_last)
+    val adressen0 = j1.withColumn("__rn", row_number().over(wPk))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // ---- J3: multi-pand repair (database_sqlite.py:398-437).
+    // The reference explodes pand_id and lets the last UPDATE win ("only last
+    // one remains", comment :419-420); arrival order is list order, so the
+    // deterministic mirror is the LAST element of the pand_id array.
+    val lastPand = v.filter(size(col("pand_id")) > 1)
+      .select(col("nummer_id"), element_at(col("pand_id"), -1).as("__last_pid"))
+      .join(p, col("__last_pid") === col("p.id"), "left")
+      .select(col("nummer_id"),
+        col("p.geometry").as("__new_geometry"),
+        col("p.bouwjaar").as("__new_bouwjaar"))
+    val adressen1 = updateJoin(adressen0, lastPand, "nummer_id", Map(
+      "geometry" -> (_ => col("__new_geometry")),
+      "bouwjaar" -> (_ => col("__new_bouwjaar"))))
+
+    // ---- J4/J5: ligplaatsen then standplaatsen override coordinates +
+    // geometry + object_type (database_sqlite.py:440-464). Standplaats runs
+    // after and therefore wins on conflict. Dedup to one row per nummer_id
+    // (greatest id) — the reference's multi-match UPDATE order is arbitrary.
+    def plaatsUpdates(src: DataFrame, objectType: String)(base: DataFrame): DataFrame = {
+      val one = src.filter(col("nummer_id") =!= "")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("nummer_id")).orderBy(col("id").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("nummer_id"), col("rd_x").as("__rd_x"), col("rd_y").as("__rd_y"),
+          col("latitude").as("__lat"), col("longitude").as("__lon"),
+          col("geometry").as("__geom"))
+      updateJoin(base, one, "nummer_id", Map(
+        "rd_x" -> (_ => col("__rd_x")), "rd_y" -> (_ => col("__rd_y")),
+        "latitude" -> (_ => col("__lat")), "longitude" -> (_ => col("__lon")),
+        "geometry" -> (_ => col("__geom")),
+        "object_type" -> (_ => lit(objectType))))
+    }
+    val adressen2 = plaatsUpdates(t.ligplaatsen, "ligplaats")(adressen1)
+    val adressen3 = plaatsUpdates(t.standplaatsen, "standplaats")(adressen2)
+
+    // ---- J7: a nummer's own woonplaats overrides the street's
+    // (database_sqlite.py:523-529).
+    val numWpl = n.filter(col("woonplaats_id") =!= "")
+      .select(col("id").as("nummer_id"), col("woonplaats_id").cast("long").as("__wpl"))
+    val adressen4 = updateJoin(adressen3, numWpl, "nummer_id", Map(
+      "woonplaats_id" -> (_ => col("__wpl"))))
+
+    // ---- J6: nevenadres backfill, LAST so it reads fully-enriched hoofd rows
+    // (database_sqlite.py:466-518). Explode the nevenadressen array into
+    // (hoofd, neven) pairs; neven_nummer_id is a PK in the reference's temp
+    // table, so dedup deterministically (greatest hoofd).
+    val pairs = v.filter(size(col("nevenadressen")) > 0)
+      .select(col("nummer_id").as("__hoofd"),
+        explode(col("nevenadressen")).as("__neven"))
+      .groupBy("__neven").agg(max("__hoofd").as("__hoofd"))
+    val hoofdVals = pairs.join(adressen4,
+        pairs("__hoofd") === adressen4("nummer_id"), "left")
+      .select(col("__neven").as("nummer_id"), col("__hoofd").as("__new_hoofd"),
+        adressen4("pand_id").as("__pand_id"),
+        adressen4("verblijfsobject_id").as("__vbo_id"),
+        adressen4("gebruiksdoel").as("__gebruiksdoel"),
+        adressen4("oppervlakte").as("__oppervlakte"),
+        adressen4("rd_x").as("__rd_x"), adressen4("rd_y").as("__rd_y"),
+        adressen4("latitude").as("__lat"), adressen4("longitude").as("__lon"),
+        adressen4("bouwjaar").as("__bouwjaar"),
+        adressen4("geometry").as("__geom"))
+    val adressen5 = updateJoin(adressen4, hoofdVals, "nummer_id", Map(
+      "hoofd_nummer_id" -> (_ => col("__new_hoofd")),
+      "pand_id" -> (_ => col("__pand_id")),
+      "verblijfsobject_id" -> (_ => col("__vbo_id")),
+      "gebruiksdoel" -> (_ => col("__gebruiksdoel")),
+      "oppervlakte" -> (_ => col("__oppervlakte")),
+      "rd_x" -> (_ => col("__rd_x")), "rd_y" -> (_ => col("__rd_y")),
+      "latitude" -> (_ => col("__lat")), "longitude" -> (_ => col("__lon")),
+      "bouwjaar" -> (_ => col("__bouwjaar")),
+      "geometry" -> (_ => col("__geom"))))
+
+    adressen5
+  }
+
+  /**
+   * U1/U2: null out BAG dummy values (database_sqlite.py:542-601):
+   * bouwjaar 1005 (Amsterdam dummy) or > 2040; oppervlakte 999999 or 1.
+   */
+  def removeDummyValues(adressen: DataFrame): DataFrame = adressen
+    .withColumn("bouwjaar",
+      when(col("bouwjaar") === 1005 || col("bouwjaar") > 2040, lit(null))
+        .otherwise(col("bouwjaar")))
+    .withColumn("oppervlakte",
+      when(col("oppervlakte") === 999999 || col("oppervlakte") === 1, lit(null))
+        .otherwise(col("oppervlakte")))
+
+  /**
+   * U3: drop addresses without a valid openbare ruimte, but only when there
+   * are fewer than `cfg.deleteOrphansBelow` of them (database_sqlite.py:604-612)
+   * — a data-quality tripwire: a few orphans are noise, many mean a broken load.
+   */
+  def deleteOrphans(adressen: DataFrame, openbareRuimten: DataFrame, cfg: Config): DataFrame = {
+    val oprIds = openbareRuimten.select(col("id").as("__opr_id"))
+    val orphanCount = adressen.filter(col("openbare_ruimte_id").isNull).count() +
+      adressen.filter(col("openbare_ruimte_id").isNotNull)
+        .join(broadcast(oprIds), col("openbare_ruimte_id") === col("__opr_id"), "left_anti")
+        .count()
+    if (orphanCount > 0 && orphanCount < cfg.deleteOrphansBelow) {
+      adressen.filter(col("openbare_ruimte_id").isNotNull)
+        .join(broadcast(oprIds), col("openbare_ruimte_id") === col("__opr_id"), "left_semi")
+    } else adressen
+  }
+
+  /** Full curate: build + clean + conditional orphan delete. */
+  def curated(t: BagTables, cfg: Config): DataFrame = {
+    val built = removeDummyValues(build(t, cfg))
+    deleteOrphans(built, t.openbareRuimten, cfg)
+  }
+}

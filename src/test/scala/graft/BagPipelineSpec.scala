@@ -1,0 +1,180 @@
+package graft
+
+import graft.curate.Adressen
+import graft.export.Exports
+import graft.geo.Rijksdriehoek
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end BAG pipeline over the synthetic fixture (FIXTURES.md §A). */
+class BagPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val cfg: Config = Config(asOfDate = BagFixtures.asOf)
+
+  lazy val (raw, adressen) = {
+    val root = java.nio.file.Files.createTempDirectory("bag_fixture")
+    val (dirs, csv) = BagFixtures.write(root)
+    val t = Pipeline.rawTables(spark, dirs, csv, cfg)
+    (t, Adressen.curated(t, cfg).cache())
+  }
+
+  private def adres(nummerId: String): Row =
+    adressen.filter(col("nummer_id") === nummerId).collect().head
+
+  test("F1/F2: only active rows with matching status survive ingest") {
+    val wpl = raw.woonplaatsen.collect()
+    assert(wpl.map(_.getLong(0)).sorted.toSeq === Seq(1050L, 3594L, 9000L))
+  }
+
+  test("K2: duplicate nummer id keeps the latest begindatum (last-wins)") {
+    val n4 = raw.nummers.filter(col("id") === BagFixtures.num4).collect()
+    assert(n4.length === 1)
+    assert(n4.head.getAs[String]("postcode") === "2222BB")
+  }
+
+  test("P3: missing tags default to empty string, not null") {
+    val n2 = raw.nummers.filter(col("id") === BagFixtures.num2).collect().head
+    assert(n2.getAs[String]("huisletter") === "")
+    assert(n2.getAs[String]("toevoeging") === "")
+    assert(n2.getAs[String]("woonplaats_id") === "")
+    val n6 = raw.nummers.filter(col("id") === BagFixtures.num6).collect().head
+    assert(n6.getAs[String]("postcode") === "")
+  }
+
+  test("P2: repeated tags become arrays (gebruiksdoel, PandRef, nevenadres)") {
+    val v1 = raw.verblijfsobjecten.filter(col("nummer_id") === BagFixtures.num1).collect().head
+    assert(v1.getAs[Seq[String]]("gebruiksdoel") === Seq("woonfunctie", "winkelfunctie"))
+    assert(v1.getAs[Seq[String]]("nevenadressen") === Seq(BagFixtures.num9))
+    val v2 = raw.verblijfsobjecten.filter(col("nummer_id") === BagFixtures.num2).collect().head
+    assert(v2.getAs[Seq[String]]("pand_id") === Seq(BagFixtures.pnd2, BagFixtures.pnd4))
+  }
+
+  test("P5/P6/P8: vbo point coordinates are transformed to WGS84") {
+    val v1 = raw.verblijfsobjecten.filter(col("nummer_id") === BagFixtures.num1).collect().head
+    assert(v1.getAs[Double]("rd_x") === 155005.0)
+    assert(v1.getAs[Double]("rd_y") === 463005.0)
+    val (lat, lon) = Rijksdriehoek.rdToWgs84(155005.0, 463005.0)
+    assert(math.abs(v1.getAs[Double]("latitude") - lat) < 1e-12)
+    assert(math.abs(v1.getAs[Double]("longitude") - lon) < 1e-12)
+  }
+
+  test("P9: pand rings convert to GeoJSON with z dropped") {
+    val p1 = raw.panden.filter(col("id") === BagFixtures.pnd1).collect().head
+    val geo = p1.getAs[String]("geometry")
+    assert(geo.startsWith("[[["))
+    // 4 vertices in one ring -> 1 outer + 1 ring + 4 vertex brackets
+    assert(geo.count(_ == '[') === 6)
+  }
+
+  test("J1: happy-path adres is fully denormalized") {
+    val a = adres(BagFixtures.num1)
+    assert(a.getAs[String]("openbare_ruimte_id") === "0363300000000001")
+    assert(a.getAs[Long]("woonplaats_id") === 3594L)
+    assert(a.getAs[Long]("gemeente_id") === 363L)
+    assert(a.getAs[String]("pand_id") === BagFixtures.pnd1)
+    assert(a.getAs[Int]("bouwjaar") === 1920)
+    assert(a.getAs[String]("gebruiksdoel") === "woonfunctie,winkelfunctie")
+    assert(a.getAs[String]("huisletter") === "A")
+    assert(a.getAs[String]("toevoeging") === "2")
+    assert(a.getAs[String]("object_type") === "verblijfsobject")
+    assert(a.getAs[Double]("oppervlakte") === 120.0)
+  }
+
+  test("J3: multi-pand adres gets the LAST pand's bouwjaar/geometry, pand_id stays null") {
+    val a = adres(BagFixtures.num2)
+    assert(a.getAs[String]("pand_id") === null) // reference J1 joins the raw comma string -> no match
+    assert(a.getAs[Int]("bouwjaar") === 1960)   // pnd4, the last in document order
+    assert(a.getAs[String]("geometry") != null && a.getAs[String]("geometry").nonEmpty)
+  }
+
+  test("J4/J5: ligplaats and standplaats override coords and object_type") {
+    val lig = adres(BagFixtures.num20)
+    assert(lig.getAs[String]("object_type") === "ligplaats")
+    assert(lig.getAs[Double]("rd_x") === 155200.0)
+    val (lat, _) = Rijksdriehoek.rdToWgs84(155200.0, 463200.0)
+    assert(math.abs(lig.getAs[Double]("latitude") - lat) < 1e-12)
+    val sta = adres(BagFixtures.num21)
+    assert(sta.getAs[String]("object_type") === "standplaats")
+    assert(sta.getAs[Double]("rd_x") === 155300.0)
+  }
+
+  test("J7: nummer's own WoonplaatsRef overrides the street's woonplaats") {
+    val a = adres(BagFixtures.num3)
+    assert(a.getAs[Long]("woonplaats_id") === 1050L) // Amstelveen, not Amsterdam 3594
+  }
+
+  test("J6: nevenadres copies the enriched hoofd adres") {
+    val a = adres(BagFixtures.num9)
+    assert(a.getAs[String]("hoofd_nummer_id") === BagFixtures.num1)
+    assert(a.getAs[String]("pand_id") === BagFixtures.pnd1)
+    assert(a.getAs[String]("gebruiksdoel") === "woonfunctie,winkelfunctie")
+    assert(a.getAs[Double]("oppervlakte") === 120.0)
+    assert(a.getAs[Int]("bouwjaar") === 1920)
+    // but keeps its own nummer fields
+    assert(a.getAs[String]("postcode") === "2514GL")
+    assert(a.getAs[Int]("huisnummer") === 70)
+  }
+
+  test("U1/U2: dummy bouwjaar and oppervlakte are nulled") {
+    val a3 = adres(BagFixtures.num3)
+    assert(a3.isNullAt(a3.fieldIndex("bouwjaar")))      // 9999 > 2040
+    assert(a3.isNullAt(a3.fieldIndex("oppervlakte")))   // 1
+    val a2 = adres(BagFixtures.num2)
+    assert(a2.isNullAt(a2.fieldIndex("oppervlakte")))   // 999999
+  }
+
+  test("adressen row count: active nummers only, one row per nummer") {
+    assert(adressen.count() === 9)
+    assert(adressen.select("nummer_id").distinct().count() === 9)
+  }
+
+  test("P4: short street name is used when configured") {
+    val named = Adressen.withStraatNaam(raw.openbareRuimten, useShort = true)
+    val row = named.filter(col("id") === "0363300000000002").collect().head
+    assert(row.getAs[String]("naam") === "1e J.v.Campenstr")
+    val long = Adressen.withStraatNaam(raw.openbareRuimten, useShort = false)
+    assert(long.filter(col("id") === "0363300000000002").collect()
+      .head.getAs[String]("naam") === "Eerste Jacob van Campenstraat")
+  }
+
+  test("J8/J9: exports produce the reference's column layout") {
+    val named = Adressen.withStraatNaam(raw.openbareRuimten, useShort = true)
+    val full = Exports.fullExport(adressen, raw, named)
+    assert(full.columns.toSeq === Seq("straat", "huisnummer", "toevoeging", "postcode",
+      "gemeente", "woonplaats", "provincie", "bouwjaar", "rd_x", "rd_y",
+      "latitude", "longitude", "vloeroppervlakte", "gebruiksdoel", "hoofdadres_nummer_id"))
+    val num1Row = full.filter(col("postcode") === "2514GL" && col("huisnummer") === 68).collect().head
+    assert(num1Row.getAs[String]("straat") === "Kalverstraat")
+    assert(num1Row.getAs[String]("gemeente") === "Amsterdam")
+    assert(num1Row.getAs[String]("provincie") === "Noord-Holland")
+    assert(num1Row.getAs[String]("toevoeging") === "A2") // huisletter || toevoeging
+    val pc = Exports.postcodeExport(adressen, raw, named)
+    assert(pc.count() === 9)
+  }
+
+  test("A1: pc4 stats aggregate lat/lon with count, postcode '' excluded") {
+    val stats = Exports.postcodeStats(adressen, raw.woonplaatsen, 4).collect()
+    assert(!stats.exists(_.getAs[String]("postcode4") == "")) // num6 has no postcode
+    val pc2514 = stats.find(_.getAs[String]("postcode4") == "2514").get
+    assert(pc2514.getAs[Long]("aantal_adressen") === 2L) // num1 + num9
+    val (lat, _) = Rijksdriehoek.rdToWgs84(155005.0, 463005.0)
+    assert(math.abs(pc2514.getAs[Double]("center_lat") - lat) < 1e-9)
+  }
+
+  test("validation suite passes on the fixture") {
+    val checks = Validate.run(adressen, raw, Validate.Thresholds(
+      minAdressen = 9, minAdressenMetPand = 3, minLigplaatsen = 1,
+      minStandplaatsen = 1, minOpenbareRuimten = 4, minWoonplaatsen = 3,
+      minGemeenten = 3, exactProvincies = 2))
+    val errors = checks.filter(_.isError)
+    assert(errors.isEmpty, s"failed checks: ${errors.mkString("; ")}")
+  }
+}
