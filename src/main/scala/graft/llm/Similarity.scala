@@ -1,0 +1,135 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding similarity search over `embeddings(vec_id, embedding:
+ * array<float>, label)`:
+ *
+ *  - [[cosine]]: codegen'd cosine via zip_with/aggregate higher-order
+ *    functions (floats widened to double before accumulation);
+ *  - [[knnBrute]]: exact top-k for a *small query set* against the full
+ *    corpus — a broadcast of the queries + one linear scan; this is the
+ *    correct plan even at 100 TB (no shuffle of the corpus, no cartesian
+ *    blow-up: cost = |corpus| * |queries|, queries bounded);
+ *  - [[cosinePairs]]: exact all-pairs >= threshold — the *oracle baseline*,
+ *    quadratic by construction; kept for verification at small SF only;
+ *  - [[annLsh]]: random-hyperplane LSH with L independent tables — the
+ *    100 TB scale path: candidates come from equi-joins on (table, bucket),
+ *    never from a cross product.
+ */
+object Similarity {
+
+  /** Left-fold dot product with float->double widening; element order is
+    * the array order, so the result is bit-stable across engines. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** L2-normalize an embedding (double elements). */
+  def normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
+
+  /**
+   * Exact top-k neighbors for each query vector. `queries` must be small
+   * (it is broadcast); the corpus side streams. Ranking uses the *rounded*
+   * cosine with vec_id tie-break so results are reproducible across engines.
+   */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
+  }
+
+  /**
+   * All pairs (a < b) with rounded cosine >= minCos. Quadratic — the
+   * verification oracle for [[annLsh]]/ScalaTest at small scale factors; at
+   * scale use [[annLsh]] or [[Dedup.minhashLshPairs]]-style bucketing.
+   */
+  def cosinePairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * table t, plane p, dimension d -> double. Pure function of the seed, so
+    * every executor (and every test) derives identical planes. */
+  def planeComponent(seed: Long, table: Int, plane: Int, d: Int): Double = {
+    val h = Dedup.splitmix64(seed ^ (table.toLong << 42) ^ (plane.toLong << 21) ^ d.toLong)
+    // top 53 bits -> uniform [0,1) -> [-1,1)
+    (h >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
+  }
+
+  /** Bucket kernel: sign bits of the vector against `planes` hyperplanes. */
+  def lshBucket(vec: Seq[Float], seed: Long, table: Int, planes: Int): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var d = 0
+      while (d < vec.length) { s += vec(d) * planeComponent(seed, table, p, d); d += 1 }
+      if (s >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  private def bucketsUdf(seed: Long, tables: Int, planes: Int) = udf { (v: Seq[Float]) =>
+    if (v == null) null else Array.tabulate(tables)(t => lshBucket(v, seed, t, planes))
+  }
+
+  /** vec_id -> one LSH bucket per table: rows (vec_id, table, bucket). */
+  def withLshBuckets(emb: DataFrame, seed: Long = 42L, tables: Int = 8,
+                     planes: Int = 10): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      posexplode(bucketsUdf(seed, tables, planes)(col("embedding")))
+        .as(Seq("table", "bucket")))
+
+  /**
+   * Approximate top-k: candidates = corpus vectors sharing an LSH bucket
+   * with the query in >= 1 of the L tables (equi-join on (table, bucket)),
+   * then exact cosine rank within candidates. Recall grows with L; cost is
+   * the bucket-collision count, not |corpus| * |queries|.
+   */
+  def annLsh(emb: DataFrame, queries: DataFrame, k: Int, seed: Long = 42L,
+             tables: Int = 8, planes: Int = 10): DataFrame = {
+    val cb = withLshBuckets(emb, seed, tables, planes)
+      .select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"))
+    val qb = withLshBuckets(queries, seed, tables, planes)
+      .select(col("table"), col("bucket"), col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+    val candidates = cb.join(qb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "q_emb", "c_emb")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("cos", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale LLM training-data pipelines:
+ * tokenization, shingling, quality scoring, language identification, and
+ * document fingerprinting over a `documents(doc_id, text, lang, source,
+ * n_chars)` table.
+ *
+ * Everything here is expressed with built-in (codegen'd) Spark functions —
+ * split / transform / filter / aggregate higher-order functions — so the
+ * whole stage stays inside WholeStageCodegen and is embarrassingly parallel:
+ * no shuffles, no UDF boundary in the per-document hot path (the only UDFs in
+ * this package are the minhash/simhash signature kernels in Dedup, which do
+ * genuine per-row imperative work).
+ */
+object TextOps {
+
+  /** Unit separator — cannot appear in natural text tokens. */
+  final val ShingleSep = "\u001f"
+
+  /** Whitespace word tokenization (single-space discipline of the corpus). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** BPE-ish sub-token regex: letter runs, digit runs, single other glyphs. */
+  final val TokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenRegex), lit(0))
+
+  /**
+   * Distinct `w`-word shingles of a document, each joined with [[ShingleSep]].
+   * The shingle *set* (not bag) is what MinHash/Jaccard operate on.
+   */
+  def shingles(text: Column, w: Int): Column = {
+    val ws = words(text)
+    when(size(ws) < w, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(ws) - (w - 1)),
+        i => concat_ws(ShingleSep, slice(ws, i, lit(w))))))
+  }
+
+  /** Stopword profiles for the rule-based language-ID heuristic. The lists
+    * are deliberately tiny and fixed: language ID at 100 TB must be a cheap
+    * closed-form expression, not a model call. */
+  final val StopEn = Seq("the", "a", "of", "and", "to")
+  final val StopDe = Seq("der", "die", "das", "und", "ist")
+  final val StopEs = Seq("el", "que", "los", "una", "es")
+  final val StopFr = Seq("le", "les", "des", "une", "est")
+  final val StopZh = Seq("de", "shi", "le", "bu", "wo")
+
+  private def stopCount(ws: Column, stop: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stop.map(s => s: Any): _*))).cast("long")
+
+  /**
+   * Rule-based language ID: count stopword hits per profile, pick the
+   * arg-max with alphabetical tie-break (de < en < es < fr < zh) so the
+   * result is deterministic and mirrorable in plain SQL.
+   */
+  def langIdScores(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    df.withColumn("s_de", stopCount(ws, StopDe))
+      .withColumn("s_en", stopCount(ws, StopEn))
+      .withColumn("s_es", stopCount(ws, StopEs))
+      .withColumn("s_fr", stopCount(ws, StopFr))
+      .withColumn("s_zh", stopCount(ws, StopZh))
+      .withColumn("lang_guess",
+        when(col("s_de") >= greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_zh")), "de")
+          .when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "en")
+          .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+  }
+
+  /**
+   * Per-document quality statistics: word count, char count, average word
+   * length, stopword ratio, and a bounded composite quality score — the
+   * standard cheap pre-filters of a training-data pipeline.
+   */
+  def qualityStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    df.withColumn("n_words", size(ws).cast("long"))
+      .withColumn("n_chars_calc", length(col(textCol)).cast("long"))
+      .withColumn("stop_cnt", stopCount(ws, StopEn))
+      // single-space corpus: total word chars = chars - (n_words - 1)
+      .withColumn("avg_word_len",
+        round((col("n_chars_calc") - (col("n_words") - 1)).cast("double") / col("n_words"), 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_words") / 200.0) * 0.5 +
+          (col("stop_cnt").cast("double") / col("n_words")) * 0.5, 4))
+  }
+
+  /**
+   * Polynomial rolling hash over the document's characters (Karp-Rabin,
+   * base 31, natural 64-bit wraparound) — an order-sensitive content
+   * fingerprint, unlike the md5 content hash used by exact dedup.
+   * Pure Scala kernel so it is usable from tests and from the UDF binding.
+   */
+  def rollingHash64(s: String): Long = {
+    var h = 1125899906842597L // large prime seed
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+
+  private val rollingHashUdf = udf { (s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf(rollingHash64(s))
+  }
+
+  /** Column binding for [[rollingHash64]]. Deterministic scalar UDF. */
+  def rollingHash(text: Column): Column = rollingHashUdf(text)
+
+  /**
+   * Winnowing-style document fingerprint: the minimum xxhash64 over the
+   * document's shingle set (a 1-perm MinHash) — collision-resistant id for
+   * near-identical content ordering.
+   */
+  def docFingerprint(text: Column, w: Int = 5): Column =
+    array_min(transform(shingles(text, w), s => xxhash64(s)))
+}

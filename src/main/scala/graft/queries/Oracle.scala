@@ -1,0 +1,258 @@
+package graft.queries
+
+/**
+ * DuckDB-equivalent ANSI SQL for every SQL-expressible query in [[Queries]].
+ * Keys match `SparkEntry.queries`; column aliases match the Spark output
+ * exactly (the driver sorts columns by name and hash-compares values).
+ *
+ * Queries intentionally omitted (no faithful SQL equivalent, driver records
+ * a rows-only check): d05_simhash, t04_fingerprint, v03_ann_lsh — their
+ * semantics rest on engine-side hash kernels (xxhash64 / FNV+splitmix) that
+ * DuckDB cannot reproduce; each is covered by ScalaTest instead.
+ */
+object Oracle {
+
+  /** Shared CTE: distinct 5-word shingle sets per document (chr(31) joined,
+    * mirroring TextOps.ShingleSep) + exact pairwise Jaccard via the shingle
+    * inverted index. */
+  private def jaccardSql(minJ: Double): String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+       |          i -> list_aggregate(w[i:i+4], 'string_agg', chr(31)))) AS s
+       |        FROM tok WHERE len(w) >= 5),
+       |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jac AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+       |               CAST(ca.n + cb.n - inter AS BIGINT) AS uni,
+       |               round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+       |        FROM pr JOIN cnt ca ON ca.doc_id = pr.id_a JOIN cnt cb ON cb.doc_id = pr.id_b)
+       |SELECT id_a, id_b, inter, uni, jaccard FROM jac
+       |WHERE jaccard >= $minJ ORDER BY id_a, id_b""".stripMargin
+
+  private val sumSq = "list_aggregate(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+  private def norm(c: String): String = s"sqrt(${sumSq.format(c)})"
+  private def dot(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+
+  /** RD->WGS84 Schreutelkamp & Strang van Hees polynomial, generated from
+    * the same published coefficients as geo/Rijksdriehoek.scala (same term
+    * order, same association; power() vs repeated multiplication differs at
+    * most 1 ulp, absorbed by round(..., 6)). */
+  private val geoSql: String =
+    """WITH pts AS (
+      |  SELECT o_orderkey,
+      |         CAST(50000 + o_orderkey % 200000 AS DOUBLE) AS rd_x,
+      |         CAST(350000 + (o_orderkey * 7) % 250000 AS DOUBLE) AS rd_y
+      |  FROM orders),
+      |d AS (SELECT o_orderkey, rd_x, rd_y, 1e-5*(rd_x - 155000.0) AS dx, 1e-5*(rd_y - 463000.0) AS dy FROM pts)
+      |SELECT o_orderkey, rd_x, rd_y,
+      |       round(52.15517440 + 3235.65389*1.0*dy/3600.0 + -32.58297*power(dx,2)*1.0/3600.0 + -0.2475*1.0*power(dy,2)/3600.0 + -0.84978*power(dx,2)*dy/3600.0 + -0.0655*1.0*power(dy,3)/3600.0 + -0.01709*power(dx,2)*power(dy,2)/3600.0 + -0.00738*dx*1.0/3600.0 + 0.0053*power(dx,4)*1.0/3600.0 + -0.00039*power(dx,2)*power(dy,3)/3600.0 + 0.00033*power(dx,4)*dy/3600.0 + -0.00012*dx*dy/3600.0, 6) AS lat_r,
+      |       round(5.38720621 + 5260.52916*dx*1.0/3600.0 + 105.94684*dx*dy/3600.0 + 2.45656*dx*power(dy,2)/3600.0 + -0.81885*power(dx,3)*1.0/3600.0 + 0.05594*dx*power(dy,3)/3600.0 + -0.05607*power(dx,3)*dy/3600.0 + 0.01199*1.0*dy/3600.0 + -0.00256*power(dx,3)*power(dy,2)/3600.0 + 0.00128*dx*power(dy,4)/3600.0 + 0.00022*1.0*power(dy,2)/3600.0 + -0.00022*power(dx,2)*1.0/3600.0 + 0.00026*power(dx,5)*1.0/3600.0, 6) AS lon_r
+      |FROM d ORDER BY o_orderkey""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "s05_scan_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity < 10 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p04_name_coalesce" ->
+      """SELECT p_partkey, CASE WHEN p_brand <> 'Brand#11' THEN p_brand ELSE p_type END AS display_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "p10_concat" ->
+      "SELECT c_custkey, c_name || '#' || c_mktsegment AS name_seg FROM customer ORDER BY c_custkey",
+
+    "p11_prefix_stats" ->
+      """SELECT substring(p_type, 1, 5) AS type_prefix, count(*) AS cnt,
+        |       round(avg(p_retailprice), 2) AS avg_price_r,
+        |       min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
+        |       CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM part GROUP BY 1 ORDER BY type_prefix""".stripMargin,
+
+    "p12_date_trunc" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS sum_price_r
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "p05_geo_rd_to_wgs84" -> geoSql,
+
+    "f01_temporal_filter" ->
+      """SELECT o_orderkey, o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS od
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "f02_status_filter" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+        |WHERE o_orderstatus = 'F' GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "f04_multivalue" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |FROM documents WHERE len(string_split(text, ' ')) > 80 ORDER BY doc_id""".stripMargin,
+
+    "f06_orphan_delete" ->
+      """SELECT l_returnflag, count(*) AS orphan_cnt FROM lineitem
+        |WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 40)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "k02_dedup_lastwins" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_id, event_type, value FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "j01_join_5way" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue_r,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j02_update_join" ->
+      """SELECT c_custkey, coalesce(n_name, 'ONBEKEND') AS nation_name
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey""".stripMargin,
+
+    "j03_repair_join" ->
+      """WITH lo AS (SELECT o_custkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT c_custkey, c_acctbal, coalesce(lo.o_totalprice, -1.0) AS last_price
+        |FROM customer LEFT JOIN lo ON c_custkey = lo.o_custkey AND lo.rn = 1
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j11_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin,
+
+    "j12_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "e01_explode_words" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "a01_group_stats" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value_r,
+        |       round(avg(value), 4) AS avg_value_r, min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a02_scalar_counts" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |       CAST(count(CASE WHEN l_quantity < 5 THEN 1 END) AS BIGINT) AS n_low_qty,
+        |       CAST(count(CASE WHEN l_discount = 0.0 THEN 1 END) AS BIGINT) AS n_no_discount
+        |FROM lineitem""".stripMargin,
+
+    "a03_distinct" ->
+      """SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM customer ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "a05_max_top1" ->
+      """SELECT strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
+        |       max(o_totalprice) AS max_price, max(o_orderkey) AS max_orderkey
+        |FROM orders""".stripMargin,
+
+    "u01_null_dummies" ->
+      """SELECT p_partkey,
+        |       CASE WHEN p_size = 1 OR p_size > 48 THEN NULL ELSE CAST(p_size AS BIGINT) END AS size_clean
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "d01_dedup_exact_groups" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "d02_dedup_exact_keep" ->
+      """SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "d03_neardup_ngram" -> jaccardSql(0.2),
+
+    // MinHash-LSH reproduces the exact-Jaccard result at this threshold
+    // (P(miss | j >= 0.7) < 1e-4 with k=32, bands=16) — the oracle IS the
+    // exact computation the LSH path approximates.
+    "d04_minhash_lsh" -> jaccardSql(0.7),
+
+    "t01_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t02_text_quality" ->
+      """WITH q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words0, length(text) AS n_chars0,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to'))) AS stop0
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words0 AS BIGINT) AS n_words, CAST(n_chars0 AS BIGINT) AS n_chars_calc,
+        |       CAST(stop0 AS BIGINT) AS stop_cnt,
+        |       round(CAST(n_chars0 - (n_words0 - 1) AS DOUBLE) / n_words0, 4) AS avg_word_len,
+        |       round(least(1.0, n_words0 / 200.0) * 0.5 + (CAST(stop0 AS DOUBLE) / n_words0) * 0.5, 4) AS quality_score
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "t03_langid" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(ws, x -> x IN ('el','que','los','una','es'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(ws, x -> x IN ('le','les','des','une','est'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(ws, x -> x IN ('de','shi','le','bu','wo'))) AS BIGINT) AS s_zh
+        |  FROM w)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_guess
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "v01_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 32),
+         |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  round(${dot("q.qe", "e.embedding")} / (${norm("q.qe")} * ${norm("e.embedding")}), 6) AS cos
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk, cos
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "v02_cosine_pairs" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "v04_norms" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+         |       round(${norm("embedding")}, 6) AS norm_r
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "m01_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) AS width,
+        |       CAST(16 + (octet_length(encode(text)) * 7) % 48 AS BIGINT) AS height,
+        |       CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "st01_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |       count(*) AS cnt, round(sum(value), 2) AS sum_value_r
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "st02_sessionize" ->
+      """WITH g AS (SELECT user_id,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS ns
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events, CAST(sum(ns) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,427 @@
+package graft.queries
+
+import graft.geo.GeoFunctions
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The driver-contract query surface: one named query per operator family of
+ * SURVEY.md §2 plus the LLM-data-pipeline operator families, expressed over
+ * the TPC-H-ish tables in `/root/testdata/sf*` (TESTDATA.md). Each query has
+ * a DuckDB-equivalent SQL in [[Oracle.sql]] where SQL-expressible.
+ *
+ * Determinism rules (the oracle hash-compares values):
+ *  - every query ends in a total ORDER BY over non-null unique keys;
+ *  - integer outputs are widened to BIGINT on both sides;
+ *  - any float that is *computed* (sum/avg/product chains whose FP error
+ *    depends on accumulation order) is `round`ed; floats passed through
+ *    unchanged from parquet stay raw (bit-identical by construction);
+ *  - timestamps cross the boundary as formatted strings (engine-native
+ *    timestamp encodings differ).
+ *
+ * Scale notes are attached per query: these plans are written for a
+ * 1000-executor cluster first and the local[32] harness second.
+ */
+object Queries {
+
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) — read as long nanos
+    * (spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/Bench/tests)
+    * and convert explicitly where timestamp semantics are needed. */
+  def eventsTsMicros: Column = timestamp_micros(expr("ts div 1000"))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ===== sources / projections / scalar transforms ==========================
+
+  /** S5/P1: projection + pushed-down filter; `.explain` shows PushedFilters
+    * and a 4-column ReadSchema — the scan never materializes the other 7. */
+  val s05ScanProject: Q = (s, dir) =>
+    tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P4: street-name-coalesce shape (conditional display name). */
+  val p04NameCoalesce: Q = (s, dir) =>
+    tbl(s, dir, "part")
+      .select(col("p_partkey"),
+        when(col("p_brand") =!= "Brand#11", col("p_brand")).otherwise(col("p_type"))
+          .as("display_name"))
+      .orderBy("p_partkey")
+
+  /** P10: export-boundary string concat. */
+  val p10Concat: Q = (s, dir) =>
+    tbl(s, dir, "customer")
+      .select(col("c_custkey"),
+        concat(col("c_name"), lit("#"), col("c_mktsegment")).as("name_seg"))
+      .orderBy("c_custkey")
+
+  /** P11+A1: postcode-prefix-stats shape — group by substring prefix.
+    * Map-side partial aggregation -> one shuffle on the (tiny) prefix key. */
+  val p11PrefixStats: Q = (s, dir) =>
+    tbl(s, dir, "part")
+      .groupBy(substring(col("p_type"), 1, 5).as("type_prefix"))
+      .agg(count(lit(1)).as("cnt"),
+        round(avg(col("p_retailprice")), 2).as("avg_price_r"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"),
+        sum(col("p_size")).as("sum_size"))
+      .orderBy("type_prefix")
+
+  /** P12: date truncation via formatted month key. */
+  val p12DateTrunc: Q = (s, dir) =>
+    tbl(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price_r"))
+      .orderBy("month")
+
+  /** P5: the RD->WGS84 polynomial UDF over synthesized in-domain RD coords.
+    * Deterministic scalar UDF — Catalyst still prunes/pushes around it. */
+  val p05GeoRdToWgs84: Q = (s, dir) =>
+    tbl(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (lit(50000) + col("o_orderkey") % 200000).cast("double").as("rd_x"),
+        (lit(350000) + (col("o_orderkey") * 7) % 250000).cast("double").as("rd_y"))
+      .withColumn("__wgs", GeoFunctions.rdToWgs84(col("rd_x"), col("rd_y")))
+      .select(col("o_orderkey"), col("rd_x"), col("rd_y"),
+        round(col("__wgs.latitude"), 6).as("lat_r"),
+        round(col("__wgs.longitude"), 6).as("lon_r"))
+      .orderBy("o_orderkey")
+
+  // ===== filters ============================================================
+
+  /** F1: temporal-validity window filter (pushed to the scan). */
+  val f01TemporalFilter: Q = (s, dir) =>
+    tbl(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+      .orderBy("o_orderkey")
+
+  /** F2: constant status filter + count by group. */
+  val f02StatusFilter: Q = (s, dir) =>
+    tbl(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+
+  /** F4: multi-value detector (array cardinality predicate). */
+  val f04Multivalue: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), size(TextOps.words(col("text"))).cast("long").as("n_words"))
+      .filter(col("n_words") > 80)
+      .orderBy("doc_id")
+
+  /** F6/U3: orphan detection — anti-join against a filtered dimension.
+    * The dim side is broadcast; no shuffle of the fact table. */
+  val f06OrphanDelete: Q = (s, dir) => {
+    val validParts = tbl(s, dir, "part").filter(col("p_size") <= 40)
+      .select(col("p_partkey"))
+    tbl(s, dir, "lineitem")
+      .join(broadcast(validParts), col("l_partkey") === col("p_partkey"), "left_anti")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("orphan_cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  // ===== dedup / upsert =====================================================
+
+  /** K2: last-wins upsert dedup via row_number window — scalar sort keys
+    * only (ts, event_id), never wide payload columns. */
+  val k02DedupLastwins: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    tbl(s, dir, "events")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  // ===== joins ==============================================================
+
+  /** J1/J8: the five-way star join. Dims broadcast; the single real shuffle
+    * pair is lineitem⋈orders on orderkey. */
+  val j01Join5way: Q = (s, dir) => {
+    val li = tbl(s, dir, "lineitem")
+    val o = tbl(s, dir, "orders")
+    val c = tbl(s, dir, "customer")
+    val n = tbl(s, dir, "nation")
+    val r = tbl(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue_r"),
+        count(lit(1)).as("cnt"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** J2: update-join (join + coalesce replaces SQLite UPDATE..FROM). */
+  val j02UpdateJoin: Q = (s, dir) => {
+    val c = tbl(s, dir, "customer")
+    val n = tbl(s, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey"), coalesce(col("n_name"), lit("ONBEKEND")).as("nation_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** J3-shape: last-wins repair join — pick each customer's most recent
+    * order deterministically, patch it onto the base row. */
+  val j03RepairJoin: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val lastOrder = tbl(s, dir, "orders")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("o_custkey"), col("o_totalprice").as("last_price"))
+    tbl(s, dir, "customer")
+      .join(lastOrder, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_acctbal"),
+        coalesce(col("last_price"), lit(-1.0)).as("last_price"))
+      .orderBy("c_custkey")
+  }
+
+  /** J11: anti-join integrity check (customers without orders). */
+  val j11AntiJoin: Q = (s, dir) => {
+    val o = tbl(s, dir, "orders").select(col("o_custkey"))
+    tbl(s, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** J12: semi-join membership probe. */
+  val j12SemiJoin: Q = (s, dir) => {
+    val f = tbl(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    tbl(s, dir, "customer")
+      .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  // ===== explodes / aggregations ============================================
+
+  /** E1/E2: explode -> re-aggregate (word histogram). */
+  val e01ExplodeWords: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** A1: group stats with several aggregate kinds at once. */
+  val a01GroupStats: Q = (s, dir) =>
+    tbl(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_value_r"),
+        round(avg(col("value")), 4).as("avg_value_r"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+
+  /** A2: the scalar-count validation shape — one pass, many counts. */
+  val a02ScalarCounts: Q = (s, dir) =>
+    tbl(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(when(col("l_quantity") < 5, 1)).as("n_low_qty"),
+        count(when(col("l_discount") === 0.0, 1)).as("n_no_discount"))
+
+  /** A3/A4: DISTINCT projection. */
+  val a03Distinct: Q = (s, dir) =>
+    tbl(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long").as("c_nationkey"))
+      .distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** A5: max-via-top-1 (as a straight agg — the Spark-correct plan). */
+  val a05MaxTop1: Q = (s, dir) =>
+    tbl(s, dir, "orders")
+      .agg(date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"),
+        max(col("o_totalprice")).as("max_price"),
+        max(col("o_orderkey")).as("max_orderkey"))
+
+  /** U1/U2: dummy-value null-out. */
+  val u01NullDummies: Q = (s, dir) =>
+    tbl(s, dir, "part")
+      .select(col("p_partkey"),
+        when(col("p_size") === 1 || col("p_size") > 48, lit(null))
+          .otherwise(col("p_size")).cast("long").as("size_clean"))
+      .orderBy("p_partkey")
+
+  // ===== LLM: dedup =========================================================
+
+  /** Exact dedup groups: one shuffle on the content hash. */
+  val d01DedupExactGroups: Q = (s, dir) =>
+    Dedup.exactGroups(tbl(s, dir, "documents")).orderBy("content_hash")
+
+  /** Exact dedup survivors (keep-first policy). */
+  val d02DedupExactKeep: Q = (s, dir) =>
+    Dedup.exactDedup(tbl(s, dir, "documents")).orderBy("doc_id")
+
+  /** n-gram Jaccard near-dup via shingle inverted index (no cartesian). */
+  val d03NeardupNgram: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), w = 5, minJ = 0.2)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash-LSH near-dup — banded signatures, candidate equi-join, exact
+    * verify. P(miss | j>=0.7) < 1e-4, so it reproduces the exact-Jaccard
+    * oracle at these scale factors while staying sub-quadratic. */
+  val d04MinhashLsh: Q = (s, dir) =>
+    Dedup.minhashLshPairs(tbl(s, dir, "documents"), w = 5, k = 32, bands = 16,
+      minJ = 0.7)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash fingerprints (rows-only: no SQL-expressible oracle). */
+  val d05Simhash: Q = (s, dir) =>
+    Dedup.withSimhash(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+
+  // ===== LLM: text analysis =================================================
+
+  /** Token counting: whitespace + BPE-ish regex tokens. */
+  val t01TokenCount: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("ws_tokens"),
+        size(TextOps.regexTokens(col("text"))).cast("long").as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring (length/stopword/avg-word-length stats). */
+  val t02TextQuality: Q = (s, dir) =>
+    TextOps.qualityStats(tbl(s, dir, "documents"))
+      .select("doc_id", "n_words", "n_chars_calc", "stop_cnt", "avg_word_len",
+        "quality_score")
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (closed-form stopword argmax). */
+  val t03Langid: Q = (s, dir) =>
+    TextOps.langIdScores(tbl(s, dir, "documents"))
+      .select("doc_id", "s_de", "s_en", "s_es", "s_fr", "s_zh", "lang_guess")
+      .orderBy("doc_id")
+
+  /** Fingerprints: rolling hash + min-shingle-hash (rows-only). */
+  val t04Fingerprint: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.rollingHash(col("text")).as("rolling_hash"),
+        TextOps.docFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ===== LLM: similarity search =============================================
+
+  /** Brute-force exact top-k for a bounded query set: broadcast queries +
+    * one corpus scan — the correct *exact* plan at any corpus size. */
+  val v01KnnBrute: Q = (s, dir) => {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.knnBrute(emb, emb.filter(col("vec_id") < 32), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** All-pairs cosine >= threshold — quadratic oracle baseline (small SF). */
+  val v02CosinePairs: Q = (s, dir) =>
+    Similarity.cosinePairs(tbl(s, dir, "embeddings"), minCos = 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** ANN via multi-table random-hyperplane LSH — bucketed equi-join
+    * candidates, exact rerank; the 100 TB path (rows-only check; recall is
+    * asserted against brute force in ScalaTest). */
+  val v03AnnLsh: Q = (s, dir) => {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.annLsh(emb, emb.filter(col("vec_id") < 32), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Embedding norms / dimensionality audit. */
+  val v04Norms: Q = (s, dir) =>
+    tbl(s, dir, "embeddings")
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+        round(Similarity.norm(col("embedding")), 6).as("norm_r"))
+      .orderBy("vec_id")
+
+  // ===== LLM: multimodal ====================================================
+
+  /** Multimodal metadata projection (payload stays opaque binary). */
+  val m01MultimodalMeta: Q = (s, dir) =>
+    Multimodal.metaTable(tbl(s, dir, "documents")).orderBy("doc_id")
+
+  // ===== streaming-shaped (batch-equivalent; streaming variant in tests) ====
+
+  /** Tumbling-window aggregation via window() — identical shape to the
+    * Structured Streaming query in StreamingSpec. */
+  val st01TumblingWindow: Q = (s, dir) =>
+    tbl(s, dir, "events")
+      .withColumn("__ts", eventsTsMicros)
+      .groupBy(window(col("__ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value_r"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("cnt"), col("sum_value_r"))
+      .orderBy("win_start", "event_type")
+
+  /** Gap-based sessionization via analytic lag + running flag-sum — the
+    * batch mirror of flatMapGroupsWithState sessionization. */
+  val st02Sessionize: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000 // 30 min in nanos
+    tbl(s, dir, "events")
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull || col("ts") - col("__prev") > gapNs, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__new_session")).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  /** name -> query, in SURVEY §2 / brief order. */
+  val all: Seq[(String, Q)] = Seq(
+    "s05_scan_project" -> s05ScanProject,
+    "p04_name_coalesce" -> p04NameCoalesce,
+    "p10_concat" -> p10Concat,
+    "p11_prefix_stats" -> p11PrefixStats,
+    "p12_date_trunc" -> p12DateTrunc,
+    "p05_geo_rd_to_wgs84" -> p05GeoRdToWgs84,
+    "f01_temporal_filter" -> f01TemporalFilter,
+    "f02_status_filter" -> f02StatusFilter,
+    "f04_multivalue" -> f04Multivalue,
+    "f06_orphan_delete" -> f06OrphanDelete,
+    "k02_dedup_lastwins" -> k02DedupLastwins,
+    "j01_join_5way" -> j01Join5way,
+    "j02_update_join" -> j02UpdateJoin,
+    "j03_repair_join" -> j03RepairJoin,
+    "j11_anti_join" -> j11AntiJoin,
+    "j12_semi_join" -> j12SemiJoin,
+    "e01_explode_words" -> e01ExplodeWords,
+    "a01_group_stats" -> a01GroupStats,
+    "a02_scalar_counts" -> a02ScalarCounts,
+    "a03_distinct" -> a03Distinct,
+    "a05_max_top1" -> a05MaxTop1,
+    "u01_null_dummies" -> u01NullDummies,
+    "d01_dedup_exact_groups" -> d01DedupExactGroups,
+    "d02_dedup_exact_keep" -> d02DedupExactKeep,
+    "d03_neardup_ngram" -> d03NeardupNgram,
+    "d04_minhash_lsh" -> d04MinhashLsh,
+    "d05_simhash" -> d05Simhash,
+    "t01_token_count" -> t01TokenCount,
+    "t02_text_quality" -> t02TextQuality,
+    "t03_langid" -> t03Langid,
+    "t04_fingerprint" -> t04Fingerprint,
+    "v01_knn_brute" -> v01KnnBrute,
+    "v02_cosine_pairs" -> v02CosinePairs,
+    "v03_ann_lsh" -> v03AnnLsh,
+    "v04_norms" -> v04Norms,
+    "m01_multimodal_meta" -> m01MultimodalMeta,
+    "st01_tumbling_window" -> st01TumblingWindow,
+    "st02_sessionize" -> st02Sessionize
+  )
+}
