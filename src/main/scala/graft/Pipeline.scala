@@ -66,7 +66,7 @@ object Pipeline {
 
   /** Full import: zip -> staging -> raw -> curated adressen parquet. */
   def importBag(spark: SparkSession, bagZip: String, gemeentenCsv: String,
-      layout: Layout, cfg: Config = Config(), materializeRaw: Boolean = true): DataFrame = {
+      layout: Layout, cfg: Config, materializeRaw: Boolean = true): DataFrame = {
     val xmlDirs = BagZip.stage(bagZip, layout.stagingDir)
     val raw0 = rawTables(spark, xmlDirs, gemeentenCsv, cfg)
     val raw = if (materializeRaw) materialize(spark, raw0, s"${layout.warehouseDir}/raw") else raw0
@@ -75,6 +75,27 @@ object Pipeline {
       else raw.nummers
     adressen.write.mode("overwrite").parquet(s"${layout.warehouseDir}/adressen")
     spark.read.parquet(s"${layout.warehouseDir}/adressen")
+  }
+
+  /** K4: register every layer as a SQL-queryable temp view, mirroring the
+    * reference's SQLite tables-by-name surface (database_sqlite.py:164-271):
+    * after this, `spark.sql("SELECT ... FROM adressen JOIN woonplaatsen ...")`
+    * works. Indices are a no-op on purpose — Spark's equivalents are
+    * broadcast/AQE (SURVEY.md §4). */
+  def registerViews(t: BagTables, adressen: Option[DataFrame] = None): Unit = {
+    Seq(
+      "woonplaatsen" -> t.woonplaatsen,
+      "gemeente_woonplaatsen" -> t.gemeenteWoonplaatsen,
+      "openbare_ruimten" -> t.openbareRuimten,
+      "nummers" -> t.nummers,
+      "panden" -> t.panden,
+      "verblijfsobjecten" -> t.verblijfsobjecten,
+      "ligplaatsen" -> t.ligplaatsen,
+      "standplaatsen" -> t.standplaatsen,
+      "gemeenten" -> t.gemeenten,
+      "provincies" -> t.provincies
+    ).foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    adressen.foreach(_.createOrReplaceTempView("adressen"))
   }
 
   /** The five export variants (export_to_csv.py:7-22). */

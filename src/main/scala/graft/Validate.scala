@@ -33,8 +33,18 @@ object Validate {
       minGemeenten: Long = 300L,
       exactProvincies: Long = 12L)
 
-  def run(adressen: DataFrame, t: BagTables, th: Thresholds = Thresholds(),
+  def run(adressen0: DataFrame, t: BagTables, th: Thresholds = Thresholds(),
       goldenChecks: Boolean = true): Seq[Check] = {
+    // ~15 independent actions below would each replay the full adressen DAG
+    // (8 XML scans + the J1..J6 join chain) — cache once for the suite and
+    // release on exit (VERDICT r1: callers can no longer forget to).
+    val adressen = adressen0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try runCached(adressen, t, th, goldenChecks)
+    finally adressen.unpersist()
+  }
+
+  private def runCached(adressen: DataFrame, t: BagTables, th: Thresholds,
+      goldenChecks: Boolean): Seq[Check] = {
     val checks = scala.collection.mutable.ArrayBuffer[Check]()
     def add(name: String, value: Long, isError: Boolean): Unit =
       checks += Check(name, value, isError)

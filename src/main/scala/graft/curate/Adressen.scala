@@ -134,7 +134,13 @@ object Adressen {
     // The reference explodes pand_id and lets the last UPDATE win ("only last
     // one remains", comment :419-420); arrival order is list order, so the
     // deterministic mirror is the LAST element of the pand_id array.
+    // Dedup to one row per nummer_id first: two active multi-pand vbo's
+    // sharing a hoofdadres would otherwise fan out the left join and break
+    // the one-row-per-nummer PK invariant (ADVICE r1).
     val lastPand = v.filter(size(col("pand_id")) > 1)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("nummer_id")).orderBy(col("id").desc)))
+      .filter(col("__rn") === 1)
       .select(col("nummer_id"), element_at(col("pand_id"), -1).as("__last_pid"))
       .join(p, col("__last_pid") === col("p.id"), "left")
       .select(col("nummer_id"),
@@ -223,18 +229,26 @@ object Adressen {
    * — a data-quality tripwire: a few orphans are noise, many mean a broken load.
    */
   def deleteOrphans(adressen: DataFrame, openbareRuimten: DataFrame, cfg: Config): DataFrame = {
+    // Single broadcast left join: a NULL __opr_id marks an orphan (either a
+    // NULL openbare_ruimte_id — never matches — or an id with no dim row).
+    // Persist the joined result ONCE so the count action and the downstream
+    // consumer both reuse it instead of replaying the whole build DAG
+    // (VERDICT r1: the un-persisted double count recomputed the pipeline 3x).
     val oprIds = openbareRuimten.select(col("id").as("__opr_id"))
-    val orphanCount = adressen.filter(col("openbare_ruimte_id").isNull).count() +
-      adressen.filter(col("openbare_ruimte_id").isNotNull)
-        .join(broadcast(oprIds), col("openbare_ruimte_id") === col("__opr_id"), "left_anti")
-        .count()
-    if (orphanCount > 0 && orphanCount < cfg.deleteOrphansBelow) {
-      adressen.filter(col("openbare_ruimte_id").isNotNull)
-        .join(broadcast(oprIds), col("openbare_ruimte_id") === col("__opr_id"), "left_semi")
-    } else adressen
+    val joined = adressen
+      .join(broadcast(oprIds), col("openbare_ruimte_id") === col("__opr_id"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val orphanCount = joined
+      .agg(count(when(col("__opr_id").isNull, lit(1))).as("n"))
+      .first().getLong(0)
+    if (orphanCount > 0 && orphanCount < cfg.deleteOrphansBelow)
+      joined.filter(col("__opr_id").isNotNull).drop("__opr_id")
+    else joined.drop("__opr_id")
   }
 
-  /** Full curate: build + clean + conditional orphan delete. */
+  /** Full curate: build + clean + conditional orphan delete. The result is
+    * backed by the persist() in deleteOrphans — call `.unpersist()` on it
+    * (or let it age out) after materializing downstream layers. */
   def curated(t: BagTables, cfg: Config): DataFrame = {
     val built = removeDummyValues(build(t, cfg))
     deleteOrphans(built, t.openbareRuimten, cfg)

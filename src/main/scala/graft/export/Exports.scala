@@ -80,10 +80,10 @@ object Exports {
         min(col("w.naam")).as("woonplaats"))
   }
 
-  /** K3: CSV sink with header, UTF-8 (exporter.py:15-45). A single output
-    * file mirrors the reference's artifact; drop the coalesce(1) for a real
-    * cluster-parallel write. */
-  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+  /** K3: CSV sink with header, UTF-8 (exporter.py:15-45). Cluster-safe
+    * parallel write by default; pass singleFile=true to mirror the
+    * reference's single-file artifact (a one-task write — local use only). */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
     out.write.mode("overwrite").option("header", "true").csv(path)
   }

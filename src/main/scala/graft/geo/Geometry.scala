@@ -55,12 +55,19 @@ object Geometry {
       val parts = stripBrackets(ring).split("\\s+")
       val nVertices = parts.length / stride
       var v = 0
+      var emitted = 0
       while (v < nVertices) {
-        if (v > 0) sb.append(", ")
-        val x = parts(v * stride).toDouble
-        val y = parts(v * stride + 1).toDouble
-        val (lat, lon) = Rijksdriehoek.rdToWgs84(x, y)
-        sb.append('[').append(fmt(lon)).append(", ").append(fmt(lat)).append(']')
+        // Defensive per-vertex parse (ADVICE r1): one malformed posList token
+        // must not fail the whole Spark stage — skip the vertex instead
+        // (posToRd is equally lenient).
+        val x = parseDouble(parts(v * stride))
+        val y = parseDouble(parts(v * stride + 1))
+        if (!x.isNaN && !y.isNaN) {
+          if (emitted > 0) sb.append(", ")
+          val (lat, lon) = Rijksdriehoek.rdToWgs84(x, y)
+          sb.append('[').append(fmt(lon)).append(", ").append(fmt(lat)).append(']')
+          emitted += 1
+        }
         v += 1
       }
       sb.append(']')
@@ -73,4 +80,7 @@ object Geometry {
   // Shortest-roundtrip double formatting (Scala's Double.toString), but with
   // integral doubles rendered like JSON numbers ("5.0" not "5").
   @inline private def fmt(d: Double): String = java.lang.Double.toString(d)
+
+  @inline private def parseDouble(s: String): Double =
+    try s.toDouble catch { case _: NumberFormatException => Double.NaN }
 }

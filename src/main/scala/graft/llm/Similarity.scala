@@ -99,9 +99,12 @@ object Similarity {
     if (v == null) null else Array.tabulate(tables)(t => lshBucket(v, seed, t, planes))
   }
 
-  /** vec_id -> one LSH bucket per table: rows (vec_id, table, bucket). */
+  /** vec_id -> one LSH bucket per table: rows (vec_id, table, bucket).
+    * Defaults tuned for weakly-clustered corpora (top-neighbor cosine ~0.4):
+    * recall ~ 1-(1-(1-acos(c)/pi)^planes)^tables — raise `planes` when the
+    * corpus has tight clusters, raise `tables` to buy recall with compute. */
   def withLshBuckets(emb: DataFrame, seed: Long = 42L, tables: Int = 8,
-                     planes: Int = 10): DataFrame =
+                     planes: Int = 5): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
       posexplode(bucketsUdf(seed, tables, planes)(col("embedding")))
         .as(Seq("table", "bucket")))
@@ -113,7 +116,7 @@ object Similarity {
    * the bucket-collision count, not |corpus| * |queries|.
    */
   def annLsh(emb: DataFrame, queries: DataFrame, k: Int, seed: Long = 42L,
-             tables: Int = 8, planes: Int = 10): DataFrame = {
+             tables: Int = 8, planes: Int = 5): DataFrame = {
     val cb = withLshBuckets(emb, seed, tables, planes)
       .select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"))

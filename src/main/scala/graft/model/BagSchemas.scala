@@ -36,6 +36,22 @@ object BagSchemas {
     "Objecten:geometrie", StructType(Seq(
       StructField("gml:Polygon", ArrayType(polygon)))))
 
+  /** Woonplaats geometry in real LVBAG extracts nests polygons under
+    * Objecten:vlak or Objecten:multivlak/gml:MultiSurface/gml:surfaceMember,
+    * not (only) directly under Objecten:geometrie (ADVICE r1; the reference
+    * SAX parser collects every gml:posList regardless of nesting,
+    * bag_parser.py:100-103). Declare all three shapes; the projection merges
+    * their rings. */
+  val woonplaatsGeometrie: StructField = StructField(
+    "Objecten:geometrie", StructType(Seq(
+      StructField("gml:Polygon", ArrayType(polygon)),
+      StructField("Objecten:vlak", StructType(Seq(
+        StructField("gml:Polygon", ArrayType(polygon))))),
+      StructField("Objecten:multivlak", StructType(Seq(
+        StructField("gml:MultiSurface", StructType(Seq(
+          StructField("gml:surfaceMember", ArrayType(StructType(Seq(
+            StructField("gml:Polygon", polygon))))))))))))))
+
   /** Objecten:geometrie/Objecten:punt/gml:Point/gml:pos — VBO point. */
   val puntGeometrie: StructField = StructField(
     "Objecten:geometrie", StructType(Seq(
@@ -47,7 +63,7 @@ object BagSchemas {
 
   val woonplaats: StructType = StructType(Seq(
     s("Objecten:identificatie"), s("Objecten:naam"), s("Objecten:status"),
-    polygonGeometrie, voorkomen))
+    woonplaatsGeometrie, voorkomen))
 
   val gemeenteWoonplaatsRelatie: StructType = StructType(Seq(
     StructField("gwr:gerelateerdeWoonplaats", StructType(Seq(

@@ -49,15 +49,34 @@ object BagFixtures {
        |${interior.map(i => s"<gml:interior><gml:LinearRing><gml:posList>$i</gml:posList></gml:LinearRing></gml:interior>").mkString}
        |</gml:Polygon></Objecten:geometrie>""".stripMargin
 
+  private def gmlPolygon(posList: String): String =
+    s"""<gml:Polygon srsName="urn:ogc:def:crs:EPSG::28992">
+       |<gml:exterior><gml:LinearRing><gml:posList>$posList</gml:posList></gml:LinearRing></gml:exterior>
+       |</gml:Polygon>""".stripMargin
+
+  /** Real LVBAG woonplaats geometry nests polygons three ways (ADVICE r1):
+    * bare gml:Polygon, Objecten:vlak, or Objecten:multivlak/MultiSurface. */
   private def woonplaats(id: String, naam: String, status: String,
-      begin: String, eind: String = ""): String =
+      begin: String, eind: String = "", wrap: String = "bare"): String = {
+    val ring = "155000 463000 155100 463000 155100 463100 155000 463000"
+    val geom = wrap match {
+      case "vlak" =>
+        s"<Objecten:geometrie><Objecten:vlak>${gmlPolygon(ring)}</Objecten:vlak></Objecten:geometrie>"
+      case "multivlak" =>
+        s"""<Objecten:geometrie><Objecten:multivlak><gml:MultiSurface srsName="urn:ogc:def:crs:EPSG::28992">
+           |<gml:surfaceMember>${gmlPolygon(ring)}</gml:surfaceMember>
+           |<gml:surfaceMember>${gmlPolygon("156000 464000 156100 464000 156100 464100 156000 464000")}</gml:surfaceMember>
+           |</gml:MultiSurface></Objecten:multivlak></Objecten:geometrie>""".stripMargin
+      case _ => polygon(ring)
+    }
     s"""<Objecten:Woonplaats>
        |<Objecten:identificatie domein="NL.IMBAG.Woonplaats">$id</Objecten:identificatie>
        |<Objecten:naam>$naam</Objecten:naam>
-       |${polygon("155000 463000 155100 463000 155100 463100 155000 463000")}
+       |$geom
        |<Objecten:status>$status</Objecten:status>
        |${voorkomen(begin, eind)}
        |</Objecten:Woonplaats>""".stripMargin
+  }
 
   private def gwrRel(wplId: String, gemId: String): String =
     s"""<gwr:GemeenteWoonplaatsRelatie>
@@ -155,8 +174,8 @@ object BagFixtures {
     }
 
     val wpl = put("9999WPL", "wpl-1.xml" -> doc(
-      woonplaats("1050", "Amstelveen", "Woonplaats aangewezen", "2010-01-01"),
-      woonplaats("3594", "Amsterdam", "Woonplaats aangewezen", "2010-01-01"),
+      woonplaats("1050", "Amstelveen", "Woonplaats aangewezen", "2010-01-01", wrap = "vlak"),
+      woonplaats("3594", "Amsterdam", "Woonplaats aangewezen", "2010-01-01", wrap = "multivlak"),
       woonplaats("9000", "Sneek", "Woonplaats aangewezen", "2010-01-01"),
       woonplaats("9998", "Spookstad", "Woonplaats ingetrokken", "2010-01-01"),   // F2: wrong status
       woonplaats("9997", "Verlopen", "Woonplaats aangewezen", "2000-01-01", "2005-01-01"), // F1: expired

@@ -34,6 +34,16 @@ class BagPipelineSpec extends AnyFunSuite {
     assert(wpl.map(_.getLong(0)).sorted.toSeq === Seq(1050L, 3594L, 9000L))
   }
 
+  test("S3: woonplaats geometry is captured under vlak and multivlak nesting") {
+    val byId = raw.woonplaatsen.collect().map(r => r.getLong(0) -> r.getAs[String]("geometry")).toMap
+    // vlak-wrapped (1050), multivlak-wrapped (3594), bare (9000) must all yield rings
+    assert(byId(1050L).startsWith("[[["), s"vlak geometry missing: ${byId(1050L)}")
+    assert(byId(3594L).startsWith("[[["), s"multivlak geometry missing: ${byId(3594L)}")
+    assert(byId(9000L).startsWith("[[["), s"bare geometry missing: ${byId(9000L)}")
+    // multivlak carries two surfaceMember polygons -> two rings
+    assert(byId(3594L).count(_ == '[') > byId(9000L).count(_ == '['))
+  }
+
   test("K2: duplicate nummer id keeps the latest begindatum (last-wins)") {
     val n4 = raw.nummers.filter(col("id") === BagFixtures.num4).collect()
     assert(n4.length === 1)
@@ -167,6 +177,35 @@ class BagPipelineSpec extends AnyFunSuite {
     assert(pc2514.getAs[Long]("aantal_adressen") === 2L) // num1 + num9
     val (lat, _) = Rijksdriehoek.rdToWgs84(155005.0, 463005.0)
     assert(math.abs(pc2514.getAs[Double]("center_lat") - lat) < 1e-9)
+  }
+
+  test("K4: registered temp views are SQL-queryable by name") {
+    Pipeline.registerViews(raw, Some(adressen))
+    val n = spark.sql(
+      """SELECT count(*) FROM adressen a
+        |JOIN woonplaatsen w ON a.woonplaats_id = w.id""".stripMargin)
+      .head().getLong(0)
+    assert(n > 0)
+    assert(spark.sql("SELECT naam FROM gemeenten WHERE id = 1900").head()
+      .getString(0) === "Súdwest-Fryslân")
+  }
+
+  test("P13/U4: bag date parsing and lat/lon patch utilities") {
+    import org.apache.spark.sql.functions.lit
+    val parsed = spark.range(1)
+      .select(BagUtils.bagDateToTimestamp(lit("2024-06-30T12:34:56.000+02:00")).as("t"),
+        BagUtils.bagDateToTimestamp(lit("2024-06-30")).as("d"))
+      .head()
+    assert(parsed.getTimestamp(0).toString.startsWith("2024-06-30 12:34:56"))
+    assert(parsed.getTimestamp(1).toString.startsWith("2024-06-30 00:00:00"))
+
+    val sess = spark
+    import sess.implicits._
+    val base = Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0)).toDF("id", "latitude", "longitude")
+    val patches = Seq(("b", 30.0, 40.0)).toDF("id", "latitude", "longitude")
+    val out = BagUtils.patchLatLon(base, patches).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("a") === ((1.0, 2.0)) && out("b") === ((30.0, 40.0)))
   }
 
   test("validation suite passes on the fixture") {

@@ -1,0 +1,172 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * LLM-pipeline operator tests: near-dup recall on planted duplicates,
+ * SimHash behavior, ANN-LSH recall vs brute force, multimodal plumbing,
+ * fingerprint determinism. Runs on /root/testdata/sf0.001 plus tiny
+ * in-memory fixtures.
+ */
+class LlmOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("llm-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  import scala.jdk.CollectionConverters._
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  // ---- dedup ----------------------------------------------------------------
+
+  test("exact dedup keeps the smallest doc_id per distinct text") {
+    val df = docsDf(Seq(1L -> "a b c", 2L -> "a b c", 3L -> "x y z"))
+    val kept = Dedup.exactDedup(df).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L))
+    val groups = Dedup.exactGroups(df).collect()
+    assert(groups.length === 2)
+    assert(groups.find(_.getLong(1) === 2L).get.getLong(2) === 1L) // keep_id = min
+  }
+
+  test("MinHash-LSH finds exactly the exact-Jaccard pairs at j >= 0.5 (planted dups)") {
+    val exact = Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, w = 5, k = 32, bands = 16, minJ = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+    // LSH candidates are a subset of all pairs; after exact-Jaccard verify
+    // they can only miss (banding), never add. At j>=0.5 with k=32/b=16 the
+    // per-pair miss probability is < 1e-2; the planted pairs sit at j~0.8+.
+    assert(lsh === exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("minhashDedup drops the larger id of each matched pair") {
+    val pairs = Dedup.minhashLshPairs(docs, w = 5, minJ = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.map(_._2).toSet
+    val surviving = Dedup.minhashDedup(docs, minJ = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dropped.forall(id => !surviving.contains(id)))
+    assert(surviving.size === docs.count() - dropped.size)
+  }
+
+  test("SimHash: same word bag (any order) collides, unrelated text doesn't") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val reordered = (1 to 40).map(i => s"w$i").reverse.mkString(" ")
+    val other = (100 to 140).map(i => s"q$i").mkString(" ")
+    val df = docsDf(Seq(1L -> base, 2L -> reordered, 3L -> other))
+    val pairs = Dedup.simhashPairs(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 0L))) // identical bag -> hamming 0
+    // graded distance: a 1-word substitution lands between identical and
+    // unrelated (bit flips scale with the changed weight / sqrt(n))
+    val h = (a: String, b: String) => java.lang.Long.bitCount(
+      Dedup.simhash64(a.split(" ").toSeq) ^ Dedup.simhash64(b.split(" ").toSeq))
+    val oneChanged = ((1 to 39).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    assert(h(base, oneChanged) > 0 && h(base, oneChanged) < h(base, other))
+  }
+
+  test("shingle-join near-dup generates candidates via equi-join, not cartesian") {
+    val plan = Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    val lshPlan = Dedup.minhashLshPairs(docs).queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$lshPlan")
+  }
+
+  // ---- text ops -------------------------------------------------------------
+
+  test("rolling hash is deterministic and order-sensitive") {
+    assert(TextOps.rollingHash64("abc") === TextOps.rollingHash64("abc"))
+    assert(TextOps.rollingHash64("abc") !== TextOps.rollingHash64("acb"))
+    assert(TextOps.rollingHash64("") === 1125899906842597L)
+  }
+
+  test("shingles: w-word windows, distinct, empty below w words") {
+    val df = docsDf(Seq(1L -> "a b c d e f", 2L -> "a b"))
+    val sh = df.select(col("doc_id"), TextOps.shingles(col("text"), 5).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).length === 2) // [a..e], [b..f]
+    assert(sh(1L).head === Seq("a", "b", "c", "d", "e").mkString(TextOps.ShingleSep))
+    assert(sh(2L).isEmpty)
+  }
+
+  test("langid picks the profile with most stopword hits, tie-break alphabetical") {
+    val df = docsDf(Seq(
+      1L -> "the cat of the house and a dog", // en
+      2L -> "der hund und die katze ist da",  // de
+      3L -> "xyz"))                           // no hits -> tie -> de
+    val got = TextOps.langIdScores(df).select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "de"))
+  }
+
+  // ---- similarity -----------------------------------------------------------
+
+  test("ANN-LSH recall@5 vs brute force is usable and the plan has no cartesian") {
+    val queries = emb.filter(col("vec_id") < 32)
+    val brute = Similarity.knnBrute(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val ann = Similarity.annLsh(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val recalls = brute.map { case (q, trueNs) =>
+      trueNs.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / trueNs.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"ANN-LSH mean recall@5 = $meanRecall%.3f over ${recalls.size} queries")
+    assert(meanRecall >= 0.4, f"recall too low: $meanRecall%.3f")
+
+    val plan = Similarity.annLsh(emb, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in ANN plan:\n$plan")
+  }
+
+  test("cosine HOF matches a scala-side computation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(0.5f, 0.5f, 0.0f)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().head.getDouble(0)
+    val expect = 0.5 / (math.sqrt(2.0) * math.sqrt(0.5))
+    assert(math.abs(got - expect) < 1e-12)
+  }
+
+  // ---- multimodal -----------------------------------------------------------
+
+  test("multimodal: payload round-trips, decode stub checksums bytes, frames slice") {
+    val media = Multimodal.fromDocuments(docs)
+    val one = media.filter(col("doc_id") === 0).head()
+    val text = docs.filter(col("doc_id") === 0).head().getAs[String]("text")
+    assert(new String(one.payload, "UTF-8") === text)
+    assert(one.mime === "text/plain")
+
+    val feats = Multimodal.decodeFeatures(media).filter(col("doc_id") === 0).head()
+    val bytes = text.getBytes("UTF-8")
+    assert(feats.n_bytes === bytes.length.toLong)
+    assert(feats.checksum === bytes.map(b => (b & 0xff).toLong).sum)
+    assert(feats.feature.length === Multimodal.MediaCodecStub.FeatureDim)
+
+    val frames = Multimodal.sampleFrames(media, n = 4, frameBytes = 16)
+      .filter(col("doc_id") === 0).collect().head
+    assert(frames.getAs[Long]("n_sampled") === 4L)
+    assert(frames.getAs[Seq[Array[Byte]]]("frames").forall(_.length <= 16))
+  }
+}
