@@ -343,12 +343,14 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
-  /** Embedding norms / dimensionality audit. */
-  val v04Norms: Q = (s, dir) =>
+  /** Embedding norms / dimensionality audit (native codegen'd vec_norm). */
+  val v04Norms: Q = (s, dir) => {
+    graft.functions.VectorExpressions.register(s)
     tbl(s, dir, "embeddings")
       .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
-        round(Similarity.norm(col("embedding")), 6).as("norm_r"))
+        round(expr("vec_norm(embedding)"), 6).as("norm_r"))
       .orderBy("vec_id")
+  }
 
   // ===== LLM: multimodal ====================================================
 

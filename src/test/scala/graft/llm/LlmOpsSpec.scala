@@ -138,6 +138,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in ANN plan:\n$plan")
   }
 
+  test("native vec_dot/vec_norm match the HOF fold bit-for-bit") {
+    graft.functions.VectorExpressions.register(spark)
+    val pairs = emb.limit(50).select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(emb.limit(5).select(col("vec_id").as("ib"), col("embedding").as("eb")))
+    val diffs = pairs.select(
+      (expr("vec_dot(ea, eb)") -
+        Similarity.dot(col("ea"), col("eb"))).as("d_dot"),
+      (expr("vec_norm(ea)") - Similarity.norm(col("ea"))).as("d_norm"))
+      .agg(max(abs(col("d_dot"))), max(abs(col("d_norm")))).head()
+    assert(diffs.getDouble(0) === 0.0) // identical sequential double fold
+    assert(diffs.getDouble(1) === 0.0)
+  }
+
   test("cosine HOF matches a scala-side computation") {
     val s = spark
     import s.implicits._
