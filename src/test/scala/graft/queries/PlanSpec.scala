@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan regression guards: the "would this survive a 100x scale-up"
+ * properties, asserted as executable checks instead of review comments.
+ *
+ * These run against sf0.001 but assert *plan shape*, which is
+ * scale-invariant for a fixed query: filter/column pushdown into the scan,
+ * broadcast (not shuffle) joins for dimension tables, no cartesian products
+ * in any registered query, and no dimension-side shuffle exchanges where a
+ * broadcast was intended.
+ */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize the adaptive plan
+    df.queryExecution.executedPlan
+  }
+  private def planString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s05: filter and projection are pushed into the parquet scan") {
+    val p = planString(Queries.s05ScanProject(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)]"),
+      s"filter not pushed:\n$p")
+    // column pruning: the 11-column lineitem scan reads exactly 4 columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double>"), s"columns not pruned:\n$p")
+  }
+
+  test("j01: dimensions broadcast; only the fact-fact join shuffles") {
+    val p = planString(Queries.j01Join5way(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // exactly one shuffle join pair (lineitem-orders); customer/nation/region
+    // must not introduce SortMergeJoins
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    val shj = "ShuffledHashJoin".r.findAllIn(p).length
+    assert(smj + shj <= 1, s"expected <=1 shuffled join, got $smj SMJ + $shj SHJ:\n$p")
+  }
+
+  test("f06: anti-join against the filtered dim is broadcast, fact never shuffles") {
+    val p = planString(Queries.f06OrphanDelete(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("no registered query contains a cartesian product (LSH/inverted-index paths included)") {
+    // v01/v02 are the documented brute-force baselines: v01 is a broadcast
+    // nested loop over a bounded query set (legitimate at scale), v02 is the
+    // quadratic oracle baseline excluded from the scale claim.
+    val quadraticBaselines = Set("v02_cosine_pairs")
+    Queries.all.filterNot(q => quadraticBaselines.contains(q._1)).foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+    }
+  }
+
+  test("d01 exact dedup: map-side partial aggregation before the hash shuffle") {
+    val p = planString(Queries.d01DedupExactGroups(spark, sf))
+    // partial_count under HashAggregate before the exchange = map-side combine
+    assert(p.contains("partial_count") || p.contains("partial"), s"no partial agg:\n$p")
+  }
+
+  test("m01/t01: document scans prune to the columns the query needs") {
+    val p = planString(Queries.t01TokenCount(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned:\n$p")
+  }
+}
