@@ -125,6 +125,105 @@ object Similarity {
       posexplode(bucketsUdf(seed, tables, planes)(col("embedding")))
         .as(Seq("table", "bucket")))
 
+  // ---- IVF (inverted-file) ANN ---------------------------------------------
+
+  /**
+   * Deterministic k-means-lite coarse quantizer: centroids initialize from
+   * every (n/c)-th vector in vec_id order, then `iters` Lloyd iterations.
+   * Only the c x dim centroid means are ever collected to the driver — the
+   * corpus itself stays distributed (posexplode + groupBy mean per
+   * (cluster, dim), a standard two-shuffle aggregation).
+   */
+  def ivfCentroids(emb: DataFrame, c: Int, iters: Int = 3): Array[Array[Float]] = {
+    val n = emb.count()
+    val stride = math.max(1L, n / c)
+    var centroids = emb.filter(col("vec_id") % stride === 0)
+      .orderBy("vec_id").limit(c)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val dim = centroids.head.length
+    var it = 0
+    while (it < iters) {
+      // per-dim sums as dim codegen'd aggregates (NOT posexplode: a UDF in
+      // the same select as a generator lands in the projection above the
+      // Generate and re-evaluates once per exploded element — 64x the work).
+      val assign = assignUdf(centroids)
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(d => sum(element_at(col("embedding"), d + 1)
+          .cast("double")).as(s"s$d"))
+      val means = emb.groupBy(assign(col("embedding")).as("cl"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        val cl = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        var d = 0
+        while (d < dim) { next(cl)(d) = (r.getDouble(d + 2) / n).toFloat; d += 1 }
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** argmax-dot cluster assignment (equivalent to argmin-L2 for normalized
+    * centroids/queries up to centroid norm; deterministic lowest-index ties). */
+  private def assignScores(v: Seq[Float], centroids: Array[Array[Float]]): Array[Double] =
+    centroids.map { cen =>
+      var s = 0.0
+      var d = 0
+      val m = math.min(cen.length, v.length)
+      while (d < m) { s += v(d).toDouble * cen(d).toDouble; d += 1 }
+      var ns = 0.0
+      d = 0
+      while (d < cen.length) { ns += cen(d).toDouble * cen(d).toDouble; d += 1 }
+      if (ns == 0.0) Double.NegativeInfinity else s / math.sqrt(ns)
+    }
+
+  private def assignUdf(centroids: Array[Array[Float]]) = udf { (v: Seq[Float]) =>
+    val scores = assignScores(v, centroids)
+    var best = 0
+    var i = 1
+    while (i < scores.length) { if (scores(i) > scores(best)) best = i; i += 1 }
+    best
+  }
+
+  private def probeUdf(centroids: Array[Array[Float]], nprobe: Int) = udf { (v: Seq[Float]) =>
+    assignScores(v, centroids).zipWithIndex.sortBy { case (s, i) => (-s, i) }
+      .take(nprobe).map(_._2)
+  }
+
+  /**
+   * IVF ANN search — the second scale path next to [[annLsh]]: corpus is
+   * partitioned into c inverted lists by nearest centroid; each query probes
+   * its `nprobe` closest lists (equi-join on the cluster id) and reranks
+   * exactly. Cost ~ |corpus| * nprobe / c per query instead of |corpus|.
+   *
+   * Standard IVF semantics: may return fewer than k neighbors when the
+   * probed lists hold fewer candidates — size c ~ sqrt(|corpus|) and raise
+   * nprobe to trade compute for recall; c close to |corpus| degenerates to
+   * one-vector lists.
+   */
+  def annIvf(emb: DataFrame, queries: DataFrame, k: Int, c: Int = 32,
+             nprobe: Int = 4): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val centroids = ivfCentroids(emb, c)
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .withColumn("cl", assignUdf(centroids)(col("c_emb")))
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("cl", explode(probeUdf(centroids, nprobe)(col("q_emb"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    corpus.join(qs, Seq("cl"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", round(
+        expr("vec_dot(q_emb, c_emb)") / (expr("vec_norm(q_emb)") * expr("vec_norm(c_emb)")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
+  }
+
   /**
    * Approximate top-k: candidates = corpus vectors sharing an LSH bucket
    * with the query in >= 1 of the L tables (equi-join on (table, bucket)),

@@ -241,6 +241,24 @@ object Oracle {
         |       CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "x01_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+        |ORDER BY event_id""".stripMargin,
+
+    "x02_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price_r
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "x03_set_ops" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY c_custkey""".stripMargin,
+
     "st01_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value_r

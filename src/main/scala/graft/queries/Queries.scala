@@ -385,6 +385,47 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** ANN via IVF coarse quantization — the second scale path (rows-only;
+    * recall asserted vs brute force in ScalaTest). */
+  val v05AnnIvf: Q = (s, dir) => {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.annIvf(emb, emb.filter(col("vec_id") < 32), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  // ===== engine breadth beyond the reference (§2.10 gaps closed) ============
+
+  /** JSON extraction over the events props column. */
+  val x01JsonExtract: Q = (s, dir) =>
+    tbl(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .filter(col("k_val") >= 90)
+      .orderBy("event_id")
+
+  /** ROLLUP grouping sets (the pc4/pc5/pc6 family is a manual rollup —
+    * this is the engine-native form). Null group keys are coalesced to a
+    * sentinel so cross-engine ordering is total. */
+  val x02Rollup: Q = (s, dir) => {
+    val o = tbl(s, dir, "orders")
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price_r"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("cnt"), col("sum_price_r"))
+      .orderBy("status", "priority")
+  }
+
+  /** Set operation: EXCEPT (customers in a segment minus those with open
+    * orders) — absent from the reference (§2.10), native here. */
+  val x03SetOps: Q = (s, dir) => {
+    val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = tbl(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    c.except(o).orderBy("c_custkey")
+  }
+
   /** name -> query, in SURVEY §2 / brief order. */
   val all: Seq[(String, Q)] = Seq(
     "s05_scan_project" -> s05ScanProject,
@@ -422,6 +463,10 @@ object Queries {
     "v02_cosine_pairs" -> v02CosinePairs,
     "v03_ann_lsh" -> v03AnnLsh,
     "v04_norms" -> v04Norms,
+    "v05_ann_ivf" -> v05AnnIvf,
+    "x01_json_extract" -> x01JsonExtract,
+    "x02_rollup" -> x02Rollup,
+    "x03_set_ops" -> x03SetOps,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "st01_tumbling_window" -> st01TumblingWindow,
     "st02_sessionize" -> st02Sessionize

@@ -138,6 +138,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in ANN plan:\n$plan")
   }
 
+  test("IVF ANN: centroid probing recalls well and the plan is an equi-join") {
+    val queries = emb.filter(col("vec_id") < 32)
+    val brute = Similarity.knnBrute(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val ivf = Similarity.annIvf(emb, queries, k = 5, c = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val recalls = brute.map { case (q, trueNs) =>
+      trueNs.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / trueNs.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"IVF mean recall@5 (c=16, nprobe=4) = $meanRecall%.3f")
+    assert(meanRecall >= 0.5, f"IVF recall too low: $meanRecall%.3f")
+    val plan = Similarity.annIvf(emb, queries, k = 5, c = 16, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in IVF plan:\n$plan")
+  }
+
   test("native vec_dot/vec_norm match the HOF fold bit-for-bit") {
     graft.functions.VectorExpressions.register(spark)
     val pairs = emb.limit(50).select(col("vec_id").as("ia"), col("embedding").as("ea"))
