@@ -64,6 +64,37 @@ object Pipeline {
       provincies = save(t.provincies, "provincies"))
   }
 
+  /** Materialize the raw layer with the big tables BUCKETED on their join
+    * keys (nummers/panden by id; vbo/lig/sta by nummer_id) — the Spark
+    * replacement of the reference's post-load indices
+    * (database_sqlite.py:274-289): every adressen-build join on those keys
+    * then reads co-partitioned buckets instead of shuffling ~9M-row sides.
+    * Dimension-sized tables stay plain parquet (they broadcast anyway). */
+  def materializeBucketed(spark: SparkSession, t: BagTables, warehouseDir: String,
+      buckets: Int = 32): BagTables = {
+    import graft.relational.Bucketing
+    def bucketed(df: DataFrame, name: String, key: String): DataFrame = {
+      Bucketing.writeBucketed(df, s"bag_$name", key, buckets,
+        path = Some(s"$warehouseDir/$name"))
+      Bucketing.read(spark, s"bag_$name")
+    }
+    def plain(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$warehouseDir/$name")
+      spark.read.parquet(s"$warehouseDir/$name")
+    }
+    BagTables(
+      woonplaatsen = plain(t.woonplaatsen, "woonplaatsen"),
+      gemeenteWoonplaatsen = plain(t.gemeenteWoonplaatsen, "gemeente_woonplaatsen"),
+      openbareRuimten = plain(t.openbareRuimten, "openbare_ruimten"),
+      nummers = bucketed(t.nummers, "nummers", "id"),
+      panden = bucketed(t.panden, "panden", "id"),
+      verblijfsobjecten = bucketed(t.verblijfsobjecten, "verblijfsobjecten", "nummer_id"),
+      ligplaatsen = bucketed(t.ligplaatsen, "ligplaatsen", "nummer_id"),
+      standplaatsen = bucketed(t.standplaatsen, "standplaatsen", "nummer_id"),
+      gemeenten = plain(t.gemeenten, "gemeenten"),
+      provincies = plain(t.provincies, "provincies"))
+  }
+
   /** Full import: zip -> staging -> raw -> curated adressen parquet. */
   def importBag(spark: SparkSession, bagZip: String, gemeentenCsv: String,
       layout: Layout, cfg: Config, materializeRaw: Boolean = true): DataFrame = {

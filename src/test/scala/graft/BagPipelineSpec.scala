@@ -208,6 +208,23 @@ class BagPipelineSpec extends AnyFunSuite {
     assert(out("a") === ((1.0, 2.0)) && out("b") === ((30.0, 40.0)))
   }
 
+  test("bucketed materialization: same adressen, join on bucket key shuffle-free") {
+    val wh = java.nio.file.Files.createTempDirectory("bag_bucketed").toString
+    val bucketed = Pipeline.materializeBucketed(spark, raw, wh, buckets = 4)
+    val fromBucketed = Adressen.curated(bucketed, cfg)
+      .collect().map(_.toString).sorted
+    assert(fromBucketed === adressen.collect().map(_.toString).sorted)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = bucketed.verblijfsobjecten.join(
+        bucketed.nummers, bucketed.verblijfsobjecten("nummer_id") === bucketed.nummers("id"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed vbo-nummers join shuffles:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("validation suite passes on the fixture") {
     val checks = Validate.run(adressen, raw, Validate.Thresholds(
       minAdressen = 9, minAdressenMetPand = 3, minLigplaatsen = 1,
