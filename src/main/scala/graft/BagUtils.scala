@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
 object BagUtils {
 
   /** P13: BAG datetime string ("YYYY-MM-DDTHH:MM:SS...", >= 16 chars) ->
-    * timestamp; shorter strings -> date-at-midnight; blank -> null. */
+    * timestamp; shorter strings -> date-at-midnight; blank/malformed ->
+    * null. try_to_timestamp, not to_timestamp: under Spark 4's default ANSI
+    * mode the strict form THROWS on one malformed token and kills the
+    * stage — same failure mode the geometry parser guards against. */
   def bagDateToTimestamp(c: Column): Column =
-    when(length(c) >= 16, to_timestamp(substring(c, 1, 19), "yyyy-MM-dd'T'HH:mm:ss"))
+    when(length(c) >= 16,
+      try_to_timestamp(substring(c, 1, 19), lit("yyyy-MM-dd'T'HH:mm:ss")))
       .otherwise(when(length(c) >= 10,
-        to_timestamp(substring(c, 1, 10), "yyyy-MM-dd")))
+        try_to_timestamp(substring(c, 1, 10), lit("yyyy-MM-dd"))))
 
   /**
    * U4: patch latitude/longitude by id from a patch table

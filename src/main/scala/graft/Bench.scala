@@ -25,20 +25,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // One warm-up action so JVM/codegen/file-listing startup cost isn't
-    // attributed to the first query.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").write.format("noop")
+    // attributed to the first query. Must not be able to kill the run —
+    // the JSON line has to appear even when the SF dir is broken.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").write.format("noop")
       .mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
+    }
     val results = queries.Queries.all.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      // failures record -1 so automated consumers can't mistake a partial
+      // run for a fast success
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

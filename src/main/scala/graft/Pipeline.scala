@@ -105,6 +105,9 @@ object Pipeline {
       if (cfg.createAdressenTable && cfg.activeOnly) Adressen.curated(raw, cfg)
       else raw.nummers
     adressen.write.mode("overwrite").parquet(s"${layout.warehouseDir}/adressen")
+    // the curated layer is on disk: release the deleteOrphans cache so
+    // repeated imports in one long-lived session don't accumulate storage
+    Adressen.releaseCaches(spark)
     spark.read.parquet(s"${layout.warehouseDir}/adressen")
   }
 

@@ -247,10 +247,19 @@ object Adressen {
   }
 
   /** Full curate: build + clean + conditional orphan delete. The result is
-    * backed by the persist() in deleteOrphans — call `.unpersist()` on it
-    * (or let it age out) after materializing downstream layers. */
+    * backed by the persist() in deleteOrphans; `.unpersist()` on the
+    * returned (derived) frame does NOT release that cache — call
+    * [[releaseCaches]] after materializing downstream layers, as
+    * Pipeline.importBag does. */
   def curated(t: BagTables, cfg: Config): DataFrame = {
     val built = removeDummyValues(build(t, cfg))
     deleteOrphans(built, t.openbareRuimten, cfg)
   }
+
+  /** Drop every cached plan of the session — the supported public release
+    * for the deleteOrphans persist (Dataset.unpersist on a derived frame
+    * cannot reach an ancestor cache entry). Batch pipelines call this after
+    * the curated layer is written out. */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.catalog.clearCache()
 }

@@ -200,13 +200,20 @@ object BagXml {
     // Tie-break on SCALAR columns only (name-sorted for stability): sorting
     // the window by array/struct columns (geometry rings!) would ship entire
     // posList payloads as shuffle sort keys (VERDICT r1 scale-killer).
-    val scalarTieBreak = df.schema.fields
-      .filter(f => f.name != key && f.name != "begindatum_geldigheid" &&
-        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
-        !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
-      .map(_.name).sorted.map(col(_).desc)
+    val (complexCols, scalarCols) = df.schema.fields
+      .filter(f => f.name != key && f.name != "begindatum_geldigheid")
+      .partition(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val scalarTieBreak = scalarCols.map(_.name).sorted.map(col(_).desc)
+    // rows differing ONLY in array/struct payloads (e.g. geometry rings)
+    // still need a deterministic winner: order by an 8-byte hash of those
+    // columns instead of the payloads themselves.
+    val complexTieBreak =
+      if (complexCols.isEmpty) Nil
+      else Seq(xxhash64(complexCols.map(_.name).sorted.map(col).toIndexedSeq: _*).desc)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("begindatum_geldigheid").desc +: scalarTieBreak.toIndexedSeq: _*)
+      .orderBy(col("begindatum_geldigheid").desc +:
+        (scalarTieBreak.toIndexedSeq ++ complexTieBreak): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -90,6 +90,14 @@ object BagZip {
       .flatMap(s => codes.find(c => s.getPath.getName.contains(c))
         .map(code => (s.getPath.toString, code)))
 
+    // every requested object type must have at least one zip member —
+    // otherwise the returned map would point at directories never created
+    // and the missing type surfaces later as an obscure read failure.
+    val missing = codes.toSet -- zips.map(_._2).toSet
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"no inner zip found in $innerDir for object-type code(s): ${missing.toSeq.sorted.mkString(", ")}")
+
     val extracted = spark.sparkContext
       .parallelize(zips, math.max(1, zips.size))
       .map { case (zipStr, code) =>

@@ -58,13 +58,14 @@ object Similarity {
    */
   def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(withVectorFns(queries).select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb")))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-    // norms precomputed per side; cos = dot / (norm_q * norm_c) in the same
-    // association as the oracle SQL.
+      col("embedding").as("q_emb"), expr("vec_norm(embedding)").as("nrm_q")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      expr("vec_norm(embedding)").as("nrm_c"))
+    // norms computed once per SIDE (N + Q loops), not once per pair (N * Q);
+    // cos = dot / (norm_q * norm_c) in the same association as the oracle.
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(
-        expr("vec_dot(q_emb, c_emb)") / (expr("vec_norm(q_emb)") * expr("vec_norm(c_emb)")), 6))
+        expr("vec_dot(q_emb, c_emb)") / (col("nrm_q") * col("nrm_c")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -208,9 +209,11 @@ object Similarity {
              nprobe: Int = 4): DataFrame = {
     graft.functions.VectorExpressions.register(emb.sparkSession)
     val centroids = ivfCentroids(emb, c)
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        expr("vec_norm(embedding)").as("nrm_c"))
       .withColumn("cl", assignUdf(centroids)(col("c_emb")))
-    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        expr("vec_norm(embedding)").as("nrm_q"))
       .withColumn("cl", explode(probeUdf(centroids, nprobe)(col("q_emb"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -218,7 +221,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", round(
-        expr("vec_dot(q_emb, c_emb)") / (expr("vec_norm(q_emb)") * expr("vec_norm(c_emb)")), 6))
+        expr("vec_dot(q_emb, c_emb)") / (col("nrm_q") * col("nrm_c")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
@@ -232,22 +235,22 @@ object Similarity {
    */
   def annLsh(emb: DataFrame, queries: DataFrame, k: Int, seed: Long = 42L,
              tables: Int = 8, planes: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
     val cb = withLshBuckets(emb, seed, tables, planes)
       .select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb"))
+        col("embedding").as("c_emb"), expr("vec_norm(embedding)").as("nrm_c"))
     val qb = withLshBuckets(queries, seed, tables, planes)
       .select(col("table"), col("bucket"), col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"))
-    graft.functions.VectorExpressions.register(emb.sparkSession)
+        col("embedding").as("q_emb"), expr("vec_norm(embedding)").as("nrm_q"))
     val candidates = cb.join(qb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "q_emb", "c_emb")
+      .select("query_id", "neighbor_id", "q_emb", "c_emb", "nrm_q", "nrm_c")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     candidates
       .withColumn("cos", round(
-        expr("vec_dot(q_emb, c_emb)") / (expr("vec_norm(q_emb)") * expr("vec_norm(c_emb)")), 6))
+        expr("vec_dot(q_emb, c_emb)") / (col("nrm_q") * col("nrm_c")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))

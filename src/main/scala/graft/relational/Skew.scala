@@ -31,8 +31,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
                  joinType: String = "left", saltBy: Option[Column] = None): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // default salt source: hash of the full row CONTENT — never
+    // monotonically_increasing_id(), which depends on partition layout and
+    // would re-salt rows differently on task retry (the hazard saltOf
+    // documents). Identical rows sharing a bucket is harmless.
     val b = big.withColumn("__salt",
-      saltOf(saltBy.getOrElse(monotonically_increasing_id()), salt))
+      saltOf(saltBy.getOrElse(struct(big.columns.map(col).toIndexedSeq: _*)), salt))
     // replicate the small side salt times: (key, payload) x [0, salt)
     val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
       .withColumnRenamed(key, "__skey")
@@ -53,7 +57,7 @@ object Skew {
     val p = partials.toSeq
     val f = finals.toSeq
     val stage1 = df
-      .withColumn("__salt", saltOf(monotonically_increasing_id(), salt))
+      .withColumn("__salt", saltOf(struct(df.columns.map(col).toIndexedSeq: _*), salt))
       .groupBy(col(key), col("__salt"))
       .agg(p.head._2.as(p.head._1), p.tail.map { case (n, c) => c.as(n) }: _*)
     stage1.groupBy(col(key))

@@ -39,8 +39,9 @@ object EventStreams {
   /**
    * Gap-based sessionization with explicit keyed state
    * (flatMapGroupsWithState + processing-time timeout): emits a session when
-   * a gap larger than `gapMs` arrives. State per user is O(1) — the pattern
-   * that scales to millions of concurrent keys.
+   * a gap larger than `gapMs` arrives, and closes idle sessions via the
+   * state timeout — so per-user state is evicted once a user goes quiet and
+   * total state stays bounded by *active* users, not all users ever seen.
    *
    * Batch mirror: st02_sessionize (lag + flag-sum).
    */
@@ -50,6 +51,12 @@ object EventStreams {
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        // idle longer than the gap: emit the open session and evict state
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, s.sessionStartMs, s.lastEventMs, s.nEvents))
+      }
       val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var cur = state.getOption
       val out = Seq.newBuilder[SessionOut]
@@ -65,11 +72,15 @@ object EventStreams {
             cur = Some(SessionState(t, t, 1))
         }
       }
-      cur.foreach(state.update)
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutDuration(gapMs) // no-op under batch execution
+      }
       out.result().iterator
     }
 
     events.groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(update)
   }
 }
