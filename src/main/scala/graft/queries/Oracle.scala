@@ -241,6 +241,31 @@ object Oracle {
         |       CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "v06_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  greatest(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'),
+        |           4.9406564584124654e-324) AS scale
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, scale,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
+        |       CAST(list_aggregate(list_transform(qv, v -> abs(v)), 'sum') AS BIGINT) AS qabs
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "t05_normalize" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS norm_hash,
+        |       CAST(length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t06_stratified_sample" ->
+      """SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 100 < CASE WHEN lang = 'en' THEN 30 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+
     "x01_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90

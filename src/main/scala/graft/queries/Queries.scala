@@ -393,6 +393,46 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Int8 scalar quantization of embeddings (max-abs scaling) — the
+    * storage-compression op of an embedding pipeline. Output is the audit
+    * view: per-vector scale + quantized checksum. */
+  val v06Quantize: Q = (s, dir) =>
+    tbl(s, dir, "embeddings")
+      // floor the scale at the min subnormal: an all-zero vector must
+      // quantize to zeros, not divide 0/0 into a NaN that ANSI cast rejects
+      .withColumn("scale",
+        greatest(
+          aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+            lit(0.0), (acc, v) => greatest(acc, v)),
+          lit(java.lang.Double.MIN_VALUE)))
+      .withColumn("q", transform(col("embedding"),
+        x => round(x.cast("double") / col("scale") * 127).cast("long")))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("qsum"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + abs(v)).as("qabs"))
+      .orderBy("vec_id")
+
+  /** Text normalization: lowercase + whitespace collapse + trim, keyed by
+    * content hash — the canonicalization step before exact dedup. */
+  val t05Normalize: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), " +", " ")).as("norm_hash"),
+        length(regexp_replace(trim(lower(col("text"))), " +", " ")).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sampling for training-mix construction:
+    * per-language quotas via a multiplicative-hash threshold — reproducible
+    * across runs/engines, no rand(). */
+  val t06StratifiedSample: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .filter(col("bucket") <
+        when(col("lang") === "en", 30).otherwise(10))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
   // ===== engine breadth beyond the reference (§2.10 gaps closed) ============
 
   /** JSON extraction over the events props column. */
@@ -464,6 +504,9 @@ object Queries {
     "v03_ann_lsh" -> v03AnnLsh,
     "v04_norms" -> v04Norms,
     "v05_ann_ivf" -> v05AnnIvf,
+    "v06_quantize" -> v06Quantize,
+    "t05_normalize" -> t05Normalize,
+    "t06_stratified_sample" -> t06StratifiedSample,
     "x01_json_extract" -> x01JsonExtract,
     "x02_rollup" -> x02Rollup,
     "x03_set_ops" -> x03SetOps,
