@@ -28,6 +28,15 @@ object EventStreams {
       .select(col("w.start").as("win_start"), col("event_type"), col("cnt"),
         col("sum_value_r"))
 
+  /**
+   * Streaming exactly-once dedup: drop re-delivered events by id, keeping
+   * state only within the watermark horizon (dropDuplicatesWithinWatermark)
+   * — the unbounded-stream analog of the K2 batch dedup, with bounded state.
+   */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -61,6 +61,19 @@ class StreamingSpec extends AnyFunSuite {
       ("02:00", "view", 1L, 5.0)))
   }
 
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(fixture ++ Seq(fixture(1), fixture(3)): _*) // re-deliveries
+    val q = EventStreams.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === fixture.map(_.event_id).sorted)
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap > 30 min") {
     val s = spark
     import s.implicits._
