@@ -55,6 +55,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh === exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("materialized signature table yields the same LSH pairs as the one-shot path") {
+    val oneShot = Dedup.minhashLshPairs(docs, w = 5, k = 32, bands = 16, minJ = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigDir = java.nio.file.Files.createTempDirectory("sig_table").toString
+    Dedup.withSignatures(docs, w = 5, k = 32).write.mode("overwrite").parquet(sigDir)
+    val fromTable = Dedup.minhashLshPairsFrom(
+      spark.read.parquet(sigDir).filter(col("sig").isNotNull), k = 32, bands = 16, minJ = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromTable === oneShot)
+  }
+
   test("minhashDedup drops the larger id of each matched pair") {
     val pairs = Dedup.minhashLshPairs(docs, w = 5, minJ = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
