@@ -113,10 +113,11 @@ object TextOps {
   def rollingHash(text: Column): Column = rollingHashUdf(text)
 
   /**
-   * Winnowing-style document fingerprint: the minimum xxhash64 over the
+   * Winnowing-style document fingerprint: the minimum shingle hash over the
    * document's shingle set (a 1-perm MinHash) — collision-resistant id for
-   * near-identical content ordering.
+   * near-identical content ordering. Uses the native shingle-hash kernel;
+   * array_min over the primitive long array is codegen'd.
    */
   def docFingerprint(text: Column, w: Int = 5): Column =
-    array_min(transform(shingles(text, w), s => xxhash64(s)))
+    array_min(graft.functions.TextExpressions.shingleHashes(text, w))
 }

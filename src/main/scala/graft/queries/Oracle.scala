@@ -6,30 +6,53 @@ package graft.queries
  * exactly (the driver sorts columns by name and hash-compares values).
  *
  * Queries intentionally omitted (no faithful SQL equivalent, driver records
- * a rows-only check): d05_simhash, t04_fingerprint, v03_ann_lsh — their
- * semantics rest on engine-side hash kernels (xxhash64 / FNV+splitmix) that
- * DuckDB cannot reproduce; each is covered by ScalaTest instead.
+ * a rows-only check): d05_simhash, t04_fingerprint, v03_ann_lsh,
+ * v05_ann_ivf — their semantics rest on engine-side hash kernels
+ * (xxhash64 / FNV+splitmix) or approximate candidate generation (LSH
+ * buckets, IVF probing) that DuckDB cannot reproduce; each is covered by
+ * ScalaTest instead (recall floors asserted against the brute-force oracle).
  */
 object Oracle {
 
   /** Shared CTE: distinct 5-word shingle sets per document (chr(31) joined,
     * mirroring TextOps.ShingleSep) + exact pairwise Jaccard via the shingle
-    * inverted index. */
-  private def jaccardSql(minJ: Double): String =
+    * inverted index.
+    *
+    * `postingsCap` mirrors Dedup.NearDup.maxShinglePostings: when set, a
+    * shingle held by more than `cap` docs is excluded from CANDIDATE
+    * generation only (the intersection count is still computed exactly over
+    * the full shingle sets of each surviving candidate pair), so the oracle
+    * drops exactly the pairs the Spark skew guard drops — pairs whose every
+    * shared shingle is boilerplate. d04 (MinHash-LSH) has no postings cap on
+    * the Spark side, so its oracle stays uncapped. */
+  private def jaccardSql(minJ: Double, postingsCap: Option[Int] = None): String = {
+    val pr = postingsCap match {
+      case Some(cap) =>
+        s"""rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $cap),
+           |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id),
+           |pr AS (SELECT c.id_a, c.id_b, count(*) AS inter
+           |       FROM cand c JOIN sh a ON a.doc_id = c.id_a
+           |       JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s GROUP BY 1, 2)""".stripMargin
+      case None =>
+        """pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+    }
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
        |          i -> list_aggregate(w[i:i+4], 'string_agg', chr(31)))) AS s
        |        FROM tok WHERE len(w) >= 5),
        |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |$pr,
        |jac AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
        |               CAST(ca.n + cb.n - inter AS BIGINT) AS uni,
        |               round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
        |        FROM pr JOIN cnt ca ON ca.doc_id = pr.id_a JOIN cnt cb ON cb.doc_id = pr.id_b)
        |SELECT id_a, id_b, inter, uni, jaccard FROM jac
        |WHERE jaccard >= $minJ ORDER BY id_a, id_b""".stripMargin
+  }
 
   private val sumSq = "list_aggregate(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
   private def norm(c: String): String = s"sqrt(${sumSq.format(c)})"
@@ -171,9 +194,10 @@ object Oracle {
 
     "d02_dedup_exact_keep" ->
       """SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
-        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
 
-    "d03_neardup_ngram" -> jaccardSql(0.2),
+    "d03_neardup_ngram" ->
+      jaccardSql(0.2, postingsCap = Some(graft.llm.Dedup.NearDup.maxShinglePostings)),
 
     // MinHash-LSH reproduces the exact-Jaccard result at this threshold
     // (P(miss | j >= 0.7) < 1e-4 with k=32, bands=16) — the oracle IS the
@@ -260,10 +284,16 @@ object Oracle {
         |       CAST(length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS BIGINT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // bucket = first 32 md5 bits of the decimal doc_id -> [0, 2^32) -> % 100:
+    // overflow-free at any doc_id (the r2 multiplicative form overflowed
+    // BIGINT past doc_id ~3.5e9, yielding negative buckets in Spark and a
+    // conversion error in DuckDB)
     "t06_stratified_sample" ->
-      """SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket
-        |FROM documents
-        |WHERE (doc_id * 2654435761) % 100 < CASE WHEN lang = 'en' THEN 30 ELSE 10 END
+      """WITH b AS (SELECT doc_id, lang,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
 
     "x01_json_extract" ->

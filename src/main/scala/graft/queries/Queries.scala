@@ -423,11 +423,20 @@ object Queries {
       .orderBy("doc_id")
 
   /** Deterministic stratified sampling for training-mix construction:
-    * per-language quotas via a multiplicative-hash threshold — reproducible
-    * across runs/engines, no rand(). */
+    * per-language quotas via a hash-bucket threshold — reproducible across
+    * runs/engines, no rand(). Bucket = first 32 bits of md5(doc_id as text)
+    * mod 100: always in [0, 100) for ANY doc_id. (The r2 multiplicative form
+    * `doc_id * 2654435761 % 100` overflowed Long past doc_id ~3.5e9 —
+    * negative buckets silently widened the sample at exactly the corpus
+    * sizes this engine targets.) */
+  /** Hash bucket in [0, 100) for any id value (no overflow path: the hex
+    * prefix is < 2^32 before the modulo). */
+  def sampleBucket(docId: Column): Column =
+    conv(substring(md5(docId.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
   val t06StratifiedSample: Q = (s, dir) =>
     tbl(s, dir, "documents")
-      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .withColumn("bucket", sampleBucket(col("doc_id")))
       .filter(col("bucket") <
         when(col("lang") === "en", 30).otherwise(10))
       .select(col("doc_id"), col("lang"), col("bucket"))

@@ -79,6 +79,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial"), s"no partial agg:\n$p")
   }
 
+  test("d02 exact dedup groups by the 16-byte content hash, never the raw text") {
+    val p = planString(Queries.d02DedupExactKeep(spark, sf))
+    assert(p.contains("md5"), s"no hash group key:\n$p")
+    // the shuffle must partition on the fixed-width hash, not the payload
+    assert(!p.contains("hashpartitioning(text"), s"shuffle keyed on raw text:\n$p")
+  }
+
+  test("t06 sample bucket stays in [0, 100) past 32-bit doc ids (overflow guard)") {
+    val s = spark
+    import s.implicits._
+    val big = Seq(1L, Int.MaxValue.toLong, (1L << 32) + 7L, 5000000000L,
+      Long.MaxValue - 1).toDF("doc_id")
+    val buckets = big.select(Queries.sampleBucket($"doc_id").as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 100), buckets.mkString(","))
+  }
+
   test("m01/t01: document scans prune to the columns the query needs") {
     val p = planString(Queries.t01TokenCount(spark, sf))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
