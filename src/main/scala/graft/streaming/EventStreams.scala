@@ -40,56 +40,90 @@ object EventStreams {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  final case class SessionState(sessionStartMs: Long, lastEventMs: Long, nEvents: Long)
+  /** Pending per-user events within the watermark horizon: (event_id, ts
+    * millis) pairs. Keyed by event_id so re-delivered events are idempotent. */
+  final case class PendingEvents(events: Seq[(Long, Long)])
 
   final case class SessionOut(user_id: Long, session_start_ms: Long,
       session_end_ms: Long, n_events: Long)
 
   /**
-   * Gap-based sessionization with explicit keyed state
-   * (flatMapGroupsWithState + processing-time timeout): emits a session when
-   * a gap larger than `gapMs` arrives, and closes idle sessions via the
-   * state timeout — so per-user state is evicted once a user goes quiet and
-   * total state stays bounded by *active* users, not all users ever seen.
+   * Gap-based event-time sessionization with explicit keyed state
+   * (flatMapGroupsWithState + EVENT-time timeout).
    *
+   * Semantics are a pure function of the event content: pending events are
+   * buffered in state (deduplicated by event_id, so replays are idempotent),
+   * and a session is emitted only once the event-time watermark passes its
+   * `last event + gap` horizon — at that point no in-flight event can reopen
+   * it, so late/out-of-order/re-delivered arrivals within the watermark
+   * produce IDENTICAL sessions regardless of batch chunking. The r2 form
+   * used ProcessingTimeTimeout, which keyed eviction on wall clock and made
+   * replayed streams close sessions nondeterministically.
+   *
+   * State is bounded: per user, only events newer than the watermark-gap
+   * horizon are retained (emitted sessions are dropped), and the state
+   * timeout evicts idle users entirely.
+   *
+   * Batch execution (no watermark): all events of a user arrive in one
+   * invocation; every gap-closed session is emitted and the final
+   * still-open session is not — the bounded-run streaming contract.
    * Batch mirror: st02_sessionize (lag + flag-sum).
    */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 watermark: String = "1 hour"): Dataset[SessionOut] = {
     implicit val outEnc = Encoders.product[SessionOut]
-    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val stateEnc = Encoders.product[PendingEvents]
 
-    def update(userId: Long, rows: Iterator[Event],
-        state: GroupState[SessionState]): Iterator[SessionOut] = {
-      if (state.hasTimedOut) {
-        // idle longer than the gap: emit the open session and evict state
-        val s = state.get
-        state.remove()
-        return Iterator(SessionOut(userId, s.sessionStartMs, s.lastEventMs, s.nEvents))
-      }
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var cur = state.getOption
-      val out = Seq.newBuilder[SessionOut]
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.lastEventMs <= gapMs =>
-            cur = Some(s.copy(lastEventMs = t, nEvents = s.nEvents + 1))
-          case Some(s) =>
-            out += SessionOut(userId, s.sessionStartMs, s.lastEventMs, s.nEvents)
-            cur = Some(SessionState(t, t, 1))
-          case None =>
-            cur = Some(SessionState(t, t, 1))
+    // split ordered (id, ts) pairs into gap-delimited sessions
+    def split(evs: Seq[(Long, Long)]): Seq[Seq[(Long, Long)]] = {
+      val out = Seq.newBuilder[Seq[(Long, Long)]]
+      var cur = Seq.newBuilder[(Long, Long)]
+      var last = Long.MinValue
+      evs.foreach { case e @ (_, t) =>
+        if (last != Long.MinValue && t - last > gapMs) {
+          out += cur.result()
+          cur = Seq.newBuilder[(Long, Long)]
         }
+        cur += e
+        last = t
       }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutDuration(gapMs) // no-op under batch execution
-      }
-      out.result().iterator
+      val tail = cur.result()
+      if (tail.nonEmpty) out += tail
+      out.result()
     }
 
-    events.groupByKey(_.user_id)(Encoders.scalaLong)
+    def toOut(userId: Long, s: Seq[(Long, Long)]): SessionOut =
+      SessionOut(userId, s.head._2, s.last._2, s.length.toLong)
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[PendingEvents]): Iterator[SessionOut] = {
+      val incoming = rows.map(e => (e.event_id, e.ts.getTime)).toSeq
+      val known = state.getOption.map(_.events).getOrElse(Seq.empty)
+      val all = (known ++ incoming).distinctBy(_._1)
+        .sortBy { case (id, t) => (t, id) }
+      // batch execution has no watermark: getCurrentWatermarkMs throws
+      val wm = try state.getCurrentWatermarkMs()
+        catch { case _: UnsupportedOperationException => -1L }
+      val sessions = split(all)
+      val (closed, open) =
+        if (wm >= 0L) sessions.partition(s => s.last._2 + gapMs <= wm)
+        else (sessions.dropRight(1), sessions.takeRight(1)) // bounded input
+      if (wm >= 0L) {
+        val pending = open.flatten
+        if (pending.nonEmpty) {
+          state.update(PendingEvents(pending))
+          // earliest possible close of any retained session; clamped above
+          // the watermark as setTimeoutTimestamp requires
+          state.setTimeoutTimestamp(
+            math.max(open.map(_.last._2).min + gapMs, wm + 1))
+        } else state.remove()
+      }
+      closed.map(toOut(userId, _)).iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.ProcessingTimeTimeout)(update)
+        GroupStateTimeout.EventTimeTimeout)(update)
   }
 }

@@ -142,7 +142,10 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     val meanRecall = recalls.sum / recalls.size
     info(f"ANN-LSH mean recall@5 = $meanRecall%.3f over ${recalls.size} queries")
-    assert(meanRecall >= 0.4, f"recall too low: $meanRecall%.3f")
+    // defaults (16 tables x 4 planes) measure 0.856/0.913/0.944 at
+    // sf0.001/0.01/0.1 — deterministic planes, so 0.7 is a real floor,
+    // not a flaky threshold (r2's 8x5 defaults sat at 0.45)
+    assert(meanRecall >= 0.7, f"recall too low: $meanRecall%.3f")
 
     val plan = Similarity.annLsh(emb, queries, k = 5)
       .queryExecution.executedPlan.toString
@@ -154,16 +157,18 @@ class LlmOpsSpec extends AnyFunSuite {
     val brute = Similarity.knnBrute(emb, queries, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .map { case (q, ns) => q -> ns.map(_._2).toSet }
-    val ivf = Similarity.annIvf(emb, queries, k = 5, c = 16, nprobe = 4)
+    val ivf = Similarity.annIvf(emb, queries, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .map { case (q, ns) => q -> ns.map(_._2).toSet }
     val recalls = brute.map { case (q, trueNs) =>
       trueNs.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / trueNs.size
     }
     val meanRecall = recalls.sum / recalls.size
-    info(f"IVF mean recall@5 (c=16, nprobe=4) = $meanRecall%.3f")
-    assert(meanRecall >= 0.5, f"IVF recall too low: $meanRecall%.3f")
-    val plan = Similarity.annIvf(emb, queries, k = 5, c = 16, nprobe = 4)
+    info(f"IVF mean recall@5 (defaults: c=sqrt(n), nprobe=12) = $meanRecall%.3f")
+    // defaults measure 0.869/0.850/0.756 at sf0.001/0.01/0.1; sampling and
+    // centroid training are deterministic, so 0.7 is a real floor
+    assert(meanRecall >= 0.7, f"IVF recall too low: $meanRecall%.3f")
+    val plan = Similarity.annIvf(emb, queries, k = 5)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in IVF plan:\n$plan")
   }

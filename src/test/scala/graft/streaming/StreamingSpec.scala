@@ -74,6 +74,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq === fixture.map(_.event_id).sorted)
   }
 
+  test("event-time sessionizer: late, replayed, re-chunked delivery yields identical sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 events at minutes 5, 20, 70: sessions [5..20] and [70..70]
+    // (gap 30 min). A watermark-advancing probe at minute 600 (user 99,
+    // watermark 1 h -> wm = minute 540) matures BOTH user-1 sessions, so
+    // the timeout path must emit them without any further user-1 input.
+    val gap = 30L * 60 * 1000
+    def run(name: String)(chunks: Seq[Seq[Event]]): Set[(Long, Long, Long, Long)] = {
+      val stream = MemoryStream[Event]
+      val q = EventStreams.sessionize(stream.toDS(), gapMs = gap)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks.foreach { c => stream.addData(c: _*); q.processAllAvailable() }
+        // one empty-input microbatch so event-time timeouts registered by
+        // the last data batch get a chance to fire
+        stream.addData(Event(999, ts(610), 99, "probe", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[EventStreams.SessionOut].collect()
+        .map(o => (o.user_id, o.session_start_ms, o.session_end_ms, o.n_events))
+        .filter(_._1 != 99L).toSet
+    }
+
+    val e5 = Event(0, ts(5), 1, "click", 1.0)
+    val e20 = Event(1, ts(20), 1, "click", 2.0)
+    val e70 = Event(3, ts(70), 1, "click", 4.0)
+    val probe = Event(100, ts(600), 99, "probe", 0.0)
+
+    val inOrder = run("sess_inorder")(Seq(Seq(e5, e20, e70), Seq(probe)))
+    // out-of-order across batches: e70 before e20 (e20 is late but within
+    // the 1 h watermark), plus a replay of e5
+    val lateReplay = run("sess_late")(Seq(Seq(e5, e70), Seq(e20, e5), Seq(probe)))
+    // everything in a single batch
+    val oneBatch = run("sess_onebatch")(Seq(Seq(e5, e20, e70, probe)))
+
+    assert(inOrder === lateReplay)
+    assert(inOrder === oneBatch)
+    assert(inOrder === Set(
+      (1L, ts(5).getTime, ts(20).getTime, 2L),
+      (1L, ts(70).getTime, ts(70).getTime, 1L)))
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap > 30 min") {
     val s = spark
     import s.implicits._
