@@ -116,11 +116,15 @@ object Pipeline {
     * after this, `spark.sql("SELECT ... FROM adressen JOIN woonplaatsen ...")`
     * works. Indices are a no-op on purpose — Spark's equivalents are
     * broadcast/AQE (SURVEY.md §4). */
-  def registerViews(t: BagTables, adressen: Option[DataFrame] = None): Unit = {
+  def registerViews(t: BagTables, adressen: Option[DataFrame] = None,
+      useShortStreetNames: Boolean = true): Unit = {
     Seq(
       "woonplaatsen" -> t.woonplaatsen,
       "gemeente_woonplaatsen" -> t.gemeenteWoonplaatsen,
-      "openbare_ruimten" -> t.openbareRuimten,
+      // the reference's SQLite table carries ONE naam column, resolved at
+      // import time from config.use_short_street_names (import_bag.py) —
+      // mirror that surface so readme-level SQL (o.naam) runs verbatim
+      "openbare_ruimten" -> Adressen.withStraatNaam(t.openbareRuimten, useShortStreetNames),
       "nummers" -> t.nummers,
       "panden" -> t.panden,
       "verblijfsobjecten" -> t.verblijfsobjecten,
@@ -132,10 +136,11 @@ object Pipeline {
     adressen.foreach(_.createOrReplaceTempView("adressen"))
   }
 
-  /** The five export variants (export_to_csv.py:7-22). */
-  def export(adressen: DataFrame, t: BagTables, cfg: Config, variant: String,
-      outPath: String): Unit = {
-    val oprNamed = Adressen.withStraatNaam(t.openbareRuimten, cfg.useShortStreetNames)
+  /** The five export variants (export_to_csv.py:7-22). CLI surface:
+    * [[graft.Exports]]. */
+  def export(adressen: DataFrame, t: BagTables, variant: String, outPath: String,
+      useShortStreetNames: Boolean = true, singleFile: Boolean = false): Unit = {
+    val oprNamed = Adressen.withStraatNaam(t.openbareRuimten, useShortStreetNames)
     val df = variant match {
       case "all"      => Exports.fullExport(adressen, t, oprNamed)
       case "postcode" => Exports.postcodeExport(adressen, t, oprNamed)
@@ -144,6 +149,24 @@ object Pipeline {
       case "pc6"      => Exports.postcodeStats(adressen, t.woonplaatsen, 6)
       case other      => throw new IllegalArgumentException(s"unknown export: $other")
     }
-    Exports.writeCsv(df, outPath)
+    Exports.writeCsv(df, outPath, singleFile)
+  }
+
+  /** Re-open a warehouse written by [[importBag]]/[[materialize]]: raw layer
+    * parquet + curated adressen. */
+  def openWarehouse(spark: SparkSession, warehouseDir: String): (BagTables, DataFrame) = {
+    def tbl(name: String) = spark.read.parquet(s"$warehouseDir/raw/$name")
+    val t = BagTables(
+      woonplaatsen = tbl("woonplaatsen"),
+      gemeenteWoonplaatsen = tbl("gemeente_woonplaatsen"),
+      openbareRuimten = tbl("openbare_ruimten"),
+      nummers = tbl("nummers"),
+      panden = tbl("panden"),
+      verblijfsobjecten = tbl("verblijfsobjecten"),
+      ligplaatsen = tbl("ligplaatsen"),
+      standplaatsen = tbl("standplaatsen"),
+      gemeenten = tbl("gemeenten"),
+      provincies = tbl("provincies"))
+    (t, spark.read.parquet(s"$warehouseDir/adressen"))
   }
 }

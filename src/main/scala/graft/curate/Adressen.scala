@@ -238,6 +238,7 @@ object Adressen {
     val joined = adressen
       .join(broadcast(oprIds), col("openbare_ruimte_id") === col("__opr_id"), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(joined)
     val orphanCount = joined
       .agg(count(when(col("__opr_id").isNull, lit(1))).as("n"))
       .first().getLong(0)
@@ -256,10 +257,22 @@ object Adressen {
     deleteOrphans(built, t.openbareRuimten, cfg)
   }
 
-  /** Drop every cached plan of the session — the supported public release
-    * for the deleteOrphans persist (Dataset.unpersist on a derived frame
-    * cannot reach an ancestor cache entry). Batch pipelines call this after
-    * the curated layer is written out. */
-  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.catalog.clearCache()
+  /** Frames this module persisted and still owns (Dataset.unpersist on a
+    * derived frame cannot reach an ancestor's cache entry, so the original
+    * reference is tracked here). */
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Release exactly the caches this module created (the deleteOrphans
+    * persist), leaving unrelated session caches — Validate's, user code's —
+    * untouched. Batch pipelines call this after the curated layer is
+    * written out. (r2 used spark.catalog.clearCache(), which evicted every
+    * cached plan in the session mid-flight.) */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
+    var df = persistedFrames.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = persistedFrames.poll()
+    }
+  }
 }

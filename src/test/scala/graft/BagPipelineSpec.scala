@@ -179,6 +179,72 @@ class BagPipelineSpec extends AnyFunSuite {
     assert(math.abs(pc2514.getAs[Double]("center_lat") - lat) < 1e-9)
   }
 
+  test("Paleis Noordeinde acceptance query (readme.MD:53-78) via SQL views") {
+    // the reference readme's documentation-level golden query for postcode
+    // 2514GL huisnummer 68, ported verbatim (SQLite '||' concat included;
+    // columns renamed only where our curated schema differs: id -> the
+    // *_id key names used throughout this engine)
+    Pipeline.registerViews(raw, Some(adressen))
+    val row = spark.sql(
+      """SELECT
+        |  a.postcode,
+        |  a.huisnummer,
+        |  a.huisletter || a.toevoeging AS toevoeging,
+        |  o.naam                       AS straat,
+        |  g.naam                       AS gemeente,
+        |  w.naam                       AS woonplaats,
+        |  p.naam                       AS provincie,
+        |  a.bouwjaar,
+        |  a.latitude,
+        |  a.longitude,
+        |  a.rd_x,
+        |  a.rd_y,
+        |  a.oppervlakte                AS vloeroppervlakte,
+        |  a.gebruiksdoel,
+        |  a.hoofd_nummer_id
+        |FROM adressen a
+        |  LEFT JOIN openbare_ruimten o ON a.openbare_ruimte_id = o.id
+        |  LEFT JOIN gemeenten g        ON a.gemeente_id        = g.id
+        |  LEFT JOIN woonplaatsen w     ON a.woonplaats_id      = w.id
+        |  LEFT JOIN provincies p       ON g.provincie_id       = p.id
+        |WHERE postcode = '2514GL'
+        |  AND huisnummer = 68""".stripMargin).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert(r.getAs[String]("toevoeging") === "A2")
+    assert(r.getAs[String]("straat") === "Kalverstraat")
+    assert(r.getAs[String]("gemeente") === "Amsterdam")
+    assert(r.getAs[String]("woonplaats") === "Amsterdam")
+    assert(r.getAs[String]("provincie") === "Noord-Holland")
+    assert(r.getAs[Long]("bouwjaar") === 1920L)
+    assert(r.getAs[Double]("rd_x") === 155005.0 && r.getAs[Double]("rd_y") === 463005.0)
+    val (lat, lon) = Rijksdriehoek.rdToWgs84(155005.0, 463005.0)
+    assert(math.abs(r.getAs[Double]("latitude") - lat) < 1e-9)
+    assert(math.abs(r.getAs[Double]("longitude") - lon) < 1e-9)
+    assert(r.getAs[Double]("vloeroppervlakte") === 120.0)
+  }
+
+  test("Exports CLI mirrors export_to_csv.py flags and writes CSV artifacts") {
+    val wh = java.nio.file.Files.createTempDirectory("bag_export_wh").toString
+    Pipeline.materialize(spark, raw, s"$wh/raw")
+    adressen.write.mode("overwrite").parquet(s"$wh/adressen")
+    val out = java.nio.file.Files.createTempDirectory("bag_export_out").toString
+
+    graft.Exports.main(Array("-p4", "--warehouse", wh, "--out", out, "--single-file"))
+    val p4 = new java.io.File(s"$out/adressen_p4_stats.csv").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(p4.length === 1, "single-file p4 export should write one csv part")
+    val lines = scala.io.Source.fromFile(p4.head).getLines().toSeq
+    assert(lines.head === "postcode4,center_lat,center_lon,aantal_adressen,woonplaats")
+    assert(lines.exists(_.startsWith("2514,")))
+
+    graft.Exports.main(Array("--all", "--warehouse", wh, "--out", out))
+    assert(new java.io.File(s"$out/adressen_all_data.csv").exists())
+
+    graft.Exports.main(Array("--warehouse", wh, "--out", out)) // default: postcode export
+    assert(new java.io.File(s"$out/adressen_postcodes.csv").exists())
+  }
+
   test("K4: registered temp views are SQL-queryable by name") {
     Pipeline.registerViews(raw, Some(adressen))
     val n = spark.sql(
@@ -222,6 +288,23 @@ class BagPipelineSpec extends AnyFunSuite {
       j.collect()
       val p = j.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"), s"bucketed vbo-nummers join shuffles:\n$p")
+
+      // the 100x-scale claim as an executable check: the whole J1 adressen
+      // build chain must shuffle strictly less from bucketed storage than
+      // from plain parquet (broadcast disabled so every join would
+      // otherwise be a shuffled SMJ/SHJ)
+      def exchanges(t: Adressen.BagTables): Int = {
+        val df = Adressen.curated(t, cfg)
+        df.collect()
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      }
+      val whPlain = java.nio.file.Files.createTempDirectory("bag_plain").toString
+      val plainT = Pipeline.materialize(spark, raw, whPlain)
+      val (nPlain, nBucketed) = (exchanges(plainT), exchanges(bucketed))
+      info(s"J1 build-chain shuffles: plain=$nPlain bucketed=$nBucketed")
+      assert(nBucketed < nPlain,
+        s"bucketed build should shuffle less: plain=$nPlain bucketed=$nBucketed")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
