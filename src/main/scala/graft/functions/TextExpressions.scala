@@ -99,6 +99,61 @@ object TextKernels {
     }
     ArrayData.toArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
   }
+
+  /** Word count under split(text, ' ') semantics (empties kept, so the
+    * count is exactly spaces + 1 — including the [""] of an empty string). */
+  def wordCount(text: UTF8String): Int = {
+    val nBytes = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var n = 1
+    var i = 0
+    while (i < nBytes) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** How many words of `text` appear in the (small) stopword set. The set
+    * is pre-hashed once per expression instance; a hash hit is confirmed by
+    * byte comparison, so the count is exactly
+    * size(filter(split(text,' '), w -> w IN stopwords)) — the oracle-mirrored
+    * semantics — with zero per-word allocation. */
+  def stopwordCount(text: UTF8String, hashes: Array[Long],
+                    words: Array[Array[Byte]]): Int = {
+    val nBytes = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var cnt = 0
+    var start = 0
+    var i = 0
+    while (i <= nBytes) {
+      if (i == nBytes ||
+          org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        val len = i - start
+        val h = XXH64.hashUnsafeBytes(base, off + start, len, Seed)
+        var j = 0
+        while (j < hashes.length) {
+          if (hashes(j) == h && words(j).length == len) {
+            // confirm: hash equality is not semantic equality
+            var k = 0
+            var eq = true
+            while (eq && k < len) {
+              if (org.apache.spark.unsafe.Platform.getByte(base, off + start + k)
+                  != words(j)(k)) eq = false
+              k += 1
+            }
+            if (eq) { cnt += 1; j = hashes.length - 1 }
+          }
+          j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    cnt
+  }
 }
 
 /** shingle_hashes(text, w) -> array<bigint>: distinct hashed w-shingles. */
@@ -125,17 +180,85 @@ case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** word_count(text) -> int: split-on-space word count, no array built. */
+case class WordCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_count expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "word_count"
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.wordCount(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.wordCount($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordCount =
+    copy(child = newChild)
+}
+
+/** stopword_count(text) -> int: words of `text` in the fixed `stopwords`
+  * set, under split(text,' ') + IN semantics. The per-language language-ID
+  * scorers and quality stats are this expression with different sets. */
+case class StopwordCount(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val wordBytes: Array[Array[Byte]] =
+    stopwords.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  @transient private lazy val wordHashes: Array[Long] =
+    wordBytes.map(b => XXH64.hashUnsafeBytes(b,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, TextKernels.Seed))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"stopword_count expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "stopword_count"
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.stopwordCount(t.asInstanceOf[UTF8String], wordHashes, wordBytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hashesRef = ctx.addReferenceObj("stopHashes", wordHashes, "long[]")
+    val wordsRef = ctx.addReferenceObj("stopWords", wordBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.stopwordCount($t, $hashesRef, $wordsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordCount =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   /** Column binding — no registry needed. */
   def shingleHashes(text: Column, w: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), w))
 
+  def wordCount(text: Column): Column =
+    ColumnBridge.column(WordCount(ColumnBridge.expression(text)))
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(StopwordCount(ColumnBridge.expression(text), stopwords))
+
   /** SQL-surface registration (idempotent), mirroring VectorExpressions. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => ShingleHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_count", exprs => WordCount(exprs(0)), "built-in")
+  }
 }

@@ -139,5 +139,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[FloatVecNorm].getName, "vec_norm"),
       (exprs: Seq[Expression]) => FloatVecNorm(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("word_count"),
+      new ExpressionInfo(classOf[WordCount].getName, "word_count"),
+      (exprs: Seq[Expression]) => WordCount(exprs(0))))
   }
 }

@@ -51,8 +51,16 @@ object TextOps {
   final val StopFr = Seq("le", "les", "des", "une", "est")
   final val StopZh = Seq("de", "shi", "le", "bu", "wo")
 
-  private def stopCount(ws: Column, stop: Seq[String]): Column =
-    size(filter(ws, w => w.isin(stop.map(s => s: Any): _*))).cast("long")
+  /** Native stopword-hit count (graft.functions.StopwordCount): identical
+    * semantics to size(filter(split(text,' '), w -> w IN stop)) — the form
+    * the DuckDB oracle mirrors — without building the word array (the
+    * interpreted filter-HOF chain it replaces was ~2.9s of t02 at sf0.1). */
+  private def stopCount(text: Column, stop: Seq[String]): Column =
+    graft.functions.TextExpressions.stopwordCount(text, stop).cast("long")
+
+  /** Native word count under split(text, ' ') semantics. */
+  def wordCount(text: Column): Column =
+    graft.functions.TextExpressions.wordCount(text)
 
   /**
    * Rule-based language ID: count stopword hits per profile, pick the
@@ -60,12 +68,11 @@ object TextOps {
    * result is deterministic and mirrorable in plain SQL.
    */
   def langIdScores(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val ws = words(col(textCol))
-    df.withColumn("s_de", stopCount(ws, StopDe))
-      .withColumn("s_en", stopCount(ws, StopEn))
-      .withColumn("s_es", stopCount(ws, StopEs))
-      .withColumn("s_fr", stopCount(ws, StopFr))
-      .withColumn("s_zh", stopCount(ws, StopZh))
+    df.withColumn("s_de", stopCount(col(textCol), StopDe))
+      .withColumn("s_en", stopCount(col(textCol), StopEn))
+      .withColumn("s_es", stopCount(col(textCol), StopEs))
+      .withColumn("s_fr", stopCount(col(textCol), StopFr))
+      .withColumn("s_zh", stopCount(col(textCol), StopZh))
       .withColumn("lang_guess",
         when(col("s_de") >= greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_zh")), "de")
           .when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "en")
@@ -80,10 +87,9 @@ object TextOps {
    * standard cheap pre-filters of a training-data pipeline.
    */
   def qualityStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val ws = words(col(textCol))
-    df.withColumn("n_words", size(ws).cast("long"))
+    df.withColumn("n_words", wordCount(col(textCol)).cast("long"))
       .withColumn("n_chars_calc", length(col(textCol)).cast("long"))
-      .withColumn("stop_cnt", stopCount(ws, StopEn))
+      .withColumn("stop_cnt", stopCount(col(textCol), StopEn))
       // single-space corpus: total word chars = chars - (n_words - 1)
       .withColumn("avg_word_len",
         round((col("n_chars_calc") - (col("n_words") - 1)).cast("double") / col("n_words"), 4))

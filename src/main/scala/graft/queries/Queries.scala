@@ -113,10 +113,10 @@ object Queries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("o_orderpriority")
 
-  /** F4: multi-value detector (array cardinality predicate). */
+  /** F4: multi-value detector (cardinality predicate, native word count). */
   val f04Multivalue: Q = (s, dir) =>
     tbl(s, dir, "documents")
-      .select(col("doc_id"), size(TextOps.words(col("text"))).cast("long").as("n_words"))
+      .select(col("doc_id"), TextOps.wordCount(col("text")).cast("long").as("n_words"))
       .filter(col("n_words") > 80)
       .orderBy("doc_id")
 
@@ -290,11 +290,11 @@ object Queries {
 
   // ===== LLM: text analysis =================================================
 
-  /** Token counting: whitespace + BPE-ish regex tokens. */
+  /** Token counting: whitespace (native word_count) + BPE-ish regex tokens. */
   val t01TokenCount: Q = (s, dir) =>
     tbl(s, dir, "documents")
       .select(col("doc_id"),
-        size(TextOps.words(col("text"))).cast("long").as("ws_tokens"),
+        TextOps.wordCount(col("text")).cast("long").as("ws_tokens"),
         size(TextOps.regexTokens(col("text"))).cast("long").as("re_tokens"))
       .orderBy("doc_id")
 

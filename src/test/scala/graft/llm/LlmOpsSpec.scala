@@ -127,6 +127,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> "en", 2L -> "de", 3L -> "de"))
   }
 
+  test("native word_count/stopword_count match the split/filter HOF forms exactly") {
+    val stop = TextOps.StopEn
+    val hofWc = size(TextOps.words(col("text")))
+    val hofSc = size(filter(TextOps.words(col("text")),
+      w => w.isin(stop.map(s => s: Any): _*)))
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val bad = df.select(
+        hofWc.as("wc_hof"), TextOps.wordCount(col("text")).as("wc_nat"),
+        hofSc.as("sc_hof"),
+        graft.functions.TextExpressions.stopwordCount(col("text"), stop).as("sc_nat"))
+        .filter(col("wc_hof") =!= col("wc_nat") || col("sc_hof") =!= col("sc_nat"))
+        .count()
+      assert(bad === 0L)
+    }
+    check(docs)
+    // edges: empty text, bare/double separators, multibyte UTF-8, the
+    // stopword as a substring (must NOT count) and standalone (must count)
+    check(docsDf(Seq(1L -> "", 2L -> " ", 3L -> "a  b", 4L -> "héllo the wörld",
+      5L -> "the", 6L -> "theatre lathe the", 7L -> "of of of and to a")))
+  }
+
+  test("native shingle_hashes yields the same distinct-shingle cardinalities as the HOF form") {
+    val hofCard = size(array_distinct(transform(
+      TextOps.shingles(col("text"), 5), s => xxhash64(s))))
+    val natCard = size(graft.functions.TextExpressions.shingleHashes(col("text"), 5))
+    val bad = docs.select(hofCard.as("h"), natCard.as("n"))
+      .filter(col("h") =!= col("n")).count()
+    assert(bad === 0L)
+    // below-w documents produce empty shingle sets in both forms
+    val tiny = docsDf(Seq(1L -> "a b c d", 2L -> "a b c d e", 3L -> ""))
+      .select(col("doc_id"), natCard.as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tiny === Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
   // ---- similarity -----------------------------------------------------------
 
   test("ANN-LSH recall@5 vs brute force is usable and the plan has no cartesian") {
