@@ -301,6 +301,35 @@ object Oracle {
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
         |ORDER BY event_id""".stripMargin,
 
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
+    // formulation. Sub-microsecond ordering is invisible to DuckDB (it
+    // reads TIMESTAMP(NANOS) at us precision); events in this corpus are
+    // seconds apart, so the us-truncated comparison agrees.
+    "x04_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+        |               WHERE event_type = 'click'),
+        |v0 AS (SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+        |       FROM events WHERE event_type = 'view'),
+        |views AS (SELECT user_id, ts, view_event_id, view_value
+        |          FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY view_event_id DESC) AS rn FROM v0)
+        |          WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value,
+        |       v.view_event_id, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // plain BETWEEN join oracle for the binned range join; the 1-hour
+    // interval bound is exact in both engines (events are seconds apart,
+    // so us-vs-ns boundary truncation cannot flip a containment test)
+    "x05_range_join" ->
+      """WITH iv AS (SELECT event_id AS interval_id, ts AS s, ts + INTERVAL 1 HOUR AS e
+        |            FROM events WHERE user_id < 5 AND event_type = 'click')
+        |SELECT iv.interval_id, count(*) AS n_points
+        |FROM iv JOIN events p ON p.ts >= iv.s AND p.ts <= iv.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "x02_rollup" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |       coalesce(o_orderpriority, '(all)') AS priority,

@@ -444,6 +444,50 @@ object Queries {
 
   // ===== engine breadth beyond the reference (§2.10 gaps closed) ============
 
+  /** As-of (point-in-time) join: each click is enriched with the user's
+    * most recent view at or before it — the union+window single-shuffle
+    * formulation ([[graft.relational.AsOf]]), no join node at all. The
+    * oracle is DuckDB's native ASOF LEFT JOIN. Timestamps cross the
+    * engine boundary as microseconds (`ts div 1000` vs epoch_us): DuckDB
+    * reads TIMESTAMP(NANOS) parquet at us precision. */
+  val x04AsofJoin: Q = (s, dir) => {
+    val ev = tbl(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    // right side must be unique per (user, ts): deterministic last-wins
+    val viewsByTs = {
+      val w = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("view_event_id").desc)
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"),
+          col("value").as("view_value"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+    graft.relational.AsOf.asofJoin(clicks, viewsByTs, key = "user_id", time = "ts",
+        valueCols = Seq("view_event_id", "view_value"), prefix = "")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("value"), col("view_event_id"), col("view_value"))
+      .orderBy("event_id")
+  }
+
+  /** Range (interval-containment) join via time-bin quantization
+    * ([[graft.relational.RangeJoin]]): events falling in the hour after
+    * each low-id click — an equi-join on the bin id plus exact filter,
+    * never the nested-loop plan a bare BETWEEN predicate produces. */
+  val x05RangeJoin: Q = (s, dir) => {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val ev = tbl(s, dir, "events")
+    val intervals = ev.filter(col("user_id") < 5 && col("event_type") === "click")
+      .select(col("event_id").as("interval_id"), col("ts").as("start"),
+        (col("ts") + hourNs).as("end"))
+    val points = ev.select(col("ts"))
+    graft.relational.RangeJoin.rangeJoin(intervals, points,
+        start = "start", end = "end", time = "ts", binWidth = hourNs)
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy("interval_id")
+  }
+
   /** JSON extraction over the events props column. */
   val x01JsonExtract: Q = (s, dir) =>
     tbl(s, dir, "events")
@@ -517,6 +561,8 @@ object Queries {
     "t05_normalize" -> t05Normalize,
     "t06_stratified_sample" -> t06StratifiedSample,
     "x01_json_extract" -> x01JsonExtract,
+    "x04_asof_join" -> x04AsofJoin,
+    "x05_range_join" -> x05RangeJoin,
     "x02_rollup" -> x02Rollup,
     "x03_set_ops" -> x03SetOps,
     "m01_multimodal_meta" -> m01MultimodalMeta,

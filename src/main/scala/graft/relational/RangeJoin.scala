@@ -1,0 +1,44 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Range (interval-containment) join — match each point to every interval
+ * that contains it. Spark's optimizer turns a bare
+ * `p.t BETWEEN iv.start AND iv.end` predicate into a nested-loop/cartesian
+ * plan (no equi-key), which is quadratic at scale.
+ *
+ * Scale formulation: quantize time into fixed-width bins. Each interval
+ * explodes into the bins it covers (`sequence(start div w, end div w)`),
+ * each point maps to exactly ONE bin (`t div w`), and the match becomes a
+ * plain equi-join on the bin id followed by the exact containment filter.
+ * Because a point owns a single bin, no dedup is needed — every
+ * (interval, point) pair is produced at most once.
+ *
+ * Cost: |intervals| * (span/w + 1) exploded rows + one shuffle of both
+ * sides on the bin id. Choose `binWidth` near the typical interval span so
+ * intervals explode into O(1) bins; a hot bin (many co-located points) is
+ * an ordinary equi-join skew, addressable with [[Skew]] salting.
+ */
+object RangeJoin {
+
+  /**
+   * @param intervals (id..., start, end) — inclusive bounds, numeric (e.g.
+   *                  epoch nanos); column names must not collide with points
+   * @param points    (id..., time) — same numeric domain
+   * @param binWidth  bin quantum in the time columns' unit
+   */
+  def rangeJoin(intervals: DataFrame, points: DataFrame, start: String,
+                end: String, time: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // `div` is integral long division — float division would lose exactness
+    // above 2^53 (epoch-nanos territory) and mis-bin boundary points
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(expr(s"$start div $binWidth"), expr(s"$end div $binWidth"))))
+    val pt = points.withColumn("__bin", expr(s"$time div $binWidth"))
+    iv.join(pt, "__bin")
+      .filter(col(time) >= col(start) && col(time) <= col(end))
+      .drop("__bin")
+  }
+}

@@ -77,4 +77,60 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(joined.count() === li.count())
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("asofJoin: at-or-before semantics, nulls before first right row, one shuffle, no join node") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"), (3L, 9L, "l4"))
+      .toDF("k", "t", "payload")
+    val right = Seq(
+      (1L, 10L, 100L, "a"),                    // equal ts: matches l1
+      (1L, 15L, 101L, null.asInstanceOf[String]), // null FIELD must still win for l2
+      (2L, 7L, 102L, "c"))                     // after l3 -> no match
+      .toDF("k", "t", "rid", "rv")
+    val got = AsOf.asofJoin(left, right, key = "k", time = "t",
+        valueCols = Seq("rid", "rv"))
+      .collect().map(r => (r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getString(4)))).toSet
+    assert(got === Set(
+      ("l1", Some(100L), Some("a")),
+      // l2 takes the t=15 row as a UNIT: rid 101 with its null rv — a
+      // per-column ignoreNulls propagation would wrongly stitch rv="a"
+      ("l2", Some(101L), None),
+      ("l3", None, None),
+      ("l4", None, None)))
+
+    val q = AsOf.asofJoin(left, right, "k", "t", Seq("rid", "rv"))
+    q.collect()
+    // AQE repeats the plan under "== Initial Plan ==" — audit the final one
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"asofJoin should compile to union+window, not a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected a single key shuffle, got $exchanges:\n$p")
+  }
+
+  test("rangeJoin: exact containment matches a BETWEEN join, via equi-join not nested loop") {
+    val s = spark
+    import s.implicits._
+    // boundary-heavy fixture: points on interval edges, bin edges, outside
+    val intervals = Seq((1L, 100L, 200L), (2L, 150L, 150L), (3L, 990L, 1210L))
+      .toDF("interval_id", "start", "end")
+    val points = (Seq(99L, 100L, 150L, 200L, 201L, 989L, 1000L, 1199L, 1210L, 1211L))
+      .toDF("t")
+    val got = RangeJoin.rangeJoin(intervals, points, "start", "end", "t", binWidth = 100L)
+      .select("interval_id", "t").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = intervals.collect().flatMap { iv =>
+      points.collect().map(_.getLong(0))
+        .filter(t => t >= iv.getLong(1) && t <= iv.getLong(2))
+        .map(t => (iv.getLong(0), t))
+    }.toSet
+    assert(got === expected)
+    assert(expected.contains((2L, 150L)) && expected.contains((3L, 1210L)))
+
+    val q = RangeJoin.rangeJoin(intervals, points, "start", "end", "t", 100L)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"range join fell back to a non-equi plan:\n$p")
+  }
 }
