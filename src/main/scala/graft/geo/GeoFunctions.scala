@@ -6,22 +6,13 @@ import org.apache.spark.sql.functions.udf
 /**
  * Spark Column bindings for the geo kernel.
  *
- * These are deterministic scalar UDFs (asNondeterministic is NOT set), so
- * Catalyst can still prune columns, push independent filters, and reorder
- * around them. The polynomial is ~25 fused multiply-adds on two doubles —
- * UDF call overhead is acceptable at ~10M rows (SURVEY.md §7.2); revisit as
- * a codegen'd Expression only if the bench demands it.
+ * The geometry-string parsers are deterministic scalar UDFs
+ * (asNondeterministic is NOT set), so Catalyst can still prune columns,
+ * push independent filters, and reorder around them. The RD->WGS84
+ * polynomial itself runs through native codegen'd expressions
+ * ([[graft.functions.GeoExpressions]]) — no boxed struct per row.
  */
 object GeoFunctions {
-
-  /** (rd_x, rd_y) -> struct(latitude, longitude). Null-safe. */
-  private val rdToWgs84Udf = udf { (x: java.lang.Double, y: java.lang.Double) =>
-    if (x == null || y == null) None
-    else {
-      val (lat, lon) = Rijksdriehoek.rdToWgs84(x, y)
-      Some((lat, lon))
-    }
-  }
 
   /** "x y [z]" -> struct(rd_x, rd_y). Null/blank-safe. */
   private val posToRdUdf = udf { (pos: String) => Geometry.posToRd(pos) }
@@ -36,8 +27,11 @@ object GeoFunctions {
     if (rings == null) "" else Geometry.ringsToWgs84GeoJson(rings, is3d)
   }
 
+  /** (rd_x, rd_y) -> struct(latitude, longitude). Null inputs yield null
+    * fields (the UDF form this replaces yielded a null struct — every
+    * consumer reads `.latitude`/`.longitude`, identical either way). */
   def rdToWgs84(x: Column, y: Column): Column =
-    rdToWgs84Udf(x, y).cast("struct<latitude:double,longitude:double>")
+    graft.functions.GeoExpressions.rdToWgs84Struct(x, y)
 
   def posToRd(pos: Column): Column =
     posToRdUdf(pos).cast("struct<rd_x:double,rd_y:double>")
