@@ -330,6 +330,19 @@ object Oracle {
         |FROM iv JOIN events p ON p.ts >= iv.s AND p.ts <= iv.e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // per-dim sums via unnest + generate_subscripts mirror the vec_sum
+    // aggregate; round(6) absorbs cross-engine accumulation-order ulps
+    "x06_label_centroids" ->
+      """WITH pd AS (SELECT label, unnest(embedding) AS v,
+        |                   generate_subscripts(embedding, 1) AS pos
+        |            FROM embeddings),
+        |ds AS (SELECT label, pos, sum(CAST(v AS DOUBLE)) AS s FROM pd GROUP BY 1, 2),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT CAST(ds.label AS BIGINT) AS label, max(n.n_vecs) AS n_vecs,
+        |       round(sum(s / n.n_vecs), 6) AS centroid_sum_r,
+        |       round(sqrt(sum((s / n.n_vecs) * (s / n.n_vecs))), 6) AS centroid_norm_r
+        |FROM ds JOIN n ON ds.label = n.label GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "x02_rollup" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |       coalesce(o_orderpriority, '(all)') AS priority,

@@ -488,6 +488,25 @@ object Queries {
       .orderBy("interval_id")
   }
 
+  /** Per-label embedding centroids via the native vec_sum
+    * TypedImperativeAggregate ([[graft.functions.VecSum]]): ONE buffer row
+    * per label with map-side partial merge — the posexplode alternative
+    * shuffles dim x the row count. Output is the centroid audit view
+    * (element sum + norm, rounded: cross-partition accumulation order
+    * differs between engines in the last ulps). */
+  val x06LabelCentroids: Q = (s, dir) =>
+    tbl(s, dir, "embeddings")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.VectorAggregates.vecSum(col("embedding")).as("__sum"))
+      .withColumn("centroid", transform(col("__sum"), x => x / col("n_vecs")))
+      .select(col("label"), col("n_vecs"),
+        round(aggregate(col("centroid"), lit(0.0), (a, v) => a + v), 6)
+          .as("centroid_sum_r"),
+        round(sqrt(aggregate(col("centroid"), lit(0.0), (a, v) => a + v * v)), 6)
+          .as("centroid_norm_r"))
+      .orderBy("label")
+
   /** JSON extraction over the events props column. */
   val x01JsonExtract: Q = (s, dir) =>
     tbl(s, dir, "events")
@@ -563,6 +582,7 @@ object Queries {
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,
+    "x06_label_centroids" -> x06LabelCentroids,
     "x02_rollup" -> x02Rollup,
     "x03_set_ops" -> x03SetOps,
     "m01_multimodal_meta" -> m01MultimodalMeta,

@@ -232,6 +232,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 1e-12)
   }
 
+  test("vec_sum aggregate matches the posexplode composition, with map-side partials") {
+    val viaAgg = emb.groupBy(col("label"))
+      .agg(graft.functions.VectorAggregates.vecSum(col("embedding")).as("s"))
+      .select(col("label"), posexplode(col("s")).as(Seq("pos", "v")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val viaExplode = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v").cast("double")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(viaAgg.keySet === viaExplode.keySet)
+    viaAgg.foreach { case (k, v) =>
+      assert(math.abs(v - viaExplode(k)) < 1e-9, s"dim $k: $v vs ${viaExplode(k)}")
+    }
+    // one buffer row per group, combined map-side before the exchange
+    val q = emb.groupBy(col("label"))
+      .agg(graft.functions.VectorAggregates.vecSum(col("embedding")).as("s"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_vec_sum"),
+      s"vec_sum should partial-aggregate map-side:\n$p")
+  }
+
   // ---- multimodal -----------------------------------------------------------
 
   test("multimodal: payload round-trips, decode stub checksums bytes, frames slice") {
