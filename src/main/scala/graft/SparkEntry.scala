@@ -22,6 +22,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (d05_simhash, t04_fingerprint, v03_ann_lsh) -> rows-only check. */
+    * (d05_simhash, t04_fingerprint, v03_ann_lsh, v05_ann_ivf) ->
+    * rows-only check. */
   def oracleSql: Map[String, String] = Oracle.sql
 }

@@ -37,6 +37,20 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /**
+   * Streaming near-duplicate dedup: keep the first document per content
+   * fingerprint (min shingle hash — [[graft.llm.TextOps.docFingerprint]])
+   * within the watermark horizon. Fingerprint equality catches exact and
+   * near-identical re-crawls cheaply with bounded state; it is the
+   * streaming complement of the batch MinHash-LSH path (which needs the
+   * full corpus for banding + exact verification). Input needs (ts, text).
+   */
+  def dedupNearStream(docs: DataFrame, watermark: String = "1 hour",
+                      w: Int = 5): DataFrame =
+    docs.withColumn("fingerprint", graft.llm.TextOps.docFingerprint(col("text"), w))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -92,6 +92,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(h(base, oneChanged) > 0 && h(base, oneChanged) < h(base, other))
   }
 
+  test("postings cap: a 1500-copy boilerplate cluster produces no pairs, rare-shingle pairs survive") {
+    // every shingle of the boilerplate text has 1500 postings (> cap 1000),
+    // so candidate generation drops the cluster entirely — the uncapped
+    // join would enumerate ~1.1M candidate pairs. The rare pair (all its
+    // shingles appear twice) must still be found and scored exactly.
+    val boiler = "x1 x2 x3 x4 x5 x6"
+    val rare = "r1 r2 r3 r4 r5 r6 r7"
+    val rows = (1L to 1500L).map(i => i -> boiler) ++
+      Seq(2001L -> rare, 2002L -> (rare + " r8"))
+    val pairs = Dedup.ngramJaccardPairs(docsDf(rows), w = 5, minJ = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(pairs.toSeq === Seq((2001L, 2002L, 0.75))) // inter 3 / union 4
+  }
+
   test("shingle-join near-dup generates candidates via equi-join, not cartesian") {
     val plan = Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.2)
       .queryExecution.executedPlan.toString

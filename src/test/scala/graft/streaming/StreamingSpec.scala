@@ -74,6 +74,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq === fixture.map(_.event_id).sorted)
   }
 
+  test("streaming near-dup dedup keeps the first doc per content fingerprint") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    stream.addData(
+      (1L, ts(1), base),
+      (2L, ts(2), base),           // exact re-crawl -> dropped
+      (3L, ts(3), base + " w11"),  // near-identical: same min shingle hash -> dropped
+      (4L, ts(4), "z1 z2 z3 z4 z5 z6"))
+    val q = EventStreams.dedupNearStream(
+        stream.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("neardup").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 4L))
+  }
+
   test("event-time sessionizer: late, replayed, re-chunked delivery yields identical sessions") {
     val s = spark
     import s.implicits._
