@@ -89,6 +89,71 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /**
+   * [[cosinePairs]] with a blocked kernel: SAME exact all-pairs semantics
+   * and bit-identical output (same sequential dot fold, same norm, same
+   * HALF_UP rounding), but the n^2 pair enumeration runs as tight
+   * primitive loops over a broadcast corpus matrix instead of 2M
+   * materialized join rows — the nested-loop join's per-pair row machinery
+   * was ~10x the arithmetic. Tasks take strided row ranges of the upper
+   * triangle (round-robin via repartition), so work stays balanced.
+   *
+   * Scale contract is UNCHANGED from cosinePairs: quadratic by
+   * construction, bounded-corpus only (the corpus is collected and
+   * broadcast — `maxCorpus` trips before the driver is at risk). The
+   * production near-dup paths remain [[annLsh]]/[[annIvf]]/MinHash-LSH.
+   */
+  def cosinePairsBlocked(emb: DataFrame, minCos: Double,
+                         maxCorpus: Int = 1 << 20): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val collected = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(collected.length <= maxCorpus,
+      s"cosinePairsBlocked is the bounded-corpus oracle baseline " +
+        s"(n=${collected.length} > $maxCorpus); use annLsh/annIvf at scale")
+    val bcIds = spark.sparkContext.broadcast(collected.map(_._1))
+    val bcVecs = spark.sparkContext.broadcast(collected.map(_._2))
+    val n = collected.length
+    spark.range(0, n.toLong)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val ids = bcIds.value
+        val vecs = bcVecs.value
+        val norms = vecs.map { v =>
+          var s = 0.0
+          var d = 0
+          while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
+          math.sqrt(s)
+        }
+        it.flatMap { li =>
+          val i = li.toInt
+          val a = vecs(i)
+          val na = norms(i)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = i + 1
+          while (j < n) {
+            val b = vecs(j)
+            var s = 0.0
+            var d = 0
+            val m = math.min(a.length, b.length)
+            while (d < m) { s += a(d).toDouble * b(d).toDouble; d += 1 }
+            val raw = s / (na * norms(j))
+            // scala BigDecimal(double) + HALF_UP == Spark's round() exactly
+            if (java.lang.Double.isFinite(raw)) {
+              val c = BigDecimal(raw)
+                .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (c >= minCos) out += ((ids(i), ids(j), c))
+            }
+            j += 1
+          }
+          out
+        }
+      }
+      .toDF("id_a", "id_b", "cos")
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * table t, plane p, dimension d -> double. Pure function of the seed, so
     * every executor (and every test) derives identical planes. */

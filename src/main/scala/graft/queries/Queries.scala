@@ -329,9 +329,12 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
-  /** All-pairs cosine >= threshold — quadratic oracle baseline (small SF). */
+  /** All-pairs cosine >= threshold — the quadratic oracle baseline
+    * (bounded corpus by contract). Runs the blocked kernel: identical
+    * output to the declarative join form (asserted bit-for-bit in
+    * LlmOpsSpec) at ~10x less per-pair row overhead. */
   val v02CosinePairs: Q = (s, dir) =>
-    Similarity.cosinePairs(tbl(s, dir, "embeddings"), minCos = 0.3)
+    Similarity.cosinePairsBlocked(tbl(s, dir, "embeddings"), minCos = 0.3)
       .orderBy("id_a", "id_b")
 
   /** ANN via multi-table random-hyperplane LSH — bucketed equi-join

@@ -222,6 +222,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in IVF plan:\n$plan")
   }
 
+  test("blocked cosine pairs match the declarative all-pairs join bit-for-bit") {
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val declarative = collect(Similarity.cosinePairs(emb, minCos = 0.3))
+    val blocked = collect(Similarity.cosinePairsBlocked(emb, minCos = 0.3))
+    assert(declarative.nonEmpty)
+    assert(blocked === declarative)
+  }
+
   test("native vec_dot/vec_norm match the HOF fold bit-for-bit") {
     graft.functions.VectorExpressions.register(spark)
     val pairs = emb.limit(50).select(col("vec_id").as("ia"), col("embedding").as("ea"))

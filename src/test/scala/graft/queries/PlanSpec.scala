@@ -63,11 +63,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no registered query contains a cartesian product (LSH/inverted-index paths included)") {
-    // v01/v02 are the documented brute-force baselines: v01 is a broadcast
-    // nested loop over a bounded query set (legitimate at scale), v02 is the
-    // quadratic oracle baseline excluded from the scale claim.
-    val quadraticBaselines = Set("v02_cosine_pairs")
-    Queries.all.filterNot(q => quadraticBaselines.contains(q._1)).foreach { case (name, fn) =>
+    // no exemptions: even the quadratic oracle baseline v02 now runs the
+    // blocked kernel (mapPartitions over a broadcast matrix — quadratic in
+    // work by contract, but never a CartesianProduct join node)
+    Queries.all.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
     }
