@@ -100,6 +100,48 @@ object TextKernels {
     ArrayData.toArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** BPE-ish sub-token regex (shared with TextOps.regexTokens / the DuckDB
+    * oracle): letter runs, digit runs, single other glyphs, over lowercased
+    * text. */
+  final val TokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  private val TokenPattern = java.util.regex.Pattern.compile(TokenRegex)
+
+  /** Token count under `regexp_extract_all(lower(text), TokenRegex)`
+    * semantics. Pure-ASCII rows (the overwhelming case) count in one byte
+    * scan with zero allocation; any row containing a non-ASCII byte falls
+    * back to the exact Java-regex path over UTF8String.toLowerCase, so
+    * exotic case mappings (e.g. U+0130 lowercasing to two code points)
+    * keep byte-for-byte regex semantics. */
+  def regexTokenCount(text: UTF8String): Int = {
+    val nBytes = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    @inline def b(i: Int): Byte = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+    @inline def isAlpha(c: Byte): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    @inline def isDigit(c: Byte): Boolean = c >= '0' && c <= '9'
+    var i = 0
+    var cnt = 0
+    while (i < nBytes) {
+      val c = b(i)
+      if (c < 0) { // non-ASCII: exact regex fallback for the whole row
+        val m = TokenPattern.matcher(text.toLowerCase.toString)
+        var k = 0
+        while (m.find()) k += 1
+        return k
+      }
+      if (c == 0x20) i += 1
+      else if (isAlpha(c)) {
+        cnt += 1; i += 1
+        while (i < nBytes && isAlpha(b(i))) i += 1
+      } else if (isDigit(c)) {
+        cnt += 1; i += 1
+        while (i < nBytes && isDigit(b(i))) i += 1
+      } else { cnt += 1; i += 1 }
+    }
+    cnt
+  }
+
   /** Word count under split(text, ' ') semantics (empties kept, so the
     * count is exactly spaces + 1 — including the [""] of an empty string). */
   def wordCount(text: UTF8String): Int = {
@@ -203,6 +245,30 @@ case class WordCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** regex_token_count(text) -> int: BPE-ish token count (see
+  * [[TextKernels.TokenRegex]]) with an ASCII fast path. */
+case class RegexTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"regex_token_count expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "regex_token_count"
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.regexTokenCount(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.regexTokenCount($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): RegexTokenCount =
+    copy(child = newChild)
+}
+
 /** stopword_count(text) -> int: words of `text` in the fixed `stopwords`
   * set, under split(text,' ') + IN semantics. The per-language language-ID
   * scorers and quality stats are this expression with different sets. */
@@ -247,6 +313,9 @@ object TextExpressions {
   def wordCount(text: Column): Column =
     ColumnBridge.column(WordCount(ColumnBridge.expression(text)))
 
+  def regexTokenCount(text: Column): Column =
+    ColumnBridge.column(RegexTokenCount(ColumnBridge.expression(text)))
+
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     ColumnBridge.column(StopwordCount(ColumnBridge.expression(text), stopwords))
 
@@ -260,5 +329,7 @@ object TextExpressions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "word_count", exprs => WordCount(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "regex_token_count", exprs => RegexTokenCount(exprs(0)), "built-in")
   }
 }

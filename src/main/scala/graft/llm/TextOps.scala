@@ -25,10 +25,15 @@ object TextOps {
   def words(text: Column): Column = split(text, " ")
 
   /** BPE-ish sub-token regex: letter runs, digit runs, single other glyphs. */
-  final val TokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  final val TokenRegex = graft.functions.TextKernels.TokenRegex
 
   def regexTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenRegex), lit(0))
+
+  /** Count of [[regexTokens]] without materializing the token array —
+    * native kernel with an ASCII fast path, Java-regex fallback otherwise. */
+  def regexTokenCount(text: Column): Column =
+    graft.functions.TextExpressions.regexTokenCount(text)
 
   /**
    * Distinct `w`-word shingles of a document, each joined with [[ShingleSep]].

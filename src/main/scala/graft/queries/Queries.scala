@@ -290,12 +290,13 @@ object Queries {
 
   // ===== LLM: text analysis =================================================
 
-  /** Token counting: whitespace (native word_count) + BPE-ish regex tokens. */
+  /** Token counting: whitespace + BPE-ish regex tokens (both native
+    * counting kernels — no token arrays materialized). */
   val t01TokenCount: Q = (s, dir) =>
     tbl(s, dir, "documents")
       .select(col("doc_id"),
         TextOps.wordCount(col("text")).cast("long").as("ws_tokens"),
-        size(TextOps.regexTokens(col("text"))).cast("long").as("re_tokens"))
+        TextOps.regexTokenCount(col("text")).cast("long").as("re_tokens"))
       .orderBy("doc_id")
 
   /** Quality scoring (length/stopword/avg-word-length stats). */

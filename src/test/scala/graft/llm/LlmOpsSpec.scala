@@ -162,6 +162,20 @@ class LlmOpsSpec extends AnyFunSuite {
       5L -> "the", 6L -> "theatre lathe the", 7L -> "of of of and to a")))
   }
 
+  test("native regex_token_count matches size(regexp_extract_all) exactly, incl. non-ASCII fallback") {
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val bad = df.select(
+        size(TextOps.regexTokens(col("text"))).as("hof"),
+        TextOps.regexTokenCount(col("text")).as("nat"))
+        .filter(col("hof") =!= col("nat")).count()
+      assert(bad === 0L)
+    }
+    check(docs)
+    check(docsDf(Seq(1L -> "", 2L -> "Hello, World42!", 3L -> "a1b2 c3",
+      4L -> "MiXeD CaSe RUNS", 5L -> "héllo wörld İstanbul", // fallback path
+      6L -> "...!!!", 7L -> "  double  spaces  ", 8L -> "42 4a a4")))
+  }
+
   test("native shingle_hashes yields the same distinct-shingle cardinalities as the HOF form") {
     val hofCard = size(array_distinct(transform(
       TextOps.shingles(col("text"), 5), s => xxhash64(s))))
