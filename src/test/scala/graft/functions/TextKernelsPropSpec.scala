@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Property-style tests for the native text kernels against straightforward
+ * JVM-reference implementations, over adversarial inputs: spaces (incl.
+ * leading/trailing/double/empty), mixed case, digits, punctuation, and
+ * multibyte unicode (exercises the regex fallback and byte-scan word
+ * splitting). Deterministically seeded — 500 random texts per property.
+ */
+class TextKernelsPropSpec extends AnyFunSuite {
+
+  private val pool = Vector("", " ", "  ", ".", "!?", "héllo", "wörld",
+    "İstanbul", "漢字", "a1b2", "THE", "the", "of", "and", "to", "x-y_z",
+    "42", "w1", "W1", "abc", "ABC", "aA9", "…", "a.b@c.d")
+
+  private def texts(seed: Long, n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val k = rnd.nextInt(12)
+      (0 until k).map(_ => pool(rnd.nextInt(pool.size))).mkString(" ")
+    }
+  }
+
+  test("wordCount == split(' ', -1).length over 500 adversarial texts") {
+    texts(42L, 500).foreach { s =>
+      assert(TextKernels.wordCount(UTF8String.fromString(s)) ===
+        s.split(" ", -1).length, s"text=[$s]")
+    }
+  }
+
+  test("stopwordCount == count of words IN the stopword set") {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val bytes = stop.map(_.getBytes("UTF-8")).toArray
+    val hashes = bytes.map(b => org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, TextKernels.Seed))
+    texts(43L, 500).foreach { s =>
+      val expect = s.split(" ", -1).count(stop.contains)
+      assert(TextKernels.stopwordCount(UTF8String.fromString(s), hashes, bytes)
+        === expect, s"text=[$s]")
+    }
+  }
+
+  test("regexTokenCount == Java regex token count over lowercased text") {
+    val p = java.util.regex.Pattern.compile(TextKernels.TokenRegex)
+    texts(44L, 500).foreach { s =>
+      // reference path mirrors the Column form: lower via UTF8String
+      val m = p.matcher(UTF8String.fromString(s).toLowerCase.toString)
+      var expect = 0
+      while (m.find()) expect += 1
+      assert(TextKernels.regexTokenCount(UTF8String.fromString(s)) === expect,
+        s"text=[$s]")
+    }
+  }
+
+  test("shingleHashes cardinality == distinct w-word windows") {
+    val rnd = new scala.util.Random(45L)
+    texts(45L, 500).foreach { s =>
+      val w = 1 + rnd.nextInt(6)
+      val words = s.split(" ", -1)
+      val expect =
+        if (words.length < w) 0
+        else words.sliding(w).map(_.mkString("")).toSet.size
+      val got = TextKernels.shingleHashes(UTF8String.fromString(s), w).numElements()
+      assert(got === expect, s"text=[$s] w=$w")
+    }
+  }
+}
