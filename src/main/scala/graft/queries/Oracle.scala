@@ -183,6 +183,28 @@ object Oracle {
         |       max(o_totalprice) AS max_price, max(o_orderkey) AS max_orderkey
         |FROM orders""".stripMargin,
 
+    // Spark `percentile` and DuckDB `quantile_cont` both compute the
+    // type-7 interpolated quantile over the sorted values
+    "a06_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50_r,
+        |       round(quantile_cont(value, 0.9), 6) AS p90_r,
+        |       round(quantile_cont(value, 0.99), 6) AS p99_r
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a07_window_rank" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum_r
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |SELECT o_custkey, o_orderkey, rnk, drnk, quartile, run_sum_r
+        |FROM r WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
     "u01_null_dummies" ->
       """SELECT p_partkey,
         |       CASE WHEN p_size = 1 OR p_size > 48 THEN NULL ELSE CAST(p_size AS BIGINT) END AS size_clean

@@ -251,6 +251,34 @@ object Queries {
         max(col("o_totalprice")).as("max_price"),
         max(col("o_orderkey")).as("max_orderkey"))
 
+  /** A6: exact interpolated percentiles (engine-native `percentile` — the
+    * reference has only count/avg/min/max/sum). Exact, not the
+    * approx-sketch variant, so DuckDB's quantile_cont mirrors it. */
+  val a06Percentiles: Q = (s, dir) =>
+    tbl(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50_r"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90_r"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99_r"))
+      .orderBy("event_type")
+
+  /** A7: analytic window functions (rank/dense_rank/ntile/running sum) —
+    * engine breadth the reference's SQLite surface never exercises. */
+  val a07WindowRank: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, dir, "orders")
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("run_sum_r", round(sum(col("o_totalprice")).over(wsum), 2))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"), col("drnk"),
+        col("quartile"), col("run_sum_r"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
   /** U1/U2: dummy-value null-out. */
   val u01NullDummies: Q = (s, dir) =>
     tbl(s, dir, "part")
@@ -565,6 +593,8 @@ object Queries {
     "a02_scalar_counts" -> a02ScalarCounts,
     "a03_distinct" -> a03Distinct,
     "a05_max_top1" -> a05MaxTop1,
+    "a06_percentiles" -> a06Percentiles,
+    "a07_window_rank" -> a07WindowRank,
     "u01_null_dummies" -> u01NullDummies,
     "d01_dedup_exact_groups" -> d01DedupExactGroups,
     "d02_dedup_exact_keep" -> d02DedupExactKeep,
