@@ -7,10 +7,11 @@ package graft.queries
  *
  * Queries intentionally omitted (no faithful SQL equivalent, driver records
  * a rows-only check): d05_simhash, t04_fingerprint, v03_ann_lsh,
- * v05_ann_ivf — their semantics rest on engine-side hash kernels
- * (xxhash64 / FNV+splitmix) or approximate candidate generation (LSH
- * buckets, IVF probing) that DuckDB cannot reproduce; each is covered by
- * ScalaTest instead (recall floors asserted against the brute-force oracle).
+ * v05_ann_ivf, a08_approx_distinct — their semantics rest on engine-side
+ * hash kernels (xxhash64 / FNV+splitmix), approximate candidate generation
+ * (LSH buckets, IVF probing), or sketch internals (HLL++) that DuckDB
+ * cannot reproduce; each is covered by ScalaTest instead (recall floors /
+ * error bounds asserted against exact computations).
  */
 object Oracle {
 
@@ -204,6 +205,18 @@ object Oracle {
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
         |SELECT o_custkey, o_orderkey, rnk, drnk, quartile, run_sum_r
         |FROM r WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    // pivot == conditional aggregation; the explicit value list keeps the
+    // two engines' column sets identical
+    "x07_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_cnt,
+        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_sum_r,
+        |       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_cnt,
+        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_sum_r,
+        |       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_cnt,
+        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_sum_r
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "u01_null_dummies" ->
       """SELECT p_partkey,

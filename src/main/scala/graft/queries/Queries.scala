@@ -279,6 +279,18 @@ object Queries {
       .orderBy("o_custkey", "rnk", "o_orderkey")
   }
 
+  /** A8: HyperLogLog++ approximate distinct — THE approximate-aggregate
+    * at 100 TB (fixed-size sketch per group vs an exact-distinct shuffle
+    * of every key). Rows-only for the driver (DuckDB's approx sketch
+    * differs); the relative-error bound vs exact countDistinct is
+    * asserted in PlanSpec. */
+  val a08ApproxDistinct: Q = (s, dir) =>
+    tbl(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
   /** U1/U2: dummy-value null-out. */
   val u01NullDummies: Q = (s, dir) =>
     tbl(s, dir, "part")
@@ -560,6 +572,20 @@ object Queries {
       .orderBy("status", "priority")
   }
 
+  /** Pivot (crosstab): order counts and revenue per priority, one column
+    * group per status — Spark-native pivot with an explicit value list
+    * (never an implicit distinct scan to discover columns at 100 TB). */
+  val x07Pivot: Q = (s, dir) =>
+    tbl(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_r"))
+      .select(col("o_orderpriority"),
+        coalesce(col("F_cnt"), lit(0L)).as("f_cnt"), col("F_sum_r").as("f_sum_r"),
+        coalesce(col("O_cnt"), lit(0L)).as("o_cnt"), col("O_sum_r").as("o_sum_r"),
+        coalesce(col("P_cnt"), lit(0L)).as("p_cnt"), col("P_sum_r").as("p_sum_r"))
+      .orderBy("o_orderpriority")
+
   /** Set operation: EXCEPT (customers in a segment minus those with open
     * orders) — absent from the reference (§2.10), native here. */
   val x03SetOps: Q = (s, dir) => {
@@ -595,6 +621,8 @@ object Queries {
     "a05_max_top1" -> a05MaxTop1,
     "a06_percentiles" -> a06Percentiles,
     "a07_window_rank" -> a07WindowRank,
+    "a08_approx_distinct" -> a08ApproxDistinct,
+    "x07_pivot" -> x07Pivot,
     "u01_null_dummies" -> u01NullDummies,
     "d01_dedup_exact_groups" -> d01DedupExactGroups,
     "d02_dedup_exact_keep" -> d02DedupExactKeep,

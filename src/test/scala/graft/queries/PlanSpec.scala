@@ -95,6 +95,22 @@ class PlanSpec extends AnyFunSuite {
     assert(buckets.forall(b => b >= 0 && b < 100), buckets.mkString(","))
   }
 
+  test("a08: HLL++ approximate distinct stays within 3x the configured rsd of exact") {
+    val approx = Queries.a08ApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct("l_orderkey").as("o"),
+        org.apache.spark.sql.functions.countDistinct("l_partkey").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, (eo, ep)) =>
+      val (ao, ap) = approx(flag)
+      assert(math.abs(ao - eo) <= math.max(2.0, 0.06 * eo), s"$flag orders: $ao vs $eo")
+      assert(math.abs(ap - ep) <= math.max(2.0, 0.06 * ep), s"$flag parts: $ap vs $ep")
+    }
+  }
+
   test("m01/t01: document scans prune to the columns the query needs") {
     val p = planString(Queries.t01TokenCount(spark, sf))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
