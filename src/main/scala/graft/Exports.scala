@@ -35,17 +35,25 @@ object Exports {
     var singleFile = false
     var master = "local[*]"
     var i = 0
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) {
+        System.err.println(s"$flag requires a value\n$usage")
+        sys.exit(2)
+      }
+      i += 1
+      args(i)
+    }
     while (i < args.length) {
       args(i) match {
         case "-a" | "--all"        => variant = "all"
         case "-p4" | "--postcode4" => variant = "pc4"
         case "-p5" | "--postcode5" => variant = "pc5"
         case "-p6" | "--postcode6" => variant = "pc6"
-        case "--warehouse"         => warehouse = args(i + 1); i += 1
-        case "--out"               => out = args(i + 1); i += 1
+        case "--warehouse"         => warehouse = value("--warehouse")
+        case "--out"               => out = value("--out")
         case "--long-street-names" => shortNames = false
         case "--single-file"       => singleFile = true
-        case "--master"            => master = args(i + 1); i += 1
+        case "--master"            => master = value("--master")
         case "-h" | "--help"       => println(usage); return
         case other =>
           System.err.println(s"unknown argument: $other\n$usage")

@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
  * WholeStageCodegen with no Row/Option/Tuple allocation per row.
  */
 object GeoKernels {
-  def lat(x: Double, y: Double): Double = Rijksdriehoek.rdToWgs84(x, y)._1
-  def lon(x: Double, y: Double): Double = Rijksdriehoek.rdToWgs84(x, y)._2
+  // per-axis kernels: each evaluates ONLY its own polynomial series — no
+  // Tuple2 allocation, no discarded half
+  def lat(x: Double, y: Double): Double = Rijksdriehoek.rdToLat(x, y)
+  def lon(x: Double, y: Double): Double = Rijksdriehoek.rdToLon(x, y)
 }
 
 private[functions] trait RdBinary extends BinaryExpression {

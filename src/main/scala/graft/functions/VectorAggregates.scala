@@ -57,7 +57,12 @@ case class VecSum(
       val n = arr.numElements()
       val out = grow(buf, n)
       var i = 0
-      while (i < n) { out(i) += arr.getFloat(i).toDouble; i += 1 }
+      // skip null elements — the same semantics as the posexplode + sum
+      // composition (and the oracle's unnest), which ignore nulls
+      while (i < n) {
+        if (!arr.isNullAt(i)) out(i) += arr.getFloat(i).toDouble
+        i += 1
+      }
       out
     }
   }

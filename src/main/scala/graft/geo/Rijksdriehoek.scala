@@ -45,26 +45,33 @@ object Rijksdriehoek {
     r
   }
 
-  /** RD (x, y) meters -> (latitude, longitude) degrees. */
-  def rdToWgs84(x: Double, y: Double): (Double, Double) = {
-    val dx = 1e-5 * (x - X0)
-    val dy = 1e-5 * (y - Y0)
-    var phi = Phi0
+  /** One polynomial series: base + sum of coeff * dx^p * dy^q / 3600 —
+    * identical term order/association for every entry point, so the
+    * scalar kernels, the tuple form, and the oracle's generated SQL stay
+    * bit-identical. */
+  @inline private def series(terms: Array[(Int, Int, Double)], base: Double,
+      dx: Double, dy: Double): Double = {
+    var acc = base
     var i = 0
-    while (i < PqK.length) {
-      val (p, q, k) = PqK(i)
-      phi += k * ipow(dx, p) * ipow(dy, q) / 3600.0
+    while (i < terms.length) {
+      val (p, q, c) = terms(i)
+      acc += c * ipow(dx, p) * ipow(dy, q) / 3600.0
       i += 1
     }
-    var lam = Lam0
-    i = 0
-    while (i < PqL.length) {
-      val (p, q, l) = PqL(i)
-      lam += l * ipow(dx, p) * ipow(dy, q) / 3600.0
-      i += 1
-    }
-    (phi, lam)
+    acc
   }
+
+  /** RD (x, y) meters -> WGS84 latitude degrees (its series only). */
+  def rdToLat(x: Double, y: Double): Double =
+    series(PqK, Phi0, 1e-5 * (x - X0), 1e-5 * (y - Y0))
+
+  /** RD (x, y) meters -> WGS84 longitude degrees (its series only). */
+  def rdToLon(x: Double, y: Double): Double =
+    series(PqL, Lam0, 1e-5 * (x - X0), 1e-5 * (y - Y0))
+
+  /** RD (x, y) meters -> (latitude, longitude) degrees. */
+  def rdToWgs84(x: Double, y: Double): (Double, Double) =
+    (rdToLat(x, y), rdToLon(x, y))
 
   /** WGS84 (latitude, longitude) degrees -> RD (x, y) meters. */
   def wgs84ToRd(phi: Double, lam: Double): (Double, Double) = {

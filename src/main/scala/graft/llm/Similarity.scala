@@ -107,11 +107,14 @@ object Similarity {
                          maxCorpus: Int = 1 << 20): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val collected = emb.select(col("vec_id"), col("embedding")).collect()
+    // limit(max+1) bounds what ever reaches the driver, so the guard trips
+    // BEFORE an oversized corpus can exhaust driver memory
+    val collected = emb.select(col("vec_id"), col("embedding"))
+      .limit(maxCorpus + 1).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     require(collected.length <= maxCorpus,
       s"cosinePairsBlocked is the bounded-corpus oracle baseline " +
-        s"(n=${collected.length} > $maxCorpus); use annLsh/annIvf at scale")
+        s"(n > $maxCorpus); use annLsh/annIvf at scale")
     val bcIds = spark.sparkContext.broadcast(collected.map(_._1))
     val bcVecs = spark.sparkContext.broadcast(collected.map(_._2))
     val n = collected.length
@@ -232,7 +235,8 @@ object Similarity {
         val best = bestOf(v, units)
         counts(best) += 1
         var d = 0
-        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+        val m = math.min(dim, v.length) // tolerate ragged vectors, like bestOf
+        while (d < m) { sums(best)(d) += v(d); d += 1 }
       }
       centroids = Array.tabulate(k) { ci =>
         if (counts(ci) == 0L) centroids(ci) // empty cluster: keep previous

@@ -47,16 +47,30 @@ object EventStreams {
    */
   def dedupNearStream(docs: DataFrame, watermark: String = "1 hour",
                       w: Int = 5): DataFrame =
-    docs.withColumn("fingerprint", graft.llm.TextOps.docFingerprint(col("text"), w))
+    docs.withColumn("fingerprint",
+        // docs too short to shingle have a null min-shingle-hash;
+        // dropDuplicates groups nulls TOGETHER, which would silently
+        // collapse all short docs into one — fall back to the exact
+        // content hash so they dedup by full text instead
+        coalesce(graft.llm.TextOps.docFingerprint(col("text"), w),
+          xxhash64(col("text"))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** Pending per-user events within the watermark horizon: (event_id, ts
-    * millis) pairs. Keyed by event_id so re-delivered events are idempotent. */
-  final case class PendingEvents(events: Seq[(Long, Long)])
+  /** Per-user sessionizer state. `events` holds (event_id, ts millis)
+    * pairs at or above the watermark (replays are deduplicated by
+    * event_id); events that have fallen BELOW the watermark can never be
+    * re-delivered (Spark's stateful-op late filter drops them), so they
+    * are compressed into the (headStart, headN, headLast) summary of the
+    * oldest still-open session — at most one open session can span the
+    * watermark, hence one summary. headN == 0 means no summary. State per
+    * user is therefore bounded by the watermark horizon regardless of how
+    * long a session runs. */
+  final case class PendingEvents(headStart: Long, headN: Long, headLast: Long,
+      events: Seq[(Long, Long)])
 
   final case class SessionOut(user_id: Long, session_start_ms: Long,
       session_end_ms: Long, n_events: Long)
@@ -74,9 +88,12 @@ object EventStreams {
    * used ProcessingTimeTimeout, which keyed eviction on wall clock and made
    * replayed streams close sessions nondeterministically.
    *
-   * State is bounded: per user, only events newer than the watermark-gap
-   * horizon are retained (emitted sessions are dropped), and the state
-   * timeout evicts idle users entirely.
+   * State is bounded: per user, only events at or above the watermark are
+   * retained verbatim; older events of a still-open session compress into
+   * a constant-size (start, count, last) summary (see [[PendingEvents]]),
+   * emitted sessions are dropped, and the state timeout evicts idle users
+   * entirely — so even a user who never goes idle holds O(watermark
+   * horizon) state, not O(session length).
    *
    * Batch execution (no watermark): all events of a user arrive in one
    * invocation; every gap-closed session is emitted and the final
@@ -106,33 +123,64 @@ object EventStreams {
       out.result()
     }
 
-    def toOut(userId: Long, s: Seq[(Long, Long)]): SessionOut =
-      SessionOut(userId, s.head._2, s.last._2, s.length.toLong)
+    // a session as (startMs, lastMs, nEvents, recent events kept verbatim)
+    final case class Sess(startMs: Long, lastMs: Long, n: Long, recent: Seq[(Long, Long)])
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[PendingEvents]): Iterator[SessionOut] = {
       val incoming = rows.map(e => (e.event_id, e.ts.getTime)).toSeq
-      val known = state.getOption.map(_.events).getOrElse(Seq.empty)
-      val all = (known ++ incoming).distinctBy(_._1)
+      val st = state.getOption.getOrElse(PendingEvents(0L, 0L, 0L, Seq.empty))
+      val all = (st.events ++ incoming).distinctBy(_._1)
         .sortBy { case (id, t) => (t, id) }
       // batch execution has no watermark: getCurrentWatermarkMs throws
       val wm = try state.getCurrentWatermarkMs()
         catch { case _: UnsupportedOperationException => -1L }
-      val sessions = split(all)
-      val (closed, open) =
-        if (wm >= 0L) sessions.partition(s => s.last._2 + gapMs <= wm)
-        else (sessions.dropRight(1), sessions.takeRight(1)) // bounded input
-      if (wm >= 0L) {
-        val pending = open.flatten
-        if (pending.nonEmpty) {
-          state.update(PendingEvents(pending))
-          // earliest possible close of any retained session; clamped above
-          // the watermark as setTimeoutTimestamp requires
-          state.setTimeoutTimestamp(
-            math.max(open.map(_.last._2).min + gapMs, wm + 1))
-        } else state.remove()
+
+      // gap-split the verbatim events, then chain the compressed head
+      // summary onto the first segment when the gap allows
+      val segs = split(all).map(s => Sess(s.head._2, s.last._2, s.length.toLong, s))
+      val sessions: Seq[Sess] =
+        if (st.headN == 0L) segs
+        else segs match {
+          case first +: rest if first.startMs - st.headLast <= gapMs =>
+            Sess(st.headStart, first.lastMs, st.headN + first.n, first.recent) +: rest
+          case _ =>
+            Sess(st.headStart, st.headLast, st.headN, Seq.empty) +: segs
+        }
+
+      if (wm < 0L) {
+        // bounded input: every gap-closed session emits, the final open one
+        // does not (end-of-input streaming contract); no state to retain
+        return sessions.dropRight(1)
+          .map(s => SessionOut(userId, s.startMs, s.lastMs, s.n)).iterator
       }
-      closed.map(toOut(userId, _)).iterator
+
+      // a session is safe to close only when NO admissible future event
+      // (ts >= wm) can still chain onto it: last + gap < wm, strictly —
+      // an event at ts == last + gap == wm is not late and belongs to it
+      val (closed, open) = sessions.partition(s => s.lastMs + gapMs < wm)
+      if (open.nonEmpty) {
+        // compress the oldest open session's sub-watermark events into the
+        // head summary (they can never be re-delivered); only one open
+        // session can span the watermark, later ones are entirely >= wm
+        val oldest = open.head
+        val (belowWm, atAbove) = oldest.recent.partition(_._2 < wm)
+        // summary absorbs the pre-existing compressed prefix (counted in
+        // oldest.n but absent from oldest.recent) plus belowWm; its last
+        // timestamp is belowWm's last, or the prior summary's when only
+        // the prefix remains
+        val hN = oldest.n - atAbove.length
+        val hLast = if (belowWm.nonEmpty) belowWm.last._2 else st.headLast
+        state.update(
+          if (hN > 0L)
+            PendingEvents(oldest.startMs, hN, hLast,
+              atAbove ++ open.tail.flatMap(_.recent))
+          else
+            PendingEvents(0L, 0L, 0L, atAbove ++ open.tail.flatMap(_.recent)))
+        state.setTimeoutTimestamp(
+          math.max(open.map(_.lastMs).min + gapMs, wm + 1))
+      } else state.remove()
+      closed.map(s => SessionOut(userId, s.startMs, s.lastMs, s.n)).iterator
     }
 
     events.withWatermark("ts", watermark)

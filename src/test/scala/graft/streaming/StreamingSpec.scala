@@ -84,13 +84,43 @@ class StreamingSpec extends AnyFunSuite {
       (1L, ts(1), base),
       (2L, ts(2), base),           // exact re-crawl -> dropped
       (3L, ts(3), base + " w11"),  // near-identical: same min shingle hash -> dropped
-      (4L, ts(4), "z1 z2 z3 z4 z5 z6"))
+      (4L, ts(4), "z1 z2 z3 z4 z5 z6"),
+      (5L, ts(5), "short one"),    // below w words: must NOT collapse together
+      (6L, ts(6), "other short"),
+      (7L, ts(7), "short one"))    // exact short re-crawl -> dropped
     val q = EventStreams.dedupNearStream(
         stream.toDF().toDF("doc_id", "ts", "text"))
       .writeStream.format("memory").queryName("neardup").outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val kept = spark.table("neardup").select("doc_id").collect().map(_.getLong(0)).sorted
-    assert(kept.toSeq === Seq(1L, 4L))
+    assert(kept.toSeq === Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("sessionizer state compression: a session spanning watermark advances keeps exact counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 emits every 20 min from minute 0 to 140 (8 events, gap 30 min
+    // -> ONE session). Watermark (1 h) advances past the early events while
+    // the session is still open, forcing them into the compressed head
+    // summary; the final advancer matures the session via the timeout path.
+    val gap = 30L * 60 * 1000
+    val u1 = (0 until 8).map(i => Event(i.toLong, ts(i * 20), 1, "click", 1.0))
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS(), gapMs = gap)
+      .writeStream.format("memory").queryName("sess_compress").outputMode("append").start()
+    try {
+      stream.addData(u1.take(4) :+ Event(100, ts(120), 99, "adv", 0.0): _*) // wm -> 60
+      q.processAllAvailable()
+      stream.addData(u1.drop(4) :+ Event(101, ts(240), 99, "adv", 0.0): _*) // wm -> 180
+      q.processAllAvailable()
+      stream.addData(Event(102, ts(600), 99, "adv", 0.0)) // fire timeouts
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_compress").as[EventStreams.SessionOut].collect()
+      .filter(_.user_id == 1L)
+      .map(o => (o.session_start_ms, o.session_end_ms, o.n_events)).toSet
+    assert(got === Set((ts(0).getTime, ts(140).getTime, 8L)))
   }
 
   test("event-time sessionizer: late, replayed, re-chunked delivery yields identical sessions") {
