@@ -23,8 +23,12 @@ import org.apache.spark.sql.types._
  * dim doubles, nothing more.
  *
  * Null/empty vectors are ignored; vectors of differing lengths accumulate
- * over the longer length (missing tail elements contribute 0). An
- * all-null group yields null.
+ * over the longer length. SQL sum semantics hold per position: a position
+ * that only ever saw null (or missing-tail) elements yields a null
+ * element, exactly like the posexplode -> groupBy(pos) -> sum composition
+ * and the oracle's unnest. An all-null group yields null.
+ *
+ * Buffer layout: interleaved [sum0, cnt0, sum1, cnt1, ...].
  */
 case class VecSum(
     child: Expression,
@@ -40,7 +44,7 @@ case class VecSum(
       s"vec_sum expects array<float>, got ${other.simpleString}")
   }
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def nullable: Boolean = true
   override def prettyName: String = "vec_sum"
 
@@ -55,12 +59,15 @@ case class VecSum(
     else {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      val out = grow(buf, n)
+      val out = grow(buf, 2 * n)
       var i = 0
-      // skip null elements — the same semantics as the posexplode + sum
-      // composition (and the oracle's unnest), which ignore nulls
+      // null elements are skipped AND uncounted, so a position that only
+      // ever saw nulls evals to null — SQL sum semantics per position
       while (i < n) {
-        if (!arr.isNullAt(i)) out(i) += arr.getFloat(i).toDouble
+        if (!arr.isNullAt(i)) {
+          out(2 * i) += arr.getFloat(i).toDouble
+          out(2 * i + 1) += 1.0
+        }
         i += 1
       }
       out
@@ -75,7 +82,11 @@ case class VecSum(
   }
 
   override def eval(buf: Array[Double]): Any =
-    if (buf.isEmpty) null else ArrayData.toArrayData(buf)
+    if (buf.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](buf.length / 2) { i =>
+        if (buf(2 * i + 1) == 0.0) null else buf(2 * i)
+      })
 
   override def serialize(buf: Array[Double]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.length * 8)

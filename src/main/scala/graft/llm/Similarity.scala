@@ -108,9 +108,11 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     // limit(max+1) bounds what ever reaches the driver, so the guard trips
-    // BEFORE an oversized corpus can exhaust driver memory
+    // BEFORE an oversized corpus can exhaust driver memory (saturating add:
+    // maxCorpus == Int.MaxValue must not wrap into a negative limit)
+    val lim = if (maxCorpus >= Int.MaxValue) Int.MaxValue else maxCorpus + 1
     val collected = emb.select(col("vec_id"), col("embedding"))
-      .limit(maxCorpus + 1).collect()
+      .limit(lim).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     require(collected.length <= maxCorpus,
       s"cosinePairsBlocked is the bounded-corpus oracle baseline " +

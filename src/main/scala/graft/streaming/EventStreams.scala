@@ -46,14 +46,17 @@ object EventStreams {
    * full corpus for banding + exact verification). Input needs (ts, text).
    */
   def dedupNearStream(docs: DataFrame, watermark: String = "1 hour",
-                      w: Int = 5): DataFrame =
+                      w: Int = 5, idCol: String = "doc_id"): DataFrame =
     docs.withColumn("fingerprint",
-        // docs too short to shingle have a null min-shingle-hash;
-        // dropDuplicates groups nulls TOGETHER, which would silently
-        // collapse all short docs into one — fall back to the exact
-        // content hash so they dedup by full text instead
-        coalesce(graft.llm.TextOps.docFingerprint(col("text"), w),
-          xxhash64(col("text"))))
+        // fallback chain keeps dropDuplicates' null-grouping from silently
+        // collapsing unrelated docs: short docs (null min-shingle-hash)
+        // dedup by exact content hash, and null-text rows (where xxhash64
+        // degenerates to its seed, NOT null) dedup by their id — each
+        // fallback domain is salted so the classes cannot collide
+        when(col("text").isNull,
+          xxhash64(lit("graft:null-text"), col(idCol)))
+          .otherwise(coalesce(graft.llm.TextOps.docFingerprint(col("text"), w),
+            xxhash64(lit("graft:short-text"), col("text")))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
@@ -68,7 +71,12 @@ object EventStreams {
     * oldest still-open session — at most one open session can span the
     * watermark, hence one summary. headN == 0 means no summary. State per
     * user is therefore bounded by the watermark horizon regardless of how
-    * long a session runs. */
+    * long a session runs.
+    *
+    * State schema v2 (r3): NOT checkpoint-compatible with the r2
+    * single-field shape — a running query upgrading across that boundary
+    * must restart from a fresh checkpoint (Spark's state-schema validation
+    * rejects the old checkpoint rather than corrupting state). */
   final case class PendingEvents(headStart: Long, headN: Long, headLast: Long,
       events: Seq[(Long, Long)])
 

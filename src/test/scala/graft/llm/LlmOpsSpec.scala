@@ -290,18 +290,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") && p.contains("partial_vec_sum"),
       s"vec_sum should partial-aggregate map-side:\n$p")
 
-    // null elements are skipped — same as posexplode+sum / unnest
+    // null elements skipped; an all-null position yields NULL, exactly
+    // like posexplode -> groupBy(pos) -> sum (SQL sum of only-nulls)
     val s2 = spark
     import s2.implicits._
     val withNulls = Seq(
-      (0, Seq(Option(1.0f), None, Option(3.0f))),
-      (0, Seq(Option(2.0f), Option(5.0f), None)))
+      (0, Seq(Option(1.0f), None, Option(3.0f), None)),
+      (0, Seq(Option(2.0f), Option(5.0f), None, None)))
       .toDF("label", "embedding")
       .withColumn("embedding", col("embedding").cast("array<float>"))
     val sums = withNulls.groupBy("label")
       .agg(graft.functions.VectorAggregates.vecSum(col("embedding")).as("s"))
-      .head().getSeq[Double](1)
-    assert(sums === Seq(3.0, 5.0, 3.0))
+      .head().getSeq[Any](1)
+    assert(sums === Seq(3.0, 5.0, 3.0, null))
   }
 
   // ---- multimodal -----------------------------------------------------------
