@@ -378,6 +378,26 @@ object Oracle {
         |       round(sqrt(sum((s / n.n_vecs) * (s / n.n_vecs))), 6) AS centroid_norm_r
         |FROM ds JOIN n ON ds.label = n.label GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the composed training-mix pipeline: quality gate (t02 formulas) ->
+    // hash-keyed keep-first dedup -> md5-prefix stratified sample (t06) ->
+    // per-language token budget
+    "x08_training_mix" ->
+      """WITH q AS (SELECT doc_id, lang, text,
+        |    len(string_split(text, ' ')) AS n_words0,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to'))) AS stop0
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang, text, CAST(n_words0 AS BIGINT) AS n_words,
+        |    round(least(1.0, n_words0 / 200.0) * 0.5 + (CAST(stop0 AS DOUBLE) / n_words0) * 0.5, 4) AS quality_score
+        |  FROM q),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM sc WHERE quality_score >= 0.5),
+        |sm AS (SELECT * FROM d WHERE rn = 1
+        |       AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+        |           < CASE WHEN lang = 'en' THEN 30 ELSE 10 END)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+        |       round(avg(quality_score), 4) AS avg_quality_r
+        |FROM sm GROUP BY lang ORDER BY lang""".stripMargin,
+
     "x02_rollup" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |       coalesce(o_orderpriority, '(all)') AS priority,

@@ -486,6 +486,26 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
 
+  /** The training-mix pipeline as ONE query — the operators composed the
+    * way a real corpus build runs them: quality filter -> exact dedup
+    * (keep-first, hash-keyed) -> deterministic stratified sample ->
+    * per-language token budget. Every stage is the registered operator's
+    * exact shape, so the whole pipeline is oracle-checkable end to end. */
+  val x08TrainingMix: Q = (s, dir) => {
+    val scored = TextOps.qualityStats(tbl(s, dir, "documents"))
+      .filter(col("quality_score") >= 0.5)
+    val dedupW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    scored
+      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1)
+      .filter(sampleBucket(col("doc_id")) <
+        when(col("lang") === "en", 30).otherwise(10))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_tokens"),
+        round(avg(col("quality_score")), 4).as("avg_quality_r"))
+      .orderBy("lang")
+  }
+
   // ===== engine breadth beyond the reference (§2.10 gaps closed) ============
 
   /** As-of (point-in-time) join: each click is enriched with the user's
@@ -645,6 +665,7 @@ object Queries {
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,
     "x06_label_centroids" -> x06LabelCentroids,
+    "x08_training_mix" -> x08TrainingMix,
     "x02_rollup" -> x02Rollup,
     "x03_set_ops" -> x03SetOps,
     "m01_multimodal_meta" -> m01MultimodalMeta,
