@@ -416,6 +416,17 @@ object Oracle {
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value_r
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
+    // sliding window = each event unnested into its size/slide = 2
+    // covering window starts (floor-to-slide and one slide earlier)
+    "st03_sliding_window" ->
+      """WITH e AS (SELECT value, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT value,
+        |        (us // 1800000000) * 1800000000 - t.k * 1800000000 AS ws_us
+        |      FROM e, (SELECT unnest([0, 1]) AS k) t)
+        |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       count(*) AS cnt, round(sum(value), 2) AS sum_value_r
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "st02_sessionize" ->
       """WITH g AS (SELECT user_id,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

@@ -415,6 +415,19 @@ object Queries {
         col("event_type"), col("cnt"), col("sum_value_r"))
       .orderBy("win_start", "event_type")
 
+  /** Sliding-window aggregation (1 h window, 30 min slide): each event
+    * contributes to size/slide = 2 windows — the overlapping-window shape
+    * Structured Streaming shares with the batch mirror here. The oracle
+    * decomposes each event into its two covering window starts. */
+  val st03SlidingWindow: Q = (s, dir) =>
+    tbl(s, dir, "events")
+      .withColumn("__ts", eventsTsMicros)
+      .groupBy(window(col("__ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value_r"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("cnt"), col("sum_value_r"))
+      .orderBy("win_start")
+
   /** Gap-based sessionization via analytic lag + running flag-sum — the
     * batch mirror of flatMapGroupsWithState sessionization. */
   val st02Sessionize: Q = (s, dir) => {
@@ -670,6 +683,7 @@ object Queries {
     "x03_set_ops" -> x03SetOps,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "st01_tumbling_window" -> st01TumblingWindow,
-    "st02_sessionize" -> st02Sessionize
+    "st02_sessionize" -> st02Sessionize,
+    "st03_sliding_window" -> st03SlidingWindow
   )
 }
