@@ -111,6 +111,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x08: the composed training-mix pipeline runs in two exchanges") {
+    // quality gate and sample are narrow; dedup shuffles once on the
+    // content hash; the language rollup shuffles its tiny partial aggs —
+    // nothing else may add an exchange (AQE repeats the plan under
+    // '== Initial Plan ==', so audit the final section only)
+    val p = planString(Queries.x08TrainingMix(spark, sf))
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"expected <=2 exchanges, got $n:\n$p")
+  }
+
   test("m01/t01: document scans prune to the columns the query needs") {
     val p = planString(Queries.t01TokenCount(spark, sf))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
