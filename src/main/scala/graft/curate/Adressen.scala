@@ -101,7 +101,13 @@ object Adressen {
       .join(broadcast(o), col("o.id") === col("n.openbare_ruimte_id"), "left")
       .join(broadcast(w), col("w.id") === col("o.woonplaats_id"), "left")
       .join(vSingle.alias("v"), col("v.nummer_id") === col("n.id"), "left")
-      .join(p, col("v.__pand_join_id") === col("p.id"), "left")
+      // NULL join keys (nummers without a single-pand vbo) all hash to ONE
+      // shuffle partition — a straggler/OOM magnet at full-BAG scale. A
+      // per-row sentinel that can never match a pand id (pand ids are
+      // 16-digit strings) keeps unmatched rows spread evenly; the left
+      // join still yields NULL pand columns for them.
+      .join(p, coalesce(col("v.__pand_join_id"),
+        concat(lit("__geen_pand__:"), col("n.id"))) === col("p.id"), "left")
       .select(
         col("n.id").as("nummer_id"),
         col("n.begindatum_geldigheid").as("nummer_begindatum_geldigheid"),

@@ -86,7 +86,10 @@ object BagXml {
 
   val woonplaats: BagObjectSpec = BagObjectSpec(
     "woonplaatsen", "Objecten:Woonplaats", "9999WPL", BagSchemas.woonplaats,
-    statusActive = Some("Woonplaats aangewezen"), dedupById = false,
+    // the reference table has PRIMARY KEY id + REPLACE INTO semantics
+    // (database_sqlite.py:177-185): duplicate ids must last-win here too,
+    // or the J1 broadcast join fans out per surviving duplicate
+    statusActive = Some("Woonplaats aangewezen"), dedupById = true,
     project = df => datesAndStatus(df).select(
       col("`Objecten:identificatie`").cast("long").as("id"),
       str(col("`Objecten:naam`")).as("naam"),

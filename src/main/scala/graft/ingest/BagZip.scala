@@ -31,28 +31,48 @@ object BagZip {
 
     // 1. unpack the outer zip (sequential: one big file, I/O bound)
     val outerDir = staging.resolve("outer")
-    Files.createDirectories(outerDir)
+    clearDir(outerDir)
     extractZip(Paths.get(outerZip), outerDir, _ => true)
 
     // 2. unpack each inner zip whose name carries a known code, in parallel
     val inner = Files.list(outerDir).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".zip")).toSeq
+    val matched = for {
+      zipPath <- inner
+      code <- codes.find(c => zipPath.getFileName.toString.contains(c))
+    } yield (zipPath, code)
+
+    // a missing object-type zip must fail HERE, not as an obscure read
+    // error later (mirrors stageDistributed's guard)
+    val missing = codes.toSet -- matched.map(_._2).toSet
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"no inner zip found in $outerZip for object-type code(s): ${missing.toSeq.sorted.mkString(", ")}")
+
+    // staging dirs are cleared first: XML names embed the extract date, so
+    // re-staging a NEWER extract into a reused dir would otherwise leave
+    // last run's files in place and silently co-ingest both extracts
+    matched.map(_._2).distinct.foreach(c => clearDir(staging.resolve(c)))
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     try {
-      val tasks = for {
-        zipPath <- inner
-        code <- codes.find(c => zipPath.getFileName.toString.contains(c))
-      } yield {
+      matched.map { case (zipPath, code) =>
         val dest = staging.resolve(code)
-        Files.createDirectories(dest)
         pool.submit(new Runnable {
           def run(): Unit = extractZip(zipPath, dest, _.toLowerCase.endsWith(".xml"))
         })
-      }
-      tasks.foreach(_.get())
+      }.foreach(_.get())
     } finally pool.shutdown()
 
     codes.map(c => c -> staging.resolve(c).toString).toMap
+  }
+
+  /** Delete-and-recreate a staging subdirectory. */
+  private def clearDir(dir: Path): Unit = {
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    Files.createDirectories(dir)
   }
 
   /**
@@ -71,9 +91,17 @@ object BagZip {
    * the inner zips typically already sit on shared storage, in which case
    * pass their directory as `innerDir` and skip that pass entirely.
    */
+  /** @param entryStripes tasks per inner zip: task k of a zip extracts the
+    *   XML members whose index ≡ k (mod entryStripes). ZipInputStream skips
+    *   a non-selected entry's compressed bytes without inflating them, so
+    *   DECOMPRESSION (the CPU cost) parallelizes ~zips x stripes wide
+    *   instead of being capped at the ~8 inner zips of a BAG extract; the
+    *   raw read is repeated per stripe (I/O trade, usually cheap on a
+    *   shared store). */
   def stageDistributed(spark: org.apache.spark.sql.SparkSession,
       innerDir: String, stagingDir: String,
-      codes: Seq[String] = BagXml.allSpecs.map(_.zipCode)): Map[String, String] = {
+      codes: Seq[String] = BagXml.allSpecs.map(_.zipCode),
+      entryStripes: Int = 8): Map[String, String] = {
     // Hadoop Configuration is not serializable: ship its entries as a plain
     // map and rebuild on the executors (keeps fs.s3a credentials etc.).
     val hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -98,54 +126,89 @@ object BagZip {
       throw new IllegalStateException(
         s"no inner zip found in $innerDir for object-type code(s): ${missing.toSeq.sorted.mkString(", ")}")
 
+    // clear the per-code staging dirs first: XML names embed the extract
+    // date, so re-staging over a reused dir would silently co-ingest the
+    // previous extract's files alongside the new ones
+    zips.map(_._2).distinct.foreach { code =>
+      val destBase = new org.apache.hadoop.fs.Path(s"$stagingDir/$code")
+      val dfs = destBase.getFileSystem(hadoopConf)
+      if (dfs.exists(destBase)) dfs.delete(destBase, true)
+      dfs.mkdirs(destBase)
+    }
+
+    val stripes = math.max(1, entryStripes)
+    val work = for { z <- zips; k <- 0 until stripes } yield (z._1, z._2, k)
     val extracted = spark.sparkContext
-      .parallelize(zips, math.max(1, zips.size))
-      .map { case (zipStr, code) =>
+      .parallelize(work, math.max(1, work.size))
+      .map { case (zipStr, code, stripe) =>
         val hconf = new org.apache.hadoop.conf.Configuration(false)
         confEntries.foreach { case (k, v) => hconf.set(k, v) }
         val zipPath = new org.apache.hadoop.fs.Path(zipStr)
         val zfs = zipPath.getFileSystem(hconf)
         val destBase = new org.apache.hadoop.fs.Path(s"$stagingDir/$code")
         val dfs = destBase.getFileSystem(hconf)
-        dfs.mkdirs(destBase)
         var count = 0L
+        var idx = 0L
         val zin = new ZipInputStream(new BufferedInputStream(zfs.open(zipPath)))
         try {
           var e = zin.getNextEntry
           while (e != null) {
             if (!e.isDirectory && e.getName.toLowerCase.endsWith(".xml")) {
-              val name = Paths.get(e.getName).getFileName.toString // flatten, no zip-slip
-              val out = dfs.create(new org.apache.hadoop.fs.Path(destBase, name), true)
-              try {
-                val buf = new Array[Byte](1 << 16)
-                var n = zin.read(buf)
-                while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
-              } finally out.close()
-              count += 1
+              if (idx % stripes == stripe) { // this stripe's member
+                val name = Paths.get(e.getName).getFileName.toString // flatten, no zip-slip
+                val out = dfs.create(new org.apache.hadoop.fs.Path(destBase, name), true)
+                try {
+                  val buf = new Array[Byte](1 << 16)
+                  var n = zin.read(buf)
+                  while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
+                } finally out.close()
+                count += 1
+              }
+              idx += 1
             }
-            e = zin.getNextEntry
+            e = zin.getNextEntry // skips unread compressed bytes, no inflate
           }
         } finally zin.close()
-        (zipStr, count)
+        (zipStr, code, count)
       }.collect()
 
     // a corrupt/truncated zip reads as an EMPTY ZipInputStream — without
     // this check a whole object type could silently vanish from the staging
     // layout (found by a corrupt-zip probe in round 2 verification).
-    val empty = extracted.filter(_._2 == 0L)
+    val perZip = extracted.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val empty = perZip.filter(_._2 == 0L).keys.toSeq
     if (empty.nonEmpty)
       throw new IllegalStateException(
         s"zip member(s) yielded no XML entries (corrupt or mis-packed): " +
-          empty.map(_._1).mkString(", "))
+          empty.sorted.mkString(", "))
+
+    // flattened basenames must be unique: fewer files on disk than entries
+    // extracted means a silent overwrite ate a member
+    codes.foreach { code =>
+      val destBase = new org.apache.hadoop.fs.Path(s"$stagingDir/$code")
+      val dfs = destBase.getFileSystem(hadoopConf)
+      val onDisk = dfs.listStatus(destBase).count(_.isFile)
+      val expected = extracted.filter(_._2 == code).map(_._3).sum
+      if (onDisk.toLong != expected)
+        throw new IllegalStateException(
+          s"$code: extracted $expected XML members but $onDisk files on disk — " +
+            "duplicate member basenames overwrote each other")
+    }
 
     codes.map(c => c -> s"$stagingDir/$c").toMap
   }
 
   private def extractZip(zip: Path, destDir: Path, keep: String => Boolean): Unit = {
     val zf = new ZipFile(zip.toFile)
+    // entry paths are flattened to their basename (zip-slip defense), so a
+    // basename collision would silently overwrite a member — fail loudly
+    val seen = scala.collection.mutable.HashSet.empty[String]
     try {
       zf.entries().asScala.filter(e => !e.isDirectory && keep(e.getName)).foreach { e =>
         val name = Paths.get(e.getName).getFileName.toString // flatten, no zip-slip
+        if (!seen.add(name))
+          throw new IllegalStateException(
+            s"$zip: duplicate member basename '$name' (entry ${e.getName}) would overwrite an extracted file")
         val out = destDir.resolve(name)
         val in = new BufferedInputStream(zf.getInputStream(e))
         val os = new BufferedOutputStream(new FileOutputStream(out.toFile))

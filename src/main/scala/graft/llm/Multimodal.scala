@@ -64,13 +64,17 @@ object Multimodal {
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // null text -> empty payload: MediaRecord's primitive metadata fields
+    // are non-nullable, so a single null-text row would otherwise kill the
+    // whole job at encoder time (AssertNotNull)
+    val text = coalesce(col("text"), lit(""))
     docs.select(
       col("doc_id"),
-      col("text").cast("binary").as("payload"),
+      text.cast("binary").as("payload"),
       lit("text/plain").as("mime"),
-      (lit(16) + octet_length(col("text")) % 48).cast("long").as("width"),
-      (lit(16) + (octet_length(col("text")) * 7) % 48).cast("long").as("height"),
-      (lit(1) + octet_length(col("text")) % 8).cast("long").as("n_frames")
+      (lit(16) + octet_length(text) % 48).cast("long").as("width"),
+      (lit(16) + (octet_length(text) * 7) % 48).cast("long").as("height"),
+      (lit(1) + octet_length(text) % 8).cast("long").as("n_frames")
     ).as[MediaRecord]
   }
 

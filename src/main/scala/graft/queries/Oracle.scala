@@ -292,12 +292,13 @@ object Oracle {
          |       round(${norm("embedding")}, 6) AS norm_r
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    // coalesce mirrors fromDocuments' null-text -> empty-payload policy
     "m01_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) AS width,
-        |       CAST(16 + (octet_length(encode(text)) * 7) % 48 AS BIGINT) AS height,
-        |       CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
+        |       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+        |       CAST(16 + octet_length(encode(coalesce(text, ''))) % 48 AS BIGINT) AS width,
+        |       CAST(16 + (octet_length(encode(coalesce(text, ''))) * 7) % 48 AS BIGINT) AS height,
+        |       CAST(1 + octet_length(encode(coalesce(text, ''))) % 8 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "v06_quantize" ->

@@ -16,12 +16,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table (overwrites). */
+  /** Write `df` as a bucketed+sorted managed table (overwrites).
+    *
+    * The frame is repartitioned by the bucket key FIRST (same murmur3
+    * hash-partitioning bucketBy uses), so each write task holds exactly
+    * one bucket and emits one file — without it Spark writes up to one
+    * file per (task, bucket): thousands of upstream tasks x the bucket
+    * count is a small-file explosion at scale. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     path: Option[String] = None): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val w = df.write.format("parquet")
+    val w = df.repartition(buckets, df.col(key)).write.format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .mode("overwrite")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
