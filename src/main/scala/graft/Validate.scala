@@ -99,8 +99,13 @@ object Validate {
         .collect().headOption.map(_.getString(0)).getOrElse("<missing>")
       add(s"gemeente 1900 UTF-8: $naam1900", 1, naam1900 != "Súdwest-Fryslân")
 
-      // woonplaats-override case (J7): 1181BN nr 1 lies in Amstelveen (1050)
+      // woonplaats-override case (J7): 1181BN nr 1 lies in Amstelveen (1050).
+      // Ordered by nummer_id: on the full BAG several sub-addresses
+      // (huisletter/toevoeging variants) share postcode+huisnummer, and an
+      // unordered collect().headOption would check a partition-order-
+      // dependent row.
       val wpl = adressen.filter(col("postcode") === "1181BN" && col("huisnummer") === 1)
+        .orderBy("nummer_id")
         .select("woonplaats_id").collect().headOption
         .flatMap(r => Option(r.get(0)).map(_.toString.toLong)).getOrElse(-1L)
       add(s"1181BN-1 woonplaats=$wpl (verwacht 1050)", wpl, wpl != 1050L)

@@ -19,6 +19,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // delete any previous dump FIRST: a query that now throws must not
+      // leave a stale result behind for the oracle compare to silently
+      // PASS against (overwrite only happens on success)
+      val dest = Paths.get(s"$outDir/$name")
+      if (Files.exists(dest)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dest).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

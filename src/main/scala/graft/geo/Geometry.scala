@@ -18,8 +18,15 @@ object Geometry {
     if (pos == null) return None
     val parts = pos.trim.split("\\s+")
     if (parts.length < 2) return None
-    try Some((parts(0).toDouble, parts(1).toDouble))
-    catch { case _: NumberFormatException => None }
+    try {
+      val x = parts(0).toDouble
+      val y = parts(1).toDouble
+      // "NaN"/"Infinity" parse without exception but are malformed input:
+      // they would otherwise flow through the polynomial into NaN lat/lon
+      // that the `latitude IS NULL` integrity checks can't see
+      if (java.lang.Double.isFinite(x) && java.lang.Double.isFinite(y)) Some((x, y))
+      else None
+    } catch { case _: NumberFormatException => None }
   }
 
   /**

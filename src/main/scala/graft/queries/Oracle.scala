@@ -116,9 +116,12 @@ object Oracle {
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
         |FROM documents WHERE len(string_split(text, ' ')) > 80 ORDER BY doc_id""".stripMargin,
 
+    // NOT EXISTS, not NOT IN: a NULL in the subquery column would make
+    // NOT IN return zero rows while Spark's left_anti keeps unmatched rows
     "f06_orphan_delete" ->
-      """SELECT l_returnflag, count(*) AS orphan_cnt FROM lineitem
-        |WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 40)
+      """SELECT l_returnflag, count(*) AS orphan_cnt FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                  WHERE p.p_size <= 40 AND p.p_partkey = l.l_partkey)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "k02_dedup_lastwins" ->
@@ -150,8 +153,9 @@ object Oracle {
         |ORDER BY c_custkey""".stripMargin,
 
     "j11_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin,
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "j12_semi_join" ->
       """SELECT c_custkey FROM customer
@@ -310,8 +314,8 @@ object Oracle {
         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS BIGINT)) AS qv
         |  FROM s)
         |SELECT vec_id, round(scale, 6) AS scale_r,
-        |       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
-        |       CAST(list_aggregate(list_transform(qv, v -> abs(v)), 'sum') AS BIGINT) AS qabs
+        |       CAST(coalesce(list_aggregate(qv, 'sum'), 0) AS BIGINT) AS qsum,
+        |       CAST(coalesce(list_aggregate(list_transform(qv, v -> abs(v)), 'sum'), 0) AS BIGINT) AS qabs
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "t05_normalize" ->
@@ -332,9 +336,14 @@ object Oracle {
         |WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
 
+    // strict-integer regex gate mirrors the Spark side: DuckDB would
+    // otherwise ROUND '93.5' to 94 where Spark nulls/truncates
     "x01_json_extract" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
-        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+      """WITH j AS (SELECT event_id, json_extract_string(props, '$.k') AS ks FROM events)
+        |SELECT event_id,
+        |       CASE WHEN regexp_matches(ks, '^-?[0-9]+$') THEN CAST(ks AS BIGINT) END AS k_val
+        |FROM j
+        |WHERE CASE WHEN regexp_matches(ks, '^-?[0-9]+$') THEN CAST(ks AS BIGINT) END >= 90
         |ORDER BY event_id""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window

@@ -253,7 +253,11 @@ object Queries {
 
   /** A6: exact interpolated percentiles (engine-native `percentile` — the
     * reference has only count/avg/min/max/sum). Exact, not the
-    * approx-sketch variant, so DuckDB's quantile_cont mirrors it. */
+    * approx-sketch variant, so DuckDB's quantile_cont mirrors it.
+    * Scale note: EXACT percentiles buffer every group value in the final
+    * aggregation — correct only for bounded group cardinality x bounded
+    * group size (5 event types here); at open-ended scale use the a08
+    * sketch path (fixed-size state) or approx_percentile. */
   val a06Percentiles: Q = (s, dir) =>
     tbl(s, dir, "events")
       .groupBy(col("event_type"))
@@ -584,11 +588,15 @@ object Queries {
           .as("centroid_norm_r"))
       .orderBy("label")
 
-  /** JSON extraction over the events props column. */
+  /** JSON extraction over the events props column. Strict-integer parse:
+    * string->long cast semantics differ between engines for non-integral
+    * strings (Spark truncates/nulls, DuckDB rounds), so both sides gate on
+    * an integer regex and null out everything else. */
   val x01JsonExtract: Q = (s, dir) =>
     tbl(s, dir, "events")
+      .withColumn("__k", get_json_object(col("props"), "$.k"))
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        when(col("__k").rlike("^-?[0-9]+$"), col("__k").cast("long")).as("k_val"))
       .filter(col("k_val") >= 90)
       .orderBy("event_id")
 

@@ -28,9 +28,18 @@ object Skew {
    * per bucket. Output columns = big.* ++ (small.* minus the key), like a
    * plain left join on the key.
    */
+  def saltedJoinTypes: Set[String] = Set("inner", "left", "left_outer", "leftouter")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
                  joinType: String = "left", saltBy: Option[Column] = None): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // right/full joins are NOT salting-compatible: each of the `salt`
+    // replicas of a small-side row that finds no big-side partner in its
+    // bucket would surface as its own null-padded output row (up to
+    // salt-1 spurious rows per key vs the plain join)
+    require(saltedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports ${saltedJoinTypes.mkString("/")} joins; '$joinType' " +
+        "would emit spurious null-padded rows for replicated small-side rows")
     // default salt source: hash of the full row CONTENT — never
     // monotonically_increasing_id(), which depends on partition layout and
     // would re-salt rows differently on task retry (the hazard saltOf
