@@ -77,6 +77,14 @@ object Exports {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$warehouse/adressen"))
+          && !warehouse.contains("://")) {
+        System.err.println(
+          s"""no warehouse at $warehouse (expected <warehouse>/adressen + <warehouse>/raw/*).
+             |Run the import first: Pipeline.importBag(spark, "bag.zip", "gemeenten.csv",
+             |  Pipeline.Layout(stagingDir, "$warehouse"), Config(asOfDate = ...))""".stripMargin)
+        sys.exit(3)
+      }
       val (t, adressen) = Pipeline.openWarehouse(spark, warehouse)
       Pipeline.export(adressen, t, variant, s"$out/$fileName",
         useShortStreetNames = shortNames, singleFile = singleFile)
