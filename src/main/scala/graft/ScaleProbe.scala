@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
  *
  * Run: sbt "runMain graft.ScaleProbe"
  *
- * Measured on local[32] (2026-08-12): 10x data costs 1.7-3.9x wall —
- * d01 0.6->0.4s, d03 2.5->6.7s, d04 1.5->5.8s, v03 2.7->4.5s,
- * v05 1.1->3.3s — candidate generation stays equi-join-bound with no
- * quadratic blowup, the executable form of the 100x-scale claim.
+ * Measured on local[32] (2026-08-12, post skew-guard hardening): 10x data
+ * costs 1.3-3.4x wall — d01 0.9->0.5s, d03 3.1->10.6s, d04 1.8->4.3s,
+ * v03 3.4->4.4s, v05 1.5->2.9s — candidate generation stays
+ * equi-join-bound with no quadratic blowup, the executable form of the
+ * 100x-scale claim.
  */
 object ScaleProbe {
   def time[T](label: String)(f: => T): T = {

@@ -132,5 +132,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"range join fell back to a non-equi plan:\n$p")
+
+    // negative time domain: `div` truncates toward zero (not floor), which
+    // is still monotone non-decreasing, so bin(t) always lies within
+    // [bin(start), bin(end)] and no containment can be missed
+    val negIv = Seq((1L, -250L, -50L), (2L, -99L, 101L)).toDF("interval_id", "start", "end")
+    val negPts = Seq(-250L, -101L, -100L, -50L, -49L, 0L, 100L, 101L, 102L).toDF("t")
+    val gotNeg = RangeJoin.rangeJoin(negIv, negPts, "start", "end", "t", 100L)
+      .select("interval_id", "t").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectNeg = negIv.collect().flatMap { iv =>
+      negPts.collect().map(_.getLong(0))
+        .filter(t => t >= iv.getLong(1) && t <= iv.getLong(2))
+        .map(t => (iv.getLong(0), t))
+    }.toSet
+    assert(gotNeg === expectNeg)
   }
 }
