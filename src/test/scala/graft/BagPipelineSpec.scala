@@ -245,6 +245,47 @@ class BagPipelineSpec extends AnyFunSuite {
     assert(new java.io.File(s"$out/adressen_postcodes.csv").exists())
   }
 
+  test("ImportBag + Exports CLIs run the reference workflow end to end from a bag.zip") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val root = JFiles.createTempDirectory("bag_cli_e2e")
+    val (xmlDirs, csv) = BagFixtures.write(root.resolve("plain"))
+    // pack the fixture into the BAG layout: outer zip of per-type inner zips
+    val innerDir = root.resolve("inner")
+    JFiles.createDirectories(innerDir)
+    xmlDirs.foreach { case (code, dir) =>
+      val zos = new ZipOutputStream(JFiles.newOutputStream(
+        innerDir.resolve(s"${code}08102025.zip")))
+      try JFiles.list(JPaths.get(dir)).forEach { f =>
+        zos.putNextEntry(new ZipEntry(f.getFileName.toString))
+        zos.write(JFiles.readAllBytes(f))
+        zos.closeEntry()
+      } finally zos.close()
+    }
+    val outerZip = root.resolve("bag.zip")
+    val zos = new ZipOutputStream(JFiles.newOutputStream(outerZip))
+    try JFiles.list(innerDir).forEach { f =>
+      zos.putNextEntry(new ZipEntry(f.getFileName.toString))
+      zos.write(JFiles.readAllBytes(f))
+      zos.closeEntry()
+    } finally zos.close()
+
+    val wh = root.resolve("warehouse").toString
+    graft.ImportBag.main(Array(
+      "--bag", outerZip.toString, "--gemeenten", csv,
+      "--warehouse", wh, "--staging", root.resolve("staging").toString,
+      "--as-of", BagFixtures.asOf, "--skip-validation"))
+    val imported = spark.read.parquet(s"$wh/adressen")
+    assert(imported.count() === 9)
+
+    val out = root.resolve("out").toString
+    graft.Exports.main(Array("-p6", "--warehouse", wh, "--out", out, "--single-file"))
+    val p6 = new java.io.File(s"$out/adressen_p6_stats.csv").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(p6.length === 1)
+    assert(scala.io.Source.fromFile(p6.head).getLines().exists(_.startsWith("2514GL,")))
+  }
+
   test("K4: registered temp views are SQL-queryable by name") {
     Pipeline.registerViews(raw, Some(adressen))
     val n = spark.sql(
