@@ -36,6 +36,26 @@ class BagZipSpec extends AnyFunSuite {
     }
   }
 
+  test("re-staging clears previous extract's files (XML names embed the extract date)") {
+    val root = Files.createTempDirectory("bagzip_restage")
+    val (xmlDirs, _) = BagFixtures.write(root.resolve("plain"))
+    packInnerZips(xmlDirs, root.resolve("zips"))
+    val stagedDir = root.resolve("staged").toString
+
+    val first = BagZip.stageDistributed(spark, root.resolve("zips").toString, stagedDir)
+    // simulate a file left behind by a previous (older) extract
+    val strayCode = first.keys.head
+    val stray = java.nio.file.Paths.get(first(strayCode), "9999STALE01012020-000001.xml")
+    Files.writeString(stray, "<stale/>")
+
+    val second = BagZip.stageDistributed(spark, root.resolve("zips").toString, stagedDir)
+    assert(!Files.exists(stray),
+      "stale file from a previous extract survived re-staging — both extracts would co-ingest")
+    second.values.foreach { d =>
+      assert(Files.list(java.nio.file.Paths.get(d)).count() > 0)
+    }
+  }
+
   test("stageDistributed extracts inner zips on executors; pipeline result matches") {
     val root = Files.createTempDirectory("bagzip_spec")
     val (xmlDirs, csv) = BagFixtures.write(root.resolve("plain"))
