@@ -46,6 +46,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
+      // Measurement hygiene (r3 "What's wrong" #1): release the query's
+      // tracked broadcasts/persists and clear the cache BETWEEN queries, so
+      // accumulated storage from query N never lands in query M's wall time
+      // (the r3 driver bench measured a map-only 0.5s query at 10.5s inside
+      // that accumulation). The release runs inside the timed window — state
+      // a query allocates is that query's cost, not its successors'.
+      graft.SessionResources.release(spark)
       // failures record -1 so automated consumers can't mistake a partial
       // run for a fast success
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

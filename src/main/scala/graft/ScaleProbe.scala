@@ -18,15 +18,18 @@ import org.apache.spark.sql.functions._
  * 100x-scale claim.
  */
 object ScaleProbe {
-  def time[T](label: String)(f: => T): T = {
+  def time[T](label: String)(f: => T)(implicit spark: SparkSession): T = {
     val t0 = System.nanoTime()
     val r = f
+    // same hygiene rule as Bench: tracked state a query allocated is charged
+    // to that query and never pollutes the next measurement
+    SessionResources.release(spark)
     println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     r
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    implicit val spark: SparkSession = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

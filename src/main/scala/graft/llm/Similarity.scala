@@ -117,8 +117,13 @@ object Similarity {
     require(collected.length <= maxCorpus,
       s"cosinePairsBlocked is the bounded-corpus oracle baseline " +
         s"(n > $maxCorpus); use annLsh/annIvf at scale")
-    val bcIds = spark.sparkContext.broadcast(collected.map(_._1))
-    val bcVecs = spark.sparkContext.broadcast(collected.map(_._2))
+    // tracked so long-lived sessions can destroy the corpus matrix between
+    // queries (SessionResources.release) — the ContextCleaner alone lets it
+    // linger for the whole session
+    val bcIds = graft.SessionResources.track(
+      spark.sparkContext.broadcast(collected.map(_._1)))
+    val bcVecs = graft.SessionResources.track(
+      spark.sparkContext.broadcast(collected.map(_._2)))
     val n = collected.length
     spark.range(0, n.toLong)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -317,17 +322,34 @@ object Similarity {
              nprobe: Int = 12): DataFrame = {
     graft.functions.VectorExpressions.register(emb.sparkSession)
     val units = unitRows(ivfCentroids(emb, c))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-        expr("vec_norm(embedding)").as("nrm_c"))
-      .withColumn("cl", assignUdf(units)(col("c_emb")))
-    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        expr("vec_norm(embedding)").as("nrm_q"))
-      .withColumn("cl", explode(probeUdf(units, nprobe)(col("q_emb"))))
+    // candidate generation moves IDS ONLY: (neighbor_id, cl) x (query_id, cl).
+    // The r3 form carried both embedding payloads through the candidate
+    // dedup shuffle — at 100 TB that shuffle (dim x 4 bytes x candidate
+    // count) dominates; deduping 16-byte id pairs first and re-attaching
+    // embeddings by equi-join moves each embedding once per surviving row.
+    val corpusIds = emb.select(col("vec_id").as("neighbor_id"),
+      assignUdf(units)(col("embedding")).as("cl"))
+    val queryIds = queries.select(col("vec_id").as("query_id"),
+      explode(probeUdf(units, nprobe)(col("embedding"))).as("cl"))
+    val candidates = corpusIds.join(queryIds, Seq("cl"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    rerank(candidates, emb, queries, k)
+  }
+
+  /** Shared exact-rerank tail for the ANN paths: re-attach embeddings to an
+    * id-only candidate set (corpus side by equi-join; the bounded query side
+    * broadcast), score, and keep the top `k` per query. */
+  private def rerank(candidates: DataFrame, emb: DataFrame, queries: DataFrame,
+                     k: Int): DataFrame = {
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      expr("vec_norm(embedding)").as("nrm_c"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), expr("vec_norm(embedding)").as("nrm_q")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    corpus.join(qs, Seq("cl"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
+    candidates.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
       .withColumn("cos", round(
         expr("vec_dot(q_emb, c_emb)") / (col("nrm_q") * col("nrm_c")), 6))
       .withColumn("rnk", row_number().over(w))
@@ -344,23 +366,19 @@ object Similarity {
   def annLsh(emb: DataFrame, queries: DataFrame, k: Int, seed: Long = 42L,
              tables: Int = 16, planes: Int = 4): DataFrame = {
     graft.functions.VectorExpressions.register(emb.sparkSession)
+    // banding moves IDS ONLY — (table, bucket, vec_id) is ~20 bytes/row where
+    // the r3 form exploded the corpus embedding `tables` times into the join
+    // and then shuffled candidate PAIRS with both payloads attached; the
+    // id-first dedup + re-attach (same trick as minhashLshPairsFrom) moves
+    // each embedding once per surviving candidate row instead.
     val cb = withLshBuckets(emb, seed, tables, planes)
-      .select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb"), expr("vec_norm(embedding)").as("nrm_c"))
+      .select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
     val qb = withLshBuckets(queries, seed, tables, planes)
-      .select(col("table"), col("bucket"), col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"), expr("vec_norm(embedding)").as("nrm_q"))
+      .select(col("table"), col("bucket"), col("vec_id").as("query_id"))
     val candidates = cb.join(qb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "q_emb", "c_emb", "nrm_q", "nrm_c")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates
-      .withColumn("cos", round(
-        expr("vec_dot(q_emb, c_emb)") / (col("nrm_q") * col("nrm_c")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
+    rerank(candidates, emb, queries, k)
   }
 }

@@ -154,7 +154,8 @@ object Oracle {
 
     "j11_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '1998-04-01')
         |ORDER BY c_custkey""".stripMargin,
 
     "j12_semi_join" ->
@@ -400,12 +401,12 @@ object Oracle {
         |    round(least(1.0, n_words0 / 200.0) * 0.5 + (CAST(stop0 AS DOUBLE) / n_words0) * 0.5, 4) AS quality_score
         |  FROM q),
         |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |      FROM sc WHERE quality_score >= 0.5),
+        |      FROM sc WHERE quality_score >= 0.2),
         |sm AS (SELECT * FROM d WHERE rn = 1
         |       AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
         |           < CASE WHEN lang = 'en' THEN 30 ELSE 10 END)
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS sum_tokens,
-        |       round(avg(quality_score), 4) AS avg_quality_r
+        |       CAST(sum(CAST(round(quality_score * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_quality_bp
         |FROM sm GROUP BY lang ORDER BY lang""".stripMargin,
 
     "x02_rollup" ->

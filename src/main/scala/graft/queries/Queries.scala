@@ -190,9 +190,14 @@ object Queries {
       .orderBy("c_custkey")
   }
 
-  /** J11: anti-join integrity check (customers without orders). */
+  /** J11: anti-join integrity check — customers without a RECENT order.
+    * The orders side is date-restricted so the check is non-vacuous at every
+    * SF (an unfiltered version matches zero customers in this corpus: a
+    * 0-row hash compare verifies nothing about the anti-join semantics). */
   val j11AntiJoin: Q = (s, dir) => {
-    val o = tbl(s, dir, "orders").select(col("o_custkey"))
+    val o = tbl(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1998-04-01")))
+      .select(col("o_custkey"))
     tbl(s, dir, "customer")
       .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
@@ -509,8 +514,10 @@ object Queries {
     * per-language token budget. Every stage is the registered operator's
     * exact shape, so the whole pipeline is oracle-checkable end to end. */
   val x08TrainingMix: Q = (s, dir) => {
+    // quality gate at 0.2: the synthetic corpus tops out near 0.32, so the
+    // earlier 0.5 gate passed zero docs — a vacuous 0-row oracle compare
     val scored = TextOps.qualityStats(tbl(s, dir, "documents"))
-      .filter(col("quality_score") >= 0.5)
+      .filter(col("quality_score") >= 0.2)
     val dedupW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     scored
       .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1)
@@ -519,7 +526,10 @@ object Queries {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("sum_tokens"),
-        round(avg(col("quality_score")), 4).as("avg_quality_r"))
+        // quality aggregated as exact integer basis points: avg() of the
+        // rounded doubles can land on a .5 rounding boundary and flip the
+        // last digit between engines; sum of per-row integers cannot
+        sum(round(col("quality_score") * 10000).cast("long")).as("sum_quality_bp"))
       .orderBy("lang")
   }
 
