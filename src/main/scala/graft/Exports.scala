@@ -17,8 +17,9 @@ import org.apache.spark.sql.SparkSession
  *   --warehouse DIR       warehouse root (default: output/warehouse)
  *   --out DIR             output directory (default: output)
  *   --long-street-names   full street names instead of verkorte_naam
- *   --single-file         coalesce to one CSV part (the reference's artifact
- *                         shape; one write task — local use only)
+ *   --single-file         write a plain CSV FILE at the target path (the
+ *                         reference's artifact shape; one write task —
+ *                         local use only). Default: a directory of parts.
  *   --master URL          Spark master (default: local[*])
  */
 object Exports {

@@ -81,10 +81,30 @@ object Exports {
   }
 
   /** K3: CSV sink with header, UTF-8 (exporter.py:15-45). Cluster-safe
-    * parallel write by default; pass singleFile=true to mirror the
-    * reference's single-file artifact (a one-task write — local use only). */
+    * parallel write by default (a directory of parts); pass singleFile=true
+    * to produce the reference's artifact exactly: a PLAIN CSV FILE at
+    * `path` (the one part is written to a scratch dir and promoted via
+    * FileSystem.rename, so no _SUCCESS marker or directory remains).
+    * One write task — local use only. */
   def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
-    val out = if (singleFile) df.coalesce(1) else df
-    out.write.mode("overwrite").option("header", "true").csv(path)
+    if (!singleFile) {
+      df.write.mode("overwrite").option("header", "true").csv(path)
+    } else {
+      import org.apache.hadoop.fs.Path
+      val tmp = path + ".__spark_staging__"
+      df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      val fs = new Path(tmp)
+        .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      val part = fs.globStatus(new Path(tmp, "part-*.csv")) match {
+        case Array(one) => one.getPath
+        case other => throw new IllegalStateException(
+          s"expected exactly one part file in $tmp, found ${other.length}")
+      }
+      val dest = new Path(path)
+      fs.delete(dest, true)
+      if (!fs.rename(part, dest))
+        throw new java.io.IOException(s"rename $part -> $dest failed")
+      fs.delete(new Path(tmp), true)
+    }
   }
 }

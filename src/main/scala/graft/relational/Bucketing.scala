@@ -19,15 +19,40 @@ object Bucketing {
   /** Write `df` as a bucketed+sorted managed table (overwrites).
     *
     * The frame is repartitioned by the bucket key FIRST (same murmur3
-    * hash-partitioning bucketBy uses), so each write task holds exactly
-    * one bucket and emits one file — without it Spark writes up to one
-    * file per (task, bucket): thousands of upstream tasks x the bucket
-    * count is a small-file explosion at scale. */
+    * hash-partitioning bucketBy uses), so file count stays bounded —
+    * without it Spark writes up to one file per (task, bucket): thousands
+    * of upstream tasks x the bucket count is a small-file explosion at
+    * scale.
+    *
+    * Trade-off knob: repartitioning to exactly `buckets` partitions caps
+    * write parallelism at `buckets` tasks — with a modest bucket count
+    * each task writes a whole bucket and becomes a straggler (and a
+    * memory hotspot) on a big table. `writerTasksPerBucket = k` widens
+    * the write to `buckets * k` tasks while keeping files bounded at ~k
+    * per bucket: rows are repartitioned on (bucket_id, salt) — bucket_id
+    * computed with the SAME murmur3 `pmod(hash(key), buckets)` bucketBy
+    * applies at write time — so each of the buckets*k (bucket, salt)
+    * slices lands wholly in one task and each task emits files for the
+    * one bucket (rarely two, on partition-hash collisions) it holds.
+    * NOTE: partitioning on raw (key, salt) instead would scatter every
+    * bucket across ALL tasks and explode the file count. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-                    path: Option[String] = None): Unit = {
+                    path: Option[String] = None,
+                    writerTasksPerBucket: Int = 1): Unit = {
+    require(writerTasksPerBucket >= 1, "writerTasksPerBucket must be >= 1")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val w = df.repartition(buckets, df.col(key)).write.format("parquet")
+    val partitioned =
+      if (writerTasksPerBucket == 1) df.repartition(buckets, df.col(key))
+      else {
+        import org.apache.spark.sql.functions.{col, floor, hash, lit, pmod, rand}
+        val k = writerTasksPerBucket
+        df.withColumn("__bucket", pmod(hash(df.col(key)), lit(buckets)))
+          .withColumn("__wsalt", floor(rand(seed = 7L) * k).cast("int"))
+          .repartition(buckets * k, col("__bucket"), col("__wsalt"))
+          .drop("__bucket", "__wsalt")
+      }
+    val w = partitioned.write.format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .mode("overwrite")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)

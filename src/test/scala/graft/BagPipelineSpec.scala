@@ -231,10 +231,9 @@ class BagPipelineSpec extends AnyFunSuite {
     val out = java.nio.file.Files.createTempDirectory("bag_export_out").toString
 
     graft.Exports.main(Array("-p4", "--warehouse", wh, "--out", out, "--single-file"))
-    val p4 = new java.io.File(s"$out/adressen_p4_stats.csv").listFiles()
-      .filter(_.getName.endsWith(".csv"))
-    assert(p4.length === 1, "single-file p4 export should write one csv part")
-    val lines = scala.io.Source.fromFile(p4.head).getLines().toSeq
+    val p4 = new java.io.File(s"$out/adressen_p4_stats.csv")
+    assert(p4.isFile, "--single-file must produce a plain CSV file, not a directory")
+    val lines = scala.io.Source.fromFile(p4).getLines().toSeq
     assert(lines.head === "postcode4,center_lat,center_lon,aantal_adressen,woonplaats")
     assert(lines.exists(_.startsWith("2514,")))
 
@@ -278,12 +277,19 @@ class BagPipelineSpec extends AnyFunSuite {
     val imported = spark.read.parquet(s"$wh/adressen")
     assert(imported.count() === 9)
 
+    // re-validate the existing warehouse standalone (test_sqlite_db.py
+    // workflow) — a failing suite would sys.exit(1) and abort this JVM
+    graft.ValidateDb.main(Array("--warehouse", wh,
+      "--min-adressen", "9", "--min-adressen-met-pand", "3",
+      "--min-ligplaatsen", "1", "--min-standplaatsen", "1",
+      "--min-openbare-ruimten", "4", "--min-woonplaatsen", "3",
+      "--min-gemeenten", "3", "--provincies", "2"))
+
     val out = root.resolve("out").toString
     graft.Exports.main(Array("-p6", "--warehouse", wh, "--out", out, "--single-file"))
-    val p6 = new java.io.File(s"$out/adressen_p6_stats.csv").listFiles()
-      .filter(_.getName.endsWith(".csv"))
-    assert(p6.length === 1)
-    assert(scala.io.Source.fromFile(p6.head).getLines().exists(_.startsWith("2514GL,")))
+    val p6 = new java.io.File(s"$out/adressen_p6_stats.csv")
+    assert(p6.isFile, "--single-file must produce a plain CSV file, not a directory")
+    assert(scala.io.Source.fromFile(p6).getLines().exists(_.startsWith("2514GL,")))
   }
 
   test("K4: registered temp views are SQL-queryable by name") {

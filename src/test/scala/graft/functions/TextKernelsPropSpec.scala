@@ -63,7 +63,7 @@ class TextKernelsPropSpec extends AnyFunSuite {
       val words = s.split(" ", -1)
       val expect =
         if (words.length < w) 0
-        else words.sliding(w).map(_.mkString("")).toSet.size
+        else words.sliding(w).map(_.mkString(graft.llm.TextOps.ShingleSep)).toSet.size
       val got = TextKernels.shingleHashes(UTF8String.fromString(s), w).numElements()
       assert(got === expect, s"text=[$s] w=$w")
     }

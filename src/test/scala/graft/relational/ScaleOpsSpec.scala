@@ -78,6 +78,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("writerTasksPerBucket widens the write but keeps content and file count bounded") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val (buckets, k) = (4, 3)
+    Bucketing.writeBucketed(li, "lineitem_wide_b", "o_orderkey",
+      buckets = buckets, writerTasksPerBucket = k)
+    val back = Bucketing.read(spark, "lineitem_wide_b")
+    assert(back.count() === li.count())
+    // still a genuinely bucketed table: shuffle-free when joined on the key
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketing.writeBucketed(li.select("o_orderkey").distinct(), "orders_keys_b",
+        "o_orderkey", buckets = buckets)
+      val j = back.join(Bucketing.read(spark, "orders_keys_b"), "o_orderkey")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true") && !p.contains("Exchange"),
+        s"wide-written bucketed table lost its bucketing:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // file count bounded by ~k per bucket, NOT buckets*tasks
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED lineitem_wide_b")
+      .filter(col("col_name") === "Location").select("data_type").head().getString(0)
+    val files = new java.io.File(new java.net.URI(loc)).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(files <= buckets * k + buckets,
+      s"file explosion: $files files for $buckets buckets x $k tasks")
+  }
+
   test("asofJoin: at-or-before semantics, nulls before first right row, one shuffle, no join node") {
     val s = spark
     import s.implicits._
