@@ -292,6 +292,16 @@ object Oracle {
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
+    // keep-first dedup over exact cosine pairs; same dot/norm/round(6)
+    // contract as v02 so the threshold compare is cross-engine stable
+    "d06_embedding_neardup" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id_b AS doc_id, min(id_a) AS dup_of, count(*) AS n_near
+         |FROM p WHERE cos >= 0.35 GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "v04_norms" ->
       s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
          |       round(${norm("embedding")}, 6) AS norm_r

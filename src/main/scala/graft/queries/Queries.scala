@@ -331,6 +331,14 @@ object Queries {
       minJ = 0.7)
       .orderBy("id_a", "id_b")
 
+  /** D6: embedding-cosine near-dup dedup — keep-first assignment over
+    * exact cosine pairs (tau=0.35 is non-vacuous at the oracle SF: 271
+    * pairs / 201 dup docs at sf0.01). The scale path swaps the exact pair
+    * kernel for LSH candidates via [[Dedup.embeddingNearDupFrom]]. */
+  val d06EmbeddingNeardup: Q = (s, dir) =>
+    Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), tau = 0.35)
+      .orderBy("doc_id")
+
   /** SimHash fingerprints (rows-only: no SQL-expressible oracle). */
   val d05Simhash: Q = (s, dir) =>
     Dedup.withSimhash(tbl(s, dir, "documents"))
@@ -680,6 +688,7 @@ object Queries {
     "d03_neardup_ngram" -> d03NeardupNgram,
     "d04_minhash_lsh" -> d04MinhashLsh,
     "d05_simhash" -> d05Simhash,
+    "d06_embedding_neardup" -> d06EmbeddingNeardup,
     "t01_token_count" -> t01TokenCount,
     "t02_text_quality" -> t02TextQuality,
     "t03_langid" -> t03Langid,

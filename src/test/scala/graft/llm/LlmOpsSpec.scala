@@ -76,6 +76,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(surviving.size === docs.count() - dropped.size)
   }
 
+  test("embedding near-dup: keep-first grouping; LSH-candidate scale path recalls the exact groups") {
+    import org.apache.spark.sql.functions.{col, expr, round => f_round}
+    graft.functions.VectorExpressions.register(spark)
+    val tau = 0.35
+    val exact = Dedup.embeddingNearDup(emb, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact.nonEmpty, "tau should be non-vacuous on the fixture corpus")
+    // every dup_of must be a strictly lower id (keep-first invariant)
+    exact.foreach { case (doc, dupOf) => assert(dupOf < doc) }
+    // scale path: id-only LSH candidate pairs -> exact cosine verify ->
+    // same grouping operator. Candidates can only miss (banding), never
+    // add, so the result is a subset with high recall at this tau.
+    val buckets = Similarity.withLshBuckets(emb, tables = 16, planes = 4)
+      .select(col("table"), col("bucket"), col("vec_id"))
+    val cand = buckets.join(
+        buckets.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("table", "bucket"))
+      .filter(col("vec_id") < col("id_b"))
+      .select(col("vec_id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val n = emb.select(col("vec_id"), col("embedding"),
+      expr("vec_norm(embedding)").as("nrm"))
+    val verified = cand
+      .join(n.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(n.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos", f_round(expr("vec_dot(e_a, e_b)") / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos") >= tau)
+    val lsh = Dedup.embeddingNearDupFrom(verified).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lsh.keySet.subsetOf(exact.keySet), "LSH path must never invent duplicates")
+    val recall = lsh.size.toDouble / exact.size
+    info(f"embedding near-dup LSH-path recall = $recall%.3f (${lsh.size}/${exact.size})")
+    assert(recall >= 0.5, f"recall too low: $recall%.3f")
+  }
+
   test("SimHash: same word bag (any order) collides, unrelated text doesn't") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val reordered = (1 to 40).map(i => s"w$i").reverse.mkString(" ")
