@@ -131,4 +131,64 @@ object TextOps {
    */
   def docFingerprint(text: Column, w: Int = 5): Column =
     array_min(graft.functions.TextExpressions.shingleHashes(text, w))
+
+  /**
+   * Within-document repetition (the Gopher-style duplicate-n-gram quality
+   * signal): `1 - distinct_windows / total_windows` over w-word windows.
+   * Map-only: the distinct count comes from the native shingle-hash kernel
+   * (no shingle strings materialized); a doc shorter than w words has 0
+   * windows and a NULL ratio. Distinctness is over 64-bit shingle hashes,
+   * not strings — within-doc collision probability is ~n^2/2^65,
+   * negligible at any real document length.
+   */
+  def repetitionStats(df: DataFrame, w: Int = 3, textCol: String = "text"): DataFrame =
+    df.withColumn("n_windows",
+        greatest(wordCount(col(textCol)).cast("long") - (w - 1), lit(0L)))
+      .withColumn("n_distinct",
+        size(graft.functions.TextExpressions.shingleHashes(col(textCol), w)).cast("long"))
+      .withColumn("rep_ratio",
+        when(col("n_windows") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_windows"), 6)))
+
+  /** One input doc's packing assignment: which training sequence it landed
+    * in (per stratum) and the sequence's running token total through it. */
+  final case class PackedDoc(doc_id: Long, lang: String, n_words: Long,
+                             seq_id: Long, seq_tokens: Long)
+
+  /**
+   * Greedy token-budget sequence packing — group documents into training
+   * sequences of at most `budget` tokens (the pretraining batch-prep step):
+   * within each stratum, docs are taken in doc_id order and appended to the
+   * current sequence until the next doc would overflow the budget, which
+   * starts a new sequence. A doc longer than the budget gets a sequence of
+   * its own (never split, never dropped).
+   *
+   * Scale design: `groupByKey(stratum).flatMapSortedGroups(doc_id)` is
+   * Spark's secondary sort — ONE shuffle on the stratum key, the group
+   * streamed to the packer in doc order (never collected), O(1) state per
+   * group. Packing is inherently sequential per stratum, so at 100 TB the
+   * stratum key must be bounded: pass a sharded key (e.g. lang + a hash
+   * bucket of doc_id) and each shard packs independently in parallel.
+   */
+  def packSequences(docs: DataFrame, budget: Long,
+                    stratumCol: String = "lang"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(budget > 0, "token budget must be positive")
+    docs
+      .select(col("doc_id").cast("long"), col(stratumCol).cast("string").as("lang"),
+        coalesce(wordCount(col("text")).cast("long"), lit(0L)).as("n_words"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapSortedGroups($"doc_id") { (lang: String, it: Iterator[(Long, String, Long)]) =>
+        var seq = 0L
+        var acc = 0L
+        it.map { case (id, _, n) =>
+          if (acc > 0 && acc + n > budget) { seq += 1; acc = 0L }
+          acc += n
+          PackedDoc(id, lang, n, seq, acc)
+        }
+      }
+      .toDF()
+  }
 }

@@ -347,6 +347,44 @@ object Oracle {
         |WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
 
+    // repetition over w=3 word windows: slice is 1-based INCLUSIVE both
+    // ends (w[i:i+2] = 3 words), range exclusive (1..len-2 = len-2 windows)
+    "t07_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_windows,
+        |  CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct(list_transform(
+        |    range(1, len(w) - 1), i -> list_aggregate(w[i:i+2], 'string_agg', chr(31)))))
+        |    ELSE 0 END AS BIGINT) AS n_distinct
+        |  FROM tok)
+        |SELECT doc_id, n_windows, n_distinct,
+        |  CASE WHEN n_windows > 0
+        |       THEN round(1 - CAST(n_distinct AS DOUBLE) / n_windows, 6) END AS rep_ratio
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // greedy packing is inherently sequential per stratum: the oracle walks
+    // each lang's docs in doc_id order via a recursive CTE, carrying the
+    // same (seq_id, running-token) state the Spark packer keeps
+    "t08_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_words,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, n_words, rn,
+        |         CAST(0 AS BIGINT) AS seq_id, n_words AS seq_tokens
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.doc_id, d.lang, d.n_words, d.rn,
+        |         CASE WHEN p.seq_tokens + d.n_words > 256
+        |              THEN p.seq_id + 1 ELSE p.seq_id END,
+        |         CASE WHEN p.seq_tokens + d.n_words > 256
+        |              THEN d.n_words ELSE p.seq_tokens + d.n_words END
+        |  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+        |SELECT doc_id, lang, n_words, seq_id, seq_tokens
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     // strict-integer regex gate mirrors the Spark side: DuckDB would
     // otherwise ROUND '93.5' to 94 where Spark nulls/truncates
     "x01_json_extract" ->

@@ -541,6 +541,20 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** T7: within-doc repetition ratio (duplicate w-gram fraction) — the
+    * Gopher-style repetition quality gate, map-only over native kernels. */
+  val t07Repetition: Q = (s, dir) =>
+    TextOps.repetitionStats(tbl(s, dir, "documents"), w = 3)
+      .select(col("doc_id"), col("n_windows"), col("n_distinct"), col("rep_ratio"))
+      .orderBy("doc_id")
+
+  /** T8: greedy token-budget sequence packing (pretraining batch prep):
+    * one shuffle on the stratum key, secondary-sorted streaming pack.
+    * Budget 256 at ~54 words/doc packs ~4-5 docs per sequence. */
+  val t08PackSequences: Q = (s, dir) =>
+    TextOps.packSequences(tbl(s, dir, "documents"), budget = 256L)
+      .orderBy("doc_id")
+
   // ===== engine breadth beyond the reference (§2.10 gaps closed) ============
 
   /** As-of (point-in-time) join: each click is enriched with the user's
@@ -701,6 +715,8 @@ object Queries {
     "v06_quantize" -> v06Quantize,
     "t05_normalize" -> t05Normalize,
     "t06_stratified_sample" -> t06StratifiedSample,
+    "t07_repetition" -> t07Repetition,
+    "t08_pack_sequences" -> t08PackSequences,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,

@@ -166,6 +166,46 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sh(2L).isEmpty)
   }
 
+  test("repetition ratio: fully repeated text scores high, all-distinct scores 0, short text is NULL") {
+    val df = docsDf(Seq(
+      1L -> "a b c a b c a b c a b c",   // 10 windows, only 3 distinct (cyclic)
+      2L -> "q w e r t y u i o p",        // all 8 windows distinct
+      3L -> "a b"))                       // < w words: 0 windows
+    val r = graft.llm.TextOps.repetitionStats(df, w = 3)
+      .select("doc_id", "n_windows", "n_distinct", "rep_ratio")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(2L).getDouble(3) === 0.0)
+    assert(r(1L).getDouble(3) > 0.5, "repeated text must score high")
+    assert(r(3L).getLong(1) === 0L && r(3L).isNullAt(3))
+    // invariant: distinct <= windows
+    r.values.foreach(x => assert(x.getLong(2) <= math.max(x.getLong(1), 0)))
+  }
+
+  test("sequence packing: greedy budget boundaries, oversize doc isolated, per-stratum reset") {
+    val s = spark
+    import s.implicits._
+    // n_words: doc text is n space-separated tokens
+    def doc(id: Long, lang: String, n: Int) = (id, lang, Seq.fill(n)("w").mkString(" "))
+    val df = Seq(
+      doc(1, "en", 4), doc(2, "en", 4),   // 4+4=8 <= 10 -> seq 0
+      doc(3, "en", 3),                     // 8+3 > 10 -> seq 1
+      doc(4, "en", 25),                    // oversize: own seq 2
+      doc(5, "en", 1),                     // after oversize -> seq 3
+      doc(6, "de", 10),                    // exact fit -> de seq 0
+      doc(7, "de", 1)                      // 10+1 > 10 -> de seq 1
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.llm.TextOps.packSequences(df, budget = 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_tokens"))).toMap
+    assert(out(1L) === (("en", 0L, 4L)))
+    assert(out(2L) === (("en", 0L, 8L)))
+    assert(out(3L) === (("en", 1L, 3L)))
+    assert(out(4L) === (("en", 2L, 25L)), "oversize doc gets its own sequence, never dropped")
+    assert(out(5L) === (("en", 3L, 1L)))
+    assert(out(6L) === (("de", 0L, 10L)), "exact fit stays in the sequence")
+    assert(out(7L) === (("de", 1L, 1L)), "stratum state resets per lang")
+  }
+
   test("langid picks the profile with most stopword hits, tie-break alphabetical") {
     val df = docsDf(Seq(
       1L -> "the cat of the house and a dog", // en
