@@ -399,6 +399,19 @@ object Oracle {
     // formulation. Sub-microsecond ordering is invisible to DuckDB (it
     // reads TIMESTAMP(NANOS) at us precision); events in this corpus are
     // seconds apart, so the us-truncated comparison agrees.
+    // batch mirror of the stream-stream interval join; values are raw
+    // pass-through doubles (bit-identical, no rounding needed)
+    "st04_interval_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |       epoch_us(c.ts) AS click_ts_us, c.value AS click_value,
+        |       v.event_id AS view_id, epoch_us(v.ts) AS view_ts_us,
+        |       v.value AS view_value
+        |FROM events c JOIN events v
+        |  ON v.user_id = c.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts BETWEEN c.ts - INTERVAL 60 MINUTE AND c.ts
+        |ORDER BY click_id, view_id""".stripMargin,
+
     "x04_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
         |               WHERE event_type = 'click'),

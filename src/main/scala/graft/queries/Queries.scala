@@ -445,6 +445,19 @@ object Queries {
         col("cnt"), col("sum_value_r"))
       .orderBy("win_start")
 
+  /** ST4: stream-stream interval join, batch mirror — each click paired
+    * with the same user's views in the preceding hour
+    * ([[graft.streaming.EventStreams.clickViewJoin]]). Timestamps cross
+    * the engine boundary as microsecond longs (x04's convention). */
+  val st04IntervalJoin: Q = (s, dir) =>
+    graft.streaming.EventStreams.clickViewJoin(
+        tbl(s, dir, "events").withColumn("ts", eventsTsMicros))
+      .select(col("click_id"), col("user_id"),
+        expr("unix_micros(click_ts)").as("click_ts_us"), col("click_value"),
+        col("view_id"), expr("unix_micros(view_ts)").as("view_ts_us"),
+        col("view_value"))
+      .orderBy("click_id", "view_id")
+
   /** Gap-based sessionization via analytic lag + running flag-sum — the
     * batch mirror of flatMapGroupsWithState sessionization. */
   val st02Sessionize: Q = (s, dir) => {
@@ -727,6 +740,7 @@ object Queries {
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "st01_tumbling_window" -> st01TumblingWindow,
     "st02_sessionize" -> st02Sessionize,
-    "st03_sliding_window" -> st03SlidingWindow
+    "st03_sliding_window" -> st03SlidingWindow,
+    "st04_interval_join" -> st04IntervalJoin
   )
 }

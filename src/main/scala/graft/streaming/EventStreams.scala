@@ -196,4 +196,31 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /**
+   * Stream-stream interval join: each click is paired with the same user's
+   * views in the preceding `lookbackMinutes`. Both sides carry a watermark
+   * AND the join condition time-bounds view_ts relative to click_ts, which
+   * is exactly what Spark requires to expire buffered rows on both sides —
+   * the canonical bounded-state stream-stream join. On a bounded frame the
+   * same plan is an equi-join on user_id with a range filter (never a
+   * cartesian), which is the batch mirror the DuckDB oracle checks (st04).
+   */
+  def clickViewJoin(events: DataFrame, watermark: String = "2 hours",
+                    lookbackMinutes: Int = 60): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+        col("user_id") === col("view_user_id") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+          col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("click_value"), col("view_id"), col("view_ts"), col("view_value"))
+  }
 }

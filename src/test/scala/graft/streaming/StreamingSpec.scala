@@ -74,6 +74,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq === fixture.map(_.event_id).sorted)
   }
 
+  test("stream-stream interval join agrees with its batch mirror") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(10, ts(5), 1, "view", 1.0),
+      Event(11, ts(20), 1, "click", 2.0),  // pairs with view 10 (15 min back)
+      Event(12, ts(40), 2, "view", 3.0),   // other user: no pair for 11
+      Event(13, ts(50), 2, "click", 4.0),  // pairs with view 12
+      Event(14, ts(200), 1, "click", 5.0)) // view 10 is 195 min old: no pair
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val q = EventStreams.clickViewJoin(stream.toDF(), lookbackMinutes = 60)
+      .writeStream.format("memory").queryName("ivjoin").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = rows(spark.table("ivjoin"))
+    val batch = rows(EventStreams.clickViewJoin(events.toDF(), lookbackMinutes = 60))
+    assert(streamed === batch)
+    assert(streamed === Set((11L, 10L), (13L, 12L)))
+  }
+
   test("streaming near-dup dedup keeps the first doc per content fingerprint") {
     val s = spark
     import s.implicits._
