@@ -239,6 +239,23 @@ object Oracle {
     "d03_neardup_ngram" ->
       jaccardSql(0.2, postingsCap = Some(graft.llm.Dedup.NearDup.maxShinglePostings)),
 
+    // transitive closure of the d03 pair graph via a recursive CTE: comp =
+    // min reachable id, matching the Spark min-label-propagation fixpoint
+    "d07_dedup_components" -> {
+      val edgesSql = jaccardSql(0.2,
+        postingsCap = Some(graft.llm.Dedup.NearDup.maxShinglePostings))
+      s"""WITH RECURSIVE je AS (SELECT id_a, id_b FROM ($edgesSql) t),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM je
+         |       UNION ALL SELECT id_b, id_a FROM je),
+         |r AS (SELECT src AS id, src AS comp FROM ed
+         |      UNION
+         |      SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+         |lab AS (SELECT id AS doc_id, min(comp) AS comp_id FROM r GROUP BY 1),
+         |sz AS (SELECT comp_id, count(*) AS n_members FROM lab GROUP BY 1)
+         |SELECT lab.doc_id, lab.comp_id, sz.n_members
+         |FROM lab JOIN sz USING (comp_id) ORDER BY doc_id""".stripMargin
+    },
+
     // MinHash-LSH reproduces the exact-Jaccard result at this threshold
     // (P(miss | j >= 0.7) < 1e-4 with k=32, bands=16) — the oracle IS the
     // exact computation the LSH path approximates.

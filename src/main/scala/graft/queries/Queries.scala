@@ -339,6 +339,19 @@ object Queries {
     Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), tau = 0.35)
       .orderBy("doc_id")
 
+  /** D7: transitive near-dup clusters — connected components over the d03
+    * pair graph; every clustered doc with its canonical representative
+    * (min reachable id) and cluster size. */
+  val d07DedupComponents: Q = (s, dir) => {
+    val comps = Dedup.dedupComponents(
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), w = 5, minJ = 0.2)
+        .select("id_a", "id_b"))
+    comps.join(
+        comps.groupBy("comp_id").agg(count(lit(1)).as("n_members")), "comp_id")
+      .select(col("doc_id"), col("comp_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprints (rows-only: no SQL-expressible oracle). */
   val d05Simhash: Q = (s, dir) =>
     Dedup.withSimhash(tbl(s, dir, "documents"))
@@ -716,6 +729,7 @@ object Queries {
     "d04_minhash_lsh" -> d04MinhashLsh,
     "d05_simhash" -> d05Simhash,
     "d06_embedding_neardup" -> d06EmbeddingNeardup,
+    "d07_dedup_components" -> d07DedupComponents,
     "t01_token_count" -> t01TokenCount,
     "t02_text_quality" -> t02TextQuality,
     "t03_langid" -> t03Langid,

@@ -111,6 +111,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall too low: $recall%.3f")
   }
 
+  test("dedup components: transitive chains collapse to the min id, islands stay apart") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4 (only adjacent pairs linked), island 10-11, singleton
+    // pair 20-21: closure must label the whole chain with 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comps = graft.llm.Dedup.dedupComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // empty pair frame: no vertices, no components, no non-convergence
+    val empty = graft.llm.Dedup.dedupComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(empty.collect().isEmpty)
+  }
+
   test("SimHash: same word bag (any order) collides, unrelated text doesn't") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val reordered = (1 to 40).map(i => s"w$i").reverse.mkString(" ")
