@@ -341,7 +341,13 @@ object Queries {
 
   /** D7: transitive near-dup clusters — connected components over the d03
     * pair graph; every clustered doc with its canonical representative
-    * (min reachable id) and cluster size. */
+    * (min reachable id) and cluster size.
+    *
+    * Cost shape: the pair generation (~d03) plus diameter+1 propagation
+    * rounds. At bench scale the rounds are pure job-scheduling overhead
+    * (hundreds of label rows); at real scale each round is one equi-join
+    * shuffle on the vertex id — the round COUNT, not the round cost, is
+    * what the tiny-cluster structure of near-dup graphs keeps small. */
   val d07DedupComponents: Q = (s, dir) => {
     val comps = Dedup.dedupComponents(
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), w = 5, minJ = 0.2)
