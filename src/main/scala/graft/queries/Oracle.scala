@@ -81,6 +81,13 @@ object Oracle {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity < 10 ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // computed over the ORIGINAL parquet: the Spark side must deliver the
+    // same numbers through its JSONL write+read roundtrip
+    "s06_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "p04_name_coalesce" ->
       """SELECT p_partkey, CASE WHEN p_brand <> 'Brand#11' THEN p_brand ELSE p_type END AS display_name
         |FROM part ORDER BY p_partkey""".stripMargin,

@@ -47,6 +47,27 @@ object Queries {
         col("l_quantity"), col("l_extendedprice"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** S6/K6: JSONL sink + source roundtrip — the interchange format of
+    * training-data pipelines. Eagerly writes documents as newline-
+    * delimited JSON (sink), then the returned frame reads it back with an
+    * EXPLICIT schema — at scale a schema-inference pass over JSONL is a
+    * full extra scan — and aggregates per language, including a
+    * distinct-content-hash count so any corruption at the JSON boundary
+    * (quoting, escapes, unicode, nulls) breaks the oracle hash compare,
+    * which runs against the parquet the JSONL came from. */
+  val s06JsonlRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    tbl(s, dir, "documents").write.mode("overwrite").json(tmp)
+    s.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .json(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_texts"))
+      .orderBy("lang")
+  }
+
   /** P4: street-name-coalesce shape (conditional display name). */
   val p04NameCoalesce: Q = (s, dir) =>
     tbl(s, dir, "part")
@@ -704,6 +725,7 @@ object Queries {
   /** name -> query, in SURVEY §2 / brief order. */
   val all: Seq[(String, Q)] = Seq(
     "s05_scan_project" -> s05ScanProject,
+    "s06_jsonl_roundtrip" -> s06JsonlRoundtrip,
     "p04_name_coalesce" -> p04NameCoalesce,
     "p10_concat" -> p10Concat,
     "p11_prefix_stats" -> p11PrefixStats,
