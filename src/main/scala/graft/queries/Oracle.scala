@@ -494,6 +494,13 @@ object Oracle {
         |       CAST(sum(CAST(round(quality_score * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_quality_bp
         |FROM sm GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // the oracle is the PLAIN group-by: salting must be invisible in the
+    // result. cnt composes exactly; qty rounds the accumulation-order ulps
+    "x09_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "x02_rollup" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |       coalesce(o_orderpriority, '(all)') AS priority,

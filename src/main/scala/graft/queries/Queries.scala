@@ -608,6 +608,18 @@ object Queries {
     TextOps.packSequences(tbl(s, dir, "documents"), budget = 256L)
       .orderBy("doc_id")
 
+  /** X9: hot-key-safe aggregation — the two-phase salted groupBy
+    * ([[graft.relational.Skew.saltedAgg]]) must return exactly the plain
+    * GROUP BY result (the oracle IS the plain form): partial-aggregate on
+    * (key, content-hash salt), final-aggregate on key, so one hot key
+    * fans out over `salt` tasks instead of pinning one. */
+  val x09SaltedAgg: Q = (s, dir) =>
+    graft.relational.Skew.saltedAgg(tbl(s, dir, "lineitem"),
+        key = "l_returnflag", salt = 8,
+        partials = Map("pc" -> count(lit(1)), "ps" -> sum(col("l_quantity"))),
+        finals = Map("cnt" -> sum(col("pc")), "qty_r" -> round(sum(col("ps")), 2)))
+      .orderBy("l_returnflag")
+
   // ===== engine breadth beyond the reference (§2.10 gaps closed) ============
 
   /** As-of (point-in-time) join: each click is enriched with the user's
@@ -777,6 +789,7 @@ object Queries {
     "x05_range_join" -> x05RangeJoin,
     "x06_label_centroids" -> x06LabelCentroids,
     "x08_training_mix" -> x08TrainingMix,
+    "x09_salted_agg" -> x09SaltedAgg,
     "x02_rollup" -> x02Rollup,
     "x03_set_ops" -> x03SetOps,
     "m01_multimodal_meta" -> m01MultimodalMeta,
