@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -149,6 +150,33 @@ object TextOps {
       .withColumn("rep_ratio",
         when(col("n_windows") > 0,
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_windows"), 6)))
+
+  /**
+   * TF-IDF top-k terms per document: term frequency within the doc, document
+   * frequency across the corpus, `score = tf * ln(N / df)`. Two shuffles,
+   * both on the term/doc keys with map-side partial aggregation; the df
+   * side is vocabulary-sized (broadcastable at scale, AQE decides).
+   *
+   * Ranking is INTEGER-deterministic — (tf desc, df asc, term asc) — so the
+   * selected rows and their ranks never depend on a float comparison whose
+   * last ulp could differ between engines/libms; the float score itself is
+   * informational output, rounded.
+   */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
+    // corpus size is a plan constant: one eager count at construction
+    // (same pattern as the dedup signature materialization)
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score_r", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_r"), col("rnk"))
+  }
 
   /** One input doc's packing assignment: which training sequence it landed
     * in (per stratum) and the sequence's running token total through it. */

@@ -494,6 +494,23 @@ object Oracle {
         |       CAST(sum(CAST(round(quality_score * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_quality_bp
         |FROM sm GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // rank key is all-integer (tf desc, df asc, term asc) so row selection
+    // never rides on a float comparison; ln() ulp noise lives only in the
+    // rounded informational score
+    "t09_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |r AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+        |        CAST(df.df AS BIGINT) AS df,
+        |        round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score_r,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, score_r, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
     // the oracle is the PLAIN group-by: salting must be invisible in the
     // result. cnt composes exactly; qty rounds the accumulation-order ulps
     "x09_salted_agg" ->

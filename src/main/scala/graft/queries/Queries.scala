@@ -608,6 +608,12 @@ object Queries {
     TextOps.packSequences(tbl(s, dir, "documents"), budget = 256L)
       .orderBy("doc_id")
 
+  /** T9: TF-IDF top-3 terms per document — integer-deterministic ranking
+    * (tf desc, df asc, term asc), informational rounded score. */
+  val t09Tfidf: Q = (s, dir) =>
+    TextOps.tfidfTopTerms(tbl(s, dir, "documents"), k = 3)
+      .orderBy("doc_id", "rnk")
+
   /** X9: hot-key-safe aggregation — the two-phase salted groupBy
     * ([[graft.relational.Skew.saltedAgg]]) must return exactly the plain
     * GROUP BY result (the oracle IS the plain form): partial-aggregate on
@@ -784,6 +790,7 @@ object Queries {
     "t06_stratified_sample" -> t06StratifiedSample,
     "t07_repetition" -> t07Repetition,
     "t08_pack_sequences" -> t08PackSequences,
+    "t09_tfidf" -> t09Tfidf,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,
