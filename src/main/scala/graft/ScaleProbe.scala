@@ -73,6 +73,12 @@ object ScaleProbe {
         graft.llm.Dedup.ngramJaccardPairs(d, 5, 0.2).write.format("noop").mode("overwrite").save() }
       time(s"$tag d04 minhash lsh") {
         graft.llm.Dedup.minhashLshPairs(d, 5, 32, 16, 0.7).write.format("noop").mode("overwrite").save() }
+      time(s"$tag d07 components") {
+        graft.llm.Dedup.dedupComponents(
+            graft.llm.Dedup.ngramJaccardPairs(d, 5, 0.2).select("id_a", "id_b"))
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag t09 tfidf") {
+        graft.llm.TextOps.tfidfTopTerms(d, 3).write.format("noop").mode("overwrite").save() }
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val q = e.filter(col("vec_id") < 32)
       time(s"$tag v03 ann lsh") {
