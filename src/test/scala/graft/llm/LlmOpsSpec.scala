@@ -223,6 +223,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(7L) === (("de", 1L, 1L)), "stratum state resets per lang")
   }
 
+  test("tfidf top terms: golden ranks and scores on a hand-computed corpus") {
+    // 3 docs, N=3. "x" appears in all docs (df=3, idf=ln(1)=0);
+    // "rare" only in doc 1 (df=1); "mid" in docs 1+2 (df=2).
+    val df = docsDf(Seq(
+      1L -> "rare rare mid x",
+      2L -> "mid x x",
+      3L -> "x only3"))
+    val out = graft.llm.TextOps.tfidfTopTerms(df, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1: rare tf=2 df=1 -> 2*ln(3)=2.197225; mid tf=1 df=2 -> ln(1.5)
+    assert(out((1L, 1L)) === (("rare", 2L, 1L, 2.197225)))
+    assert(out((1L, 2L)) === (("mid", 1L, 2L, 0.405465)))
+    // doc 2: x tf=2 but df=3 -> score 0 still ranks first on raw tf
+    assert(out((2L, 1L)) === (("x", 2L, 3L, 0.0)))
+    assert(out((2L, 2L)) === (("mid", 1L, 2L, 0.405465)))
+    // doc 3: tie tf=1 — df asc puts the rarer "only3" first
+    assert(out((3L, 1L)) === (("only3", 1L, 1L, 1.098612)))
+    assert(out((3L, 2L)) === (("x", 1L, 3L, 0.0)))
+  }
+
   test("langid picks the profile with most stopword hits, tie-break alphabetical") {
     val df = docsDf(Seq(
       1L -> "the cat of the house and a dog", // en
