@@ -43,9 +43,11 @@ def main(sfdir, outdir):
     results = {}
     for name, sql in sorted(oracle.items()):
         # a filtered Verify run (trailing query-name args) dumps a subset;
-        # skip queries with no dump instead of flagging them FAIL. The
-        # driver's unfiltered run still fails hard on a missing dump.
+        # skip queries with no dump instead of flagging them FAIL — but
+        # loudly, so a failed query in a FULL run can't hide here (the
+        # driver's own compare still fails hard on a missing dump).
         if not os.path.isdir(f"{outdir}/{name}"):
+            print(f"SKIP {name} (no dump in {outdir})")
             continue
         try:
             spark_rel = con.execute(
