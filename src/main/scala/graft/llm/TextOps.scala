@@ -166,13 +166,28 @@ object TextOps {
     // corpus size is a plan constant: one eager count at construction
     // (same pattern as the dedup signature materialization)
     val n = docs.count()
-    val tf = docs.select(col("doc_id"), explode(split(col(textCol), " ")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // the tf table feeds BOTH the df aggregation and the join probe side:
+    // materialize it once (registered with SessionResources) or the plan
+    // scans + explodes + aggregates the corpus twice — the same subtree-
+    // recompute the dedup paths eliminated in round 3
+    val tf = graft.SessionResources.trackPersisted {
+      val p = docs.select(col("doc_id"), explode(split(col(textCol), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    tfidfTopTermsFrom(tf, n, k)
+  }
+
+  /** TF-IDF over a pre-materialized `(doc_id, term, tf)` table — at 100 TB
+    * the tf table is written to parquet once and both consumers read it. */
+  def tfidfTopTermsFrom(tf: DataFrame, corpusSize: Long, k: Int): DataFrame = {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
     tf.join(dfreq, "term")
-      .withColumn("score_r", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("score_r", round(col("tf") * log(lit(corpusSize.toDouble) / col("df")), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_r"), col("rnk"))
