@@ -128,6 +128,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(empty.collect().isEmpty)
   }
 
+  test("dedup components match a driver-side union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(7L, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = Seq.fill(30)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference: classic union-find, then relabel every root to the min
+      // member of its set (the operator's canonical-representative rule)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb }
+      val expected = parent.keys.toSeq
+        .groupBy(find).values
+        .flatMap(members => members.map(_ -> members.min)).toMap
+      val got = graft.llm.Dedup.dedupComponents(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed=$seed pairs=$pairs")
+    }
+  }
+
   test("SimHash: same word bag (any order) collides, unrelated text doesn't") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val reordered = (1 to 40).map(i => s"w$i").reverse.mkString(" ")
