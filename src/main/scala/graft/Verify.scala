@@ -54,6 +54,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full runs also emit verify_extras.json: executable evidence (recompute
+    // equality / recall floors / sketch error bounds) for the queries the
+    // DuckDB oracle cannot express. Must never kill the dump the driver
+    // grades, so failures are contained to the report itself.
+    if (only.isEmpty)
+      try VerifyExtras.writeReport(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] extras report failed: ${e.getMessage}")
+      }
     spark.stop()
   }
 }

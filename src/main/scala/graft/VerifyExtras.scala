@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.file.{Files, Paths}
+
+/**
+ * Executable evidence for the queries that have NO DuckDB oracle
+ * (declared in [[graft.queries.Oracle]]: engine-side hash kernels,
+ * approximate candidate generation, sketch internals). The driver's
+ * correctness gate records those as rows-only; this report closes the gap
+ * in the driver's own artifact chain (VERDICT r3 "Next round" #7) by
+ * checking the ACTUAL dumped parquet — the same bytes the driver hashes —
+ * against independent recomputations at the driver's scale factor:
+ *
+ *  - d05_simhash / t04_fingerprint: every dumped fingerprint for a
+ *    deterministic sample of documents must equal a driver-side JVM
+ *    recomputation from the raw text (catches a broken kernel, a stale
+ *    dump, or a doc_id misalignment — the failure modes a rows-only
+ *    check cannot see).
+ *  - v03_ann_lsh / v05_ann_ivf: mean recall@5 of the dumped neighbor sets
+ *    vs exact brute-force kNN ([[graft.llm.Similarity.knnBrute]]) must
+ *    clear the floor the ScalaTest suite pins (LSH >= 0.75, IVF >= 0.60).
+ *  - a08_approx_distinct: every group's HLL++ estimate must sit within
+ *    3x the configured rsd (0.02) of the exact distinct count.
+ *
+ * Output: `<outDir>/verify_extras.json`, one record per check, written by
+ * [[Verify]] next to `oracle_sql.json`.
+ */
+object VerifyExtras {
+
+  final case class Check(query: String, check: String, pass: Boolean, detail: String)
+
+  /** Sampled dump-vs-recompute equality for d05 (SimHash). */
+  private def checkSimhash(spark: SparkSession, sfDir: String, outDir: String): Check = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(1000)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val dumped = spark.read.parquet(s"$outDir/d05_simhash")
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bad = docs.iterator.flatMap { case (id, text) =>
+      val expect = graft.llm.Dedup.simhash64(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(text.split(" ", -1)))
+      dumped.get(id) match {
+        case Some(got) if got == expect => None
+        case other => Some(s"doc $id: dump=$other expect=$expect")
+      }
+    }.take(3).toSeq
+    Check("d05_simhash", s"dump == JVM simhash64 recompute on ${docs.length} sampled docs",
+      bad.isEmpty, if (bad.isEmpty) s"${docs.length}/${docs.length} equal" else bad.mkString("; "))
+  }
+
+  /** Sampled dump-vs-recompute equality for t04 (rolling hash + min-shingle). */
+  private def checkFingerprint(spark: SparkSession, sfDir: String, outDir: String): Check = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(1000)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val dumped = spark.read.parquet(s"$outDir/t04_fingerprint")
+      .select("doc_id", "rolling_hash", "fingerprint").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val bad = docs.iterator.flatMap { case (id, text) =>
+      val expectRoll = Some(graft.llm.TextOps.rollingHash64(text))
+      val sh = graft.functions.TextKernels.shingleHashes(UTF8String.fromString(text), 5)
+      val expectFp =
+        if (sh.numElements() == 0) None
+        else Some((0 until sh.numElements()).map(sh.getLong).min)
+      dumped.get(id) match {
+        case Some((roll, fp)) if roll == expectRoll && fp == expectFp => None
+        case other => Some(s"doc $id: dump=$other expect=($expectRoll,$expectFp)")
+      }
+    }.take(3).toSeq
+    Check("t04_fingerprint", s"dump == JVM rolling/min-shingle recompute on ${docs.length} sampled docs",
+      bad.isEmpty, if (bad.isEmpty) s"${docs.length}/${docs.length} equal" else bad.mkString("; "))
+  }
+
+  /** Mean recall@5 of a dumped ANN result vs exact brute-force kNN. */
+  private def checkRecall(spark: SparkSession, sfDir: String, outDir: String,
+                          query: String, floor: Double): Check = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = graft.llm.Similarity
+      .knnBrute(emb, emb.filter(col("vec_id") < 32), k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = spark.read.parquet(s"$outDir/$query")
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, trueNs) =>
+      got.getOrElse(q, Set.empty).intersect(trueNs).size.toDouble / trueNs.size
+    }
+    val mean = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
+    Check(query, f"mean recall@5 vs exact kNN >= $floor%.2f",
+      mean >= floor, f"mean recall = $mean%.3f over ${recalls.size} queries")
+  }
+
+  /** Per-group HLL++ estimate within 3x rsd of the exact distinct count. */
+  private def checkApproxDistinct(spark: SparkSession, sfDir: String, outDir: String): Check = {
+    val bound = 3 * 0.02 // 3x the rsd the query configures
+    val exact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("orders"),
+        countDistinct(col("l_partkey")).as("parts"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val approx = spark.read.parquet(s"$outDir/a08_approx_distinct")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def rel(a: Long, e: Long): Double = math.abs(a - e).toDouble / math.max(e, 1L)
+    val errs = exact.map { case (flag, (eo, ep)) =>
+      val (ao, ap) = approx.getOrElse(flag, (0L, 0L))
+      flag -> math.max(rel(ao, eo), rel(ap, ep))
+    }
+    val worst = if (errs.isEmpty) 1.0 else errs.values.max
+    Check("a08_approx_distinct", f"per-group relative error <= $bound%.2f (3x rsd)",
+      approx.keySet == exact.keySet && worst <= bound,
+      f"worst relative error = $worst%.4f over ${errs.size} groups")
+  }
+
+  /** Run every check; each failure is contained (a throwing check records
+    * pass=false rather than killing the sibling checks or the dump). */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Seq[Check] = {
+    val checks: Seq[(String, () => Check)] = Seq(
+      "d05_simhash" -> (() => checkSimhash(spark, sfDir, outDir)),
+      "t04_fingerprint" -> (() => checkFingerprint(spark, sfDir, outDir)),
+      "v03_ann_lsh" -> (() => checkRecall(spark, sfDir, outDir, "v03_ann_lsh", 0.75)),
+      "v05_ann_ivf" -> (() => checkRecall(spark, sfDir, outDir, "v05_ann_ivf", 0.60)),
+      "a08_approx_distinct" -> (() => checkApproxDistinct(spark, sfDir, outDir)))
+    checks.map { case (q, f) =>
+      val c = try f()
+      catch { case e: Throwable => Check(q, "check executed", pass = false,
+        s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      SessionResources.release(spark)
+      c
+    }
+  }
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Render + write `<outDir>/verify_extras.json`; returns pass count. */
+  def writeReport(spark: SparkSession, sfDir: String, outDir: String): (Int, Int) = {
+    val checks = run(spark, sfDir, outDir)
+    val json = checks.map { c =>
+      s"""{"query":"${esc(c.query)}","check":"${esc(c.check)}","pass":${c.pass},"detail":"${esc(c.detail)}"}"""
+    }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/verify_extras.json"), json)
+    checks.foreach(c => System.err.println(
+      s"[extras] ${if (c.pass) "PASS" else "FAIL"} ${c.query} — ${c.check}: ${c.detail}"))
+    (checks.count(_.pass), checks.size)
+  }
+
+  /** Standalone entry: `runMain graft.VerifyExtras <sfDir> <verifyOutDir>`
+    * (the out dir must already hold a [[Verify]] dump). Exits non-zero on
+    * any failing check. */
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (passed, total) = writeReport(spark, sfDir, outDir)
+    spark.stop()
+    if (passed != total) sys.exit(1)
+  }
+}
