@@ -379,6 +379,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** D8: benchmark decontamination — training docs sharing >= 2 distinct
+    * 3-gram shingles with any "benchmark" doc (the doc_id % 97 == 0 slice
+    * stands in for a held-out eval set; w=3/minShared=2 is non-vacuous at
+    * every SF: 12 contaminated docs at sf0.01, ~1.6k at sf0.1). Bench
+    * postings broadcast; the corpus is never shuffled. */
+  val d08Decontaminate: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    Dedup.decontaminate(
+        train = docs.filter(col("doc_id") % 97 =!= 0),
+        bench = docs.filter(col("doc_id") % 97 === 0),
+        w = 3, minShared = 2)
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprints (rows-only: no SQL-expressible oracle). */
   val d05Simhash: Q = (s, dir) =>
     Dedup.withSimhash(tbl(s, dir, "documents"))
@@ -776,6 +790,7 @@ object Queries {
     "d05_simhash" -> d05Simhash,
     "d06_embedding_neardup" -> d06EmbeddingNeardup,
     "d07_dedup_components" -> d07DedupComponents,
+    "d08_decontaminate" -> d08Decontaminate,
     "t01_token_count" -> t01TokenCount,
     "t02_text_quality" -> t02TextQuality,
     "t03_langid" -> t03Langid,

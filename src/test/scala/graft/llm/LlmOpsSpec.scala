@@ -193,6 +193,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!lshPlan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$lshPlan")
   }
 
+  // ---- decontamination -------------------------------------------------------
+
+  test("decontaminate counts distinct shared shingles per (train, bench) pair") {
+    // bench docs 1000/2000 are identical; 3-gram shingles of "a b c d e"
+    // are {a b c, b c d, c d e}
+    val bench = docsDf(Seq(1000L -> "a b c d e", 2000L -> "a b c d e"))
+    val train = docsDf(Seq(
+      1L -> "a b c d x", // shares {a b c, b c d} with each bench doc -> 2
+      2L -> "a b c x y", // shares only {a b c} -> below minShared, dropped
+      3L -> "a b c d e", // identical -> shares all 3 with both bench docs
+      4L -> "q r s t u")) // disjoint
+    val got = Dedup.decontaminate(train, bench, w = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 2L), (3L, 2L, 3L)))
+  }
+
+  test("decontaminate broadcasts the bench side (no corpus shuffle before the join)") {
+    val df = Dedup.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0),
+      w = 3, minShared = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   // ---- text ops -------------------------------------------------------------
 
   test("rolling hash is deterministic and order-sensitive") {
