@@ -193,6 +193,39 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_r"), col("rnk"))
   }
 
+  /**
+   * PII patterns shared by the redactor, its oracle, and its tests. Written
+   * in the common subset of Java regex and RE2 (no lookaround, no
+   * backreferences) so the DuckDB oracle runs the IDENTICAL pattern text;
+   * all are greedy with no alternation, where leftmost-first (Java) and
+   * leftmost-longest (RE2) agree.
+   */
+  object Pii {
+    val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val PhoneRe = "\\+?[0-9]{2,4}(-[0-9]{2,4}){2,}"
+  }
+
+  /**
+   * PII redaction — the compliance pass every training-data pipeline runs
+   * before a corpus ships: emails, IPv4 addresses, and dashed phone numbers
+   * replaced by typed placeholders, with per-row match counts for audit.
+   * Counts are taken on the ORIGINAL text (replacement order cannot shadow
+   * them); replacement applies email -> ip -> phone. Map-only, all
+   * codegen'd built-ins (regexp_count / regexp_replace) — no UDF, no
+   * shuffle, scale cost is exactly one corpus scan.
+   */
+  def piiRedact(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(Pii.EmailRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Pii.Ipv4Re)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(Pii.PhoneRe)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), Pii.EmailRe, "<EMAIL>"),
+            Pii.Ipv4Re, "<IP>"),
+          Pii.PhoneRe, "<PHONE>"))
+
   /** One input doc's packing assignment: which training sequence it landed
     * in (per stratum) and the sequence's running token total through it. */
   final case class PackedDoc(doc_id: Long, lang: String, n_words: Long,

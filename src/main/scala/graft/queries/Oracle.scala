@@ -511,6 +511,28 @@ object Oracle {
         |       CAST(sum(CAST(round(quality_score * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_quality_bp
         |FROM sm GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // IDENTICAL pattern text both engines (interpolated from TextOps.Pii —
+    // common Java-regex/RE2 subset, greedy, no alternation); counts on the
+    // original string, replacement order email -> ip -> phone
+    "t10_pii_redact" -> {
+      val (e, i, p) = (graft.llm.TextOps.Pii.EmailRe,
+        graft.llm.TextOps.Pii.Ipv4Re, graft.llm.TextOps.Pii.PhoneRe)
+      s"""WITH c AS (SELECT c_custkey,
+         |  c_name || ' ' || translate(lower(c_name), '#', '.') || '@example.com ip 10.' ||
+         |  CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST(c_nationkey AS VARCHAR) || '.' ||
+         |  CAST((c_custkey * 7) % 256 AS VARCHAR) || ' tel 06-' ||
+         |  lpad(CAST((c_custkey * 7919) % 10000 AS VARCHAR), 4, '0') || '-' ||
+         |  lpad(CAST((c_custkey * 104729) % 10000 AS VARCHAR), 4, '0') AS contact
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  CAST(len(regexp_extract_all(contact, '$e')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(contact, '$i')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(contact, '$p')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(contact,
+         |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS redacted
+         |FROM c ORDER BY c_custkey""".stripMargin
+    },
+
     // rank key is all-integer (tf desc, df asc, term asc) so row selection
     // never rides on a float comparison; ln() ulp noise lives only in the
     // rounded informational score

@@ -628,6 +628,29 @@ object Queries {
     TextOps.tfidfTopTerms(tbl(s, dir, "documents"), k = 3)
       .orderBy("doc_id", "rnk")
 
+  /** T10: PII redaction. The synthetic tables carry no PII-shaped text
+    * (documents are digit-free word salad), so the contact blob is DERIVED
+    * deterministically from customer key columns — same precedent as p05's
+    * RD coordinates from o_orderkey — giving every row one live email, IP,
+    * and phone match (never a vacuous 0-match pass). Messier planted
+    * fixtures are exercised in LlmOpsSpec. */
+  val t10PiiRedact: Q = (s, dir) => {
+    val contact = concat(
+      col("c_name"), lit(" "),
+      translate(lower(col("c_name")), "#", "."), lit("@example.com ip 10."),
+      (col("c_custkey") % 256).cast("string"), lit("."),
+      col("c_nationkey").cast("long").cast("string"), lit("."),
+      ((col("c_custkey") * 7) % 256).cast("string"), lit(" tel 06-"),
+      lpad(((col("c_custkey") * 7919) % 10000).cast("string"), 4, "0"), lit("-"),
+      lpad(((col("c_custkey") * 104729) % 10000).cast("string"), 4, "0"))
+    TextOps.piiRedact(
+        tbl(s, dir, "customer").select(col("c_custkey"), contact.as("contact")),
+        "contact")
+      .select(col("c_custkey"), col("n_emails"), col("n_ips"), col("n_phones"),
+        col("redacted"))
+      .orderBy("c_custkey")
+  }
+
   /** X9: hot-key-safe aggregation — the two-phase salted groupBy
     * ([[graft.relational.Skew.saltedAgg]]) must return exactly the plain
     * GROUP BY result (the oracle IS the plain form): partial-aggregate on
@@ -806,6 +829,7 @@ object Queries {
     "t07_repetition" -> t07Repetition,
     "t08_pack_sequences" -> t08PackSequences,
     "t09_tfidf" -> t09Tfidf,
+    "t10_pii_redact" -> t10PiiRedact,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,

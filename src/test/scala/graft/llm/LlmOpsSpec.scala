@@ -220,6 +220,21 @@ class LlmOpsSpec extends AnyFunSuite {
 
   // ---- text ops -------------------------------------------------------------
 
+  test("piiRedact replaces emails, IPs, and dashed phones with typed placeholders") {
+    val df = docsDf(Seq(
+      1L -> "mail me at jan.de-vries+x@mail.example.org or call 06-1234-5678",
+      2L -> "server 10.0.255.7 logged 192.168.1.1 twice: 192.168.1.1",
+      3L -> "plain text with no pii at all",
+      4L -> "a@b.co and 1.2.3.4 and +31-20-555-0199"))
+    val got = TextOps.piiRedact(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    assert(got(1L) === ((1L, 0L, 1L, "mail me at <EMAIL> or call <PHONE>")))
+    assert(got(2L) === ((0L, 3L, 0L, "server <IP> logged <IP> twice: <IP>")))
+    assert(got(3L) === ((0L, 0L, 0L, "plain text with no pii at all")))
+    assert(got(4L) === ((1L, 1L, 1L, "<EMAIL> and <IP> and <PHONE>")))
+  }
+
   test("rolling hash is deterministic and order-sensitive") {
     assert(TextOps.rollingHash64("abc") === TextOps.rollingHash64("abc"))
     assert(TextOps.rollingHash64("abc") !== TextOps.rollingHash64("acb"))
