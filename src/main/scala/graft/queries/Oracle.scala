@@ -533,6 +533,27 @@ object Oracle {
          |FROM c ORDER BY c_custkey""".stripMargin
     },
 
+    // corpus-wide keep-first line dedup over aligned 10-word chunks; the
+    // oracle elects winners with a window over the line STRING (exact),
+    // Spark groups by its md5 (same negligible-collision contract as d02);
+    // 1-based inclusive slice w[i*10+1 : i*10+10] == Spark slice(w, i*10+1, 10)
+    "t11_line_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ln AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+        |         i -> {'line_no': i, 'line': list_aggregate(w[i*10+1:i*10+10], 'string_agg', ' ')})) AS s
+        |       FROM tok),
+        |l AS (SELECT doc_id, CAST(s.line_no AS BIGINT) AS line_no, s.line AS line FROM ln),
+        |k AS (SELECT doc_id, line_no, line,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn FROM l),
+        |re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(line, ' ' ORDER BY line_no) AS dedup_text
+        |       FROM k WHERE rn = 1 GROUP BY 1),
+        |cn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY 1)
+        |SELECT d.doc_id, coalesce(cn.n_lines, 0) AS n_lines,
+        |       coalesce(re.n_kept, 0) AS n_kept, coalesce(re.dedup_text, '') AS dedup_text
+        |FROM documents d LEFT JOIN cn ON cn.doc_id = d.doc_id
+        |LEFT JOIN re ON re.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
+
     // rank key is all-integer (tf desc, df asc, term asc) so row selection
     // never rides on a float comparison; ln() ulp noise lives only in the
     // rounded informational score

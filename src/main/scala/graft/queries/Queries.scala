@@ -651,6 +651,23 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  /** T11: corpus-wide line dedup (CCNet-style). The word-salad docs carry
+    * no newlines, so "lines" are aligned 10-word chunks — 127 of them
+    * repeat across docs at sf0.01 (278 occurrences), so the pass is live
+    * at the driver's SF. Winner election shuffles (hash, id, line_no)
+    * only; see [[Dedup.lineDedup]]. */
+  val t11LineDedup: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val words = split(col("text"), " ")
+    val lines = docs.select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0), ceil(size(words) / lit(10.0)).cast("int") - 1),
+          i => array_join(slice(words, i * 10 + 1, lit(10)), " ")))
+        .as(Seq("line_no", "line")))
+      .withColumn("line_no", col("line_no").cast("long"))
+    Dedup.lineDedup(docs, lines).orderBy("doc_id")
+  }
+
   /** X9: hot-key-safe aggregation — the two-phase salted groupBy
     * ([[graft.relational.Skew.saltedAgg]]) must return exactly the plain
     * GROUP BY result (the oracle IS the plain form): partial-aggregate on
@@ -830,6 +847,7 @@ object Queries {
     "t08_pack_sequences" -> t08PackSequences,
     "t09_tfidf" -> t09Tfidf,
     "t10_pii_redact" -> t10PiiRedact,
+    "t11_line_dedup" -> t11LineDedup,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,

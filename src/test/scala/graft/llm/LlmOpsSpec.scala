@@ -193,6 +193,49 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!lshPlan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$lshPlan")
   }
 
+  // ---- line dedup ------------------------------------------------------------
+
+  test("lineDedup keeps the first occurrence corpus-wide and reassembles in order") {
+    val s = spark
+    import s.implicits._
+    // doc 1: lines A, B; doc 2: lines B (dup), C; doc 3: only A and B (all dup)
+    val lines = Seq(
+      (1L, 0L, "header boilerplate"), (1L, 1L, "unique one"),
+      (2L, 0L, "header boilerplate"), (2L, 1L, "unique two"),
+      (3L, 0L, "header boilerplate"), (3L, 1L, "unique one"))
+      .toDF("doc_id", "line_no", "line")
+    val docs = docsDf(Seq(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "x"))
+    val got = Dedup.lineDedup(docs, lines).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 2L, "header boilerplate unique one")))
+    assert(got(2L) === ((2L, 1L, "unique two")))
+    assert(got(3L) === ((2L, 0L, "")))
+    assert(got(4L) === ((0L, 0L, ""))) // doc with no lines at all stays total
+  }
+
+  test("lineDedup election shuffles hashes, not line text") {
+    val s = spark
+    import s.implicits._
+    val lines = Seq((1L, 0L, "a b"), (2L, 0L, "a b")).toDF("doc_id", "line_no", "line")
+    val docs = docsDf(Seq(1L -> "x", 2L -> "x"))
+    val df = Dedup.lineDedup(docs, lines)
+    df.collect()
+    // the aggregate keyed on the line must key on md5(line): the hot-line
+    // shuffle moves 16-byte keys and partial-aggregates map-side. Assert on
+    // the analyzed plan: with a LocalRelation fixture the optimizer folds
+    // the md5 projection into the relation itself, and physical strings
+    // collapse it into an attribute either way.
+    val agg = df.queryExecution.analyzed.toString
+    assert(agg.contains("md5"), s"winner election must group by md5(line):\n$agg")
+    // and the election output carries ids only — line text never rides
+    // the election aggregate
+    val election = df.queryExecution.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.aggregateExpressions.exists(_.name == "k") => a
+    }
+    assert(election.nonEmpty && election.head.output.map(_.name) == Seq("__h", "k"))
+  }
+
   // ---- decontamination -------------------------------------------------------
 
   test("decontaminate counts distinct shared shingles per (train, bench) pair") {
