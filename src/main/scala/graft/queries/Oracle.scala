@@ -585,6 +585,23 @@ object Oracle {
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
 
+    "x10_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price_r
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    // per-column rounding sized to each statistic's accumulation noise
+    // (corr 6dp dimensionless; covar 2dp over ~5e10 sums; stddevs 6/4dp)
+    "a09_corr_stats" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_r,
+        |       round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_pop_r,
+        |       round(stddev_samp(l_quantity), 6) AS stddev_qty_r,
+        |       round(stddev_samp(l_extendedprice), 4) AS stddev_price_r
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "x03_set_ops" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |EXCEPT

@@ -770,6 +770,35 @@ object Queries {
       .orderBy("status", "priority")
   }
 
+  /** CUBE grouping sets — all four (status, priority) marginals in one
+    * pass (rollup's three plus the priority-only slice). Same sentinel
+    * coalesce as x02 keeps cross-engine ordering total. */
+  val x10Cube: Q = (s, dir) => {
+    val o = tbl(s, dir, "orders")
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price_r"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("cnt"), col("sum_price_r"))
+      .orderBy("status", "priority")
+  }
+
+  /** A9: second-moment statistics per group — corr / covariance / stddev
+    * in one aggregation pass (map-side partials; Spark and DuckDB both
+    * merge single-pass moment sketches). Rounding is per-column, sized to
+    * each statistic's accumulation-noise magnitude: corr is dimensionless
+    * (6 dp), covar rides ~5e10 intermediate sums (2 dp), price stddev ~3e4
+    * (4 dp), quantity stddev ~14 (6 dp). */
+  val a09CorrStats: Q = (s, dir) =>
+    tbl(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_r"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_pop_r"),
+        round(stddev_samp(col("l_quantity")), 6).as("stddev_qty_r"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("stddev_price_r"))
+      .orderBy("l_returnflag")
+
   /** Pivot (crosstab): order counts and revenue per priority, one column
     * group per status — Spark-native pivot with an explicit value list
     * (never an implicit distinct scan to discover columns at 100 TB). */
@@ -855,6 +884,8 @@ object Queries {
     "x08_training_mix" -> x08TrainingMix,
     "x09_salted_agg" -> x09SaltedAgg,
     "x02_rollup" -> x02Rollup,
+    "x10_cube" -> x10Cube,
+    "a09_corr_stats" -> a09CorrStats,
     "x03_set_ops" -> x03SetOps,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "st01_tumbling_window" -> st01TumblingWindow,
