@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,12 +24,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One warm-up action so JVM/codegen/file-listing startup cost isn't
-    // attributed to the first query. Must not be able to kill the run —
-    // the JSON line has to appear even when the SF dir is broken.
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").write.format("noop")
-      .mode("overwrite").save()
-    catch { case e: Throwable =>
+    // Warm-up actions so JVM/codegen/file-listing startup cost isn't
+    // attributed to the first queries: scan every input table (file
+    // listing + parquet footers + page cache) and exercise the common
+    // physical operators (hash agg, sort, broadcast join) once so their
+    // generated code is JIT-compiled before anything is timed. Subset runs
+    // (SPARK_GRAFT_ONLY) showed the first query of a session measuring
+    // 3-6x its steady state purely from this warmup. Must not be able to
+    // kill the run — the JSON line has to appear even when the SF dir is
+    // broken.
+    try {
+      import org.apache.spark.sql.functions._
+      Seq("lineitem", "orders", "customer", "part", "supplier", "nation",
+        "region", "events", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop")
+          .mode("overwrite").save()
+      }
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
     // SPARK_GRAFT_ONLY=d03_neardup_ngram,d04_minhash_lsh — subset filter for

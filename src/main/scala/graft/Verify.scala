@@ -8,7 +8,7 @@ object Verify {
     // args: <sfDir> <outDir> [queryName ...] — trailing names restrict the
     // dump to those queries (local iteration); the driver passes none.
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -157,6 +157,45 @@ object TextKernels {
     n
   }
 
+  /** Text canonicalization under `regexp_replace(trim(lower(text)), " +",
+    * " ")` semantics, fused into one pass: lowercase (UTF8String's own
+    * case mapping — identical to Spark's `lower`), trim ASCII spaces, and
+    * collapse space runs byte-wise (0x20 never occurs inside a UTF-8
+    * multi-byte sequence, so the scan is multibyte-safe). Replaces a
+    * Java-regex rewrite of the whole corpus in the normalization hot path. */
+  def normalizeSpaces(text: UTF8String): UTF8String = {
+    val lower = text.toLowerCase.trim()
+    val nBytes = lower.numBytes()
+    val base = lower.getBaseObject
+    val off = lower.getBaseOffset
+    @inline def b(i: Int): Byte = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+    // fast path: no double space anywhere -> the trimmed lowercase IS the
+    // answer, zero further allocation
+    var i = 0
+    var hasRun = false
+    while (!hasRun && i < nBytes - 1) {
+      if (b(i) == 0x20 && b(i + 1) == 0x20) hasRun = true
+      i += 1
+    }
+    if (!hasRun) return lower
+    val out = new Array[Byte](nBytes)
+    var k = 0
+    var prevSpace = false
+    i = 0
+    while (i < nBytes) {
+      val c = b(i)
+      if (c == 0x20) {
+        if (!prevSpace) { out(k) = c; k += 1 }
+        prevSpace = true
+      } else {
+        out(k) = c; k += 1
+        prevSpace = false
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, k)
+  }
+
   /** How many words of `text` appear in the (small) stopword set. The set
     * is pre-hashed once per expression instance; a hash hit is confirmed by
     * byte comparison, so the count is exactly
@@ -304,7 +343,33 @@ case class StopwordCount(child: Expression, stopwords: Seq[String])
     copy(child = newChild)
 }
 
+/** normalize_spaces(text) -> string: fused lower+trim+space-collapse. */
+case class NormalizeSpaces(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"normalize_spaces expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_spaces"
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.normalizeSpaces(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.normalizeSpaces($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeSpaces =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+
+  def normalizeSpaces(text: Column): Column =
+    ColumnBridge.column(NormalizeSpaces(ColumnBridge.expression(text)))
 
   /** Column binding — no registry needed. */
   def shingleHashes(text: Column, w: Int): Column =

@@ -512,8 +512,10 @@ object Oracle {
         |FROM sm GROUP BY lang ORDER BY lang""".stripMargin,
 
     // IDENTICAL pattern text both engines (interpolated from TextOps.Pii —
-    // common Java-regex/RE2 subset, greedy, no alternation); counts on the
-    // original string, replacement order email -> ip -> phone
+    // common Java-regex/RE2 subset, greedy, no alternation); replacement
+    // order email -> ip -> phone; audit counts are placeholder counts
+    // derived from the redacted string (mirrors the Spark side, where each
+    // regex runs exactly once per row)
     "t10_pii_redact" -> {
       val (e, i, p) = (graft.llm.TextOps.Pii.EmailRe,
         graft.llm.TextOps.Pii.Ipv4Re, graft.llm.TextOps.Pii.PhoneRe)
@@ -523,14 +525,17 @@ object Oracle {
          |  CAST((c_custkey * 7) % 256 AS VARCHAR) || ' tel 06-' ||
          |  lpad(CAST((c_custkey * 7919) % 10000 AS VARCHAR), 4, '0') || '-' ||
          |  lpad(CAST((c_custkey * 104729) % 10000 AS VARCHAR), 4, '0') AS contact
-         |  FROM customer)
-         |SELECT c_custkey,
-         |  CAST(len(regexp_extract_all(contact, '$e')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(contact, '$i')) AS BIGINT) AS n_ips,
-         |  CAST(len(regexp_extract_all(contact, '$p')) AS BIGINT) AS n_phones,
+         |  FROM customer),
+         |r AS (SELECT c_custkey,
          |  regexp_replace(regexp_replace(regexp_replace(contact,
          |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS redacted
-         |FROM c ORDER BY c_custkey""".stripMargin
+         |  FROM c)
+         |SELECT c_custkey,
+         |  CAST((length(redacted) - length(replace(redacted, '<EMAIL>', ''))) // 7 AS BIGINT) AS n_emails,
+         |  CAST((length(redacted) - length(replace(redacted, '<IP>', ''))) // 4 AS BIGINT) AS n_ips,
+         |  CAST((length(redacted) - length(replace(redacted, '<PHONE>', ''))) // 7 AS BIGINT) AS n_phones,
+         |  redacted
+         |FROM r ORDER BY c_custkey""".stripMargin
     },
 
     // corpus-wide keep-first line dedup over aligned 10-word chunks; the

@@ -555,13 +555,19 @@ object Queries {
       .orderBy("vec_id")
 
   /** Text normalization: lowercase + whitespace collapse + trim, keyed by
-    * content hash — the canonicalization step before exact dedup. */
-  val t05Normalize: Q = (s, dir) =>
+    * content hash — the canonicalization step before exact dedup. Runs the
+    * fused [[graft.functions.NormalizeSpaces]] kernel (one byte scan per
+    * row) instead of a Java-regex rewrite of the whole corpus; semantics
+    * are exactly regexp_replace(trim(lower(text)), " +", " "), which the
+    * DuckDB oracle keeps verifying literally (and a property test pins). */
+  val t05Normalize: Q = (s, dir) => {
+    val norm = graft.functions.TextExpressions.normalizeSpaces(col("text"))
     tbl(s, dir, "documents")
       .select(col("doc_id"),
-        md5(regexp_replace(trim(lower(col("text"))), " +", " ")).as("norm_hash"),
-        length(regexp_replace(trim(lower(col("text"))), " +", " ")).cast("long").as("norm_len"))
+        md5(norm).as("norm_hash"),
+        length(norm).cast("long").as("norm_len"))
       .orderBy("doc_id")
+  }
 
   /** Deterministic stratified sampling for training-mix construction:
     * per-language quotas via a hash-bucket threshold — reproducible across

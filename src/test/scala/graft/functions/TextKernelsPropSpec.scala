@@ -56,6 +56,19 @@ class TextKernelsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeSpaces == regexp_replace(trim(lower(text)), ' +', ' ')") {
+    val extra = Seq("", " ", "   ", "  A  B  ", " İstanbul  MIX ", "a", "A  ",
+      "漢字  ΣΙΓΜΑ  x")
+    (texts(46L, 500) ++ extra).foreach { s =>
+      // Spark's trim strips 0x20 only (Java String.trim strips <= 0x20) —
+      // mirror the Column semantics exactly
+      val expect = UTF8String.fromString(s).toLowerCase.toString
+        .replaceAll("^ +", "").replaceAll(" +$", "").replaceAll(" +", " ")
+      assert(TextKernels.normalizeSpaces(UTF8String.fromString(s)).toString
+        === expect, s"text=[$s]")
+    }
+  }
+
   test("shingleHashes cardinality == distinct w-word windows") {
     val rnd = new scala.util.Random(45L)
     texts(45L, 500).foreach { s =>

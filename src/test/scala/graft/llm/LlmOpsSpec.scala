@@ -269,9 +269,10 @@ class LlmOpsSpec extends AnyFunSuite {
       2L -> "server 10.0.255.7 logged 192.168.1.1 twice: 192.168.1.1",
       3L -> "plain text with no pii at all",
       4L -> "a@b.co and 1.2.3.4 and +31-20-555-0199"))
-    val got = TextOps.piiRedact(df).collect()
+    val got = TextOps.piiRedact(df)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted").collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
     assert(got(1L) === ((1L, 0L, 1L, "mail me at <EMAIL> or call <PHONE>")))
     assert(got(2L) === ((0L, 3L, 0L, "server <IP> logged <IP> twice: <IP>")))
     assert(got(3L) === ((0L, 0L, 0L, "plain text with no pii at all")))
