@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
  *
  * Run: sbt "runMain graft.ScaleProbe"
  *
- * Measured on local[32] (2026-08-12, post skew-guard hardening): 10x data
- * costs 1.3-3.4x wall — d01 0.9->0.5s, d03 3.1->10.6s, d04 1.8->4.3s,
- * v03 3.4->4.4s, v05 1.5->2.9s — candidate generation stays
- * equi-join-bound with no quadratic blowup, the executable form of the
- * 100x-scale claim.
+ * Measured on local[32] (2026-08-12, round-4 operator set): 10x data costs
+ * 1.2-3.0x wall — d03 3.3->7.0s, d04 2.0->5.9s, d07 5.7->14.8s,
+ * t09 2.6->3.8s, d08 0.9->1.7s, t11 2.3->2.8s, v03 2.8->3.6s,
+ * v05 1.4->3.2s — candidate generation stays equi-join-bound with no
+ * quadratic blowup, the executable form of the 100x-scale claim.
  */
 object ScaleProbe {
   def time[T](label: String)(f: => T)(implicit spark: SparkSession): T = {
@@ -79,6 +79,20 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save() }
       time(s"$tag t09 tfidf") {
         graft.llm.TextOps.tfidfTopTerms(d, 3).write.format("noop").mode("overwrite").save() }
+      time(s"$tag d08 decontaminate") {
+        graft.llm.Dedup.decontaminate(
+            d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+            w = 3, minShared = 2)
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag t11 line dedup") {
+        val words = split(col("text"), " ")
+        val lines = d.select(col("doc_id"), posexplode(
+            transform(sequence(lit(0), ceil(size(words) / lit(10.0)).cast("int") - 1),
+              i => array_join(slice(words, i * 10 + 1, lit(10)), " ")))
+            .as(Seq("line_no", "line")))
+          .withColumn("line_no", col("line_no").cast("long"))
+        graft.llm.Dedup.lineDedup(d, lines)
+          .write.format("noop").mode("overwrite").save() }
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val q = e.filter(col("vec_id") < 32)
       time(s"$tag v03 ann lsh") {
