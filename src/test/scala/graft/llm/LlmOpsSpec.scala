@@ -118,10 +118,15 @@ class LlmOpsSpec extends AnyFunSuite {
     // pair 20-21: closure must label the whole chain with 1
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
       .toDF("id_a", "id_b")
-    val comps = graft.llm.Dedup.dedupComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // both strategies — the adaptive driver-side union-find (default for a
+    // graph this small) and the distributed propagation loop (forced via
+    // driverMaxEdges = 0) — must produce the identical labeling
+    for (driverMax <- Seq(Long.MaxValue, 0L)) {
+      val comps = graft.llm.Dedup.dedupComponents(pairs, driverMaxEdges = driverMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L), s"driverMax=$driverMax")
+    }
     // empty pair frame: no vertices, no components, no non-convergence
     val empty = graft.llm.Dedup.dedupComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
@@ -149,9 +154,16 @@ class LlmOpsSpec extends AnyFunSuite {
       val expected = parent.keys.toSeq
         .groupBy(find).values
         .flatMap(members => members.map(_ -> members.min)).toMap
-      val got = graft.llm.Dedup.dedupComponents(pairs.toDF("id_a", "id_b"))
+      // force the distributed loop (driverMaxEdges = 0) so this property
+      // keeps testing the propagation fixpoint, not union-find vs itself;
+      // then check the adaptive driver-side path agrees too
+      val loop = graft.llm.Dedup.dedupComponents(pairs.toDF("id_a", "id_b"),
+          driverMaxEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === expected, s"seed=$seed pairs=$pairs")
+      assert(loop === expected, s"loop path, seed=$seed pairs=$pairs")
+      val adaptive = graft.llm.Dedup.dedupComponents(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(adaptive === expected, s"driver path, seed=$seed pairs=$pairs")
     }
   }
 
