@@ -357,6 +357,39 @@ object Oracle {
         |       CAST(1 + octet_length(encode(coalesce(text, ''))) % 8 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the stub codec is deterministic byte arithmetic (checksum = byte sum;
+    // feat[j] += byte/255.0 over positions ≡ j mod 8, in byte order), so
+    // the oracle recomputes it from the text bytes. Documents are pure
+    // ASCII (asserted: octet_length(blob) == length for every row), so
+    // ascii(substring(...)) IS the payload byte; per-position division
+    // before a sequential in-order sum mirrors the stub's FP op order.
+    "m02_media_features" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |f AS (SELECT doc_id, n,
+        |  CAST(coalesce(list_aggregate(list_transform(range(1, n + 1),
+        |    i -> ascii(substring(text, CAST(i AS INT), 1))), 'sum'), 0) AS BIGINT) AS checksum,
+        |  list_transform(range(0, 8), j ->
+        |    coalesce(list_aggregate(list_transform(range(1 + j, n + 1, 8),
+        |      i -> ascii(substring(text, CAST(i AS INT), 1)) / 255.0), 'sum'), 0.0)) AS feat
+        |  FROM b)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, checksum,
+        |       round(feat[1], 6) AS feat0_r, round(feat[8], 6) AS feat7_r,
+        |       round(list_aggregate(feat, 'sum'), 6) AS feat_sum_r
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // frame sampling mirror: step = max(1, len // 4), offsets i*step while
+    // < len, frames are 16-byte substrings (ASCII: char == byte)
+    "m03_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |p AS (SELECT doc_id, text, len, greatest(1, len // 4) AS step FROM d),
+        |fr AS (SELECT doc_id, i, substring(text, CAST(i * step + 1 AS INT), 16) AS frame
+        |       FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS i) r
+        |       WHERE i * step < len)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       md5(arg_min(frame, i)) AS frame0_md5,
+        |       CAST(sum(length(frame)) AS BIGINT) AS frames_bytes
+        |FROM fr GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "v06_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,
         |  greatest(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'),

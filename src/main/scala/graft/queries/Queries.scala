@@ -473,6 +473,34 @@ object Queries {
   val m01MultimodalMeta: Q = (s, dir) =>
     Multimodal.metaTable(tbl(s, dir, "documents")).orderBy("doc_id")
 
+  /** M2: batch decode + feature extraction through the mapPartitions codec
+    * path. The stub codec is deterministic byte arithmetic, so the audit
+    * view (checksum + positional feature elements) is fully oracle-able:
+    * DuckDB recomputes it from the ASCII text bytes. Verifies the whole
+    * binary-payload pipeline — encoder, partition batching, feature shape
+    * — not just the metadata face. */
+  val m02MediaFeatures: Q = (s, dir) =>
+    Multimodal.decodeFeatures(Multimodal.fromDocuments(tbl(s, dir, "documents")))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("checksum"),
+        round(element_at(col("feature"), 1), 6).as("feat0_r"),
+        round(element_at(col("feature"), 8), 6).as("feat7_r"),
+        round(aggregate(col("feature"), lit(0.0), (a, v) => a + v), 6).as("feat_sum_r"))
+      .orderBy("doc_id")
+
+  /** M3: frame sampling over the opaque payload (n=4 evenly spaced 16-byte
+    * windows — the video-frame access pattern). Audit = frame count, total
+    * sampled bytes, and the md5 of frame 0, all recomputable by the oracle
+    * from substring arithmetic. */
+  val m03FrameSample: Q = (s, dir) =>
+    Multimodal.sampleFrames(Multimodal.fromDocuments(tbl(s, dir, "documents")),
+        n = 4, frameBytes = 16)
+      .select(col("doc_id"), col("n_sampled"),
+        md5(element_at(col("frames"), 1)).as("frame0_md5"),
+        aggregate(col("frames"), lit(0L), (a, f) => a + length(f).cast("long"))
+          .as("frames_bytes"))
+      .orderBy("doc_id")
+
   // ===== streaming-shaped (batch-equivalent; streaming variant in tests) ====
 
   /** Tumbling-window aggregation via window() — identical shape to the
@@ -894,6 +922,8 @@ object Queries {
     "a09_corr_stats" -> a09CorrStats,
     "x03_set_ops" -> x03SetOps,
     "m01_multimodal_meta" -> m01MultimodalMeta,
+    "m02_media_features" -> m02MediaFeatures,
+    "m03_frame_sample" -> m03FrameSample,
     "st01_tumbling_window" -> st01TumblingWindow,
     "st02_sessionize" -> st02Sessionize,
     "st03_sliding_window" -> st03SlidingWindow,
