@@ -118,4 +118,145 @@ object VectorAggregates {
   def vecSum(v: Column): Column =
     ColumnBridge.column(
       VecSum(ColumnBridge.expression(v)).toAggregateExpression())
+
+  /** Column binding: top_k(ord, id, k) usable inside agg(...). */
+  def topK(ord: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopK(ColumnBridge.expression(ord), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+}
+
+/**
+ * top_k(ord, id, k) — the k largest (ord, id) pairs per group as a native
+ * TypedImperativeAggregate with a bounded min-heap buffer.
+ *
+ * The window alternative (row_number over (partition by g order by ord
+ * desc) <= k) SORTS every group's full row set inside one task — at 100 TB
+ * that is a per-group sort of millions of rows to keep 3. This aggregate
+ * holds exactly k pairs per buffer, partial-aggregates map-side (each
+ * mapper ships at most k pairs per group), and merges heaps on the
+ * reducer: shuffle volume is |groups| x k pairs, independent of row count.
+ *
+ * Ordering is total and deterministic: ord desc, then id asc on ties, so
+ * the result never depends on encounter order. Output: array<struct<ord,
+ * id>> sorted strongest-first. Null ords are ignored (SQL aggregate
+ * semantics); an all-null group yields an empty array.
+ */
+case class TopK(
+    ordExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopK.Buf] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = ordExpr :: idExpr :: Nil
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (ordExpr.dataType, idExpr.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"top_k expects (double, bigint), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("ord", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k"
+
+  override def createAggregationBuffer(): TopK.Buf = new TopK.Buf(k)
+
+  override def update(buf: TopK.Buf, input: InternalRow): TopK.Buf = {
+    val o = ordExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (o != null && i != null)
+      buf.push(o.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: TopK.Buf, b2: TopK.Buf): TopK.Buf = {
+    var i = 0
+    while (i < b2.n) { b1.push(b2.ords(i), b2.ids(i)); i += 1 }
+    b1
+  }
+
+  override def eval(buf: TopK.Buf): Any = {
+    val idx = Array.range(0, buf.n).sortBy(i => (-buf.ords(i), buf.ids(i)))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      idx.map { i =>
+        val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        r.update(0, buf.ords(i))
+        r.update(1, buf.ids(i))
+        r: Any
+      })
+  }
+
+  override def serialize(buf: TopK.Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.n * 16)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.ords(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopK.Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopK.Buf(k)
+    var i = 0
+    while (i < n) { buf.push(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopK =
+    copy(ordExpr = newChildren(0), idExpr = newChildren(1))
+}
+
+object TopK {
+  /** Bounded min-heap: the WEAKEST kept pair sits at the root, so a new
+    * pair either replaces the root (when stronger) or is dropped — O(log k)
+    * per row, k pairs of state, no allocation after construction. */
+  final class Buf(val k: Int) {
+    val ords = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var n = 0
+
+    /** Is (o1, i1) stronger (kept in preference to) (o2, i2)? */
+    @inline private def stronger(o1: Double, i1: Long, o2: Double, i2: Long): Boolean =
+      o1 > o2 || (o1 == o2 && i1 < i2)
+
+    def push(o: Double, id: Long): Unit = {
+      if (n < k) {
+        var c = n
+        ords(c) = o; ids(c) = id; n += 1
+        while (c > 0 && stronger(ords((c - 1) / 2), ids((c - 1) / 2), ords(c), ids(c))) {
+          swap(c, (c - 1) / 2); c = (c - 1) / 2
+        }
+      } else if (stronger(o, id, ords(0), ids(0))) {
+        ords(0) = o; ids(0) = id
+        var c = 0
+        var done = false
+        while (!done) {
+          val l = 2 * c + 1; val r = 2 * c + 2
+          var w = c // weakest of the triple bubbles up to the root
+          if (l < n && stronger(ords(w), ids(w), ords(l), ids(l))) w = l
+          if (r < n && stronger(ords(w), ids(w), ords(r), ids(r))) w = r
+          if (w == c) done = true else { swap(c, w); c = w }
+        }
+      }
+    }
+
+    @inline private def swap(a: Int, b: Int): Unit = {
+      val to = ords(a); ords(a) = ords(b); ords(b) = to
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+  }
 }

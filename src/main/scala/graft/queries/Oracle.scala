@@ -88,6 +88,12 @@ object Oracle {
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // same source-side contract as s06: the CSV write+read must be lossless
+    "s07_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "p04_name_coalesce" ->
       """SELECT p_partkey, CASE WHEN p_brand <> 'Brand#11' THEN p_brand ELSE p_type END AS display_name
         |FROM part ORDER BY p_partkey""".stripMargin,
@@ -622,6 +628,16 @@ object Oracle {
         |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price_r
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    // the oracle is the window form the heap aggregate replaces: identical
+    // rows prove the bounded-heap path == sort-everything path
+    "a10_topk_agg" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
+        |SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+        |       round(o_totalprice, 2) AS price_r
+        |FROM r WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
 
     "x10_cube" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,

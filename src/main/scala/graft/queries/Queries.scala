@@ -68,6 +68,28 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** S7: CSV sink + source roundtrip — the reference's export surface
+    * (export_to_csv.py) driven through Spark's writer and read back with an
+    * explicit schema (never inference — an extra full scan at 100 TB).
+    * Documents text may contain any delimiter-ish bytes, so the write
+    * quotes/escapes; content fidelity is proven by the same aggregate
+    * contract as s06: counts, char sums, and distinct text hashes must
+    * survive the CSV boundary and match DuckDB over the SOURCE parquet. */
+  val s07CsvRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    tbl(s, dir, "documents").write.mode("overwrite")
+      .option("header", "true").csv(tmp)
+    s.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("header", "true")
+      .csv(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_texts"))
+      .orderBy("lang")
+  }
+
   /** P4: street-name-coalesce shape (conditional display name). */
   val p04NameCoalesce: Q = (s, dir) =>
     tbl(s, dir, "part")
@@ -804,6 +826,21 @@ object Queries {
       .orderBy("status", "priority")
   }
 
+  /** A10: per-group top-k via the native [[graft.functions.TopK]]
+    * bounded-heap aggregate — k pairs of state per group with map-side
+    * partials, where a07's window form sorts every group's full row set
+    * in one task to keep 3. The oracle IS that window form: the heap must
+    * reproduce it exactly (total order: price desc, orderkey asc). */
+  val a10TopkAgg: Q = (s, dir) =>
+    tbl(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.VectorAggregates
+        .topK(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("o_orderpriority"), (col("rnk0") + 1).cast("long").as("rnk"),
+        col("t.id").as("o_orderkey"), round(col("t.ord"), 2).as("price_r"))
+      .orderBy("o_orderpriority", "rnk")
+
   /** CUBE grouping sets — all four (status, priority) marginals in one
     * pass (rollup's three plus the priority-only slice). Same sentinel
     * coalesce as x02 keeps cross-engine ordering total. */
@@ -861,6 +898,7 @@ object Queries {
   val all: Seq[(String, Q)] = Seq(
     "s05_scan_project" -> s05ScanProject,
     "s06_jsonl_roundtrip" -> s06JsonlRoundtrip,
+    "s07_csv_roundtrip" -> s07CsvRoundtrip,
     "p04_name_coalesce" -> p04NameCoalesce,
     "p10_concat" -> p10Concat,
     "p11_prefix_stats" -> p11PrefixStats,
@@ -920,6 +958,7 @@ object Queries {
     "x02_rollup" -> x02Rollup,
     "x10_cube" -> x10Cube,
     "a09_corr_stats" -> a09CorrStats,
+    "a10_topk_agg" -> a10TopkAgg,
     "x03_set_ops" -> x03SetOps,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_media_features" -> m02MediaFeatures,

@@ -205,6 +205,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!lshPlan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$lshPlan")
   }
 
+  // ---- top-k aggregate -------------------------------------------------------
+
+  test("topK bounded-heap aggregate reproduces the window form exactly (incl. ties)") {
+    val s = spark
+    import s.implicits._
+    // planted ties: equal ords must resolve by id asc, across partials
+    val rows = Seq(
+      ("a", 5.0, 10L), ("a", 5.0, 3L), ("a", 5.0, 7L), ("a", 1.0, 1L),
+      ("b", 2.0, 2L), ("b", 9.0, 9L),
+      ("c", 4.0, 4L)) ++ (0 until 200).map(i => ("d", (i % 13).toDouble, i.toLong))
+    val df = rows.toDF("g", "ord", "id").repartition(7) // force partial merges
+    val got = df.groupBy("g")
+      .agg(graft.functions.VectorAggregates.topK(col("ord"), col("id"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("g"), col("i"), col("t.ord"), col("t.id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    val expect = rows.groupBy(_._1).flatMap { case (g, members) =>
+      members.map(m => (m._2, m._3)).sortBy { case (o, i) => (-o, i) }
+        .take(3).zipWithIndex.map { case ((o, i), rk) => (g, rk, o, i) }
+    }.toSet
+    assert(got === expect)
+  }
+
   // ---- line dedup ------------------------------------------------------------
 
   test("lineDedup keeps the first occurrence corpus-wide and reassembles in order") {
