@@ -211,6 +211,20 @@ object Oracle {
         |       round(quantile_cont(value, 0.99), 6) AS p99_r
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // microsecond precision both sides (Spark: ts div 1000 of the long
+    // nanos; DuckDB truncates TIMESTAMP(NANOS) to micros on read, so
+    // epoch_us is exact); (tsu, event_id) is unique per user so every
+    // offset function is deterministic
+    "a11_lead_lag" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
+        |           FROM events WHERE user_id < 50)
+        |SELECT event_id, user_id, event_type,
+        |       tsu - lag(tsu, 1) OVER w AS us_since_prev,
+        |       lead(event_type, 1) OVER w AS next_type,
+        |       first_value(event_id) OVER w AS first_event
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |ORDER BY event_id""".stripMargin,
+
     "a07_window_rank" ->
       """WITH r AS (SELECT o_custkey, o_orderkey,
         |  CAST(rank() OVER w AS BIGINT) AS rnk,

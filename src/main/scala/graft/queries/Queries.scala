@@ -331,6 +331,26 @@ object Queries {
       .orderBy("o_custkey", "rnk", "o_orderkey")
   }
 
+  /** A11: sequence analytics — lead/lag/first over each user's event
+    * stream (the session-delta shape: time since previous event, next
+    * event type, first event of the stream). One shuffle on user_id; the
+    * window order key (ts, event_id) is unique per user so every offset
+    * function is deterministic. */
+  val a11LeadLag: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__tsu"), col("event_id"))
+    tbl(s, dir, "events")
+      // microsecond precision on BOTH sides: DuckDB truncates
+      // TIMESTAMP(NANOS) to micros on read, so nanos would hash-diverge
+      .withColumn("__tsu", expr("ts div 1000"))
+      .filter(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("__tsu") - lag(col("__tsu"), 1).over(w)).as("us_since_prev"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        first(col("event_id")).over(w).as("first_event"))
+      .orderBy("event_id")
+  }
+
   /** A8: HyperLogLog++ approximate distinct — THE approximate-aggregate
     * at 100 TB (fixed-size sketch per group vs an exact-distinct shuffle
     * of every key). Rows-only for the driver (DuckDB's approx sketch
@@ -959,6 +979,7 @@ object Queries {
     "x10_cube" -> x10Cube,
     "a09_corr_stats" -> a09CorrStats,
     "a10_topk_agg" -> a10TopkAgg,
+    "a11_lead_lag" -> a11LeadLag,
     "x03_set_ops" -> x03SetOps,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_media_features" -> m02MediaFeatures,

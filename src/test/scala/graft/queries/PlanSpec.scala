@@ -85,6 +85,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(text"), s"shuffle keyed on raw text:\n$p")
   }
 
+  test("a10: the top-k heap aggregate partial-aggregates map-side") {
+    val p = planString(Queries.a10TopkAgg(spark, sf))
+    // partial_top_k before the exchange: each mapper ships at most k pairs
+    // per group — the property that makes the aggregate beat the window
+    // form at scale. ObjectHashAggregate is the TypedImperativeAggregate
+    // host operator.
+    assert(p.contains("partial_top_k"), s"no map-side partial top_k:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"unexpected host operator:\n$p")
+  }
+
   test("t06 sample bucket stays in [0, 100) past 32-bit doc ids (overflow guard)") {
     val s = spark
     import s.implicits._
