@@ -495,6 +495,18 @@ object Oracle {
     // seconds apart, so the us-truncated comparison agrees.
     // batch mirror of the stream-stream interval join; values are raw
     // pass-through doubles (bit-identical, no rounding needed)
+    // window form of the streaming heap: ranks on the raw double (both
+    // engines compare identical parquet doubles), rounds only the output
+    "st05_window_topk" ->
+      """WITH e AS (SELECT event_id, event_type, value, date_trunc('hour', ts) AS h
+        |           FROM events),
+        |r AS (SELECT h, event_type, event_id, value,
+        |        row_number() OVER (PARTITION BY h, event_type
+        |          ORDER BY value DESC, event_id) AS rnk FROM e)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |       CAST(rnk AS BIGINT) AS rnk, event_id, round(value, 2) AS value_r
+        |FROM r WHERE rnk <= 3 ORDER BY win_start, event_type, rnk""".stripMargin,
+
     "st04_interval_join" ->
       """SELECT c.event_id AS click_id, c.user_id,
         |       epoch_us(c.ts) AS click_ts_us, c.value AS click_value,

@@ -556,6 +556,23 @@ object Queries {
         col("event_type"), col("cnt"), col("sum_value_r"))
       .orderBy("win_start", "event_type")
 
+  /** ST5: windowed top-k — the streaming form runs the bounded-heap TopK
+    * aggregate as stateful streaming state (k pairs per window; see
+    * [[graft.streaming.EventStreams.windowedTopK]], stream==batch in
+    * StreamingSpec); this is its bounded mirror for the oracle. */
+  val st05WindowTopk: Q = (s, dir) =>
+    tbl(s, dir, "events")
+      .withColumn("__ts", eventsTsMicros)
+      .groupBy(window(col("__ts"), "1 hour").as("w"), col("event_type"))
+      .agg(graft.functions.VectorAggregates
+        .topK(col("value"), col("event_id"), 3).as("top"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("win_start"), col("event_type"),
+        (col("rnk0") + 1).cast("long").as("rnk"),
+        col("t.id").as("event_id"), round(col("t.ord"), 2).as("value_r"))
+      .orderBy("win_start", "event_type", "rnk")
+
   /** Sliding-window aggregation (1 h window, 30 min slide): each event
     * contributes to size/slide = 2 windows — the overlapping-window shape
     * Structured Streaming shares with the batch mirror here. The oracle
@@ -987,6 +1004,7 @@ object Queries {
     "st01_tumbling_window" -> st01TumblingWindow,
     "st02_sessionize" -> st02Sessionize,
     "st03_sliding_window" -> st03SlidingWindow,
-    "st04_interval_join" -> st04IntervalJoin
+    "st04_interval_join" -> st04IntervalJoin,
+    "st05_window_topk" -> st05WindowTopk
   )
 }

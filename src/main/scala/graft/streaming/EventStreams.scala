@@ -29,6 +29,27 @@ object EventStreams {
         col("sum_value_r"))
 
   /**
+   * Streaming windowed top-k: the k highest-value events per (1-hour
+   * window, event_type) through the native bounded-heap
+   * [[graft.functions.TopK]] aggregate. A TypedImperativeAggregate's
+   * partial-merge contract is exactly what streaming state updates need:
+   * per-(window, type) state is k (value, id) pairs — never the events
+   * themselves — and the watermark drops a window's heap once it closes.
+   */
+  def windowedTopK(events: DataFrame, k: Int = 3,
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(graft.functions.VectorAggregates
+        .topK(col("value"), col("event_id"), k).as("top"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("win_start"), col("event_type"),
+        (col("rnk0") + 1).cast("long").as("rnk"),
+        col("t.id").as("event_id"), round(col("t.ord"), 2).as("value_r"))
+
+  /**
    * Streaming exactly-once dedup: drop re-delivered events by id, keeping
    * state only within the watermark horizon (dropDuplicatesWithinWatermark)
    * — the unbounded-stream analog of the K2 batch dedup, with bounded state.

@@ -61,6 +61,40 @@ class StreamingSpec extends AnyFunSuite {
       ("02:00", "view", 1L, 5.0)))
   }
 
+  test("streaming windowed top-k (bounded-heap state) agrees with the batch mirror") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // enough events per (window, type) to exceed k=2 and exercise eviction
+    val events = Seq(
+      Event(0, ts(5), 1, "click", 1.0), Event(1, ts(10), 1, "click", 9.0),
+      Event(2, ts(15), 2, "click", 5.0), Event(3, ts(20), 2, "click", 9.0),
+      Event(4, ts(25), 3, "click", 2.0), Event(5, ts(40), 3, "view", 7.0),
+      Event(6, ts(70), 1, "click", 4.0))
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val q = EventStreams.windowedTopK(stream.toDF(), k = 2)
+      .writeStream.format("memory").queryName("wtopk")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(date_format(col("win_start"), "HH:mm").as("w"), col("event_type"),
+        col("rnk"), col("event_id"), col("value_r"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val streamed = norm(spark.table("wtopk"))
+    val batch = norm(EventStreams.windowedTopK(events.toDF(), k = 2))
+    assert(streamed === batch)
+    // value tie at 9.0 in hour 0 "click": event_id 1 < 3 breaks it
+    assert(streamed === Set(
+      ("00:00", "click", 1L, 1L, 9.0), ("00:00", "click", 2L, 3L, 9.0),
+      ("00:00", "view", 1L, 5L, 7.0),
+      ("01:00", "click", 1L, 6L, 4.0)))
+  }
+
   test("streaming dedup drops re-delivered event ids within the watermark") {
     val s = spark
     import s.implicits._
