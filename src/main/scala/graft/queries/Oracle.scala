@@ -94,6 +94,15 @@ object Oracle {
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // Runs against the SOURCE parquet: the partitioned write + pruned read
+    // must be a lossless identity over the selected languages.
+    "s08_partition_prune" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
     "p04_name_coalesce" ->
       """SELECT p_partkey, CASE WHEN p_brand <> 'Brand#11' THEN p_brand ELSE p_type END AS display_name
         |FROM part ORDER BY p_partkey""".stripMargin,
@@ -664,6 +673,28 @@ object Oracle {
         |SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
         |       round(o_totalprice, 2) AS price_r
         |FROM r WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    // The oracle is the window form a12 replaces: row 1 under (price DESC,
+    // orderkey DESC) is exactly Spark's lexicographic struct max.
+    "a12_argmax" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS cnt FROM orders)
+        |SELECT o_orderpriority, o_orderkey AS best_orderkey,
+        |       o_totalprice AS best_price, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "x11_rolling_window" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS es, o_totalprice
+        |  FROM orders WHERE o_custkey < 150)
+        |SELECT o_orderkey, o_custkey,
+        |       count(*) OVER w AS n_7d,
+        |       round(sum(o_totalprice) OVER w, 2) AS spend_7d_r
+        |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY es
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "x10_cube" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,

@@ -90,6 +90,26 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** S8: partitioned sink + partition-pruned source — Hive-style
+    * `partitionBy(lang)` layout, read back with a partition-key filter.
+    * At 100 TB directory-level pruning is the first scale lever: the
+    * lang IN ('en','fr') scan lists and opens ONLY those two directories
+    * (the plan's PartitionFilters; PlanSpec asserts the pruned scan).
+    * Content fidelity uses the same aggregate contract as s06/s07, run by
+    * DuckDB against the SOURCE parquet — a lossy or misrouted partition
+    * write breaks the hash. */
+  val s08PartitionPrune: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    tbl(s, dir, "documents").write.mode("overwrite")
+      .partitionBy("lang").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("lang").isin("en", "fr"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_texts"))
+      .orderBy("lang", "source")
+  }
+
   /** P4: street-name-coalesce shape (conditional display name). */
   val p04NameCoalesce: Q = (s, dir) =>
     tbl(s, dir, "part")
@@ -921,6 +941,40 @@ object Queries {
         coalesce(col("P_cnt"), lit(0L)).as("p_cnt"), col("P_sum_r").as("p_sum_r"))
       .orderBy("o_orderpriority")
 
+  /** A12: per-group arg-max as ONE hash aggregation with map-side partials
+    * — `max` over a (value, tie-break key) struct picks a deterministic
+    * winner lexicographically, where the window form (a07's shape) shuffles
+    * and fully sorts every group to keep one row. State is one struct per
+    * group regardless of row count; at 100 TB that is the difference
+    * between a table-wide merge-sort and a broadcastable result. */
+  val a12Argmax: Q = (s, dir) =>
+    tbl(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"),
+        count(lit(1)).as("cnt"))
+      .select(col("o_orderpriority"), col("m.o_orderkey").as("best_orderkey"),
+        col("m.o_totalprice").as("best_price"), col("cnt"))
+      .orderBy("o_orderpriority")
+
+  /** X11: time-RANGE rolling aggregate — trailing 7-day order count and
+    * spend per customer. The RANGE frame resolves with ONE key shuffle and
+    * a partition-local sort per customer; the naive form is an interval
+    * self-join that goes quadratic on active keys. Frame arithmetic runs on
+    * BIGINT epoch seconds so both engines bound the window identically;
+    * ties share a frame (RANGE peers), so no ordering nondeterminism; the
+    * trailing FP sum is rounded per the determinism rules. */
+  val x11RollingWindow: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("__es"))
+      .rangeBetween(-7L * 86400, 0L)
+    tbl(s, dir, "orders")
+      .filter(col("o_custkey") < 150)
+      .withColumn("__es", unix_timestamp(col("o_orderdate")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(w).as("n_7d"),
+        round(sum(col("o_totalprice")).over(w), 2).as("spend_7d_r"))
+      .orderBy("o_orderkey")
+  }
+
   /** Set operation: EXCEPT (customers in a segment minus those with open
     * orders) — absent from the reference (§2.10), native here. */
   val x03SetOps: Q = (s, dir) => {
@@ -936,6 +990,7 @@ object Queries {
     "s05_scan_project" -> s05ScanProject,
     "s06_jsonl_roundtrip" -> s06JsonlRoundtrip,
     "s07_csv_roundtrip" -> s07CsvRoundtrip,
+    "s08_partition_prune" -> s08PartitionPrune,
     "p04_name_coalesce" -> p04NameCoalesce,
     "p10_concat" -> p10Concat,
     "p11_prefix_stats" -> p11PrefixStats,
@@ -997,6 +1052,8 @@ object Queries {
     "a09_corr_stats" -> a09CorrStats,
     "a10_topk_agg" -> a10TopkAgg,
     "a11_lead_lag" -> a11LeadLag,
+    "a12_argmax" -> a12Argmax,
+    "x11_rolling_window" -> x11RollingWindow,
     "x03_set_ops" -> x03SetOps,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_media_features" -> m02MediaFeatures,

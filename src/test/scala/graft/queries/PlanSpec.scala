@@ -46,6 +46,27 @@ class PlanSpec extends AnyFunSuite {
       "l_quantity:double,l_extendedprice:double>"), s"columns not pruned:\n$p")
   }
 
+  test("s08: the partitioned readback prunes to the selected lang directories") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune_spec").toString
+    Queries.tbl(spark, sf, "documents").write.mode("overwrite")
+      .partitionBy("lang").parquet(tmp)
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(tmp).filter(col("lang").isin("en", "fr"))
+      .select(col("doc_id"), col("lang"))
+    val p = planString(df)
+    // the lang predicate is a PartitionFilter (directory pruning), never a
+    // row-level PushedFilter that would open every language's files
+    assert(p.contains("PartitionFilters: [lang"), s"no partition filter:\n$p")
+    assert(p.contains("PushedFilters: []"), s"lang leaked to row-level filters:\n$p")
+    // the executed scan's pruned listing contains only the en/fr directories
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val dirs = scan.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString.replaceAll(".*/(lang=[^/]+)/.*", "$1")).distinct.sorted
+    assert(dirs.toSeq == Seq("lang=en", "lang=fr"), s"scanned partitions: ${dirs.toSeq}")
+  }
+
   test("j01: dimensions broadcast; only the fact-fact join shuffles") {
     val p = planString(Queries.j01Join5way(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast joins:\n$p")
