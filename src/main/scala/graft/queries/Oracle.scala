@@ -309,6 +309,21 @@ object Oracle {
         |       CAST(max(shared) AS BIGINT) AS max_shared
         |FROM ov WHERE shared >= 2 GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // Identical EXACT semantics to d08 (mod-89 split): the Bloom gate is a
+    // pure pre-filter and must be invisible in the answer.
+    "d09_bloom_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |          i -> list_aggregate(w[i:i+2], 'string_agg', chr(31)))) AS s
+        |        FROM tok WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+        |ov AS (SELECT t.doc_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS shared
+        |       FROM sh t JOIN sh b ON t.s = b.s AND t.doc_id % 89 <> 0 AND b.doc_id % 89 = 0
+        |       GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_docs,
+        |       CAST(max(shared) AS BIGINT) AS max_shared
+        |FROM ov WHERE shared >= 2 GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // MinHash-LSH reproduces the exact-Jaccard result at this threshold
     // (P(miss | j >= 0.7) < 1e-4 with k=32, bands=16) — the oracle IS the
     // exact computation the LSH path approximates.

@@ -455,6 +455,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** D9: Bloom-prefiltered decontamination — same exact-overlap semantics
+    * as d08 (the oracle is the same exact SQL: Bloom false positives are
+    * discarded by the verifying join, false negatives don't exist), but
+    * clean corpus docs are rejected by a native `might_contain` gate BEFORE
+    * their shingles explode. A different bench split (mod 89) keeps the two
+    * queries' answers independently non-trivial. */
+  val d09BloomDecontaminate: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    Dedup.decontaminateBloom(
+        train = docs.filter(col("doc_id") % 89 =!= 0),
+        bench = docs.filter(col("doc_id") % 89 === 0),
+        w = 3, minShared = 2)
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprints (rows-only: no SQL-expressible oracle). */
   val d05Simhash: Q = (s, dir) =>
     Dedup.withSimhash(tbl(s, dir, "documents"))
@@ -1024,6 +1039,7 @@ object Queries {
     "d06_embedding_neardup" -> d06EmbeddingNeardup,
     "d07_dedup_components" -> d07DedupComponents,
     "d08_decontaminate" -> d08Decontaminate,
+    "d09_bloom_decontaminate" -> d09BloomDecontaminate,
     "t01_token_count" -> t01TokenCount,
     "t02_text_quality" -> t02TextQuality,
     "t03_langid" -> t03Langid,

@@ -296,6 +296,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("decontaminateBloom equals the exact scan and its gate actually prunes") {
+    val train = docs.filter(col("doc_id") % 89 =!= 0)
+    val bench = docs.filter(col("doc_id") % 89 === 0)
+    val exact = Dedup.decontaminate(train, bench, w = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = Dedup.decontaminateBloom(train, bench, w = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom === exact)
+    assert(exact.nonEmpty, "fixture split yields no contamination — test is vacuous")
+    // the gate sits BEFORE the explode: the plan carries a might_contain
+    // predicate on the un-exploded shingle array, and the verifying join is
+    // still the broadcast form
+    val df = Dedup.decontaminateBloom(train, bench, w = 3, minShared = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom gate in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    graft.SessionResources.release(spark)
+  }
+
   // ---- text ops -------------------------------------------------------------
 
   test("piiRedact replaces emails, IPs, and dashed phones with typed placeholders") {
