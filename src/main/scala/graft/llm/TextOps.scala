@@ -194,6 +194,54 @@ object TextOps {
   }
 
   /**
+   * Add-one-smoothed bigram language-model scoring — the CCNet/KenLM-style
+   * fluency signal: train bigram statistics ON the corpus, then score every
+   * document by its mean bigram log-probability,
+   * `avg(ln((c(w1 w2) + 1) / (c(w1) + V)))` over the doc's bigrams.
+   * Low scores mark disfluent/boilerplate text for quality filtering.
+   *
+   * Output: `(doc_id, n_bigrams, avg_logp_r)`; docs with fewer than 2
+   * words have no bigrams and are absent (their fluency is undefined).
+   *
+   * Scale design: three shuffles, each an aggregation with map-side
+   * partials or an equi-join — unigram counts (vocab-sized), bigram counts
+   * (bigram-vocab-sized), and the probe joins keyed on the bigram/word
+   * strings themselves (short keys; both engines group identical bytes, so
+   * no hash indirection is needed for determinism). V rides in as a plan
+   * constant from the unigram table's count. The per-doc average is
+   * accumulation-order FP, so it is rounded per the determinism rules;
+   * everything else is exact integer arithmetic.
+   */
+  def bigramLm(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = graft.SessionResources.trackPersisted {
+      val p = docs.select(col("doc_id"), split(col(textCol), " ").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    val uni = graft.SessionResources.trackPersisted {
+      val p = toks.select(explode(col("w")).as("wd"))
+        .groupBy("wd").agg(count(lit(1)).as("c1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    val v = uni.count() // vocabulary size: a plan constant
+    val bg = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> struct(a as w1, concat(a, ' ', b) as b2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.b2").as("b2"))
+    val c2 = bg.groupBy("b2").agg(count(lit(1)).as("c2"))
+    bg.join(c2, "b2")
+      .join(uni, col("w1") === col("wd"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c2") + lit(1.0)) / (col("c1") + lit(v.toDouble)))), 6)
+          .as("avg_logp_r"))
+  }
+
+  /**
    * PII patterns shared by the redactor, its oracle, and its tests. Written
    * in the common subset of Java regex and RE2 (no lookaround, no
    * backreferences) so the DuckDB oracle runs the IDENTICAL pattern text;

@@ -648,6 +648,23 @@ object Oracle {
         |FROM documents d LEFT JOIN cn ON cn.doc_id = d.doc_id
         |LEFT JOIN re ON re.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
 
+    // Add-one-smoothed bigram LM trained on the corpus itself; the FP mean
+    // is rounded (6 dp vs ~1e-13 accumulation noise), all counts exact.
+    "t12_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS wd FROM tok),
+        |c1 AS (SELECT wd, count(*) AS c1 FROM uni GROUP BY wd),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b2
+        |       FROM tok WHERE len(w) >= 2),
+        |c2 AS (SELECT b2, count(*) AS c2 FROM bg GROUP BY b2),
+        |sc AS (SELECT g.doc_id, ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS lp
+        |       FROM bg g JOIN c2 USING (b2) JOIN c1 ON g.w1 = c1.wd CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp_r
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // rank key is all-integer (tf desc, df asc, term asc) so row selection
     // never rides on a float comparison; ln() ulp noise lives only in the
     // rounded informational score

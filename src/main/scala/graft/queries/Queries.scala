@@ -796,6 +796,13 @@ object Queries {
     Dedup.lineDedup(docs, lines).orderBy("doc_id")
   }
 
+  /** T12: corpus-trained bigram-LM fluency scoring ([[TextOps.bigramLm]]) —
+    * the CCNet/KenLM-style quality signal. Three aggregations/joins, all
+    * partial-aggregated equi-joins on word/bigram keys; V is a plan
+    * constant; the FP mean is rounded (accumulation order). */
+  val t12BigramLm: Q = (s, dir) =>
+    TextOps.bigramLm(tbl(s, dir, "documents")).orderBy("doc_id")
+
   /** X9: hot-key-safe aggregation — the two-phase salted groupBy
     * ([[graft.relational.Skew.saltedAgg]]) must return exactly the plain
     * GROUP BY result (the oracle IS the plain form): partial-aggregate on
@@ -1057,6 +1064,7 @@ object Queries {
     "t09_tfidf" -> t09Tfidf,
     "t10_pii_redact" -> t10PiiRedact,
     "t11_line_dedup" -> t11LineDedup,
+    "t12_bigram_lm" -> t12BigramLm,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,

@@ -410,6 +410,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out((3L, 2L)) === (("x", 1L, 3L, 0.0)))
   }
 
+  test("bigram LM: golden add-one-smoothed scores on a hand-computed corpus") {
+    // corpus: "a b a", "a b" -> c1(a)=3, c1(b)=2, V=2; c2("a b")=2, c2("b a")=1
+    // doc1: avg(ln(3/5), ln(2/4)) = -0.6019864...; doc2: ln(3/5) = -0.5108256...
+    val got = TextOps.bigramLm(docsDf(Seq(1L -> "a b a", 2L -> "a b")))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, -0.601986), (2L, 1L, -0.510826)))
+    graft.SessionResources.release(spark)
+  }
+
   test("langid picks the profile with most stopword hits, tie-break alphabetical") {
     val df = docsDf(Seq(
       1L -> "the cat of the house and a dog", // en
