@@ -756,6 +756,16 @@ object Oracle {
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value_r
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
+    // Stream-static enrichment mirror: LEFT join keeps unmatched users in
+    // an explicit '(none)' segment (dim restricted to make that path real).
+    "st06_stream_static" ->
+      """WITH d AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 100)
+        |SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       coalesce(d.c_mktsegment, '(none)') AS segment,
+        |       count(*) AS cnt, round(sum(e.value), 2) AS sum_value_r
+        |FROM events e LEFT JOIN d ON e.user_id = d.c_custkey
+        |GROUP BY 1, 2 ORDER BY win_start, segment""".stripMargin,
+
     // sliding window = each event unnested into its size/slide = 2
     // covering window starts (floor-to-slide and one slide earlier)
     "st03_sliding_window" ->

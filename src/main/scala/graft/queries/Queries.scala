@@ -634,6 +634,20 @@ object Queries {
         col("view_value"))
       .orderBy("click_id", "view_id")
 
+  /** Batch mirror of the stream-static enrichment join
+    * ([[graft.streaming.EventStreams.enrichedTumblingCounts]]): events
+    * enriched against a RESTRICTED customer dim (c_custkey < 100) so the
+    * left-join's kept-unmatched path is exercised non-vacuously (users
+    * 100-149 land in '(none)'). */
+  val st06StreamStatic: Q = (s, dir) =>
+    graft.streaming.EventStreams.enrichedTumblingCounts(
+        tbl(s, dir, "events").withColumn("ts", eventsTsMicros),
+        tbl(s, dir, "customer").filter(col("c_custkey") < 100)
+          .select(col("c_custkey"), col("c_mktsegment")))
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("segment"), col("cnt"), col("sum_value_r"))
+      .orderBy("win_start", "segment")
+
   /** Gap-based sessionization via analytic lag + running flag-sum — the
     * batch mirror of flatMapGroupsWithState sessionization. */
   val st02Sessionize: Q = (s, dir) => {
@@ -1086,6 +1100,7 @@ object Queries {
     "st02_sessionize" -> st02Sessionize,
     "st03_sliding_window" -> st03SlidingWindow,
     "st04_interval_join" -> st04IntervalJoin,
-    "st05_window_topk" -> st05WindowTopk
+    "st05_window_topk" -> st05WindowTopk,
+    "st06_stream_static" -> st06StreamStatic
   )
 }

@@ -29,6 +29,27 @@ object EventStreams {
         col("sum_value_r"))
 
   /**
+   * Stream-static enrichment join: each micro-batch of the event stream
+   * joins a STATIC dimension frame (user -> market segment). The static
+   * side never enters streaming state — Spark re-plans it per batch as a
+   * broadcast hash join, so the stream is never shuffled for the lookup
+   * and dimension updates between batches are picked up for free. The
+   * LEFT join keeps events with no dimension row (explicit '(none)'
+   * segment): an enrichment gap must never silently drop stream rows.
+   * Downstream, the usual watermark-bounded tumbling aggregation — the
+   * join adds zero state to it.
+   */
+  def enrichedTumblingCounts(events: DataFrame, dim: DataFrame,
+                             watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(broadcast(dim), events("user_id") === dim("c_custkey"), "left")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("(none)")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("segment"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value_r"))
+      .select(col("w.start").as("win_start"), col("segment"), col("cnt"),
+        col("sum_value_r"))
+
+  /**
    * Streaming windowed top-k: the k highest-value events per (1-hour
    * window, event_type) through the native bounded-heap
    * [[graft.functions.TopK]] aggregate. A TypedImperativeAggregate's

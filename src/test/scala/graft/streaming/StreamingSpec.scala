@@ -132,6 +132,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === Set((11L, 10L), (13L, 12L)))
   }
 
+  test("stream-static enrichment join agrees with its batch mirror, '(none)' kept") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // dim covers users 1 and 2; user 3 must survive into '(none)'
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val events = Seq(
+      Event(0, ts(5), 1, "click", 1.0), Event(1, ts(10), 2, "view", 2.0),
+      Event(2, ts(15), 3, "click", 4.0), Event(3, ts(70), 1, "click", 8.0))
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val q = EventStreams.enrichedTumblingCounts(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(date_format(col("win_start"), "HH:mm").as("w"), col("segment"),
+        col("cnt"), col("sum_value_r"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val streamed = norm(spark.table("enrich"))
+    val batch = norm(EventStreams.enrichedTumblingCounts(events.toDF(), dim))
+    assert(streamed === batch)
+    assert(streamed === Set(
+      ("00:00", "BUILDING", 1L, 1.0), ("00:00", "MACHINERY", 1L, 2.0),
+      ("00:00", "(none)", 1L, 4.0), ("01:00", "BUILDING", 1L, 8.0)))
+  }
+
   test("streaming near-dup dedup keeps the first doc per content fingerprint") {
     val s = spark
     import s.implicits._
