@@ -309,6 +309,19 @@ object Oracle {
         |       CAST(max(shared) AS BIGINT) AS max_shared
         |FROM ov WHERE shared >= 2 GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // Admission = NOT IN existing fingerprints; within-batch keep-first by
+    // min doc_id per fingerprint. Mirrors the 5-word-prefix canonical key.
+    "d10_incremental_dedup" ->
+      """WITH k AS (SELECT doc_id, lang, source,
+        |  md5(list_aggregate(string_split(text, ' ')[1:5], 'string_agg', ' ')) AS fp
+        |  FROM documents),
+        |fresh AS (SELECT * FROM k WHERE doc_id % 3 = 0
+        |  AND fp NOT IN (SELECT fp FROM k WHERE doc_id % 3 <> 0)),
+        |w AS (SELECT fp, min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+        |SELECT f.doc_id, f.lang, f.source FROM fresh f
+        |JOIN w ON f.fp = w.fp AND f.doc_id = w.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
+
     // Identical EXACT semantics to d08 (mod-89 split): the Bloom gate is a
     // pure pre-filter and must be invisible in the answer.
     "d09_bloom_decontaminate" ->
@@ -664,6 +677,17 @@ object Oracle {
         |       FROM bg g JOIN c2 USING (b2) JOIN c1 ON g.w1 = c1.wd CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp_r
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The oracle is the window form the heap aggregate replaces: rank DESC
+    // with doc_id ASC tie-break is TopK's exact total order.
+    "t13_source_quota" ->
+      """WITH b AS (SELECT source, doc_id,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS rk
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, rk,
+        |  row_number() OVER (PARTITION BY source ORDER BY rk DESC, doc_id) AS rnk FROM b)
+        |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, rk
+        |FROM r WHERE rnk <= 15 ORDER BY source, rnk""".stripMargin,
 
     // rank key is all-integer (tf desc, df asc, term asc) so row selection
     // never rides on a float comparison; ln() ulp noise lives only in the

@@ -455,6 +455,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** D10: incremental dedup ([[Dedup.incrementalDedup]]) — admit the new
+    * dump (doc_id % 3 == 0) against the existing corpus, keyed on a
+    * canonical 5-word-prefix fingerprint so near-dup families share an
+    * admission key (the full-content key is d01/d02's surface; at sf0.01
+    * it would make the anti-join vacuously total). */
+  val d10IncrementalDedup: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val fp = (t: Column) => md5(array_join(slice(split(t, " "), 1, 5), " "))
+    Dedup.incrementalDedup(
+        newBatch = docs.filter(col("doc_id") % 3 === 0),
+        corpus = docs.filter(col("doc_id") % 3 =!= 0),
+        fpOf = fp)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** D9: Bloom-prefiltered decontamination — same exact-overlap semantics
     * as d08 (the oracle is the same exact SQL: Bloom false positives are
     * discarded by the verifying join, false negatives don't exist), but
@@ -810,6 +826,25 @@ object Queries {
     Dedup.lineDedup(docs, lines).orderBy("doc_id")
   }
 
+  /** T13: fixed-quota per-source sampling — the training-mix knob that
+    * caps every source at N docs, deterministically (md5-rank election, no
+    * RNG: reruns and retries pick identical docs). Selection runs through
+    * the native bounded-heap [[graft.functions.TopK]] aggregate: state is
+    * quota x sources pairs with map-side partials, where the window form
+    * sorts each source's full row set to keep 15. The 32-bit md5-prefix
+    * rank is exact in the heap's double ord; ties break on doc_id inside
+    * the aggregate itself, so the pick is total. */
+  val t13SourceQuota: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .withColumn("rk", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as double)"))
+      .groupBy(col("source"))
+      .agg(graft.functions.VectorAggregates.topK(col("rk"), col("doc_id"), 15).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("source"), (col("rnk0") + 1).cast("long").as("rnk"),
+        col("t.id").as("doc_id"), col("t.ord").cast("long").as("rk"))
+      .orderBy("source", "rnk")
+
   /** T12: corpus-trained bigram-LM fluency scoring ([[TextOps.bigramLm]]) —
     * the CCNet/KenLM-style quality signal. Three aggregations/joins, all
     * partial-aggregated equi-joins on word/bigram keys; V is a plan
@@ -1061,6 +1096,7 @@ object Queries {
     "d07_dedup_components" -> d07DedupComponents,
     "d08_decontaminate" -> d08Decontaminate,
     "d09_bloom_decontaminate" -> d09BloomDecontaminate,
+    "d10_incremental_dedup" -> d10IncrementalDedup,
     "t01_token_count" -> t01TokenCount,
     "t02_text_quality" -> t02TextQuality,
     "t03_langid" -> t03Langid,
@@ -1079,6 +1115,7 @@ object Queries {
     "t10_pii_redact" -> t10PiiRedact,
     "t11_line_dedup" -> t11LineDedup,
     "t12_bigram_lm" -> t12BigramLm,
+    "t13_source_quota" -> t13SourceQuota,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,

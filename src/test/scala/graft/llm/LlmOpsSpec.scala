@@ -296,6 +296,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("incremental dedup: corpus-present content rejected, batch keeps first") {
+    val corpus = docsDf(Seq(1L -> "a b c", 2L -> "x y z"))
+    val batch = docsDf(Seq(
+      10L -> "a b c",  // already in the corpus -> rejected
+      11L -> "p q r", 12L -> "p q r", // within-batch dup -> keep 11
+      13L -> "u v w"))
+    val got = Dedup.incrementalDedup(batch, corpus)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(got.toSeq === Seq(11L, 13L))
+  }
+
   test("decontaminateBloom equals the exact scan and its gate actually prunes") {
     val train = docs.filter(col("doc_id") % 89 =!= 0)
     val bench = docs.filter(col("doc_id") % 89 === 0)
