@@ -69,7 +69,30 @@ object Plans {
       "TypedImperativeAggregate: partial_top_k runs before the exchange, " +
       "so each mapper ships at most k pairs per group — shuffle volume " +
       "groups x k, independent of row count, where the window form sorts " +
-      "every group's full row set inside one task."))
+      "every group's full row set inside one task."),
+    "d09_bloom_decontaminate" -> ("Bloom-prefiltered decontamination: the " +
+      "might_contain gate (a binary-literal Bloom built by ONE aggregation " +
+      "over the small bench side) filters documents BEFORE their shingles " +
+      "explode — at 100 TB the >99% clean majority is rejected map-side " +
+      "without ever materializing posting rows; the exact broadcast join " +
+      "verifies only the survivors, so the answer equals d08's."),
+    "d10_incremental_dedup" -> ("Incremental admission: LEFT ANTI " +
+      "equi-join on the 16-byte canonical fingerprint (only hashes " +
+      "shuffle, text stays put), then the keep-first election " +
+      "partial-aggregates min(doc_id) per fingerprint and semi-joins " +
+      "back. No window sort anywhere."),
+    "t13_source_quota" -> ("Fixed-quota sampling through the bounded " +
+      "heap: partial_top_k ships at most quota pairs per source per " +
+      "mapper; the md5 rank makes the pick deterministic across reruns " +
+      "and the shuffle volume sources x quota, independent of corpus " +
+      "size."),
+    "a12_argmax" -> ("Arg-max as ONE hash aggregation: max over the " +
+      "(value, id) struct with map-side partials — one struct of state " +
+      "per group; the window form this replaces sorts every group's " +
+      "full row set to keep one row."),
+    "x11_rolling_window" -> ("Trailing 7-day aggregates via a RANGE " +
+      "frame: one hash exchange on the customer key, one partition-local " +
+      "sort — the naive interval self-join is quadratic on active keys."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

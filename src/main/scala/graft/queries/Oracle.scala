@@ -741,6 +741,35 @@ object Oracle {
         |       o_totalprice AS best_price, CAST(cnt AS BIGINT) AS cnt
         |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
 
+    "a13_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+        |       count(*) AS cnt, round(avg(o_totalprice), 2) AS avg_price_r
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Running max(view ts) over each user's sequence; click converts if a
+    // view precedes it by <= 30 min. Same default RANGE frame both engines.
+    "a14_funnel" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
+        |           FROM events),
+        |m AS (SELECT *, max(CASE WHEN event_type = 'view' THEN tsu END)
+        |        OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS last_view
+        |      FROM e)
+        |SELECT user_id, count(*) AS n_clicks,
+        |  CAST(sum(CASE WHEN last_view IS NOT NULL AND tsu - last_view <= 1800000000
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+        |  CAST(max(CASE WHEN last_view IS NOT NULL AND tsu - last_view <= 1800000000
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |FROM m WHERE event_type = 'click' GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The merged two-generation read must aggregate exactly like the CASE
+    // projection over the unified source.
+    "s09_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS n_with_source,
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars END), 0) AS BIGINT)
+        |    AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "x11_rolling_window" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,
         |  CAST(epoch(o_orderdate) AS BIGINT) AS es, o_totalprice

@@ -110,6 +110,27 @@ object Queries {
       .orderBy("lang", "source")
   }
 
+  /** S9: schema-evolution read — two dump generations with different
+    * schemas (an old dump lacking source/n_chars, a new full one) unified
+    * by an explicit mergeSchema scan; absent columns surface as NULL and
+    * aggregate accordingly. At 100 TB schema drift across monthly dumps is
+    * the norm; the alternative (rewriting old dumps) is a full-corpus
+    * write. Oracle runs the equivalent CASE projection on the source. */
+  val s09SchemaEvolution: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val docs = tbl(s, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("source")).as("n_with_source"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** P4: street-name-coalesce shape (conditional display name). */
   val p04NameCoalesce: Q = (s, dir) =>
     tbl(s, dir, "part")
@@ -1012,6 +1033,40 @@ object Queries {
         coalesce(col("P_cnt"), lit(0L)).as("p_cnt"), col("P_sum_r").as("p_sum_r"))
       .orderBy("o_orderpriority")
 
+  /** A13: fixed-width histogram — the one-pass distribution profile
+    * (price buckets here; token-length buckets in a corpus audit). Bucket
+    * id is a pure projection, so the whole histogram is one partial-
+    * aggregated shuffle of bucket ids; both engines compute the same
+    * double division before floor, so bucket edges are bit-identical. */
+  val a13Histogram: Q = (s, dir) =>
+    tbl(s, dir, "orders")
+      .withColumn("bucket", floor(col("o_totalprice") / 25000).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), round(avg(col("o_totalprice")), 2).as("avg_price_r"))
+      .orderBy("bucket")
+
+  /** A14: funnel conversion — for every click, was there a view by the
+    * same user within the preceding 30 minutes? One key shuffle + one
+    * partition-local sort: a running `max(view ts)` over the user's
+    * event sequence replaces the naive view x click interval self-join
+    * (quadratic on active users). Microsecond precision both sides. */
+  val a14Funnel: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__tsu"), col("event_id"))
+    val conv = col("last_view").isNotNull &&
+      (col("__tsu") - col("last_view")) <= lit(30L * 60 * 1000000)
+    tbl(s, dir, "events")
+      .withColumn("__tsu", expr("ts div 1000"))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("__tsu"))).over(w))
+      .filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when(conv, 1L).otherwise(0L)).as("n_conv"),
+        max(when(conv, 1L).otherwise(0L)).as("converted"))
+      .orderBy("user_id")
+  }
+
   /** A12: per-group arg-max as ONE hash aggregation with map-side partials
     * — `max` over a (value, tie-break key) struct picks a deterministic
     * winner lexicographically, where the window form (a07's shape) shuffles
@@ -1128,6 +1183,9 @@ object Queries {
     "a10_topk_agg" -> a10TopkAgg,
     "a11_lead_lag" -> a11LeadLag,
     "a12_argmax" -> a12Argmax,
+    "a13_histogram" -> a13Histogram,
+    "a14_funnel" -> a14Funnel,
+    "s09_schema_evolution" -> s09SchemaEvolution,
     "x11_rolling_window" -> x11RollingWindow,
     "x03_set_ops" -> x03SetOps,
     "m01_multimodal_meta" -> m01MultimodalMeta,
