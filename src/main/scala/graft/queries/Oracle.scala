@@ -741,6 +741,35 @@ object Oracle {
         |       o_totalprice AS best_price, CAST(cnt AS BIGINT) AS cnt
         |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
 
+    // Mode with deterministic tie-break: max count, then alphabetically
+    // first type — exactly min(struct(-cnt, value)).
+    "a15_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, cnt,
+        |        sum(cnt) OVER (PARTITION BY user_id) AS n_events,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY cnt DESC, event_type) AS rn FROM c)
+        |SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS mode_cnt,
+        |       CAST(n_events AS BIGINT) AS n_events
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // CDC diff across dump generations: FULL OUTER on the key, classify,
+    // drop the unchanged majority.
+    "x13_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id AS o_id, md5(text) AS o_hash FROM documents
+        |           WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id AS n_id,
+        |        md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS n_hash
+        |      FROM documents WHERE doc_id % 11 <> 0),
+        |j AS (SELECT o_id, n_id, o_hash, n_hash,
+        |        CASE WHEN o_id IS NULL THEN 'added'
+        |             WHEN n_id IS NULL THEN 'removed'
+        |             WHEN o_hash <> n_hash THEN 'changed' END AS status
+        |      FROM o FULL OUTER JOIN n ON o.o_id = n.n_id)
+        |SELECT coalesce(o_id, n_id) AS doc_id, status FROM j
+        |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
+
     "a13_histogram" ->
       """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
         |       count(*) AS cnt, round(avg(o_totalprice), 2) AS avg_price_r

@@ -1067,6 +1067,47 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** A15: per-group mode (most frequent value) in TWO partial-aggregated
+    * hash aggregations — counts per (group, value), then a deterministic
+    * arg-max via `min(struct(-cnt, value))` (max count, alphabetically
+    * first value on ties). No window, no sort: state is one pair per
+    * (group, value) then one struct per group. */
+  val a15Mode: Q = (s, dir) =>
+    tbl(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("event_type").as("et"))).as("m"),
+        sum(col("cnt")).as("n_events"))
+      .select(col("user_id"), col("m.et").as("mode_type"),
+        (-col("m.neg")).as("mode_cnt"), col("n_events"))
+      .orderBy("user_id")
+
+  /** X13: snapshot diff (CDC) — classify rows across two dump generations
+    * as added / removed / changed by a FULL OUTER join on the key with
+    * content-hash comparison. The 100 TB shape of "what changed since last
+    * month's dump": one co-partitioned shuffle on the key, hashes compared
+    * in place, unchanged rows (the overwhelming majority) dropped before
+    * anything else moves. Old = docs outside mod-7; new = all docs minus
+    * mod-11, with mod-5 texts rewritten — every branch non-vacuous. */
+  val x13SnapshotDiff: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("o_id"), md5(col("text")).as("o_hash"))
+    val neu = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id").as("n_id"),
+        md5(when(col("doc_id") % 5 === 0, upper(col("text")))
+          .otherwise(col("text"))).as("n_hash"))
+    old.join(neu, col("o_id") === col("n_id"), "full_outer")
+      .withColumn("status",
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("o_hash") =!= col("n_hash"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(coalesce(col("o_id"), col("n_id")).as("doc_id"), col("status"))
+      .orderBy("doc_id")
+  }
+
   /** A12: per-group arg-max as ONE hash aggregation with map-side partials
     * — `max` over a (value, tie-break key) struct picks a deterministic
     * winner lexicographically, where the window form (a07's shape) shuffles
@@ -1185,6 +1226,8 @@ object Queries {
     "a12_argmax" -> a12Argmax,
     "a13_histogram" -> a13Histogram,
     "a14_funnel" -> a14Funnel,
+    "a15_mode" -> a15Mode,
+    "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
     "x11_rolling_window" -> x11RollingWindow,
     "x03_set_ops" -> x03SetOps,
