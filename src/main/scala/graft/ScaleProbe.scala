@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
  *
  * Run: sbt "runMain graft.ScaleProbe"
  *
- * Measured on local[32] (2026-08-12, round-4 operator set): 10x data costs
- * 1.2-3.0x wall — d03 3.3->7.0s, d04 2.0->5.9s, d07 5.7->14.8s,
- * t09 2.6->3.8s, d08 0.9->1.7s, t11 2.3->2.8s, v03 2.8->3.6s,
- * v05 1.4->3.2s — candidate generation stays equi-join-bound with no
- * quadratic blowup, the executable form of the 100x-scale claim.
+ * Measured on local[32] (2026-08-12, round-4 final operator set): 10x data
+ * costs 1.2-4.7x wall — d03 3.0->6.2s, d04 1.9->4.6s, d07 2.9->13.8s,
+ * t09 2.1->4.5s, d08 0.7->1.6s, d09 1.3->2.5s, d10 0.8->0.9s,
+ * t11 2.1->2.6s, t12 1.8->2.9s, v03 2.5->3.7s, v05 1.1->3.6s —
+ * candidate generation stays equi-join-bound with no quadratic blowup,
+ * the executable form of the 100x-scale claim. (d07's ratio is the label-
+ * propagation round count growing with the pair-graph diameter, not a
+ * per-row blowup.)
  */
 object ScaleProbe {
   def time[T](label: String)(f: => T)(implicit spark: SparkSession): T = {
@@ -93,6 +96,18 @@ object ScaleProbe {
           .withColumn("line_no", col("line_no").cast("long"))
         graft.llm.Dedup.lineDedup(d, lines)
           .write.format("noop").mode("overwrite").save() }
+      time(s"$tag d09 bloom decontaminate") {
+        graft.llm.Dedup.decontaminateBloom(
+            d.filter(col("doc_id") % 89 =!= 0), d.filter(col("doc_id") % 89 === 0),
+            w = 3, minShared = 2)
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag d10 incremental dedup") {
+        graft.llm.Dedup.incrementalDedup(
+            d.filter(col("doc_id") % 3 === 0), d.filter(col("doc_id") % 3 =!= 0),
+            t => md5(array_join(slice(split(t, " "), 1, 5), " ")))
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag t12 bigram lm") {
+        graft.llm.TextOps.bigramLm(d).write.format("noop").mode("overwrite").save() }
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val q = e.filter(col("vec_id") < 32)
       time(s"$tag v03 ann lsh") {

@@ -381,4 +381,38 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     rerank(candidates, emb, queries, k)
   }
+
+  /** Deterministic ±1 sign for projection plane `p`, input dimension `j`:
+    * parity of the first hex character of md5("p,j"). Seedless and
+    * engine-mirrorable (the oracle recomputes the identical rule in SQL),
+    * with the statistical guarantees of Achlioptas' database-friendly
+    * random projections (±1 entries). */
+  def projectionSign(p: Int, j: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p,$j".getBytes("UTF-8"))
+    val hexChar = "%x".format((h(0) >> 4) & 0xf).charAt(0)
+    if (hexChar.toInt % 2 == 0) 1.0 else -1.0
+  }
+
+  /**
+   * Random-projection dimensionality reduction: dim-`dims` embeddings down
+   * to `outDims` components via a deterministic ±1 plane matrix
+   * ([[projectionSign]] — no RNG state, reruns and retries project
+   * identically on any cluster). Johnson-Lindenstrauss at the usual rates;
+   * the projection is MAP-ONLY: the outDims x dims sign matrix rides into
+   * the plan as literals, each component is a codegen'd zip_with/aggregate
+   * fold over the vector, one corpus scan, no shuffle. At 100 TB this is
+   * the standard pre-pass that shrinks an embedding corpus before ANN
+   * indexing or clustering ever touches it.
+   */
+  def randomProjection(emb: DataFrame, dims: Int, outDims: Int): DataFrame = {
+    val projCols = (0 until outDims).map { p =>
+      val signs = typedLit((0 until dims).map(j => projectionSign(p, j)))
+      round(aggregate(
+          zip_with(col("embedding"), signs, (x, s) => x * s),
+          lit(0.0), (acc, x) => acc + x), 6)
+        .as(s"proj$p")
+    }
+    emb.select(col("vec_id") +: projCols: _*)
+  }
 }

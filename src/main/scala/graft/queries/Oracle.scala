@@ -678,6 +678,27 @@ object Oracle {
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp_r
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Recomputes the engine's deterministic sign rule (parity of the first
+    // md5 hex char of "p,j") and folds the same dot products; sums are
+    // FP-rounded on both sides.
+    "v07_random_projection" ->
+      """WITH u AS (SELECT vec_id, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) AS j FROM embeddings),
+        |s AS (SELECT vec_id, j - 1 AS j0, CAST(x AS DOUBLE) AS x FROM u),
+        |m AS (SELECT p, j0,
+        |        CASE WHEN ascii(substring(md5(p || ',' || j0), 1, 1)) % 2 = 0
+        |             THEN 1.0 ELSE -1.0 END AS sgn
+        |      FROM (SELECT unnest(range(0, 4)) AS p)
+        |      CROSS JOIN (SELECT DISTINCT j0 FROM s)),
+        |pr AS (SELECT s.vec_id, m.p, round(sum(s.x * m.sgn), 6) AS v
+        |       FROM s JOIN m ON s.j0 = m.j0 GROUP BY 1, 2)
+        |SELECT vec_id,
+        |  max(CASE WHEN p = 0 THEN v END) AS proj0,
+        |  max(CASE WHEN p = 1 THEN v END) AS proj1,
+        |  max(CASE WHEN p = 2 THEN v END) AS proj2,
+        |  max(CASE WHEN p = 3 THEN v END) AS proj3
+        |FROM pr GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     // The oracle is the window form the heap aggregate replaces: rank DESC
     // with doc_id ASC tie-break is TopK's exact total order.
     "t13_source_quota" ->

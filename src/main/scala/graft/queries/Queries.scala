@@ -847,6 +847,14 @@ object Queries {
     Dedup.lineDedup(docs, lines).orderBy("doc_id")
   }
 
+  /** V7: random-projection dimensionality reduction
+    * ([[Similarity.randomProjection]]) — 64-dim embeddings to 4 projected
+    * components through a deterministic md5-seeded ±1 matrix. Map-only,
+    * no shuffle; the oracle recomputes the identical sign rule in SQL. */
+  val v07RandomProjection: Q = (s, dir) =>
+    Similarity.randomProjection(tbl(s, dir, "embeddings"), dims = 64, outDims = 4)
+      .orderBy("vec_id")
+
   /** T13: fixed-quota per-source sampling — the training-mix knob that
     * caps every source at N docs, deterministically (md5-rank election, no
     * RNG: reruns and retries pick identical docs). Selection runs through
@@ -1203,6 +1211,7 @@ object Queries {
     "v04_norms" -> v04Norms,
     "v05_ann_ivf" -> v05AnnIvf,
     "v06_quantize" -> v06Quantize,
+    "v07_random_projection" -> v07RandomProjection,
     "t05_normalize" -> t05Normalize,
     "t06_stratified_sample" -> t06StratifiedSample,
     "t07_repetition" -> t07Repetition,

@@ -536,6 +536,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in IVF plan:\n$plan")
   }
 
+  test("random projection: deterministic signs and JL distance preservation at d'=32") {
+    // the sign rule is pure: same (p, j) -> same sign, and roughly balanced
+    val signs = for (p <- 0 until 32; j <- 0 until 64)
+      yield Similarity.projectionSign(p, j)
+    assert(signs.forall(s => s == 1.0 || s == -1.0))
+    val plus = signs.count(_ == 1.0).toDouble / signs.size
+    assert(plus > 0.4 && plus < 0.6, s"sign balance off: $plus")
+
+    val sample = emb.filter(col("vec_id") < 40)
+    val raw = sample.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val proj = Similarity.randomProjection(sample, dims = 64, outDims = 32)
+      .collect()
+      .map(r => r.getLong(0) -> (1 until 33).map(r.getDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // E[||P(a-b)||^2] = d' * ||a-b||^2 for +-1 planes: the scaled ratio
+    // concentrates around 1 (Johnson-Lindenstrauss)
+    val ids = raw.keys.toSeq.sorted
+    val ratios = for (i <- ids.indices; j <- 0 until i) yield {
+      val (a, b) = (ids(i), ids(j))
+      d2(proj(a), proj(b)) / (32.0 * d2(raw(a), raw(b)))
+    }
+    assert(ratios.forall(r => r > 0.35 && r < 2.5),
+      s"pairwise distortion out of range: min=${ratios.min} max=${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.85 && mean < 1.15, s"mean distortion $mean")
+  }
+
   test("blocked cosine pairs match the declarative all-pairs join bit-for-bit") {
     def collect(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
