@@ -128,10 +128,23 @@ case class FloatVecNorm(child: Expression)
 
 /**
  * SparkSessionExtensions entry point:
- * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
- * vec_dot/vec_norm available in every session of the cluster.
+ * `--conf spark.sql.extensions=graft.functions.GraftExtensions` registers
+ * the library's full native-function surface in every session of the
+ * cluster, so plain `spark.sql` users (notebooks, JDBC, SQL pipelines) get
+ * the codegen'd kernels and bounded-state aggregates without touching the
+ * Scala API. Scalar args that parameterize codegen (shingle width, top-k
+ * size, stopword lists) must be literals — evaluated once at resolution.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def litInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+  private def litStrings(e: Expression): Seq[String] = e.eval() match {
+    case a: ArrayData =>
+      a.toObjectArray(StringType).map(_.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"expected a string-array literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
@@ -141,10 +154,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => FloatVecNorm(exprs(0))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), litInt(exprs(1)))))
     ext.injectFunction((FunctionIdentifier("word_count"),
       new ExpressionInfo(classOf[WordCount].getName, "word_count"),
       (exprs: Seq[Expression]) => WordCount(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("regex_token_count"),
+      new ExpressionInfo(classOf[RegexTokenCount].getName, "regex_token_count"),
+      (exprs: Seq[Expression]) => RegexTokenCount(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("stopword_count"),
+      new ExpressionInfo(classOf[StopwordCount].getName, "stopword_count"),
+      (exprs: Seq[Expression]) => StopwordCount(exprs(0), litStrings(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("normalize_spaces"),
+      new ExpressionInfo(classOf[NormalizeSpaces].getName, "normalize_spaces"),
+      (exprs: Seq[Expression]) => NormalizeSpaces(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("rd_lat"),
+      new ExpressionInfo(classOf[RdToLat].getName, "rd_lat"),
+      (exprs: Seq[Expression]) => RdToLat(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("rd_lon"),
+      new ExpressionInfo(classOf[RdToLon].getName, "rd_lon"),
+      (exprs: Seq[Expression]) => RdToLon(exprs(0), exprs(1))))
+    // aggregates: the analyzer wraps a bare AggregateFunction from a
+    // registry builder into an AggregateExpression
+    ext.injectFunction((FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
+      (exprs: Seq[Expression]) => VecSum(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopK].getName, "top_k"),
+      (exprs: Seq[Expression]) => TopK(exprs(0), exprs(1), litInt(exprs(2)))))
   }
 }

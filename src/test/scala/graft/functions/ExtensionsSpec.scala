@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The SQL-surface contract: a session configured with
+ * `spark.sql.extensions=graft.functions.GraftExtensions` can call every
+ * native kernel/aggregate from plain SQL, and the results match the
+ * Column-API forms the rest of the suite already verifies.
+ */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // a dedicated session: extensions bind at session build time
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("extensions-spec")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("scalar kernels resolve and compute from plain SQL") {
+    val r = spark.sql(
+      """SELECT word_count('a b c') AS wc,
+        |       regex_token_count('ab cd 12') AS rc,
+        |       stopword_count('the cat and the hat', array('the', 'and')) AS sc,
+        |       normalize_spaces('  A  b   C ') AS ns,
+        |       size(shingle_hashes('a b c d', 3)) AS nsh,
+        |       round(vec_dot(array(cast(1.0 as float), cast(2.0 as float)),
+        |                     array(cast(3.0 as float), cast(4.0 as float))), 6) AS dot,
+        |       round(vec_norm(array(cast(3.0 as float), cast(4.0 as float))), 6) AS nrm,
+        |       round(rd_lat(155000.0d, 463000.0d), 6) AS lat,
+        |       round(rd_lon(155000.0d, 463000.0d), 6) AS lon
+        |""".stripMargin).head()
+    assert(r.getAs[Int]("wc") === 3)
+    assert(r.getAs[Int]("rc") === 3)
+    assert(r.getAs[Int]("sc") === 3)
+    assert(r.getAs[String]("ns") === "a b c")
+    assert(r.getAs[Int]("nsh") === 2)
+    assert(r.getAs[Double]("dot") === 11.0)
+    assert(r.getAs[Double]("nrm") === 5.0)
+    // RD origin of the published transform: Amersfoort
+    assert(math.abs(r.getAs[Double]("lat") - 52.155174) < 1e-4)
+    assert(math.abs(r.getAs[Double]("lon") - 5.387206) < 1e-4)
+  }
+
+  test("native aggregates resolve from SQL and partial-aggregate") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", 3.0, Seq(1.0f, 2.0f)), (2L, "a", 7.0, Seq(3.0f, 4.0f)),
+        (3L, "b", 5.0, Seq(10.0f, 20.0f)))
+      .toDF("id", "g", "v", "emb").createOrReplaceTempView("t")
+    val top = spark.sql(
+      """SELECT g, top_k(v, id, 1) AS top, vec_sum(emb) AS vs
+        |FROM t GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(top.length === 2)
+    val a = top(0)
+    assert(a.getAs[Seq[org.apache.spark.sql.Row]]("top").head.getLong(1) === 2L)
+    assert(a.getAs[Seq[Double]]("vs") === Seq(4.0, 6.0))
+    val b = top(1)
+    assert(b.getAs[Seq[org.apache.spark.sql.Row]]("top").head.getLong(1) === 3L)
+    // the SQL aggregate runs with a map-side partial, same as the Column form
+    val plan = spark.sql("SELECT g, top_k(v, id, 1) FROM t GROUP BY g")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k"), s"no partial aggregation:\n$plan")
+  }
+}
