@@ -94,6 +94,12 @@ object Oracle {
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // Same lossless-boundary contract as s06/s07, through ORC.
+    "s10_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     // Runs against the SOURCE parquet: the partitioned write + pruned read
     // must be a lossless identity over the selected languages.
     "s08_partition_prune" ->
@@ -858,6 +864,17 @@ object Oracle {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value_r
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // Quality gate -> keep-first fingerprint election -> per-lang counts:
+    // the deterministic batch form of the streaming ingest front door.
+    "st07_stream_ingest" ->
+      """WITH g AS (SELECT doc_id, lang,
+        |    md5(list_aggregate(string_split(text, ' ')[1:5], 'string_agg', ' ')) AS fp
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 30),
+        |w AS (SELECT fp, min(doc_id) AS doc_id FROM g GROUP BY fp)
+        |SELECT g.lang, count(*) AS n_admitted
+        |FROM g JOIN w ON g.fp = w.fp AND g.doc_id = w.doc_id
+        |GROUP BY g.lang ORDER BY g.lang""".stripMargin,
 
     // Stream-static enrichment mirror: LEFT join keeps unmatched users in
     // an explicit '(none)' segment (dim restricted to make that path real).

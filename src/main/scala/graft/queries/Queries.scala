@@ -110,6 +110,23 @@ object Queries {
       .orderBy("lang", "source")
   }
 
+  /** S10: ORC sink + source roundtrip — the second columnar format a
+    * warehouse interchange needs beside parquet (same explicit-schema,
+    * no-inference discipline; ORC read paths are vectorized like parquet).
+    * Content fidelity by the s06/s07 aggregate contract against the SOURCE
+    * parquet. */
+  val s10OrcRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    tbl(s, dir, "documents").write.mode("overwrite").orc(tmp)
+    s.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .orc(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_texts"))
+      .orderBy("lang")
+  }
+
   /** S9: schema-evolution read — two dump generations with different
     * schemas (an old dump lacking source/n_chars, a new full one) unified
     * by an explicit mergeSchema scan; absent columns surface as NULL and
@@ -685,6 +702,22 @@ object Queries {
         col("segment"), col("cnt"), col("sum_value_r"))
       .orderBy("win_start", "segment")
 
+  /** Batch mirror of the composed streaming ingest
+    * ([[graft.streaming.EventStreams.ingestStream]]): quality gate ->
+    * keep-first fingerprint dedup -> per-language admission counts. The
+    * batch election is the deterministic min-doc_id form of the stream's
+    * first-arrival-wins (StreamingSpec proves they coincide under ordered
+    * arrival). */
+  val st07StreamIngest: Q = (s, dir) => {
+    val gated = tbl(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 30)
+      .withColumn("__fp", md5(array_join(slice(split(col("text"), " "), 1, 5), " ")))
+    val winners = gated.groupBy("__fp").agg(min(col("doc_id")).as("doc_id"))
+    gated.join(winners, Seq("__fp", "doc_id"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("n_admitted"))
+      .orderBy("lang")
+  }
+
   /** Gap-based sessionization via analytic lag + running flag-sum — the
     * batch mirror of flatMapGroupsWithState sessionization. */
   val st02Sessionize: Q = (s, dir) => {
@@ -1238,6 +1271,7 @@ object Queries {
     "a15_mode" -> a15Mode,
     "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
+    "s10_orc_roundtrip" -> s10OrcRoundtrip,
     "x11_rolling_window" -> x11RollingWindow,
     "x03_set_ops" -> x03SetOps,
     "m01_multimodal_meta" -> m01MultimodalMeta,
@@ -1248,6 +1282,7 @@ object Queries {
     "st03_sliding_window" -> st03SlidingWindow,
     "st04_interval_join" -> st04IntervalJoin,
     "st05_window_topk" -> st05WindowTopk,
-    "st06_stream_static" -> st06StreamStatic
+    "st06_stream_static" -> st06StreamStatic,
+    "st07_stream_ingest" -> st07StreamIngest
   )
 }

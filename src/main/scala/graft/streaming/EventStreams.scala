@@ -50,6 +50,24 @@ object EventStreams {
         col("sum_value_r"))
 
   /**
+   * Composed streaming corpus ingest — the streaming form of the batch
+   * admission chain (quality gate -> canonical-fingerprint dedup -> admit):
+   * documents arrive as a stream, a stateless word-count gate drops
+   * low-quality rows map-side, and `dropDuplicatesWithinWatermark` admits
+   * the FIRST doc per 5-word-prefix fingerprint, holding one 16-byte key
+   * per admitted doc inside the watermark horizon — the only state in the
+   * pipeline. At 100 TB/day this is the kafka->corpus front door: the
+   * gate never shuffles, dedup shuffles fingerprints only.
+   */
+  def ingestStream(docs: DataFrame, minWords: Int = 30,
+                   watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .filter(size(split(col("text"), " ")) >= minWords)
+      .withColumn("__fp", md5(array_join(slice(split(col("text"), " "), 1, 5), " ")))
+      .dropDuplicatesWithinWatermark("__fp")
+      .select(col("doc_id"), col("lang"), col("ts"))
+
+  /**
    * Streaming windowed top-k: the k highest-value events per (1-hour
    * window, event_type) through the native bounded-heap
    * [[graft.functions.TopK]] aggregate. A TypedImperativeAggregate's

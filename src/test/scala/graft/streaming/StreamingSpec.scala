@@ -161,6 +161,41 @@ class StreamingSpec extends AnyFunSuite {
       ("00:00", "(none)", 1L, 4.0), ("01:00", "BUILDING", 1L, 8.0)))
   }
 
+  test("streaming ingest: gate drops low-quality, dedup admits first per fingerprint") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def doc(id: Long, minute: Int, text: String, lang: String) =
+      (id, ts(minute), text, lang)
+    val long1 = (1 to 35).map(i => s"w$i").mkString(" ")          // >= 30 words
+    val long2 = "p q r s t " + (1 to 30).map(i => s"v$i").mkString(" ")
+    val dup1 = long1 + " extra tail words here"                   // same 5-word prefix
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val q = EventStreams.ingestStream(
+        stream.toDF().toDF("doc_id", "ts", "text", "lang"), minWords = 30)
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
+    try {
+      stream.addData(doc(1, 5, long1, "en"), doc(2, 6, "too short", "en"),
+        doc(3, 7, long2, "fr"))
+      q.processAllAvailable()
+      stream.addData(doc(4, 8, dup1, "en")) // prefix-dup of doc 1: rejected
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.table("ingest").select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(admitted.toSeq === Seq(1L, 3L))
+    // and the deterministic batch election (the st07 query form) coincides
+    val batch = Seq(doc(1, 5, long1, "en"), doc(2, 6, "too short", "en"),
+      doc(3, 7, long2, "fr"), doc(4, 8, dup1, "en"))
+      .toDF("doc_id", "ts", "text", "lang")
+      .filter(size(split(col("text"), " ")) >= 30)
+      .withColumn("__fp", md5(array_join(slice(split(col("text"), " "), 1, 5), " ")))
+    val winners = batch.groupBy("__fp").agg(min(col("doc_id")).as("doc_id"))
+    val batchIds = batch.join(winners, Seq("__fp", "doc_id"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(batchIds.toSeq === admitted.toSeq)
+  }
+
   test("streaming near-dup dedup keeps the first doc per content fingerprint") {
     val s = spark
     import s.implicits._
