@@ -493,6 +493,12 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** D11: edit-distance near-dup pairs ([[Dedup.editDistancePairs]]) —
+    * shingle-candidate generation + bounded-prefix levenshtein verify. */
+  val d11EditDistance: Q = (s, dir) =>
+    Dedup.editDistancePairs(tbl(s, dir, "documents"), w = 3, maxDist = 30)
+      .orderBy("id_a", "id_b")
+
   /** D10: incremental dedup ([[Dedup.incrementalDedup]]) — admit the new
     * dump (doc_id % 3 == 0) against the existing corpus, keyed on a
     * canonical 5-word-prefix fingerprint so near-dup families share an
@@ -1234,6 +1240,7 @@ object Queries {
     "d08_decontaminate" -> d08Decontaminate,
     "d09_bloom_decontaminate" -> d09BloomDecontaminate,
     "d10_incremental_dedup" -> d10IncrementalDedup,
+    "d11_edit_distance" -> d11EditDistance,
     "t01_token_count" -> t01TokenCount,
     "t02_text_quality" -> t02TextQuality,
     "t03_langid" -> t03Langid,
