@@ -315,18 +315,19 @@ object Oracle {
         |       CAST(max(shared) AS BIGINT) AS max_shared
         |FROM ov WHERE shared >= 2 GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
-    // Same candidate CTE as d03 (rare-shingle equi-join, postings cap 1000)
+    // d03's candidate shape at w=4 with a >=2-shared-shingles gate
     // + classic levenshtein over the 10-word prefixes, identical in DuckDB.
     "d11_edit_distance" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-        |          i -> list_aggregate(w[i:i+2], 'string_agg', chr(31)))) AS s
-        |        FROM tok WHERE len(w) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+        |          i -> list_aggregate(w[i:i+3], 'string_agg', chr(31)))) AS s
+        |        FROM tok WHERE len(w) >= 4),
         |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
         |pc AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
         |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN pc USING (s)),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2 HAVING count(*) >= 2),
         |pref AS (SELECT doc_id,
         |           list_aggregate(string_split(text, ' ')[1:10], 'string_agg', ' ') AS p
         |         FROM documents)

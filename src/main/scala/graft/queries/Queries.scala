@@ -494,9 +494,10 @@ object Queries {
   }
 
   /** D11: edit-distance near-dup pairs ([[Dedup.editDistancePairs]]) —
-    * shingle-candidate generation + bounded-prefix levenshtein verify. */
+    * 4-gram-shingle candidate generation (>= 2 shared) + bounded-prefix
+    * thresholded-levenshtein verify. */
   val d11EditDistance: Q = (s, dir) =>
-    Dedup.editDistancePairs(tbl(s, dir, "documents"), w = 3, maxDist = 30)
+    Dedup.editDistancePairs(tbl(s, dir, "documents"), w = 4, maxDist = 30)
       .orderBy("id_a", "id_b")
 
   /** D10: incremental dedup ([[Dedup.incrementalDedup]]) — admit the new

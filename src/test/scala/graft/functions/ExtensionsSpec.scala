@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -8,18 +9,41 @@ import org.scalatest.funsuite.AnyFunSuite
  * `spark.sql.extensions=graft.functions.GraftExtensions` can call every
  * native kernel/aggregate from plain SQL, and the results match the
  * Column-API forms the rest of the suite already verifies.
+ *
+ * `spark.sql.extensions` is a STATIC config resolved from the
+ * SparkContext's conf — on the suite-shared context it cannot bind, so
+ * this spec uses the programmatic `builder.withExtensions(new
+ * GraftExtensions())` route (the same injection code spark-submit runs
+ * from the conf string), on a fresh session over the shared context, and
+ * restores the previous default session afterwards (suites run
+ * sequentially in the forked test JVM).
  */
-class ExtensionsSpec extends AnyFunSuite {
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  // a dedicated session: extensions bind at session build time
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("extensions-spec")
-    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private var previousDefault: Option[SparkSession] = None
+
+  // a dedicated session: extensions bind at session BUILD time
+  private lazy val spark: SparkSession = {
+    previousDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("extensions-spec")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    previousDefault.foreach { s =>
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
+    super.afterAll()
+  }
 
   test("scalar kernels resolve and compute from plain SQL") {
     val r = spark.sql(
