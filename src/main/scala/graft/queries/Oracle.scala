@@ -688,6 +688,21 @@ object Oracle {
         |FROM documents d LEFT JOIN cn ON cn.doc_id = d.doc_id
         |LEFT JOIN re ON re.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
 
+    // Novelty = 1 - (shingles with corpus df >= 2) / (doc's shingles);
+    // integer '/' is float division in both engines, quotient rounded.
+    "t14_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |          i -> list_aggregate(w[i:i+2], 'string_agg', chr(31)))) AS s
+        |        FROM tok WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+        |SELECT sh.doc_id, count(*) AS n_sh,
+        |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(1.0 - sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) / count(*), 6)
+        |    AS novelty_r
+        |FROM sh JOIN df USING (s) GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
     // Add-one-smoothed bigram LM trained on the corpus itself; the FP mean
     // is rounded (6 dp vs ~1e-13 accumulation noise), all counts exact.
     "t12_bigram_lm" ->
@@ -867,6 +882,14 @@ object Oracle {
 
     // per-column rounding sized to each statistic's accumulation noise
     // (corr 6dp dimensionless; covar 2dp over ~5e10 sums; stddevs 6/4dp)
+    "x12_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price_r
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+
     "a09_corr_stats" ->
       """SELECT l_returnflag, count(*) AS cnt,
         |       round(corr(l_quantity, l_extendedprice), 6) AS corr_r,

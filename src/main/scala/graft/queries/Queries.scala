@@ -914,6 +914,23 @@ object Queries {
         col("t.id").as("doc_id"), col("t.ord").cast("long").as("rk"))
       .orderBy("source", "rnk")
 
+  /** T14: novelty / memorization audit — the fraction of each document's
+    * distinct w-gram shingles that recur elsewhere in the corpus (df >= 2).
+    * Low novelty marks boilerplate/templated text and self-contamination.
+    * Two partial-aggregated shuffles over 8-byte shingle hashes (document
+    * frequency, then the per-doc rollup); text never shuffles. */
+  val t14Novelty: Q = (s, dir) => {
+    val sh = Dedup.docShingleHashes(tbl(s, dir, "documents"), 3)
+    val postings = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfreq = postings.groupBy("s").agg(count(lit(1)).as("df"))
+    postings.join(dfreq, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty_r", round(lit(1.0) - col("n_shared") / col("n_sh"), 6))
+      .orderBy("doc_id")
+  }
+
   /** T12: corpus-trained bigram-LM fluency scoring ([[TextOps.bigramLm]]) —
     * the CCNet/KenLM-style quality signal. Three aggregations/joins, all
     * partial-aggregated equi-joins on word/bigram keys; V is a plan
@@ -1050,6 +1067,21 @@ object Queries {
         col("cnt"), col("sum_price_r"))
       .orderBy("status", "priority")
   }
+
+  /** X12: explicit GROUPING SETS — the per-dimension marginals WITHOUT the
+    * cross cells or grand total (not expressible as rollup or cube): one
+    * pass computes the by-status and by-priority slices. Same sentinel
+    * coalesce as x02/x10 keeps cross-engine ordering total. */
+  val x12GroupingSets: Q = (s, dir) =>
+    tbl(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price_r"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("cnt"), col("sum_price_r"))
+      .orderBy("status", "priority")
 
   /** A9: second-moment statistics per group — corr / covariance / stddev
     * in one aggregation pass (map-side partials; Spark and DuckDB both
@@ -1262,6 +1294,7 @@ object Queries {
     "t11_line_dedup" -> t11LineDedup,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
+    "t14_novelty" -> t14Novelty,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,
@@ -1270,6 +1303,7 @@ object Queries {
     "x09_salted_agg" -> x09SaltedAgg,
     "x02_rollup" -> x02Rollup,
     "x10_cube" -> x10Cube,
+    "x12_grouping_sets" -> x12GroupingSets,
     "a09_corr_stats" -> a09CorrStats,
     "a10_topk_agg" -> a10TopkAgg,
     "a11_lead_lag" -> a11LeadLag,
