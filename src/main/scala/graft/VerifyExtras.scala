@@ -117,6 +117,29 @@ object VerifyExtras {
       f"worst relative error = $worst%.4f over ${errs.size} groups")
   }
 
+  /** The a16 sketch contract: every reported quantile must sit between the
+    * EXACT quantiles at q -/+ the configured rank error (1/accuracy, with
+    * 2x slack for interpolation at the bracket edges). */
+  private def checkApproxPercentiles(spark: SparkSession, sfDir: String,
+                                     outDir: String): Check = {
+    val eps = 2.0 / 10000 // 2x the rank error the query configures
+    val qs = Seq(0.5, 0.9, 0.99)
+    val brackets = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(expr(s"percentile(l_extendedprice, array(${qs.map(q => s"${math.max(0.0, q - eps)}, ${math.min(1.0, q + eps)}").mkString(", ")}))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val approx = spark.read.parquet(s"$outDir/a16_approx_percentiles")
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ok = approx.keySet == brackets.keySet && approx.forall { case (g, vs) =>
+      val b = brackets(g)
+      vs.zipWithIndex.forall { case (v, i) => v >= b(2 * i) && v <= b(2 * i + 1) }
+    }
+    Check("a16_approx_percentiles",
+      "each quantile within exact [q-2e-4, q+2e-4] bracket",
+      ok, s"${approx.size} groups x ${qs.size} quantiles checked")
+  }
+
   /** Run every check; each failure is contained (a throwing check records
     * pass=false rather than killing the sibling checks or the dump). */
   def run(spark: SparkSession, sfDir: String, outDir: String): Seq[Check] = {
@@ -125,7 +148,8 @@ object VerifyExtras {
       "t04_fingerprint" -> (() => checkFingerprint(spark, sfDir, outDir)),
       "v03_ann_lsh" -> (() => checkRecall(spark, sfDir, outDir, "v03_ann_lsh", 0.75)),
       "v05_ann_ivf" -> (() => checkRecall(spark, sfDir, outDir, "v05_ann_ivf", 0.60)),
-      "a08_approx_distinct" -> (() => checkApproxDistinct(spark, sfDir, outDir)))
+      "a08_approx_distinct" -> (() => checkApproxDistinct(spark, sfDir, outDir)),
+      "a16_approx_percentiles" -> (() => checkApproxPercentiles(spark, sfDir, outDir)))
     checks.map { case (q, f) =>
       val c = try f()
       catch { case e: Throwable => Check(q, "check executed", pass = false,

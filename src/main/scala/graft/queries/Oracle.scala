@@ -7,11 +7,12 @@ package graft.queries
  *
  * Queries intentionally omitted (no faithful SQL equivalent, driver records
  * a rows-only check): d05_simhash, t04_fingerprint, v03_ann_lsh,
- * v05_ann_ivf, a08_approx_distinct — their semantics rest on engine-side
- * hash kernels (xxhash64 / FNV+splitmix), approximate candidate generation
- * (LSH buckets, IVF probing), or sketch internals (HLL++) that DuckDB
- * cannot reproduce; each is covered by ScalaTest instead (recall floors /
- * error bounds asserted against exact computations).
+ * v05_ann_ivf, a08_approx_distinct, a16_approx_percentiles — their
+ * semantics rest on engine-side hash kernels (xxhash64 / FNV+splitmix),
+ * approximate candidate generation (LSH buckets, IVF probing), or sketch
+ * internals (HLL++, KLL) that DuckDB cannot reproduce; each is covered by
+ * ScalaTest / VerifyExtras instead (recall floors / error bounds asserted
+ * against exact computations).
  */
 object Oracle {
 

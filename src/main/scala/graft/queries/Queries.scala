@@ -1083,6 +1083,21 @@ object Queries {
         col("cnt"), col("sum_price_r"))
       .orderBy("status", "priority")
 
+  /** A16: approximate percentiles — the KLL-sketch scale path for a06's
+    * exact form (an exact percentile needs a full sort or all values in
+    * one task per group; the sketch is bounded memory + mergeable
+    * map-side partials at any row count). No DuckDB oracle (sketch
+    * internals differ per engine) — VerifyExtras brackets each reported
+    * quantile between the EXACT quantiles at q +/- rank-error. */
+  val a16ApproxPercentiles: Q = (s, dir) =>
+    tbl(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+        .as("ap"))
+      .select(col("l_returnflag"), col("ap")(0).as("p50"), col("ap")(1).as("p90"),
+        col("ap")(2).as("p99"))
+      .orderBy("l_returnflag")
+
   /** A9: second-moment statistics per group — corr / covariance / stddev
     * in one aggregation pass (map-side partials; Spark and DuckDB both
     * merge single-pass moment sketches). Rounding is per-column, sized to
@@ -1311,6 +1326,7 @@ object Queries {
     "a13_histogram" -> a13Histogram,
     "a14_funnel" -> a14Funnel,
     "a15_mode" -> a15Mode,
+    "a16_approx_percentiles" -> a16ApproxPercentiles,
     "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
     "s10_orc_roundtrip" -> s10OrcRoundtrip,
