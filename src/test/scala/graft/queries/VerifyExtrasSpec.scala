@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /**
  * The extras report ([[graft.VerifyExtras]]) is the executable evidence for
- * the five no-oracle queries, so it must itself be trustworthy: this suite
+ * the no-oracle queries, so it must itself be trustworthy: this suite
  * runs it against a real dump at sf0.001 (all checks green) and then against
  * a deliberately corrupted dump (the check must go red) — a checker that
  * cannot fail is no evidence at all.
@@ -24,7 +24,7 @@ class VerifyExtrasSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
   private val extras = Seq("d05_simhash", "t04_fingerprint", "v03_ann_lsh",
-    "v05_ann_ivf", "a08_approx_distinct")
+    "v05_ann_ivf", "a08_approx_distinct", "a16_approx_percentiles")
 
   private def dump(outDir: String): Unit =
     extras.foreach { name =>
@@ -33,7 +33,7 @@ class VerifyExtrasSpec extends AnyFunSuite {
       graft.SessionResources.release(spark)
     }
 
-  test("all five extras checks pass on a genuine dump at sf0.001") {
+  test("every extras check passes on a genuine dump at sf0.001") {
     val out = java.nio.file.Files.createTempDirectory("extras-ok").toString
     dump(out)
     val checks = graft.VerifyExtras.run(spark, sf, out)
