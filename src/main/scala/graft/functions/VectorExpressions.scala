@@ -146,6 +146,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rules: rewrite unbounded levenshtein comparisons into the
+    // banded thresholded form (see graft.plans.BoundedLevenshtein)
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshtein)
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))

@@ -70,6 +70,27 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("lon") - 5.387206) < 1e-4)
   }
 
+  test("injected optimizer rule bands unbounded levenshtein comparisons") {
+    val s = spark
+    import s.implicits._
+    // parquet-backed so the optimizer can't constant-fold the whole filter
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lev").toString
+    Seq(("kitten", "sitting"), ("kitten", "kitten"), ("abc", "zzzzzz"))
+      .toDF("a", "b").write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("lv")
+    val q = spark.sql("SELECT a, b FROM lv WHERE levenshtein(a, b) <= 3")
+    // the optimized plan runs the 3-arg banded form, not the full DP
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Some(3)) >= 0"), s"rewrite missing:\n$opt")
+    // and semantics are unchanged (kitten->sitting = 3, identity = 0)
+    assert(q.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("kitten", "sitting"), ("kitten", "kitten")))
+    // strict < maps to k-1: distance 3 must now be excluded
+    val strict = spark.sql("SELECT count(*) FROM lv WHERE levenshtein(a, b) < 3")
+      .head.getLong(0)
+    assert(strict === 1L)
+  }
+
   test("native aggregates resolve from SQL and partial-aggregate") {
     val s = spark
     import s.implicits._
