@@ -905,6 +905,12 @@ object Oracle {
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY c_custkey""".stripMargin,
 
+    "x14_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY c_custkey""".stripMargin,
+
     "st01_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value_r

@@ -1247,6 +1247,17 @@ object Queries {
     c.except(o).orderBy("c_custkey")
   }
 
+  /** X14: INTERSECT — the other set-operation face (x03 is EXCEPT): both
+    * compile to a distinct-aggregated semi-join shape, one hash shuffle
+    * per side on the key. */
+  val x14Intersect: Q = (s, dir) => {
+    val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = tbl(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    c.intersect(o).orderBy("c_custkey")
+  }
+
   /** name -> query, in SURVEY §2 / brief order. */
   val all: Seq[(String, Q)] = Seq(
     "s05_scan_project" -> s05ScanProject,
@@ -1332,6 +1343,7 @@ object Queries {
     "s10_orc_roundtrip" -> s10OrcRoundtrip,
     "x11_rolling_window" -> x11RollingWindow,
     "x03_set_ops" -> x03SetOps,
+    "x14_intersect" -> x14Intersect,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,

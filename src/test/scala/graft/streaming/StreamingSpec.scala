@@ -196,6 +196,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchIds.toSeq === admitted.toSeq)
   }
 
+  test("checkpoint recovery: a restarted query resumes exactly-once (no dup, no loss)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val stream = MemoryStream[Event]
+    def start() = EventStreams.dedupEvents(stream.toDF())
+      .select("event_id", "user_id", "event_type")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // batch 1 committed, then the query "crashes" (stop) before batch 2
+    val q1 = start()
+    stream.addData(fixture.take(3): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // batch 2 arrives while down; restart from the checkpoint picks it up,
+    // including a re-delivery of event 1 that dedup must drop
+    stream.addData(fixture.drop(3) :+ fixture(1): _*)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === fixture.map(_.event_id).sorted,
+      s"exactly-once violated: ${ids.toSeq}")
+  }
+
   test("streaming near-dup dedup keeps the first doc per content fingerprint") {
     val s = spark
     import s.implicits._
