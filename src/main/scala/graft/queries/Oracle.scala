@@ -883,6 +883,17 @@ object Oracle {
 
     // per-column rounding sized to each statistic's accumulation noise
     // (corr 6dp dimensionless; covar 2dp over ~5e10 sums; stddevs 6/4dp)
+    // LIMIT selection is deterministic: (price DESC, orderkey) is total.
+    "a17_global_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "s11_text_roundtrip" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+        |FROM documents""".stripMargin,
+
     "x12_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |       coalesce(o_orderpriority, '(all)') AS priority,

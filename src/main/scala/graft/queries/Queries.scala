@@ -1083,6 +1083,32 @@ object Queries {
         col("cnt"), col("sum_price_r"))
       .orderBy("status", "priority")
 
+  /** A17: global top-N — ORDER BY + LIMIT compiles to
+    * TakeOrderedAndProject: each partition keeps N rows, the driver merges
+    * partials; the full global sort never happens (PlanSpec asserts the
+    * physical operator). The everyday "show me the biggest" query that
+    * silently becomes a full-table sort when written wrong. */
+  val a17GlobalTopn: Q = (s, dir) =>
+    tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** S11: line-delimited text sink + source — the rawest corpus format
+    * (one doc per line). Explicit single-column text read, no schema
+    * inference; the same aggregate contract as s06/s07 proves content
+    * fidelity through the text boundary (synthetic docs contain no
+    * newlines, the format's own precondition). */
+  val s11TextRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_txt").toString
+    tbl(s, dir, "documents").select(col("text"))
+      .write.mode("overwrite").text(tmp)
+    s.read.text(tmp)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("value"))).as("sum_chars"),
+        countDistinct(md5(col("value"))).as("n_texts"))
+  }
+
   /** A16: approximate percentiles — the KLL-sketch scale path for a06's
     * exact form (an exact percentile needs a full sort or all values in
     * one task per group; the sketch is bounded memory + mergeable
@@ -1338,6 +1364,8 @@ object Queries {
     "a14_funnel" -> a14Funnel,
     "a15_mode" -> a15Mode,
     "a16_approx_percentiles" -> a16ApproxPercentiles,
+    "a17_global_topn" -> a17GlobalTopn,
+    "s11_text_roundtrip" -> s11TextRoundtrip,
     "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
     "s10_orc_roundtrip" -> s10OrcRoundtrip,

@@ -67,6 +67,11 @@ class PlanSpec extends AnyFunSuite {
     assert(dirs.toSeq == Seq("lang=en", "lang=fr"), s"scanned partitions: ${dirs.toSeq}")
   }
 
+  test("a17: global top-N runs TakeOrderedAndProject, never a full sort") {
+    val p = planString(Queries.a17GlobalTopn(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+  }
+
   test("j01: dimensions broadcast; only the fact-fact join shuffles") {
     val p = planString(Queries.j01Join5way(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast joins:\n$p")
