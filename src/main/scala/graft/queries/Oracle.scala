@@ -883,6 +883,25 @@ object Oracle {
 
     // per-column rounding sized to each statistic's accumulation noise
     // (corr 6dp dimensionless; covar 2dp over ~5e10 sums; stddevs 6/4dp)
+    // Exact rational window stats; ties broken by orderkey inside the sort
+    // key so both engines rank identically.
+    "a18_cume_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // explode_outer: empty match lists keep the parent row as NULL.
+    "e02_explode_outer" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x = 'stream') AS m
+        |  FROM documents)
+        |SELECT doc_id,
+        |       unnest(CASE WHEN len(m) = 0 THEN [NULL] ELSE m END) AS word
+        |FROM t ORDER BY doc_id, word""".stripMargin,
+
     // LIMIT selection is deterministic: (price DESC, orderkey) is total.
     "a17_global_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

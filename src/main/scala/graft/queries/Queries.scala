@@ -914,6 +914,17 @@ object Queries {
         col("t.id").as("doc_id"), col("t.ord").cast("long").as("rk"))
       .orderBy("source", "rnk")
 
+  /** E2b: explode_outer totality — exploding a possibly-empty match list
+    * must KEEP the parent row (NULL element) or downstream per-doc
+    * aggregates silently lose documents; the inner explode (e01) drops
+    * them. The filter runs in-kernel (HOF), only matches explode. */
+  val e02ExplodeOuter: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(filter(split(col("text"), " "), x => x === "stream"))
+          .as("word"))
+      .orderBy("doc_id", "word")
+
   /** T14: novelty / memorization audit — the fraction of each document's
     * distinct w-gram shingles that recur elsewhere in the corpus (df >= 2).
     * Low novelty marks boilerplate/templated text and self-contamination.
@@ -1082,6 +1093,22 @@ object Queries {
         coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
         col("cnt"), col("sum_price_r"))
       .orderBy("status", "priority")
+
+  /** A18: distribution analytics — percent_rank / cume_dist over each
+    * status partition (where does an order sit in its cohort's price
+    * distribution). One key shuffle + partition-local sort; the rank
+    * denominators are exact counts, so values are rational and safe to
+    * round at 6 dp. */
+  val a18CumeDist: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    tbl(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderkey")
+  }
 
   /** A17: global top-N — ORDER BY + LIMIT compiles to
     * TakeOrderedAndProject: each partition keeps N rows, the driver merges
@@ -1306,6 +1333,7 @@ object Queries {
     "j11_anti_join" -> j11AntiJoin,
     "j12_semi_join" -> j12SemiJoin,
     "e01_explode_words" -> e01ExplodeWords,
+    "e02_explode_outer" -> e02ExplodeOuter,
     "a01_group_stats" -> a01GroupStats,
     "a02_scalar_counts" -> a02ScalarCounts,
     "a03_distinct" -> a03Distinct,
@@ -1365,6 +1393,7 @@ object Queries {
     "a15_mode" -> a15Mode,
     "a16_approx_percentiles" -> a16ApproxPercentiles,
     "a17_global_topn" -> a17GlobalTopn,
+    "a18_cume_dist" -> a18CumeDist,
     "s11_text_roundtrip" -> s11TextRoundtrip,
     "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
