@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
  * Measured on local[32] (2026-08-12, round-4 final operator set): 10x data
  * costs 1.2-4.7x wall — d03 3.0->6.2s, d04 1.9->4.6s, d07 2.9->13.8s,
  * t09 2.1->4.5s, d08 0.7->1.6s, d09 1.3->2.5s, d10 0.8->0.9s,
- * t11 2.1->2.6s, t12 1.8->2.9s, v03 2.5->3.7s, v05 1.1->3.6s —
+ * d11 1.4->4.6s, t11 2.1->2.6s, t12 1.8->2.9s, v03 2.5->3.7s,
+ * v05 1.1->3.6s —
  * candidate generation stays equi-join-bound with no quadratic blowup,
  * the executable form of the 100x-scale claim. (d07's ratio is the label-
  * propagation round count growing with the pair-graph diameter, not a
@@ -108,6 +109,9 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save() }
       time(s"$tag t12 bigram lm") {
         graft.llm.TextOps.bigramLm(d).write.format("noop").mode("overwrite").save() }
+      time(s"$tag d11 edit distance") {
+        graft.llm.Dedup.editDistancePairs(d)
+          .write.format("noop").mode("overwrite").save() }
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val q = e.filter(col("vec_id") < 32)
       time(s"$tag v03 ann lsh") {

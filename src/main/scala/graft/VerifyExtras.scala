@@ -24,6 +24,8 @@ import java.nio.file.{Files, Paths}
  *    clear the floor the ScalaTest suite pins (LSH >= 0.75, IVF >= 0.60).
  *  - a08_approx_distinct: every group's HLL++ estimate must sit within
  *    3x the configured rsd (0.02) of the exact distinct count.
+ *  - a16_approx_percentiles: every sketch quantile must sit between the
+ *    EXACT quantiles at q -/+ (rank error + group-size discreteness).
  *
  * Output: `<outDir>/verify_extras.json`, one record per check, written by
  * [[Verify]] next to `oracle_sql.json`.
