@@ -92,7 +92,14 @@ object Plans {
       "full row set to keep one row."),
     "x11_rolling_window" -> ("Trailing 7-day aggregates via a RANGE " +
       "frame: one hash exchange on the customer key, one partition-local " +
-      "sort — the naive interval self-join is quadratic on active keys."))
+      "sort — the naive interval self-join is quadratic on active keys."),
+    "t12_bigram_lm" -> ("Bigram LM scoring: three aggregations/joins, " +
+      "every one partial-aggregated or an equi-join on the word/bigram " +
+      "key; V arrives as a plan constant, no window, no cartesian."),
+    "st07_stream_ingest" -> ("The batch mirror of the streaming ingest " +
+      "front door: map-side quality gate, md5-fingerprint election with " +
+      "partial min, semi-join back, per-lang partial-agg counts — text " +
+      "crosses a shuffle only in the semi-join probe."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
