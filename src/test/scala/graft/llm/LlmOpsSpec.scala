@@ -296,6 +296,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("edit-distance pairs: planted near-identical docs found, disjoint not") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = docsDf(Seq(
+      1L -> base,
+      2L -> base.replace("w3 ", "w3x "), // 1-char insert, shares most 4-grams
+      3L -> (1 to 40).map(i => s"z$i").mkString(" "))) // disjoint vocabulary
+    val got = Dedup.editDistancePairs(docs, w = 4, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    assert(got.head._3 === 1L, s"expected distance 1, got ${got.head._3}")
+    graft.SessionResources.release(spark)
+  }
+
   test("incremental dedup: corpus-present content rejected, batch keeps first") {
     val corpus = docsDf(Seq(1L -> "a b c", 2L -> "x y z"))
     val batch = docsDf(Seq(
