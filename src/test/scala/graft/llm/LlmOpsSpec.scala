@@ -309,6 +309,13 @@ class LlmOpsSpec extends AnyFunSuite {
     graft.SessionResources.release(spark)
   }
 
+  test("decontaminateBloom with an empty bench side yields empty, not an error") {
+    val train = docsDf(Seq(1L -> "a b c d e", 2L -> "f g h i j"))
+    val bench = docsDf(Seq.empty[(Long, String)])
+    assert(Dedup.decontaminateBloom(train, bench, w = 3, minShared = 2).count() === 0L)
+    graft.SessionResources.release(spark)
+  }
+
   test("incremental dedup: corpus-present content rejected, batch keeps first") {
     val corpus = docsDf(Seq(1L -> "a b c", 2L -> "x y z"))
     val batch = docsDf(Seq(
