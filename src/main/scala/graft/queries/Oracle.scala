@@ -704,6 +704,18 @@ object Oracle {
         |    AS novelty_r
         |FROM sh JOIN df USING (s) GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
 
+    // Weighted priority sampling: integer-exact priorities (hash DIV
+    // weight), the k smallest with doc_id tie-break — TopK's exact order.
+    "t15_weighted_sample" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      // greatest(n_chars, 1) AS pri
+        |  FROM documents),
+        |r AS (SELECT doc_id, pri,
+        |        row_number() OVER (ORDER BY pri, doc_id) AS rnk FROM p)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, pri
+        |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+
     // Add-one-smoothed bigram LM trained on the corpus itself; the FP mean
     // is rounded (6 dp vs ~1e-13 accumulation noise), all counts exact.
     "t12_bigram_lm" ->

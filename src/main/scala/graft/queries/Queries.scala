@@ -925,6 +925,28 @@ object Queries {
           .as("word"))
       .orderBy("doc_id", "word")
 
+  /** T15: weighted priority sampling — pick a fixed-size sample biased
+    * toward heavier documents (here: by n_chars, the token-budget proxy),
+    * deterministically: priority = md5-prefix32 DIV weight, keep the k
+    * smallest. Longer docs draw smaller priorities more often, giving
+    * hash-stable weight-leaning selection with NO float anywhere in the
+    * pick (integer division both engines, ties broken by doc_id inside
+    * the heap — selection can never ride an FP ulp, the t09 rule).
+    * Runs through the bounded TopK heap on the negated priority: k pairs
+    * of state total, map-side partials, no global sort. */
+  val t15WeightedSample: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .withColumn("pri", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as long)" +
+          " div greatest(n_chars, 1)"))
+      .groupBy()
+      .agg(graft.functions.VectorAggregates
+        .topK((-col("pri")).cast("double"), col("doc_id"), 50).as("top"))
+      .select(posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select((col("rnk0") + 1).cast("long").as("rnk"),
+        col("t.id").as("doc_id"), (-col("t.ord")).cast("long").as("pri"))
+      .orderBy("rnk")
+
   /** T14: novelty / memorization audit — the fraction of each document's
     * distinct w-gram shingles that recur elsewhere in the corpus (df >= 2).
     * Low novelty marks boilerplate/templated text and self-contamination.
@@ -1375,6 +1397,7 @@ object Queries {
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,
+    "t15_weighted_sample" -> t15WeightedSample,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,
