@@ -895,6 +895,14 @@ object Oracle {
 
     // per-column rounding sized to each statistic's accumulation noise
     // (corr 6dp dimensionless; covar 2dp over ~5e10 sums; stddevs 6/4dp)
+    // One-pass regression moments; rounding sized per statistic like a09.
+    "a19_regression" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_r,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 3) AS icept_r,
+        |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2_r
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // Exact rational window stats; ties broken by orderkey inside the sort
     // key so both engines rank identically.
     "a18_cume_dist" ->

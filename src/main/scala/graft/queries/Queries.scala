@@ -1158,6 +1158,21 @@ object Queries {
         countDistinct(md5(col("value"))).as("n_texts"))
   }
 
+  /** A19: grouped linear regression — slope / intercept / R² of price vs
+    * quantity per return flag in ONE pass of mergeable moment sketches
+    * (same partial-aggregation story as a09's corr). Closed-form
+    * analytics at any scale: no iteration, no solver, one shuffle of
+    * 6 moments per group. Rounding sized to each statistic's
+    * accumulation noise (slope/intercept ride ~1e10 sums). */
+  val a19Regression: Q = (s, dir) =>
+    tbl(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope_r"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 3).as("icept_r"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2_r"))
+      .orderBy("l_returnflag")
+
   /** A16: approximate percentiles — the KLL-sketch scale path for a06's
     * exact form (an exact percentile needs a full sort or all values in
     * one task per group; the sketch is bounded memory + mergeable
@@ -1417,6 +1432,7 @@ object Queries {
     "a16_approx_percentiles" -> a16ApproxPercentiles,
     "a17_global_topn" -> a17GlobalTopn,
     "a18_cume_dist" -> a18CumeDist,
+    "a19_regression" -> a19Regression,
     "s11_text_roundtrip" -> s11TextRoundtrip,
     "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
