@@ -451,6 +451,35 @@ class LlmOpsSpec extends AnyFunSuite {
     graft.SessionResources.release(spark)
   }
 
+  test("bigram LM matches a driver-side reference on random corpora") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c", "dd", "ee")
+    (1 to 5).foreach { trial =>
+      val docs = (1L to 20L).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // reference: plain Scala maps, the operator's exact formula
+      val words = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val c1 = words.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.size }
+      val v = c1.size
+      val bigrams = words.map { case (id, w) =>
+        id -> w.sliding(2).filter(_.size == 2).map(p => (p(0), p.mkString(" "))).toSeq
+      }.filter(_._2.nonEmpty)
+      val c2 = bigrams.flatMap(_._2.map(_._2)).groupBy(identity)
+        .map { case (b, o) => b -> o.size }
+      val expect = bigrams.map { case (id, bs) =>
+        val lps = bs.map { case (w1, b2) =>
+          math.log((c2(b2) + 1.0) / (c1(w1) + v.toDouble)) }
+        (id, bs.size.toLong,
+          BigDecimal(lps.sum / lps.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+      val got = TextOps.bigramLm(docsDf(docs))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expect, s"trial $trial diverged")
+      graft.SessionResources.release(spark)
+    }
+  }
+
   test("langid picks the profile with most stopword hits, tie-break alphabetical") {
     val df = docsDf(Seq(
       1L -> "the cat of the house and a dog", // en
