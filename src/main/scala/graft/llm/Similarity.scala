@@ -415,4 +415,76 @@ object Similarity {
     }
     emb.select(col("vec_id") +: projCols: _*)
   }
+
+  /** Bits per packed word for [[signBits]]. 32 (not 64) so each bit weight
+    * 2^i stays exactly representable through the double `pow` the packing
+    * fold uses — no dependence on wrap-around semantics that ANSI mode
+    * would reject. The packed array is array<bigint> with the low 32 bits
+    * populated per word. */
+  val SignWordBits = 32
+
+  /**
+   * Binary (sign) quantization: pack each embedding's sign bits
+   * (x >= 0 -> 1) into 32-bit words, dim/32 words per vector — a 32x
+   * compression of the corpus (4-byte float -> 1 bit per dim). Word `w`
+   * holds dims [w*32, w*32+32), dim d at bit position (d - w*32).
+   * Map-only, no shuffle; the packed column is what a 100 TB corpus
+   * actually stores for coarse search.
+   */
+  def signBits(a: Column): Column = {
+    val wb = SignWordBits
+    // size/wb is a DOUBLE divide on Columns; floor+cast keeps sequence()
+    // on integer bounds
+    val nWords = floor((size(a) + lit(wb - 1)) / lit(wb)).cast("int")
+    transform(sequence(lit(0), nWords - lit(1)), w =>
+      aggregate(
+        sequence(w * wb, least(size(a) - 1, w * wb + (wb - 1))),
+        lit(0L),
+        (acc, i) => when(element_at(a, (i + 1).cast("int")) >= lit(0.0f),
+            acc + pow(lit(2.0), (i - w * wb).cast("double")).cast("long"))
+          .otherwise(acc)))
+  }
+
+  /** Hamming distance between two [[signBits]]-packed arrays:
+    * popcount(xor) per word, summed. Integer-exact — safe to hash-compare
+    * across engines and to rank on without float tie hazards. */
+  def hammingPacked(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L), (acc, v) => acc + v.cast("long"))
+
+  /**
+   * Exact Hamming top-k over the binary quantization: pack both sides
+   * once (map-only), broadcast the bounded query set, one corpus scan of
+   * XOR+popcount per (query, candidate), and keep the k best per query
+   * through the bounded-heap [[graft.functions.VectorAggregates.topK]]
+   * aggregate — map-side partials ship at most k pairs per query per
+   * task, so there is NO per-query sort and no candidate shuffle. The
+   * same plan at 100 TB: |corpus| * |queries| word-XORs (32x cheaper than
+   * float cosine), shuffle volume |queries| x k.
+   *
+   * Ranking is integer-total: hamming asc, then neighbor_id asc — no
+   * float anywhere in the selection.
+   */
+  def hammingAnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), signBits(col("embedding")).as("q_sig")))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), signBits(col("embedding")).as("c_sig"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        hammingPacked(col("q_sig"), col("c_sig")).as("ham"))
+    // top_k keeps the LARGEST ord: feed a composite negative key that
+    // encodes (ham asc, neighbor_id asc) exactly in a double.
+    // ham <= dims <= 2^20 and neighbor_id < 2^31 here, so
+    // ham * 2^31 + id < 2^51 stays integer-exact in the double ord.
+    val ordKey = -(col("ham") * lit(1L << 31) + col("neighbor_id")).cast("double")
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorAggregates.topK(ordKey, col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("rnk0") + 1).cast("long").as("rnk"),
+        // recover the hamming distance from the composite key
+        floor(-col("t.ord") / lit(1L << 31).cast("double")).cast("long").as("ham"))
+  }
 }

@@ -754,6 +754,26 @@ object Oracle {
         |  max(CASE WHEN p = 3 THEN v END) AS proj3
         |FROM pr GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+    // Hamming recomputed WITHOUT the bit packing: count of dims where the
+    // sign (x >= 0) disagrees. The engine's packed XOR/popcount must be
+    // exactly this integer, so the whole quantization layer is verified
+    // semantics-free. Ranking is all-integer (ham, neighbor_id).
+    "v08_hamming_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 32),
+        |z AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |        unnest(q.qe) AS qx, unnest(e.embedding) AS ex
+        |      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        |sc AS (SELECT query_id, neighbor_id,
+        |        CAST(sum(CASE WHEN (qx >= 0) <> (ex >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS ham
+        |       FROM z GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, ham,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY ham, neighbor_id) AS BIGINT) AS rnk
+        |      FROM sc)
+        |SELECT query_id, neighbor_id, rnk, ham
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     // The oracle is the window form the heap aggregate replaces: rank DESC
     // with doc_id ASC tie-break is TopK's exact total order.
     "t13_source_quota" ->

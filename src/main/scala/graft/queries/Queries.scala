@@ -895,6 +895,17 @@ object Queries {
     Similarity.randomProjection(tbl(s, dir, "embeddings"), dims = 64, outDims = 4)
       .orderBy("vec_id")
 
+  /** V8: binary-quantized Hamming top-k ([[Similarity.hammingAnn]]) —
+    * sign-bit packing (32x corpus compression) + XOR/popcount scan +
+    * bounded-heap selection. Integer-exact ranking (ham asc, neighbor
+    * asc); the oracle recomputes hamming as the sign-disagreement count
+    * over the unpacked floats — packing must be semantics-free. */
+  val v08HammingAnn: Q = (s, dir) => {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.hammingAnn(emb, emb.filter(col("vec_id") < 32), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** T13: fixed-quota per-source sampling — the training-mix knob that
     * caps every source at N docs, deterministically (md5-rank election, no
     * RNG: reruns and retries pick identical docs). Selection runs through
@@ -1402,6 +1413,7 @@ object Queries {
     "v05_ann_ivf" -> v05AnnIvf,
     "v06_quantize" -> v06Quantize,
     "v07_random_projection" -> v07RandomProjection,
+    "v08_hamming_ann" -> v08HammingAnn,
     "t05_normalize" -> t05Normalize,
     "t06_stratified_sample" -> t06StratifiedSample,
     "t07_repetition" -> t07Repetition,

@@ -564,6 +564,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in ANN plan:\n$plan")
   }
 
+  test("hamming: sign-bit packing is semantics-free and top-k matches the window form") {
+    // 1. packing equivalence: popcount(xor) over packed words == count of
+    //    dims whose sign (x >= 0) disagrees, computed straight off the floats
+    val a = emb.select(col("vec_id"), col("embedding"))
+    val b = emb.select(col("vec_id").as("vid_b"), col("embedding").as("emb_b"))
+    val pairs = a.join(b, col("vec_id") < col("vid_b") - 480) // sparse pair sample
+      .select(col("vec_id"), col("vid_b"),
+        Similarity.hammingPacked(
+          Similarity.signBits(col("embedding")),
+          Similarity.signBits(col("emb_b"))).as("ham_packed"),
+        aggregate(zip_with(col("embedding"), col("emb_b"),
+            (x, y) => when((x >= 0f) =!= (y >= 0f), 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("ham_naive"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getLong(2) === r.getLong(3),
+      s"packed hamming diverged for (${r.getLong(0)}, ${r.getLong(1)})"))
+
+    // 2. the heap-aggregate top-k equals the row_number window form
+    val queries = emb.filter(col("vec_id") < 16)
+    val viaHeap = Similarity.hammingAnn(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val scored = emb.select(col("vec_id").as("neighbor_id"),
+        Similarity.signBits(col("embedding")).as("c_sig"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        Similarity.signBits(col("embedding")).as("q_sig"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham", Similarity.hammingPacked(col("q_sig"), col("c_sig")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("neighbor_id").asc)
+    val viaWindow = scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("ham"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaHeap === viaWindow)
+  }
+
   test("IVF ANN: centroid probing recalls well and the plan is an equi-join") {
     val queries = emb.filter(col("vec_id") < 32)
     val brute = Similarity.knnBrute(emb, queries, k = 5)
