@@ -337,6 +337,33 @@ object Oracle {
         |WHERE levenshtein(pa.p, pb.p) <= 30
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Rebuilds the engine's content-defined chunking verbatim: the same
+    // md5-prefix-mod-4 word boundary rule, the same running-sum chunk ids,
+    // the same space-joined chunk md5 — then the shared-chunk stats. All
+    // selection is integer; only the informational fraction is rounded.
+    "d12_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |             generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |b AS (SELECT doc_id, pos, word,
+        |        CASE WHEN CAST('0x' || substring(md5(word), 1, 4) AS BIGINT) % 4 = 0
+        |             THEN 1 ELSE 0 END AS bnd
+        |      FROM w),
+        |c AS (SELECT doc_id, pos, word,
+        |        sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+        |      FROM b),
+        |ch AS (SELECT doc_id, chunk_id,
+        |         md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+        |       FROM c GROUP BY doc_id, chunk_id),
+        |g AS (SELECT chunk_hash, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+        |p AS (SELECT ch.doc_id, count(*) AS n_chunks,
+        |        sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+        |      FROM ch JOIN g USING (chunk_hash) GROUP BY 1)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(n_shared AS BIGINT) AS n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / n_chunks, 6) AS shared_frac
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     // Admission = NOT IN existing fingerprints; within-batch keep-first by
     // min doc_id per fingerprint. Mirrors the 5-word-prefix canonical key.
     "d10_incremental_dedup" ->

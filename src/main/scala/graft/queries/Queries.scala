@@ -500,6 +500,15 @@ object Queries {
     Dedup.editDistancePairs(tbl(s, dir, "documents"), w = 4, maxDist = 30)
       .orderBy("id_a", "id_b")
 
+  /** D12: content-defined chunking shared-content audit
+    * ([[Dedup.chunkSharedContent]]) — boundary-by-content chunks, 16-byte
+    * chunk hashes, per-doc shared-chunk fraction. The oracle rebuilds the
+    * identical chunking (same md5-prefix boundary rule, same running-sum
+    * chunk ids, same joined-chunk md5) in SQL. */
+  val d12ChunkDedup: Q = (s, dir) =>
+    Dedup.chunkSharedContent(tbl(s, dir, "documents"), modBoundary = 4)
+      .orderBy("doc_id")
+
   /** D10: incremental dedup ([[Dedup.incrementalDedup]]) — admit the new
     * dump (doc_id % 3 == 0) against the existing corpus, keyed on a
     * canonical 5-word-prefix fingerprint so near-dup families share an
@@ -1402,6 +1411,7 @@ object Queries {
     "d09_bloom_decontaminate" -> d09BloomDecontaminate,
     "d10_incremental_dedup" -> d10IncrementalDedup,
     "d11_edit_distance" -> d11EditDistance,
+    "d12_chunk_dedup" -> d12ChunkDedup,
     "t01_token_count" -> t01TokenCount,
     "t02_text_quality" -> t02TextQuality,
     "t03_langid" -> t03Langid,

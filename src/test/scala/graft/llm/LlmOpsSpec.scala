@@ -564,6 +564,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in ANN plan:\n$plan")
   }
 
+  test("CDC chunking: identical runs share chunks regardless of offset; disjoint docs share none") {
+    // doc 2 contains doc 1's full text shifted right by a prefix — content-
+    // defined boundaries must reproduce the same chunks inside the shared
+    // run, so the two docs share chunks even though no fixed-width window
+    // would align. Doc 3 has a disjoint vocabulary: zero shared chunks.
+    val shared = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = docsDf(Seq(
+      1L -> shared,
+      2L -> (s"prefix alpha beta $shared"),
+      3L -> (1 to 40).map(i => s"z$i").mkString(" ")))
+    val out = Dedup.chunkSharedContent(df, modBoundary = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) > 0, "doc 1 should share chunks with its shifted copy")
+    assert(out(2L) > 0, "doc 2 should share chunks with the original")
+    assert(out(3L) === 0, "disjoint-vocabulary doc must share nothing")
+  }
+
   test("hamming: sign-bit packing is semantics-free and top-k matches the window form") {
     // 1. packing equivalence: popcount(xor) over packed words == count of
     //    dims whose sign (x >= 0) disagrees, computed straight off the floats
