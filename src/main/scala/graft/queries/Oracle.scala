@@ -1008,6 +1008,27 @@ object Oracle {
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY c_custkey""".stripMargin,
 
+    // SCD-2 mirror: same change-compression (emit only when the state
+    // differs from the previous event) and the same second window for
+    // version/validity; timestamps as epoch micros on both sides.
+    "x15_scd2" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
+        |           FROM events WHERE user_id < 50),
+        |d AS (SELECT *, lag(event_type, 1) OVER
+        |        (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_type
+        |      FROM e),
+        |ch AS (SELECT * FROM d
+        |       WHERE prev_type IS NULL OR event_type <> prev_type)
+        |SELECT event_id, user_id, event_type AS state,
+        |  tsu AS valid_from_us,
+        |  lead(tsu, 1) OVER w AS valid_to_us,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  CAST(CASE WHEN lead(tsu, 1) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |ORDER BY event_id""".stripMargin,
+
     "st01_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value_r

@@ -1368,6 +1368,31 @@ object Queries {
     c.intersect(o).orderBy("c_custkey")
   }
 
+  /** X15: SCD-2 dimension build from a change log — the warehouse op that
+    * turns an event stream into slowly-changing-dimension rows: per user,
+    * consecutive same-state events are compressed away (true SCD-2 emits
+    * only on CHANGE), then each surviving change opens a validity interval
+    * [valid_from, next change's ts), the last being current (NULL
+    * valid_to). Two window passes over the SAME (user_id; ts, event_id)
+    * ordering, so Catalyst reuses one hash-partition exchange; the sort is
+    * user-bounded, never global. Timestamps ride as epoch micros (the
+    * cross-engine-stable representation, as in a11). */
+  val x15Scd2: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__tsu"), col("event_id"))
+    val changes = tbl(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .withColumn("__tsu", expr("ts div 1000"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", lead(col("__tsu"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type").as("state"),
+        col("__tsu").as("valid_from_us"), col("valid_to_us"), col("version"),
+        when(col("valid_to_us").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("event_id")
+  }
+
   /** name -> query, in SURVEY §2 / brief order. */
   val all: Seq[(String, Q)] = Seq(
     "s05_scan_project" -> s05ScanProject,
@@ -1462,6 +1487,7 @@ object Queries {
     "x11_rolling_window" -> x11RollingWindow,
     "x03_set_ops" -> x03SetOps,
     "x14_intersect" -> x14Intersect,
+    "x15_scd2" -> x15Scd2,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,
