@@ -743,6 +743,22 @@ object Oracle {
         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, pri
         |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
 
+    // The window form of the BPE merge-pair selection: count DESC with
+    // pair ASC tie-break is exactly the heap's composite integer order
+    // (ASCII corpus, so string order == char-code order).
+    "t16_bpe_merges" ->
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |p AS (SELECT lang, unnest(list_transform(range(1, length(word)),
+        |         i -> substring(word, i, 2))) AS pair
+        |      FROM w WHERE length(word) >= 2),
+        |c AS (SELECT lang, pair, count(*) AS cnt FROM p GROUP BY 1, 2),
+        |r AS (SELECT lang, pair, CAST(cnt AS BIGINT) AS cnt,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rnk
+        |      FROM c)
+        |SELECT lang, rnk, pair, cnt FROM r WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin,
+
     // Add-one-smoothed bigram LM trained on the corpus itself; the FP mean
     // is rounded (6 dp vs ~1e-13 accumulation noise), all counts exact.
     "t12_bigram_lm" ->

@@ -967,6 +967,40 @@ object Queries {
         col("t.id").as("doc_id"), (-col("t.ord")).cast("long").as("pri"))
       .orderBy("rnk")
 
+  /** T16: BPE merge-step statistics — the first iteration of byte-pair-
+    * encoding tokenizer training: count adjacent character pairs inside
+    * words, per language, and keep each language's top merges. The full
+    * trainer is this op iterated (count -> merge best pair -> recount);
+    * the count+select step is the part that touches the corpus and must
+    * scale, and it is all hash aggregation: pair counts partial-aggregate
+    * map-side, then the bounded-heap [[graft.functions.TopK]] keeps 10
+    * pairs per language (no per-language sort). The heap id encodes the
+    * pair as ascii(c1)*65536 + ascii(c2), so the integer tie-break is
+    * exactly lexicographic pair order — selection never leaves integers. */
+  val t16BpeMerges: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("lang"), col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("pair_code",
+        (ascii(substring(col("pair"), 1, 1)) * 65536 +
+          ascii(substring(col("pair"), 2, 1))).cast("long"))
+      // composite ord: cnt desc then pair asc, integer-exact in the double
+      // (pair_code < 2^23 for ASCII, cnt * 2^24 < 2^52 at any plausible SF)
+      .groupBy(col("lang"))
+      .agg(graft.functions.VectorAggregates.topK(
+        (col("cnt") * lit(1L << 24) - col("pair_code")).cast("double"),
+        col("pair_code"), 10).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("lang"), (col("rnk0") + 1).cast("long").as("rnk"),
+        expr("concat(char(t.id div 65536), char(t.id % 65536))").as("pair"),
+        ((col("t.ord").cast("long") + col("t.id")) / lit(1L << 24)).cast("long").as("cnt"))
+      .orderBy("lang", "rnk")
+
   /** T14: novelty / memorization audit — the fraction of each document's
     * distinct w-gram shingles that recur elsewhere in the corpus (df >= 2).
     * Low novelty marks boilerplate/templated text and self-contamination.
@@ -1460,6 +1494,7 @@ object Queries {
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,
     "t15_weighted_sample" -> t15WeightedSample,
+    "t16_bpe_merges" -> t16BpeMerges,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,
