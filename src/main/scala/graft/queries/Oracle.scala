@@ -996,6 +996,20 @@ object Oracle {
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
         |FROM documents""".stripMargin,
 
+    // Manifest recomputed from the SOURCE table: the engine computes it
+    // from the files it wrote, so equality proves the shard export carries
+    // exactly the corpus. All integers (order-independent md5-prefix sum).
+    "s12_shard_export" ->
+      """WITH d AS (SELECT *,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
+        |      AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST('0x' || substring(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS checksum
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+
     "x12_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |       coalesce(o_orderpriority, '(all)') AS priority,

@@ -127,6 +127,35 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** S12: deterministic training-shard export + manifest — the last step
+    * of a corpus build: assign every doc a shard by content-independent
+    * hash (md5 of the id, so reruns and retries land identically),
+    * repartition so each shard is written by one task (files per shard
+    * bounded, no small-file explosion), sort within shards for stable
+    * reader order, and emit the manifest a training job consumes:
+    * (shard, n_docs, n_tokens, checksum). The checksum is an
+    * order-independent SUM of per-doc md5 prefixes — integer-exact, so
+    * readback equality proves the written shards carry exactly the
+    * corpus. The manifest is computed FROM THE WRITTEN FILES, verifying
+    * the whole sink+source boundary, and the oracle recomputes it from
+    * the source table. */
+  val s12ShardExport: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shard").toString
+    tbl(s, dir, "documents")
+      .withColumn("shard", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 8"))
+      .repartition(8, col("shard"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    s.read.parquet(tmp)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
+          .as("checksum"))
+      .orderBy("shard")
+  }
+
   /** S9: schema-evolution read — two dump generations with different
     * schemas (an old dump lacking source/n_chars, a new full one) unified
     * by an explicit mergeSchema scan; absent columns surface as NULL and
@@ -1516,6 +1545,7 @@ object Queries {
     "a18_cume_dist" -> a18CumeDist,
     "a19_regression" -> a19Regression,
     "s11_text_roundtrip" -> s11TextRoundtrip,
+    "s12_shard_export" -> s12ShardExport,
     "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
     "s10_orc_roundtrip" -> s10OrcRoundtrip,
