@@ -1,0 +1,60 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Fixed-iteration, integer-exact PageRank — the graph-quality signal
+ * web-scale corpus curation uses (page authority as a training-data
+ * quality weight; the CommonCrawl-derived pipelines rank hosts exactly
+ * this way before sampling).
+ *
+ * Why integer arithmetic: floating-point PageRank sums are
+ * accumulation-order dependent, so a cluster rerun (or a different
+ * engine) produces ulp-different ranks and any downstream threshold or
+ * sort can flip. Here every step is 64-bit integer math — rank starts at
+ * `scale` (10^12) per node, each edge carries `rank div out_degree`, and
+ * the damping update is (15*scale) div 100 + (85 * in_mass) div 100 —
+ * so two engines that implement integer division identically produce
+ * IDENTICAL ranks, hash-comparable with no rounding contract. The same
+ * trick as t15's hash-div-weight priorities, applied to an iterative
+ * algorithm.
+ *
+ * Scale shape: each iteration is one equi-join of the edge list with the
+ * current rank vector on the 8-byte src id plus one partial-aggregated
+ * groupBy on dst — the standard distributed PageRank round (GraphX's
+ * Pregel formulation lowers to the same join+aggregate). The iteration
+ * count is a compile-time constant (plans unroll; for tens of rounds,
+ * checkpoint every ~5 to cut lineage). Mass at dangling nodes (out-degree
+ * 0) is dropped, which is deterministic and harmless for a fixed-round
+ * scoring pass; feed an undirected (doubled) edge list to avoid danglers
+ * entirely.
+ *
+ * Overflow bound: in_mass <= total mass = n * scale, so 85 * in_mass
+ * needs n * scale * 85 < 2^63 — with scale=10^12 that is n < ~10^5 nodes
+ * per connected sink; lower `scale` for larger graphs.
+ */
+object PageRank {
+
+  def pageRankFixed(edges: DataFrame, iters: Int = 3,
+                    scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+      ranks = nodes
+        .join(contrib.groupBy("node").agg(sum(col("c")).as("m")), Seq("node"), "left")
+        .select(col("node"),
+          (lit(15L * scale / 100L) +
+            expr("(85 * coalesce(m, 0L)) div 100")).as("rank"))
+    }
+    ranks
+  }
+}

@@ -1038,6 +1038,38 @@ object Oracle {
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY c_custkey""".stripMargin,
 
+    // Integer PageRank mirror: the same three join+aggregate rounds as
+    // chained CTEs. Every value is integer (rank div deg contributions,
+    // div-100 damping), so the match is hash-exact with no rounding.
+    // DuckDB's sum() widens to HUGEINT; each round casts back to BIGINT,
+    // which is exact within the documented n*scale*85 < 2^63 bound.
+    "x16_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT user_id AS src,
+        |    1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM n),
+        |c1 AS (SELECT e.dst AS node, sum(r0.rank // deg.deg) AS m
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000000000 + (85 * coalesce(c1.m, 0)) // 100 AS BIGINT) AS rank
+        |       FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum(r1.rank // deg.deg) AS m
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000000000 + (85 * coalesce(c2.m, 0)) // 100 AS BIGINT) AS rank
+        |       FROM n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, sum(r2.rank // deg.deg) AS m
+        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |         CAST(150000000000 + (85 * coalesce(c3.m, 0)) // 100 AS BIGINT) AS rank
+        |       FROM n LEFT JOIN c3 USING (node))
+        |SELECT node AS node_id,
+        |  CASE WHEN node >= 1000000 THEN 'page' ELSE 'user' END AS node_type, rank
+        |FROM r3 ORDER BY node_id""".stripMargin,
+
     // SCD-2 mirror: same change-compression (emit only when the state
     // differs from the previous event) and the same second window for
     // version/validity; timestamps as epoch micros on both sides.

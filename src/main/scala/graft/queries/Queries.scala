@@ -1456,6 +1456,30 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** X16: integer-exact PageRank ([[graft.graph.PageRank.pageRankFixed]])
+    * over the bipartite user <-> page co-visitation graph from the event
+    * log (page = the JSON `k` prop). Doubled (undirected) edges so no node
+    * dangles; 3 unrolled join+aggregate rounds; every rank is a 64-bit
+    * integer, so the oracle (the same three rounds as chained CTEs)
+    * matches hash-exactly with NO rounding contract — float PageRank
+    * could never be cross-engine hash-stable. */
+  val x16Pagerank: Q = (s, dir) => {
+    val e0 = tbl(s, dir, "events")
+      .select(col("user_id").as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("dst"))
+      .filter(col("dst").isNotNull)
+      .distinct()
+    val edges = e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    graft.graph.PageRank.pageRankFixed(edges, iters = 3)
+      .select(col("node").as("node_id"),
+        when(col("node") >= 1000000L, lit("page")).otherwise(lit("user")).as("node_type"),
+        col("rank"))
+      .orderBy("node_id")
+  }
+
   /** name -> query, in SURVEY §2 / brief order. */
   val all: Seq[(String, Q)] = Seq(
     "s05_scan_project" -> s05ScanProject,
@@ -1553,6 +1577,7 @@ object Queries {
     "x03_set_ops" -> x03SetOps,
     "x14_intersect" -> x14Intersect,
     "x15_scd2" -> x15Scd2,
+    "x16_pagerank" -> x16Pagerank,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,
