@@ -99,7 +99,20 @@ object Plans {
     "st07_stream_ingest" -> ("The batch mirror of the streaming ingest " +
       "front door: map-side quality gate, md5-fingerprint election with " +
       "partial min, semi-join back, per-lang partial-agg counts — text " +
-      "crosses a shuffle only in the semi-join probe."))
+      "crosses a shuffle only in the semi-join probe."),
+    "v08_hamming_ann" -> ("Binary Hamming ANN: sign-bit packing is " +
+      "map-only on both sides (32x corpus compression), queries " +
+      "broadcast, ONE corpus scan of XOR+popcount, and partial_top_k " +
+      "keeps k pairs per query map-side — shuffle volume queries x k, " +
+      "no candidate materialization, no per-query sort."),
+    "d12_chunk_dedup" -> ("CDC chunk audit: the only sort is the per-doc " +
+      "running-boundary window (doc-bounded); chunk text shuffles once " +
+      "into its (doc, chunk) group, then everything rides 16-byte chunk " +
+      "hashes through partial-aggregated group-bys."),
+    "x16_pagerank" -> ("Integer PageRank: per round, one equi-join of " +
+      "the edge list with the rank vector on the 8-byte node id plus one " +
+      "partial-aggregated groupBy(dst) — the distributed PageRank shape; " +
+      "all-integer ranks make reruns and engines bit-identical."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

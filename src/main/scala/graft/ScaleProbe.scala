@@ -112,12 +112,17 @@ object ScaleProbe {
       time(s"$tag d11 edit distance") {
         graft.llm.Dedup.editDistancePairs(d)
           .write.format("noop").mode("overwrite").save() }
+      time(s"$tag d12 chunk dedup") {
+        graft.llm.Dedup.chunkSharedContent(d)
+          .write.format("noop").mode("overwrite").save() }
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val q = e.filter(col("vec_id") < 32)
       time(s"$tag v03 ann lsh") {
         graft.llm.Similarity.annLsh(e, q, 5).write.format("noop").mode("overwrite").save() }
       time(s"$tag v05 ann ivf") {
         graft.llm.Similarity.annIvf(e, q, 5).write.format("noop").mode("overwrite").save() }
+      time(s"$tag v08 hamming ann") {
+        graft.llm.Similarity.hammingAnn(e, q, 5).write.format("noop").mode("overwrite").save() }
     }
     bench(sf, " 1x")
     bench(big, "10x")
