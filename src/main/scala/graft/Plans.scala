@@ -105,10 +105,11 @@ object Plans {
       "broadcast, ONE corpus scan of XOR+popcount, and partial_top_k " +
       "keeps k pairs per query map-side — shuffle volume queries x k, " +
       "no candidate materialization, no per-query sort."),
-    "d12_chunk_dedup" -> ("CDC chunk audit: the only sort is the per-doc " +
-      "running-boundary window (doc-bounded); chunk text shuffles once " +
-      "into its (doc, chunk) group, then everything rides 16-byte chunk " +
-      "hashes through partial-aggregated group-bys."),
+    "d12_chunk_dedup" -> ("CDC chunk audit: chunking is an in-kernel fold " +
+      "over each doc's word array — map-only, no explode, no window, no " +
+      "shuffle of words; after it, everything rides 16-byte chunk hashes " +
+      "through partial-aggregated group-bys (distinct-doc counts, per-doc " +
+      "stats)."),
     "x16_pagerank" -> ("Integer PageRank: per round, one equi-join of " +
       "the edge list with the rank vector on the 8-byte node id plus one " +
       "partial-aggregated groupBy(dst) — the distributed PageRank shape; " +

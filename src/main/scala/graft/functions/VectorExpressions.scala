@@ -34,6 +34,8 @@ object VectorExpressions {
       exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm",
       exprs => FloatVecNorm(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("hamming_dist",
+      exprs => PackedHamming(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -127,6 +129,58 @@ case class FloatVecNorm(child: Expression)
 }
 
 /**
+ * hamming_dist(a, b) over two sign-bit-packed array<bigint> (see
+ * [[graft.llm.Similarity.signBits]]): sum of Long.bitCount(x ^ y) per
+ * word. The binary-ANN hot loop — one popcount instruction per 32 packed
+ * dims where the HOF form (zip_with + aggregate) boxes every word through
+ * lambda eval. Integer-exact by construction.
+ */
+case class PackedHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming_dist expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Long.bitCount($x.getLong($i) ^ $y.getLong($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PackedHamming =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * SparkSessionExtensions entry point:
  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` registers
  * the library's full native-function surface in every session of the
@@ -155,6 +209,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[FloatVecNorm].getName, "vec_norm"),
       (exprs: Seq[Expression]) => FloatVecNorm(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[PackedHamming].getName, "hamming_dist"),
+      (exprs: Seq[Expression]) => PackedHamming(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs(0), litInt(exprs(1)))))

@@ -447,7 +447,10 @@ object Similarity {
 
   /** Hamming distance between two [[signBits]]-packed arrays:
     * popcount(xor) per word, summed. Integer-exact — safe to hash-compare
-    * across engines and to rank on without float tie hazards. */
+    * across engines and to rank on without float tie hazards. HOF
+    * (dependency-free Column API) form; the scan path uses the codegen'd
+    * native [[graft.functions.PackedHamming]], which computes the
+    * identical integer (asserted in LlmOpsSpec). */
   def hammingPacked(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
       lit(0L), (acc, v) => acc + v.cast("long"))
@@ -466,13 +469,14 @@ object Similarity {
    * float anywhere in the selection.
    */
   def hammingAnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
     val q = broadcast(queries
       .select(col("vec_id").as("query_id"), signBits(col("embedding")).as("q_sig")))
     val c = corpus
       .select(col("vec_id").as("neighbor_id"), signBits(col("embedding")).as("c_sig"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        hammingPacked(col("q_sig"), col("c_sig")).as("ham"))
+        expr("hamming_dist(q_sig, c_sig)").as("ham"))
     // top_k keeps the LARGEST ord: feed a composite negative key that
     // encodes (ham asc, neighbor_id asc) exactly in a double.
     // ham <= dims <= 2^20 and neighbor_id < 2^31 here, so

@@ -586,18 +586,25 @@ class LlmOpsSpec extends AnyFunSuite {
     //    dims whose sign (x >= 0) disagrees, computed straight off the floats
     val a = emb.select(col("vec_id"), col("embedding"))
     val b = emb.select(col("vec_id").as("vid_b"), col("embedding").as("emb_b"))
+    graft.functions.VectorExpressions.register(spark)
     val pairs = a.join(b, col("vec_id") < col("vid_b") - 480) // sparse pair sample
       .select(col("vec_id"), col("vid_b"),
-        Similarity.hammingPacked(
-          Similarity.signBits(col("embedding")),
-          Similarity.signBits(col("emb_b"))).as("ham_packed"),
+        Similarity.signBits(col("embedding")).as("sig_a"),
+        Similarity.signBits(col("emb_b")).as("sig_b"),
         aggregate(zip_with(col("embedding"), col("emb_b"),
             (x, y) => when((x >= 0f) =!= (y >= 0f), 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v).as("ham_naive"))
+      .select(col("vec_id"), col("vid_b"), col("ham_naive"),
+        Similarity.hammingPacked(col("sig_a"), col("sig_b")).as("ham_packed"),
+        expr("hamming_dist(sig_a, sig_b)").as("ham_native"))
       .collect()
     assert(pairs.nonEmpty)
-    pairs.foreach(r => assert(r.getLong(2) === r.getLong(3),
-      s"packed hamming diverged for (${r.getLong(0)}, ${r.getLong(1)})"))
+    pairs.foreach { r =>
+      assert(r.getLong(3) === r.getLong(2),
+        s"packed hamming diverged for (${r.getLong(0)}, ${r.getLong(1)})")
+      assert(r.getLong(4) === r.getLong(2),
+        s"native hamming_dist diverged for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
 
     // 2. the heap-aggregate top-k equals the row_number window form
     val queries = emb.filter(col("vec_id") < 16)
