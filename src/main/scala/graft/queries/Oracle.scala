@@ -1128,6 +1128,24 @@ object Oracle {
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value_r
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Island detection mirror of the native session_window: a new session
+    // starts when the gap to the previous event is >= 30 min (Spark's
+    // session ends are exclusive, so an event landing exactly at
+    // last + gap opens a new window). All keys integer epoch-micros.
+    "st08_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value
+        |           FROM events WHERE user_id < 200),
+        |d AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+        |                       OR tsu - lag(tsu) OVER w >= 1800000000
+        |                     THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |        ORDER BY tsu, event_id) AS sid FROM d)
+        |SELECT user_id, min(tsu) AS start_us, max(tsu) + 1800000000 AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value_r
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
     "st02_sessionize" ->
       """WITH g AS (SELECT user_id,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

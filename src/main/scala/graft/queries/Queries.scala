@@ -753,6 +753,23 @@ object Queries {
     * batch election is the deterministic min-doc_id form of the stream's
     * first-arrival-wins (StreamingSpec proves they coincide under ordered
     * arrival). */
+  /** ST8: NATIVE session windows ([[EventStreams.sessionWindowCounts]]) —
+    * the engine-managed gap-merged session aggregation (vs st02's custom
+    * keyed-state sessionizer). Same code path batch and streaming; output
+    * keys as epoch micros (end = last event + gap, exclusive), so the
+    * oracle's island detection (new session when the gap >= 30 min)
+    * reproduces the windows integer-exactly. */
+  val st08SessionWindow: Q = (s, dir) =>
+    graft.streaming.EventStreams.sessionWindowCounts(
+        tbl(s, dir, "events")
+          .filter(col("user_id") < 200)
+          .withColumn("ts", eventsTsMicros))
+      .select(col("user_id"),
+        unix_micros(col("s_start")).as("start_us"),
+        unix_micros(col("s_end")).as("end_us"),
+        col("n_events"), col("sum_value_r"))
+      .orderBy("user_id", "start_us")
+
   val st07StreamIngest: Q = (s, dir) => {
     val gated = tbl(s, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 30)
@@ -1587,6 +1604,7 @@ object Queries {
     "st04_interval_join" -> st04IntervalJoin,
     "st05_window_topk" -> st05WindowTopk,
     "st06_stream_static" -> st06StreamStatic,
-    "st07_stream_ingest" -> st07StreamIngest
+    "st07_stream_ingest" -> st07StreamIngest,
+    "st08_session_window" -> st08SessionWindow
   )
 }

@@ -29,6 +29,25 @@ object EventStreams {
         col("sum_value_r"))
 
   /**
+   * Per-user session aggregation through Spark's NATIVE session_window —
+   * the declarative complement to the custom flatMapGroupsWithState
+   * sessionizer ([[sessionize]]): gap-merged event-time windows
+   * [first_event, last_event + gap) maintained by the engine's built-in
+   * session state (merging on watermark advance), no user state code. The
+   * same call runs batch (watermark is a no-op) and streaming; a new
+   * session starts exactly when the gap to the previous event is >= `gap`
+   * (window ends are exclusive).
+   */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value_r"))
+      .select(col("user_id"), col("sw.start").as("s_start"), col("sw.end").as("s_end"),
+        col("n_events"), col("sum_value_r"))
+
+  /**
    * Stream-static enrichment join: each micro-batch of the event stream
    * joins a STATIC dimension frame (user -> market segment). The static
    * side never enters streaming state — Spark re-plans it per batch as a

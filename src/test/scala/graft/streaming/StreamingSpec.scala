@@ -61,6 +61,38 @@ class StreamingSpec extends AnyFunSuite {
       ("02:00", "view", 1L, 5.0)))
   }
 
+  test("native session_window stream agrees with batch and closes on gap >= 30 min") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Event]
+    stream.addData(fixture: _*)
+    val q = EventStreams.sessionWindowCounts(stream.toDF())
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"),
+        date_format(col("s_start"), "HH:mm").as("s"),
+        date_format(col("s_end"), "HH:mm").as("e"),
+        col("n_events"), col("sum_value_r"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val streamed = norm(spark.table("native_sessions"))
+    val batch = norm(EventStreams.sessionWindowCounts(fixture.toDF()))
+    assert(streamed === batch)
+    // user 1: events at 00:05/00:20 merge (15 min < gap), 01:10 and 02:10
+    // are fresh sessions (gaps 50/60 min >= 30); user 2: one singleton.
+    assert(streamed === Set(
+      (1L, "00:05", "00:50", 2L, 3.0),
+      (1L, "01:10", "01:40", 1L, 4.0),
+      (1L, "02:10", "02:40", 1L, 5.0),
+      (2L, "01:05", "01:35", 1L, 3.0)))
+  }
+
   test("streaming windowed top-k (bounded-heap state) agrees with the batch mirror") {
     val s = spark
     import s.implicits._
