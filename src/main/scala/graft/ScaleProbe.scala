@@ -12,14 +12,15 @@ import org.apache.spark.sql.functions._
  * Run: sbt "runMain graft.ScaleProbe"
  *
  * Measured on local[32] (2026-08-12, round-4 final operator set): 10x data
- * costs 1.2-4.7x wall — d03 3.0->6.2s, d04 1.9->4.6s, d07 2.9->13.8s,
- * t09 2.1->4.5s, d08 0.7->1.6s, d09 1.3->2.5s, d10 0.8->0.9s,
- * d11 1.4->4.6s, t11 2.1->2.6s, t12 1.8->2.9s, v03 2.5->3.7s,
- * v05 1.1->3.6s —
+ * costs 1.2-6.6x wall — d01 0.8->0.4s, d03 2.8->9.1s, d04 1.5->4.1s,
+ * d07 1.7->11.5s, t09 1.8->3.4s, d08 0.6->1.8s, d09 1.0->2.2s,
+ * d10 0.7->0.9s, t11 1.9->2.4s, t12 1.5->2.6s, d11 1.5->4.5s,
+ * d12 2.0->6.8s, v03 2.7->2.9s, v05 0.8->2.3s, v08 0.5->0.6s,
+ * x16 3.1->5.0s (10x users/edges) —
  * candidate generation stays equi-join-bound with no quadratic blowup,
  * the executable form of the 100x-scale claim. (d07's ratio is the label-
  * propagation round count growing with the pair-graph diameter, not a
- * per-row blowup.)
+ * per-row blowup; v08's near-flat ratio is the broadcast-scan shape.)
  */
 object ScaleProbe {
   def time[T](label: String)(f: => T)(implicit spark: SparkSession): T = {
@@ -66,8 +67,23 @@ object ScaleProbe {
             slice(col("embedding"), 1, 3 * k)).cast("array<float>"))
     }.reduce(_ unionByName _)
     embRot.write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+
+    // 10x events: copy k shifts users into a fresh id range and rotates the
+    // page prop by 7*k mod 100 — the bipartite graph grows 10x in users and
+    // edges while keeping the 100-page hub structure (the skew-realistic
+    // case for the graph ops).
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val evRot = (0 until 10).map { k =>
+      ev.withColumn("event_id", col("event_id") + lit(k * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 10000000L))
+        .withColumn("props", concat(lit("{\"k\": "),
+          ((get_json_object(col("props"), "$.k").cast("long") + lit(7 * k)) % 100)
+            .cast("string"), lit("}")))
+    }.reduce(_ unionByName _)
+    evRot.write.mode("overwrite").parquet(s"$big/events.parquet")
     println(s"[probe] docs10 = ${spark.read.parquet(s"$big/documents.parquet").count()}, " +
-      s"emb10 = ${spark.read.parquet(s"$big/embeddings.parquet").count()}")
+      s"emb10 = ${spark.read.parquet(s"$big/embeddings.parquet").count()}, " +
+      s"ev10 = ${spark.read.parquet(s"$big/events.parquet").count()}")
 
     def bench(dir: String, tag: String): Unit = {
       val d = spark.read.parquet(s"$dir/documents.parquet")
@@ -123,6 +139,17 @@ object ScaleProbe {
         graft.llm.Similarity.annIvf(e, q, 5).write.format("noop").mode("overwrite").save() }
       time(s"$tag v08 hamming ann") {
         graft.llm.Similarity.hammingAnn(e, q, 5).write.format("noop").mode("overwrite").save() }
+      val evd = spark.read.parquet(s"$dir/events.parquet")
+      time(s"$tag x16 pagerank") {
+        val e0 = evd.select(col("user_id").as("src"),
+            (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("dst"))
+          .filter(col("dst").isNotNull).distinct()
+        val edges = e0.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        graft.graph.PageRank.pageRankFixed(edges, iters = 3)
+          .write.format("noop").mode("overwrite").save() }
     }
     bench(sf, " 1x")
     bench(big, "10x")

