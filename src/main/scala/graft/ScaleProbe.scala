@@ -141,14 +141,8 @@ object ScaleProbe {
         graft.llm.Similarity.hammingAnn(e, q, 5).write.format("noop").mode("overwrite").save() }
       val evd = spark.read.parquet(s"$dir/events.parquet")
       time(s"$tag x16 pagerank") {
-        val e0 = evd.select(col("user_id").as("src"),
-            (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("dst"))
-          .filter(col("dst").isNotNull).distinct()
-        val edges = e0.select(explode(array(
-            struct(col("src"), col("dst")),
-            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        graft.graph.PageRank.pageRankFixed(edges, iters = 3)
+        graft.graph.PageRank.pageRankFixed(
+            graft.queries.Queries.eventsBipartiteEdges(evd), iters = 3)
           .write.format("noop").mode("overwrite").save() }
     }
     bench(sf, " 1x")

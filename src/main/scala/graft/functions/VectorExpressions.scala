@@ -134,6 +134,10 @@ case class FloatVecNorm(child: Expression)
  * word. The binary-ANN hot loop — one popcount instruction per 32 packed
  * dims where the HOF form (zip_with + aggregate) boxes every word through
  * lambda eval. Integer-exact by construction.
+ *
+ * Mismatched word counts ERROR (a truncated signature would silently
+ * rank as artificially close; the HOF form yields NULL there — neither
+ * is a distance, and the kernel fails loudly rather than guess).
  */
 case class PackedHamming(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -153,7 +157,10 @@ case class PackedHamming(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"hamming_dist: packed signatures differ in length ($n vs ${y.numElements()})")
     var s = 0L
     var i = 0
     while (i < n) { s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
@@ -166,7 +173,12 @@ case class PackedHamming(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "hamming_dist: packed signatures differ in length (" + $n +
+         |    " vs " + $y.numElements() + ")");
+         |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += java.lang.Long.bitCount($x.getLong($i) ^ $y.getLong($i));

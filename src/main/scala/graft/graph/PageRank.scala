@@ -32,7 +32,13 @@ import org.apache.spark.sql.functions._
  *
  * Overflow bound: in_mass <= total mass = n * scale, so 85 * in_mass
  * needs n * scale * 85 < 2^63 — with scale=10^12 that is n < ~10^5 nodes
- * per connected sink; lower `scale` for larger graphs.
+ * per connected sink; lower `scale` for larger graphs. The damping
+ * expression embeds an assert_true on the summed in-mass, so a graph
+ * that exceeds the bound FAILS the job instead of wrapping to garbage
+ * ranks (non-ANSI long arithmetic wraps silently). Residual: a wrap
+ * *inside* the sum itself that lands back in [0, 2^63/85) is
+ * undetected — that needs total mass past 2^64, i.e. ~100x past the
+ * guarded bound.
  */
 object PageRank {
 
@@ -55,11 +61,17 @@ object PageRank {
       val contrib = e.join(deg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
+      // guard BEFORE the 85x damping multiply: m outside [0, 2^63/85)
+      // would wrap. coalesce folds the assert's NULL into the arithmetic
+      // so pruning can never drop it.
+      val maxMass = Long.MaxValue / 85L
       ranks = nodes
         .join(contrib.groupBy("node").agg(sum(col("c")).as("m")), Seq("node"), "left")
         .select(col("node"),
           (lit(15L * scale / 100L) +
-            expr("(85 * coalesce(m, 0L)) div 100")).as("rank"))
+            expr(s"(85 * (coalesce(m, 0L) + " +
+              s"coalesce(cast(assert_true(coalesce(m, 0L) >= 0 and " +
+              s"coalesce(m, 0L) <= ${maxMass}L) as long), 0L))) div 100")).as("rank"))
     }
     ranks
   }

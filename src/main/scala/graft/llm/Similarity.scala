@@ -434,15 +434,19 @@ object Similarity {
   def signBits(a: Column): Column = {
     val wb = SignWordBits
     // size/wb is a DOUBLE divide on Columns; floor+cast keeps sequence()
-    // on integer bounds
+    // on integer bounds. The empty-array guard matters: sequence(0, -1)
+    // does NOT yield [] (Spark infers step -1 and produces [0, -1], whose
+    // element_at(a, 0) then throws), so an empty embedding must
+    // short-circuit to an empty signature explicitly.
     val nWords = floor((size(a) + lit(wb - 1)) / lit(wb)).cast("int")
-    transform(sequence(lit(0), nWords - lit(1)), w =>
-      aggregate(
-        sequence(w * wb, least(size(a) - 1, w * wb + (wb - 1))),
-        lit(0L),
-        (acc, i) => when(element_at(a, (i + 1).cast("int")) >= lit(0.0f),
-            acc + pow(lit(2.0), (i - w * wb).cast("double")).cast("long"))
-          .otherwise(acc)))
+    when(size(a) === 0, expr("cast(array() as array<bigint>)")).otherwise(
+      transform(sequence(lit(0), nWords - lit(1)), w =>
+        aggregate(
+          sequence(w * wb, least(size(a) - 1, w * wb + (wb - 1))),
+          lit(0L),
+          (acc, i) => when(element_at(a, (i + 1).cast("int")) >= lit(0.0f),
+              acc + pow(lit(2.0), (i - w * wb).cast("double")).cast("long"))
+            .otherwise(acc))))
   }
 
   /** Hamming distance between two [[signBits]]-packed arrays:
@@ -450,7 +454,10 @@ object Similarity {
     * across engines and to rank on without float tie hazards. HOF
     * (dependency-free Column API) form; the scan path uses the codegen'd
     * native [[graft.functions.PackedHamming]], which computes the
-    * identical integer (asserted in LlmOpsSpec). */
+    * identical integer for equal-length signatures (asserted in
+    * LlmOpsSpec). On mismatched lengths they deliberately differ: this
+    * form yields NULL (zip_with pads), the native kernel ERRORS — a
+    * truncated distance is never returned by either. */
   def hammingPacked(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
       lit(0L), (acc, v) => acc + v.cast("long"))
@@ -478,10 +485,16 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         expr("hamming_dist(q_sig, c_sig)").as("ham"))
     // top_k keeps the LARGEST ord: feed a composite negative key that
-    // encodes (ham asc, neighbor_id asc) exactly in a double.
-    // ham <= dims <= 2^20 and neighbor_id < 2^31 here, so
-    // ham * 2^31 + id < 2^51 stays integer-exact in the double ord.
-    val ordKey = -(col("ham") * lit(1L << 31) + col("neighbor_id")).cast("double")
+    // encodes (ham asc, neighbor_id asc) exactly in a double — valid only
+    // for neighbor_id in [0, 2^31) and ham < 2^20 (dims < 32M), where
+    // ham * 2^31 + id < 2^51 is integer-exact. Out-of-range inputs FAIL
+    // (assert_true) instead of silently corrupting the ranking; the
+    // assert rides inside the key expression so column pruning can never
+    // drop it.
+    val guard = coalesce(
+      assert_true(col("neighbor_id") >= 0 && col("neighbor_id") < lit(1L << 31) &&
+        col("ham") < lit(1L << 20)).cast("long"), lit(0L))
+    val ordKey = -(col("ham") * lit(1L << 31) + col("neighbor_id") + guard).cast("double")
     scored
       .groupBy(col("query_id"))
       .agg(graft.functions.VectorAggregates.topK(ordKey, col("neighbor_id"), k).as("top"))

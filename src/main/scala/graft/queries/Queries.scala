@@ -1480,17 +1480,25 @@ object Queries {
     * integer, so the oracle (the same three rounds as chained CTEs)
     * matches hash-exactly with NO rounding contract — float PageRank
     * could never be cross-engine hash-stable. */
-  val x16Pagerank: Q = (s, dir) => {
-    val e0 = tbl(s, dir, "events")
+  /** Bipartite user <-> page edge list from the event log (page = the
+    * JSON `k` prop offset into its own id range), doubled into both
+    * directions so no node dangles. Shared by [[x16Pagerank]] and
+    * `graft.ScaleProbe`, so the probe measures exactly the graph the
+    * query contract runs. */
+  def eventsBipartiteEdges(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e0 = events
       .select(col("user_id").as("src"),
         (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("dst"))
       .filter(col("dst").isNotNull)
       .distinct()
-    val edges = e0.select(explode(array(
+    e0.select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    graft.graph.PageRank.pageRankFixed(edges, iters = 3)
+  }
+
+  val x16Pagerank: Q = (s, dir) => {
+    graft.graph.PageRank.pageRankFixed(eventsBipartiteEdges(tbl(s, dir, "events")), iters = 3)
       .select(col("node").as("node_id"),
         when(col("node") >= 1000000L, lit("page")).otherwise(lit("user")).as("node_type"),
         col("rank"))

@@ -34,14 +34,22 @@ class GraphSpec extends AnyFunSuite {
     assert(r.values.sum === 3000000000000L)
   }
 
-  test("pageRankFixed: ranks are identical across reruns and rounds conserve order") {
-    val e = edgesDf(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L, 3L -> 2L, 2L -> 1L))
+  test("pageRankFixed: ranks are identical across reruns and asymmetry ranks the hub first") {
+    // ASYMMETRIC graph (a symmetric one makes every rank equal and any
+    // mass-conserving bug passes): undirected star 1 - {2, 3, 4} plus a
+    // tail 4 - 5. Node 1 is the hub; node 5 is the most peripheral.
+    val e = edgesDf(Seq(
+      1L -> 2L, 2L -> 1L, 1L -> 3L, 3L -> 1L,
+      1L -> 4L, 4L -> 1L, 4L -> 5L, 5L -> 4L))
     val a = PageRank.pageRankFixed(e, iters = 3).collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     val b = PageRank.pageRankFixed(e, iters = 3).collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(a === b, "integer PageRank must be bit-identical across reruns")
-    // node 3 has the highest in-degree (2 in this directed list) -> top rank
-    assert(a(3L) >= a(1L) && a(3L) >= a(2L))
+    // strict ordering: hub above every leaf, bridge (4) above the tail (5),
+    // and the symmetric leaves 2/3 exactly equal
+    assert(a(1L) > a(4L), s"hub must outrank the bridge: $a")
+    assert(a(4L) > a(5L), s"bridge must outrank the tail: $a")
+    assert(a(1L) > a(2L) && a(2L) === a(3L), s"leaves symmetric, below hub: $a")
   }
 }
