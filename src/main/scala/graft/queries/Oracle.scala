@@ -817,6 +817,38 @@ object Oracle {
         |SELECT query_id, neighbor_id, rnk, ham
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // Recall audit: both top-5 sets rebuilt independently (v01's rounded-
+    // cosine ranking, v08's sign-disagreement hamming ranking), then the
+    // per-query overlap. Both rankings are deterministic, so the audit is
+    // integer-exact — no recall tolerance needed.
+    "v09_ann_recall_audit" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 32),
+         |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  round(${dot("q.qe", "e.embedding")} / (${norm("q.qe")} * ${norm("e.embedding")}), 6) AS cos
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |ck AS (SELECT query_id, neighbor_id FROM (
+         |        SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |        FROM sc) WHERE rnk <= 5),
+         |z AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |        unnest(q.qe) AS qx, unnest(e.embedding) AS ex
+         |      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+         |hs AS (SELECT query_id, neighbor_id,
+         |        sum(CASE WHEN (qx >= 0) <> (ex >= 0) THEN 1 ELSE 0 END) AS ham
+         |       FROM z GROUP BY 1, 2),
+         |hk AS (SELECT query_id, neighbor_id FROM (
+         |        SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rnk
+         |        FROM hs) WHERE rnk <= 5)
+         |SELECT ck.query_id,
+         |  CAST(sum(CASE WHEN hk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_overlap,
+         |  round(sum(CASE WHEN hk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 6) AS recall_r
+         |FROM ck LEFT JOIN hk USING (query_id, neighbor_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The oracle is the window form the heap aggregate replaces: rank DESC
     // with doc_id ASC tie-break is TopK's exact total order.
     "t13_source_quota" ->

@@ -961,6 +961,35 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** V9: ANN recall audit — the evaluation operator a production ANN
+    * deployment runs continuously: per query, how many of the exact
+    * cosine top-k does the cheap index (here the v08 binary-Hamming path)
+    * recover? Composes the two verified kernels and reduces to an
+    * integer overlap count per query (both top-k sets are deterministic —
+    * rounded cosine + id tie-break, integer hamming — so the audit is
+    * hash-exact, unlike a float recall). Scale shape: both inputs are
+    * top-k frames of |queries| x k rows; the audit join is negligible
+    * next to the scans that build them. And it reports the honest
+    * number: raw 64-bit sign quantization recalls only ~0.2 of the
+    * cosine top-5 at sf0.01 — the measurement that tells a deployment
+    * the binary path is a COARSE pre-filter needing an exact rerank
+    * stage (which is how v08's production use composes). */
+  val v09AnnRecallAudit: Q = (s, dir) => {
+    val emb = tbl(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 32)
+    val exact = Similarity.knnBrute(emb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.hammingAnn(emb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"),
+        count(lit(1)).as("k"))
+      .select(col("query_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("k"), 6).as("recall_r"))
+      .orderBy("query_id")
+  }
+
   /** T13: fixed-quota per-source sampling — the training-mix knob that
     * caps every source at N docs, deterministically (md5-rank election, no
     * RNG: reruns and retries pick identical docs). Selection runs through
@@ -1561,6 +1590,7 @@ object Queries {
     "v06_quantize" -> v06Quantize,
     "v07_random_projection" -> v07RandomProjection,
     "v08_hamming_ann" -> v08HammingAnn,
+    "v09_ann_recall_audit" -> v09AnnRecallAudit,
     "t05_normalize" -> t05Normalize,
     "t06_stratified_sample" -> t06StratifiedSample,
     "t07_repetition" -> t07Repetition,
