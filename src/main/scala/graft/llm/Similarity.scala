@@ -475,6 +475,26 @@ object Similarity {
    * Ranking is integer-total: hamming asc, then neighbor_id asc — no
    * float anywhere in the selection.
    */
+  /**
+   * The production composition of the binary path: a Hamming SHORTLIST
+   * (cheap popcount scan over the 32x-compressed signatures, `shortlist`
+   * candidates per query through the bounded heap) followed by an exact
+   * cosine rerank of only those candidates — the two-stage design the
+   * [[graft.queries.Queries.v09AnnRecallAudit]] measurement motivates:
+   * raw sign-bit top-k alone recalls poorly, but as a pre-filter it cuts
+   * the exact-scoring cost |corpus|/shortlist-fold while the rerank
+   * restores cosine-exact ordering within the shortlist. Same shape as
+   * [[annLsh]]'s candidates->rerank tail: ids only through the shortlist
+   * shuffle, embeddings re-attached to `shortlist x |queries|` rows.
+   */
+  def hammingRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+                    shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val candidates = hammingAnn(corpus, queries, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    rerank(candidates, corpus, queries, k)
+  }
+
   def hammingAnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
     val q = broadcast(queries

@@ -849,6 +849,33 @@ object Oracle {
          |FROM ck LEFT JOIN hk USING (query_id, neighbor_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Two-stage mirror: hamming top-50 shortlist (sign-disagreement count,
+    // integer rank), then the exact rounded-cosine rerank of candidates
+    // only — stage boundaries identical to the engine's, so hash-exact.
+    "v10_hamming_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 32),
+         |z AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |        unnest(q.qe) AS qx, unnest(e.embedding) AS ex
+         |      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+         |hs AS (SELECT query_id, neighbor_id,
+         |        sum(CASE WHEN (qx >= 0) <> (ex >= 0) THEN 1 ELSE 0 END) AS ham
+         |       FROM z GROUP BY 1, 2),
+         |hk AS (SELECT query_id, neighbor_id FROM (
+         |        SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rnk
+         |        FROM hs) WHERE rnk <= 50),
+         |sc AS (SELECT hk.query_id, hk.neighbor_id,
+         |  round(${dot("q.qe", "e.embedding")} / (${norm("q.qe")} * ${norm("e.embedding")}), 6) AS cos
+         |  FROM hk JOIN embeddings e ON e.vec_id = hk.neighbor_id
+         |          JOIN q ON q.query_id = hk.query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, rnk, cos
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     // The oracle is the window form the heap aggregate replaces: rank DESC
     // with doc_id ASC tie-break is TopK's exact total order.
     "t13_source_quota" ->

@@ -990,6 +990,17 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** V10: binary shortlist + exact rerank ([[Similarity.hammingRerank]])
+    * — the two-stage production path the v09 audit motivates: hamming
+    * top-50 pre-filter (popcount over packed bits, 32x cheaper than
+    * float), exact cosine rerank of candidates only. Both stages are
+    * deterministic, so the oracle mirrors them exactly. */
+  val v10HammingRerank: Q = (s, dir) => {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.hammingRerank(emb, emb.filter(col("vec_id") < 32), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** T13: fixed-quota per-source sampling — the training-mix knob that
     * caps every source at N docs, deterministically (md5-rank election, no
     * RNG: reruns and retries pick identical docs). Selection runs through
@@ -1591,6 +1602,7 @@ object Queries {
     "v07_random_projection" -> v07RandomProjection,
     "v08_hamming_ann" -> v08HammingAnn,
     "v09_ann_recall_audit" -> v09AnnRecallAudit,
+    "v10_hamming_rerank" -> v10HammingRerank,
     "t05_normalize" -> t05Normalize,
     "t06_stratified_sample" -> t06StratifiedSample,
     "t07_repetition" -> t07Repetition,

@@ -625,6 +625,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viaHeap === viaWindow)
   }
 
+  test("hamming shortlist + exact rerank recalls far better than raw hamming top-k") {
+    val queries = emb.filter(col("vec_id") < 32)
+    def topsets(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val brute = topsets(Similarity.knnBrute(emb, queries, k = 5))
+    def recall(ann: Map[Long, Set[Long]]) = {
+      val rs = brute.map { case (q, t) => t.intersect(ann.getOrElse(q, Set.empty)).size / 5.0 }
+      rs.sum / rs.size
+    }
+    val raw = recall(topsets(Similarity.hammingAnn(emb, queries, k = 5)))
+    val reranked = recall(topsets(Similarity.hammingRerank(emb, queries, k = 5)))
+    info(f"hamming raw recall@5 = $raw%.3f, shortlist-50 + exact rerank = $reranked%.3f")
+    // raw 64-bit sign quantization is a coarse filter (~0.2-0.3 here); the
+    // 50-candidate shortlist + exact rerank must recover most of the truth
+    assert(reranked >= raw + 0.2, f"rerank must materially improve recall: $raw%.3f -> $reranked%.3f")
+    assert(reranked >= 0.5, f"composed recall too low: $reranked%.3f")
+  }
+
   test("IVF ANN: centroid probing recalls well and the plan is an equi-join") {
     val queries = emb.filter(col("vec_id") < 32)
     val brute = Similarity.knnBrute(emb, queries, k = 5)
