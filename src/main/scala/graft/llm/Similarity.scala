@@ -475,6 +475,37 @@ object Similarity {
    * Ranking is integer-total: hamming asc, then neighbor_id asc — no
    * float anywhere in the selection.
    */
+  def hammingAnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), signBits(col("embedding")).as("q_sig")))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), signBits(col("embedding")).as("c_sig"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("hamming_dist(q_sig, c_sig)").as("ham"))
+    // top_k keeps the LARGEST ord: feed a composite negative key that
+    // encodes (ham asc, neighbor_id asc) exactly in a double — valid only
+    // for neighbor_id in [0, 2^31) and ham < 2^20; ham is a bit count
+    // bounded by the embedding dimension, so this caps dims at ~1M
+    // (2^20), where ham * 2^31 + id < 2^51 is integer-exact. Out-of-range
+    // inputs FAIL (assert_true) instead of silently corrupting the
+    // ranking; the assert rides inside the key expression so column
+    // pruning can never drop it.
+    val guard = coalesce(
+      assert_true(col("neighbor_id") >= 0 && col("neighbor_id") < lit(1L << 31) &&
+        col("ham") < lit(1L << 20)).cast("long"), lit(0L))
+    val ordKey = -(col("ham") * lit(1L << 31) + col("neighbor_id") + guard).cast("double")
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorAggregates.topK(ordKey, col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("rnk0") + 1).cast("long").as("rnk"),
+        // recover the hamming distance from the composite key
+        floor(-col("t.ord") / lit(1L << 31).cast("double")).cast("long").as("ham"))
+  }
+
   /**
    * The production composition of the binary path: a Hamming SHORTLIST
    * (cheap popcount scan over the 32x-compressed signatures, `shortlist`
@@ -493,35 +524,5 @@ object Similarity {
     val candidates = hammingAnn(corpus, queries, shortlist)
       .select(col("query_id"), col("neighbor_id"))
     rerank(candidates, corpus, queries, k)
-  }
-
-  def hammingAnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    graft.functions.VectorExpressions.register(corpus.sparkSession)
-    val q = broadcast(queries
-      .select(col("vec_id").as("query_id"), signBits(col("embedding")).as("q_sig")))
-    val c = corpus
-      .select(col("vec_id").as("neighbor_id"), signBits(col("embedding")).as("c_sig"))
-    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        expr("hamming_dist(q_sig, c_sig)").as("ham"))
-    // top_k keeps the LARGEST ord: feed a composite negative key that
-    // encodes (ham asc, neighbor_id asc) exactly in a double — valid only
-    // for neighbor_id in [0, 2^31) and ham < 2^20 (dims < 32M), where
-    // ham * 2^31 + id < 2^51 is integer-exact. Out-of-range inputs FAIL
-    // (assert_true) instead of silently corrupting the ranking; the
-    // assert rides inside the key expression so column pruning can never
-    // drop it.
-    val guard = coalesce(
-      assert_true(col("neighbor_id") >= 0 && col("neighbor_id") < lit(1L << 31) &&
-        col("ham") < lit(1L << 20)).cast("long"), lit(0L))
-    val ordKey = -(col("ham") * lit(1L << 31) + col("neighbor_id") + guard).cast("double")
-    scored
-      .groupBy(col("query_id"))
-      .agg(graft.functions.VectorAggregates.topK(ordKey, col("neighbor_id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
-      .select(col("query_id"), col("t.id").as("neighbor_id"),
-        (col("rnk0") + 1).cast("long").as("rnk"),
-        // recover the hamming distance from the composite key
-        floor(-col("t.ord") / lit(1L << 31).cast("double")).cast("long").as("ham"))
   }
 }
