@@ -1055,6 +1055,23 @@ object Oracle {
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
         |FROM documents""".stripMargin,
 
+    // Z-order audit recomputed from the source: the 32-term interleave
+    // SQL is GENERATED from the same loop as the engine's Column form
+    // (Layout.zValueSql), so the two expressions can never drift. All
+    // outputs integer.
+    "s13_zorder_layout" ->
+      s"""WITH d AS (SELECT lang, n_chars,
+         |    CAST('0x' || substring(md5(lang), 1, 4) AS BIGINT) AS lh
+         |  FROM documents),
+         |z AS (SELECT lang, n_chars,
+         |  ${graft.relational.Layout.zValueSql("least(greatest(n_chars, 0), 65535)", "lh")} AS z
+         |  FROM d)
+         |SELECT z // ${1L << 24} AS z_bucket, count(*) AS n_docs,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+         |  CAST(max(n_chars) AS BIGINT) AS max_chars
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Manifest recomputed from the SOURCE table: the engine computes it
     // from the files it wrote, so equality proves the shard export carries
     // exactly the corpus. All integers (order-independent md5-prefix sum).

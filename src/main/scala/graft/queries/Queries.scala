@@ -156,6 +156,35 @@ object Queries {
       .orderBy("shard")
   }
 
+  /** S13: Z-order (Morton) clustered layout + locality audit — the
+    * multi-dimensional clustering warehouses use for data skipping
+    * (Delta ZORDER BY / Iceberg sort orders), built from first
+    * principles: interleave the bits of (n_chars, 16-bit lang hash) into
+    * one integer sort key ([[graft.relational.Layout.zValue]]),
+    * range-partition + sort the write on it, then audit per z-range
+    * bucket from the WRITTEN files: docs, distinct langs, n_chars
+    * envelope. Locality is the measured claim — each bucket touches few
+    * langs AND a narrow length band, so a filter on either dimension
+    * prunes most files; a plain sort delivers that only for its leading
+    * column. The z key is 32 shift/mask terms of integer arithmetic,
+    * generated from the same loop as the oracle's SQL mirror. */
+  val s13ZorderLayout: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val z = graft.relational.Layout.zValue(col("n_chars"),
+      expr("cast(conv(substring(md5(lang), 1, 4), 16, 10) as bigint)"))
+    tbl(s, dir, "documents").withColumn("z", z)
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+      .groupBy(expr(s"z div ${1L << 24}").as("z_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("z_bucket")
+  }
+
   /** S9: schema-evolution read — two dump generations with different
     * schemas (an old dump lacking source/n_chars, a new full one) unified
     * by an explicit mergeSchema scan; absent columns surface as NULL and
@@ -1637,6 +1666,7 @@ object Queries {
     "a19_regression" -> a19Regression,
     "s11_text_roundtrip" -> s11TextRoundtrip,
     "s12_shard_export" -> s12ShardExport,
+    "s13_zorder_layout" -> s13ZorderLayout,
     "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
     "s10_orc_roundtrip" -> s10OrcRoundtrip,

@@ -175,4 +175,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     }.toSet
     assert(gotNeg === expectNeg)
   }
+
+  test("zValue: Morton interleave goldens, clamping, and two-dimensional locality") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // goldens: bit i of a -> z-bit 2i, bit i of b -> z-bit 2i+1
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (65535L, 65535L), (-5L, 70000L))
+      .toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(0L, 1L, 2L, 15L, (1L << 32) - 1,
+      // clamped: a -> 0, b -> 65535 (odd bits set)
+      (0 until 16).map(i => 1L << (2 * i + 1)).sum))
+
+    // locality: buckets of the top z bits bound BOTH dimensions — for
+    // points on a 2D grid, each 256-wide z-bucket spans at most a
+    // 16x16 tile in (a, b), never a full row or column
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b")).as("z"))
+      .withColumn("bucket", expr("z div 256"))
+      .groupBy("bucket")
+      .agg(max(col("a")) - min(col("a")), max(col("b")) - min(col("b")))
+      .collect()
+    assert(grid.nonEmpty)
+    grid.foreach { r =>
+      assert(r.getLong(1) <= 15 && r.getLong(2) <= 15,
+        s"z-bucket spans more than a 16x16 tile: $r")
+    }
+  }
 }
