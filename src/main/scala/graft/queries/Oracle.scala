@@ -1114,6 +1114,22 @@ object Oracle {
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY c_custkey""".stripMargin,
 
+    // UNPIVOT mirror: the UNION ALL constant-label form of the melt.
+    // Column names match the engine's unpivot output (status_col carries
+    // the source column name). All counts integer.
+    "x17_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, 'cnt_O' AS status_col, cnt_o AS cnt FROM w
+        |UNION ALL
+        |SELECT o_orderpriority, 'cnt_F' AS status_col, cnt_f AS cnt FROM w
+        |UNION ALL
+        |SELECT o_orderpriority, 'cnt_P' AS status_col, cnt_p AS cnt FROM w
+        |ORDER BY o_orderpriority, status_col""".stripMargin,
+
     // Integer PageRank mirror: the same three join+aggregate rounds as
     // chained CTEs. Every value is integer (rank div deg contributions,
     // div-100 damping), so the match is hash-exact with no rounding.

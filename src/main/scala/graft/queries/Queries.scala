@@ -1574,6 +1574,23 @@ object Queries {
       .orderBy("node_id")
   }
 
+  /** X17: UNPIVOT — the inverse of x07's pivot, closing the reshape
+    * pair: a wide per-priority table of per-status counts melts back to
+    * long (priority, status column, count) rows via the engine-native
+    * `Dataset.unpivot` (a Generate node — map-side row expansion, no
+    * shuffle beyond the small aggregate that built the wide input). All
+    * counts integer; the oracle is the UNION ALL constant-label form. */
+  val x17Unpivot: Q = (s, dir) => {
+    val o = tbl(s, dir, "orders")
+    val wide = o.groupBy(col("o_orderpriority"))
+      .agg(sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("cnt_O"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("cnt_F"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("cnt_P"))
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("cnt_O"), col("cnt_F"), col("cnt_P")), "status_col", "cnt")
+      .orderBy("o_orderpriority", "status_col")
+  }
+
   /** name -> query, in SURVEY §2 / brief order. */
   val all: Seq[(String, Q)] = Seq(
     "s05_scan_project" -> s05ScanProject,
@@ -1675,6 +1692,7 @@ object Queries {
     "x14_intersect" -> x14Intersect,
     "x15_scd2" -> x15Scd2,
     "x16_pagerank" -> x16Pagerank,
+    "x17_unpivot" -> x17Unpivot,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,
