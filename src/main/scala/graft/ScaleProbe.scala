@@ -76,9 +76,13 @@ object ScaleProbe {
     val evRot = (0 until 10).map { k =>
       ev.withColumn("event_id", col("event_id") + lit(k * 10000000L))
         .withColumn("user_id", col("user_id") + lit(k * 10000000L))
-        .withColumn("props", concat(lit("{\"k\": "),
+        // coalesce keeps the rewrite TOTAL: concat null-propagates, so an
+        // event whose props lacks a numeric k would otherwise get props =
+        // NULL at 10x — not a faithful copy-shift for ops reading other
+        // props fields
+        .withColumn("props", coalesce(concat(lit("{\"k\": "),
           ((get_json_object(col("props"), "$.k").cast("long") + lit(7 * k)) % 100)
-            .cast("string"), lit("}")))
+            .cast("string"), lit("}")), col("props")))
     }.reduce(_ unionByName _)
     evRot.write.mode("overwrite").parquet(s"$big/events.parquet")
     println(s"[probe] docs10 = ${spark.read.parquet(s"$big/documents.parquet").count()}, " +

@@ -124,6 +124,12 @@ object VectorAggregates {
     ColumnBridge.column(
       TopK(ColumnBridge.expression(ord), ColumnBridge.expression(id), k)
         .toAggregateExpression())
+
+  /** Column binding: top_k_str(ord, id, k) usable inside agg(...). */
+  def topKStr(ord: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKStr(ColumnBridge.expression(ord), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
 }
 
 /**
@@ -218,6 +224,167 @@ case class TopK(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): TopK =
     copy(ordExpr = newChildren(0), idExpr = newChildren(1))
+}
+
+/**
+ * top_k_str(ord, id, k) — [[TopK]] with a STRING id: the k largest
+ * (ord desc, id-bytes asc) pairs per group. Same bounded min-heap buffer,
+ * same map-side partials / |groups| x k shuffle contract; the tie-break
+ * compares UTF8String bytes, which for UTF-8 is exactly code-point order —
+ * the same total order as the oracle engine's binary string collation.
+ * This is the heap for selections whose natural tie key is a term/token
+ * string (TF-IDF top terms, vocabulary quotas) where packing the id into
+ * an integer is impossible.
+ *
+ * Input UTF8Strings are cloned on insert: eval hands out buffer-backed
+ * slices whose bytes are overwritten by the next row.
+ */
+case class TopKStr(
+    ordExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKStr.Buf] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = ordExpr :: idExpr :: Nil
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (ordExpr.dataType, idExpr.dataType) match {
+      case (DoubleType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"top_k_str expects (double, string), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("ord", DoubleType, nullable = false),
+      StructField("id", StringType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_str"
+
+  override def createAggregationBuffer(): TopKStr.Buf = new TopKStr.Buf(k)
+
+  override def update(buf: TopKStr.Buf, input: InternalRow): TopKStr.Buf = {
+    val o = ordExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (o != null && i != null)
+      buf.push(o.asInstanceOf[Double],
+        i.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    buf
+  }
+
+  override def merge(b1: TopKStr.Buf, b2: TopKStr.Buf): TopKStr.Buf = {
+    var i = 0
+    // merge sources are deserialized/owned buffers — no re-clone needed,
+    // but push clones defensively only on the input path (see Buf.push)
+    while (i < b2.n) { b1.pushOwned(b2.ords(i), b2.ids(i)); i += 1 }
+    b1
+  }
+
+  override def eval(buf: TopKStr.Buf): Any = {
+    val idx = Array.range(0, buf.n).sortWith { (a, b) =>
+      buf.ords(a) > buf.ords(b) ||
+        (buf.ords(a) == buf.ords(b) && buf.ids(a).compareTo(buf.ids(b)) < 0)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      idx.map { i =>
+        val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        r.update(0, buf.ords(i))
+        r.update(1, buf.ids(i))
+        r: Any
+      })
+  }
+
+  override def serialize(buf: TopKStr.Buf): Array[Byte] = {
+    var bytes = 4
+    var i = 0
+    while (i < buf.n) { bytes += 12 + buf.ids(i).numBytes(); i += 1 }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buf.n)
+    i = 0
+    while (i < buf.n) {
+      bb.putDouble(buf.ords(i))
+      val b = buf.ids(i).getBytes
+      bb.putInt(b.length)
+      bb.put(b)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStr.Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKStr.Buf(k)
+    var i = 0
+    while (i < n) {
+      val o = bb.getDouble
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.pushOwned(o, org.apache.spark.unsafe.types.UTF8String.fromBytes(b))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKStr =
+    copy(ordExpr = newChildren(0), idExpr = newChildren(1))
+}
+
+object TopKStr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Bounded min-heap over (double ord, UTF8String id) with total order
+    * (ord desc, id-bytes asc) — the [[TopK.Buf]] structure with the
+    * string tie-break. */
+  final class Buf(val k: Int) {
+    val ords = new Array[Double](k)
+    val ids = new Array[UTF8String](k)
+    var n = 0
+
+    @inline private def stronger(o1: Double, i1: UTF8String,
+                                 o2: Double, i2: UTF8String): Boolean =
+      o1 > o2 || (o1 == o2 && i1.compareTo(i2) < 0)
+
+    /** Input-path insert: clones the UTF8String (eval output aliases
+      * reused row memory). */
+    def push(o: Double, id: UTF8String): Unit = pushOwned(o, id.clone())
+
+    /** Insert of an already-owned UTF8String (merge/deserialize paths). */
+    def pushOwned(o: Double, id: UTF8String): Unit = {
+      if (n < k) {
+        var c = n
+        ords(c) = o; ids(c) = id; n += 1
+        while (c > 0 && stronger(ords((c - 1) / 2), ids((c - 1) / 2), ords(c), ids(c))) {
+          swap(c, (c - 1) / 2); c = (c - 1) / 2
+        }
+      } else if (stronger(o, id, ords(0), ids(0))) {
+        ords(0) = o; ids(0) = id
+        var c = 0
+        var done = false
+        while (!done) {
+          val l = 2 * c + 1; val r = 2 * c + 2
+          var w = c
+          if (l < n && stronger(ords(w), ids(w), ords(l), ids(l))) w = l
+          if (r < n && stronger(ords(w), ids(w), ords(r), ids(r))) w = r
+          if (w == c) done = true else { swap(c, w); c = w }
+        }
+      }
+    }
+
+    @inline private def swap(a: Int, b: Int): Unit = {
+      val to = ords(a); ords(a) = ords(b); ords(b) = to
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+  }
 }
 
 object TopK {

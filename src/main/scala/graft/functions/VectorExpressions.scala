@@ -137,7 +137,13 @@ case class FloatVecNorm(child: Expression)
  *
  * Mismatched word counts ERROR (a truncated signature would silently
  * rank as artificially close; the HOF form yields NULL there — neither
- * is a distance, and the kernel fails loudly rather than guess).
+ * is a distance, and the kernel fails loudly rather than guess). NULL
+ * *elements* inside a packed array error for the same reason: getLong on
+ * a null slot would contribute garbage to the distance. (The HOF form
+ * null-propagates there — documented divergence, same policy as length:
+ * a non-distance is never returned by either form; [[graft.llm
+ * .Similarity.signBits]] never emits null elements, so internal paths
+ * are unaffected.)
  */
 case class PackedHamming(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -163,7 +169,13 @@ case class PackedHamming(left: Expression, right: Expression)
         s"hamming_dist: packed signatures differ in length ($n vs ${y.numElements()})")
     var s = 0L
     var i = 0
-    while (i < n) { s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"hamming_dist: null element at word $i in packed signature")
+      s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
     s
   }
 
@@ -181,6 +193,10 @@ case class PackedHamming(left: Expression, right: Expression)
          |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "hamming_dist: null element at word " + $i + " in packed signature");
+         |  }
          |  $s += java.lang.Long.bitCount($x.getLong($i) ^ $y.getLong($i));
          |}
          |${ev.value} = $s;
@@ -253,5 +269,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopK].getName, "top_k"),
       (exprs: Seq[Expression]) => TopK(exprs(0), exprs(1), litInt(exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("top_k_str"),
+      new ExpressionInfo(classOf[TopKStr].getName, "top_k_str"),
+      (exprs: Seq[Expression]) => TopKStr(exprs(0), exprs(1), litInt(exprs(2)))))
   }
 }

@@ -31,19 +31,37 @@ import org.apache.spark.sql.functions._
  * entirely.
  *
  * Overflow bound: in_mass <= total mass = n * scale, so 85 * in_mass
- * needs n * scale * 85 < 2^63 — with scale=10^12 that is n < ~10^5 nodes
- * per connected sink; lower `scale` for larger graphs. The damping
- * expression embeds an assert_true on the summed in-mass, so a graph
- * that exceeds the bound FAILS the job instead of wrapping to garbage
- * ranks (non-ANSI long arithmetic wraps silently). Residual: a wrap
- * *inside* the sum itself that lands back in [0, 2^63/85) is
- * undetected — that needs total mass past 2^64, i.e. ~100x past the
- * guarded bound.
+ * needs n * scale * 85 < 2^63. By default `scale` AUTO-SIZES to the
+ * largest power of 10 satisfying that bound for the measured node count
+ * ([[autoScale]] — one count action over the node set), so the operator
+ * works unmodified from fixture graphs (n=2e3 -> 10^13) to web-scale
+ * corpus graphs (n=10^9 -> 10^8, still 8 exact decimal digits of rank);
+ * the r4 fixed 10^12 default capped graphs at ~10^5 nodes. The damping
+ * expression keeps an assert_true on the summed in-mass, so a graph
+ * that exceeds the bound (possible only with an explicit oversized
+ * `scale`) FAILS the job instead of wrapping to garbage ranks (non-ANSI
+ * long arithmetic wraps silently). Residual: a wrap *inside* the sum
+ * itself that lands back in [0, 2^63/85) is undetected — that needs
+ * total mass past 2^64, i.e. ~100x past the guarded bound.
  */
 object PageRank {
 
+  /** Largest power of 10 with n * scale * 85 <= Long.MaxValue — the
+    * finest rank granularity that provably cannot overflow the damping
+    * multiply. Any SQL engine mirrors it as
+    * `max(10^k) where 10^k <= (2^63-1) // 85 // n`. */
+  def autoScale(n: Long): Long = {
+    require(n > 0, s"autoScale needs a non-empty node set, got n=$n")
+    val cap = Long.MaxValue / 85L / n
+    require(cap >= 1L, s"node count $n too large for integer PageRank (scale < 1)")
+    var s = 1L
+    while (s <= cap / 10L) s *= 10L
+    s
+  }
+
+  /** `scale <= 0` (the default) auto-sizes via [[autoScale]]. */
   def pageRankFixed(edges: DataFrame, iters: Int = 3,
-                    scale: Long = 1000000000000L): DataFrame = {
+                    scale: Long = 0L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // The edge list, degrees, and node set are loop-invariant and appear
     // in every round's plan — deliberately NOT persisted: ReuseExchange
@@ -56,7 +74,11 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    var ranks = nodes.withColumn("rank", lit(scale))
+    // auto-sizing pays one count action (a partial-aggregated scan of the
+    // edge frame) before the iteration — a job-level constant, same
+    // pattern as tfidf's corpus size
+    val sc = if (scale > 0L) scale else autoScale(nodes.count())
+    var ranks = nodes.withColumn("rank", lit(sc))
     for (_ <- 1 to iters) {
       val contrib = e.join(deg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -68,7 +90,7 @@ object PageRank {
       ranks = nodes
         .join(contrib.groupBy("node").agg(sum(col("c")).as("m")), Seq("node"), "left")
         .select(col("node"),
-          (lit(15L * scale / 100L) +
+          (lit(15L * sc / 100L) +
             expr(s"(85 * (coalesce(m, 0L) + " +
               s"coalesce(cast(assert_true(coalesce(m, 0L) >= 0 and " +
               s"coalesce(m, 0L) <= ${maxMass}L) as long), 0L))) div 100")).as("rank"))

@@ -55,6 +55,14 @@ object Similarity {
    * Exact top-k neighbors for each query vector. `queries` must be small
    * (it is broadcast); the corpus side streams. Ranking uses the *rounded*
    * cosine with vec_id tie-break so results are reproducible across engines.
+   *
+   * Selection runs through the bounded-heap
+   * [[graft.functions.VectorAggregates.topK]] aggregate, NOT a per-query
+   * window sort: the r4 row_number form shuffled every scored corpus row to
+   * |queries| reducers and sorted |corpus| rows inside each — a single-task
+   * sort of the whole corpus per query at a 10^9-row corpus. The heap
+   * partial-aggregates map-side (each task ships at most k pairs per
+   * query), so shuffle volume is |queries| x k, independent of corpus size.
    */
   def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(withVectorFns(queries).select(col("vec_id").as("query_id"),
@@ -64,13 +72,43 @@ object Similarity {
     // norms computed once per SIDE (N + Q loops), not once per pair (N * Q);
     // cos = dot / (norm_q * norm_c) in the same association as the oracle.
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(
-        expr("vec_dot(q_emb, c_emb)") / (col("nrm_q") * col("nrm_c")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
+      .select(col("query_id"), col("neighbor_id"), round(
+        expr("vec_dot(q_emb, c_emb)") / (col("nrm_q") * col("nrm_c")), 6).as("cos"))
+    topKByCosine(scored, k)
+  }
+
+  /**
+   * Shared heap selection for the cosine-ranked paths: keep the k best
+   * (cos desc, neighbor_id asc) rows per query_id from a
+   * `(query_id, neighbor_id, cos)` frame where `cos` is already rounded
+   * to 6 decimals.
+   *
+   * The heap key is the cosine scaled to an exact integer-in-double:
+   * cos6 = cos * 10^6 is an integer in [-10^6, 10^6] (|cos| <= 1 after
+   * rounding), far inside double's 2^53 exact range, and d -> nearest
+   * double is monotone, so ordering on cos6 IS ordering on cos. The
+   * TopK aggregate's own tie-break (ord desc, id asc) supplies the
+   * neighbor_id ordering — no composite key packing needed. Recovery
+   * cos = cos6 / 10^6 is a correctly-rounded IEEE division of exact
+   * operands, so it reproduces round(x, 6)'s nearest-double bit-for-bit.
+   *
+   * A NaN cosine (zero-norm vector) would silently rank weakest in the
+   * heap where the old window ranked NaN first — neither is meaningful,
+   * so the key FAILS on NaN (assert_true rides inside the key expression,
+   * the v08 pattern, so pruning can never drop it).
+   */
+  private def topKByCosine(scored: DataFrame, k: Int): DataFrame = {
+    val guard = coalesce(
+      assert_true(!isnan(col("cos")), lit("NaN cosine: zero-norm embedding"))
+        .cast("double"), lit(0.0))
+    val ord = round(col("cos") * lit(1000000.0)) + guard
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorAggregates.topK(ord, col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("rnk0") + 1).cast("long").as("rnk"),
+        (col("t.ord") / lit(1000000.0)).as("cos"))
   }
 
   /**
@@ -340,21 +378,22 @@ object Similarity {
 
   /** Shared exact-rerank tail for the ANN paths: re-attach embeddings to an
     * id-only candidate set (corpus side by equi-join; the bounded query side
-    * broadcast), score, and keep the top `k` per query. */
+    * broadcast), score, and keep the top `k` per query. Selection goes
+    * through the same bounded heap as [[knnBrute]] — the candidate set is
+    * bounded by construction today (LSH bucket collisions / IVF probe
+    * lists / Hamming shortlists), but the heap makes the tail safe even
+    * for a future caller with an UNBOUNDED candidate frame: no per-query
+    * window sort exists to reintroduce the v01-class scale hazard. */
   private def rerank(candidates: DataFrame, emb: DataFrame, queries: DataFrame,
                      k: Int): DataFrame = {
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
       expr("vec_norm(embedding)").as("nrm_c"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), expr("vec_norm(embedding)").as("nrm_q")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
-      .withColumn("cos", round(
-        expr("vec_dot(q_emb, c_emb)") / (col("nrm_q") * col("nrm_c")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
+    val scored = candidates.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), round(
+        expr("vec_dot(q_emb, c_emb)") / (col("nrm_q") * col("nrm_c")), 6).as("cos"))
+    topKByCosine(scored, k)
   }
 
   /**

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -163,34 +162,57 @@ object TextOps {
    * informational output, rounded.
    */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
-    // corpus size is a plan constant: one eager count at construction
-    // (same pattern as the dedup signature materialization)
-    val n = docs.count()
     // the tf table feeds BOTH the df aggregation and the join probe side:
     // materialize it once (registered with SessionResources) or the plan
     // scans + explodes + aggregates the corpus twice — the same subtree-
-    // recompute the dedup paths eliminated in round 3
+    // recompute the dedup paths eliminated in round 3. ONE action serves
+    // both the persist materialization and the corpus-size constant (the
+    // r4 form ran a separate eager docs.count() scan): explode_outer keeps
+    // a null-term row for null-text docs, so countDistinct(doc_id) over
+    // the tf table IS the document count.
+    var n = -1L
     val tf = graft.SessionResources.trackPersisted {
-      val p = docs.select(col("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      val p = docs.select(col("doc_id"),
+          explode_outer(split(col(textCol), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
+      n = p.agg(countDistinct(col("doc_id"))).head().getLong(0)
       p
     }
-    tfidfTopTermsFrom(tf, n, k)
+    tfidfTopTermsFrom(tf.filter(col("term").isNotNull), n, k)
   }
 
   /** TF-IDF over a pre-materialized `(doc_id, term, tf)` table — at 100 TB
-    * the tf table is written to parquet once and both consumers read it. */
+    * the tf table is written to parquet once and both consumers read it.
+    *
+    * Selection runs through the bounded-heap
+    * [[graft.functions.VectorAggregates.topKStr]] aggregate on the
+    * integer-exact composite (tf desc, df asc) with the term string as the
+    * heap's byte-order tie-break — exactly the oracle's (tf DESC, df ASC,
+    * term ASC). The r4 row_number window sorted every document's full term
+    * list inside one task; the heap ships at most k terms per doc per
+    * mapper. tf * 2^31 - df is integer-exact in a double for tf < 2^20 and
+    * df < 2^31; out-of-range inputs FAIL via an assert riding inside the
+    * key (the v08 pattern) rather than corrupt the ranking. */
   def tfidfTopTermsFrom(tf: DataFrame, corpusSize: Long, k: Int): DataFrame = {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    val guard = coalesce(assert_true(
+      col("tf") > 0 && col("tf") < lit(1L << 20) && col("df") < lit(1L << 31),
+      lit("tfidf: tf/df outside the integer-exact composite range")).cast("long"), lit(0L))
+    val ord = (col("tf") * lit(1L << 31) - col("df") + guard).cast("double")
     tf.join(dfreq, "term")
-      .withColumn("score_r", round(col("tf") * log(lit(corpusSize.toDouble) / col("df")), 6))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_r"), col("rnk"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.VectorAggregates.topKStr(ord, col("term"), k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      // recover (tf, df) from the composite: df in [1, 2^31) means
+      // ord sits in ((tf-1)*2^31, tf*2^31), so the shifted floor-div is
+      // exact — no float in the recovery (ord holds an exact integer)
+      .withColumn("__ord", col("t.ord").cast("long"))
+      .withColumn("tf", expr(s"(__ord + ${(1L << 31) - 1}L) div ${1L << 31}L"))
+      .withColumn("df", col("tf") * lit(1L << 31) - col("__ord"))
+      .select(col("doc_id"), col("t.id").as("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(corpusSize.toDouble) / col("df")), 6).as("score_r"),
+        (col("rnk0") + 1).cast("long").as("rnk"))
   }
 
   /**

@@ -1134,7 +1134,10 @@ object Oracle {
     // chained CTEs. Every value is integer (rank div deg contributions,
     // div-100 damping), so the match is hash-exact with no rounding.
     // DuckDB's sum() widens to HUGEINT; each round casts back to BIGINT,
-    // which is exact within the documented n*scale*85 < 2^63 bound.
+    // which is exact within the n*scale*85 < 2^63 bound — guaranteed by
+    // construction here: `sc` mirrors PageRank.autoScale (largest power
+    // of 10 with 10^k <= (2^63-1) // 85 // node_count; power(10, k) is
+    // exact in a double through 10^18, so the BIGINT cast is exact).
     "x16_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT user_id AS src,
         |    1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
@@ -1142,21 +1145,28 @@ object Oracle {
         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
         |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
-        |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM n),
+        |nc AS (SELECT count(*) AS n FROM n),
+        |sc AS (SELECT max(CAST(power(10, t.k) AS BIGINT)) AS scale
+        |       FROM range(0, 19) t(k), nc
+        |       WHERE CAST(power(10, t.k) AS BIGINT) <= (9223372036854775807 // 85) // nc.n),
+        |r0 AS (SELECT node, (SELECT scale FROM sc) AS rank FROM n),
         |c1 AS (SELECT e.dst AS node, sum(r0.rank // deg.deg) AS m
         |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
         |r1 AS (SELECT n.node,
-        |         CAST(150000000000 + (85 * coalesce(c1.m, 0)) // 100 AS BIGINT) AS rank
+        |         CAST((SELECT 15 * scale // 100 FROM sc)
+        |           + (85 * coalesce(c1.m, 0)) // 100 AS BIGINT) AS rank
         |       FROM n LEFT JOIN c1 USING (node)),
         |c2 AS (SELECT e.dst AS node, sum(r1.rank // deg.deg) AS m
         |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
         |r2 AS (SELECT n.node,
-        |         CAST(150000000000 + (85 * coalesce(c2.m, 0)) // 100 AS BIGINT) AS rank
+        |         CAST((SELECT 15 * scale // 100 FROM sc)
+        |           + (85 * coalesce(c2.m, 0)) // 100 AS BIGINT) AS rank
         |       FROM n LEFT JOIN c2 USING (node)),
         |c3 AS (SELECT e.dst AS node, sum(r2.rank // deg.deg) AS m
         |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
         |r3 AS (SELECT n.node,
-        |         CAST(150000000000 + (85 * coalesce(c3.m, 0)) // 100 AS BIGINT) AS rank
+        |         CAST((SELECT 15 * scale // 100 FROM sc)
+        |           + (85 * coalesce(c3.m, 0)) // 100 AS BIGINT) AS rank
         |       FROM n LEFT JOIN c3 USING (node))
         |SELECT node AS node_id,
         |  CASE WHEN node >= 1000000 THEN 'page' ELSE 'user' END AS node_type, rank

@@ -1102,8 +1102,15 @@ object Queries {
       .groupBy(col("lang"), col("pair"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("pair_code",
+        // char() wraps codepoints mod 256 and the 2^24 headroom assumes
+        // ASCII: non-ASCII input FAILS (assert rides inside the key, the
+        // v08 pattern) instead of corrupting the reconstructed pair
         (ascii(substring(col("pair"), 1, 1)) * 65536 +
-          ascii(substring(col("pair"), 2, 1))).cast("long"))
+          ascii(substring(col("pair"), 2, 1)) +
+          coalesce(assert_true(
+            ascii(substring(col("pair"), 1, 1)) < 128 &&
+              ascii(substring(col("pair"), 2, 1)) < 128,
+            lit("t16_bpe_merges: non-ASCII pair")).cast("int"), lit(0))).cast("long"))
       // composite ord: cnt desc then pair asc, integer-exact in the double
       // (pair_code < 2^23 for ASCII, cnt * 2^24 < 2^52 at any plausible SF)
       .groupBy(col("lang"))

@@ -26,7 +26,7 @@ class GraphSpec extends AnyFunSuite {
     //   r1(leaf)   = 0.15S + 85*(S div 2) div 100        =   575_000_000_000
     // and total mass stays 3S exactly (no dangling, integer divs exact here).
     val e = edgesDf(Seq(1L -> 2L, 1L -> 3L, 2L -> 1L, 3L -> 1L))
-    val r = PageRank.pageRankFixed(e, iters = 1)
+    val r = PageRank.pageRankFixed(e, iters = 1, scale = 1000000000000L)
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r(1L) === 1850000000000L)
     assert(r(2L) === 575000000000L)
@@ -51,5 +51,47 @@ class GraphSpec extends AnyFunSuite {
     assert(a(1L) > a(4L), s"hub must outrank the bridge: $a")
     assert(a(4L) > a(5L), s"bridge must outrank the tail: $a")
     assert(a(1L) > a(2L) && a(2L) === a(3L), s"leaves symmetric, below hub: $a")
+  }
+
+  test("autoScale: largest power of 10 with n * scale * 85 within 2^63, never overflowing") {
+    val cap = Long.MaxValue / 85L
+    val powersOf10 = Iterator.iterate(1L)(_ * 10L)
+      .takeWhile(_ <= 1000000000000000000L).toSet
+    for (n <- Seq(1L, 3L, 1000L, 1000000L, 100000000L, 1000000000L, cap / 10, cap)) {
+      val s = PageRank.autoScale(n)
+      assert(powersOf10.contains(s), s"n=$n scale=$s not a power of 10")
+      // the bound holds ...
+      assert(s <= cap / n, s"n=$n scale=$s overflows the damping multiply")
+      // ... and is tight: 10x more would overflow (or exceed the cap)
+      assert(s > cap / n / 10L, s"n=$n scale=$s not maximal")
+    }
+    // fixture-sized graphs keep >= 12 decimal digits; web-scale keeps >= 8
+    assert(PageRank.autoScale(3L) == 10000000000000000L)
+    assert(PageRank.autoScale(1000000L) == 100000000000L)
+    assert(PageRank.autoScale(1000000000L) == 100000000L)
+    intercept[IllegalArgumentException](PageRank.autoScale(0L))
+  }
+
+  test("pageRankFixed auto-scale golden on a 10^6-node ring") {
+    // undirected ring of n = 10^6 nodes: every node has deg 2 and receives
+    // 2 * (S div 2) = S back each round (S = autoScale(10^6) = 10^11 is
+    // even and divisible by 100), so every rank stays EXACTLY S — a
+    // closed-form golden that exercises the auto-sized scale at the node
+    // count the r4 fixed default could not survive (10^6 * 10^12 * 85
+    // overflows 2^63; the assert_true guard would have failed the job).
+    val s = spark
+    import s.implicits._
+    val n = 1000000L
+    val ring = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1L) % n).as("dst"))
+    val e = ring.union(ring.select(col("dst").as("src"), col("src").as("dst")))
+    val scale = PageRank.autoScale(n)
+    assert(scale == 100000000000L)
+    val ranks = PageRank.pageRankFixed(e, iters = 1)
+    val stats = ranks.agg(count(lit(1)), min(col("rank")), max(col("rank")))
+      .head()
+    assert(stats.getLong(0) == n)
+    assert(stats.getLong(1) == scale && stats.getLong(2) == scale,
+      s"ring ranks must all stay at S=$scale, got [${stats.getLong(1)}, ${stats.getLong(2)}]")
   }
 }

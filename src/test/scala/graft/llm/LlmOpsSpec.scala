@@ -133,6 +133,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(empty.collect().isEmpty)
   }
 
+  test("dedup components: a diameter-99 path converges within the default round cap") {
+    val s = spark
+    import s.implicits._
+    // adversarial long chain 0-1-2-...-99: pure neighbor propagation needs
+    // 99 rounds and used to FAIL require(converged) at maxIter=25; pointer
+    // jumping halves label-chain distance per round (~8 rounds). Forced
+    // through the distributed loop (driverMaxEdges = 0) at DEFAULT maxIter.
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = graft.llm.Dedup.dedupComponents(pairs, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 100 && comps.values.forall(_ == 0L),
+      s"bad labels: ${comps.filter(_._2 != 0L).take(5)}")
+  }
+
   test("dedup components match a driver-side union-find on random graphs") {
     val s = spark
     import s.implicits._
@@ -223,6 +237,42 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
     val expect = rows.groupBy(_._1).flatMap { case (g, members) =>
       members.map(m => (m._2, m._3)).sortBy { case (o, i) => (-o, i) }
+        .take(3).zipWithIndex.map { case ((o, i), rk) => (g, rk, o, i) }
+    }.toSet
+    assert(got === expect)
+  }
+
+  test("topKStr string-id heap reproduces the window form exactly (byte-order ties)") {
+    val s = spark
+    import s.implicits._
+    // ties resolve by string BYTE order asc: "Z" < "a", "ab" < "b", and a
+    // multi-byte UTF-8 char sorts after all ASCII — the oracle's binary
+    // collation, asserted across forced partial merges
+    val rows = Seq(
+      ("a", 5.0, "beta"), ("a", 5.0, "Zeta"), ("a", 5.0, "alpha"), ("a", 1.0, "x"),
+      ("b", 2.0, "ab"), ("b", 2.0, "b"), ("b", 2.0, "é"),
+      ("c", 4.0, "only")) ++
+      (0 until 200).map(i => ("d", (i % 13).toDouble, s"t${"%03d".format(i)}"))
+    val df = rows.toDF("g", "ord", "id").repartition(7)
+    val got = df.groupBy("g")
+      .agg(graft.functions.VectorAggregates.topKStr(col("ord"), col("id"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("g"), col("i"), col("t.ord"), col("t.id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
+    def byteLt(x: String, y: String): Boolean = {
+      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    val expect = rows.groupBy(_._1).flatMap { case (g, members) =>
+      members.map(m => (m._2, m._3))
+        .sortWith { case ((o1, i1), (o2, i2)) => o1 > o2 || (o1 == o2 && byteLt(i1, i2)) }
         .take(3).zipWithIndex.map { case ((o, i), rk) => (g, rk, o, i) }
     }.toSet
     assert(got === expect)

@@ -121,6 +121,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), s"unexpected host operator:\n$p")
   }
 
+  test("v01/v03: ANN selection is the bounded top_k heap, never a per-query window sort") {
+    // the r4 row_number form funneled the full scored corpus into one
+    // reducer sort per query — the heap ships at most k pairs per query
+    // per task (partial_top_k before the exchange). v03 exercises the
+    // shared rerank tail, so this also guards v05/v10 against a future
+    // caller reintroducing the window with an unbounded candidate frame.
+    Seq("v01" -> Queries.v01KnnBrute(spark, sf),
+        "v03" -> Queries.v03AnnLsh(spark, sf)).foreach { case (name, df) =>
+      val p = planString(df)
+      assert(p.contains("partial_top_k"), s"$name: no map-side partial top_k:\n$p")
+      assert(!p.contains("Window"), s"$name: window sort in the selection:\n$p")
+    }
+  }
+
   test("t06 sample bucket stays in [0, 100) past 32-bit doc ids (overflow guard)") {
     val s = spark
     import s.implicits._
