@@ -216,6 +216,67 @@ object TextOps {
   }
 
   /**
+   * BPE tokenizer APPLICATION — the other half of the loop the t16
+   * merge-statistics op opens: given a learned merge table, encode every
+   * document and report its token counts. This is the part of tokenizer
+   * deployment that actually touches the corpus at 100 TB, and it is
+   * MAP-ONLY: the merge table rides into the plan as literals (the
+   * ivfCentroids pattern), every step below is a codegen'd string
+   * function inside one projection, and the output is all integers — no
+   * rounding contract anywhere.
+   *
+   * Semantics (deliberately expressible in identical form by a SQL
+   * oracle): tokens start as the word's characters; the token list is
+   * represented as a string with EVERY token wrapped in \u0001 on both
+   * sides (token t -> \u0001t\u0001). Each merge "ab", applied in table
+   * order, rewrites every non-overlapping left-to-right occurrence of
+   * adjacent token pair (a, b) into the single token "ab" — exactly
+   * `replace(s, "\u0001a\u0001\u0001b\u0001", "\u0001ab\u0001")`. The DOUBLE-sided wrap
+   * is what makes the match token-exact: a single-separator interleave
+   * would also match where b is merely the FIRST CHARACTER of a longer
+   * token (after (a,b)->ab, "a\u0001ab" contains "a\u0001a" and would
+   * re-merge across the token boundary); with the wrap a match must
+   * consume whole tokens. Merges never cross word boundaries (the BPE
+   * convention). Token count per word = separators / 2; a document's
+   * count sums its non-empty words.
+   *
+   * Output: `(doc_id, n_char_tokens, n_bpe_tokens, n_merged)` for EVERY
+   * document (empty text counts 0, not absent). A document containing
+   * the separator char fails loudly (in-plan assert) instead of
+   * miscounting.
+   */
+  def bpeEncode(docs: DataFrame, merges: Seq[String],
+                textCol: String = "text"): DataFrame = {
+    val sep = "\u0001"
+    require(merges.nonEmpty, "bpeEncode: empty merge table")
+    merges.foreach { p =>
+      require(p.length == 2 && p.forall(c => c >= ' ' && c < 127),
+        s"bpeEncode: merge pair must be 2 printable-ASCII chars, got '$p'")
+    }
+    def tokensOf(w: Column): Column = {
+      val inter = regexp_replace(w, lit("(.)"), lit(sep + "$1" + sep))
+      val enc = merges.foldLeft(inter) { (acc, p) =>
+        call_function("replace", acc,
+          lit(s"$sep${p(0)}$sep$sep${p(1)}$sep"), lit(s"$sep$p$sep"))
+      }
+      // separators / 2 (each token carries exactly two)
+      shiftright(
+        (length(enc) - length(call_function("replace", enc, lit(sep), lit(""))))
+          .cast("long"), 1)
+    }
+    val words = filter(split(col(textCol), " "), w => length(w) > lit(0))
+    // the separator guard rides inside the summed expression so pruning
+    // can never drop it (the v08 pattern)
+    val guard = coalesce(assert_true(!contains(col(textCol), lit(sep)),
+      lit("bpeEncode: text contains the \\u0001 token separator")).cast("long"), lit(0L))
+    docs.select(col("doc_id"),
+        (aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long")) + guard)
+          .as("n_char_tokens"),
+        aggregate(words, lit(0L), (acc, w) => acc + tokensOf(w)).as("n_bpe_tokens"))
+      .withColumn("n_merged", col("n_char_tokens") - col("n_bpe_tokens"))
+  }
+
+  /**
    * Add-one-smoothed bigram language-model scoring — the CCNet/KenLM-style
    * fluency signal: train bigram statistics ON the corpus, then score every
    * document by its mean bigram log-probability,

@@ -759,6 +759,40 @@ object Oracle {
         |SELECT lang, rnk, pair, cnt FROM r WHERE rnk <= 10
         |ORDER BY lang, rnk""".stripMargin,
 
+    // BPE application mirror: derives the same global top-8 merge table
+    // (cnt DESC, pair ASC — binary collation both engines on the ASCII
+    // corpus) and walks the same per-word chain: every token wrapped in
+    // chr(1) on BOTH sides (token-exact matches — see bpeEncode's
+    // scaladoc), one replace(chr(1)a chr(1)chr(1)b chr(1) -> chr(1)ab
+    // chr(1)) per merge in priority order; tokens = separators // 2.
+    // RE2's '\1' backref and Java's '$1' denote the same group; '.'
+    // excludes newline in both (corpus asserted control-char-free).
+    // LEFT JOIN keeps empty docs at 0.
+    "t17_bpe_encode" -> {
+      val inter = """regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g')"""
+      val enc = (1 to 8).foldLeft(inter) { (acc, r) =>
+        s"replace($acc, (SELECT chr(1)||substring(pair,1,1)||chr(1)||chr(1)" +
+          s"||substring(pair,2,1)||chr(1) FROM mr WHERE rnk=$r), " +
+          s"(SELECT chr(1)||pair||chr(1) FROM mr WHERE rnk=$r))"
+      }
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |wf AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+         |pc AS (SELECT pair, count(*) AS cnt FROM (
+         |         SELECT unnest(list_transform(range(1, length(word)),
+         |           i -> substring(word, i, 2))) AS pair
+         |         FROM wf WHERE length(word) >= 2) GROUP BY pair),
+         |mr AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rnk FROM pc),
+         |enc AS (SELECT doc_id, length(word) AS n_chars, $enc AS e FROM wf),
+         |tok AS (SELECT doc_id, n_chars,
+         |          (length(e) - length(replace(e, chr(1), ''))) // 2 AS n_tok FROM enc),
+         |agg AS (SELECT doc_id, sum(n_chars) AS nc, sum(n_tok) AS nt FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.nc, 0) AS BIGINT) AS n_char_tokens,
+         |  CAST(coalesce(a.nt, 0) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(coalesce(a.nc, 0) - coalesce(a.nt, 0) AS BIGINT) AS n_merged
+         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
     // Add-one-smoothed bigram LM trained on the corpus itself; the FP mean
     // is rounded (6 dp vs ~1e-13 accumulation noise), all counts exact.
     "t12_bigram_lm" ->

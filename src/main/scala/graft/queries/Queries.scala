@@ -1123,6 +1123,29 @@ object Queries {
         ((col("t.ord").cast("long") + col("t.id")) / lit(1L << 24)).cast("long").as("cnt"))
       .orderBy("lang", "rnk")
 
+  /** T17: BPE tokenizer application ([[TextOps.bpeEncode]]) — closes the
+    * loop t16 opens: the global top-8 merge pairs (cnt desc, pair asc —
+    * vocabulary-sized TakeOrdered, 8 rows collected) become plan
+    * literals, and every document is encoded map-only. All-integer
+    * output; the oracle derives the identical merge table and walks the
+    * identical per-word replace chain in SQL. */
+  val t17BpeEncode: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val merges = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(8)
+      .collect().map(_.getString(0)).toSeq
+    // the oracle's replace chain is arity-8: a corpus too degenerate to
+    // yield 8 merge pairs must fail loudly, not silently diverge
+    require(merges.length == 8, s"t17: corpus yields only ${merges.length} merge pairs")
+    TextOps.bpeEncode(docs, merges).orderBy("doc_id")
+  }
+
   /** T14: novelty / memorization audit — the fraction of each document's
     * distinct w-gram shingles that recur elsewhere in the corpus (df >= 2).
     * Low novelty marks boilerplate/templated text and self-contamination.
@@ -1668,6 +1691,7 @@ object Queries {
     "t14_novelty" -> t14Novelty,
     "t15_weighted_sample" -> t15WeightedSample,
     "t16_bpe_merges" -> t16BpeMerges,
+    "t17_bpe_encode" -> t17BpeEncode,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,

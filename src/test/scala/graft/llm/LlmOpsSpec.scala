@@ -278,6 +278,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("bpeEncode: per-word merge application matches hand-computed tokens") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "aaaa ab"), // "aaaa": aa+aa (left-to-right non-overlapping); "ab": ab
+      (2L, "aba"),     // "aa" can't match across the b; "ab"+a
+      (3L, ""),        // empty text: 0 tokens, still present in the output
+      (4L, "xyz")      // no merge applies
+    ).toDF("doc_id", "text")
+    val r = graft.llm.TextOps.bpeEncode(docs, Seq("aa", "ab")).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r === Array(
+      (1L, 6L, 3L, 3L), (2L, 3L, 2L, 1L), (3L, 0L, 0L, 0L), (4L, 3L, 3L, 0L)))
+    // merge priority order matters: with "ab" first, "aab" goes a+ab, not aa+b
+    val r2 = graft.llm.TextOps.bpeEncode(Seq((1L, "aab")).toDF("doc_id", "text"),
+        Seq("ab", "aa")).collect().map(x => x.getLong(2))
+    assert(r2 === Array(2L))
+  }
+
   // ---- line dedup ------------------------------------------------------------
 
   test("lineDedup keeps the first occurrence corpus-wide and reassembles in order") {
