@@ -54,6 +54,35 @@ object Multimodal {
       }
       (checksum, feat)
     }
+
+    /** 64-bit average-hash over the payload as 4 x 16-bit bands (see
+      * [[Multimodal.perceptualHash]]): bit j = 1 iff
+      * sum(block j) * n > total * count(block j), block j = byte
+      * positions congruent to j mod 64 — integer-only, no division. */
+    def phash(payload: Array[Byte]): Array[Long] = {
+      // s_j * n <= 255 * n^2 / 64 stays under 2^63 only for n <= ~1.5e9:
+      // a larger payload fails loudly instead of wrapping the compare
+      require(payload.length <= 1500000000,
+        s"phash: payload of ${payload.length} bytes exceeds the integer-exact bound")
+      val sums = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < payload.length) {
+        val b = payload(i) & 0xff
+        sums(i % 64) += b
+        total += b
+        i += 1
+      }
+      val n = payload.length.toLong
+      val bands = new Array[Long](4)
+      var j = 0
+      while (j < 64) {
+        val cj = if (n > j) (n - j + 63) / 64 else 0L
+        if (sums(j) * n > total * cj) bands(j / 16) |= (1L << (j % 16))
+        j += 1
+      }
+      bands
+    }
   }
 
   /**
@@ -122,4 +151,72 @@ object Multimodal {
       .select(col("doc_id"), col("mime"),
         octet_length(col("payload")).cast("long").as("n_bytes"),
         col("width"), col("height"), col("n_frames"))
+
+  /** 64-bit perceptual hash as 4 x 16-bit bands (band b = bits
+    * [16b, 16b+16), bit j at position j - 16b). */
+  final case class MediaPHash(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /**
+   * Average-hash ("aHash") over the opaque payload — the image/video
+   * equivalent of SimHash: a real pipeline computes it over downsampled
+   * pixel luminance; the stub computes the IDENTICAL shape over payload
+   * bytes (deterministic byte arithmetic, so the oracle can recompute it
+   * from the text bytes). Block j = byte positions congruent to j mod 64;
+   * bit j = 1 iff the block's byte sum exceeds the payload mean over the
+   * block, compared multiplication-only (s_j * n > total * c_j) so no
+   * division ever rounds — the hash is integer-exact and cross-engine
+   * hash-stable.
+   */
+  def perceptualHash(media: Dataset[MediaRecord]): Dataset[MediaPHash] = {
+    implicit val enc = Encoders.product[MediaPHash]
+    media.mapPartitions { it =>
+      it.map { r =>
+        val b = MediaCodecStub.phash(r.payload)
+        MediaPHash(r.doc_id, b(0), b(1), b(2), b(3))
+      }
+    }
+  }
+
+  /**
+   * Perceptual near-duplicate pairs — the multimodal pipeline's d04:
+   * all payload pairs whose 64-bit perceptual hashes differ in at most
+   * `maxHam` bits, with the EXACT guarantee of the banded pigeonhole:
+   * a pair within maxHam <= 3 differs in at most 3 of the 4 bands, so it
+   * collides on at least one — candidates come from an equi-join on
+   * (band_idx, band_val), never a cross product, and the exact popcount
+   * verify discards band-collision false positives. Candidate rows carry
+   * IDS ONLY (the annLsh discipline); the 4 bands are re-attached to the
+   * deduped pair set by equi-join. At 100 TB this is the plan that holds:
+   * shuffle volume = band postings + surviving candidates, and the
+   * 16-bit bands keep buckets selective (uniform-random collision odds
+   * 4/65536 per pair).
+   */
+  def phashNearDup(media: Dataset[MediaRecord], maxHam: Int = 3): DataFrame = {
+    require(maxHam >= 0 && maxHam <= 3,
+      s"the 4-band pigeonhole is exact only for maxHam <= 3, got $maxHam")
+    val ph = graft.SessionResources.trackPersisted {
+      val p = perceptualHash(media).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    val bands = ph.select(col("doc_id"), posexplode(
+      array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band_idx", "band_val")))
+    val cand = bands.select(col("band_idx"), col("band_val"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band_idx"), col("band_val"), col("doc_id").as("id_b")),
+        Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val pa = ph.select(col("doc_id").as("id_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val pb = ph.select(col("doc_id").as("id_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(pa, "id_a").join(pb, "id_b")
+      .withColumn("ham", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("ham") <= maxHam)
+      .select("id_a", "id_b", "ham")
+  }
 }

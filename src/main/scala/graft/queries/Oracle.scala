@@ -502,6 +502,33 @@ object Oracle {
         |       CAST(sum(length(frame)) AS BIGINT) AS frames_bytes
         |FROM fr GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // Perceptual-hash near-dup mirror: recomputes the identical 64-bit
+    // average-hash from the ASCII text bytes (block j = positions = j mod
+    // 64, bit j via the multiplication-only mean compare; c_j =
+    // ceil((n-j)/64)), then compares ALL pairs quadratically — the oracle
+    // may be quadratic, the engine's banded plan may not. ham as the sum
+    // of per-bit absolute differences == popcount of the 64-bit xor.
+    "m04_phash_neardup" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |   list_transform(range(0, 64), j ->
+        |     coalesce(list_aggregate(list_transform(range(CAST(1 + j AS BIGINT), n + 1, 64),
+        |        i -> ascii(substring(text, CAST(i AS INT), 1))), 'sum'), 0)) AS bs,
+        |   coalesce(list_aggregate(list_transform(range(1, n + 1),
+        |        i -> ascii(substring(text, CAST(i AS INT), 1))), 'sum'), 0) AS total
+        | FROM b),
+        |bits AS (SELECT doc_id,
+        |   list_transform(range(0, 64), j ->
+        |     CASE WHEN bs[CAST(j + 1 AS INT)] * n > total * greatest(0, (n - j + 63) // 64)
+        |          THEN 1 ELSE 0 END) AS bt
+        | FROM s),
+        |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |        coalesce(list_aggregate(list_transform(range(1, 65),
+        |          i -> abs(a.bt[CAST(i AS INT)] - c.bt[CAST(i AS INT)])), 'sum'), 0) AS ham
+        |      FROM bits a JOIN bits c ON a.doc_id < c.doc_id)
+        |SELECT id_a, id_b, CAST(ham AS BIGINT) AS ham
+        |FROM p WHERE ham <= 3 ORDER BY id_a, id_b""".stripMargin,
+
     "v06_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,
         |  greatest(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'),

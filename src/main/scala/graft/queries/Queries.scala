@@ -706,6 +706,17 @@ object Queries {
           .as("frames_bytes"))
       .orderBy("doc_id")
 
+  /** M4: perceptual near-dup over the multimodal payload
+    * ([[Multimodal.phashNearDup]]) — 64-bit average-hash, banded
+    * (band_idx, band_val) equi-join candidates (exact for ham <= 3 by
+    * pigeonhole), ids-only candidate shuffle, popcount verify. The
+    * oracle recomputes the identical hash from the ASCII text bytes and
+    * compares all pairs quadratically (oracle role only). */
+  val m04PhashNearDup: Q = (s, dir) =>
+    Multimodal.phashNearDup(Multimodal.fromDocuments(tbl(s, dir, "documents")),
+        maxHam = 3)
+      .orderBy("id_a", "id_b")
+
   // ===== streaming-shaped (batch-equivalent; streaming variant in tests) ====
 
   /** Tumbling-window aggregation via window() — identical shape to the
@@ -1727,6 +1738,7 @@ object Queries {
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,
+    "m04_phash_neardup" -> m04PhashNearDup,
     "st01_tumbling_window" -> st01TumblingWindow,
     "st02_sessionize" -> st02Sessionize,
     "st03_sliding_window" -> st03SlidingWindow,

@@ -852,4 +852,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(frames.getAs[Long]("n_sampled") === 4L)
     assert(frames.getAs[Seq[Array[Byte]]]("frames").forall(_.length <= 16))
   }
+
+  test("phash near-dup: identical payloads at ham 0, near pairs within 3, disjoint absent") {
+    val s = spark
+    import s.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the long field " * 3).trim
+    val planted = Seq(
+      (1L, base), (2L, base),          // identical -> ham 0
+      (3L, base + " x"),               // tiny perturbation -> small ham
+      (4L, "completely different content about database engines and " +
+        "columnar storage layouts with nothing shared " * 3)
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.phashNearDup(Multimodal.fromDocuments(planted), maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) === 0L, s"identical payloads must hash equal: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L },
+      s"disjoint content leaked in: $pairs")
+    // the banded candidate path found exactly what the quadratic scan finds
+    val ph = Multimodal.perceptualHash(Multimodal.fromDocuments(planted)).collect()
+      .map(p => p.doc_id -> Array(p.b0, p.b1, p.b2, p.b3)).toMap
+    val exact = (for {
+      a <- ph.keys; b <- ph.keys if a < b
+      h = (0 until 4).map(i => java.lang.Long.bitCount(ph(a)(i) ^ ph(b)(i))).sum
+      if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(pairs === exact, s"banded != quadratic: $pairs vs $exact")
+  }
 }

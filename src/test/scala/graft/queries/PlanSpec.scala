@@ -135,6 +135,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("m04: perceptual near-dup candidates come from the banded equi-join, ids only") {
+    val p = planString(Queries.m04PhashNearDup(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in m04:\n$p")
+    // the candidate shuffle is keyed on the (band_idx, band_val) posting,
+    // never on a payload column
+    assert(p.contains("band_idx"), s"no banded join:\n$p")
+    assert(!p.contains("hashpartitioning(payload"), s"payload shuffled:\n$p")
+  }
+
   test("t06 sample bucket stays in [0, 100) past 32-bit doc ids (overflow guard)") {
     val s = spark
     import s.implicits._
