@@ -514,13 +514,20 @@ object Similarity {
    * Ranking is integer-total: hamming asc, then neighbor_id asc — no
    * float anywhere in the selection.
    */
-  def hammingAnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    graft.functions.VectorExpressions.register(corpus.sparkSession)
-    val q = broadcast(queries
+  def hammingAnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    hammingAnnFrom(
+      withVectorFns(corpus)
+        .select(col("vec_id").as("neighbor_id"), signBits(col("embedding")).as("c_sig")),
+      queries, k)
+
+  /** [[hammingAnn]] over a PRE-PACKED corpus `(neighbor_id, c_sig)` — the
+    * query half of the index/query split ([[buildSignIndex]]): a stored
+    * signature table is scanned as-is, nothing re-packs per query. */
+  def hammingAnnFrom(signed: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(signed.sparkSession)
+    val q = broadcast(withVectorFns(queries)
       .select(col("vec_id").as("query_id"), signBits(col("embedding")).as("q_sig")))
-    val c = corpus
-      .select(col("vec_id").as("neighbor_id"), signBits(col("embedding")).as("c_sig"))
-    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+    val scored = signed.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         expr("hamming_dist(q_sig, c_sig)").as("ham"))
     // top_k keeps the LARGEST ord: feed a composite negative key that
@@ -563,5 +570,42 @@ object Similarity {
     val candidates = hammingAnn(corpus, queries, shortlist)
       .select(col("query_id"), col("neighbor_id"))
     rerank(candidates, corpus, queries, k)
+  }
+
+  // ---- persisted sign-bit index (index build / query split) ----------------
+
+  /**
+   * Index-build half of a production binary-ANN deployment: pack each
+   * corpus embedding's sign bits ONCE and persist `(vec_id, sig,
+   * embedding)` as a table bucketed on vec_id
+   * ([[graft.relational.Bucketing]]). Querying via
+   * [[hammingRerankIndexed]] then touches the corpus with ZERO exchanges:
+   * the shortlist scan reads stored signatures (no per-query re-packing),
+   * and the rerank's embedding re-attach joins the id-only candidates
+   * against the bucket layout — only the `queries x shortlist` candidate
+   * rows move to the buckets, the corpus never shuffles. A growing corpus
+   * re-indexes incrementally by writing additional batches into the same
+   * bucket scheme.
+   */
+  def buildSignIndex(emb: DataFrame, table: String, buckets: Int,
+                     path: Option[String] = None,
+                     writerTasksPerBucket: Int = 1): Unit =
+    graft.relational.Bucketing.writeBucketed(
+      withVectorFns(emb).select(col("vec_id"), signBits(col("embedding")).as("sig"),
+        col("embedding")),
+      table, "vec_id", buckets, path = path,
+      writerTasksPerBucket = writerTasksPerBucket)
+
+  /** Two-stage shortlist + exact rerank ([[hammingRerank]]) served from a
+    * [[buildSignIndex]] table — shuffle-free on the corpus side. */
+  def hammingRerankIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                           queries: DataFrame, k: Int, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val idx = graft.relational.Bucketing.read(spark, table)
+    val candidates = hammingAnnFrom(
+        idx.select(col("vec_id").as("neighbor_id"), col("sig").as("c_sig")),
+        queries, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    rerank(candidates, idx.select(col("vec_id"), col("embedding")), queries, k)
   }
 }

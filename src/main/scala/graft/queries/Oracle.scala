@@ -77,6 +77,32 @@ object Oracle {
       |       round(5.38720621 + 5260.52916*dx*1.0/3600.0 + 105.94684*dx*dy/3600.0 + 2.45656*dx*power(dy,2)/3600.0 + -0.81885*power(dx,3)*1.0/3600.0 + 0.05594*dx*power(dy,3)/3600.0 + -0.05607*power(dx,3)*dy/3600.0 + 0.01199*1.0*dy/3600.0 + -0.00256*power(dx,3)*power(dy,2)/3600.0 + 0.00128*dx*power(dy,4)/3600.0 + 0.00022*1.0*power(dy,2)/3600.0 + -0.00022*power(dx,2)*1.0/3600.0 + 0.00026*power(dx,5)*1.0/3600.0, 6) AS lon_r
       |FROM d ORDER BY o_orderkey""".stripMargin
 
+  /** Shared by v10 (inline) and v11 (served from the persisted bucketed
+    * sign index): the storage split may never change the answer. */
+  private lazy val twoStageHammingSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |           FROM embeddings WHERE vec_id < 32),
+       |z AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |        unnest(q.qe) AS qx, unnest(e.embedding) AS ex
+       |      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+       |hs AS (SELECT query_id, neighbor_id,
+       |        sum(CASE WHEN (qx >= 0) <> (ex >= 0) THEN 1 ELSE 0 END) AS ham
+       |       FROM z GROUP BY 1, 2),
+       |hk AS (SELECT query_id, neighbor_id FROM (
+       |        SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rnk
+       |        FROM hs) WHERE rnk <= 50),
+       |sc AS (SELECT hk.query_id, hk.neighbor_id,
+       |  round(${dot("q.qe", "e.embedding")} / (${norm("q.qe")} * ${norm("e.embedding")}), 6) AS cos
+       |  FROM hk JOIN embeddings e ON e.vec_id = hk.neighbor_id
+       |          JOIN q ON q.query_id = hk.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, rnk, cos
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   val sql: Map[String, String] = Map(
     "s05_scan_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice
@@ -913,29 +939,12 @@ object Oracle {
     // Two-stage mirror: hamming top-50 shortlist (sign-disagreement count,
     // integer rank), then the exact rounded-cosine rerank of candidates
     // only — stage boundaries identical to the engine's, so hash-exact.
-    "v10_hamming_rerank" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-         |           FROM embeddings WHERE vec_id < 32),
-         |z AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-         |        unnest(q.qe) AS qx, unnest(e.embedding) AS ex
-         |      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
-         |hs AS (SELECT query_id, neighbor_id,
-         |        sum(CASE WHEN (qx >= 0) <> (ex >= 0) THEN 1 ELSE 0 END) AS ham
-         |       FROM z GROUP BY 1, 2),
-         |hk AS (SELECT query_id, neighbor_id FROM (
-         |        SELECT query_id, neighbor_id,
-         |          row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rnk
-         |        FROM hs) WHERE rnk <= 50),
-         |sc AS (SELECT hk.query_id, hk.neighbor_id,
-         |  round(${dot("q.qe", "e.embedding")} / (${norm("q.qe")} * ${norm("e.embedding")}), 6) AS cos
-         |  FROM hk JOIN embeddings e ON e.vec_id = hk.neighbor_id
-         |          JOIN q ON q.query_id = hk.query_id),
-         |r AS (SELECT query_id, neighbor_id, cos,
-         |        CAST(row_number() OVER (PARTITION BY query_id
-         |          ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
-         |      FROM sc)
-         |SELECT query_id, neighbor_id, rnk, cos
-         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "v10_hamming_rerank" -> twoStageHammingSql,
+
+    // v11 runs the SAME two-stage semantics served from the persisted
+    // bucketed sign index — the index must be invisible in the result, so
+    // its oracle IS v10's SQL.
+    "v11_indexed_ann" -> twoStageHammingSql,
 
     // The oracle is the window form the heap aggregate replaces: rank DESC
     // with doc_id ASC tie-break is TopK's exact total order.

@@ -1041,6 +1041,24 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** V11: the index-build / query split of the binary ANN path
+    * ([[Similarity.buildSignIndex]] + [[Similarity.hammingRerankIndexed]]):
+    * sign-bit signatures packed ONCE into a vec_id-bucketed table (data
+    * under an explicit temp path; catalog metadata in-session), then the
+    * two-stage shortlist + rerank served from it with zero corpus-side
+    * exchanges (plan-asserted in ScaleOpsSpec). Same parameters as v10
+    * and the oracle IS v10's SQL: the index must be invisible in the
+    * result. The timed cost deliberately INCLUDES the index build — this
+    * query is the deployment round-trip, not the steady-state probe. */
+  val v11IndexedAnn: Q = (s, dir) => {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.buildSignIndex(emb, "graft_v11_sign_idx", buckets = 8,
+      path = Some(java.nio.file.Files.createTempDirectory("graft_sign_idx").toString))
+    Similarity.hammingRerankIndexed(s, "graft_v11_sign_idx",
+        emb.filter(col("vec_id") < 32), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** T13: fixed-quota per-source sampling — the training-mix knob that
     * caps every source at N docs, deterministically (md5-rank election, no
     * RNG: reruns and retries pick identical docs). Selection runs through
@@ -1690,6 +1708,7 @@ object Queries {
     "v08_hamming_ann" -> v08HammingAnn,
     "v09_ann_recall_audit" -> v09AnnRecallAudit,
     "v10_hamming_rerank" -> v10HammingRerank,
+    "v11_indexed_ann" -> v11IndexedAnn,
     "t05_normalize" -> t05Normalize,
     "t06_stratified_sample" -> t06StratifiedSample,
     "t07_repetition" -> t07Repetition,

@@ -106,6 +106,37 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"file explosion: $files files for $buckets buckets x $k tasks")
   }
 
+  test("sign-bit ANN index: identical results to the inline path, corpus side never shuffles") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    graft.llm.Similarity.buildSignIndex(emb, "emb_sign_idx", buckets = 4)
+
+    val inline = graft.llm.Similarity.hammingRerank(emb, queries, k = 5, shortlist = 20)
+      .collect().map(_.toString).sorted
+    // force shuffle joins so the bucket layout (not a broadcast) is what
+    // makes the corpus side exchange-free; the explicit broadcast() hints
+    // on the bounded query/candidate sides still apply
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val indexed = graft.llm.Similarity.hammingRerankIndexed(
+        spark, "emb_sign_idx", queries, k = 5, shortlist = 20)
+      assert(indexed.collect().map(_.toString).sorted === inline,
+        "indexed path must reproduce the inline two-stage result exactly")
+      // AQE repeats the tree under '== Initial Plan ==': audit the final
+      // section only (the x08 PlanSpec discipline)
+      val p = indexed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the rerank's embedding re-attach reads the bucket layout directly
+      assert(p.contains("Bucketed: true"), s"index scan not bucketed:\n$p")
+      // exactly 3 exchanges, all on the bounded side: the two heap
+      // aggregations (partial -> final on query_id) and the id-only
+      // candidate set moving to the buckets. A 4th would mean the corpus
+      // shuffled for the join.
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n <= 3, s"corpus side shuffled ($n exchanges):\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("asofJoin: at-or-before semantics, nulls before first right row, one shuffle, no join node") {
     val s = spark
     import s.implicits._
