@@ -128,7 +128,8 @@ class PlanSpec extends AnyFunSuite {
     // shared rerank tail, so this also guards v05/v10 against a future
     // caller reintroducing the window with an unbounded candidate frame.
     Seq("v01" -> Queries.v01KnnBrute(spark, sf),
-        "v03" -> Queries.v03AnnLsh(spark, sf)).foreach { case (name, df) =>
+        "v03" -> Queries.v03AnnLsh(spark, sf),
+        "t09" -> Queries.t09Tfidf(spark, sf)).foreach { case (name, df) =>
       val p = planString(df)
       assert(p.contains("partial_top_k"), s"$name: no map-side partial top_k:\n$p")
       assert(!p.contains("Window"), s"$name: window sort in the selection:\n$p")
