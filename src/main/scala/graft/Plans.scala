@@ -32,8 +32,11 @@ object Plans {
       "candidates; exact-Jaccard verify touches candidates only. The " +
       "all-pairs cost never materializes."),
     "v01_knn_brute" -> ("Exact top-k for a bounded query set: queries " +
-      "broadcast, corpus streamed once through a BroadcastNestedLoopJoin — " +
-      "linear in corpus size, the correct exact plan at any scale."),
+      "broadcast, corpus streamed once through a BroadcastNestedLoopJoin, " +
+      "and selection through partial_top_k — each mapper ships at most k " +
+      "pairs per query, shuffle volume queries x k. The r4 row_number " +
+      "window sorted the full scored corpus inside one reducer per query; " +
+      "no Window node remains."),
     "v03_ann_lsh" -> ("ANN-LSH: candidates from the (table, bucket) " +
       "equi-join across L tables, exact rerank on candidates only."),
     "v05_ann_ivf" -> ("ANN-IVF: cluster-id equi-join between probed query " +
@@ -113,7 +116,27 @@ object Plans {
     "x16_pagerank" -> ("Integer PageRank: per round, one equi-join of " +
       "the edge list with the rank vector on the 8-byte node id plus one " +
       "partial-aggregated groupBy(dst) — the distributed PageRank shape; " +
-      "all-integer ranks make reruns and engines bit-identical."))
+      "all-integer ranks make reruns and engines bit-identical, and the " +
+      "scale auto-sizes to the node count so the same plan serves 10^2 " +
+      "and 10^9 node graphs."),
+    "t09_tfidf" -> ("TF-IDF as ONE job: the tf aggregation subtree feeds " +
+      "the df build, the probe side, and the corpus-size scalar, and " +
+      "ReuseExchange materializes its exchange once; selection through " +
+      "partial_top_k_str (integer (tf,df) composite, term-byte " +
+      "tie-break) — no per-doc window sort, no persist, no eager action."),
+    "t17_bpe_encode" -> ("BPE application: the merge table rides in as " +
+      "plan literals and every document encodes inside one map-only " +
+      "projection of codegen'd string functions — zero shuffles over the " +
+      "corpus; only the vocabulary-sized merge derivation aggregates."),
+    "m04_phash_neardup" -> ("Perceptual near-dup: candidates from the " +
+      "(band_idx, band_val) equi-join over 16-bit hash bands — exact for " +
+      "ham <= 3 by pigeonhole — deduped as id pairs before the 4 bands " +
+      "re-attach; payloads never shuffle, no cartesian."),
+    "v11_indexed_ann" -> ("Persisted sign-bit index: the shortlist scans " +
+      "stored signatures (no per-query re-packing) and the rerank joins " +
+      "id-only candidates against the vec_id bucket layout — bucketed " +
+      "scans, zero corpus-side exchanges; only heap partials and the " +
+      "candidate set move."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -135,6 +135,20 @@ object ScaleProbe {
       time(s"$tag d12 chunk dedup") {
         graft.llm.Dedup.chunkSharedContent(d)
           .write.format("noop").mode("overwrite").save() }
+      time(s"$tag t17 bpe encode") {
+        val merges = d.select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc).limit(8)
+          .collect().map(_.getString(0)).toSeq
+        graft.llm.TextOps.bpeEncode(d, merges)
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag m04 phash neardup") {
+        graft.llm.Multimodal.phashNearDup(graft.llm.Multimodal.fromDocuments(d))
+          .write.format("noop").mode("overwrite").save() }
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val q = e.filter(col("vec_id") < 32)
       time(s"$tag v03 ann lsh") {
