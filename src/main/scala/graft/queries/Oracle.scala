@@ -846,6 +846,29 @@ object Oracle {
          |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
     },
 
+    // BM25 mirror: identical Okapi formula with identical ASSOCIATION and
+    // the same exact literal constants (2.2, 0.25 — NOT 1.2+1.0/1-0.75,
+    // which differ in the last ulp); avgdl = CAST(total AS DOUBLE)/n both
+    // engines; the per-doc sum over <= 3 terms is rounded per the
+    // FP-aggregation contract.
+    "t18_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('stream', 'data', 'query') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_qterms,
+        |         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |             * tf.tf * 2.2
+        |             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+        |                 / (CAST(stats.total AS DOUBLE) / stats.n)))) AS score
+        |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |       GROUP BY 1)
+        |SELECT doc_id, n_qterms, round(score, 6) AS bm25_r
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     // Add-one-smoothed bigram LM trained on the corpus itself; the FP mean
     // is rounded (6 dp vs ~1e-13 accumulation noise), all counts exact.
     "t12_bigram_lm" ->
