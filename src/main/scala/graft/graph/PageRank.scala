@@ -74,11 +74,26 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // auto-sizing pays one count action (a partial-aggregated scan of the
-    // edge frame) before the iteration — a job-level constant, same
-    // pattern as tfidf's corpus size
-    val sc = if (scale > 0L) scale else autoScale(nodes.count())
-    var ranks = nodes.withColumn("rank", lit(sc))
+    // The auto-sized scale rides IN-PLAN as a broadcast 1-row scalar
+    // computed by the same rule as [[autoScale]] (pow(10,k) is exact in a
+    // double through 10^18, the cast back to long exact through 10^18) —
+    // one job end to end, where a driver-side nodes.count() action would
+    // scan the edge list a second time before the iteration even starts.
+    // ReuseExchange dedupes the node-set subtree against the main plan.
+    // An empty graph yields an empty result (no scale to compute); a node
+    // count too large for scale >= 1 fails the in-plan assert.
+    val scFrame =
+      if (scale > 0L)
+        edges.sparkSession.range(1).select(lit(scale).as("__scale"))
+      else nodes.agg(count(lit(1)).as("__n")).select(expr(
+        "array_max(filter(transform(sequence(0, 18)," +
+          " k -> cast(pow(10, k) as bigint))," +
+          s" s -> s <= ${Long.MaxValue}L div 85 div __n))" +
+          s" + coalesce(cast(assert_true(${Long.MaxValue}L div 85 div __n >= 1," +
+          " 'pageRankFixed: node count too large for integer scale') as bigint), 0L)")
+        .as("__scale"))
+    var ranks = nodes.crossJoin(broadcast(scFrame))
+      .select(col("node"), col("__scale").as("rank"))
     for (_ <- 1 to iters) {
       val contrib = e.join(deg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -89,8 +104,9 @@ object PageRank {
       val maxMass = Long.MaxValue / 85L
       ranks = nodes
         .join(contrib.groupBy("node").agg(sum(col("c")).as("m")), Seq("node"), "left")
+        .crossJoin(broadcast(scFrame))
         .select(col("node"),
-          (lit(15L * sc / 100L) +
+          (expr("(15 * __scale) div 100") +
             expr(s"(85 * (coalesce(m, 0L) + " +
               s"coalesce(cast(assert_true(coalesce(m, 0L) >= 0 and " +
               s"coalesce(m, 0L) <= ${maxMass}L) as long), 0L))) div 100")).as("rank"))
