@@ -100,6 +100,61 @@ object TextKernels {
     ArrayData.toArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
   }
 
+  private val bpeFlags = new ThreadLocal[Array[Boolean]] {
+    override def initialValue(): Array[Boolean] = new Array[Boolean](0)
+  }
+
+  /**
+   * Token count after applying a CHARACTER-pair merge table in priority
+   * order — the counting core of [[graft.llm.TextOps.bpeEncode]], one
+   * byte scan per merge instead of its 8-deep wrapped-separator string
+   * replace chain (the two are asserted equal in LlmOpsSpec; the chain
+   * remains the executable semantics spec).
+   *
+   * Why a byte scan is exact: every merge combines two SINGLE-character
+   * tokens (t16 derives char pairs), so merged tokens are always 2 chars
+   * and can never satisfy a later merge — a flags array marking merged
+   * bytes reproduces the replace chain's token-exact matching, and the
+   * j += 2 skip after a match is the replace's resume-after-replacement.
+   * Merge bytes are printable ASCII (< 0x80), so UTF-8 continuation
+   * bytes can never false-match and multi-byte characters count via
+   * numChars. Spaces (never in a merge pair) separate words, so merges
+   * cannot cross word boundaries. Result = chars - spaces - merges.
+   *
+   * `merges` is flat, 2 bytes per pair, in priority order.
+   */
+  def bpeTokenCount(text: UTF8String, merges: Array[Byte]): Long = {
+    val nBytes = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    @inline def b(i: Int): Byte = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+    var flags = bpeFlags.get()
+    if (flags.length < nBytes) {
+      flags = new Array[Boolean](math.max(nBytes, 64))
+      bpeFlags.set(flags)
+    } else java.util.Arrays.fill(flags, 0, nBytes, false)
+    var spaces = 0L
+    var i = 0
+    while (i < nBytes) { if (b(i) == 0x20) spaces += 1; i += 1 }
+    var merged = 0L
+    var mi = 0
+    while (mi < merges.length) {
+      val x = merges(mi)
+      val y = merges(mi + 1)
+      var j = 0
+      while (j < nBytes - 1) {
+        if (b(j) == x && b(j + 1) == y && !flags(j) && !flags(j + 1)) {
+          flags(j) = true
+          flags(j + 1) = true
+          merged += 1
+          j += 2
+        } else j += 1
+      }
+      mi += 2
+    }
+    text.numChars().toLong - spaces - merged
+  }
+
   /** BPE-ish sub-token regex (shared with TextOps.regexTokens / the DuckDB
     * oracle): letter runs, digit runs, single other glyphs, over lowercased
     * text. */
@@ -343,6 +398,42 @@ case class StopwordCount(child: Expression, stopwords: Seq[String])
     copy(child = newChild)
 }
 
+/** bpe_token_count(text) -> bigint over a fixed character-pair merge
+  * table (plan literal, priority order): tokens after BPE application,
+  * [[TextKernels.bpeTokenCount]] semantics. */
+case class BpeTokenCount(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+
+  merges.foreach { p =>
+    require(p.length == 2 && p.forall(c => c > ' ' && c < 127),
+      s"bpe_token_count: merge pair must be 2 printable-ASCII non-space chars, got '$p'")
+  }
+
+  @transient private lazy val mergeBytes: Array[Byte] =
+    merges.flatMap(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_count expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.bpeTokenCount(t.asInstanceOf[UTF8String], mergeBytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mergesRef = ctx.addReferenceObj("bpeMerges", mergeBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.bpeTokenCount($t, $mergesRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
 /** normalize_spaces(text) -> string: fused lower+trim+space-collapse. */
 case class NormalizeSpaces(child: Expression) extends UnaryExpression {
 
@@ -383,6 +474,9 @@ object TextExpressions {
 
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     ColumnBridge.column(StopwordCount(ColumnBridge.expression(text), stopwords))
+
+  def bpeTokenCount(text: Column, merges: Seq[String]): Column =
+    ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text), merges))
 
   /** SQL-surface registration (idempotent), mirroring VectorExpressions. */
   def register(spark: SparkSession): Unit = {

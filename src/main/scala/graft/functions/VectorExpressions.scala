@@ -252,6 +252,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("stopword_count"),
       new ExpressionInfo(classOf[StopwordCount].getName, "stopword_count"),
       (exprs: Seq[Expression]) => StopwordCount(exprs(0), litStrings(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (exprs: Seq[Expression]) => BpeTokenCount(exprs(0), litStrings(exprs(1)))))
     ext.injectFunction((FunctionIdentifier("normalize_spaces"),
       new ExpressionInfo(classOf[NormalizeSpaces].getName, "normalize_spaces"),
       (exprs: Seq[Expression]) => NormalizeSpaces(exprs(0))))

@@ -256,8 +256,34 @@ object TextOps {
     val sep = "\u0001"
     require(merges.nonEmpty, "bpeEncode: empty merge table")
     merges.foreach { p =>
-      require(p.length == 2 && p.forall(c => c >= ' ' && c < 127),
-        s"bpeEncode: merge pair must be 2 printable-ASCII chars, got '$p'")
+      require(p.length == 2 && p.forall(c => c > ' ' && c < 127),
+        s"bpeEncode: merge pair must be 2 printable-ASCII non-space chars, got '$p'")
+    }
+    // production counting path: the native bpe_token_count kernel — one
+    // byte scan per merge, identical semantics to [[bpeEncodeHof]]'s
+    // replace chain (asserted equal in LlmOpsSpec; the chain stays below
+    // as the executable spec). n_char_tokens = chars minus spaces ==
+    // the per-word length sum (empty words contribute zero chars).
+    val guard = coalesce(assert_true(!contains(col(textCol), lit(sep)),
+      lit("bpeEncode: text contains the \\u0001 token separator")).cast("long"), lit(0L))
+    docs.select(col("doc_id"),
+        (length(translate(col(textCol), " ", "")).cast("long") + guard)
+          .as("n_char_tokens"),
+        graft.functions.TextExpressions.bpeTokenCount(col(textCol), merges)
+          .as("n_bpe_tokens"))
+      .withColumn("n_merged", col("n_char_tokens") - col("n_bpe_tokens"))
+  }
+
+  /** The wrapped-separator replace-chain form of [[bpeEncode]] — the
+    * executable semantics spec the kernel is property-tested against
+    * (identical output columns). */
+  private[llm] def bpeEncodeHof(docs: DataFrame, merges: Seq[String],
+                                textCol: String = "text"): DataFrame = {
+    val sep = "\u0001"
+    require(merges.nonEmpty, "bpeEncode: empty merge table")
+    merges.foreach { p =>
+      require(p.length == 2 && p.forall(c => c > ' ' && c < 127),
+        s"bpeEncode: merge pair must be 2 printable-ASCII non-space chars, got '$p'")
     }
     def tokensOf(w: Column): Column = {
       val inter = regexp_replace(w, lit("(.)"), lit(sep + "$1" + sep))

@@ -297,6 +297,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r2 === Array(2L))
   }
 
+  test("bpe_token_count kernel equals the replace-chain spec, incl. multi-byte text") {
+    val s = spark
+    import s.implicits._
+    // adversarial shapes: overlap runs, merged-token boundaries ("aab"
+    // after (a,b) must NOT re-merge), words vs doc boundaries, empty
+    // words, multi-byte chars between mergeable ASCII pairs
+    val docs = (Seq(
+      "aaaa", "aaa", "aab", "aba", "xyx yxy", "", "a", "ab ab ab",
+      "café ab", "éa bé", "a  b", "the er stream er"
+    ) ++ (0 until 50).map { i =>
+      val rnd = new scala.util.Random(i)
+      (0 until 12).map(_ => "aberth s".charAt(rnd.nextInt(8))).mkString
+    }).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (merges <- Seq(Seq("aa", "ab"), Seq("ab", "aa", "er", "th"),
+        Seq("er", "re", "st", "ab"))) {
+      val fast = graft.llm.TextOps.bpeEncode(docs, merges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+      val spec = graft.llm.TextOps.bpeEncodeHof(docs, merges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+      assert(fast === spec, s"kernel != replace chain for merges=$merges")
+    }
+  }
+
   // ---- line dedup ------------------------------------------------------------
 
   test("lineDedup keeps the first occurrence corpus-wide and reassembles in order") {
