@@ -57,7 +57,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       round(vec_norm(array(cast(3.0 as float), cast(4.0 as float))), 6) AS nrm,
         |       round(rd_lat(155000.0d, 463000.0d), 6) AS lat,
         |       round(rd_lon(155000.0d, 463000.0d), 6) AS lon,
-        |       hamming_dist(array(0L, 255L), array(3L, 255L)) AS ham
+        |       hamming_dist(array(0L, 255L), array(3L, 255L)) AS ham,
+        |       bpe_token_count('aaaa ab', array('aa', 'ab')) AS bpe
         |""".stripMargin).head()
     assert(r.getAs[Int]("wc") === 3)
     assert(r.getAs[Int]("rc") === 3)
@@ -70,6 +71,7 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("lat") - 52.155174) < 1e-4)
     assert(math.abs(r.getAs[Double]("lon") - 5.387206) < 1e-4)
     assert(r.getAs[Long]("ham") === 2L) // 0^3 = two bits differ, 255^255 = 0
+    assert(r.getAs[Long]("bpe") === 3L) // aaaa -> aa+aa, ab -> ab
   }
 
   test("injected optimizer rule bands unbounded levenshtein comparisons") {
