@@ -86,10 +86,14 @@ object PageRank {
       if (scale > 0L)
         edges.sparkSession.range(1).select(lit(scale).as("__scale"))
       else nodes.agg(count(lit(1)).as("__n")).select(expr(
-        "array_max(filter(transform(sequence(0, 18)," +
+        // __n = 0 (empty graph): the div-by-zero NULL empties the filter, so
+        // coalesce supplies a dummy positive scale and the assert's `__n = 0`
+        // arm keeps it from firing — the crossJoin with zero nodes discards
+        // the row, preserving the empty-in/empty-out contract.
+        "coalesce(array_max(filter(transform(sequence(0, 18)," +
           " k -> cast(pow(10, k) as bigint))," +
-          s" s -> s <= ${Long.MaxValue}L div 85 div __n))" +
-          s" + coalesce(cast(assert_true(${Long.MaxValue}L div 85 div __n >= 1," +
+          s" s -> s <= ${Long.MaxValue}L div 85 div __n)), 1L)" +
+          s" + coalesce(cast(assert_true(__n = 0 OR ${Long.MaxValue}L div 85 div __n >= 1," +
           " 'pageRankFixed: node count too large for integer scale') as bigint), 0L)")
         .as("__scale"))
     var ranks = nodes.crossJoin(broadcast(scFrame))

@@ -318,30 +318,36 @@ object TextOps {
    * Output: `(doc_id, n_bigrams, avg_logp_r)`; docs with fewer than 2
    * words have no bigrams and are absent (their fluency is undefined).
    *
-   * Scale design: three shuffles, each an aggregation with map-side
-   * partials or an equi-join — unigram counts (vocab-sized), bigram counts
-   * (bigram-vocab-sized), and the probe joins keyed on the bigram/word
-   * strings themselves (short keys; both engines group identical bytes, so
-   * no hash indirection is needed for determinism). V rides in as a plan
-   * constant from the unigram table's count. The per-doc average is
+   * Scale design: ONE job — three shuffles, each an aggregation with
+   * map-side partials or an equi-join — unigram counts (vocab-sized),
+   * bigram counts (bigram-vocab-sized), and the probe joins keyed on the
+   * bigram/word strings themselves (short keys; both engines group
+   * identical bytes, so no hash indirection is needed for determinism).
+   * The vocabulary size V rides IN-PLAN as a broadcast 1-row aggregate
+   * over the same unigram subtree the probe join consumes — ReuseExchange
+   * dedupes the shared `uni` exchange, so V costs one extra vocab-sized
+   * final aggregate, not a second corpus scan (the t09/PageRank/BM25
+   * scalar pattern). Nothing is persisted and no driver action runs
+   * before the job: the tokenize/explode subtree is a cheap map consumed
+   * twice through the deduped exchanges, where the r5 form persisted the
+   * FULL tokenized corpus to executor disk (plus three eager count()
+   * actions) before scoring started — at 100 TB that wrote ~the corpus
+   * to local disk as the price of a literal V. The per-doc average is
    * accumulation-order FP, so it is rounded per the determinism rules;
    * everything else is exact integer arithmetic.
    */
   def bigramLm(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = graft.SessionResources.trackPersisted {
-      val p = docs.select(col("doc_id"), split(col(textCol), " ").as("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
-    }
-    val uni = graft.SessionResources.trackPersisted {
-      val p = toks.select(explode(col("w")).as("wd"))
-        .groupBy("wd").agg(count(lit(1)).as("c1"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
-    }
-    val v = uni.count() // vocabulary size: a plan constant
+    val toks = docs.select(col("doc_id"), split(col(textCol), " ").as("w"))
+    val uni = toks.select(explode(col("w")).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("c1"))
+    // V as a broadcast 1-row scalar computed over the uni subtree in-plan.
+    // count(when(c1 >= 0, 1)), not count(*): c1 >= 1 always holds, so the
+    // value is identical, but the optimizer cannot prove it (it rewrites a
+    // bare count(c1) to count(1) via non-nullability and then prunes c1),
+    // and a pruned c1 would specialize this branch's token exchange away
+    // from the probe join's and defeat ReuseExchange — the corpus token
+    // explode would shuffle TWICE instead of once.
+    val vFrame = uni.agg(count(when(col("c1") >= 0, lit(1))).as("__v"))
     val bg = toks.filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
@@ -350,9 +356,10 @@ object TextOps {
     val c2 = bg.groupBy("b2").agg(count(lit(1)).as("c2"))
     bg.join(c2, "b2")
       .join(uni, col("w1") === col("wd"))
+      .crossJoin(broadcast(vFrame))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log((col("c2") + lit(1.0)) / (col("c1") + lit(v.toDouble)))), 6)
+        round(avg(log((col("c2") + lit(1.0)) / (col("c1") + col("__v").cast("double")))), 6)
           .as("avg_logp_r"))
   }
 

@@ -534,6 +534,12 @@ object Oracle {
     // ceil((n-j)/64)), then compares ALL pairs quadratically — the oracle
     // may be quadratic, the engine's banded plan may not. ham as the sum
     // of per-bit absolute differences == popcount of the 64-bit xor.
+    // ASSUMES A PURE-ASCII CORPUS: this mirror sums characters/codepoints
+    // (ascii(substring(...))) while the engine hashes UTF-8 payload BYTES
+    // — the two agree only when every char is one byte. The engine's m04
+    // query asserts the fixture property in-plan (octet_length == length,
+    // the t17 control-char guard's sibling), so a non-ASCII corpus fails
+    // loudly instead of silently diverging from this oracle.
     "m04_phash_neardup" ->
       """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |s AS (SELECT doc_id, n,

@@ -712,10 +712,22 @@ object Queries {
     * pigeonhole), ids-only candidate shuffle, popcount verify. The
     * oracle recomputes the identical hash from the ASCII text bytes and
     * compares all pairs quadratically (oracle role only). */
-  val m04PhashNearDup: Q = (s, dir) =>
-    Multimodal.phashNearDup(Multimodal.fromDocuments(tbl(s, dir, "documents")),
-        maxHam = 3)
+  val m04PhashNearDup: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    // Oracle-parity guard: the DuckDB mirror recomputes the hash over
+    // CHARACTERS (ascii(substring(...))) while the engine hashes payload
+    // BYTES — equal only for pure-ASCII text. Assert the fixture property
+    // in-plan (octet_length == char length iff every char is one byte);
+    // the guard rides inside the text column so pruning can't drop it
+    // (the t16/v08 pattern), and concat('' ) leaves the text unchanged.
+    val t = coalesce(col("text"), lit(""))
+    val guarded = docs.withColumn("text", concat(col("text"),
+      coalesce(assert_true(octet_length(t) === length(t),
+        lit("m04_phash_neardup: oracle parity requires an ASCII-only corpus"))
+        .cast("string"), lit(""))))
+    Multimodal.phashNearDup(Multimodal.fromDocuments(guarded), maxHam = 3)
       .orderBy("id_a", "id_b")
+  }
 
   // ===== streaming-shaped (batch-equivalent; streaming variant in tests) ====
 

@@ -72,6 +72,18 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PageRank.autoScale(0L))
   }
 
+  test("pageRankFixed: an empty graph yields an empty result, not an assert failure") {
+    // regression (r5 ADVICE): with zero nodes the in-plan auto-scale's
+    // `MaxValue div 85 div __n` is NULL (non-ANSI div-by-zero), which made
+    // assert_true(NULL) raise a misleading 'node count too large' error;
+    // the guard's `__n = 0 OR ...` arm plus the coalesced dummy scale must
+    // restore the documented empty-in/empty-out contract.
+    val s = spark
+    import s.implicits._
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.pageRankFixed(e, iters = 2).count() === 0L)
+  }
+
   test("pageRankFixed auto-scale golden on a 10^6-node ring") {
     // undirected ring of n = 10^6 nodes: every node has deg 2 and receives
     // 2 * (S div 2) = S back each round (S = autoScale(10^6) = 10^11 is

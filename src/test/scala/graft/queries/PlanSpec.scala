@@ -136,6 +136,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t12: bigram LM is one job — no persist, V as an in-plan broadcast scalar") {
+    // the r5 form persisted the full tokenized corpus (MEMORY_AND_DISK)
+    // and ran three eager count() actions to bake V in as a literal; the
+    // one-job form computes V as a broadcast 1-row aggregate over the
+    // unigram subtree, deduped against the probe join by ReuseExchange
+    val df = Queries.t12BigramLm(spark, sf)
+    val p = planString(df)
+    assert(!p.contains("InMemoryTableScan"), s"t12 still persists:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"no broadcast scalar for V:\n$p")
+    // the vocab exchange feeding V must be the SAME exchange the probe
+    // join consumes — visible as a reused exchange in the final plan
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage") ||
+      p.contains("reuses"), s"uni subtree not shared:\n$p")
+  }
+
   test("m04: perceptual near-dup candidates come from the banded equi-join, ids only") {
     val p = planString(Queries.m04PhashNearDup(spark, sf))
     assert(!p.contains("CartesianProduct"), s"cartesian in m04:\n$p")
