@@ -2,7 +2,6 @@ package graft.curate
 
 import graft.Config
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -130,11 +129,16 @@ object Adressen {
 
     // nummer_id is the PK (reference: PRIMARY KEY on adressen.nummer_id); a
     // nummer referenced by >1 hoofdadres-vbo would crash the reference's
-    // INSERT — we keep a deterministic winner instead.
-    val wPk = Window.partitionBy(col("nummer_id"))
-      .orderBy(col("verblijfsobject_id").desc_nulls_last)
-    val adressen0 = j1.withColumn("__rn", row_number().over(wPk))
-      .filter(col("__rn") === 1).drop("__rn")
+    // INSERT — we keep a deterministic winner instead. ArgMax hash
+    // aggregate, not a window: one winner row of state per nummer with
+    // map-side partials, no per-key sort of the joined rows (struct-max
+    // null-smallest == the old DESC NULLS LAST).
+    val j1Cols = j1.columns
+    val adressen0 = j1.groupBy(col("nummer_id").as("__k"))
+      .agg(graft.functions.VectorAggregates.argMax(
+        struct(col("verblijfsobject_id")),
+        struct(j1Cols.map(col).toIndexedSeq: _*)).as("__w"))
+      .select(j1Cols.map(c => col(s"__w.$c").as(c)).toIndexedSeq: _*)
 
     // ---- J3: multi-pand repair (database_sqlite.py:398-437).
     // The reference explodes pand_id and lets the last UPDATE win ("only last
@@ -144,10 +148,9 @@ object Adressen {
     // sharing a hoofdadres would otherwise fan out the left join and break
     // the one-row-per-nummer PK invariant (ADVICE r1).
     val lastPand = v.filter(size(col("pand_id")) > 1)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("nummer_id")).orderBy(col("id").desc)))
-      .filter(col("__rn") === 1)
-      .select(col("nummer_id"), element_at(col("pand_id"), -1).as("__last_pid"))
+      .groupBy(col("nummer_id"))
+      .agg(graft.functions.VectorAggregates.argMax(
+        struct(col("id")), element_at(col("pand_id"), -1)).as("__last_pid"))
       .join(p, col("__last_pid") === col("p.id"), "left")
       .select(col("nummer_id"),
         col("p.geometry").as("__new_geometry"),
@@ -162,12 +165,14 @@ object Adressen {
     // (greatest id) — the reference's multi-match UPDATE order is arbitrary.
     def plaatsUpdates(src: DataFrame, objectType: String)(base: DataFrame): DataFrame = {
       val one = src.filter(col("nummer_id") =!= "")
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("nummer_id")).orderBy(col("id").desc)))
-        .filter(col("__rn") === 1)
-        .select(col("nummer_id"), col("rd_x").as("__rd_x"), col("rd_y").as("__rd_y"),
-          col("latitude").as("__lat"), col("longitude").as("__lon"),
-          col("geometry").as("__geom"))
+        .groupBy(col("nummer_id"))
+        .agg(graft.functions.VectorAggregates.argMax(struct(col("id")),
+          struct(col("rd_x").as("__rd_x"), col("rd_y").as("__rd_y"),
+            col("latitude").as("__lat"), col("longitude").as("__lon"),
+            col("geometry").as("__geom"))).as("__w"))
+        .select(col("nummer_id"), col("__w.__rd_x").as("__rd_x"),
+          col("__w.__rd_y").as("__rd_y"), col("__w.__lat").as("__lat"),
+          col("__w.__lon").as("__lon"), col("__w.__geom").as("__geom"))
       updateJoin(base, one, "nummer_id", Map(
         "rd_x" -> (_ => col("__rd_x")), "rd_y" -> (_ => col("__rd_y")),
         "latitude" -> (_ => col("__lat")), "longitude" -> (_ => col("__lon")),

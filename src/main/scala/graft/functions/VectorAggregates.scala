@@ -130,6 +130,12 @@ object VectorAggregates {
     ColumnBridge.column(
       TopKStr(ColumnBridge.expression(ord), ColumnBridge.expression(id), k)
         .toAggregateExpression())
+
+  /** Column binding: arg_max(ord, payload) usable inside agg(...). */
+  def argMax(ord: Column, payload: Column): Column =
+    ColumnBridge.column(
+      ArgMax(ColumnBridge.expression(ord), ColumnBridge.expression(payload))
+        .toAggregateExpression())
 }
 
 /**
@@ -425,5 +431,124 @@ object TopK {
       val to = ords(a); ords(a) = ords(b); ords(b) = to
       val ti = ids(a); ids(a) = ids(b); ids(b) = ti
     }
+  }
+}
+
+/**
+ * arg_max(ord, payload) — the payload of the row with the LARGEST ord in
+ * each group, as a native TypedImperativeAggregate: the K2-family
+ * last-wins/top-1 dedup primitive.
+ *
+ * Why not `row_number().over(partitionBy(key).orderBy(ord desc)) = 1`:
+ * the window form shuffles EVERY input row on the key and then sorts each
+ * key-group in full to keep one row — at 100 TB the ingest-hot-path dedup
+ * (reference: database_sqlite.py:93-162's INSERT OR REPLACE) would sort
+ * the whole registry to discard all but 9M winners. Why not
+ * `max(struct(ord, payload))` / the built-in `max_by`: both are
+ * declarative aggregates whose buffer is the struct itself — a non-mutable
+ * buffer type, so Spark plans them as SortAggregate (a per-partition sort
+ * of the full input on the group key on BOTH sides of the exchange). This
+ * aggregate runs in ObjectHashAggregate: O(1) state per group (one owned
+ * UnsafeRow), map-side partials (each mapper ships one winner per group it
+ * saw — shuffle volume is |groups| rows, independent of input size), no
+ * sort anywhere in the plan.
+ *
+ * Ordering: any orderable type via the interpreted ordering — pass
+ * `struct(c1, c2, ...)` for a composite; struct comparison is field-by-
+ * field ascending with null fields smallest, so taking the MAX equals
+ * `ORDER BY c1 DESC NULLS LAST, c2 DESC NULLS LAST, ... LIMIT 1` exactly.
+ * DETERMINISM CONTRACT: the ord must be unique within each group (include
+ * a unique id as the last struct field) — on exact ties the first-merged
+ * candidate wins, which depends on task scheduling. A null ord (the
+ * struct() wrapper is never null, but a bare column can be) is ignored
+ * per SQL aggregate semantics; an all-null/empty group yields null.
+ *
+ * Payload cost discipline: the payload expression is only evaluated and
+ * serialized when the row actually becomes the group's new maximum, so a
+ * heavy payload (full BAG row with geometry rings) is copied O(groups *
+ * log(rows-per-group)) times in expectation, not once per row.
+ */
+case class ArgMax(
+    ordExpr: Expression,
+    payloadExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArgMax.Buf] {
+
+  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection, UnsafeRow}
+  import org.apache.spark.sql.catalyst.util.TypeUtils
+
+  override def children: Seq[Expression] = ordExpr :: payloadExpr :: Nil
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(ordExpr.dataType, prettyName)
+
+  override def dataType: DataType = payloadExpr.dataType
+  override def nullable: Boolean = true
+  override def prettyName: String = "arg_max"
+
+  @transient private lazy val ordering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(ordExpr.dataType)
+  @transient private lazy val pairSchema = StructType(Seq(
+    StructField("o", ordExpr.dataType, nullable = true),
+    StructField("p", payloadExpr.dataType, nullable = true)))
+  @transient private lazy val proj = UnsafeProjection.create(pairSchema)
+  @transient private lazy val pairRow = new GenericInternalRow(2)
+
+  override def createAggregationBuffer(): ArgMax.Buf = new ArgMax.Buf
+
+  override def update(buf: ArgMax.Buf, input: InternalRow): ArgMax.Buf = {
+    val o = ordExpr.eval(input)
+    if (o != null && (buf.row == null || ordering.compare(o, buf.ord) > 0)) {
+      // the fresh ord/payload alias reused row memory: project to an owned
+      // UnsafeRow (copy) and re-read the ord from the owned bytes
+      pairRow.update(0, o)
+      pairRow.update(1, payloadExpr.eval(input))
+      buf.row = proj(pairRow).copy()
+      buf.ord = buf.row.get(0, ordExpr.dataType)
+      pairRow.update(0, null)
+      pairRow.update(1, null)
+    }
+    buf
+  }
+
+  override def merge(b1: ArgMax.Buf, b2: ArgMax.Buf): ArgMax.Buf =
+    if (b2.row == null) b1
+    else if (b1.row == null || ordering.compare(b2.ord, b1.ord) > 0) b2
+    else b1
+
+  override def eval(buf: ArgMax.Buf): Any =
+    if (buf.row == null || buf.row.isNullAt(1)) null
+    else InternalRow.copyValue(buf.row.get(1, payloadExpr.dataType))
+
+  override def serialize(buf: ArgMax.Buf): Array[Byte] =
+    if (buf.row == null) Array.emptyByteArray else buf.row.getBytes
+
+  override def deserialize(bytes: Array[Byte]): ArgMax.Buf = {
+    val buf = new ArgMax.Buf
+    if (bytes.nonEmpty) {
+      val r = new UnsafeRow(2)
+      r.pointTo(bytes, bytes.length)
+      buf.row = r
+      buf.ord = r.get(0, ordExpr.dataType)
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ArgMax =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ArgMax =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ArgMax =
+    copy(ordExpr = newChildren(0), payloadExpr = newChildren(1))
+}
+
+object ArgMax {
+  /** Current winner: an OWNED UnsafeRow [ord, payload] (null = no row seen
+    * yet) plus the ord value re-read from the owned bytes for comparison. */
+  final class Buf {
+    var row: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
+    var ord: Any = _
   }
 }

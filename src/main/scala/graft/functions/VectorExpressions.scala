@@ -275,5 +275,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("top_k_str"),
       new ExpressionInfo(classOf[TopKStr].getName, "top_k_str"),
       (exprs: Seq[Expression]) => TopKStr(exprs(0), exprs(1), litInt(exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("arg_max"),
+      new ExpressionInfo(classOf[ArgMax].getName, "arg_max"),
+      (exprs: Seq[Expression]) => ArgMax(exprs(0), exprs(1))))
   }
 }

@@ -293,16 +293,21 @@ object Queries {
 
   // ===== dedup / upsert =====================================================
 
-  /** K2: last-wins upsert dedup via row_number window — scalar sort keys
-    * only (ts, event_id), never wide payload columns. */
-  val k02DedupLastwins: Q = (s, dir) => {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+  /** K2: last-wins upsert dedup via the native [[graft.functions.ArgMax]]
+    * aggregate — ONE ObjectHashAggregate with map-side partials (each
+    * mapper ships one winner per user it saw), where the r5 row_number
+    * window shuffled every event row and sorted each user's full history
+    * to keep one. max(struct(ts, event_id)) is a total order (event_id
+    * unique), so the winner is identical. */
+  val k02DedupLastwins: Q = (s, dir) =>
     tbl(s, dir, "events")
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(graft.functions.VectorAggregates.argMax(
+        struct(col("ts"), col("event_id")),
+        struct(col("event_id"), col("event_type"), col("value"))).as("w"))
+      .select(col("user_id"), col("w.event_id").as("event_id"),
+        col("w.event_type").as("event_type"), col("w.value").as("value"))
       .orderBy("user_id")
-  }
 
   // ===== joins ==============================================================
 
@@ -335,13 +340,15 @@ object Queries {
   }
 
   /** J3-shape: last-wins repair join — pick each customer's most recent
-    * order deterministically, patch it onto the base row. */
+    * order deterministically, patch it onto the base row. The winner comes
+    * from the [[graft.functions.ArgMax]] hash aggregate (map-side partials,
+    * no per-customer history sort — the k02 rationale). */
   val j03RepairJoin: Q = (s, dir) => {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     val lastOrder = tbl(s, dir, "orders")
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("o_custkey"), col("o_totalprice").as("last_price"))
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.VectorAggregates.argMax(
+        struct(col("o_orderdate"), col("o_orderkey")),
+        col("o_totalprice")).as("last_price"))
     tbl(s, dir, "customer")
       .join(lastOrder, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_acctbal"),

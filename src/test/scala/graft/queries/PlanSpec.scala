@@ -136,6 +136,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("k02/j03: last-wins dedup is the arg_max hash aggregate, never a window sort") {
+    // the K2 family sits on the ingest hot path: the r5 row_number form
+    // shuffled every row and sorted each key-group to keep one; arg_max
+    // ships one winner per group per mapper (ObjectHashAggregate partials)
+    Seq("k02" -> Queries.k02DedupLastwins(spark, sf),
+        "j03" -> Queries.j03RepairJoin(spark, sf)).foreach { case (name, df) =>
+      val p = planString(df)
+      assert(!p.contains("Window"), s"$name: window sort crept back:\n$p")
+      assert(p.contains("partial_arg_max"), s"$name: no map-side partial:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$name: wrong host operator:\n$p")
+    }
+  }
+
   test("t12: bigram LM is one job — no persist, V as an in-plan broadcast scalar") {
     // the r5 form persisted the full tokenized corpus (MEMORY_AND_DISK)
     // and ran three eager count() actions to bake V in as a literal; the
