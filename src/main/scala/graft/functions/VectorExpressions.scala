@@ -278,5 +278,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("arg_max"),
       new ExpressionInfo(classOf[ArgMax].getName, "arg_max"),
       (exprs: Seq[Expression]) => ArgMax(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("perceptual_hash"),
+      new ExpressionInfo(classOf[PerceptualHash].getName, "perceptual_hash"),
+      (exprs: Seq[Expression]) => PerceptualHash(exprs(0))))
   }
 }

@@ -166,15 +166,23 @@ object Multimodal {
    * block, compared multiplication-only (s_j * n > total * c_j) so no
    * division ever rounds — the hash is integer-exact and cross-engine
    * hash-stable.
+   *
+   * Runs as the native [[graft.functions.PerceptualHash]] codegen kernel
+   * (one generated byte loop in WholeStageCodegen, payload read straight
+   * off the scan) — the r5 `mapPartitions` form forced a
+   * DeserializeToObject/SerializeFromObject pair around the hot loop.
+   * [[MediaCodecStub.phash]] remains the executable spec; LlmOpsSpec
+   * property-tests kernel == spec byte-for-byte.
    */
   def perceptualHash(media: Dataset[MediaRecord]): Dataset[MediaPHash] = {
     implicit val enc = Encoders.product[MediaPHash]
-    media.mapPartitions { it =>
-      it.map { r =>
-        val b = MediaCodecStub.phash(r.payload)
-        MediaPHash(r.doc_id, b(0), b(1), b(2), b(3))
-      }
-    }
+    media.toDF()
+      .select(col("doc_id"),
+        graft.functions.MediaExpressions.perceptualHash(col("payload")).as("__ph"))
+      .select(col("doc_id"),
+        element_at(col("__ph"), 1).as("b0"), element_at(col("__ph"), 2).as("b1"),
+        element_at(col("__ph"), 3).as("b2"), element_at(col("__ph"), 4).as("b3"))
+      .as[MediaPHash]
   }
 
   /**

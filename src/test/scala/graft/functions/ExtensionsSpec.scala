@@ -115,4 +115,23 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_top_k"), s"no partial aggregation:\n$plan")
   }
+
+  test("arg_max and perceptual_hash resolve from SQL") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", 3.0, "lo"), (2L, "a", 7.0, "hi"), (3L, "b", 5.0, "only"))
+      .toDF("id", "g", "v", "name").createOrReplaceTempView("am")
+    val r = spark.sql(
+      """SELECT g, arg_max(named_struct('v', v, 'id', id), name) AS w
+        |FROM am GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(r.map(x => x.getString(0) -> x.getString(1)).toSeq ===
+      Seq("a" -> "hi", "b" -> "only"))
+    // perceptual_hash('') = all-zero bands; spec equality for real bytes
+    val ph = spark.sql(
+      "SELECT perceptual_hash(cast('abc' as binary)) AS p," +
+        " perceptual_hash(cast('' as binary)) AS z").head()
+    assert(ph.getSeq[Long](0) ===
+      graft.llm.Multimodal.MediaCodecStub.phash("abc".getBytes("UTF-8")).toSeq)
+    assert(ph.getSeq[Long](1) === Seq(0L, 0L, 0L, 0L))
+  }
 }

@@ -876,6 +876,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(frames.getAs[Seq[Array[Byte]]]("frames").forall(_.length <= 16))
   }
 
+  test("perceptual_hash kernel == MediaCodecStub.phash spec (property, incl. edge payloads)") {
+    // the native codegen Expression replaced the mapPartitions stub call in
+    // the hot path; the stub stays as the executable spec — they must agree
+    // byte-for-byte on arbitrary payloads, through the REAL engine path
+    // (codegen, columnar scan), not just the interpreted kernel.
+    val rnd = new scala.util.Random(42)
+    val payloads: Seq[Array[Byte]] =
+      Seq(Array.emptyByteArray, Array[Byte](0), Array[Byte](-1),
+        Array.fill(63)(rnd.nextInt(256).toByte), Array.fill(64)(rnd.nextInt(256).toByte),
+        Array.fill(65)(rnd.nextInt(256).toByte)) ++
+        (1 to 30).map(_ => Array.fill(1 + rnd.nextInt(500))(rnd.nextInt(256).toByte))
+    // interpreted kernel == spec
+    payloads.foreach { p =>
+      assert(graft.functions.PerceptualHash.hash(p).toSeq ===
+        Multimodal.MediaCodecStub.phash(p).toSeq, s"len=${p.length}")
+    }
+    // engine path (codegen) == spec
+    val s = spark
+    import s.implicits._
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload")
+    val viaEngine = df.select(col("id"),
+        graft.functions.MediaExpressions.perceptualHash(col("payload")).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      assert(viaEngine(i.toLong) === Multimodal.MediaCodecStub.phash(p).toSeq,
+        s"engine diverged from spec at len=${p.length}")
+    }
+  }
+
   test("phash near-dup: identical payloads at ham 0, near pairs within 3, disjoint absent") {
     val s = spark
     import s.implicits._

@@ -172,6 +172,11 @@ class PlanSpec extends AnyFunSuite {
     // never on a payload column
     assert(p.contains("band_idx"), s"no banded join:\n$p")
     assert(!p.contains("hashpartitioning(payload"), s"payload shuffled:\n$p")
+    // the hash is the native codegen kernel in a Project — the r5
+    // mapPartitions form wrapped the hot loop in an object boundary
+    assert(p.contains("perceptual_hash"), s"native kernel missing:\n$p")
+    assert(!p.contains("SerializeFromObject") && !p.contains("DeserializeToObject"),
+      s"object boundary around the hash loop:\n$p")
   }
 
   test("t06 sample bucket stays in [0, 100) past 32-bit doc ids (overflow guard)") {
