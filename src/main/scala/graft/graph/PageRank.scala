@@ -59,10 +59,22 @@ object PageRank {
     s
   }
 
-  /** `scale <= 0` (the default) auto-sizes via [[autoScale]]. */
+  /** `scale <= 0` (the default) auto-sizes via [[autoScale]].
+    *
+    * `checkpointEvery`: for real corpus-graph scoring (10-30 rounds) the
+    * unrolled plan grows linearly in iteration count and the planner
+    * stalls long before the executors do — cut lineage every N rounds
+    * with an eager `localCheckpoint` (executor-block, unreplicated: the
+    * right tier for loop state that is cheap to reconstruct from `edges`;
+    * the same lesson as the components closure's self-join loop). Each
+    * checkpoint is one materialize of the rank vector (|nodes| rows), so
+    * the default 0 (never) is right for fixture-scale runs while ~5 keeps
+    * a 30-round job's plan depth flat. Integer ranks are bit-stable, so
+    * checkpointing can never change the result, only the plan. */
   def pageRankFixed(edges: DataFrame, iters: Int = 3,
-                    scale: Long = 0L): DataFrame = {
+                    scale: Long = 0L, checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = never)")
     // The edge list, degrees, and node set are loop-invariant and appear
     // in every round's plan — deliberately NOT persisted: ReuseExchange
     // already dedupes the identical exchanges inside the one job, and an
@@ -98,7 +110,7 @@ object PageRank {
         .as("__scale"))
     var ranks = nodes.crossJoin(broadcast(scFrame))
       .select(col("node"), col("__scale").as("rank"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = e.join(deg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
@@ -114,6 +126,10 @@ object PageRank {
             expr(s"(85 * (coalesce(m, 0L) + " +
               s"coalesce(cast(assert_true(coalesce(m, 0L) >= 0 and " +
               s"coalesce(m, 0L) <= ${maxMass}L) as long), 0L))) div 100")).as("rank"))
+      // cut the unrolled lineage to a LogicalRDD leaf mid-loop (never after
+      // the final round: the last plan returns to the caller lazily)
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

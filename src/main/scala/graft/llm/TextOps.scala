@@ -309,6 +309,51 @@ object TextOps {
   }
 
   /**
+   * Okapi BM25 relevance scoring of every document against a query-term
+   * TABLE — the retrieval-grade relevance signal corpus curation uses to
+   * up-weight on-topic documents (the scoring half of a DSIR-style data
+   * selection pipeline, where the "query" is a whole target-domain
+   * vocabulary of thousands of terms).
+   *
+   * `queryTerms` is any frame with a `term` string column (duplicates are
+   * collapsed). The corpus postings are filtered to the query vocabulary
+   * by a BROADCAST equi-join on the term BEFORE any aggregation — an
+   * `isin(literals)` filter stops being a plan at 10^3+ terms (a
+   * kilometer-long predicate re-evaluated per token), while the join form
+   * hashes each token once against a broadcast set of any size and keeps
+   * the postings frame at |matching tokens|, not |corpus tokens|.
+   * Everything downstream is the t09/t18 machinery: df / doc-length /
+   * corpus stats all partial-aggregated; the corpus-size + total-length
+   * scalars ride in as a broadcast 1-row frame (one job, no eager
+   * action). Constants are EXACT literals (2.2 = k1+1, 0.25 = 1-b,
+   * 0.75 = b for k1=1.2, b=0.75) on both engines — 1.2+1.0 != 2.2 in
+   * doubles, and a constant off by one ulp poisons every score. The
+   * per-doc sum over matched-term scores is rounded per the
+   * FP-aggregation contract. Output: (doc_id, n_qterms, bm25_r) for docs
+   * matching >= 1 query term.
+   */
+  def bm25(docs: DataFrame, queryTerms: DataFrame,
+           textCol: String = "text"): DataFrame = {
+    val wc = wordCount(col(textCol)).cast("long")
+    val terms = queryTerms.select(col("term")).distinct()
+    val tf = docs.select(col("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), wc.as("dl"))
+    val stats = docs.agg(count(lit(1)).as("__n"), sum(wc).as("__total"))
+    val avgdl = col("__total").cast("double") / col("__n")
+    tf.join(dfreq, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_qterms"),
+        round(sum(
+          log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))),
+          6).as("bm25_r"))
+  }
+
+  /**
    * Add-one-smoothed bigram language-model scoring — the CCNet/KenLM-style
    * fluency signal: train bigram statistics ON the corpus, then score every
    * document by its mean bigram log-probability,

@@ -1195,38 +1195,23 @@ object Queries {
   }
 
   /** T18: BM25 relevance scoring (Okapi, k1=1.2, b=0.75) of every
-    * document against a fixed query-term list — the retrieval-grade
-    * relevance signal corpus curation uses to up-weight on-topic
-    * documents (and the scoring half of a data-selection pipeline a la
-    * DSIR/DoReMi). Builds on the t09 tf/df machinery: the token explode
-    * filters to the query terms BEFORE aggregating (postings for 3 terms,
-    * not the vocabulary), df/doc-length/corpus stats all
-    * partial-aggregated, the corpus-size + total-length constants ride in
-    * as a broadcast 1-row frame (the t09 pattern — one job, no eager
-    * action). Constants are written as exact literals (2.2, 0.25) on
-    * BOTH engines: 1.2+1.0 != 2.2 in doubles, and a constant that
-    * differs in the last ulp would poison every score. The per-doc sum
-    * over <= 3 term scores is rounded per the FP-aggregation contract. */
+    * document against a 3-term query — the oracle fixture for
+    * [[TextOps.bm25]], whose query side is a TABLE: the corpus postings
+    * filter to the query vocabulary by broadcast equi-join on the term
+    * (the production DSIR shape — an isin(literals) predicate stops
+    * being a plan at 10^3+ terms), df/doc-length/corpus stats all
+    * partial-aggregated, the corpus-size + total-length constants ride
+    * in as a broadcast 1-row frame (the t09 pattern — one job, no eager
+    * action). Constants are exact literals (2.2, 0.25) on BOTH engines:
+    * 1.2+1.0 != 2.2 in doubles, and a constant off in the last ulp
+    * would poison every score. LlmOpsSpec proves query-side scale
+    * invariance: a 1000-term table scores the 3-term subset
+    * identically. */
   val t18Bm25: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
-    val qterms = Seq("stream", "data", "query")
-    val wc = TextOps.wordCount(col("text")).cast("long")
-    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term").isin(qterms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = docs.select(col("doc_id"), wc.as("dl"))
-    val stats = docs.agg(count(lit(1)).as("__n"), sum(wc).as("__total"))
-    val avgdl = col("__total").cast("double") / col("__n")
-    tf.join(dfreq, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_qterms"),
-        round(sum(
-          log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-            col("tf") * lit(2.2) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))),
-          6).as("bm25_r"))
-      .orderBy("doc_id")
+    val sess = s
+    import sess.implicits._
+    val qterms = Seq("stream", "data", "query").toDF("term")
+    TextOps.bm25(tbl(s, dir, "documents"), qterms).orderBy("doc_id")
   }
 
   /** T14: novelty / memorization audit — the fraction of each document's

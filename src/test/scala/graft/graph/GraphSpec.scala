@@ -84,6 +84,31 @@ class GraphSpec extends AnyFunSuite {
     assert(PageRank.pageRankFixed(e, iters = 2).count() === 0L)
   }
 
+  test("checkpointEvery cuts plan depth at 10 iterations without changing a single rank") {
+    // a small ring: every rank stays exactly S each round (closed-form
+    // golden), so any checkpoint-induced divergence is immediately fatal.
+    val s = spark
+    import s.implicits._
+    val n = 50L
+    val ring = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1L) % n).as("dst"))
+    val e = ring.union(ring.select(col("dst").as("src"), col("src").as("dst")))
+    val plain = PageRank.pageRankFixed(e, iters = 10)
+    val chk = PageRank.pageRankFixed(e, iters = 10, checkpointEvery = 3)
+    val scale = PageRank.autoScale(n)
+    val stats = chk.agg(count(lit(1)), min(col("rank")), max(col("rank"))).head()
+    assert(stats.getLong(0) == n && stats.getLong(1) == scale && stats.getLong(2) == scale)
+    // integer ranks are bit-stable: checkpointing must be plan-only
+    assert(chk.exceptAll(plain).isEmpty && plain.exceptAll(chk).isEmpty)
+    // and the plan actually stays flat: 3 unrolled rounds above the last
+    // LogicalRDD cut vs 10 — the checkpointed analyzed plan must be far
+    // smaller than the fully unrolled one
+    val plainLen = plain.queryExecution.analyzed.treeString.length
+    val chkLen = chk.queryExecution.analyzed.treeString.length
+    assert(chkLen * 2 < plainLen,
+      s"checkpoint did not cut lineage: $chkLen vs $plainLen")
+  }
+
   test("pageRankFixed auto-scale golden on a 10^6-node ring") {
     // undirected ring of n = 10^6 nodes: every node has deg 2 and receives
     // 2 * (S div 2) = S back each round (S = autoScale(10^6) = 10^11 is

@@ -855,6 +855,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sums === Seq(3.0, 5.0, 3.0, null))
   }
 
+  // ---- BM25 -----------------------------------------------------------------
+
+  test("bm25: a 1000-term query table scores the 3-term subset identically (DSIR shape)") {
+    val s = spark
+    import s.implicits._
+    // the production query side is a whole target-domain vocabulary; terms
+    // absent from the corpus must not perturb any score (they generate no
+    // postings, so df/tf/stats are untouched)
+    val three = Seq("stream", "data", "query").toDF("term")
+    val thousand = (Seq("stream", "data", "query") ++
+      (1 to 997).map(i => s"__absent_term_$i")).toDF("term")
+    val a = TextOps.bm25(docs, three).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val b = TextOps.bm25(docs, thousand).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(a.nonEmpty, "fixture corpus should match the query terms")
+    assert(a === b, "query-vocabulary size changed scores")
+    // and the term probe is a broadcast equi-join, not a giant isin predicate
+    val p = TextOps.bm25(docs, thousand).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"term probe not broadcast:\n$p")
+    assert(!p.toLowerCase.contains(" in("), s"isin predicate crept back:\n$p")
+  }
+
   // ---- multimodal -----------------------------------------------------------
 
   test("multimodal: payload round-trips, decode stub checksums bytes, frames slice") {
