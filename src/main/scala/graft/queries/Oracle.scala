@@ -423,6 +423,34 @@ object Oracle {
     // exact computation the LSH path approximates.
     "d04_minhash_lsh" -> jaccardSql(0.7),
 
+    // d13 = d04 served from the persisted bucketed signature index: the
+    // storage split must be invisible, so the oracle is d04's VERBATIM.
+    "d13_indexed_neardup" -> jaccardSql(0.7),
+
+    // st09: cross-corpus admission — batch (odd ids) docs with no corpus
+    // (even ids) near-dup at 5-gram jaccard >= 0.5; unshingle-able docs
+    // admitted. Same shingle CTE as jaccardSql; the cross-side predicate
+    // replaces the id_a < id_b self-pairing. NOT IN is safe: batch_id is
+    // never null (it comes from the shingle join's doc_id).
+    "st09_neardup_admission" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |          i -> list_aggregate(w[i:i+4], 'string_agg', chr(31)))) AS s
+        |        FROM tok WHERE len(w) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pr AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS inter
+        |       FROM sh b JOIN sh c ON b.s = c.s
+        |        AND b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        |       GROUP BY 1, 2),
+        |rej AS (SELECT DISTINCT batch_id FROM pr
+        |        JOIN cnt cb ON cb.doc_id = pr.batch_id
+        |        JOIN cnt cc ON cc.doc_id = pr.corpus_id
+        |        WHERE CAST(inter AS DOUBLE) / (cb.n + cc.n - inter) >= 0.5)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT batch_id FROM rej)
+        |ORDER BY doc_id""".stripMargin,
+
     "t01_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens

@@ -517,6 +517,44 @@ object Queries {
       minJ = 0.7)
       .orderBy("id_a", "id_b")
 
+  /** D13: d04 through the PERSISTED minhash index
+    * ([[Dedup.buildMinhashIndex]] -> [[Dedup.minhashLshPairsIndexed]]) —
+    * the index-build/serve split for the most-rerun pipeline at corpus
+    * scale: signatures are computed once, written bucketed on doc_id, and
+    * candidate generation + verify read the stored table (the shingle
+    * payload never shuffles — ScaleOpsSpec asserts the bucketed
+    * zero-corpus-exchange plan). The oracle is d04's VERBATIM: the
+    * storage split must be invisible in the result. */
+  val d13IndexedNeardup: Q = (s, dir) => {
+    Dedup.buildMinhashIndex(tbl(s, dir, "documents"), "graft_d13_minhash_idx",
+      w = 5, k = 32, buckets = 8,
+      path = Some(java.nio.file.Files.createTempDirectory("graft_minhash_idx").toString))
+    Dedup.minhashLshPairsIndexed(s, "graft_d13_minhash_idx", k = 32, bands = 16,
+        minJ = 0.7)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** ST9 batch mirror: cross-corpus near-dup ADMISSION — the streaming
+    * ingest front door's gate ([[graft.streaming.EventStreams
+    * .admitNearDupStream]] / the foreachBatch indexed path), bounded for
+    * the oracle: corpus = even doc_ids (the already-ingested side), batch
+    * = odd doc_ids, and a batch doc survives iff it has NO corpus
+    * near-dup at 5-gram Jaccard >= 0.5 (LSH candidates, exact verify —
+    * planted pairs sit at j >= 0.87, so banding is deterministic here).
+    * Docs too short to shingle are admitted (totality). StreamingSpec
+    * proves stream==batch on planted cross-corpus dups for BOTH streaming
+    * forms. */
+  val st09NearDupAdmission: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val index = Dedup.withSignatures(corpus, w = 5, k = 32)
+      .filter(col("sig").isNotNull)
+    Dedup.nearDupAdmit(batch, index, w = 5, k = 32, bands = 16, minJ = 0.5)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** D6: embedding-cosine near-dup dedup — keep-first assignment over
     * exact cosine pairs (tau=0.35 is non-vacuous at the oracle SF: 271
     * pairs / 201 dup docs at sf0.01). The scale path swaps the exact pair
@@ -1725,6 +1763,8 @@ object Queries {
     "d02_dedup_exact_keep" -> d02DedupExactKeep,
     "d03_neardup_ngram" -> d03NeardupNgram,
     "d04_minhash_lsh" -> d04MinhashLsh,
+    "d13_indexed_neardup" -> d13IndexedNeardup,
+    "st09_neardup_admission" -> st09NearDupAdmission,
     "d05_simhash" -> d05Simhash,
     "d06_embedding_neardup" -> d06EmbeddingNeardup,
     "d07_dedup_components" -> d07DedupComponents,

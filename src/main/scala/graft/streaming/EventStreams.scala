@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -138,6 +138,61 @@ object EventStreams {
             xxhash64(lit("graft:short-text"), col("text")))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /**
+   * Streaming near-dup ADMISSION against the existing corpus — closes the
+   * loop [[ingestStream]] opened: its gate is quality + exact-fingerprint
+   * WITHIN the stream, while the production front door must also reject
+   * documents that near-duplicate the corpus already ingested. Two forms,
+   * by corpus size:
+   *
+   * 1. THIS operator: a stateless stream-static LEFT ANTI against a
+   *    broadcast signature frame ([[graft.llm.Dedup.withSignatures]]
+   *    output or a [[graft.llm.Dedup.buildMinhashIndex]] read). The match
+   *    predicate is row-local — band-hash ARRAYS overlap (the LSH
+   *    pigeonhole as `arrays_overlap`, no explode, no state) AND exact
+   *    Jaccard >= minJ — so the whole gate is map-side work per
+   *    micro-batch: no shuffle, no streaming state, exactly-once for
+   *    free. Right side must fit a broadcast: decontamination lists,
+   *    benchmark sets, per-domain reference corpora (the d08 shape).
+   * 2. Corpus-scale: `writeStream.foreachBatch` with [[nearDupAdmitBatch]]
+   *    — each micro-batch runs the full BATCH admission
+   *    ([[graft.llm.Dedup.nearDupAdmit]]) against the persisted bucketed
+   *    index: banded candidate equi-joins, id-only shuffles, corpus
+   *    payload never moves. foreachBatch hands a batch frame per trigger,
+   *    so every batch-only operator (distinct, anti-join, persist) is
+   *    legal there while this transform-level operator must stay
+   *    stateless.
+   *
+   * Rows that cannot shingle (short/null text) have null signatures: the
+   * predicate is null -> no match -> ADMITTED, preserving stream totality.
+   */
+  def admitNearDupStream(docs: DataFrame, index: DataFrame, w: Int = 5,
+                         k: Int = 32, bands: Int = 16,
+                         minJ: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def bandArr(sig: Column): Column =
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(sig, b * r + lit(1), lit(r))))
+    val s = graft.llm.Dedup.withSignaturesTotal(docs, w, k)
+      .withColumn("__bands", bandArr(col("sig")))
+    val c = broadcast(index.select(col("sh").as("__sh_c"),
+      col("n_sh").as("__n_c"), bandArr(col("sig")).as("__bands_c")))
+    val inter = size(array_intersect(col("sh"), col("__sh_c"))).cast("double")
+    val cond = arrays_overlap(col("__bands"), col("__bands_c")) &&
+      inter / (col("n_sh") + col("__n_c") - inter) >= lit(minJ)
+    s.join(c, cond, "left_anti").drop("sh", "n_sh", "sig", "__bands")
+  }
+
+  /** foreachBatch body for the INDEXED corpus-scale admission path:
+    * `stream.writeStream.foreachBatch { (b, _) =>
+    *   sink(EventStreams.nearDupAdmitBatch(index)(b)) }` — see
+    * [[admitNearDupStream]] form 2. */
+  def nearDupAdmitBatch(index: DataFrame, w: Int = 5, k: Int = 32,
+                        bands: Int = 16, minJ: Double = 0.5)(
+                        batch: DataFrame): DataFrame =
+    graft.llm.Dedup.nearDupAdmit(batch, index, w, k, bands, minJ)
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -855,6 +855,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sums === Seq(3.0, 5.0, 3.0, null))
   }
 
+  test("nearDupAdmit: rejects cross-corpus near-dups, admits novel and no-shingle docs") {
+    val corpus = docsDf(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three four five six seven eight nine ten eleven twelve"))
+    val batch = docsDf(Seq(
+      // ~verbatim copy of corpus doc 1 -> must be rejected
+      10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      // near-dup of corpus doc 2 (one word appended) -> rejected at minJ=0.5
+      11L -> "one two three four five six seven eight nine ten eleven twelve extra",
+      // novel content -> admitted
+      12L -> "completely unrelated sentences about columnar storage engines here",
+      // too short to shingle (w=5) -> no signature, must still be ADMITTED
+      13L -> "tiny doc"))
+    val index = Dedup.withSignatures(corpus, w = 5, k = 32)
+      .filter(col("sig").isNotNull)
+    val admitted = Dedup.nearDupAdmit(batch, index, w = 5, k = 32, bands = 16,
+        minJ = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted === Seq(12L, 13L), s"admission set wrong: $admitted")
+    // identical result served from the persisted bucketed index
+    Dedup.buildMinhashIndex(corpus, "admit_idx_t", w = 5, k = 32, buckets = 2)
+    val viaIndex = Dedup.nearDupAdmit(batch,
+        graft.relational.Bucketing.read(spark, "admit_idx_t"),
+        w = 5, k = 32, bands = 16, minJ = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaIndex === admitted)
+  }
+
   // ---- BM25 -----------------------------------------------------------------
 
   test("bm25: a 1000-term query table scores the 3-term subset identically (DSIR shape)") {

@@ -137,6 +137,77 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("AQE skew-join splits a planted hot key on the postings-join shape") {
+    // the d03 postings self-join's hazard: one boilerplate shingle shared
+    // by thousands of docs lands its whole pair fanout on one reducer.
+    // With the skew thresholds scaled to fixture bytes, AQE must SPLIT
+    // the hot partition across tasks — and the answer must not change.
+    // Evidence that the engine's two skew defenses compose rather than
+    // overlap: content-hash salting (x09) guards aggregations at plan
+    // time, AQE skew-join guards join reducers at runtime.
+    val hot = spark.range(3000).select(lit(7777L).as("sh"), col("id").as("doc_id"))
+    val rare = spark.range(2000).select((col("id") + 10000L).as("sh"),
+      col("id").as("doc_id"))
+    val postings = hot.union(rare)
+    def pairCount(): (Long, String) = {
+      val a = postings.select(col("sh"), col("doc_id").as("id_a"))
+      val b = postings.select(col("sh"), col("doc_id").as("id_b"))
+      val q = a.join(b, "sh").filter(col("id_a") < col("id_b"))
+        .groupBy().agg(count(lit(1)).as("n"))
+      val n = q.collect().head.getLong(0)
+      (n, q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head)
+    }
+    val expected = 3000L * 2999L / 2 // rare keys are unique -> no pairs
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      val (n, p) = pairCount()
+      assert(n === expected)
+      assert(p.contains("skewed"), s"hot partition not split by AQE:\n$p")
+      // same answer with the skew optimization off
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (nOff, pOff) = pairCount()
+      assert(nOff === expected)
+      assert(!pOff.contains("skewed"), s"skew split with the feature off?\n$pOff")
+    } finally {
+      Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.enabled").foreach(spark.conf.unset)
+    }
+  }
+
+  test("minhash index: identical pairs to the one-shot path, index table never re-shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.llm.Dedup.buildMinhashIndex(docs, "doc_minhash_idx", w = 5, k = 32,
+      buckets = 4)
+    val inline = graft.llm.Dedup.minhashLshPairs(docs, w = 5, k = 32, bands = 16,
+        minJ = 0.5)
+      .collect().map(_.toString).sorted
+    // force shuffle joins so the bucket layout (not a broadcast) is what
+    // keeps the index side exchange-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val indexed = graft.llm.Dedup.minhashLshPairsIndexed(
+        spark, "doc_minhash_idx", k = 32, bands = 16, minJ = 0.5)
+      assert(indexed.collect().map(_.toString).sorted === inline,
+        "indexed path must reproduce the one-shot LSH pairs exactly")
+      val p = indexed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the verify-side shingle re-attach reads the bucket layout directly
+      assert(p.contains("Bucketed: true"), s"index scan not bucketed:\n$p")
+      // exchanges exist only for band postings (band, band_hash), the
+      // candidate distinct, and candidate movement to the buckets — an
+      // exchange keyed on the index's own doc_id would mean the stored
+      // corpus re-shuffled for the join
+      assert(!p.contains("Exchange hashpartitioning(doc_id"),
+        s"index table re-shuffled on doc_id:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("asofJoin: at-or-before semantics, nulls before first right row, one shuffle, no join node") {
     val s = spark
     import s.implicits._

@@ -280,6 +280,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 4L, 5L, 6L))
   }
 
+  test("streaming near-dup admission rejects cross-corpus dups: stream == batch, both forms") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // already-ingested corpus (static side)
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val index = graft.llm.Dedup.withSignatures(corpus, w = 5, k = 32)
+      .filter(col("sig").isNotNull)
+    // incoming stream: re-crawl of 100, near-dup of 101, novel, unshingle-able
+    val incoming = Seq(
+      (1L, ts(1), "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, ts(2), "one two three four five six seven eight nine ten eleven twelve extra"),
+      (3L, ts(3), "fresh material about adaptive query execution and bucketing"),
+      (4L, ts(4), "tiny"))
+    val expected = Seq(3L, 4L)
+
+    // form 1: the stateless stream-static broadcast anti-join gate
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    stream.addData(incoming: _*)
+    val q = EventStreams.admitNearDupStream(
+        stream.toDF().toDF("doc_id", "ts", "text"), index, minJ = 0.5)
+      .writeStream.format("memory").queryName("ndadmit").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ndadmit").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed === expected, s"stateless gate admitted $streamed")
+    // the stateless gate run on the SAME frame as a batch agrees (its
+    // transform is engine-mode-agnostic)...
+    val batchDf = incoming.toDF("doc_id", "ts", "text")
+    val viaGateBatch = EventStreams.admitNearDupStream(batchDf, index, minJ = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaGateBatch === expected)
+    // ...and matches the indexed batch admission operator exactly
+    val viaBatchOp = graft.llm.Dedup.nearDupAdmit(batchDf, index, minJ = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaBatchOp === expected)
+
+    // form 2: foreachBatch + the indexed batch operator (corpus-scale path)
+    val stream2 = MemoryStream[(Long, java.sql.Timestamp, String)]
+    stream2.addData(incoming.take(2): _*) // two triggers: admission must be
+    val admitted = scala.collection.mutable.SortedSet.empty[Long] // per-batch
+    val q2 = stream2.toDF().toDF("doc_id", "ts", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        admitted ++= EventStreams.nearDupAdmitBatch(index, minJ = 0.5)(b)
+          .select("doc_id").collect().map(_.getLong(0))
+        () // Unit: the (DataFrame, Long) => Unit overload
+      }.start()
+    try {
+      q2.processAllAvailable()
+      stream2.addData(incoming.drop(2): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(admitted.toSeq === expected, s"foreachBatch path admitted $admitted")
+  }
+
   test("sessionizer state compression: a session spanning watermark advances keeps exact counts") {
     val s = spark
     import s.implicits._
