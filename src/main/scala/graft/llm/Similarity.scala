@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
  *    correct plan even at 100 TB (no shuffle of the corpus, no cartesian
  *    blow-up: cost = |corpus| * |queries|, queries bounded);
  *  - [[cosinePairs]]: exact all-pairs >= threshold — the *oracle baseline*,
- *    quadratic by construction; kept for verification at small SF only;
+ *    quadratic by construction; [[cosinePairsGrid]] is the same semantics
+ *    as a distributed block-grid kernel (no driver collect, no corpus
+ *    broadcast);
  *  - [[annLsh]]: random-hyperplane LSH with L independent tables — the
  *    100 TB scale path: candidates come from equi-joins on (table, bucket),
  *    never from a cross product.
@@ -127,77 +129,105 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Sequential-fold L2 norm with float->double widening — the scala-side
+    * twin of the native vec_norm expression (identical fold order). */
+  private[graft] def l2(v: Array[Float]): Double = {
+    var s = 0.0
+    var d = 0
+    while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
+    math.sqrt(s)
+  }
+
+  /** Sequential-fold cosine rounded to 6 decimals: bit-identical to the
+    * declarative round(vec_dot(a,b) / (vec_norm(a)*vec_norm(b)), 6) —
+    * same dot fold, same norm product (IEEE multiply is commutative, so
+    * operand order is irrelevant), and scala BigDecimal(double) HALF_UP
+    * == Spark's round() exactly. Non-finite ratios (zero-norm vectors)
+    * return NaN, which every >= threshold compare rejects — matching the
+    * declarative path, where round(NaN) >= t filters the row. */
+  private[graft] def roundedCos(a: Array[Float], na: Double,
+                                b: Array[Float], nb: Double): Double = {
+    var s = 0.0
+    var d = 0
+    val m = math.min(a.length, b.length)
+    while (d < m) { s += a(d).toDouble * b(d).toDouble; d += 1 }
+    val raw = s / (na * nb)
+    if (java.lang.Double.isFinite(raw))
+      BigDecimal(raw).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    else Double.NaN
+  }
+
   /**
-   * [[cosinePairs]] with a blocked kernel: SAME exact all-pairs semantics
-   * and bit-identical output (same sequential dot fold, same norm, same
-   * HALF_UP rounding), but the n^2 pair enumeration runs as tight
-   * primitive loops over a broadcast corpus matrix instead of 2M
-   * materialized join rows — the nested-loop join's per-pair row machinery
-   * was ~10x the arithmetic. Tasks take strided row ranges of the upper
-   * triangle (round-robin via repartition), so work stays balanced.
+   * [[cosinePairs]] as a distributed block-grid kernel: SAME exact
+   * all-pairs semantics and bit-identical output (same sequential dot
+   * fold, same norms, same HALF_UP rounding), with NO driver collect and
+   * NO corpus broadcast — the predecessor's bounded-corpus contract
+   * (collect + broadcast, maxCorpus guard) is gone.
    *
-   * Scale contract is UNCHANGED from cosinePairs: quadratic by
-   * construction, bounded-corpus only (the corpus is collected and
-   * broadcast — `maxCorpus` trips before the driver is at risk). The
-   * production near-dup paths remain [[annLsh]]/[[annIvf]]/MinHash-LSH.
+   * Vectors hash-assign to one of `numBlocks` blocks; each vector
+   * replicates to the `numBlocks` grid cells its block participates in
+   * (cell (i,j), i <= j, holds blocks i and j), and each cell enumerates
+   * its pairs locally in one flatMapGroups pass: diagonal cells pair
+   * within-block (sorted, so id_a < id_b for free), off-diagonal cells
+   * pair across their two sides (emitting min-id first). Every unordered
+   * pair lands in EXACTLY one cell — (block(a), block(b)) ordered — so
+   * the union over cells is the all-pairs set with no dedup step.
+   *
+   * Scale shape: shuffle = n x numBlocks embedding copies (a join
+   * materializes n^2 pair rows), each task holds ~2n/numBlocks vectors,
+   * and the O(n^2) dot products — inherent to exact all-pairs — spread
+   * over numBlocks*(numBlocks+1)/2 independent tasks with no driver
+   * involvement. Size numBlocks so two blocks fit an executor: at 10^8
+   * vectors x 256 B, numBlocks=4096 holds ~12 MB sides across ~8.4M
+   * cells. The COMPUTE stays quadratic by construction — at corpus scale
+   * the production paths remain [[annLsh]]/[[annIvf]]/minhash-LSH; this
+   * is the exact form those are audited against (v09).
    */
-  def cosinePairsBlocked(emb: DataFrame, minCos: Double,
-                         maxCorpus: Int = 1 << 20): DataFrame = {
+  def cosinePairsGrid(emb: DataFrame, minCos: Double,
+                      numBlocks: Int = 16): DataFrame = {
+    require(numBlocks >= 1, s"numBlocks must be positive: $numBlocks")
     val spark = emb.sparkSession
     import spark.implicits._
-    // limit(max+1) bounds what ever reaches the driver, so the guard trips
-    // BEFORE an oversized corpus can exhaust driver memory (saturating add:
-    // maxCorpus == Int.MaxValue must not wrap into a negative limit)
-    val lim = if (maxCorpus >= Int.MaxValue) Int.MaxValue else maxCorpus + 1
-    val collected = emb.select(col("vec_id"), col("embedding"))
-      .limit(lim).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    require(collected.length <= maxCorpus,
-      s"cosinePairsBlocked is the bounded-corpus oracle baseline " +
-        s"(n > $maxCorpus); use annLsh/annIvf at scale")
-    // tracked so long-lived sessions can destroy the corpus matrix between
-    // queries (SessionResources.release) — the ContextCleaner alone lets it
-    // linger for the whole session
-    val bcIds = graft.SessionResources.track(
-      spark.sparkContext.broadcast(collected.map(_._1)))
-    val bcVecs = graft.SessionResources.track(
-      spark.sparkContext.broadcast(collected.map(_._2)))
-    val n = collected.length
-    spark.range(0, n.toLong)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .as[Long]
-      .mapPartitions { it =>
-        val ids = bcIds.value
-        val vecs = bcVecs.value
-        val norms = vecs.map { v =>
-          var s = 0.0
-          var d = 0
-          while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
-          math.sqrt(s)
-        }
-        it.flatMap { li =>
-          val i = li.toInt
-          val a = vecs(i)
-          val na = norms(i)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var j = i + 1
-          while (j < n) {
-            val b = vecs(j)
-            var s = 0.0
-            var d = 0
-            val m = math.min(a.length, b.length)
-            while (d < m) { s += a(d).toDouble * b(d).toDouble; d += 1 }
-            val raw = s / (na * norms(j))
-            // scala BigDecimal(double) + HALF_UP == Spark's round() exactly
-            if (java.lang.Double.isFinite(raw)) {
-              val c = BigDecimal(raw)
-                .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (c >= minCos) out += ((ids(i), ids(j), c))
+    val B = numBlocks
+    // cell ids for block b: (b,x) for x >= b and (x,b) for x < b — one cell
+    // per x in [0,B), so each row fans out to exactly B cells
+    val cells = emb
+      .select(col("vec_id"), col("embedding"),
+        pmod(xxhash64(col("vec_id")), lit(B)).cast("int").as("blk"))
+      .select(col("vec_id"), col("embedding"), col("blk"),
+        explode(expr(s"transform(sequence(0, ${B - 1}), " +
+          s"x -> CASE WHEN x >= blk THEN blk * $B + x ELSE x * $B + blk END)"))
+          .as("cell"))
+      .select(col("cell"), col("blk"), col("vec_id"), col("embedding"))
+      .as[(Int, Int, Long, Array[Float])]
+    cells.groupByKey(_._1)
+      .flatMapGroups { (cell: Int, it: Iterator[(Int, Int, Long, Array[Float])]) =>
+        val bi = cell / B
+        val bj = cell % B
+        val rows = it.toArray
+        val lo = rows.filter(_._2 == bi).sortBy(_._3)
+        val hi = if (bi == bj) lo else rows.filter(_._2 == bj).sortBy(_._3)
+        // norms once per side (O(n)), not once per pair (O(n^2))
+        val loN = lo.map(r => l2(r._4))
+        val hiN = if (bi == bj) loN else hi.map(r => l2(r._4))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < lo.length) {
+          val idA = lo(i)._3
+          val va = lo(i)._4
+          val na = loN(i)
+          var j = if (bi == bj) i + 1 else 0
+          while (j < hi.length) {
+            val c = roundedCos(va, na, hi(j)._4, hiN(j))
+            if (c >= minCos) { // NaN compares false
+              val idB = hi(j)._3
+              out += (if (idA < idB) (idA, idB, c) else (idB, idA, c))
             }
             j += 1
           }
-          out
+          i += 1
         }
+        out.iterator
       }
       .toDF("id_a", "id_b", "cos")
   }

@@ -691,12 +691,13 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
-  /** All-pairs cosine >= threshold — the quadratic oracle baseline
-    * (bounded corpus by contract). Runs the blocked kernel: identical
-    * output to the declarative join form (asserted bit-for-bit in
-    * LlmOpsSpec) at ~10x less per-pair row overhead. */
+  /** All-pairs cosine >= threshold — the exact quadratic baseline the ANN
+    * paths are audited against. Runs the distributed block-grid kernel:
+    * identical output to the declarative join form (asserted bit-for-bit
+    * in LlmOpsSpec), no driver collect, no corpus broadcast — shuffle is
+    * n x numBlocks embedding copies and each task holds two blocks. */
   val v02CosinePairs: Q = (s, dir) =>
-    Similarity.cosinePairsBlocked(tbl(s, dir, "embeddings"), minCos = 0.3)
+    Similarity.cosinePairsGrid(tbl(s, dir, "embeddings"), minCos = 0.3)
       .orderBy("id_a", "id_b")
 
   /** ANN via multi-table random-hyperplane LSH — bucketed equi-join

@@ -786,13 +786,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mean > 0.85 && mean < 1.15, s"mean distortion $mean")
   }
 
-  test("blocked cosine pairs match the declarative all-pairs join bit-for-bit") {
+  test("grid cosine pairs match the declarative all-pairs join bit-for-bit") {
     def collect(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val declarative = collect(Similarity.cosinePairs(emb, minCos = 0.3))
-    val blocked = collect(Similarity.cosinePairsBlocked(emb, minCos = 0.3))
     assert(declarative.nonEmpty)
-    assert(blocked === declarative)
+    // default grid, a degenerate single-cell grid, and a grid wider than
+    // the corpus-per-block would suggest must all agree exactly: cell
+    // decomposition is semantics-free
+    for (b <- Seq(1, 8, 13)) {
+      val grid = collect(Similarity.cosinePairsGrid(emb, minCos = 0.3, numBlocks = b))
+      assert(grid === declarative, s"numBlocks=$b diverged")
+    }
   }
 
   test("native vec_dot/vec_norm match the HOF fold bit-for-bit") {

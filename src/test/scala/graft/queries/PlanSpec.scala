@@ -89,9 +89,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no registered query contains a cartesian product (LSH/inverted-index paths included)") {
-    // no exemptions: even the quadratic oracle baseline v02 now runs the
-    // blocked kernel (mapPartitions over a broadcast matrix — quadratic in
-    // work by contract, but never a CartesianProduct join node)
+    // no exemptions: even the quadratic oracle baseline v02 runs the
+    // block-grid kernel (cell-replicated flatMapGroups — quadratic in
+    // work by construction, but never a CartesianProduct join node)
     Queries.all.foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
