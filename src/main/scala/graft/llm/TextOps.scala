@@ -409,6 +409,97 @@ object TextOps {
   }
 
   /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+   * Models via Importance Resampling"): score every document by how much a
+   * TARGET distribution prefers it over the source distribution,
+   * `log p_target(x) - log p_source(x)` under hashed bag-of-words unigram
+   * models — the standard cheap proxy for "select web data that looks like
+   * the high-quality target corpus". `isTarget` marks the target rows (a
+   * lang/source/label predicate); the source model is the full corpus.
+   *
+   * Both models hash tokens into `k` buckets (md5-prefix mod k — the same
+   * cross-engine-stable hash family as the CDC chunker) with add-one
+   * smoothing. INTEGER-EXACT aggregation: each bucket's log-ratio is
+   * rounded to an integer micro-log (x1e6) INSIDE the k-row model table,
+   * and per-doc scores are sums of those integers — no FP accumulation
+   * ever crosses the hash-compare (the one double->integer rounding per
+   * bucket is the only FP step, and it happens identically on a k-row
+   * table in both engines). Output: `(doc_id, n_tokens, dsir_mlog)` where
+   * dsir_mlog/1e6 ~= log w(x); resample by weight via [[weightedSample]]'s
+   * shape (t15).
+   *
+   * Scale design: ONE job, no driver actions. Token buckets are computed
+   * map-side; BOTH models are one k-row aggregation (count + conditional
+   * sum in a single pass, map-side partials shrink the shuffle to <= k
+   * rows per task); corpus totals ride in-plan as a broadcast 1-row
+   * aggregate over the model table (the t09/t18/PageRank scalar pattern);
+   * the probe joins tokens to the model by a BROADCAST of the k-row
+   * table, so the probe side never exchanges — the cheap scan+split
+   * subtree is simply consumed twice (the model pass and the probe pass),
+   * and the only corpus-sized shuffle is the per-doc sum of 8-byte longs,
+   * partial-aggregated map-side.
+   */
+  def dsirWeights(docs: DataFrame, isTarget: Column, k: Int = 256,
+                  textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), isTarget.as("tgt"), explode(split(col(textCol), " ")).as("w"))
+      .select(col("doc_id"), col("tgt"),
+        (expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)") % k).as("b"))
+    val model = toks.groupBy("b").agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = model.agg(sum(col("cs")).as("__s"), sum(col("ct")).as("__t"))
+    val table = model.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (round((log(col("ct") + lit(1.0)) - log(col("cs") + lit(1.0))) * lit(1e6))
+          .cast("long") +
+          round((log(col("__s") + lit(k.toDouble)) - log(col("__t") + lit(k.toDouble))) * lit(1e6))
+            .cast("long")).as("l"))
+    toks.join(broadcast(table), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("l")).as("dsir_mlog"))
+  }
+
+  /**
+   * Hashed linear quality classifier — the fasttext-style filter shape of
+   * GPT-3/LLaMA data curation (score against a quality model, keep
+   * above-threshold docs), with the MODEL AS DATA: a weight per hashed
+   * token bucket plus a keep rule. The fixture weights are derived
+   * deterministically from the bucket id (md5 of "qw<bucket>" mapped to
+   * [-1e6, 1e6] micro-units) so both engines and the oracle share them
+   * with zero FP risk; a trained model drops in as a real k-row weight
+   * table without changing the plan.
+   *
+   * INTEGER-EXACT end to end: micro-weights are integers, the per-doc
+   * score is their sum, and the keep rule `avg weight > tau` is evaluated
+   * as the integer cross-multiplication `sum > tau_micro * n_tokens` —
+   * no division, no rounding, no FP anywhere. Output:
+   * `(doc_id, n_tokens, q_mscore, keep)` with keep as 0/1 (bigint: the
+   * oracle hash-compare never rides a cross-engine boolean repr).
+   *
+   * Scale shape: pure MAP — the bucket->weight mapping is an expression,
+   * so scoring is one in-kernel fold over the doc's token array (no
+   * explode, no join, no shuffle; the whole operator runs inside
+   * WholeStageCodegen in a single corpus scan).
+   */
+  def qualityScoreLinear(docs: DataFrame, k: Int = 256, tauMicro: Long = 0L,
+                         textCol: String = "text"): DataFrame = {
+    // token w -> bucket -> integer micro-weight in [-1e6, 1e6], inlined in
+    // the fold lambda (Spark SQL lambdas exist only as HOF arguments)
+    val mweight =
+      s"""cast(conv(substring(md5(concat('qw',
+         |  cast(cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % $k as string)
+         |  )), 1, 8), 16, 10) as bigint) % 2000001 - 1000000""".stripMargin
+    docs.select(
+        col("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        expr(s"aggregate(split($textCol, ' '), 0L, (acc, w) -> acc + ($mweight))")
+          .as("q_mscore"))
+      .withColumn("keep",
+        (col("q_mscore") > lit(tauMicro) * col("n_tokens")).cast("long"))
+  }
+
+  /**
    * PII patterns shared by the redactor, its oracle, and its tests. Written
    * in the common subset of Java regex and RE2 (no lookaround, no
    * backreferences) so the DuckDB oracle runs the IDENTICAL pattern text;

@@ -390,6 +390,40 @@ object Oracle {
         |  round(CAST(n_shared AS DOUBLE) / n_chunks, 6) AS shared_frac
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // Rebuilds the d12 chunking verbatim, then the REMOVER semantics:
+    // a chunk occurrence survives iff its doc is the min doc_id owning
+    // that chunk md5; clean_text re-joins surviving chunks in document
+    // order ('' when everything was removed). All selection integer/string.
+    "d14_chunk_remove" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |             generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |b AS (SELECT doc_id, pos, word,
+        |        CASE WHEN CAST('0x' || substring(md5(word), 1, 4) AS BIGINT) % 4 = 0
+        |             THEN 1 ELSE 0 END AS bnd
+        |      FROM w),
+        |c AS (SELECT doc_id, pos, word,
+        |        sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+        |      FROM b),
+        |ch AS (SELECT doc_id, chunk_id, min(pos) AS cpos,
+        |         string_agg(word, ' ' ORDER BY pos) AS chunk
+        |       FROM c GROUP BY doc_id, chunk_id),
+        |h AS (SELECT doc_id, cpos, chunk, md5(chunk) AS chunk_hash FROM ch),
+        |f AS (SELECT chunk_hash, min(doc_id) AS first_doc FROM h GROUP BY 1),
+        |j AS (SELECT h.doc_id, h.cpos, h.chunk,
+        |        h.doc_id = f.first_doc AS keep
+        |      FROM h JOIN f USING (chunk_hash)),
+        |stats AS (SELECT doc_id, count(*) AS n_chunks,
+        |            sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_removed
+        |          FROM j GROUP BY 1),
+        |txt AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY cpos) AS clean_text
+        |        FROM j WHERE keep GROUP BY 1)
+        |SELECT s.doc_id, coalesce(t.clean_text, '') AS clean_text,
+        |  CAST(s.n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(s.n_removed AS BIGINT) AS n_removed
+        |FROM stats s LEFT JOIN txt t USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
     // Admission = NOT IN existing fingerprints; within-batch keep-first by
     // min doc_id per fingerprint. Mirrors the 5-word-prefix canonical key.
     "d10_incremental_dedup" ->
@@ -901,6 +935,45 @@ object Oracle {
         |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
         |       GROUP BY 1)
         |SELECT doc_id, n_qterms, round(score, 6) AS bm25_r
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // DSIR mirror: same md5-prefix-mod-256 token buckets, same add-one
+    // models (target = lang 'en', source = all docs), and the SAME
+    // per-bucket integer micro-log construction — the only FP step is the
+    // one rounding per model-table bucket (ln ulp noise would need the
+    // fractional part within ~2e-9 of .5 to flip it); per-doc scores are
+    // exact integer sums, so the hash-compare never rides accumulation
+    // order.
+    "t19_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+        |               unnest(string_split(text, ' ')) AS w FROM documents),
+        |tb AS (SELECT doc_id, tgt,
+        |         CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 256 AS b FROM tok),
+        |cnt AS (SELECT b, count(*) AS cs,
+        |          sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct FROM tb GROUP BY b),
+        |tot AS (SELECT sum(cs) AS s, sum(ct) AS t FROM cnt),
+        |tabl AS (SELECT b,
+        |      CAST(round((ln(ct + 1.0) - ln(cs + 1.0)) * 1000000) AS BIGINT)
+        |    + CAST(round((ln(s + 256.0) - ln(t + 256.0)) * 1000000) AS BIGINT) AS l
+        |  FROM cnt, tot)
+        |SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(l) AS BIGINT) AS dsir_mlog
+        |FROM tb JOIN tabl USING (b) GROUP BY tb.doc_id
+        |ORDER BY tb.doc_id""".stripMargin,
+
+    // Hashed-linear-classifier mirror: identical md5-derived integer
+    // micro-weights (bucket then 'qw<bucket>' weight hash), integer sum
+    // per doc, keep = sum > 0 * n as 0/1 — no FP anywhere.
+    "t20_quality_classifier" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(list_aggregate(list_transform(w, t ->
+        |    CAST('0x' || substring(md5('qw' ||
+        |      CAST(CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 256 AS VARCHAR)
+        |    ), 1, 8) AS BIGINT) % 2000001 - 1000000), 'sum') AS BIGINT) AS q_mscore
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, q_mscore,
+        |  CAST(CASE WHEN q_mscore > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     // Add-one-smoothed bigram LM trained on the corpus itself; the FP mean

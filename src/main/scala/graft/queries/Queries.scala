@@ -534,6 +534,15 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** D14: exact substring-span dedup REMOVER ([[Dedup.chunkDedupRemove]])
+    * — rewrites each doc with already-seen CDC chunks cut out (keep rule:
+    * first-owner doc by min doc_id), the Lee et al. 2022 removal step
+    * that d12 only audits. Map-only chunking; first-owner election and
+    * re-assembly are hash/doc-id-keyed aggregations with map-side
+    * partials; order-stable rebuild via in-aggregate array_sort. */
+  val d14ChunkRemove: Q = (s, dir) =>
+    Dedup.chunkDedupRemove(tbl(s, dir, "documents")).orderBy("doc_id")
+
   /** ST9 batch mirror: cross-corpus near-dup ADMISSION — the streaming
     * ingest front door's gate ([[graft.streaming.EventStreams
     * .admitNearDupStream]] / the foreachBatch indexed path), bounded for
@@ -1253,6 +1262,24 @@ object Queries {
     TextOps.bm25(tbl(s, dir, "documents"), qterms).orderBy("doc_id")
   }
 
+  /** T19: DSIR importance weights ([[TextOps.dsirWeights]]) — log
+    * p_target - log p_source under hashed unigram models (target =
+    * English docs), the Xie et al. 2023 data-selection score. One job:
+    * the k-row model table and its totals ride in-plan (broadcast), the
+    * probe is a broadcast join, and the per-doc score is an INTEGER sum
+    * of per-bucket micro-logs — the only FP step is one rounding per
+    * model bucket, identical on both engines. */
+  val t19DsirWeights: Q = (s, dir) =>
+    TextOps.dsirWeights(tbl(s, dir, "documents"), isTarget = col("lang") === "en")
+      .orderBy("doc_id")
+
+  /** T20: hashed linear quality classifier ([[TextOps.qualityScoreLinear]])
+    * — the fasttext-style keep/drop filter with the model as data
+    * (deterministic fixture weights). Integer-exact end to end; pure
+    * map (one in-kernel fold per doc, no explode/join/shuffle). */
+  val t20QualityClassifier: Q = (s, dir) =>
+    TextOps.qualityScoreLinear(tbl(s, dir, "documents")).orderBy("doc_id")
+
   /** T14: novelty / memorization audit — the fraction of each document's
     * distinct w-gram shingles that recur elsewhere in the corpus (df >= 2).
     * Low novelty marks boilerplate/templated text and self-contamination.
@@ -1765,6 +1792,7 @@ object Queries {
     "d03_neardup_ngram" -> d03NeardupNgram,
     "d04_minhash_lsh" -> d04MinhashLsh,
     "d13_indexed_neardup" -> d13IndexedNeardup,
+    "d14_chunk_remove" -> d14ChunkRemove,
     "st09_neardup_admission" -> st09NearDupAdmission,
     "d05_simhash" -> d05Simhash,
     "d06_embedding_neardup" -> d06EmbeddingNeardup,
@@ -1803,6 +1831,8 @@ object Queries {
     "t16_bpe_merges" -> t16BpeMerges,
     "t17_bpe_encode" -> t17BpeEncode,
     "t18_bm25" -> t18Bm25,
+    "t19_dsir_weights" -> t19DsirWeights,
+    "t20_quality_classifier" -> t20QualityClassifier,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,

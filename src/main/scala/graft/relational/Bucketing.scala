@@ -42,6 +42,19 @@ object Bucketing {
     require(writerTasksPerBucket >= 1, "writerTasksPerBucket must be >= 1")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    if (path.isEmpty) {
+      // Idempotence across crashes: a writer killed between creating the
+      // managed location and committing the catalog entry leaves a
+      // directory DROP TABLE cannot see, and CTAS then refuses the
+      // location (LOCATION_ALREADY_EXISTS). After the drop above, a
+      // surviving default-location dir is orphaned by construction —
+      // remove it so rebuilds never require manual warehouse surgery.
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val partitioned =
       if (writerTasksPerBucket == 1) df.repartition(buckets, df.col(key))
       else {

@@ -673,6 +673,69 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(3L) === 0, "disjoint-vocabulary doc must share nothing")
   }
 
+  test("CDC remover: first owner keeps its text verbatim, later docs lose the shared spans") {
+    // same planted-shift fixture as the audit test: doc 2 embeds doc 1's
+    // full text behind a prefix; doc 3 is vocabulary-disjoint
+    val shared = (1 to 40).map(i => s"w$i").mkString(" ")
+    val text3 = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = docsDf(Seq(
+      1L -> shared,
+      2L -> s"prefix alpha beta $shared",
+      3L -> text3))
+    val out = Dedup.chunkDedupRemove(df, modBoundary = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // chunking partitions the word sequence, so a doc that owns all its
+    // chunks re-joins to its original text exactly
+    assert(out(1L) === ((shared, out(1L)._2, 0L)), "first owner must keep everything")
+    assert(out(3L)._1 === text3 && out(3L)._3 === 0L, "disjoint doc untouched")
+    val (clean2, n2, rem2) = out(2L)
+    assert(rem2 > 0, "doc 2 must lose the spans doc 1 already owns")
+    assert(clean2.length < s"prefix alpha beta $shared".length)
+    assert(clean2.startsWith("prefix"), "doc 2 keeps its own prefix")
+    assert(n2 - rem2 >= 1, "doc 2 keeps at least its unshared chunk(s)")
+  }
+
+  test("DSIR weights rank target-vocabulary docs above source-only docs, deterministically") {
+    val s = spark
+    import s.implicits._
+    val en = (1 to 4).map(i => (i.toLong, "en", s"apple banana cherry durian e$i"))
+    val de = (5 to 8).map(i => (i.toLong, "de", s"katze hund maus vogel k$i"))
+    val df = (en ++ de).toDF("doc_id", "lang", "text")
+    def run() = TextOps.dsirWeights(df, isTarget = col("lang") === "en", k = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val w = run()
+    val enMin = (1L to 4L).map(w).min
+    val deMax = (5L to 8L).map(w).max
+    // target tokens have ct ~= cs (log-ratio ~= 0 + positive constant);
+    // source-only tokens have ct = 0 (log-ratio strictly negative + const)
+    assert(enMin > deMax, s"en min $enMin should exceed de max $deMax")
+    assert(run() === w, "integer micro-log scores must be rerun-deterministic")
+  }
+
+  test("hashed linear quality score matches a scala recompute of the md5 micro-weights") {
+    def md5hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def mweight(tok: String): Long =
+      md5hex8("qw" + (md5hex8(tok) % 256).toString) % 2000001L - 1000000L
+    val df = docsDf(Seq(1L -> "alpha beta gamma", 2L -> "delta", 3L -> ""))
+    val got = TextOps.qualityScoreLinear(df, k = 256, tauMicro = 0L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expect = Map(
+      1L -> Seq("alpha", "beta", "gamma"),
+      2L -> Seq("delta"),
+      3L -> Seq("")) // split('') is [''] — the empty token scores too
+    expect.foreach { case (id, toks) =>
+      val score = toks.map(mweight).sum
+      assert(got(id) === ((toks.length.toLong, score, if (score > 0) 1L else 0L)),
+        s"doc $id")
+    }
+  }
+
   test("hamming: sign-bit packing is semantics-free and top-k matches the window form") {
     // 1. packing equivalence: popcount(xor) over packed words == count of
     //    dims whose sign (x >= 0) disagrees, computed straight off the floats

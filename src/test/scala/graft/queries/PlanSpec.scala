@@ -98,6 +98,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t20: the hashed quality classifier is pure map — no exchange, no join") {
+    // direct operator form (the registered query adds the determinism
+    // orderBy, which legitimately introduces a range exchange)
+    val p = planString(graft.llm.TextOps.qualityScoreLinear(
+      Queries.tbl(spark, sf, "documents")))
+    assert(!p.contains("Exchange"), s"classifier should not shuffle:\n$p")
+    assert(!p.contains("Join"), s"classifier should not join:\n$p")
+  }
+
+  test("t19: the DSIR probe joins the model by broadcast, never a shuffled join") {
+    val p = planString(Queries.t19DsirWeights(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast probe join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"model join must not shuffle the tokens:\n$p")
+  }
+
+  test("d14: the span remover re-assembles without a Window or per-doc sort node") {
+    val p = planString(Queries.d14ChunkRemove(spark, sf))
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
   test("d01 exact dedup: map-side partial aggregation before the hash shuffle") {
     val p = planString(Queries.d01DedupExactGroups(spark, sf))
     // partial_count under HashAggregate before the exchange = map-side combine
