@@ -22,9 +22,10 @@ object Plans {
     "j01_join_5way" -> ("Star join: customer/nation/region broadcast (no " +
       "shuffle of lineitem for them); the only exchange pair is " +
       "lineitem-orders on orderkey. Partial aggregation runs map-side."),
-    "k02_dedup_lastwins" -> ("Last-wins dedup: single hash exchange on " +
-      "user_id, window sort on scalar (ts, event_id) keys only — no array " +
-      "payloads in the sort."),
+    "k02_dedup_lastwins" -> ("Last-wins dedup through the native arg_max " +
+      "ObjectHashAggregate: ONE hash aggregation on user_id with map-side " +
+      "partials — one struct of state per key, no Window node, no per-key " +
+      "sort; the 9M-row ingest hot path shape (K2)."),
     "d03_neardup_ngram" -> ("Near-dup candidates from a shingle-hash " +
       "inverted-index equi-join (8-byte keys), skew-guarded by a window " +
       "count on the same exchange. No cartesian product."),
@@ -136,7 +137,39 @@ object Plans {
       "stored signatures (no per-query re-packing) and the rerank joins " +
       "id-only candidates against the vec_id bucket layout — bucketed " +
       "scans, zero corpus-side exchanges; only heap partials and the " +
-      "candidate set move."))
+      "candidate set move."),
+    "v02_cosine_pairs" -> ("Exact all-pairs cosine as a distributed block " +
+      "grid: vectors hash to B blocks, replicate to their B grid cells " +
+      "(shuffle n x B embedding copies — a join materializes n^2 rows), " +
+      "and each cell pairs two blocks locally in one flatMapGroups pass. " +
+      "No driver collect, no corpus broadcast, no CartesianProduct node; " +
+      "the n^2 COMPUTE is the contract (this is the audit baseline the " +
+      "ANN paths are graded against), spread over B(B+1)/2 tasks."),
+    "d13_indexed_neardup" -> ("Persisted minhash index: pairing reads " +
+      "stored banded signatures from the doc_id-bucketed layout — the " +
+      "corpus shingle payload never re-hashes and never shuffles; only " +
+      "(band, band_hash) postings and id pairs move, and admission " +
+      "composes the same scans with a LEFT ANTI."),
+    "d14_chunk_remove" -> ("Exact substring-span removal: map-only CDC " +
+      "chunking (in-kernel fold, no word rows), first-owner election as " +
+      "a partial-aggregated min over 16-byte hashes, and ONE " +
+      "hash-equi-join + ONE doc_id groupBy move the chunk payload — the " +
+      "floor for an operator whose OUTPUT is rewritten text; re-assembly " +
+      "sorts each doc's own chunks inside the aggregate (array_sort), " +
+      "never a Window."),
+    "t19_dsir_weights" -> ("DSIR importance weights in ONE job: the " +
+      "k-row hashed model aggregates with map-side partials, totals ride " +
+      "in-plan as a broadcast scalar, the probe joins tokens to the " +
+      "model by BROADCAST (the token side never exchanges), and the " +
+      "per-doc score is a partial-aggregated sum of integer micro-logs " +
+      "— no FP accumulation, no driver action, no persist."),
+    "t20_quality_classifier" -> ("Hashed linear quality filter as PURE " +
+      "MAP: bucket->weight is an expression, scoring is one in-kernel " +
+      "fold per doc inside WholeStageCodegen — no explode, no join; the " +
+      "one Exchange below is the oracle-determinism ORDER BY the " +
+      "registered query appends — the operator itself is a single " +
+      "corpus scan at any scale (PlanSpec asserts the no-exchange " +
+      "form)."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -11,16 +11,22 @@ import org.apache.spark.sql.functions._
  *
  * Run: sbt "runMain graft.ScaleProbe"
  *
- * Measured on local[32] (2026-08-12, round-4 final operator set): 10x data
- * costs 1.2-6.6x wall — d01 0.8->0.4s, d03 2.8->9.1s, d04 1.5->4.1s,
- * d07 1.7->11.5s, t09 1.8->3.4s, d08 0.6->1.8s, d09 1.0->2.2s,
- * d10 0.7->0.9s, t11 1.9->2.4s, t12 1.5->2.6s, d11 1.5->4.5s,
- * d12 2.0->6.8s, v03 2.7->2.9s, v05 0.8->2.3s, v08 0.5->0.6s,
- * x16 3.1->5.0s (10x users/edges) —
- * candidate generation stays equi-join-bound with no quadratic blowup,
- * the executable form of the 100x-scale claim. (d07's ratio is the label-
- * propagation round count growing with the pair-graph diameter, not a
- * per-row blowup; v08's near-flat ratio is the broadcast-scan shape.)
+ * Measured on local[32] (2026-08-13, round-6 operator set): 10x data
+ * costs 1.2-3.9x wall on every equi-join/map path — d01 0.6->0.4s,
+ * d03 2.4->7.5s, d04 1.4->5.2s, d07 1.7->6.8s, t09 1.5->2.6s,
+ * d08 0.7->1.6s, d09 0.9->1.9s, d10 1.2->1.0s, t11 1.5->2.4s,
+ * t12 1.5->2.1s, d11 1.6->4.4s, d12 2.1->4.9s, d14 2.1->4.1s,
+ * t19 1.3->1.9s, t20 0.6->0.8s, t17 1.0->1.1s, m04 0.7->1.6s,
+ * v03 2.4->2.8s, v05 1.0->2.6s, v08 0.5->0.5s, x16 3.5->7.7s
+ * (10x users/edges) — candidate generation stays equi-join-bound with no
+ * quadratic blowup, the executable form of the 100x-scale claim. (d07's
+ * ratio is the label-propagation round count growing with the pair-graph
+ * diameter, not a per-row blowup; v08/t17/t20's near-flat ratios are the
+ * broadcast-scan and map-only shapes.) The one deliberate exception:
+ * v02's exact all-pairs grid is quadratic COMPUTE by contract — 10x
+ * vectors = 100x dot products — and measures 1.0->6.5s: the block grid
+ * spreads the n^2 work, it does not (cannot) shrink it; the corpus-scale
+ * near-dup paths are the LSH/IVF/minhash families above.
  */
 object ScaleProbe {
   def time[T](label: String)(f: => T)(implicit spark: SparkSession): T = {
@@ -134,6 +140,19 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save() }
       time(s"$tag d12 chunk dedup") {
         graft.llm.Dedup.chunkSharedContent(d)
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag d14 chunk remove") {
+        graft.llm.Dedup.chunkDedupRemove(d)
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag t19 dsir weights") {
+        graft.llm.TextOps.dsirWeights(d, isTarget = col("lang") === "en")
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag t20 quality classifier") {
+        graft.llm.TextOps.qualityScoreLinear(d)
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag v02 cosine pairs grid") {
+        graft.llm.Similarity.cosinePairsGrid(
+            spark.read.parquet(s"$dir/embeddings.parquet"), minCos = 0.3)
           .write.format("noop").mode("overwrite").save() }
       time(s"$tag t17 bpe encode") {
         val merges = d.select(explode(split(col("text"), " ")).as("word"))
