@@ -56,6 +56,15 @@ object Oracle {
        |WHERE jaccard >= $minJ ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The t20 hashed-linear micro-score over a word list `w`: md5 bucket,
+    * then the md5('qw<bucket>')-derived integer micro-weight, summed —
+    * shared by the t20 and d15 mirrors so the model stays one definition. */
+  private val qMicroSum =
+    """CAST(list_aggregate(list_transform(w, t ->
+      |    CAST('0x' || substring(md5('qw' ||
+      |      CAST(CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 256 AS VARCHAR)
+      |    ), 1, 8) AS BIGINT) % 2000001 - 1000000), 'sum') AS BIGINT)""".stripMargin
+
   private val sumSq = "list_aggregate(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
   private def norm(c: String): String = s"sqrt(${sumSq.format(c)})"
   private def dot(a: String, b: String): String =
@@ -965,16 +974,39 @@ object Oracle {
     // micro-weights (bucket then 'qw<bucket>' weight hash), integer sum
     // per doc, keep = sum > 0 * n as 0/1 — no FP anywhere.
     "t20_quality_classifier" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-        |  CAST(list_aggregate(list_transform(w, t ->
-        |    CAST('0x' || substring(md5('qw' ||
-        |      CAST(CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 256 AS VARCHAR)
-        |    ), 1, 8) AS BIGINT) % 2000001 - 1000000), 'sum') AS BIGINT) AS q_mscore
+        |  $qMicroSum AS q_mscore
         |  FROM tok)
         |SELECT doc_id, n_tokens, q_mscore,
         |  CAST(CASE WHEN q_mscore > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Cluster-keep-best mirror: d07's recursive closure over the same
+    // jaccard edges, each component's winner re-elected as ORDER BY
+    // (q_mscore DESC, doc_id DESC) LIMIT 1 — identical to the engine's
+    // arg_max over the (q_mscore, doc_id) struct. All integer.
+    "d15_cluster_keep_best" -> {
+      val edgesSql = jaccardSql(0.2,
+        postingsCap = Some(graft.llm.Dedup.NearDup.maxShinglePostings))
+      s"""WITH RECURSIVE je AS (SELECT id_a, id_b FROM ($edgesSql) t),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM je
+         |       UNION ALL SELECT id_b, id_a FROM je),
+         |r AS (SELECT src AS id, src AS comp FROM ed
+         |      UNION
+         |      SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+         |lab AS (SELECT id AS doc_id, min(comp) AS comp_id FROM r GROUP BY 1),
+         |q AS (SELECT doc_id, $qMicroSum AS q_mscore
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |m AS (SELECT lab.comp_id, lab.doc_id, q.q_mscore,
+         |        row_number() OVER (PARTITION BY lab.comp_id
+         |          ORDER BY q.q_mscore DESC, lab.doc_id DESC) AS rnk,
+         |        count(*) OVER (PARTITION BY lab.comp_id) AS n_members
+         |      FROM lab JOIN q USING (doc_id))
+         |SELECT comp_id, CAST(n_members AS BIGINT) AS n_members,
+         |  doc_id AS keep_id, q_mscore AS keep_mscore
+         |FROM m WHERE rnk = 1 ORDER BY comp_id""".stripMargin
+    },
 
     // Add-one-smoothed bigram LM trained on the corpus itself; the FP mean
     // is rounded (6 dp vs ~1e-13 accumulation noise), all counts exact.

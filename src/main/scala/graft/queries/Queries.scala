@@ -1280,6 +1280,33 @@ object Queries {
   val t20QualityClassifier: Q = (s, dir) =>
     TextOps.qualityScoreLinear(tbl(s, dir, "documents")).orderBy("doc_id")
 
+  /** D15: cluster-keep-BEST dedup policy — near-dup components (the d07
+    * closure) each keep their highest-QUALITY member instead of the
+    * smallest id: the production election when duplicates differ in
+    * extraction quality. Quality = the t20 integer micro-score, so the
+    * whole election is integer-exact; selection through the native
+    * `arg_max` ObjectHashAggregate on the (q_mscore, doc_id) composite
+    * (unique by id — the determinism contract) with map-side partials:
+    * one winner row per component crosses the shuffle, never a window
+    * sort. */
+  val d15ClusterKeepBest: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val comps = Dedup.dedupComponents(
+      Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.2).select("id_a", "id_b"))
+    val scored = TextOps.qualityScoreLinear(docs)
+      .select(col("doc_id"), col("q_mscore"))
+    comps.join(scored, "doc_id")
+      .groupBy("comp_id")
+      .agg(count(lit(1)).as("n_members"),
+        graft.functions.VectorAggregates.argMax(
+          struct(col("q_mscore"), col("doc_id")),
+          struct(col("doc_id").as("keep_id"), col("q_mscore").as("keep_mscore")))
+          .as("__b"))
+      .select(col("comp_id"), col("n_members"),
+        col("__b.keep_id").as("keep_id"), col("__b.keep_mscore").as("keep_mscore"))
+      .orderBy("comp_id")
+  }
+
   /** T14: novelty / memorization audit — the fraction of each document's
     * distinct w-gram shingles that recur elsewhere in the corpus (df >= 2).
     * Low novelty marks boilerplate/templated text and self-contamination.
@@ -1793,6 +1820,7 @@ object Queries {
     "d04_minhash_lsh" -> d04MinhashLsh,
     "d13_indexed_neardup" -> d13IndexedNeardup,
     "d14_chunk_remove" -> d14ChunkRemove,
+    "d15_cluster_keep_best" -> d15ClusterKeepBest,
     "st09_neardup_admission" -> st09NearDupAdmission,
     "d05_simhash" -> d05Simhash,
     "d06_embedding_neardup" -> d06EmbeddingNeardup,

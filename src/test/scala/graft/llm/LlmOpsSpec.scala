@@ -736,6 +736,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster-keep-best elects each component's (q_mscore, doc_id) argmax") {
+    val comps = Dedup.dedupComponents(
+        Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.2).select("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // (doc_id, comp_id)
+    assert(comps.nonEmpty, "fixture should produce near-dup components")
+    val score = TextOps.qualityScoreLinear(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = comps.groupBy(_._2).map { case (comp, members) =>
+      val best = members.map { case (id, _) => (score(id), id) }.max
+      comp -> ((members.length.toLong, best._2, best._1))
+    }
+    val got = graft.queries.Queries.d15ClusterKeepBest(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+  }
+
   test("hamming: sign-bit packing is semantics-free and top-k matches the window form") {
     // 1. packing equivalence: popcount(xor) over packed words == count of
     //    dims whose sign (x >= 0) disagrees, computed straight off the floats
