@@ -53,9 +53,17 @@ object Bench {
     // local iteration; the driver leaves it unset and measures everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Repeat each query k times and report the MEDIAN (plus min): this box
+    // has documented ±30-50% ambient-load swings, and two rounds running a
+    // single-shot artifact reported phantom regressions on untouched code
+    // (r5's t12, r6's 33s x01 vs 1.7s reproduced). A median-of-3 is robust
+    // to one loaded window landing on a query; min is the best achievable
+    // signal. SPARK_GRAFT_BENCH_REPEATS=1 restores single-shot for quick
+    // local iteration.
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(3)
     val selected = queries.Queries.all
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -64,7 +72,7 @@ object Bench {
           false
         }
       // Measurement hygiene (r3 "What's wrong" #1): release the query's
-      // tracked broadcasts/persists and clear the cache BETWEEN queries, so
+      // tracked broadcasts/persists and clear the cache BETWEEN runs, so
       // accumulated storage from query N never lands in query M's wall time
       // (the r3 driver bench measured a map-only 0.5s query at 10.5s inside
       // that accumulation). The release runs inside the timed window — state
@@ -72,12 +80,25 @@ object Bench {
       graft.SessionResources.release(spark)
       // failures record -1 so automated consumers can't mistake a partial
       // run for a fast success
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = selected.map { case (name, fn) =>
+      val runs = (1 to repeats).map(_ => timeOnce(name, fn))
+      // any failed run fails the query — a median over a mix of -1 and
+      // wall seconds would be meaningless
+      if (runs.exists(_ < 0)) (name, -1.0, -1.0)
+      else {
+        val sorted = runs.sorted
+        val median = sorted(sorted.length / 2)
+        (name, median, sorted.head)
+      }
+    }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val qmins = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"repeats":$repeats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -132,11 +132,18 @@ object Adressen {
     // INSERT — we keep a deterministic winner instead. ArgMax hash
     // aggregate, not a window: one winner row of state per nummer with
     // map-side partials, no per-key sort of the joined rows (struct-max
-    // null-smallest == the old DESC NULLS LAST).
+    // null-smallest == the old DESC NULLS LAST). ArgMax's determinism
+    // contract requires ord unique per group; vbo ids are unique
+    // post-ingest-dedup, but the woonplaats bridge can fan one vbo into
+    // several (gemeente_id) rows — append the full payload as content
+    // tie-break so equal-ord rows are identical rows and the winner never
+    // depends on merge order.
     val j1Cols = j1.columns
+    val j1Ord = struct((col("verblijfsobject_id") +:
+      j1Cols.toIndexedSeq.zipWithIndex.map { case (c, i) => col(c).as(s"__t$i") }): _*)
     val adressen0 = j1.groupBy(col("nummer_id").as("__k"))
       .agg(graft.functions.VectorAggregates.argMax(
-        struct(col("verblijfsobject_id")),
+        j1Ord,
         struct(j1Cols.map(col).toIndexedSeq: _*)).as("__w"))
       .select(j1Cols.map(c => col(s"__w.$c").as(c)).toIndexedSeq: _*)
 

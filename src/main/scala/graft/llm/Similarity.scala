@@ -124,8 +124,15 @@ object Similarity {
     val a = n.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("nrm").as("nrm_a"))
     val b = n.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(expr("vec_dot(e_a, e_b)") / (col("nrm_a") * col("nrm_b")), 6))
-      .filter(col("cos") >= minCos)
+      // zero-norm vectors: ANSI division ERRORS on the 0/0; try_divide
+      // yields NULL instead, and the null-rejecting filter below then
+      // drops the pair — matching the grid kernel, whose scala-side 0/0
+      // is NaN and fails its `>=`. (A bare non-try `/` plus `cos >=
+      // minCos` would either crash (ANSI) or, with NaN, KEEP the pair:
+      // Spark's NaN-safe ordering ranks NaN ABOVE every number.)
+      .withColumn("cos",
+        round(expr("try_divide(vec_dot(e_a, e_b), nrm_a * nrm_b)"), 6))
+      .filter(!isnan(col("cos")) && col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
 
@@ -143,8 +150,11 @@ object Similarity {
     * same dot fold, same norm product (IEEE multiply is commutative, so
     * operand order is irrelevant), and scala BigDecimal(double) HALF_UP
     * == Spark's round() exactly. Non-finite ratios (zero-norm vectors)
-    * return NaN, which every >= threshold compare rejects — matching the
-    * declarative path, where round(NaN) >= t filters the row. */
+    * return NaN, which scala's >= threshold compare rejects; the
+    * declarative path needs an explicit !isnan filter to match, because
+    * Spark's NaN-safe ordering treats NaN as GREATER than any number
+    * (round(NaN) >= t would keep the row) — [[cosinePairs]] carries that
+    * filter. */
   private[graft] def roundedCos(a: Array[Float], na: Double,
                                 b: Array[Float], nb: Double): Double = {
     var s = 0.0
@@ -182,45 +192,67 @@ object Similarity {
    * cells. The COMPUTE stays quadratic by construction — at corpus scale
    * the production paths remain [[annLsh]]/[[annIvf]]/minhash-LSH; this
    * is the exact form those are audited against (v09).
+   *
+   * `numBlocks = 0` AUTO-SIZES the grid IN-PLAN (the pageRankFixed
+   * broadcast-scalar pattern, no driver action): B = ceil(corpus bytes /
+   * 8 MB) from the same 1-row count x dim aggregate, i.e. each block ~8 MB
+   * and a cell's two sides ~16 MB — executor-safe at any corpus size, and
+   * reproducing the scaladoc's 10^8 x 256 B -> B~=3200 sizing rule. B is a
+   * pure partitioning choice: the pair set is identical at every B (the
+   * ScalaTest proves 1/8/13/auto bit-identical), so auto can never change
+   * a result, only the task shape.
    */
   def cosinePairsGrid(emb: DataFrame, minCos: Double,
                       numBlocks: Int = 16): DataFrame = {
-    require(numBlocks >= 1, s"numBlocks must be positive: $numBlocks")
+    require(numBlocks >= 0, s"numBlocks must be >= 0 (0 = auto): $numBlocks")
     val spark = emb.sparkSession
     import spark.implicits._
-    val B = numBlocks
-    // cell ids for block b: (b,x) for x >= b and (x,b) for x < b — one cell
+    // B rides in-plan as a broadcast 1-row scalar: explicit callers get a
+    // literal frame, auto derives ceil(n * dim * 4B / 8 MB) from one
+    // aggregate over the (reused) embedding scan. The closure below is
+    // B-independent — cells key on the (bi, bj) struct, not bi*B+bj — so
+    // no plan-time Int is needed anywhere.
+    val bFrame =
+      if (numBlocks >= 1) spark.range(1).select(lit(numBlocks).as("__B"))
+      else emb.agg(count(lit(1)).as("__n"),
+          coalesce(max(size(col("embedding"))), lit(1)).as("__d"))
+        .select(greatest(lit(1L),
+          ceil(col("__n") * col("__d") * lit(4) / lit(8e6)).cast("long"))
+          .cast("int").as("__B"))
+    // cells for block b: (b,x) for x >= b and (x,b) for x < b — one cell
     // per x in [0,B), so each row fans out to exactly B cells
     val cells = emb
-      .select(col("vec_id"), col("embedding"),
-        pmod(xxhash64(col("vec_id")), lit(B)).cast("int").as("blk"))
+      .crossJoin(broadcast(bFrame))
+      .select(col("vec_id"), col("embedding"), col("__B"),
+        pmod(xxhash64(col("vec_id")), col("__B")).cast("int").as("blk"))
       .select(col("vec_id"), col("embedding"), col("blk"),
-        explode(expr(s"transform(sequence(0, ${B - 1}), " +
-          s"x -> CASE WHEN x >= blk THEN blk * $B + x ELSE x * $B + blk END)"))
+        explode(expr("transform(sequence(0, __B - 1), " +
+          "x -> CASE WHEN x >= blk THEN named_struct('bi', blk, 'bj', x) " +
+          "ELSE named_struct('bi', x, 'bj', blk) END)"))
           .as("cell"))
-      .select(col("cell"), col("blk"), col("vec_id"), col("embedding"))
-      .as[(Int, Int, Long, Array[Float])]
-    cells.groupByKey(_._1)
-      .flatMapGroups { (cell: Int, it: Iterator[(Int, Int, Long, Array[Float])]) =>
-        val bi = cell / B
-        val bj = cell % B
-        val rows = it.toArray
-        val lo = rows.filter(_._2 == bi).sortBy(_._3)
-        val hi = if (bi == bj) lo else rows.filter(_._2 == bj).sortBy(_._3)
+      .select(col("cell.bi"), col("cell.bj"), col("blk"), col("vec_id"), col("embedding"))
+      .as[(Int, Int, Int, Long, Array[Float])]
+    cells.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (cell: (Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Float])]) =>
+        val bi = cell._1
+        val bj = cell._2
+        val rows = it.map(r => (r._3, r._4, r._5)).toArray
+        val lo = rows.filter(_._1 == bi).sortBy(_._2)
+        val hi = if (bi == bj) lo else rows.filter(_._1 == bj).sortBy(_._2)
         // norms once per side (O(n)), not once per pair (O(n^2))
-        val loN = lo.map(r => l2(r._4))
-        val hiN = if (bi == bj) loN else hi.map(r => l2(r._4))
+        val loN = lo.map(r => l2(r._3))
+        val hiN = if (bi == bj) loN else hi.map(r => l2(r._3))
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         var i = 0
         while (i < lo.length) {
-          val idA = lo(i)._3
-          val va = lo(i)._4
+          val idA = lo(i)._2
+          val va = lo(i)._3
           val na = loN(i)
           var j = if (bi == bj) i + 1 else 0
           while (j < hi.length) {
-            val c = roundedCos(va, na, hi(j)._4, hiN(j))
+            val c = roundedCos(va, na, hi(j)._3, hiN(j))
             if (c >= minCos) { // NaN compares false
-              val idB = hi(j)._3
+              val idB = hi(j)._2
               out += (if (idA < idB) (idA, idB, c) else (idB, idA, c))
             }
             j += 1

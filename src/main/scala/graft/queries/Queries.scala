@@ -974,9 +974,16 @@ object Queries {
     // earlier 0.5 gate passed zero docs — a vacuous 0-row oracle compare
     val scored = TextOps.qualityStats(tbl(s, dir, "documents"))
       .filter(col("quality_score") >= 0.2)
-    val dedupW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    scored
-      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1)
+    // keep-first exact dedup (min doc_id per text hash) as arg_max on the
+    // NEGATED id — the k02/j03 standard: one winner row of state per hash
+    // with map-side partials, no per-key sort of full duplicate groups
+    // (doc_id is unique, so ord is unique per group — deterministic).
+    val sCols = scored.columns
+    val deduped = scored.groupBy(md5(col("text")).as("__h"))
+      .agg(graft.functions.VectorAggregates.argMax(-col("doc_id"),
+        struct(sCols.map(col).toIndexedSeq: _*)).as("__w"))
+      .select(sCols.map(c => col(s"__w.$c").as(c)).toIndexedSeq: _*)
+    deduped
       .filter(sampleBucket(col("doc_id")) <
         when(col("lang") === "en", 30).otherwise(10))
       .groupBy(col("lang"))
@@ -1356,14 +1363,17 @@ object Queries {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     // right side must be unique per (user, ts): deterministic last-wins
-    val viewsByTs = {
-      val w = Window.partitionBy(col("user_id"), col("ts"))
-        .orderBy(col("view_event_id").desc)
-      ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"),
-          col("value").as("view_value"))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-    }
+    // (max event_id) as an arg_max hash aggregate — the k02/j03 standard,
+    // map-side partials instead of a per-key window sort; event_id is
+    // unique so the ord satisfies ArgMax's determinism contract.
+    val viewsByTs = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(graft.functions.VectorAggregates.argMax(col("event_id"),
+        struct(col("event_id").as("view_event_id"),
+          col("value").as("view_value"))).as("__w"))
+      .select(col("user_id"), col("ts"),
+        col("__w.view_event_id").as("view_event_id"),
+        col("__w.view_value").as("view_value"))
     graft.relational.AsOf.asofJoin(clicks, viewsByTs, key = "user_id", time = "ts",
         valueCols = Seq("view_event_id", "view_value"), prefix = "")
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),

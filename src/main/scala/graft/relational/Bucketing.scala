@@ -41,6 +41,14 @@ object Bucketing {
                     writerTasksPerBucket: Int = 1): Unit = {
     require(writerTasksPerBucket >= 1, "writerTasksPerBucket must be >= 1")
     val spark = df.sparkSession
+    // Snapshot the pre-existing table's type+location BEFORE the drop: an
+    // EXTERNAL table keeps its data through DROP TABLE by contract, so if
+    // one happened to live at the managed default path, the orphan cleanup
+    // below must not destroy it.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val catalog = spark.sessionState.catalog
+    val preExisting =
+      if (catalog.tableExists(ident)) Some(catalog.getTableMetadata(ident)) else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
     if (path.isEmpty) {
       // Idempotence across crashes: a writer killed between creating the
@@ -48,11 +56,22 @@ object Bucketing {
       // directory DROP TABLE cannot see, and CTAS then refuses the
       // location (LOCATION_ALREADY_EXISTS). After the drop above, a
       // surviving default-location dir is orphaned by construction —
-      // remove it so rebuilds never require manual warehouse surgery.
-      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(ident))
+      // UNLESS the dropped table was EXTERNAL with its location at that
+      // very path, in which case DROP preserved real data there. Remove
+      // only the true orphan case so rebuilds never require manual
+      // warehouse surgery yet never eat an external table's data.
+      val loc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val qualified = fs.makeQualified(loc)
+      val wasExternalHere = preExisting.exists { m =>
+        m.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL &&
+          fs.makeQualified(new org.apache.hadoop.fs.Path(m.location)) == qualified
+      }
+      if (wasExternalHere)
+        throw new IllegalStateException(
+          s"refusing to overwrite $table: the previous table was EXTERNAL with its " +
+            s"data at the managed default location $qualified — move it or pass an " +
+            "explicit path")
       if (fs.exists(loc)) fs.delete(loc, true)
     }
     val partitioned =

@@ -188,11 +188,20 @@ object EventStreams {
   /** foreachBatch body for the INDEXED corpus-scale admission path:
     * `stream.writeStream.foreachBatch { (b, _) =>
     *   sink(EventStreams.nearDupAdmitBatch(index)(b)) }` — see
-    * [[admitNearDupStream]] form 2. */
+    * [[admitNearDupStream]] form 2.
+    *
+    * materializeBatch is forced OFF: nearDupAdmit's default persist is for
+    * one-shot batch callers, but a streaming query invokes this body every
+    * trigger and nothing here outlives the trigger to unpersist — the
+    * default would leak one persisted batch frame per micro-batch for the
+    * life of the stream. The batch signature subtree is micro-batch-sized,
+    * so letting the planner recompute it for the verify branch is the
+    * bounded choice. */
   def nearDupAdmitBatch(index: DataFrame, w: Int = 5, k: Int = 32,
                         bands: Int = 16, minJ: Double = 0.5)(
                         batch: DataFrame): DataFrame =
-    graft.llm.Dedup.nearDupAdmit(batch, index, w, k, bands, minJ)
+    graft.llm.Dedup.nearDupAdmit(batch, index, w, k, bands, minJ,
+      materializeBatch = false)
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

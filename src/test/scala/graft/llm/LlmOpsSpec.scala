@@ -871,13 +871,32 @@ class LlmOpsSpec extends AnyFunSuite {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val declarative = collect(Similarity.cosinePairs(emb, minCos = 0.3))
     assert(declarative.nonEmpty)
-    // default grid, a degenerate single-cell grid, and a grid wider than
-    // the corpus-per-block would suggest must all agree exactly: cell
-    // decomposition is semantics-free
-    for (b <- Seq(1, 8, 13)) {
+    // a degenerate single-cell grid, mid/odd widths, and the in-plan AUTO
+    // sizing (numBlocks=0) must all agree exactly: cell decomposition is
+    // semantics-free, so B is a pure partitioning choice
+    for (b <- Seq(0, 1, 8, 13)) {
       val grid = collect(Similarity.cosinePairsGrid(emb, minCos = 0.3, numBlocks = b))
       assert(grid === declarative, s"numBlocks=$b diverged")
     }
+  }
+
+  test("both all-pairs forms drop zero-norm (NaN-cosine) vectors identically") {
+    val s = spark
+    import s.implicits._
+    // Spark's NaN-safe ordering ranks NaN above every number, so without
+    // the explicit !isnan filter the declarative join would KEEP the
+    // zero-norm pairs the grid kernel's scala-side >= drops (ADVICE r6)
+    val z = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)), (4L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val decl = collect(Similarity.cosinePairs(z, minCos = -1.0))
+    val grid = collect(Similarity.cosinePairsGrid(z, minCos = -1.0, numBlocks = 3))
+    assert(decl === grid, s"NaN handling diverged: decl=$decl grid=$grid")
+    assert(decl.map(p => (p._1, p._2)) === Set((1L, 2L)),
+      "only the finite-cosine pair survives")
   }
 
   test("native vec_dot/vec_norm match the HOF fold bit-for-bit") {

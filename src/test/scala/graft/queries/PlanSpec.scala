@@ -170,6 +170,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x08/x04: the remaining keep-first/last-wins dedups are arg_max, not windows") {
+    // the last two row_number dedup stages converted to the k02/j03
+    // standard in r7: x08's keep-first by md5(text) (arg_max on -doc_id)
+    // and x04's (user_id, ts) last-wins view election. x08's plan must be
+    // window-free outright; x04 keeps exactly one Window — the as-of
+    // union-window IS that operator's single-shuffle formulation — so
+    // there assert only that the dedup stage became a map-side arg_max.
+    val p8 = planString(Queries.x08TrainingMix(spark, sf))
+    assert(!p8.contains("Window"), s"x08: window sort crept back:\n$p8")
+    assert(p8.contains("partial_arg_max"), s"x08: no map-side partial:\n$p8")
+    val p4 = planString(Queries.x04AsofJoin(spark, sf))
+    assert(p4.contains("partial_arg_max"), s"x04: no map-side partial:\n$p4")
+  }
+
   test("t12: bigram LM is one job — no persist, V as an in-plan broadcast scalar") {
     // the r5 form persisted the full tokenized corpus (MEMORY_AND_DISK)
     // and ran three eager count() actions to bake V in as a literal; the
