@@ -46,6 +46,7 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_scaleprobe_wh")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sf = "/root/testdata/sf0.1"
@@ -177,9 +178,22 @@ object ScaleProbe {
       time(s"$tag v08 hamming ann") {
         graft.llm.Similarity.hammingAnn(e, q, 5).write.format("noop").mode("overwrite").save() }
       val evd = spark.read.parquet(s"$dir/events.parquet")
+      val bip = graft.queries.Queries.eventsBipartiteEdges(evd)
       time(s"$tag x16 pagerank") {
-        graft.graph.PageRank.pageRankFixed(
-            graft.queries.Queries.eventsBipartiteEdges(evd), iters = 3)
+        graft.graph.PageRank.pageRankFixed(bip, iters = 3)
+          .write.format("noop").mode("overwrite").save() }
+      // iterated-scoring A/B: 10 rounds direct (edge list re-shuffled every
+      // round) vs served from the stored bucketed layout (edge side
+      // exchange-free; only the rank vector shuffles per round). The build
+      // is timed separately — it amortizes over every rerun of the loop.
+      time(s"$tag x16 10-iter direct") {
+        graft.graph.PageRank.pageRankFixed(bip, iters = 10, checkpointEvery = 5)
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag x16 layout build") {
+        graft.graph.PageRank.buildEdgeLayout(bip, s"pr_probe_${tag.trim}", buckets = 32) }
+      time(s"$tag x16 10-iter indexed") {
+        graft.graph.PageRank.pageRankIndexed(spark, s"pr_probe_${tag.trim}",
+            iters = 10, checkpointEvery = 5)
           .write.format("noop").mode("overwrite").save() }
     }
     bench(sf, " 1x")

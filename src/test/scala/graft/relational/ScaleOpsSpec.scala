@@ -307,4 +307,56 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"z-bucket spans more than a 16x16 tile: $r")
     }
   }
+
+  test("pageRank edge layout: stored bucketed graph serves the loop without edge-side exchanges") {
+    val s = spark
+    import s.implicits._
+    // asymmetric graph: 200-node ring plus hub chords into node 0
+    val edges = ((0 until 200).flatMap(i =>
+      Seq((i.toLong, ((i + 1) % 200).toLong), (i.toLong, 0L))).distinct).toDF("src", "dst")
+    graft.graph.PageRank.buildEdgeLayout(edges, "pr_layout_t", buckets = 4)
+
+    // the storage split must be invisible in the result — bit-identical
+    // integer ranks, including under mid-loop checkpointing
+    val direct = graft.graph.PageRank.pageRankFixed(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val indexed = graft.graph.PageRank.pageRankIndexed(spark, "pr_layout_t", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(indexed === direct)
+    val indexedCk = graft.graph.PageRank
+      .pageRankIndexed(spark, "pr_layout_t", iters = 5, checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(indexedCk === direct)
+
+    // plan guarantee: with broadcast off (fixture tables are tiny; at
+    // corpus scale neither side broadcasts — that is the case the layout
+    // exists for), edges and degrees arrive through bucketed scans and
+    // their co-bucketed join plans with NO exchange on either side
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = Bucketing.read(spark, "pr_layout_t_edges")
+      val d = Bucketing.read(spark, "pr_layout_t_degrees")
+      val joinPlan = e.join(d, "src").queryExecution.executedPlan.toString
+      assert(joinPlan.contains("SelectedBucketsCount") || joinPlan.contains("Bucketed: true"),
+        s"not a bucketed scan:\n$joinPlan")
+      assert(!joinPlan.contains("Exchange"),
+        s"co-bucketed edge/degree join still shuffles:\n$joinPlan")
+
+      // one full round: the only hash exchanges left are rank-vector-sized
+      // (contrib -> per-node sum; never the edge list). The direct form
+      // plans strictly more exchanges (edge distinct, degree agg, node
+      // distinct all shuffle the edge list).
+      def exchanges(p: String): Int =
+        "Exchange hashpartitioning".r.findAllMatchIn(p).size
+      val pIdx = graft.graph.PageRank.pageRankIndexed(spark, "pr_layout_t", iters = 1)
+        .queryExecution.executedPlan.toString
+      val pDir = graft.graph.PageRank.pageRankFixed(edges, iters = 1)
+        .queryExecution.executedPlan.toString
+      assert(exchanges(pIdx) < exchanges(pDir),
+        s"indexed form should shuffle less: indexed=${exchanges(pIdx)} direct=${exchanges(pDir)}")
+      assert(pIdx.contains("SelectedBucketsCount") || pIdx.contains("Bucketed: true"),
+        s"loop does not read the bucketed layout:\n$pIdx")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
 }
