@@ -434,8 +434,7 @@ object Similarity {
     val candidates = corpusIds.join(queryIds, Seq("cl"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
-      .dropDuplicates("query_id", "neighbor_id")
-    rerank(candidates, emb, queries, k)
+    rerank(candidates, emb, queries, k, dedupCandidates = true)
   }
 
   /** Shared exact-rerank tail for the ANN paths: re-attach embeddings to an
@@ -445,14 +444,33 @@ object Similarity {
     * bounded by construction today (LSH bucket collisions / IVF probe
     * lists / Hamming shortlists), but the heap makes the tail safe even
     * for a future caller with an UNBOUNDED candidate frame: no per-query
-    * window sort exists to reintroduce the v01-class scale hazard. */
+    * window sort exists to reintroduce the v01-class scale hazard.
+    *
+    * `dedupCandidates` is for generators that emit the same (query,
+    * neighbor) pair from several independent structures (LSH tables, IVF
+    * probe lists). A pair-keyed `dropDuplicates` would be its own
+    * exchange on (query_id, neighbor_id) — and the very next step shuffles
+    * the survivors AGAIN onto neighbor_id for the embedding re-attach.
+    * Instead the dedup runs as a neighbor-keyed `collect_set(query_id)`
+    * aggregate: exact pair dedup (set semantics per neighbor), and its
+    * output partitioning IS the re-attach join's requirement, so the
+    * candidate ids shuffle once, not twice. Hot-neighbor state is bounded
+    * by |queries| (broadcast-bounded by contract). Generators whose pairs
+    * are distinct by construction (Hamming shortlists off a bounded heap)
+    * keep the plain join and skip the aggregate entirely. */
   private def rerank(candidates: DataFrame, emb: DataFrame, queries: DataFrame,
-                     k: Int): DataFrame = {
+                     k: Int, dedupCandidates: Boolean = false): DataFrame = {
+    val cand =
+      if (dedupCandidates)
+        candidates.groupBy(col("neighbor_id"))
+          .agg(collect_set(col("query_id")).as("qids"))
+          .select(col("neighbor_id"), explode(col("qids")).as("query_id"))
+      else candidates
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
       expr("vec_norm(embedding)").as("nrm_c"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), expr("vec_norm(embedding)").as("nrm_q")))
-    val scored = candidates.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+    val scored = cand.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), round(
         expr("vec_dot(q_emb, c_emb)") / (col("nrm_q") * col("nrm_c")), 6).as("cos"))
     topKByCosine(scored, k)
@@ -479,8 +497,7 @@ object Similarity {
     val candidates = cb.join(qb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
-      .dropDuplicates("query_id", "neighbor_id")
-    rerank(candidates, emb, queries, k)
+    rerank(candidates, emb, queries, k, dedupCandidates = true)
   }
 
   /** Deterministic ±1 sign for projection plane `p`, input dimension `j`:

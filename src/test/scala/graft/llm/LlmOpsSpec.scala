@@ -654,6 +654,11 @@ class LlmOpsSpec extends AnyFunSuite {
     val plan = Similarity.annLsh(emb, queries, k = 5)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in ANN plan:\n$plan")
+    // candidate dedup is folded into the rerank join's neighbor-keyed
+    // aggregate — a pair-keyed exchange would mean the ids shuffle twice
+    assert("hashpartitioning\\(query_id#\\d+L?, neighbor_id".r
+      .findFirstIn(plan).isEmpty,
+      s"pair-keyed candidate exchange back in the ANN plan:\n$plan")
   }
 
   test("CDC chunking: identical runs share chunks regardless of offset; disjoint docs share none") {
@@ -835,6 +840,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val plan = Similarity.annIvf(emb, queries, k = 5)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in IVF plan:\n$plan")
+    assert("hashpartitioning\\(query_id#\\d+L?, neighbor_id".r
+      .findFirstIn(plan).isEmpty,
+      s"pair-keyed candidate exchange back in the IVF plan:\n$plan")
   }
 
   test("random projection: deterministic signs and JL distance preservation at d'=32") {
