@@ -102,16 +102,21 @@ object PageRank {
     * left are rank-vector-sized (|nodes| rows). Integer-exact semantics
     * are untouched — the storage split is invisible in the result
     * (GraphSpec proves indexed == direct bit-for-bit). */
-  def buildEdgeLayout(edges: DataFrame, name: String, buckets: Int = 32): Unit = {
+  def buildEdgeLayout(edges: DataFrame, name: String, buckets: Int = 32,
+                      basePath: Option[String] = None): Unit = {
     import graft.relational.Bucketing
+    def sub(part: String) = basePath.map(p => s"$p/$part")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-    Bucketing.writeBucketed(e, s"${name}_edges", "src", buckets)
+    Bucketing.writeBucketed(e, s"${name}_edges", "src", buckets,
+      path = sub("edges"))
     Bucketing.writeBucketed(
-      e.groupBy("src").agg(count(lit(1)).as("deg")), s"${name}_degrees", "src", buckets)
+      e.groupBy("src").agg(count(lit(1)).as("deg")), s"${name}_degrees", "src", buckets,
+      path = sub("degrees"))
     Bucketing.writeBucketed(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct(),
-      s"${name}_nodes", "node", buckets)
+      s"${name}_nodes", "node", buckets,
+      path = sub("nodes"))
   }
 
   /** Run the iteration against a [[buildEdgeLayout]] layout. */

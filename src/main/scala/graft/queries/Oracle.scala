@@ -112,6 +112,44 @@ object Oracle {
        |SELECT query_id, neighbor_id, rnk, cos
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** Integer-exact 3-round PageRank over the doubled event bipartite graph
+    * — shared VERBATIM by x16 (direct) and x18 (persisted bucketed layout):
+    * one oracle text for both registrations is the proof obligation that
+    * the storage split is invisible in the result. */
+  private val pagerankSql: String =
+    """WITH e0 AS (SELECT DISTINCT user_id AS src,
+      |    1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+      |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+      |nc AS (SELECT count(*) AS n FROM n),
+      |sc AS (SELECT max(CAST(power(10, t.k) AS BIGINT)) AS scale
+      |       FROM range(0, 19) t(k), nc
+      |       WHERE CAST(power(10, t.k) AS BIGINT) <= (9223372036854775807 // 85) // nc.n),
+      |r0 AS (SELECT node, (SELECT scale FROM sc) AS rank FROM n),
+      |c1 AS (SELECT e.dst AS node, sum(r0.rank // deg.deg) AS m
+      |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT n.node,
+      |         CAST((SELECT 15 * scale // 100 FROM sc)
+      |           + (85 * coalesce(c1.m, 0)) // 100 AS BIGINT) AS rank
+      |       FROM n LEFT JOIN c1 USING (node)),
+      |c2 AS (SELECT e.dst AS node, sum(r1.rank // deg.deg) AS m
+      |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT n.node,
+      |         CAST((SELECT 15 * scale // 100 FROM sc)
+      |           + (85 * coalesce(c2.m, 0)) // 100 AS BIGINT) AS rank
+      |       FROM n LEFT JOIN c2 USING (node)),
+      |c3 AS (SELECT e.dst AS node, sum(r2.rank // deg.deg) AS m
+      |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |r3 AS (SELECT n.node,
+      |         CAST((SELECT 15 * scale // 100 FROM sc)
+      |           + (85 * coalesce(c3.m, 0)) // 100 AS BIGINT) AS rank
+      |       FROM n LEFT JOIN c3 USING (node))
+      |SELECT node AS node_id,
+      |  CASE WHEN node >= 1000000 THEN 'page' ELSE 'user' END AS node_type, rank
+      |FROM r3 ORDER BY node_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "s05_scan_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice
@@ -1370,39 +1408,12 @@ object Oracle {
     // construction here: `sc` mirrors PageRank.autoScale (largest power
     // of 10 with 10^k <= (2^63-1) // 85 // node_count; power(10, k) is
     // exact in a double through 10^18, so the BIGINT cast is exact).
-    "x16_pagerank" ->
-      """WITH e0 AS (SELECT DISTINCT user_id AS src,
-        |    1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
-        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
-        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-        |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
-        |nc AS (SELECT count(*) AS n FROM n),
-        |sc AS (SELECT max(CAST(power(10, t.k) AS BIGINT)) AS scale
-        |       FROM range(0, 19) t(k), nc
-        |       WHERE CAST(power(10, t.k) AS BIGINT) <= (9223372036854775807 // 85) // nc.n),
-        |r0 AS (SELECT node, (SELECT scale FROM sc) AS rank FROM n),
-        |c1 AS (SELECT e.dst AS node, sum(r0.rank // deg.deg) AS m
-        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
-        |r1 AS (SELECT n.node,
-        |         CAST((SELECT 15 * scale // 100 FROM sc)
-        |           + (85 * coalesce(c1.m, 0)) // 100 AS BIGINT) AS rank
-        |       FROM n LEFT JOIN c1 USING (node)),
-        |c2 AS (SELECT e.dst AS node, sum(r1.rank // deg.deg) AS m
-        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
-        |r2 AS (SELECT n.node,
-        |         CAST((SELECT 15 * scale // 100 FROM sc)
-        |           + (85 * coalesce(c2.m, 0)) // 100 AS BIGINT) AS rank
-        |       FROM n LEFT JOIN c2 USING (node)),
-        |c3 AS (SELECT e.dst AS node, sum(r2.rank // deg.deg) AS m
-        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
-        |r3 AS (SELECT n.node,
-        |         CAST((SELECT 15 * scale // 100 FROM sc)
-        |           + (85 * coalesce(c3.m, 0)) // 100 AS BIGINT) AS rank
-        |       FROM n LEFT JOIN c3 USING (node))
-        |SELECT node AS node_id,
-        |  CASE WHEN node >= 1000000 THEN 'page' ELSE 'user' END AS node_type, rank
-        |FROM r3 ORDER BY node_id""".stripMargin,
+    "x16_pagerank" -> pagerankSql,
+
+    // the indexed form serves the SAME integer-exact iteration from the
+    // persisted bucketed layout — one oracle text, verbatim, for both:
+    // the storage split must be invisible in the result
+    "x18_pagerank_indexed" -> pagerankSql,
 
     // SCD-2 mirror: same change-compression (emit only when the state
     // differs from the previous event) and the same second window for

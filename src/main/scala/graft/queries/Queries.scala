@@ -1775,6 +1775,26 @@ object Queries {
       .orderBy("node_id")
   }
 
+  /** X18: x16 through the PERSISTED edge layout
+    * ([[graft.graph.PageRank.buildEdgeLayout]] ->
+    * [[graft.graph.PageRank.pageRankIndexed]]) — the d13/v11 index-split
+    * precedent applied to iterated graph scoring: the loop-invariant
+    * edges/degrees/nodes are written once, bucketed on their join keys, and
+    * every iteration's contrib join runs exchange-free on the edge side
+    * (only the rank vector shuffles per round; ScaleOpsSpec asserts the
+    * co-bucketed plans). The oracle is x16's VERBATIM: the storage split
+    * must be invisible in the result. */
+  val x18PagerankIndexed: Q = (s, dir) => {
+    graft.graph.PageRank.buildEdgeLayout(
+      eventsBipartiteEdges(tbl(s, dir, "events")), "graft_x18_pr", buckets = 32,
+      basePath = Some(java.nio.file.Files.createTempDirectory("graft_x18_pr").toString))
+    graft.graph.PageRank.pageRankIndexed(s, "graft_x18_pr", iters = 3)
+      .select(col("node").as("node_id"),
+        when(col("node") >= 1000000L, lit("page")).otherwise(lit("user")).as("node_type"),
+        col("rank"))
+      .orderBy("node_id")
+  }
+
   /** X17: UNPIVOT — the inverse of x07's pivot, closing the reshape
     * pair: a wide per-priority table of per-status counts melts back to
     * long (priority, status column, count) rows via the engine-native
@@ -1903,6 +1923,7 @@ object Queries {
     "x15_scd2" -> x15Scd2,
     "x16_pagerank" -> x16Pagerank,
     "x17_unpivot" -> x17Unpivot,
+    "x18_pagerank_indexed" -> x18PagerankIndexed,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,
