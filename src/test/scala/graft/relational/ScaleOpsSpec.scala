@@ -208,6 +208,73 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("minhash index append: incremental growth == full rebuild, write is batch-sized") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    graft.llm.Dedup.buildMinhashIndex(b1, "incr_idx", w = 5, k = 32, buckets = 4)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier("incr_idx")
+    def meta() = spark.sessionState.catalog.getTableMetadata(ident)
+    val loc = new org.apache.hadoop.fs.Path(meta().location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = {
+      val it = fs.listFiles(loc, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.result()
+    }
+    val filesBefore = dataFiles()
+    val specBefore = meta().bucketSpec
+
+    graft.llm.Dedup.appendToMinhashIndex(b2, "incr_idx")
+
+    // the append wrote ONLY batch-sized data: every pre-existing file
+    // survives untouched and the new files hold exactly the batch's
+    // signature rows — the stored corpus was never read or rewritten
+    val filesAfter = dataFiles()
+    assert(filesBefore.subsetOf(filesAfter),
+      "append must not rewrite or drop existing index files")
+    val newFiles = (filesAfter -- filesBefore).toSeq
+    assert(newFiles.nonEmpty)
+    val newRows = spark.read.parquet(newFiles: _*).count()
+    val batchSigs = graft.llm.Dedup.withSignatures(b2, 5, 32)
+      .filter(col("sig").isNotNull).count()
+    assert(newRows === batchSigs,
+      s"append wrote $newRows rows, batch has $batchSigs signature rows")
+    // the bucket scheme is the table's own — an append can't diverge
+    assert(meta().bucketSpec === specBefore)
+
+    // serving parity: LSH pairs from the incrementally-grown index are
+    // IDENTICAL to a from-scratch rebuild over the full corpus
+    graft.llm.Dedup.buildMinhashIndex(docs, "full_idx", w = 5, k = 32, buckets = 4)
+    val inc = graft.llm.Dedup.minhashLshPairsIndexed(spark, "incr_idx",
+      k = 32, bands = 16, minJ = 0.5).collect().map(_.toString).sorted
+    val full = graft.llm.Dedup.minhashLshPairsIndexed(spark, "full_idx",
+      k = 32, bands = 16, minJ = 0.5).collect().map(_.toString).sorted
+    assert(inc.nonEmpty && inc === full,
+      "incrementally-grown index must serve the rebuild's exact pair set")
+
+    // admission parity: copies of docs from BOTH halves are rejected and a
+    // novel doc admitted, identically through either index
+    val copies = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val probe = copies.union(Seq((999999L,
+      "entirely novel vocabulary about bucketed append parity checks")).toDF("doc_id", "text"))
+    def admit(table: String) = graft.llm.Dedup.nearDupAdmit(probe,
+        graft.relational.Bucketing.read(spark, table), w = 5, k = 32,
+        bands = 16, minJ = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaInc = admit("incr_idx")
+    assert(viaInc === admit("full_idx"))
+    assert(viaInc === Seq(999999L), s"admission set wrong: $viaInc")
+  }
+
   test("asofJoin: at-or-before semantics, nulls before first right row, one shuffle, no join node") {
     val s = spark
     import s.implicits._
