@@ -290,6 +290,65 @@ object TextKernels {
     }
     cnt
   }
+
+  // ---- PII redaction kernel ------------------------------------------------
+
+  /** PII patterns — canonical text, shared verbatim with the DuckDB oracle
+    * (via [[graft.llm.TextOps.Pii]], which aliases these). Written in the
+    * common subset of Java regex and RE2 (no lookaround, no backreferences,
+    * greedy, no alternation) so both engines match identically. */
+  final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  final val PhoneRe = "\\+?[0-9]{2,4}(-[0-9]{2,4}){2,}"
+
+  private lazy val piiEmailP = java.util.regex.Pattern.compile(EmailRe)
+  private lazy val piiIpP = java.util.regex.Pattern.compile(Ipv4Re)
+  private lazy val piiPhoneP = java.util.regex.Pattern.compile(PhoneRe)
+
+  /** Literal replace-all with a no-match fast path (no allocation when the
+    * pattern is absent — the common case over a clean corpus) and no
+    * Matcher.appendReplacement $-escape processing (the replacement is a
+    * literal placeholder by construction). */
+  private def replaceAll(s: String, p: java.util.regex.Pattern,
+                         repl: String): String = {
+    val m = p.matcher(s)
+    if (!m.find()) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    while ({
+      sb.append(s, last, m.start()).append(repl)
+      last = m.end()
+      m.find()
+    }) ()
+    sb.append(s, last, s.length).toString
+  }
+
+  private def countOcc(s: String, tok: String): Long = {
+    var n = 0L
+    var i = s.indexOf(tok)
+    while (i >= 0) { n += 1; i = s.indexOf(tok, i + tok.length) }
+    n
+  }
+
+  /** Fused PII redaction: email -> ip -> phone applied sequentially to the
+    * row's string IN MEMORY (identical semantics to three corpus-wide
+    * `regexp_replace` passes — the executable spec in
+    * [[graft.llm.TextOps.piiRedactSpec]], kernel == spec property-tested),
+    * then the audit counts read off the final string by literal substring
+    * counting (the spec's count rule: placeholders PRESENT, including any
+    * the input already carried). One expression call per row — no
+    * intermediate corpus-wide string columns, no per-count replace()
+    * re-materialization, one UTF8String->String conversion instead of
+    * one per pass. */
+  def piiRedact(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    var s = text.toString
+    s = replaceAll(s, piiEmailP, "<EMAIL>")
+    s = replaceAll(s, piiIpP, "<IP>")
+    s = replaceAll(s, piiPhoneP, "<PHONE>")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(s), countOcc(s, "<EMAIL>"),
+        countOcc(s, "<IP>"), countOcc(s, "<PHONE>")))
+  }
 }
 
 /** shingle_hashes(text, w) -> array<bigint>: distinct hashed w-shingles. */
@@ -434,6 +493,41 @@ case class BpeTokenCount(child: Expression, merges: Seq[String])
     copy(child = newChild)
 }
 
+/** pii_redact(text) -> struct<redacted: string, n_emails: bigint,
+  * n_ips: bigint, n_phones: bigint>: single-scan fused PII redaction +
+  * audit counts ([[TextKernels.piiRedact]] semantics — sequential
+  * email/ip/phone application, spec-identical to the 3-pass
+  * `regexp_replace` form). */
+case class PiiRedact(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pii_redact expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = PiiRedact.OutType
+  override def prettyName: String = "pii_redact"
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.piiRedact(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.piiRedact($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiRedact =
+    copy(child = newChild)
+}
+
+object PiiRedact {
+  val OutType: StructType = StructType(Seq(
+    StructField("redacted", StringType, nullable = false),
+    StructField("n_emails", LongType, nullable = false),
+    StructField("n_ips", LongType, nullable = false),
+    StructField("n_phones", LongType, nullable = false)))
+}
+
 /** normalize_spaces(text) -> string: fused lower+trim+space-collapse. */
 case class NormalizeSpaces(child: Expression) extends UnaryExpression {
 
@@ -478,6 +572,9 @@ object TextExpressions {
   def bpeTokenCount(text: Column, merges: Seq[String]): Column =
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text), merges))
 
+  def piiRedact(text: Column): Column =
+    ColumnBridge.column(PiiRedact(ColumnBridge.expression(text)))
+
   /** SQL-surface registration (idempotent), mirroring VectorExpressions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -490,5 +587,7 @@ object TextExpressions {
       "word_count", exprs => WordCount(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "regex_token_count", exprs => RegexTokenCount(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pii_redact", exprs => PiiRedact(exprs(0)), "built-in")
   }
 }

@@ -504,26 +504,43 @@ object TextOps {
    * in the common subset of Java regex and RE2 (no lookaround, no
    * backreferences) so the DuckDB oracle runs the IDENTICAL pattern text;
    * all are greedy with no alternation, where leftmost-first (Java) and
-   * leftmost-longest (RE2) agree.
+   * leftmost-longest (RE2) agree. Canonical text lives next to the kernel
+   * ([[graft.functions.TextKernels]]); these aliases keep the oracle's
+   * reference site stable.
    */
   object Pii {
-    val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-    val PhoneRe = "\\+?[0-9]{2,4}(-[0-9]{2,4}){2,}"
+    val EmailRe: String = graft.functions.TextKernels.EmailRe
+    val Ipv4Re: String = graft.functions.TextKernels.Ipv4Re
+    val PhoneRe: String = graft.functions.TextKernels.PhoneRe
   }
 
   /**
    * PII redaction — the compliance pass every training-data pipeline runs
    * before a corpus ships: emails, IPv4 addresses, and dashed phone numbers
    * replaced by typed placeholders (applied email -> ip -> phone), with
-   * per-row REDACTION counts for audit. Counts are the number of
-   * placeholders inserted, derived from the redacted string by literal
-   * substring counting (length delta / token length) — each regex runs
-   * exactly once per row instead of twice (counting with regexp_count
-   * doubled this operator's regex cost, its dominant term). Map-only, all
-   * codegen'd built-ins — no UDF, no shuffle, one corpus scan.
+   * per-row REDACTION counts for audit (placeholders present in the final
+   * string, by literal substring counting). Served by the fused native
+   * kernel ([[graft.functions.PiiRedact]]): ONE expression call per row
+   * applies all three patterns to the in-memory string and reads the
+   * counts off the result — where the 3-pass spec form materializes three
+   * corpus-wide intermediate strings and three `replace()` copies just to
+   * count. Map-only, codegen'd, no shuffle, one corpus scan;
+   * kernel == spec property-tested (TextKernelsPropSpec, LlmOpsSpec).
    */
-  def piiRedact(df: DataFrame, textCol: String = "text"): DataFrame = {
+  def piiRedact(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("__pii", graft.functions.TextExpressions.piiRedact(col(textCol)))
+      .withColumn("redacted", col("__pii.redacted"))
+      .withColumn("n_emails", col("__pii.n_emails"))
+      .withColumn("n_ips", col("__pii.n_ips"))
+      .withColumn("n_phones", col("__pii.n_phones"))
+      .drop("__pii")
+
+  /** The executable SPECIFICATION of [[piiRedact]]: three sequential
+    * corpus-wide `regexp_replace` passes (email -> ip -> phone) + counts by
+    * length-delta substring counting — the exact shape the DuckDB oracle
+    * runs. Kept for the kernel == spec property tests; production callers
+    * use the fused kernel. */
+  def piiRedactSpec(df: DataFrame, textCol: String = "text"): DataFrame = {
     def tokens(c: Column, tok: String): Column =
       ((length(c) - length(replace(c, lit(tok), lit("")))) / tok.length).cast("long")
     df.withColumn("redacted",

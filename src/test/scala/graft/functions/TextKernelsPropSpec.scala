@@ -69,6 +69,41 @@ class TextKernelsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("piiRedact kernel == sequential 3-pass replaceAll spec over 800 adversarial texts") {
+    // PII-shaped fragments + traps: literal placeholders in the INPUT
+    // (the count rule counts placeholders PRESENT, not inserted), pattern
+    // prefixes/suffixes, overlapping shapes (an email whose local part is
+    // a phone, an ip glued to a domain), and multibyte noise
+    val piiPool = Vector("a@b.co", "x@y", "jan.de-vries+x@mail.example.org",
+      "1.2.3.4", "999.999.999.999", "10.0.255.7", "1.2.3.4.5", "1.2.3.",
+      "+31-20-555-0199", "06-1234-5678", "12-34", "12-34-56a@b.com",
+      "+12-34-56-78-90", "<EMAIL>", "<IP>", "<PHONE>", "plain", "a.b@c.d",
+      "@", "user@", ".com", "a@b.com1.2.3.4", "héllo", "漢字", "",
+      "a@1.2.3.4.com", "12-34-56@x.com")
+    val seps = Vector(" ", "", ",", " x ", "-", ".")
+    val rnd = new scala.util.Random(47L)
+    val cases = (0 until 800).map { _ =>
+      val k = rnd.nextInt(8)
+      (0 until k).map(_ => piiPool(rnd.nextInt(piiPool.size)))
+        .mkString(seps(rnd.nextInt(seps.size)))
+    }
+    def cnt(s: String, tok: String): Long = {
+      var n = 0L; var i = s.indexOf(tok)
+      while (i >= 0) { n += 1; i = s.indexOf(tok, i + tok.length) }
+      n
+    }
+    cases.foreach { s =>
+      val ref = s.replaceAll(TextKernels.EmailRe, "<EMAIL>")
+        .replaceAll(TextKernels.Ipv4Re, "<IP>")
+        .replaceAll(TextKernels.PhoneRe, "<PHONE>")
+      val row = TextKernels.piiRedact(UTF8String.fromString(s))
+      assert(row.getUTF8String(0).toString === ref, s"text=[$s]")
+      assert(row.getLong(1) === cnt(ref, "<EMAIL>"), s"n_emails text=[$s]")
+      assert(row.getLong(2) === cnt(ref, "<IP>"), s"n_ips text=[$s]")
+      assert(row.getLong(3) === cnt(ref, "<PHONE>"), s"n_phones text=[$s]")
+    }
+  }
+
   test("shingleHashes cardinality == distinct w-word windows") {
     val rnd = new scala.util.Random(45L)
     texts(45L, 500).foreach { s =>

@@ -457,6 +457,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(4L) === ((1L, 1L, 1L, "<EMAIL> and <IP> and <PHONE>")))
   }
 
+  test("piiRedact kernel == 3-pass regexp_replace spec frame-for-frame, and on the SQL surface") {
+    val df = docsDf(Seq(
+      1L -> "mail me at jan.de-vries+x@mail.example.org or call 06-1234-5678",
+      2L -> "server 10.0.255.7 logged 192.168.1.1 twice: 192.168.1.1",
+      3L -> "plain text with no pii at all",
+      4L -> "a@b.co and 1.2.3.4 and +31-20-555-0199",
+      // literal placeholders already present must be COUNTED (the spec's
+      // placeholders-present rule), and pattern-adjacent traps
+      5L -> "<EMAIL> was here with 12-34-56a@b.com and 1.2.3.4.5"))
+    val cols = Seq("doc_id", "redacted", "n_emails", "n_ips", "n_phones")
+    val kernel = TextOps.piiRedact(df).select(cols.head, cols.tail: _*)
+      .collect().map(_.toString).sorted
+    val spec = TextOps.piiRedactSpec(df).select(cols.head, cols.tail: _*)
+      .collect().map(_.toString).sorted
+    assert(kernel === spec)
+    // registered SQL surface
+    graft.functions.TextExpressions.register(spark)
+    df.createOrReplaceTempView("pii_in")
+    val sqlRows = spark.sql(
+      """SELECT doc_id, p.redacted AS redacted, p.n_emails AS n_emails,
+        |       p.n_ips AS n_ips, p.n_phones AS n_phones
+        |FROM (SELECT doc_id, pii_redact(text) AS p FROM pii_in)""".stripMargin)
+      .collect().map(_.toString).sorted
+    assert(sqlRows === spec)
+  }
+
   test("rolling hash is deterministic and order-sensitive") {
     assert(TextOps.rollingHash64("abc") === TextOps.rollingHash64("abc"))
     assert(TextOps.rollingHash64("abc") !== TextOps.rollingHash64("acb"))
