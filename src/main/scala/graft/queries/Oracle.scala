@@ -1491,6 +1491,31 @@ object Oracle {
         |  round(sum(value), 2) AS sum_value_r
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
 
+    // st08's island detection for the sessions, st05's row_number rule for
+    // the in-session ranking (value DESC, event_id — the heap's exact
+    // total order); window keys as epoch micros like st08
+    "st10_session_topk" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value
+        |           FROM events WHERE user_id < 200),
+        |d AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+        |                       OR tsu - lag(tsu) OVER w >= 1800000000
+        |                     THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |        ORDER BY tsu, event_id) AS sid FROM d),
+        |s AS (SELECT user_id, sid, min(tsu) AS start_us,
+        |        max(tsu) + 1800000000 AS end_us
+        |      FROM g GROUP BY user_id, sid),
+        |r AS (SELECT user_id, sid, event_id, value,
+        |        row_number() OVER (PARTITION BY user_id, sid
+        |          ORDER BY value DESC, event_id) AS rnk
+        |      FROM g)
+        |SELECT s.user_id, s.start_us, s.end_us, CAST(r.rnk AS BIGINT) AS rnk,
+        |       r.event_id, round(r.value, 2) AS value_r
+        |FROM r JOIN s ON r.user_id = s.user_id AND r.sid = s.sid
+        |WHERE r.rnk <= 3
+        |ORDER BY s.user_id, s.start_us, rnk""".stripMargin,
+
     "st02_sessionize" ->
       """WITH g AS (SELECT user_id,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

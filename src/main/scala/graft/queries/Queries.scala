@@ -877,6 +877,24 @@ object Queries {
         col("n_events"), col("sum_value_r"))
       .orderBy("user_id", "start_us")
 
+  /** ST10: session-window top-k ([[EventStreams.sessionTopK]]) — the
+    * st08 x st05 composition: per (user, gap-merged session) the 3
+    * highest-value events through the bounded heap as session state.
+    * Same user_id < 200 bound and epoch-micros window keys as st08; the
+    * oracle reproduces the sessions by island detection and ranks within
+    * each island with the heap's exact total order (value DESC,
+    * event_id). */
+  val st10SessionTopk: Q = (s, dir) =>
+    graft.streaming.EventStreams.sessionTopK(
+        tbl(s, dir, "events")
+          .filter(col("user_id") < 200)
+          .withColumn("ts", eventsTsMicros))
+      .select(col("user_id"),
+        unix_micros(col("s_start")).as("start_us"),
+        unix_micros(col("s_end")).as("end_us"),
+        col("rnk"), col("event_id"), col("value_r"))
+      .orderBy("user_id", "start_us", "rnk")
+
   val st07StreamIngest: Q = (s, dir) => {
     val gated = tbl(s, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 30)
@@ -1935,6 +1953,7 @@ object Queries {
     "st05_window_topk" -> st05WindowTopk,
     "st06_stream_static" -> st06StreamStatic,
     "st07_stream_ingest" -> st07StreamIngest,
-    "st08_session_window" -> st08SessionWindow
+    "st08_session_window" -> st08SessionWindow,
+    "st10_session_topk" -> st10SessionTopk
   )
 }

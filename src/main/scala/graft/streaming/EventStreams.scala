@@ -108,6 +108,31 @@ object EventStreams {
         col("t.id").as("event_id"), round(col("t.ord"), 2).as("value_r"))
 
   /**
+   * Session-window top-k — "trending events per user session": the
+   * bounded-heap [[graft.functions.TopK]] aggregate as NATIVE
+   * session-window state, composing [[sessionWindowCounts]] (engine-managed
+   * gap-merged windows) with [[windowedTopK]] (k-pair heap state). The
+   * TypedImperativeAggregate's partial-merge contract is what session
+   * merging needs: when the engine merges two gap-adjacent session windows
+   * it merges their heaps — k (value, id) pairs per open session, never
+   * the events — and the watermark closes sessions and drops their state.
+   * Same call runs batch and streaming (stream == batch with tie/eviction
+   * fixtures proven in StreamingSpec).
+   */
+  def sessionTopK(events: DataFrame, k: Int = 3, gap: String = "30 minutes",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(graft.functions.VectorAggregates
+        .topK(col("value"), col("event_id"), k).as("top"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("user_id"), col("s_start"), col("s_end"),
+        (col("rnk0") + 1).cast("long").as("rnk"),
+        col("t.id").as("event_id"), round(col("t.ord"), 2).as("value_r"))
+
+  /**
    * Streaming exactly-once dedup: drop re-delivered events by id, keeping
    * state only within the watermark horizon (dropDuplicatesWithinWatermark)
    * — the unbounded-stream analog of the K2 batch dedup, with bounded state.

@@ -127,6 +127,46 @@ class StreamingSpec extends AnyFunSuite {
       ("01:00", "click", 1L, 6L, 4.0)))
   }
 
+  test("session-window top-k: stream == batch, ties and heap eviction inside merged sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // user 1: 00:05/00:20/00:30/00:40 chain into ONE session (every gap
+    // < 30 min) with 4 events — the k=2 heap must evict — and the 9.0
+    // value tie must break by event_id asc; 01:30 is 50 min after 00:40,
+    // a fresh session. user 2: singleton session.
+    val events = Seq(
+      Event(10, ts(5), 1, "click", 3.0), Event(11, ts(20), 1, "click", 9.0),
+      Event(12, ts(30), 1, "view", 9.0), Event(13, ts(40), 1, "click", 1.0),
+      Event(14, ts(90), 1, "view", 4.0),
+      Event(15, ts(65), 2, "click", 2.0))
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val q = EventStreams.sessionTopK(stream.toDF(), k = 2)
+      .writeStream.format("memory").queryName("stopk")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"),
+        date_format(col("s_start"), "HH:mm").as("s"),
+        date_format(col("s_end"), "HH:mm").as("e"),
+        col("rnk"), col("event_id"), col("value_r"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .toSet
+    val streamed = norm(spark.table("stopk"))
+    val batch = norm(EventStreams.sessionTopK(events.toDF(), k = 2))
+    assert(streamed === batch)
+    assert(streamed === Set(
+      (1L, "00:05", "01:10", 1L, 11L, 9.0),  // tie at 9.0: id 11 < 12
+      (1L, "00:05", "01:10", 2L, 12L, 9.0),  // ids 10, 13 evicted
+      (1L, "01:30", "02:00", 1L, 14L, 4.0),
+      (2L, "01:05", "01:35", 1L, 15L, 2.0)))
+  }
+
   test("streaming dedup drops re-delivered event ids within the watermark") {
     val s = spark
     import s.implicits._
