@@ -98,7 +98,26 @@ object Bench {
     val qmins = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"repeats":$repeats,"sf":"$sfDir"}""")
+    // GRAFT_BAGBENCH_N=1002000 additionally runs the BAG ingest probe
+    // (generate + full import path + exact-count validation,
+    // BagScaleProbe) and embeds its throughput next to the query numbers,
+    // so the ingest headline is tracked per round in the same artifact.
+    // Opt-in: the probe adds minutes of generation + import to a bench
+    // run, and a query-bench consumer must never be able to mistake probe
+    // time for query time (it reports in its own object, not in "value").
+    val bagImport = sys.env.get("GRAFT_BAGBENCH_N").map(_.trim.toInt).map { n =>
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft_bagbench").toString
+        val r = BagScaleProbe.run(spark, dir, n)
+        s""","bag_import":{"n":${r.n},"adressen":${r.adressen},"errors":${r.errors},""" +
+          s""""sec_import":${r.secImport},"addresses_per_sec":${r.addressesPerSec.round},""" +
+          s""""reference_addresses_per_sec":25000}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bag probe failed: ${e.getMessage}")
+        s""","bag_import":{"error":true}"""
+      }
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"repeats":$repeats,"sf":"$sfDir"$bagImport}""")
     spark.stop()
   }
 }
