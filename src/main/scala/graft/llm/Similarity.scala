@@ -663,8 +663,8 @@ object Similarity {
    * and the rerank's embedding re-attach joins the id-only candidates
    * against the bucket layout — only the `queries x shortlist` candidate
    * rows move to the buckets, the corpus never shuffles. A growing corpus
-   * re-indexes incrementally by writing additional batches into the same
-   * bucket scheme.
+   * grows incrementally via [[appendToSignIndex]] (ScaleOpsSpec proves
+   * incremental == rebuild with a batch-sized write).
    */
   def buildSignIndex(emb: DataFrame, table: String, buckets: Int,
                      path: Option[String] = None,
@@ -674,6 +674,21 @@ object Similarity {
         col("embedding")),
       table, "vec_id", buckets, path = path,
       writerTasksPerBucket = writerTasksPerBucket)
+
+  /** Incremental growth of a [[buildSignIndex]] table: pack the NEW
+    * batch's sign bits and append under the table's own catalog bucket
+    * scheme ([[graft.relational.Bucketing.appendBucketed]]) — batch-sized
+    * work, the stored corpus is neither read nor re-shuffled, and
+    * [[hammingRerankIndexed]] serves old + new rows through the same
+    * bucketed scan. (Unlike the minhash index there are no tunable
+    * signature parameters to pin: the sign-bit packing is fully
+    * determined by the embedding dimension.) */
+  def appendToSignIndex(emb: DataFrame, table: String,
+                        writerTasksPerBucket: Int = 1): Unit =
+    graft.relational.Bucketing.appendBucketed(
+      withVectorFns(emb).select(col("vec_id"), signBits(col("embedding")).as("sig"),
+        col("embedding")),
+      table, writerTasksPerBucket = writerTasksPerBucket)
 
   /** Two-stage shortlist + exact rerank ([[hammingRerank]]) served from a
     * [[buildSignIndex]] table — shuffle-free on the corpus side. */

@@ -137,6 +137,48 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("sign index append: incremental growth == full rebuild, write is batch-sized") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val b1 = emb.filter(col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 8)
+    graft.llm.Similarity.buildSignIndex(b1, "sign_incr_idx", buckets = 4)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier("sign_incr_idx")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = {
+      val it = fs.listFiles(loc, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.result()
+    }
+    val filesBefore = dataFiles()
+
+    graft.llm.Similarity.appendToSignIndex(b2, "sign_incr_idx")
+
+    val filesAfter = dataFiles()
+    assert(filesBefore.subsetOf(filesAfter),
+      "append must not rewrite or drop existing index files")
+    val newFiles = (filesAfter -- filesBefore).toSeq
+    assert(newFiles.nonEmpty)
+    assert(spark.read.parquet(newFiles: _*).count() === b2.count(),
+      "append must write exactly the batch's rows")
+
+    // serving parity: the grown index answers exactly like a rebuild
+    graft.llm.Similarity.buildSignIndex(emb, "sign_full_idx", buckets = 4)
+    val viaIncr = graft.llm.Similarity.hammingRerankIndexed(
+      spark, "sign_incr_idx", queries, k = 5, shortlist = 20)
+      .collect().map(_.toString).sorted
+    val viaFull = graft.llm.Similarity.hammingRerankIndexed(
+      spark, "sign_full_idx", queries, k = 5, shortlist = 20)
+      .collect().map(_.toString).sorted
+    assert(viaIncr.nonEmpty && viaIncr === viaFull)
+  }
+
   test("AQE skew-join splits a planted hot key on the postings-join shape") {
     // the d03 postings self-join's hazard: one boilerplate shingle shared
     // by thousands of docs lands its whole pair fanout on one reducer.
