@@ -156,6 +156,7 @@ object VerifyExtras {
       "t04_fingerprint" -> (() => checkFingerprint(spark, sfDir, outDir)),
       "v03_ann_lsh" -> (() => checkRecall(spark, sfDir, outDir, "v03_ann_lsh", 0.75)),
       "v05_ann_ivf" -> (() => checkRecall(spark, sfDir, outDir, "v05_ann_ivf", 0.60)),
+      "v12_indexed_ivf" -> (() => checkRecall(spark, sfDir, outDir, "v12_indexed_ivf", 0.60)),
       "a08_approx_distinct" -> (() => checkApproxDistinct(spark, sfDir, outDir)),
       "a16_approx_percentiles" -> (() => checkApproxPercentiles(spark, sfDir, outDir)))
     checks.map { case (q, f) =>

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -701,5 +701,107 @@ object Similarity {
         queries, shortlist)
       .select(col("query_id"), col("neighbor_id"))
     rerank(candidates, idx.select(col("vec_id"), col("embedding")), queries, k)
+  }
+
+  // ---- persisted IVF index (train once / add incrementally / probe) --------
+
+  /** The quantized corpus frame shared by build and append: every vector
+    * labeled with its nearest-centroid list id `cl`. */
+  private def ivfAssigned(emb: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    emb.select(assignUdf(unitRows(cents))(col("embedding")).as("cl"),
+      col("vec_id"), col("embedding"))
+
+  /**
+   * Index-build half of an IVF-ANN deployment — the classic `train`/`add`
+   * split (FAISS's IndexIVF contract) expressed as Spark tables. Centroids
+   * are trained ONCE ([[ivfCentroids]], deterministic sample) and persisted
+   * in a tiny `<table>_centroids` companion table; the corpus is quantized
+   * to its inverted lists and persisted as `(cl, vec_id, embedding)`
+   * bucketed on the list id `cl` ([[graft.relational.Bucketing]]).
+   *
+   * The centroids are the index's pinned parameters — the exact analogue
+   * of the minhash index's (w, k) table properties: [[appendToIvfIndex]]
+   * quantizes new batches with the STORED centroids, never retraining, so
+   * old and new rows always share one list geometry (retraining the
+   * quantizer is a rebuild decision, not an append). Serving
+   * ([[annIvfIndexed]]) probes lists through the bucketed layout with the
+   * query side broadcast — the corpus is scored in place at the scan and
+   * never shuffles.
+   *
+   * Reference analogue: the reference re-derives its lookup structures
+   * from scratch on every monthly extract (database_sqlite.py:274-289
+   * rebuilds indices post-load); the persisted-index family replaces that
+   * with build-once/append-daily at corpus scale.
+   */
+  def buildIvfIndex(emb: DataFrame, table: String, c: Int = 0, buckets: Int = 8,
+                    path: Option[String] = None,
+                    writerTasksPerBucket: Int = 1,
+                    centroids: Option[Array[Array[Float]]] = None): Unit = {
+    val cents = centroids.getOrElse(ivfCentroids(emb, c))
+    graft.relational.Bucketing.writeBucketed(
+      ivfAssigned(emb, cents), table, "cl", buckets, path = path,
+      writerTasksPerBucket = writerTasksPerBucket)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.relational.Bucketing.writeSmallTable(
+      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cl", "centroid"),
+      centroidTable(table),
+      path = path.map(p => s"$p/_centroids"))
+  }
+
+  private def centroidTable(table: String): String = s"${table}_centroids"
+
+  /** The index's stored quantizer, list-id order. */
+  def readIvfCentroids(spark: SparkSession, table: String): Array[Array[Float]] =
+    spark.table(centroidTable(table))
+      .orderBy(col("cl")).select("centroid").collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /** Incremental growth of a [[buildIvfIndex]] table: quantize the NEW
+    * batch against the index's stored centroids and append under the
+    * table's own bucket scheme
+    * ([[graft.relational.Bucketing.appendBucketed]]). Batch-sized work —
+    * the stored lists are neither read nor re-shuffled — and because the
+    * quantizer is frozen, the grown index is bit-identical to a rebuild
+    * over old+new with the same centroids (ScaleOpsSpec proves it). */
+  def appendToIvfIndex(newBatch: DataFrame, table: String,
+                       writerTasksPerBucket: Int = 1): Unit = {
+    val spark = newBatch.sparkSession
+    require(spark.catalog.tableExists(centroidTable(table)),
+      s"appendToIvfIndex: ${centroidTable(table)} not found — not a buildIvfIndex table")
+    graft.relational.Bucketing.appendBucketed(
+      ivfAssigned(newBatch, readIvfCentroids(spark, table)), table,
+      writerTasksPerBucket = writerTasksPerBucket)
+  }
+
+  /**
+   * IVF search served from a [[buildIvfIndex]] table — identical output to
+   * [[annIvf]] on the same corpus when the index was built with the
+   * centroids [[annIvf]] would train (the storage split is invisible;
+   * ScaleOpsSpec asserts row-exact equality). Each query probes its
+   * `nprobe` closest lists; the probe set joins the bucketed layout on
+   * `cl` with the (bounded, broadcast) query side carrying its embedding,
+   * so corpus vectors are scored WHERE THEY SIT at the bucketed scan:
+   * unlike the inline [[annIvf]] — which must shuffle id-only candidates
+   * to re-attach embeddings — the serve path moves zero corpus bytes.
+   * Per-list pruning replaces the corpus-wide scan: cost ~ |corpus| *
+   * nprobe / c rows touched, and the only exchange in the plan is the
+   * final top-k heap aggregation on query_id.
+   */
+  def annIvfIndexed(spark: SparkSession, table: String, queries: DataFrame,
+                    k: Int, nprobe: Int = 12): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val units = unitRows(readIvfCentroids(spark, table))
+    val idx = graft.relational.Bucketing.read(spark, table)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      explode(probeUdf(units, nprobe)(col("embedding"))).as("cl")))
+    val scored = idx.join(q, Seq("cl"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(expr("vec_dot(q_emb, embedding)") /
+          (expr("vec_norm(q_emb)") * expr("vec_norm(embedding)")), 6).as("cos"))
+    topKByCosine(scored, k)
   }
 }

@@ -7,7 +7,8 @@ package graft.queries
  *
  * Queries intentionally omitted (no faithful SQL equivalent, driver records
  * a rows-only check): d05_simhash, t04_fingerprint, v03_ann_lsh,
- * v05_ann_ivf, a08_approx_distinct, a16_approx_percentiles — their
+ * v05_ann_ivf, v12_indexed_ivf, a08_approx_distinct,
+ * a16_approx_percentiles — their
  * semantics rest on engine-side hash kernels (xxhash64 / FNV+splitmix),
  * approximate candidate generation (LSH buckets, IVF probing), or sketch
  * internals (HLL++, KLL) that DuckDB cannot reproduce; each is covered by
@@ -1341,6 +1342,13 @@ object Oracle {
          |  CAST(min(n_chars) AS BIGINT) AS min_chars,
          |  CAST(max(n_chars) AS BIGINT) AS max_chars
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Full-fidelity readback of the COMPACTED directory vs the same
+    // projection over the source: row-exact equality proves the
+    // compaction rewrite moved every byte and invented none.
+    "s14_compaction" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Manifest recomputed from the SOURCE table: the engine computes it
     // from the files it wrote, so equality proves the shard export carries

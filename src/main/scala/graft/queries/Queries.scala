@@ -185,6 +185,27 @@ object Queries {
       .orderBy("z_bucket")
   }
 
+  /** S14: small-file compaction + full-fidelity readback
+    * ([[graft.relational.Compaction.compactDir]]): the table maintenance
+    * op of a long-lived ingest. A 64-file micro-batched layout (one file
+    * per trigger-task, the st07 sink's natural debris) is folded into
+    * ~target-sized files via a zero-shuffle `coalesce` of ONLY the
+    * small files; the result set is the compacted table read back row by
+    * row (doc_id-total order, md5 text digest), so the oracle — the same
+    * projection over the SOURCE parquet — proves compaction moved every
+    * byte and invented none. Layout claims (file counts, big files
+    * physically untouched, fixpoint convergence) are asserted in
+    * ScaleOpsSpec; the oracle here pins content. */
+  val s14Compaction: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    tbl(s, dir, "documents").repartition(64).write.mode("overwrite").parquet(tmp)
+    graft.relational.Compaction.compactDir(s, tmp, targetBytes = 256L << 10)
+    s.read.parquet(tmp)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** S9: schema-evolution read — two dump generations with different
     * schemas (an old dump lacking source/n_chars, a new full one) unified
     * by an explicit mergeSchema scan; absent columns surface as NULL and
@@ -1151,6 +1172,27 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** V12: the index-build / query split of the IVF path
+    * ([[Similarity.buildIvfIndex]] + [[Similarity.annIvfIndexed]]) — the
+    * FAISS train/add/search contract as tables: centroids trained once,
+    * lists persisted bucketed on `cl` (data under an explicit temp path;
+    * catalog metadata in-session), probes served by scoring corpus
+    * vectors in place at the bucketed scan (zero corpus-side exchanges,
+    * plan-asserted in ScaleOpsSpec). Same parameters as v05 and — because
+    * the stored centroids are exactly the ones [[Similarity.annIvf]]
+    * trains on this corpus — the result is row-identical to v05
+    * (ScaleOpsSpec asserts it); the VerifyExtras recall audit applies the
+    * same floor. As with v11, the timed cost INCLUDES the index build:
+    * the query is the deployment round-trip. */
+  val v12IndexedIvf: Q = (s, dir) => {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.buildIvfIndex(emb, "graft_v12_ivf_idx", buckets = 8,
+      path = Some(java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString))
+    Similarity.annIvfIndexed(s, "graft_v12_ivf_idx",
+        emb.filter(col("vec_id") < 32), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** T13: fixed-quota per-source sampling — the training-mix knob that
     * caps every source at N docs, deterministically (md5-rank election, no
     * RNG: reruns and retries pick identical docs). Selection runs through
@@ -1893,6 +1935,7 @@ object Queries {
     "v09_ann_recall_audit" -> v09AnnRecallAudit,
     "v10_hamming_rerank" -> v10HammingRerank,
     "v11_indexed_ann" -> v11IndexedAnn,
+    "v12_indexed_ivf" -> v12IndexedIvf,
     "t05_normalize" -> t05Normalize,
     "t06_stratified_sample" -> t06StratifiedSample,
     "t07_repetition" -> t07Repetition,
@@ -1932,6 +1975,7 @@ object Queries {
     "s11_text_roundtrip" -> s11TextRoundtrip,
     "s12_shard_export" -> s12ShardExport,
     "s13_zorder_layout" -> s13ZorderLayout,
+    "s14_compaction" -> s14Compaction,
     "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
     "s10_orc_roundtrip" -> s10OrcRoundtrip,

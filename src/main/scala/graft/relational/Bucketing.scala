@@ -41,25 +41,38 @@ object Bucketing {
                     writerTasksPerBucket: Int = 1): Unit = {
     require(writerTasksPerBucket >= 1, "writerTasksPerBucket must be >= 1")
     val spark = df.sparkSession
-    // Snapshot the pre-existing table's type+location BEFORE the drop: an
-    // EXTERNAL table keeps its data through DROP TABLE by contract, so if
-    // one happened to live at the managed default path, the orphan cleanup
-    // below must not destroy it.
+    prepareOverwrite(spark, table, path)
+    val partitioned = partitionForBuckets(df, key, buckets, writerTasksPerBucket)
+    val w = partitioned.write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Drop-then-clean preamble shared by every overwrite-mode table write.
+    *
+    * Snapshots the pre-existing table's type+location BEFORE the drop: an
+    * EXTERNAL table keeps its data through DROP TABLE by contract, so if
+    * one happened to live at the managed default path, the orphan cleanup
+    * must not destroy it.
+    *
+    * Idempotence across crashes: a writer killed between creating the
+    * managed location and committing the catalog entry leaves a directory
+    * DROP TABLE cannot see, and CTAS then refuses the location
+    * (LOCATION_ALREADY_EXISTS). After the drop, a surviving
+    * default-location dir is orphaned by construction — UNLESS the dropped
+    * table was EXTERNAL with its location at that very path, in which case
+    * DROP preserved real data there. Remove only the true orphan case so
+    * rebuilds never require manual warehouse surgery yet never eat an
+    * external table's data. */
+  private[graft] def prepareOverwrite(spark: SparkSession, table: String,
+                                      path: Option[String]): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val catalog = spark.sessionState.catalog
     val preExisting =
       if (catalog.tableExists(ident)) Some(catalog.getTableMetadata(ident)) else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
     if (path.isEmpty) {
-      // Idempotence across crashes: a writer killed between creating the
-      // managed location and committing the catalog entry leaves a
-      // directory DROP TABLE cannot see, and CTAS then refuses the
-      // location (LOCATION_ALREADY_EXISTS). After the drop above, a
-      // surviving default-location dir is orphaned by construction —
-      // UNLESS the dropped table was EXTERNAL with its location at that
-      // very path, in which case DROP preserved real data there. Remove
-      // only the true orphan case so rebuilds never require manual
-      // warehouse surgery yet never eat an external table's data.
       val loc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val qualified = fs.makeQualified(loc)
@@ -74,10 +87,16 @@ object Bucketing {
             "explicit path")
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    val partitioned = partitionForBuckets(df, key, buckets, writerTasksPerBucket)
-    val w = partitioned.write.format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
-      .mode("overwrite")
+  }
+
+  /** Overwrite a small UNBUCKETED managed table with the same
+    * crash-orphan / external-table discipline as [[writeBucketed]] — the
+    * write mode of an index's tiny parameter companion (e.g. the IVF
+    * centroid table). */
+  private[graft] def writeSmallTable(df: DataFrame, table: String,
+                                     path: Option[String] = None): Unit = {
+    prepareOverwrite(df.sparkSession, table, path)
+    val w = df.repartition(1).write.format("parquet").mode("overwrite")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 

@@ -468,4 +468,121 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"loop does not read the bucketed layout:\n$pIdx")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
+
+  test("IVF index: identical results to the inline path, corpus scored in place") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    graft.llm.Similarity.buildIvfIndex(emb, "emb_ivf_idx", buckets = 4)
+
+    val inline = graft.llm.Similarity.annIvf(emb, queries, k = 5)
+      .collect().map(_.toString).sorted
+    val indexed = graft.llm.Similarity.annIvfIndexed(
+      spark, "emb_ivf_idx", queries, k = 5)
+    assert(indexed.collect().map(_.toString).sorted === inline,
+      "indexed path must reproduce the inline IVF result exactly")
+    val p = indexed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("Bucketed: true"), s"index scan not bucketed:\n$p")
+    // the serve path scores corpus vectors AT the scan (broadcast query
+    // side): the only hash exchange is the top-k heap's partial->final
+    // re-key on query_id — a corpus-keyed exchange would mean embeddings
+    // shuffled for the probe join
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 1, s"corpus side shuffled ($n exchanges):\n$p")
+  }
+
+  test("IVF index append: frozen-quantizer growth == rebuild, write is batch-sized") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val b1 = emb.filter(col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 8)
+    graft.llm.Similarity.buildIvfIndex(b1, "ivf_incr_idx", buckets = 4)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier("ivf_incr_idx")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = {
+      val it = fs.listFiles(loc, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.result()
+    }
+    val filesBefore = dataFiles()
+    val centsBefore = graft.llm.Similarity.readIvfCentroids(spark, "ivf_incr_idx")
+
+    graft.llm.Similarity.appendToIvfIndex(b2, "ivf_incr_idx")
+
+    val filesAfter = dataFiles()
+    assert(filesBefore.subsetOf(filesAfter),
+      "append must not rewrite or drop existing index files")
+    val newFiles = (filesAfter -- filesBefore).toSeq
+    assert(newFiles.nonEmpty)
+    assert(spark.read.parquet(newFiles: _*).count() === b2.count(),
+      "append must write exactly the batch's rows")
+    // the quantizer is untouched by an append — retraining is a rebuild
+    val centsAfter = graft.llm.Similarity.readIvfCentroids(spark, "ivf_incr_idx")
+    assert(centsAfter.map(_.toSeq).toSeq === centsBefore.map(_.toSeq).toSeq,
+      "append must not retrain the stored centroids")
+
+    // serving parity: the grown index answers exactly like a full rebuild
+    // with the SAME (frozen) centroids — the FAISS train/add contract
+    graft.llm.Similarity.buildIvfIndex(emb, "ivf_full_idx", buckets = 4,
+      centroids = Some(centsBefore))
+    val viaIncr = graft.llm.Similarity.annIvfIndexed(
+      spark, "ivf_incr_idx", queries, k = 5)
+      .collect().map(_.toString).sorted
+    val viaFull = graft.llm.Similarity.annIvfIndexed(
+      spark, "ivf_full_idx", queries, k = 5)
+      .collect().map(_.toString).sorted
+    assert(viaIncr.nonEmpty && viaIncr === viaFull)
+  }
+
+  test("compaction folds only the small files, keeps big ones untouched, converges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = Files.createTempDirectory("graft_compact_spec").toString
+    // planted mix: 2 "big" files from the even half, 32 trigger-sized
+    // debris files from the odd half
+    docs.filter(col("doc_id") % 2 === 0).repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    docs.filter(col("doc_id") % 2 === 1).repartition(32)
+      .write.mode("append").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(f => f.getPath.getName -> f.getLen).toMap
+    val before = files()
+    val sizes = before.values.toSeq.sorted.reverse
+    val bigNames = before.filter(_._2 >= sizes(1)).keySet // the 2 largest
+    // threshold strictly between the biggest debris and the smallest big
+    val threshold = (sizes(1) + sizes.drop(2).max) / 2
+    val want = docs.select(col("doc_id"), md5(col("text")).as("m"))
+      .collect().map(_.toString).sorted
+
+    val r = graft.relational.Compaction.compactDir(spark, dir,
+      targetBytes = 64L << 20, smallBytes = threshold)
+
+    assert(r.filesBefore === 34 && r.kept === 2 && r.rewritten === 32)
+    val after = files()
+    assert(r.filesAfter === after.size)
+    // big files survive byte-identical under their original names
+    bigNames.foreach(n => assert(after.get(n) === before.get(n),
+      s"big file $n was touched"))
+    // the 32 debris files are gone, folded into few target-sized files
+    assert(after.size < 34 - 32 + 3, s"debris not folded: ${after.size} files")
+    // content fidelity: every row survives, none invented
+    val got = spark.read.parquet(dir)
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .collect().map(_.toString).sorted
+    assert(got === want)
+    // fixpoint: a second pass with the same knobs is a no-op
+    val r2 = graft.relational.Compaction.compactDir(spark, dir,
+      targetBytes = 64L << 20, smallBytes = threshold)
+    assert(r2.rewritten === 0 && files() === after,
+      "second pass must not churn the layout")
+  }
 }
