@@ -169,7 +169,23 @@ object Plans {
       "one Exchange below is the oracle-determinism ORDER BY the " +
       "registered query appends — the operator itself is a single " +
       "corpus scan at any scale (PlanSpec asserts the no-exchange " +
-      "form)."))
+      "form)."),
+    "v12_indexed_ivf" -> ("Persisted IVF index: probed query lists " +
+      "equi-join the cl-bucketed layout with the query side BROADCAST, " +
+      "so corpus vectors are scored where they sit at the bucketed scan " +
+      "— unlike the inline IVF there is no candidate re-attach shuffle; " +
+      "the only hash exchange is the top-k heap's partial->final re-key " +
+      "on query_id (ScaleOpsSpec asserts <= 1)."),
+    "s14_compaction" -> ("Small-file compaction: sub-threshold files " +
+      "fold through a NARROW coalesce — each writer task streams whole " +
+      "input files, zero exchange, and files above threshold are never " +
+      "read — cost is the small-file bytes, not the table; the readback " +
+      "is a plain pushdown scan of the compacted dir."),
+    "d16_semantic_dedup" -> ("SemDeDup: the pairwise stage is a " +
+      "self-equi-join on the k-means cluster id — sum(|cluster|^2) " +
+      "comparisons instead of |corpus|^2, no cross product; the closure " +
+      "moves 8-byte id labels, and survivor election is one arg_max " +
+      "hash aggregate on the component id (no window sort)."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

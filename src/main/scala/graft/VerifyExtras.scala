@@ -148,6 +148,90 @@ object VerifyExtras {
       ok, s"${approx.size} groups x ${qs.size} quantiles checked")
   }
 
+  /** Full-pipeline recompute for d16 (SemDeDup): assignment (mirroring the
+    * engine's unit-centroid dot argmax exactly — a near-tie between two
+    * centroids must break the same way), then independently: within-cluster
+    * rounded-cosine pairs, union-find closure, min-(cos_c, id) survivor
+    * election. The dumped (vec_id, cl, comp_id, kept) must match EXACTLY —
+    * stronger than a recall floor, this pins every stage of the only
+    * engine-side clustering pipeline. */
+  private def checkSemanticDedup(spark: SparkSession, sfDir: String,
+                                 outDir: String): Check = {
+    import graft.llm.Similarity.{l2, roundedCos}
+    val embDf = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecs = embDf.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val cents = graft.llm.Similarity.ivfCentroids(embDf)
+    val units = cents.map { c =>
+      val inv = { val n = l2(c); if (n == 0.0) 0.0 else 1.0 / n }
+      c.map(_ * inv)
+    }
+    def assign(v: Array[Float]): Int = {
+      var best = 0; var bs = Double.NegativeInfinity
+      var ci = 0
+      while (ci < units.length) {
+        var s = 0.0; var d = 0
+        val u = units(ci); val m = math.min(u.length, v.length)
+        while (d < m) { s += v(d) * u(d); d += 1 }
+        if (s > bs) { best = ci; bs = s }
+        ci += 1
+      }
+      best
+    }
+    val cl = vecs.map { case (_, v) => assign(v) }
+    val norms = vecs.map { case (_, v) => l2(v) }
+    // within-cluster pairs at tau, then union-find with min-id roots
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length
+         if cl(i) == cl(j)) {
+      val cos = roundedCos(vecs(i)._2, norms(i), vecs(j)._2, norms(j))
+      if (cos >= 0.35) union(vecs(i)._1, vecs(j)._1)
+    }
+    val byComp = vecs.indices.groupBy(i => find(vecs(i)._1))
+    val expect = vecs.indices.map { i =>
+      val id = vecs(i)._1
+      val comp = find(id)
+      val members = byComp(comp)
+      val kept =
+        if (members.size == 1) true
+        else {
+          val win = members.minBy { m =>
+            (roundedCos(vecs(m)._2, norms(m), cents(cl(m)), l2(cents(cl(m)))),
+              vecs(m)._1)
+          }
+          vecs(win)._1 == id
+        }
+      id -> ((cl(i).toLong, comp, kept))
+    }.toMap
+    val dumped = spark.read.parquet(s"$outDir/d16_semantic_dedup")
+      .select("vec_id", "cl", "comp_id", "kept").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val bad = expect.iterator.flatMap { case (id, e) =>
+      dumped.get(id) match {
+        case Some(g) if g == e => None
+        case other => Some(s"vec $id: dump=$other expect=$e")
+      }
+    }.take(3).toSeq
+    val sizeOk = dumped.size == expect.size
+    Check("d16_semantic_dedup",
+      s"dump == full JVM SemDeDup recompute over ${vecs.length} vectors",
+      bad.isEmpty && sizeOk,
+      if (bad.isEmpty && sizeOk) s"${vecs.length}/${vecs.length} rows equal"
+      else if (!sizeOk) s"row count: dump=${dumped.size} expect=${expect.size}"
+      else bad.mkString("; "))
+  }
+
   /** Run every check; each failure is contained (a throwing check records
     * pass=false rather than killing the sibling checks or the dump). */
   def run(spark: SparkSession, sfDir: String, outDir: String): Seq[Check] = {
@@ -157,6 +241,7 @@ object VerifyExtras {
       "v03_ann_lsh" -> (() => checkRecall(spark, sfDir, outDir, "v03_ann_lsh", 0.75)),
       "v05_ann_ivf" -> (() => checkRecall(spark, sfDir, outDir, "v05_ann_ivf", 0.60)),
       "v12_indexed_ivf" -> (() => checkRecall(spark, sfDir, outDir, "v12_indexed_ivf", 0.60)),
+      "d16_semantic_dedup" -> (() => checkSemanticDedup(spark, sfDir, outDir)),
       "a08_approx_distinct" -> (() => checkApproxDistinct(spark, sfDir, outDir)),
       "a16_approx_percentiles" -> (() => checkApproxPercentiles(spark, sfDir, outDir)))
     checks.map { case (q, f) =>

@@ -707,7 +707,7 @@ object Similarity {
 
   /** The quantized corpus frame shared by build and append: every vector
     * labeled with its nearest-centroid list id `cl`. */
-  private def ivfAssigned(emb: DataFrame, cents: Array[Array[Float]]): DataFrame =
+  private[llm] def ivfAssigned(emb: DataFrame, cents: Array[Array[Float]]): DataFrame =
     emb.select(assignUdf(unitRows(cents))(col("embedding")).as("cl"),
       col("vec_id"), col("embedding"))
 

@@ -7,7 +7,7 @@ package graft.queries
  *
  * Queries intentionally omitted (no faithful SQL equivalent, driver records
  * a rows-only check): d05_simhash, t04_fingerprint, v03_ann_lsh,
- * v05_ann_ivf, v12_indexed_ivf, a08_approx_distinct,
+ * v05_ann_ivf, v12_indexed_ivf, d16_semantic_dedup, a08_approx_distinct,
  * a16_approx_percentiles — their
  * semantics rest on engine-side hash kernels (xxhash64 / FNV+splitmix),
  * approximate candidate generation (LSH buckets, IVF probing), or sketch

@@ -593,6 +593,19 @@ object Queries {
     Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), tau = 0.35)
       .orderBy("doc_id")
 
+  /** D16: SemDeDup — semantic dedup with cluster-bounded pairwise search
+    * ([[Dedup.semanticDedup]]): d06's semantics restricted to k-means
+    * clusters, sum(|cluster|^2) comparisons instead of |corpus|^2. The
+    * k-means quantizer is engine-side (no SQL equivalent -> rows-only for
+    * the driver); VerifyExtras recomputes the ENTIRE pipeline —
+    * assignment, within-cluster pairs, closure, survivor election — in
+    * plain JVM code against the dumped parquet and requires exact
+    * equality, and LlmOpsSpec pins the pair-pruning contract against the
+    * exact grid. */
+  val d16SemanticDedup: Q = (s, dir) =>
+    Dedup.semanticDedup(tbl(s, dir, "embeddings"), tau = 0.35)
+      .orderBy("vec_id")
+
   /** D7: transitive near-dup clusters — connected components over the d03
     * pair graph; every clustered doc with its canonical representative
     * (min reachable id) and cluster size.
@@ -1912,6 +1925,7 @@ object Queries {
     "d14_chunk_remove" -> d14ChunkRemove,
     "d15_cluster_keep_best" -> d15ClusterKeepBest,
     "st09_neardup_admission" -> st09NearDupAdmission,
+    "d16_semantic_dedup" -> d16SemanticDedup,
     "d05_simhash" -> d05Simhash,
     "d06_embedding_neardup" -> d06EmbeddingNeardup,
     "d07_dedup_components" -> d07DedupComponents,

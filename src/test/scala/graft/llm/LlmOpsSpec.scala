@@ -1121,4 +1121,42 @@ class LlmOpsSpec extends AnyFunSuite {
     } yield (a, b) -> h.toLong).toMap
     assert(pairs === exact, s"banded != quadratic: $pairs vs $exact")
   }
+
+  // ---- SemDeDup -------------------------------------------------------------
+
+  test("semanticDedup: cluster-bounded pruning of the exact grid, one survivor per component") {
+    val out = Dedup.semanticDedup(emb, tau = 0.35).collect()
+    assert(out.length === emb.count())
+    // rows: (vec_id, cl, comp_id, cos_c, kept)
+    val byComp = out.groupBy(_.getLong(2))
+    byComp.foreach { case (comp, rows) =>
+      // pairs never cross a cluster, so neither can a component
+      assert(rows.map(_.getLong(1)).distinct.length === 1,
+        s"component $comp spans clusters")
+      assert(rows.count(_.getBoolean(4)) === 1,
+        s"component $comp must keep exactly one survivor")
+      assert(comp === rows.map(_.getLong(0)).min,
+        s"component label must be the smallest member id")
+    }
+    // pruning contract: every duplicate it marks is backed by a REAL
+    // cosine pair of the exact quadratic grid (clustering only prunes
+    // candidates, it can never invent similarity)
+    val exactPaired = Similarity.cosinePairs(emb, 0.35)
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val dups = out.filter(r => !r.getBoolean(4)).map(_.getLong(0))
+    assert(dups.nonEmpty, "tau=0.35 must find semantic dups at sf0.001")
+    dups.foreach(id => assert(exactPaired.contains(id),
+      s"vec $id marked dup without any exact cosine pair"))
+    // survivor election: the component member LEAST similar to its
+    // centroid survives, ties to the smallest id
+    byComp.filter(_._2.length > 1).foreach { case (comp, rows) =>
+      val want = rows.minBy(r => (r.getDouble(3), r.getLong(0))).getLong(0)
+      val got = rows.filter(_.getBoolean(4)).map(_.getLong(0)).head
+      assert(got === want, s"component $comp elected $got, want $want")
+    }
+    // deterministic end to end
+    val again = Dedup.semanticDedup(emb, tau = 0.35).collect()
+    assert(again.map(_.toString).sorted === out.map(_.toString).sorted)
+  }
 }
