@@ -101,7 +101,8 @@ object PageRank {
     * both sides) and `nodes` on `node`, so the only per-round exchanges
     * left are rank-vector-sized (|nodes| rows). Integer-exact semantics
     * are untouched — the storage split is invisible in the result
-    * (GraphSpec proves indexed == direct bit-for-bit). */
+    * (GraphSpec proves indexed == direct bit-for-bit). A growing graph
+    * appends batches via [[appendToEdgeLayout]] without rebuilding. */
   def buildEdgeLayout(edges: DataFrame, name: String, buckets: Int = 32,
                       basePath: Option[String] = None): Unit = {
     import graft.relational.Bucketing
@@ -119,14 +120,64 @@ object PageRank {
       path = sub("nodes"))
   }
 
-  /** Run the iteration against a [[buildEdgeLayout]] layout. */
+  /**
+   * Incremental growth of a [[buildEdgeLayout]] layout — the daily-crawl
+   * write mode of the graph side (new links between pages arrive with
+   * every batch; rebuilding a 10^9-edge layout per batch is the cost this
+   * deletes). All three tables grow by APPEND under their own bucket
+   * schemes ([[graft.relational.Bucketing.appendBucketed]]):
+   *
+   *  - edges: the batch is deduped within itself AND against the stored
+   *    edge set (a LEFT ANTI bucket-join — the stored side is read through
+   *    its bucket layout without shuffling, only batch rows move), so the
+   *    stored edge set keeps its build-time set semantics.
+   *  - degrees: the surviving batch edges append per-src DELTA rows;
+   *    [[pageRankIndexed]] sums them on read. The sum runs on the bucketed
+   *    scan's own distribution — no exchange — so serving stays
+   *    corpus-shuffle-free (ScaleOpsSpec re-asserts it on a grown layout).
+   *  - nodes: batch endpoints append possibly-duplicated; the read-side
+   *    distinct collapses them, again exchange-free on the bucket key.
+   *
+   * Work and bytes written are batch-sized; the stored tables are never
+   * rewritten. ScaleOpsSpec proves a grown layout serves bit-identical
+   * ranks to a from-scratch rebuild over the union.
+   */
+  def appendToEdgeLayout(newEdges: DataFrame, name: String): Unit = {
+    import graft.relational.Bucketing
+    val spark = newEdges.sparkSession
+    // The anti-join reads the very table the first append writes: the
+    // batch MUST be materialized against the pre-append snapshot before
+    // any write, and a lazy persist is not enough — a partition recomputed
+    // after the edge append would see its own output in the anti-join and
+    // vanish, silently starving the degree/node writes. The eager local
+    // checkpoint cuts the lineage to stored blocks (the dedupComponents
+    // loop-state discipline), so all three writes read one frozen batch.
+    val fresh = newEdges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct()
+      .join(Bucketing.read(spark, s"${name}_edges"), Seq("src", "dst"), "left_anti")
+      .localCheckpoint(true)
+    Bucketing.appendBucketed(fresh, s"${name}_edges")
+    Bucketing.appendBucketed(
+      fresh.groupBy("src").agg(count(lit(1)).as("deg")), s"${name}_degrees")
+    Bucketing.appendBucketed(
+      fresh.select(col("src").as("node"))
+        .union(fresh.select(col("dst").as("node"))).distinct(),
+      s"${name}_nodes")
+  }
+
+  /** Run the iteration against a [[buildEdgeLayout]] layout. Degrees are
+    * summed and nodes deduped ON READ — identity passes over a freshly
+    * built layout, and what makes [[appendToEdgeLayout]]'s delta rows
+    * correct after growth; both run on the bucketed scans' own hash
+    * distribution, so they add no exchange to the loop. */
   def pageRankIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
                       iters: Int = 3, scale: Long = 0L,
                       checkpointEvery: Int = 0): DataFrame = {
     import graft.relational.Bucketing
     iterate(Bucketing.read(spark, s"${name}_edges"),
-      Bucketing.read(spark, s"${name}_degrees"),
-      Bucketing.read(spark, s"${name}_nodes"),
+      Bucketing.read(spark, s"${name}_degrees")
+        .groupBy("src").agg(sum(col("deg")).as("deg")),
+      Bucketing.read(spark, s"${name}_nodes").distinct(),
       iters, scale, checkpointEvery)
   }
 

@@ -469,6 +469,71 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("pageRank layout append: batch-sized growth == rebuild, loop stays exchange-free") {
+    val s = spark
+    import s.implicits._
+    // base graph: a 40-ring with two chords; batch: new edges including
+    // duplicates of stored ones and a brand-new node 41
+    val a = (0L until 40L).map(i => (i, (i + 1) % 40)) ++ Seq((0L, 20L), (5L, 25L))
+    val b = (0L until 40L).map(i => (i, (i + 2) % 40)) ++
+      Seq((0L, 20L), (7L, 3L), (41L, 0L), (3L, 41L))
+    graft.graph.PageRank.buildEdgeLayout(a.toDF("src", "dst"), "pr_incr", buckets = 4)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier("pr_incr_edges")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = {
+      val it = fs.listFiles(loc, true)
+      val out = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toString
+      }
+      out.result()
+    }
+    val filesBefore = dataFiles()
+
+    graft.graph.PageRank.appendToEdgeLayout(b.toDF("src", "dst"), "pr_incr")
+
+    // stored edges never rewritten; only the deduped batch appended
+    val filesAfter = dataFiles()
+    assert(filesBefore.subsetOf(filesAfter),
+      "append must not rewrite or drop existing edge files")
+    val newFiles = (filesAfter -- filesBefore).toSeq
+    assert(newFiles.nonEmpty)
+    val expectFresh = (b.toSet -- a.toSet).size
+    assert(spark.read.parquet(newFiles: _*).count() === expectFresh.toLong,
+      "append must write exactly the batch's NEW edges")
+    // stored edge set keeps set semantics through the anti-join dedup
+    val stored = graft.relational.Bucketing.read(spark, "pr_incr_edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(stored.length === stored.distinct.length)
+
+    // serving parity: grown layout == from-scratch rebuild, bit-identical
+    graft.graph.PageRank.buildEdgeLayout((a ++ b).toDF("src", "dst"), "pr_full",
+      buckets = 4)
+    val inc = graft.graph.PageRank.pageRankIndexed(spark, "pr_incr")
+      .collect().map(_.toString).sorted
+    val full = graft.graph.PageRank.pageRankIndexed(spark, "pr_full")
+      .collect().map(_.toString).sorted
+    assert(inc.nonEmpty && inc === full)
+
+    // the read-side degree sum + node distinct run on the bucketed scans'
+    // own distribution: the contrib join over the GROWN layout still
+    // plans zero exchanges
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = graft.relational.Bucketing.read(spark, "pr_incr_edges")
+      val deg = graft.relational.Bucketing.read(spark, "pr_incr_degrees")
+        .groupBy("src").agg(sum(col("deg")).as("deg"))
+      val p = e.join(deg, "src").queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("Exchange"),
+        s"grown edge/degree join shuffles:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("IVF index: identical results to the inline path, corpus scored in place") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 8)
