@@ -175,6 +175,18 @@ object ScaleProbe {
         graft.llm.Similarity.annLsh(e, q, 5).write.format("noop").mode("overwrite").save() }
       time(s"$tag v05 ann ivf") {
         graft.llm.Similarity.annIvf(e, q, 5).write.format("noop").mode("overwrite").save() }
+      // SemDeDup vs the exact grid: the cluster-bounded pairwise stage
+      // should grow ~n^1.5 (sqrt-sized clusters) where v02 grows n^2
+      time(s"$tag d16 semantic dedup") {
+        graft.llm.Dedup.semanticDedup(e, tau = 0.35)
+          .write.format("noop").mode("overwrite").save() }
+      // IVF index round-trip: quantizer train + bucketed list write, then
+      // the serve path (corpus scored in place, zero corpus exchanges)
+      time(s"$tag v12 ivf index build") {
+        graft.llm.Similarity.buildIvfIndex(e, s"ivf_probe_${tag.trim}", buckets = 32) }
+      time(s"$tag v12 ivf index serve") {
+        graft.llm.Similarity.annIvfIndexed(spark, s"ivf_probe_${tag.trim}", q, 5)
+          .write.format("noop").mode("overwrite").save() }
       time(s"$tag v08 hamming ann") {
         graft.llm.Similarity.hammingAnn(e, q, 5).write.format("noop").mode("overwrite").save() }
       val evd = spark.read.parquet(s"$dir/events.parquet")

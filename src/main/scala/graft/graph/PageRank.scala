@@ -103,22 +103,42 @@ object PageRank {
     * are untouched — the storage split is invisible in the result
     * (GraphSpec proves indexed == direct bit-for-bit). A growing graph
     * appends batches via [[appendToEdgeLayout]] without rebuilding. */
-  def buildEdgeLayout(edges: DataFrame, name: String, buckets: Int = 32,
+  def buildEdgeLayout(edges: DataFrame, name: String, buckets: Int = 0,
                       basePath: Option[String] = None): Unit = {
     import graft.relational.Bucketing
     def sub(part: String) = basePath.map(p => s"$p/$part")
+    // the deduped edge list feeds all three writes (and the bucket
+    // auto-sizing count): persist it so the upstream edge derivation +
+    // distinct run once, not once per table
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-    Bucketing.writeBucketed(e, s"${name}_edges", "src", buckets,
-      path = sub("edges"))
-    Bucketing.writeBucketed(
-      e.groupBy("src").agg(count(lit(1)).as("deg")), s"${name}_degrees", "src", buckets,
-      path = sub("degrees"))
-    Bucketing.writeBucketed(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct(),
-      s"${name}_nodes", "node", buckets,
-      path = sub("nodes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // buckets <= 0: auto-size to the graph, ~4M edge rows (~64 MB)
+      // per bucket — the same auto-sizing discipline as the in-plan rank
+      // scale and the v02 grid. A fixed count is wrong at BOTH ends: 32
+      // buckets on a bench-sized graph made per-bucket task scheduling
+      // 2.5x the serve cost (probe-measured), and 32 on a 10^9-edge graph
+      // is 500M rows per bucket file. The count() materializes the
+      // persisted frame the first write needs anyway.
+      val b =
+        if (buckets > 0) buckets
+        else math.max(8, math.min(1024,
+          ((e.count() + RowsPerBucket - 1) / RowsPerBucket).toInt))
+      Bucketing.writeBucketed(e, s"${name}_edges", "src", b,
+        path = sub("edges"))
+      Bucketing.writeBucketed(
+        e.groupBy("src").agg(count(lit(1)).as("deg")), s"${name}_degrees", "src", b,
+        path = sub("degrees"))
+      Bucketing.writeBucketed(
+        e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct(),
+        s"${name}_nodes", "node", b,
+        path = sub("nodes"))
+    } finally e.unpersist()
   }
+
+  /** Auto-sizing target for [[buildEdgeLayout]]: edge rows per bucket. */
+  private val RowsPerBucket = 4L * 1000 * 1000
 
   /**
    * Incremental growth of a [[buildEdgeLayout]] layout — the daily-crawl

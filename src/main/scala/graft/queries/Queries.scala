@@ -1859,7 +1859,7 @@ object Queries {
     * must be invisible in the result. */
   val x18PagerankIndexed: Q = (s, dir) => {
     graft.graph.PageRank.buildEdgeLayout(
-      eventsBipartiteEdges(tbl(s, dir, "events")), "graft_x18_pr", buckets = 32,
+      eventsBipartiteEdges(tbl(s, dir, "events")), "graft_x18_pr",
       basePath = Some(java.nio.file.Files.createTempDirectory("graft_x18_pr").toString))
     graft.graph.PageRank.pageRankIndexed(s, "graft_x18_pr", iters = 3)
       .select(col("node").as("node_id"),
