@@ -11,22 +11,29 @@ import org.apache.spark.sql.functions._
  *
  * Run: sbt "runMain graft.ScaleProbe"
  *
- * Measured on local[32] (2026-08-13, round-6 operator set): 10x data
- * costs 1.2-3.9x wall on every equi-join/map path — d01 0.6->0.4s,
- * d03 2.4->7.5s, d04 1.4->5.2s, d07 1.7->6.8s, t09 1.5->2.6s,
- * d08 0.7->1.6s, d09 0.9->1.9s, d10 1.2->1.0s, t11 1.5->2.4s,
- * t12 1.5->2.1s, d11 1.6->4.4s, d12 2.1->4.9s, d14 2.1->4.1s,
- * t19 1.3->1.9s, t20 0.6->0.8s, t17 1.0->1.1s, m04 0.7->1.6s,
- * v03 2.4->2.8s, v05 1.0->2.6s, v08 0.5->0.5s, x16 3.5->7.7s
+ * Measured on local[32] (2026-08-13, round-8 operator set): 10x data
+ * costs 1.2-4.8x wall on every equi-join/map path — d01 0.6->0.4s,
+ * d03 2.6->6.6s, d04 1.6->3.9s, d07 1.6->7.7s, t09 1.5->2.3s,
+ * d08 0.8->1.5s, d09 1.0->2.2s, d10 0.8->0.9s, t11 1.7->2.6s,
+ * t12 1.6->2.3s, d11 1.7->4.2s, d12 2.5->4.0s, d14 2.2->4.4s,
+ * t19 1.3->2.1s, t20 0.6->0.8s, t17 1.0->1.4s, m04 0.7->1.5s,
+ * v03 2.3->2.9s, v05 0.9->3.0s, v08 0.5->0.6s, x16 3.4->7.3s
  * (10x users/edges) — candidate generation stays equi-join-bound with no
  * quadratic blowup, the executable form of the 100x-scale claim. (d07's
  * ratio is the label-propagation round count growing with the pair-graph
  * diameter, not a per-row blowup; v08/t17/t20's near-flat ratios are the
  * broadcast-scan and map-only shapes.) The one deliberate exception:
  * v02's exact all-pairs grid is quadratic COMPUTE by contract — 10x
- * vectors = 100x dot products — and measures 1.0->6.5s: the block grid
+ * vectors = 100x dot products — and measures 1.5->18.2s: the block grid
  * spreads the n^2 work, it does not (cannot) shrink it; the corpus-scale
- * near-dup paths are the LSH/IVF/minhash families above.
+ * near-dup paths are the LSH/IVF/minhash families above. The round-8
+ * additions make that contrast executable: d16 SemDeDup — the SAME
+ * semantic-dup goal as a v02-style pairwise pass — measures 1.6->4.9s
+ * (3x: the cluster-bounded stage grows ~n^1.5) against the grid's 12x;
+ * the v12 IVF index builds 1.1->3.2s and SERVES 0.9->1.2s (near-flat —
+ * probed lists bound the scan); and the 10-round iterated-PageRank A/B
+ * reads direct 19.5s vs layout-served 12.4s at 10x (the per-round edge
+ * exchange the stored layout deletes).
  */
 object ScaleProbe {
   def time[T](label: String)(f: => T)(implicit spark: SparkSession): T = {

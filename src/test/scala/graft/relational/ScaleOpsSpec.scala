@@ -605,6 +605,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaIncr.nonEmpty && viaIncr === viaFull)
   }
 
+  test("compaction recovers from a dead prior attempt's staging dir") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = Files.createTempDirectory("graft_compact_crash").toString
+    docs.repartition(16).write.mode("overwrite").parquet(dir)
+    // a compactor killed mid-write leaves _compact_tmp behind; underscore
+    // prefix means readers never see it, and the next pass must replace
+    // it rather than fold its half-written junk into the table
+    val staging = new java.io.File(dir, "_compact_tmp")
+    staging.mkdir()
+    val junk = new java.io.File(staging, "part-junk.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    val want = docs.select(col("doc_id"), md5(col("text")).as("m"))
+      .collect().map(_.toString).sorted
+
+    val r = graft.relational.Compaction.compactDir(spark, dir,
+      targetBytes = 64L << 20)
+
+    assert(r.rewritten === 16)
+    assert(!staging.exists(), "staging dir must be cleaned up")
+    val got = spark.read.parquet(dir)
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .collect().map(_.toString).sorted
+    assert(got === want, "junk from the dead attempt must not leak into the table")
+  }
+
   test("compaction folds only the small files, keeps big ones untouched, converges") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = Files.createTempDirectory("graft_compact_spec").toString
