@@ -185,7 +185,14 @@ object Plans {
       "self-equi-join on the k-means cluster id — sum(|cluster|^2) " +
       "comparisons instead of |corpus|^2, no cross product; the closure " +
       "moves 8-byte id labels, and survivor election is one arg_max " +
-      "hash aggregate on the component id (no window sort)."))
+      "hash aggregate on the component id (no window sort)."),
+    "x19_bfs_dist" -> ("Multi-source BFS: round h equi-joins only the " +
+      "(h-1) FRONTIER against the edge list on the 8-byte src id and " +
+      "anti-joins the known set — a shrinking variant side against a " +
+      "loop-invariant edge side (servable from the bucketed layout, " +
+      "where it never shuffles), with an early exit when the frontier " +
+      "empties. Integer hop counts: bit-stable across engines and " +
+      "reruns."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -1840,6 +1840,25 @@ object Queries {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
+  /** X19: multi-source BFS hop distance over the event graph
+    * ([[graft.graph.Bfs.bfsDistances]]) — link distance from a trusted
+    * seed set, the classic graph-proximity quality prior. Seeds are the
+    * users with user_id % 50 == 0 (seeded at dist 0 whether or not they
+    * have edges); the horizon is 4 hops over the same undirected
+    * bipartite user-page graph as x16. Exact integer hop counts; the
+    * oracle is a DuckDB recursive CTE over the same edge derivation,
+    * min(dist) per node. */
+  val x19BfsDist: Q = (s, dir) => {
+    val ev = tbl(s, dir, "events")
+    val seeds = ev.filter(col("user_id") % 50 === 0)
+      .select(col("user_id").as("node")).distinct()
+    graft.graph.Bfs.bfsDistances(eventsBipartiteEdges(ev), seeds, maxHops = 4)
+      .select(col("node").as("node_id"),
+        when(col("node") >= 1000000L, lit("page")).otherwise(lit("user")).as("node_type"),
+        col("dist"))
+      .orderBy("node_id")
+  }
+
   val x16Pagerank: Q = (s, dir) => {
     graft.graph.PageRank.pageRankFixed(eventsBipartiteEdges(tbl(s, dir, "events")), iters = 3)
       .select(col("node").as("node_id"),
@@ -2000,6 +2019,7 @@ object Queries {
     "x16_pagerank" -> x16Pagerank,
     "x17_unpivot" -> x17Unpivot,
     "x18_pagerank_indexed" -> x18PagerankIndexed,
+    "x19_bfs_dist" -> x19BfsDist,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,

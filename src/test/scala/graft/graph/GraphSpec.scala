@@ -20,6 +20,41 @@ class GraphSpec extends AnyFunSuite {
     e.toDF("src", "dst")
   }
 
+  private def nodesDf(n: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    n.toDF("node")
+  }
+
+  test("bfsDistances: hop goldens, unreachable absent, early exit past the diameter") {
+    // directed chain 1->2->3->4 with a side branch 2->10, island 99->98,
+    // and an edgeless seed 7
+    val e = edgesDf(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 10L, 99L -> 98L))
+    val got = Bfs.bfsDistances(e, nodesDf(Seq(1L, 7L)), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 7L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> 2L, 4L -> 3L),
+      s"golden mismatch: $got")
+    // maxHops caps the horizon: dist > cap rows are absent, not clamped
+    val capped = Bfs.bfsDistances(e, nodesDf(Seq(1L)), maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L))
+    // shortest of several paths wins: diamond 1->{2,3}->4 plus long way round
+    val d = edgesDf(Seq(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L, 1L -> 5L))
+    val dd = Bfs.bfsDistances(d, nodesDf(Seq(1L)), maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dd(5L) === 1L && dd(4L) === 2L)
+  }
+
+  test("bfsIndexed == direct over the stored edge layout") {
+    val e = edgesDf(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 10L, 4L -> 1L))
+    PageRank.buildEdgeLayout(e, "bfs_layout_t", buckets = 4)
+    val direct = Bfs.bfsDistances(e, nodesDf(Seq(1L)), maxHops = 3)
+      .collect().map(_.toString).sorted
+    val indexed = Bfs.bfsIndexed(spark, "bfs_layout_t", nodesDf(Seq(1L)), maxHops = 3)
+      .collect().map(_.toString).sorted
+    assert(direct.nonEmpty && indexed === direct)
+  }
+
   test("pageRankFixed: star-graph golden after one integer round") {
     // undirected star 1 - {2, 3}: deg(1)=2, deg(2)=deg(3)=1. With S=10^12:
     //   r1(center) = 0.15S + 85*(S + S) div 100          = 1_850_000_000_000
