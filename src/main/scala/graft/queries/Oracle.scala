@@ -113,6 +113,30 @@ object Oracle {
        |SELECT query_id, neighbor_id, rnk, cos
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** Multi-source BFS hop distances over the same doubled event bipartite
+    * graph — shared VERBATIM by x19 (direct) and x20 (persisted bucketed
+    * layout), the x16/x18 proof obligation again: one oracle text for
+    * both registrations means the storage split must be invisible. UNION
+    * dedups (node, dist) pairs, dist is bounded by the hop cap so the
+    * recursion terminates, min(dist) per node is the hop distance. */
+  private val bfsSql: String =
+    """WITH RECURSIVE e0 AS (SELECT DISTINCT user_id AS src,
+      |    1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+      |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |seeds AS (SELECT DISTINCT user_id AS node FROM events
+      |          WHERE user_id % 50 = 0),
+      |bfs(node, dist) AS (
+      |  SELECT node, 0 FROM seeds
+      |  UNION
+      |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.node
+      |  WHERE b.dist < 4
+      |)
+      |SELECT node AS node_id,
+      |  CASE WHEN node >= 1000000 THEN 'page' ELSE 'user' END AS node_type,
+      |  CAST(min(dist) AS BIGINT) AS dist
+      |FROM bfs GROUP BY node ORDER BY node_id""".stripMargin
+
   /** Integer-exact 3-round PageRank over the doubled event bipartite graph
     * — shared VERBATIM by x16 (direct) and x18 (persisted bucketed layout):
     * one oracle text for both registrations is the proof obligation that
@@ -1418,26 +1442,13 @@ object Oracle {
     // exact in a double through 10^18, so the BIGINT cast is exact).
     "x16_pagerank" -> pagerankSql,
 
-    // BFS as a recursive CTE over the same edge derivation: UNION dedups
-    // (node, dist) pairs, dist is bounded by the hop cap so the recursion
-    // terminates, min(dist) per node is the hop distance.
-    "x19_bfs_dist" ->
-      """WITH RECURSIVE e0 AS (SELECT DISTINCT user_id AS src,
-        |    1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
-        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
-        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-        |seeds AS (SELECT DISTINCT user_id AS node FROM events
-        |          WHERE user_id % 50 = 0),
-        |bfs(node, dist) AS (
-        |  SELECT node, 0 FROM seeds
-        |  UNION
-        |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.node
-        |  WHERE b.dist < 4
-        |)
-        |SELECT node AS node_id,
-        |  CASE WHEN node >= 1000000 THEN 'page' ELSE 'user' END AS node_type,
-        |  CAST(min(dist) AS BIGINT) AS dist
-        |FROM bfs GROUP BY node ORDER BY node_id""".stripMargin,
+    // recursive-CTE BFS over the same edge derivation; see bfsSql scaladoc
+    "x19_bfs_dist" -> bfsSql,
+
+    // the indexed form serves the SAME hop counts from the persisted
+    // bucketed layout — one oracle text, verbatim, for both (the
+    // x16/x18 discipline): the storage split must be invisible
+    "x20_bfs_indexed" -> bfsSql,
 
     // the indexed form serves the SAME integer-exact iteration from the
     // persisted bucketed layout — one oracle text, verbatim, for both:

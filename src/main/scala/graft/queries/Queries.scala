@@ -1859,6 +1859,25 @@ object Queries {
       .orderBy("node_id")
   }
 
+  /** X20: x19 through the PERSISTED edge layout ([[graft.graph.Bfs.bfsIndexed]])
+    * — the x16/x18 index-split precedent applied to BFS: the loop-invariant
+    * edge list is written once, bucketed on src, and every round's frontier
+    * join reads it exchange-free (only the shrinking frontier shuffles).
+    * The oracle is x19's VERBATIM: the storage split must be invisible. */
+  val x20BfsIndexed: Q = (s, dir) => {
+    val ev = tbl(s, dir, "events")
+    graft.graph.PageRank.buildEdgeLayout(
+      eventsBipartiteEdges(ev), "graft_x20_bfs",
+      basePath = Some(java.nio.file.Files.createTempDirectory("graft_x20_bfs").toString))
+    val seeds = ev.filter(col("user_id") % 50 === 0)
+      .select(col("user_id").as("node")).distinct()
+    graft.graph.Bfs.bfsIndexed(s, "graft_x20_bfs", seeds, maxHops = 4)
+      .select(col("node").as("node_id"),
+        when(col("node") >= 1000000L, lit("page")).otherwise(lit("user")).as("node_type"),
+        col("dist"))
+      .orderBy("node_id")
+  }
+
   val x16Pagerank: Q = (s, dir) => {
     graft.graph.PageRank.pageRankFixed(eventsBipartiteEdges(tbl(s, dir, "events")), iters = 3)
       .select(col("node").as("node_id"),
@@ -2020,6 +2039,7 @@ object Queries {
     "x17_unpivot" -> x17Unpivot,
     "x18_pagerank_indexed" -> x18PagerankIndexed,
     "x19_bfs_dist" -> x19BfsDist,
+    "x20_bfs_indexed" -> x20BfsIndexed,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,
