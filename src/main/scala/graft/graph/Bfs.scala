@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
  * counts — integers, so reruns and engines agree bit-for-bit (the x16
  * integer-rank discipline for free).
  *
- * Each round's frontier and known set are cut to stored blocks with an
- * eager localCheckpoint (the components-loop discipline: a self-growing
- * union plan would double per round), and the per-round action that
- * materializes them doubles as the early-exit probe.
+ * Each round's frontier is cut to a stored block with an eager
+ * localCheckpoint (the components-loop discipline: a self-growing plan
+ * would double per round), and the action that materializes it doubles
+ * as the early-exit probe. The known set is the LAZY union of the stored
+ * hop blocks — anti-joins read them all, but no round rewrites rows
+ * discovered earlier, so total write volume is O(V), not O(V * hops).
  *
  * Output: (node, dist) for every node within maxHops of a seed; seeds
  * report dist 0 whether or not they have edges. Unreached nodes are
@@ -37,25 +39,30 @@ object Bfs {
     require(maxHops >= 0, "maxHops must be >= 0")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    var known = seeds.select(col("node").cast("long").as("node")).distinct()
-      .select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint(true)
-    var frontier = known
+    // one stored block per hop; the known set is their LAZY union, so no
+    // round rewrites previously-discovered rows (an O(V)-per-hop write at
+    // scale) — per round only the new frontier materializes
+    val frontiers = scala.collection.mutable.ArrayBuffer(
+      seeds.select(col("node").cast("long").as("node")).distinct()
+        .select(col("node"), lit(0L).as("dist"))
+        .localCheckpoint(true))
     var h = 1
-    var exhausted = frontier.isEmpty
+    var exhausted = frontiers.last.isEmpty
     while (h <= maxHops && !exhausted) {
+      val frontier = frontiers.last
+      val known = frontiers.map(_.select("node")).reduce(_ union _)
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
         .join(known, Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("dist"))
         .localCheckpoint(true)
-      // disjoint by the anti-join: plain union, no min-aggregate needed
-      known = known.union(next).localCheckpoint(true)
-      frontier = next
+      frontiers += next
       exhausted = next.isEmpty
       h += 1
     }
-    known
+    // hop blocks are pairwise disjoint by the anti-join: plain union,
+    // no min-aggregate needed
+    frontiers.reduce(_ union _)
   }
 
   /** BFS served from a [[PageRank.buildEdgeLayout]] layout: the
