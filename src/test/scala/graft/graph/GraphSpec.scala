@@ -53,6 +53,24 @@ class GraphSpec extends AnyFunSuite {
     val indexed = Bfs.bfsIndexed(spark, "bfs_layout_t", nodesDf(Seq(1L)), maxHops = 3)
       .collect().map(_.toString).sorted
     assert(direct.nonEmpty && indexed === direct)
+
+    // plan guarantee (broadcast off — at corpus scale neither side
+    // broadcasts, the case the layout exists for): the round's
+    // frontier-src join reads the bucketed edge scan and the ONLY hash
+    // exchange is the frontier arriving at the edges' distribution — the
+    // loop-invariant edge list never shuffles
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val se = graft.relational.Bucketing.read(spark, "bfs_layout_t_edges")
+      val frontier = nodesDf(Seq(1L)).localCheckpoint(true)
+      val p = frontier.join(se, frontier("node") === se("src"))
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"round join does not read the bucketed layout:\n$p")
+      assert("Exchange hashpartitioning".r.findAllMatchIn(p).size === 1,
+        s"expected only the frontier-side exchange:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
   test("pageRankFixed: star-graph golden after one integer round") {
