@@ -281,5 +281,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("perceptual_hash"),
       new ExpressionInfo(classOf[PerceptualHash].getName, "perceptual_hash"),
       (exprs: Seq[Expression]) => PerceptualHash(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
   }
 }

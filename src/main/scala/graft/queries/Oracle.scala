@@ -1185,6 +1185,19 @@ object Oracle {
     // rank key is all-integer (tf desc, df asc, term asc) so row selection
     // never rides on a float comparison; ln() ulp noise lives only in the
     // rounded informational score
+    // the audit form keeps the sketch hash-checkable: exact top-20 term
+    // counts are oracle-able, and the CMS overestimate bound is pinned
+    // TRUE — the sketch is seeded, so a violation is a deterministic
+    // hash mismatch, not a flake
+    "a20_cms_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        |r AS (SELECT term, CAST(cnt AS BIGINT) AS cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, term) AS rnk FROM c)
+        |SELECT term, cnt, TRUE AS bound_ok
+        |FROM r WHERE rnk <= 20 ORDER BY cnt DESC, term""".stripMargin,
+
     "t09_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

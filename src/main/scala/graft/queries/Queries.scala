@@ -1616,6 +1616,36 @@ object Queries {
         round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2_r"))
       .orderBy("l_returnflag")
 
+  /** A20: count-min-sketch heavy-hitter audit — the third sketch next to
+    * a08's HLL distinct and a16's quantile sketches. The corpus token
+    * stream feeds Spark's native `count_min_sketch` aggregate (bounded
+    * ~1 MB state, map-side partial merge — one sketch per partition
+    * moves, never the tokens); the scalar result is probed per term by
+    * the [[graft.functions.CmsEstimate]] kernel. Registered as the v09
+    * audit form so the probabilistic side stays hash-checkable: exact
+    * top-20 term counts (oracle-able) plus the CMS guarantee
+    * `cnt <= est <= cnt + ceil(eps*N)` as a flag the oracle pins TRUE —
+    * fixed seed makes the sketch deterministic, so a bound violation is
+    * a hash mismatch, not a flake. The one-row collect is the broadcast
+    * scalar pattern (bounded at any corpus size). */
+  val a20CmsHeavyHitters: Q = (s, dir) => {
+    val eps = 1e-4
+    val tok = tbl(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val sk = tok.agg(
+      count_min_sketch(col("term"), lit(eps), lit(0.99), lit(42)).as("sk"),
+      count(lit(1)).as("n_tokens")).collect()(0)
+    val bound = math.ceil(eps * sk.getAs[Long]("n_tokens")).toLong
+    tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(20)
+      .withColumn("est", graft.functions.SketchExpressions.cmsEstimate(
+        lit(sk.getAs[Array[Byte]]("sk")), col("term")))
+      .select(col("term"), col("cnt"),
+        (col("est") >= col("cnt") && col("est") <= col("cnt") + lit(bound))
+          .as("bound_ok"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** A16: approximate percentiles — the KLL-sketch scale path for a06's
     * exact form (an exact percentile needs a full sort or all values in
     * one task per group; the sketch is bounded memory + mergeable
@@ -2024,6 +2054,7 @@ object Queries {
     "a17_global_topn" -> a17GlobalTopn,
     "a18_cume_dist" -> a18CumeDist,
     "a19_regression" -> a19Regression,
+    "a20_cms_heavy_hitters" -> a20CmsHeavyHitters,
     "s11_text_roundtrip" -> s11TextRoundtrip,
     "s12_shard_export" -> s12ShardExport,
     "s13_zorder_layout" -> s13ZorderLayout,

@@ -134,4 +134,13 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.Multimodal.MediaCodecStub.phash("abc".getBytes("UTF-8")).toSeq)
     assert(ph.getSeq[Long](1) === Seq(0L, 0L, 0L, 0L))
   }
+
+  test("cms_estimate resolves from SQL through the extension") {
+    val r = spark.sql(
+      """WITH sk AS (SELECT count_min_sketch(t, 0.001d, 0.99d, 7) AS s
+        |  FROM (SELECT explode(array('x','x','x','y')) AS t))
+        |SELECT cms_estimate(s, 'x') AS ex, cms_estimate(s, 'y') AS ey
+        |FROM sk""".stripMargin).head()
+    assert(r.getAs[Long]("ex") === 3L && r.getAs[Long]("ey") === 1L)
+  }
 }
