@@ -13,8 +13,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
-      // natively; read as long nanos and convert explicitly (Queries).
+      // if events.parquet carries TIMESTAMP(NANOS) (some testdata
+      // generations), surface it as long nanos instead of failing the
+      // scan; Queries.events() adapts to whatever type arrives.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

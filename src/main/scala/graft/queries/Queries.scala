@@ -5,6 +5,7 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * The driver-contract query surface: one named query per operator family of
@@ -29,10 +30,36 @@ object Queries {
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) — read as long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/Bench/tests)
-    * and convert explicitly where timestamp semantics are needed. */
-  def eventsTsMicros: Column = timestamp_micros(expr("ts div 1000"))
+  /** Schema-ADAPTIVE events scan. The testdata's physical type for
+    * `events.ts` changed between rounds (parquet TIMESTAMP(NANOS),
+    * surfaced as BIGINT nanos under `nanosAsLong=true`, regenerated as
+    * TIMESTAMP_MICROS, surfaced as TIMESTAMP_NTZ) — queries must bind to
+    * the SEMANTICS ("a timestamp-convertible ts"), never the physical
+    * type of the week. Normalizes to `__tsu`: epoch MICROS as long, the
+    * cross-engine-stable representation (the DuckDB oracle reads every
+    * variant at micros via `epoch_us(ts)` — Oracle.scala). NTZ wall-clock
+    * reads as UTC epoch: session tz is UTC in Verify/Bench/every spec,
+    * asserted here so a drifted harness fails loudly, not hash-wrong. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = tbl(s, dir, "events")
+    val tsu: Column = df.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000") // TIMESTAMP(NANOS) read as long nanos
+      case TimestampType    => unix_micros(col("ts"))
+      case TimestampNTZType =>
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "NTZ events.ts needs session tz UTC for a stable epoch reading")
+        unix_micros(col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other — expected " +
+          "long nanos (legacy nanosAsLong), TIMESTAMP, or TIMESTAMP_NTZ")
+    }
+    df.withColumn("__tsu", tsu)
+  }
+
+  /** [[events]] with `ts` itself replaced by the micros-precision
+    * TIMESTAMP column (window()/streaming-mirror call sites). */
+  def eventsTs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).withColumn("ts", timestamp_micros(col("__tsu"))).drop("__tsu")
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -483,10 +510,9 @@ object Queries {
   val a11LeadLag: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("__tsu"), col("event_id"))
-    tbl(s, dir, "events")
-      // microsecond precision on BOTH sides: DuckDB truncates
-      // TIMESTAMP(NANOS) to micros on read, so nanos would hash-diverge
-      .withColumn("__tsu", expr("ts div 1000"))
+    // microsecond precision on BOTH sides (events() normalizes): DuckDB
+    // reads any physical ts type at micros, so nanos would hash-diverge
+    events(s, dir)
       .filter(col("user_id") < 50)
       .select(col("event_id"), col("user_id"), col("event_type"),
         (col("__tsu") - lag(col("__tsu"), 1).over(w)).as("us_since_prev"),
@@ -823,8 +849,8 @@ object Queries {
   /** Tumbling-window aggregation via window() — identical shape to the
     * Structured Streaming query in StreamingSpec. */
   val st01TumblingWindow: Q = (s, dir) =>
-    tbl(s, dir, "events")
-      .withColumn("__ts", eventsTsMicros)
+    eventsTs(s, dir)
+      .withColumn("__ts", col("ts"))
       .groupBy(window(col("__ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value_r"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
@@ -836,8 +862,8 @@ object Queries {
     * [[graft.streaming.EventStreams.windowedTopK]], stream==batch in
     * StreamingSpec); this is its bounded mirror for the oracle. */
   val st05WindowTopk: Q = (s, dir) =>
-    tbl(s, dir, "events")
-      .withColumn("__ts", eventsTsMicros)
+    eventsTs(s, dir)
+      .withColumn("__ts", col("ts"))
       .groupBy(window(col("__ts"), "1 hour").as("w"), col("event_type"))
       .agg(graft.functions.VectorAggregates
         .topK(col("value"), col("event_id"), 3).as("top"))
@@ -853,8 +879,8 @@ object Queries {
     * Structured Streaming shares with the batch mirror here. The oracle
     * decomposes each event into its two covering window starts. */
   val st03SlidingWindow: Q = (s, dir) =>
-    tbl(s, dir, "events")
-      .withColumn("__ts", eventsTsMicros)
+    eventsTs(s, dir)
+      .withColumn("__ts", col("ts"))
       .groupBy(window(col("__ts"), "1 hour", "30 minutes").as("w"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value_r"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
@@ -866,8 +892,7 @@ object Queries {
     * ([[graft.streaming.EventStreams.clickViewJoin]]). Timestamps cross
     * the engine boundary as microsecond longs (x04's convention). */
   val st04IntervalJoin: Q = (s, dir) =>
-    graft.streaming.EventStreams.clickViewJoin(
-        tbl(s, dir, "events").withColumn("ts", eventsTsMicros))
+    graft.streaming.EventStreams.clickViewJoin(eventsTs(s, dir))
       .select(col("click_id"), col("user_id"),
         expr("unix_micros(click_ts)").as("click_ts_us"), col("click_value"),
         col("view_id"), expr("unix_micros(view_ts)").as("view_ts_us"),
@@ -881,7 +906,7 @@ object Queries {
     * 100-149 land in '(none)'). */
   val st06StreamStatic: Q = (s, dir) =>
     graft.streaming.EventStreams.enrichedTumblingCounts(
-        tbl(s, dir, "events").withColumn("ts", eventsTsMicros),
+        eventsTs(s, dir),
         tbl(s, dir, "customer").filter(col("c_custkey") < 100)
           .select(col("c_custkey"), col("c_mktsegment")))
       .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
@@ -902,9 +927,7 @@ object Queries {
     * reproduces the windows integer-exactly. */
   val st08SessionWindow: Q = (s, dir) =>
     graft.streaming.EventStreams.sessionWindowCounts(
-        tbl(s, dir, "events")
-          .filter(col("user_id") < 200)
-          .withColumn("ts", eventsTsMicros))
+        eventsTs(s, dir).filter(col("user_id") < 200))
       .select(col("user_id"),
         unix_micros(col("s_start")).as("start_us"),
         unix_micros(col("s_end")).as("end_us"),
@@ -920,9 +943,7 @@ object Queries {
     * event_id). */
   val st10SessionTopk: Q = (s, dir) =>
     graft.streaming.EventStreams.sessionTopK(
-        tbl(s, dir, "events")
-          .filter(col("user_id") < 200)
-          .withColumn("ts", eventsTsMicros))
+        eventsTs(s, dir).filter(col("user_id") < 200))
       .select(col("user_id"),
         unix_micros(col("s_start")).as("start_us"),
         unix_micros(col("s_end")).as("end_us"),
@@ -942,12 +963,12 @@ object Queries {
   /** Gap-based sessionization via analytic lag + running flag-sum — the
     * batch mirror of flatMapGroupsWithState sessionization. */
   val st02Sessionize: Q = (s, dir) => {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val gapNs = 30L * 60 * 1000 * 1000 * 1000 // 30 min in nanos
-    tbl(s, dir, "events")
-      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("__tsu"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000 // 30 min in micros
+    events(s, dir)
+      .withColumn("__prev", lag(col("__tsu"), 1).over(byUser))
       .withColumn("__new_session",
-        when(col("__prev").isNull || col("ts") - col("__prev") > gapNs, 1L).otherwise(0L))
+        when(col("__prev").isNull || col("__tsu") - col("__prev") > gapUs, 1L).otherwise(0L))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("__new_session")).as("n_sessions"))
       .orderBy("user_id")
@@ -1429,27 +1450,28 @@ object Queries {
     * most recent view at or before it — the union+window single-shuffle
     * formulation ([[graft.relational.AsOf]]), no join node at all. The
     * oracle is DuckDB's native ASOF LEFT JOIN. Timestamps cross the
-    * engine boundary as microseconds (`ts div 1000` vs epoch_us): DuckDB
-    * reads TIMESTAMP(NANOS) parquet at us precision. */
+    * engine boundary as microseconds (`__tsu` vs epoch_us): the
+    * precision every physical ts variant is read at by both engines. */
   val x04AsofJoin: Q = (s, dir) => {
-    val ev = tbl(s, dir, "events")
+    val ev = events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("user_id"), col("__tsu"), col("value"))
     // right side must be unique per (user, ts): deterministic last-wins
     // (max event_id) as an arg_max hash aggregate — the k02/j03 standard,
     // map-side partials instead of a per-key window sort; event_id is
-    // unique so the ord satisfies ArgMax's determinism contract.
+    // unique so the ord satisfies ArgMax's determinism contract. Keyed on
+    // the normalized micros — the precision BOTH engines compare at.
     val viewsByTs = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id"), col("ts"))
+      .groupBy(col("user_id"), col("__tsu"))
       .agg(graft.functions.VectorAggregates.argMax(col("event_id"),
         struct(col("event_id").as("view_event_id"),
           col("value").as("view_value"))).as("__w"))
-      .select(col("user_id"), col("ts"),
+      .select(col("user_id"), col("__tsu"),
         col("__w.view_event_id").as("view_event_id"),
         col("__w.view_value").as("view_value"))
-    graft.relational.AsOf.asofJoin(clicks, viewsByTs, key = "user_id", time = "ts",
+    graft.relational.AsOf.asofJoin(clicks, viewsByTs, key = "user_id", time = "__tsu",
         valueCols = Seq("view_event_id", "view_value"), prefix = "")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("event_id"), col("user_id"), col("__tsu").as("ts_us"),
         col("value"), col("view_event_id"), col("view_value"))
       .orderBy("event_id")
   }
@@ -1459,14 +1481,14 @@ object Queries {
     * each low-id click — an equi-join on the bin id plus exact filter,
     * never the nested-loop plan a bare BETWEEN predicate produces. */
   val x05RangeJoin: Q = (s, dir) => {
-    val hourNs = 3600L * 1000 * 1000 * 1000
-    val ev = tbl(s, dir, "events")
+    val hourUs = 3600L * 1000 * 1000
+    val ev = events(s, dir)
     val intervals = ev.filter(col("user_id") < 5 && col("event_type") === "click")
-      .select(col("event_id").as("interval_id"), col("ts").as("start"),
-        (col("ts") + hourNs).as("end"))
-    val points = ev.select(col("ts"))
+      .select(col("event_id").as("interval_id"), col("__tsu").as("start"),
+        (col("__tsu") + hourUs).as("end"))
+    val points = ev.select(col("__tsu").as("t"))
     graft.relational.RangeJoin.rangeJoin(intervals, points,
-        start = "start", end = "end", time = "ts", binWidth = hourNs)
+        start = "start", end = "end", time = "t", binWidth = hourUs)
       .groupBy(col("interval_id"))
       .agg(count(lit(1)).as("n_points"))
       .orderBy("interval_id")
@@ -1713,8 +1735,7 @@ object Queries {
       .orderBy(col("__tsu"), col("event_id"))
     val conv = col("last_view").isNotNull &&
       (col("__tsu") - col("last_view")) <= lit(30L * 60 * 1000000)
-    tbl(s, dir, "events")
-      .withColumn("__tsu", expr("ts div 1000"))
+    events(s, dir)
       .withColumn("last_view",
         max(when(col("event_type") === "view", col("__tsu"))).over(w))
       .filter(col("event_type") === "click")
@@ -1832,9 +1853,8 @@ object Queries {
     * cross-engine-stable representation, as in a11). */
   val x15Scd2: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("__tsu"), col("event_id"))
-    val changes = tbl(s, dir, "events")
+    val changes = events(s, dir)
       .filter(col("user_id") < 50)
-      .withColumn("__tsu", expr("ts div 1000"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
     changes

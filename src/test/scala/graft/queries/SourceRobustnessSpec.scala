@@ -33,6 +33,73 @@ class SourceRobustnessSpec extends AnyFunSuite {
     (dir, docs.count())
   }
 
+  // ===== schema-drift lock ==================================================
+  // The r8→r9 testdata regeneration silently changed events.ts from parquet
+  // TIMESTAMP(NANOS) (surfaced as BIGINT nanos under nanosAsLong=true) to
+  // TIMESTAMP_MICROS (surfaced as TIMESTAMP_NTZ) and killed 13 registered
+  // queries at ANALYSIS time. These tests (a) pin the SEMANTIC contract each
+  // table must keep — so the next drift fails with a readable message, not
+  // 13 opaque DATATYPE_MISMATCH errors — and (b) regression-lock the
+  // schema-adaptive events read against locally-written fixtures of every
+  // physical variant, independent of /root/testdata's choice of the week.
+
+  private val testdata = "/root/testdata/sf0.001"
+
+  test("testdata tables keep their semantic contracts") {
+    def cols(t: String) = spark.read.parquet(s"$testdata/$t.parquet").schema
+    import org.apache.spark.sql.types._
+    // events: a timestamp-CONVERTIBLE ts (any physical type events() takes)
+    val ts = cols("events")("ts").dataType
+    assert(Set[DataType](LongType, TimestampType, TimestampNTZType)(ts),
+      s"events.ts drifted to $ts — extend Queries.events() for this type")
+    for (c <- Seq("event_id", "user_id", "event_type", "value", "props"))
+      assert(cols("events").fieldNames.contains(c), s"events lost column $c")
+    // documents / embeddings: the LLM-pipeline surfaces
+    assert(cols("documents")("text").dataType == StringType)
+    assert(cols("documents")("doc_id").dataType == LongType)
+    val emb = cols("embeddings")("embedding").dataType
+    assert(emb.isInstanceOf[ArrayType],
+      s"embeddings.embedding drifted to $emb — expected array of float/double")
+    // TPC-H core keys the join family binds to
+    for ((t, c) <- Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+        "customer" -> "c_custkey", "part" -> "p_partkey",
+        "supplier" -> "s_suppkey", "nation" -> "n_nationkey",
+        "region" -> "r_regionkey"))
+      assert(cols(t).fieldNames.contains(c), s"$t lost key column $c")
+  }
+
+  test("events() reads every physical ts variant to identical micros") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1970-01-02T03:04:05.123456Z and one second later, as epoch micros
+    val us = Seq(97445123456L, 97446123456L)
+    val rows = us.zipWithIndex.map { case (u, i) =>
+      (i.toLong, u, i.toLong, "click", 1.5 + i, """{"k": 1}""") }
+
+    def writeFixture(variant: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ts_$variant").toString
+      val base = rows.toDF("event_id", "__us", "user_id", "event_type", "value", "props")
+      val withTs = variant match {
+        case "nanos_long" => base.withColumn("ts", col("__us") * 1000L)
+        case "ts_utc"     => base.withColumn("ts", timestamp_micros(col("__us")))
+        case "ts_ntz"     => base.withColumn("ts",
+          timestamp_micros(col("__us")).cast("timestamp_ntz"))
+      }
+      withTs.drop("__us").write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+
+    for (variant <- Seq("nanos_long", "ts_utc", "ts_ntz")) {
+      val dir = writeFixture(variant)
+      val got = Queries.events(spark, dir)
+        .orderBy("event_id").select("__tsu").as[Long].collect().toSeq
+      assert(got == us, s"variant $variant normalized to $got, expected $us")
+      // and a real registered ts-query SHAPE analyzes + runs on the fixture
+      val win = Queries.st01TumblingWindow(spark, dir).collect()
+      assert(win.nonEmpty, s"st01 shape produced no rows on $variant fixture")
+    }
+  }
+
   test("a truncated part file fails the scan by default, is skipped on opt-in") {
     val (dir, total) = corpusDir()
     // explicit schema throughout: truncation destroys the FOOTER, so
