@@ -25,9 +25,19 @@ import org.apache.spark.sql.functions._
  * Each round's frontier is cut to a stored block with an eager
  * localCheckpoint (the components-loop discipline: a self-growing plan
  * would double per round), and the action that materializes it doubles
- * as the early-exit probe. The known set is the LAZY union of the stored
- * hop blocks — anti-joins read them all, but no round rewrites rows
- * discovered earlier, so total write volume is O(V), not O(V * hops).
+ * as the early-exit probe. The anti-join's known set is served from a
+ * BINARY-COUNTER fold of the hop blocks ([[FoldedSet]]): per round the
+ * known side is <= log2(hops)+1 stored blocks (a diameter-sized crawl
+ * run reads a bounded-fan-in union, not `hops` separate blocks), and a
+ * node's row is REwritten only when two equal-weight blocks merge —
+ * O(V * log hops) total write volume. The frontier-only alternative
+ * (skip the anti-join, min(dist) at the end) would make per-round reads
+ * frontier-sized, but on hub-heavy web graphs it re-expands every
+ * rediscovered hub each round and never saturates, so post-diameter
+ * rounds cost full edge-join passes and early exit is lost — the
+ * anti-join's known-set scan is what makes the frontier SHRINK, which
+ * dominates at 100 TB. The OUTPUT keeps one disjoint block per hop,
+ * unioned lazily: output write volume stays O(V).
  *
  * Output: (node, dist) for every node within maxHops of a seed; seeds
  * report dist 0 whether or not they have edges. Unreached nodes are
@@ -35,28 +45,54 @@ import org.apache.spark.sql.functions._
  */
 object Bfs {
 
+  /**
+   * Binary-counter (LSM-style) fold of append-only DataFrame blocks:
+   * `add` pushes a weight-1 block and merges equal-weight neighbours
+   * (union + eager localCheckpoint) like binary addition carries, so
+   * after n adds at most log2(n)+1 blocks exist (`view` unions them
+   * lazily) and each row has been rewritten at most log2(n) times.
+   */
+  final class FoldedSet {
+    private var blocks: List[(Long, DataFrame)] = Nil // ascending weight
+
+    def add(block: DataFrame): Unit = {
+      var w = 1L
+      var blk = block
+      while (blocks.nonEmpty && blocks.head._1 == w) {
+        blk = blk.union(blocks.head._2).localCheckpoint(true)
+        w *= 2
+        blocks = blocks.tail
+      }
+      blocks = (w, blk) :: blocks
+    }
+
+    def nBlocks: Int = blocks.size
+    def view: DataFrame = blocks.map(_._2).reduce(_ union _)
+  }
+
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    // one stored block per hop; the known set is their LAZY union, so no
-    // round rewrites previously-discovered rows (an O(V)-per-hop write at
-    // scale) — per round only the new frontier materializes
+    // one stored block per hop for the OUTPUT (disjoint, never rewritten);
+    // the anti-join side folds the same node sets with bounded fan-in
     val frontiers = scala.collection.mutable.ArrayBuffer(
       seeds.select(col("node").cast("long").as("node")).distinct()
         .select(col("node"), lit(0L).as("dist"))
         .localCheckpoint(true))
+    val known = new FoldedSet
+    known.add(frontiers.last.select("node"))
     var h = 1
     var exhausted = frontiers.last.isEmpty
     while (h <= maxHops && !exhausted) {
       val frontier = frontiers.last
-      val known = frontiers.map(_.select("node")).reduce(_ union _)
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
-        .join(known, Seq("node"), "left_anti")
+        .join(known.view, Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("dist"))
         .localCheckpoint(true)
       frontiers += next
+      known.add(next.select("node"))
       exhausted = next.isEmpty
       h += 1
     }

@@ -675,4 +675,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r2.rewritten === 0 && files() === after,
       "second pass must not churn the layout")
   }
+
+  test("BFS known-set fold: per-round anti-join side is log-many blocks, content exact") {
+    import spark.implicits._
+    // FoldedSet invariant directly: after n adds, <= log2(n)+1 blocks and
+    // the view is exactly the union of everything pushed — this is the
+    // per-round READ bound of bfsDistances' anti-join side (r8 verdict #5:
+    // a diameter-sized run must not scan `hops` separate blocks per round)
+    val fold = new graft.graph.Bfs.FoldedSet
+    var pushed = Set.empty[Long]
+    for (i <- 1 to 33) {
+      fold.add(Seq(i.toLong, 1000L + i).toDF("node"))
+      pushed ++= Set(i.toLong, 1000L + i)
+      val bound = 64 - java.lang.Long.numberOfLeadingZeros(i.toLong) // floor(log2)+1
+      assert(fold.nBlocks <= bound,
+        s"after $i adds: ${fold.nBlocks} blocks > log bound $bound")
+      if (i % 11 == 0)
+        assert(fold.view.as[Long].collect().toSet == pushed,
+          s"fold view diverged from pushed content after $i adds")
+    }
+    // end-to-end on a 64-node path graph (diameter-sized hop count — the
+    // shape that made the old all-frontiers union O(V * hops) reads):
+    // distances stay exact under the folded anti-join side
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val d = graft.graph.Bfs.bfsDistances(path, Seq(0L).toDF("node"), maxHops = 70)
+      .as[(Long, Long)].collect().toMap
+    assert(d.size == 64 && (0L until 64L).forall(i => d(i) == i),
+      "path-graph hop distances must be node index")
+  }
 }
