@@ -268,6 +268,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchIds.toSeq === admitted.toSeq)
   }
 
+  test("streaming ingest to a partitioned sink + per-partition compaction maintenance") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_part_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_part_ckpt").toString
+    def doc(id: Long, minute: Int, text: String, lang: String) =
+      (id, ts(minute), text, lang)
+    def longText(seed: Int) = (1 to 35).map(i => s"w${seed}_$i").mkString(" ")
+
+    // 4 micro-batches x 2 langs: each trigger appends one file per
+    // (lang, task) — the small-file accretion compaction exists for
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val q = EventStreams.ingestStream(
+        stream.toDF().toDF("doc_id", "ts", "text", "lang"), minWords = 30)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .partitionBy("lang").outputMode("append").start()
+    try {
+      for (b <- 0 until 4) {
+        stream.addData(doc(b * 2L, b * 2, longText(b * 2), "en"),
+          doc(b * 2L + 1, b * 2 + 1, longText(b * 2 + 1), "fr"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val want = spark.read.parquet(out).select("doc_id", "lang")
+      .collect().map(_.toString).sorted
+    assert(want.length === 8, "all 8 quality-passing docs must land")
+    def leafFiles(lang: String): Int = new java.io.File(s"$out/lang=$lang")
+      .listFiles().count(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    assert(leafFiles("en") >= 4 && leafFiles("fr") >= 4,
+      "each partition must have accreted one file per trigger")
+
+    // the sink dir is governed by its _spark_metadata commit log — batch
+    // readers resolve files THROUGH the log, so compaction must refuse it
+    // until the retired sink is graduated to a raw table
+    assertThrows[IllegalStateException] {
+      graft.relational.Compaction.compactPartitioned(
+        spark, out, targetBytes = 64L << 20)
+    }
+    assert(graft.relational.Compaction.graduateStreamingSink(spark, out))
+
+    // post-batch maintenance: fold each leaf partition independently
+    val reports = graft.relational.Compaction.compactPartitioned(
+      spark, out, targetBytes = 64L << 20)
+
+    assert(reports.keySet === Set("lang=en", "lang=fr"))
+    for ((leaf, r) <- reports) {
+      assert(r.rewritten >= 4, s"$leaf: small files not folded ($r)")
+      assert(r.filesAfter < r.filesBefore, s"$leaf: no file-count win ($r)")
+    }
+    assert(leafFiles("en") === reports("lang=en").filesAfter)
+    assert(leafFiles("fr") === reports("lang=fr").filesAfter)
+    // the partitioned table reads back identically, lang column intact
+    val got = spark.read.parquet(out).select("doc_id", "lang")
+      .collect().map(_.toString).sorted
+    assert(got === want, "compaction must not change table content")
+  }
+
   test("checkpoint recovery: a restarted query resumes exactly-once (no dup, no loss)") {
     val s = spark
     import s.implicits._
