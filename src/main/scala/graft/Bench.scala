@@ -117,7 +117,18 @@ object Bench {
         s""","bag_import":{"error":true}"""
       }
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"repeats":$repeats,"sf":"$sfDir"$bagImport}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"repeats":$repeats,"sf":"$sfDir"$bagImport}"""
+    println(line)
+    // Durable copy: r8's committed artifact lost the front half of the
+    // JSON line to the consumer's terminal-capture truncation, making the
+    // per-query numbers unreproducible. The file is the artifact of
+    // record; stdout stays the driver contract.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

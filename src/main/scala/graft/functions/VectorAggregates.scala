@@ -136,6 +136,225 @@ object VectorAggregates {
     ColumnBridge.column(
       ArgMax(ColumnBridge.expression(ord), ColumnBridge.expression(payload))
         .toAggregateExpression())
+
+  /** Column binding: bitmap_distinct(id) usable inside agg(...). */
+  def bitmapDistinct(id: Column): Column =
+    ColumnBridge.column(
+      BitmapDistinct(ColumnBridge.expression(id)).toAggregateExpression())
+}
+
+/**
+ * bitmap_distinct(id) — EXACT distinct count of a long id column as one
+ * mergeable bitmap buffer per group (roaring-style two-level layout,
+ * Chambi, Lemire et al., "Better bitmap performance with Roaring
+ * bitmaps", 2016 — independently implemented).
+ *
+ * Why not `count(distinct id)`: Catalyst plans exact distinct as a
+ * two-phase aggregate whose FIRST phase keys on (group, id) — every
+ * distinct id crosses the wire as a row, and a 100 TB events table with
+ * billions of users pays a full extra exchange of its key space. This
+ * aggregate ships ONE compact buffer per (group x mapper): dense id
+ * ranges cost 1 BIT per present id (a 65k-id container is 8 KB), sparse
+ * ranges 2 bytes per id (sorted-array containers, upgraded to bitmaps at
+ * 512 entries) — map-side partials merge by OR, the classic
+ * billions-of-ids exact-cardinality layout of OLAP engines.
+ *
+ * Semantics match count(DISTINCT id) exactly: nulls ignored, empty
+ * group evals to 0. Ids may span the full long range (container key =
+ * id >>> 16, so negatives land in their own containers).
+ */
+case class BitmapDistinct(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BitmapDistinct.Buf] {
+
+  override def children: Seq[Expression] = child :: Nil
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_distinct expects an integral id, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bitmap_distinct"
+
+  override def createAggregationBuffer(): BitmapDistinct.Buf =
+    new BitmapDistinct.Buf
+
+  override def update(buf: BitmapDistinct.Buf, input: InternalRow): BitmapDistinct.Buf = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Number].longValue())
+    buf
+  }
+
+  override def merge(b1: BitmapDistinct.Buf, b2: BitmapDistinct.Buf): BitmapDistinct.Buf = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: BitmapDistinct.Buf): Any = buf.cardinality
+
+  override def serialize(buf: BitmapDistinct.Buf): Array[Byte] = buf.toBytes
+
+  override def deserialize(bytes: Array[Byte]): BitmapDistinct.Buf =
+    BitmapDistinct.Buf.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapDistinct =
+    copy(child = newChildren(0))
+}
+
+object BitmapDistinct {
+
+  /** Array containers upgrade to 1024-long bitmaps past this many
+    * entries (the roaring threshold: 512 shorts = 1 KB < 8 KB bitmap,
+    * and a container denser than ~0.8% is cheaper as bits). */
+  private final val ArrayCap = 512
+  private final val BitmapWords = 1024 // 65536 bits
+
+  /** One 16-bit-low-half container: sorted long array of low values
+    * (n <= ArrayCap) or a fixed 1024-word bitmap. */
+  private final class Container {
+    var bits: Array[Long] = _            // non-null => bitmap mode
+    var arr: Array[Long] = new Array[Long](8)
+    var n: Int = 0
+
+    def add(low: Int): Unit =
+      if (bits != null) bits(low >>> 6) |= 1L << (low & 63)
+      else {
+        var idx = java.util.Arrays.binarySearch(arr, 0, n, low.toLong)
+        if (idx < 0) {
+          if (n == ArrayCap) { toBitmap(); bits(low >>> 6) |= 1L << (low & 63) }
+          else {
+            idx = -idx - 1
+            if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+            System.arraycopy(arr, idx, arr, idx + 1, n - idx)
+            arr(idx) = low.toLong
+            n += 1
+          }
+        }
+      }
+
+    private def toBitmap(): Unit = {
+      bits = new Array[Long](BitmapWords)
+      var i = 0
+      while (i < n) {
+        val low = arr(i).toInt
+        bits(low >>> 6) |= 1L << (low & 63)
+        i += 1
+      }
+      arr = null; n = 0
+    }
+
+    def cardinality: Long =
+      if (bits == null) n.toLong
+      else {
+        var c = 0L; var i = 0
+        while (i < BitmapWords) { c += java.lang.Long.bitCount(bits(i)); i += 1 }
+        c
+      }
+
+    def mergeFrom(other: Container): Unit =
+      if (other.bits != null) {
+        if (bits == null) toBitmap()
+        var i = 0
+        while (i < BitmapWords) { bits(i) |= other.bits(i); i += 1 }
+      } else {
+        var i = 0
+        while (i < other.n) { add(other.arr(i).toInt); i += 1 }
+      }
+  }
+
+  final class Buf {
+    private val containers = new java.util.HashMap[Long, Container]()
+
+    private def containerFor(high: Long): Container = {
+      var c = containers.get(high)
+      if (c == null) { c = new Container; containers.put(high, c) }
+      c
+    }
+
+    def add(id: Long): Unit = containerFor(id >>> 16).add((id & 0xFFFF).toInt)
+
+    def cardinality: Long = {
+      var total = 0L
+      val it = containers.values().iterator()
+      while (it.hasNext) total += it.next().cardinality
+      total
+    }
+
+    def mergeFrom(other: Buf): Unit = {
+      val it = other.containers.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        containerFor(e.getKey).mergeFrom(e.getValue)
+      }
+    }
+
+    /** [nContainers][high 8B, mode 1B, bitmap 8 KB | n 2B + n shorts]* */
+    def toBytes: Array[Byte] = {
+      var size = 4
+      val it0 = containers.values().iterator()
+      while (it0.hasNext) {
+        val c = it0.next()
+        size += 8 + 1 + (if (c.bits != null) BitmapWords * 8 else 2 + c.n * 2)
+      }
+      val bb = ByteBuffer.allocate(size)
+      bb.putInt(containers.size())
+      val it = containers.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        bb.putLong(e.getKey)
+        val c = e.getValue
+        if (c.bits != null) {
+          bb.put(1: Byte)
+          var i = 0
+          while (i < BitmapWords) { bb.putLong(c.bits(i)); i += 1 }
+        } else {
+          bb.put(0: Byte)
+          bb.putShort(c.n.toShort)
+          var i = 0
+          while (i < c.n) { bb.putShort(c.arr(i).toShort); i += 1 }
+        }
+      }
+      bb.array()
+    }
+  }
+
+  object Buf {
+    def fromBytes(bytes: Array[Byte]): Buf = {
+      val buf = new Buf
+      val bb = ByteBuffer.wrap(bytes)
+      val nc = bb.getInt
+      var k = 0
+      while (k < nc) {
+        val high = bb.getLong
+        val c = new Container
+        if (bb.get() == 1) {
+          c.bits = new Array[Long](BitmapWords)
+          var i = 0
+          while (i < BitmapWords) { c.bits(i) = bb.getLong; i += 1 }
+          c.arr = null
+        } else {
+          val n = bb.getShort & 0xFFFF
+          c.arr = new Array[Long](math.max(8, n))
+          var i = 0
+          while (i < n) { c.arr(i) = (bb.getShort & 0xFFFF).toLong; i += 1 }
+          c.n = n
+        }
+        buf.containers.put(high, c)
+        k += 1
+      }
+      buf
+    }
+  }
 }
 
 /**

@@ -1198,6 +1198,14 @@ object Oracle {
         |SELECT term, cnt, TRUE AS bound_ok
         |FROM r WHERE rnk <= 20 ORDER BY cnt DESC, term""".stripMargin,
 
+    // exact-distinct oracle for the bitmap aggregate: equality is the
+    // whole point — a dropped/invented bit anywhere in the roaring
+    // container lifecycle shows up as a count mismatch
+    "a21_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "t09_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -1668,6 +1668,24 @@ object Queries {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** A21: EXACT distinct users per event type through the native
+    * [[graft.functions.BitmapDistinct]] aggregate (roaring-style bitmap
+    * buffer). `count(distinct id)` plans a first phase keyed on
+    * (group, id): at 100 TB every distinct id crosses the wire as a
+    * row. The bitmap aggregate keeps ONE mergeable buffer per
+    * (group x mapper) — 1 bit per id in dense ranges, 2 bytes in
+    * sparse — so the exchange carries |groups| compact buffers instead
+    * of the key space. Exact, so the oracle is plain
+    * count(DISTINCT ...): any bit lost in container upgrade, merge, or
+    * serialization is a hash mismatch. */
+  val a21BitmapDistinct: Q = (s, dir) =>
+    tbl(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(graft.functions.VectorAggregates.bitmapDistinct(col("user_id"))
+          .as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** A16: approximate percentiles — the KLL-sketch scale path for a06's
     * exact form (an exact percentile needs a full sort or all values in
     * one task per group; the sketch is bounded memory + mergeable
@@ -2075,6 +2093,7 @@ object Queries {
     "a18_cume_dist" -> a18CumeDist,
     "a19_regression" -> a19Regression,
     "a20_cms_heavy_hitters" -> a20CmsHeavyHitters,
+    "a21_bitmap_distinct" -> a21BitmapDistinct,
     "s11_text_roundtrip" -> s11TextRoundtrip,
     "s12_shard_export" -> s12ShardExport,
     "s13_zorder_layout" -> s13ZorderLayout,
