@@ -804,4 +804,172 @@ object Similarity {
           (expr("vec_norm(q_emb)") * expr("vec_norm(embedding)")), 6).as("cos"))
     topKByCosine(scored, k)
   }
+
+  // ---- product quantization (Jégou, Douze & Schmid 2011) -------------------
+
+  /** Default PQ geometry: 8 subspaces x 16 centroids = 8 codes (one byte
+    * of entropy each) per vector — a 32x compression of a 64-dim float
+    * corpus, the third member of the compression ladder next to int8
+    * scalar quantization (v06, 4x) and sign bits (v08, 32x but
+    * rank-blind within a word). */
+  val PqM = 8
+  val PqKsub = 16
+
+  /**
+   * PQ codebooks: the embedding is split into `m` contiguous subvectors
+   * and each subspace gets its own `ksub`-centroid L2 k-means codebook,
+   * trained driver-local over the SAME bounded deterministic sample as
+   * [[ivfCentroids]] (one corpus scan; memory sampleSize x dim). Vectors
+   * are L2-NORMALIZED before the split, so the asymmetric-distance order
+   * downstream is exactly the cosine order the rerank uses (L2^2 on unit
+   * vectors = 2 - 2cos). Returns [m][ksub][dim/m]. Quantization error
+   * falls as product codes span ksub^m cells from m * ksub trained
+   * centroids — the reason PQ beats one flat ksub-means at equal memory.
+   */
+  def pqCodebooks(emb: DataFrame, m: Int = PqM, ksub: Int = PqKsub,
+                  iters: Int = 5,
+                  sampleSize: Int = IvfTrainingSample): Array[Array[Array[Float]]] = {
+    val sample = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqCodebooks: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m = $m")
+    val sub = dim / m
+    val normed = sample.map(unitVec)
+    Array.tabulate(m) { s =>
+      kmeansL2(normed.map(v =>
+        java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)), ksub, iters)
+    }
+  }
+
+  /** In-place-free unit normalization; the zero vector stays zero. */
+  private def unitVec(v: Array[Float]): Array[Float] = {
+    val n = l2(v)
+    if (n == 0.0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** Driver-local L2 Lloyd iterations, deterministic stride init and
+    * lowest-index ties — the subspace-sized sibling of [[ivfCentroids]]'
+    * cosine form. */
+  private def kmeansL2(xs: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    val kk = math.min(k, xs.length)
+    val stride = math.max(1, xs.length / kk)
+    var cs = Array.tabulate(kk)(i => xs((i * stride) % xs.length).clone())
+    val dim = xs.head.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](kk, dim)
+      val counts = new Array[Long](kk)
+      xs.foreach { v =>
+        val best = nearestL2(v, cs)
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      cs = Array.tabulate(kk) { ci =>
+        if (counts(ci) == 0L) cs(ci)
+        else Array.tabulate(dim)(d => (sums(ci)(d) / counts(ci)).toFloat)
+      }
+      it += 1
+    }
+    cs
+  }
+
+  private def nearestL2(v: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < cs.length) {
+      val c = cs(ci)
+      var d2 = 0.0
+      var d = 0
+      while (d < c.length) {
+        val diff = v(d).toDouble - c(d)
+        d2 += diff * diff
+        d += 1
+      }
+      if (d2 < bestD) { best = ci; bestD = d2 }
+      ci += 1
+    }
+    best
+  }
+
+  /** Encode: per subspace, the nearest codebook entry, OFFSET-coded as
+    * `s * ksub + code` so the scan-side ADC lookup is a bare
+    * element_at(tab, code + 1) with zero per-subspace arithmetic. */
+  private def pqEncodeUdf(books: Array[Array[Array[Float]]], ksub: Int) =
+    udf { (v: Seq[Float]) =>
+      val nv = unitVec(v.toArray)
+      val sub = books(0)(0).length
+      Array.tabulate(books.length) { s =>
+        val sv = java.util.Arrays.copyOfRange(nv, s * sub, (s + 1) * sub)
+        s * ksub + nearestL2(sv, books(s))
+      }
+    }
+
+  /** The query's asymmetric-distance table, flattened to m * ksub doubles:
+    * entry s * ksub + j = ||q_s - c_sj||^2 on the normalized query. */
+  private def adcTabUdf(books: Array[Array[Array[Float]]], ksub: Int) =
+    udf { (v: Seq[Float]) =>
+      val nv = unitVec(v.toArray)
+      val sub = books(0)(0).length
+      val tab = new Array[Double](books.length * ksub)
+      var s = 0
+      while (s < books.length) {
+        var j = 0
+        while (j < books(s).length) {
+          val c = books(s)(j)
+          var d2 = 0.0
+          var d = 0
+          while (d < sub) {
+            val diff = nv(s * sub + d).toDouble - c(d)
+            d2 += diff * diff
+            d += 1
+          }
+          tab(s * ksub + j) = d2
+          j += 1
+        }
+        s += 1
+      }
+      tab
+    }
+
+  /**
+   * PQ-ANN search — the third scale path next to [[annLsh]] and
+   * [[annIvf]], and the one that changes what the corpus SCAN costs: the
+   * shortlist pass reads m offset-codes per vector (8 ints here) instead
+   * of dim floats, with the query's distance table riding in broadcast.
+   * Per (query, vector) the asymmetric distance is m table lookups — a
+   * codegen'd transform/aggregate fold over builtins, no UDF in the
+   * corpus-sized hot path (the only UDFs run once per corpus row at
+   * encode and once per query at table build). Shortlist selection goes
+   * through the bounded top-k heap (map-side partials, |queries| x
+   * shortlist pairs shuffle), then the exact cosine rerank restores true
+   * ordering — the ADC's approximation error never ranks the final k,
+   * only membership in the shortlist (v10's two-stage discipline).
+   */
+  def annPq(emb: DataFrame, queries: DataFrame, k: Int, m: Int = PqM,
+            ksub: Int = PqKsub, shortlist: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val books = pqCodebooks(emb, m, ksub)
+    val codes = emb.select(col("vec_id").as("neighbor_id"),
+      pqEncodeUdf(books, ksub)(col("embedding")).as("codes"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      adcTabUdf(books, ksub)(col("embedding")).as("tab")))
+    val scored = codes.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(transform(col("codes"),
+            c => element_at(col("tab"), c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+    val candidates = scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorAggregates
+        .topK(-col("adc"), col("neighbor_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"))
+    rerank(candidates, emb, queries, k)
+  }
 }

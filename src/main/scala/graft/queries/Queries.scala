@@ -982,6 +982,18 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** V13: product-quantization ANN ([[Similarity.annPq]]) — the third
+    * scale path: the shortlist scan reads 8 offset-codes per corpus
+    * vector instead of 64 floats (32x scan compression), ADC scoring is
+    * a codegen'd table-lookup fold, exact cosine rerank restores true
+    * order. Rows-only (approximate semantics); VerifyExtras asserts a
+    * recall@5 floor vs brute force, like v03/v05. */
+  val v13PqAnn: Q = (s, dir) => {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.annPq(emb, emb.filter(col("vec_id") < 32), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Int8 scalar quantization of embeddings (max-abs scaling) — the
     * storage-compression op of an embedding pipeline. Output is the audit
     * view: per-vector scale + quantized checksum. */
@@ -2056,6 +2068,7 @@ object Queries {
     "v10_hamming_rerank" -> v10HammingRerank,
     "v11_indexed_ann" -> v11IndexedAnn,
     "v12_indexed_ivf" -> v12IndexedIvf,
+    "v13_pq_ann" -> v13PqAnn,
     "t05_normalize" -> t05Normalize,
     "t06_stratified_sample" -> t06StratifiedSample,
     "t07_repetition" -> t07Repetition,

@@ -687,6 +687,28 @@ class LlmOpsSpec extends AnyFunSuite {
       s"pair-keyed candidate exchange back in the ANN plan:\n$plan")
   }
 
+  test("PQ-ANN recall@5 vs brute force is usable; ADC hot path is UDF-free") {
+    val queries = emb.filter(col("vec_id") < 32)
+    val brute = Similarity.knnBrute(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val pq = Similarity.annPq(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val recalls = brute.map { case (q, trueNs) =>
+      trueNs.intersect(pq.getOrElse(q, Set.empty)).size.toDouble / trueNs.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"PQ-ANN mean recall@5 = $meanRecall%.3f over ${recalls.size} queries")
+    // deterministic codebooks (stride init over a hash-ordered sample), so
+    // the floor is stable, not flaky
+    assert(meanRecall >= 0.6, f"recall too low: $meanRecall%.3f")
+
+    val plan = Similarity.annPq(emb, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in PQ plan:\n$plan")
+  }
+
   test("CDC chunking: identical runs share chunks regardless of offset; disjoint docs share none") {
     // doc 2 contains doc 1's full text shifted right by a prefix — content-
     // defined boundaries must reproduce the same chunks inside the shared
