@@ -972,4 +972,111 @@ object Similarity {
       .select(col("query_id"), col("t.id").as("neighbor_id"))
     rerank(candidates, emb, queries, k)
   }
+
+  // ---- persisted PQ index (train once / add incrementally / query) ---------
+
+  private def codebookTable(table: String): String = s"${table}_codebooks"
+
+  /** The encoded corpus frame shared by PQ build and append:
+    * (vec_id, offset codes, embedding). The raw embedding rides along for
+    * the serve path's exact rerank — the codes answer WHICH vectors to
+    * rerank, the stored embedding answers the rerank itself without
+    * touching any second table. */
+  private[llm] def pqAssigned(emb: DataFrame, books: Array[Array[Array[Float]]],
+                              ksub: Int): DataFrame =
+    emb.select(col("vec_id"), pqEncodeUdf(books, ksub)(col("embedding")).as("codes"),
+      col("embedding"))
+
+  /**
+   * Index-build half of a PQ-ANN deployment — the same train/add contract
+   * as [[buildIvfIndex]]: codebooks are trained ONCE and persisted in a
+   * tiny `<table>_codebooks` companion table (one row per (subspace,
+   * entry) with its offset code and subvector — the pinned parameters an
+   * append must never retrain), and the corpus is encoded and persisted
+   * as `(vec_id, codes, embedding)` bucketed on vec_id, so the serve
+   * path's rerank re-attach is exchange-free on the corpus side (the
+   * sign-index discipline).
+   */
+  def buildPqIndex(emb: DataFrame, table: String, m: Int = PqM,
+                   ksub: Int = PqKsub, buckets: Int = 8,
+                   path: Option[String] = None,
+                   writerTasksPerBucket: Int = 1,
+                   codebooks: Option[Array[Array[Array[Float]]]] = None): Unit = {
+    val books = codebooks.getOrElse(pqCodebooks(emb, m, ksub))
+    graft.relational.Bucketing.writeBucketed(
+      pqAssigned(emb, books, ksub), table, "vec_id", buckets, path = path,
+      writerTasksPerBucket = writerTasksPerBucket)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = for {
+      (book, s) <- books.zipWithIndex
+      (cen, j) <- book.zipWithIndex
+    } yield (s, j, s * ksub + j, ksub, cen.toSeq)
+    graft.relational.Bucketing.writeSmallTable(
+      rows.toSeq.toDF("s", "j", "code", "ksub", "centroid"),
+      codebookTable(table),
+      path = path.map(p => s"$p/_codebooks"))
+  }
+
+  /** The index's stored codebooks + the offset-coding ksub they were
+    * pinned with. */
+  def readPqCodebooks(spark: SparkSession, table: String): (Array[Array[Array[Float]]], Int) = {
+    val rows = spark.table(codebookTable(table))
+      .orderBy(col("s"), col("j"))
+      .select(col("s"), col("ksub"), col("centroid")).collect()
+    require(rows.nonEmpty, s"readPqCodebooks: empty ${codebookTable(table)}")
+    val ksub = rows.head.getInt(1)
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Float](2).toArray).toArray).toArray
+    (books, ksub)
+  }
+
+  /** Incremental growth of a [[buildPqIndex]] table: encode the NEW batch
+    * with the STORED codebooks and append under the table's bucket scheme
+    * — batch-sized work, frozen quantizer, so the grown index is
+    * bit-identical to a rebuild over old+new with the same codebooks
+    * (ScaleOpsSpec proves it). */
+  def appendToPqIndex(newBatch: DataFrame, table: String,
+                      writerTasksPerBucket: Int = 1): Unit = {
+    val spark = newBatch.sparkSession
+    require(spark.catalog.tableExists(codebookTable(table)),
+      s"appendToPqIndex: ${codebookTable(table)} not found — not a buildPqIndex table")
+    val (books, ksub) = readPqCodebooks(spark, table)
+    graft.relational.Bucketing.appendBucketed(
+      pqAssigned(newBatch, books, ksub), table,
+      writerTasksPerBucket = writerTasksPerBucket)
+  }
+
+  /**
+   * PQ search served from a [[buildPqIndex]] table — identical output to
+   * [[annPq]] on the same corpus (deterministic training, so build-time
+   * and inline codebooks coincide; ScaleOpsSpec asserts row-exact
+   * equality). The ADC shortlist scan reads stored codes as they sit
+   * (nothing re-encodes per query), and the exact rerank re-attaches
+   * embeddings from the SAME bucketed table, so the corpus never
+   * shuffles: the only exchanges are the two query-keyed heap
+   * aggregations (shortlist + final k), both |queries|-sized.
+   */
+  def annPqIndexed(spark: SparkSession, table: String, queries: DataFrame,
+                   k: Int, shortlist: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    graft.functions.VectorExpressions.register(spark)
+    val (books, ksub) = readPqCodebooks(spark, table)
+    val idx = graft.relational.Bucketing.read(spark, table)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      adcTabUdf(books, ksub)(col("embedding")).as("tab")))
+    val scored = idx.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(transform(col("codes"),
+            c => element_at(col("tab"), c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+    val candidates = scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorAggregates
+        .topK(-col("adc"), col("neighbor_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"))
+    rerank(candidates, idx.select(col("vec_id"), col("embedding")), queries, k)
+  }
 }

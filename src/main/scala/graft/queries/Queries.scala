@@ -1239,6 +1239,21 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** V14: PQ served from the persisted [[Similarity.buildPqIndex]] table
+    * — build-in-query like v12/x18 (the driver verifies the serve path
+    * each round); the serve scan reads stored codes and reranks against
+    * the same bucketed table, zero corpus exchanges (ScaleOpsSpec).
+    * Deterministic codebooks make this row-identical to v13's inline
+    * path — the storage split is invisible. */
+  val v14IndexedPq: Q = (s, dir) => {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.buildPqIndex(emb, "graft_v14_pq_idx", buckets = 8,
+      path = Some(java.nio.file.Files.createTempDirectory("graft_pq_idx").toString))
+    Similarity.annPqIndexed(s, "graft_v14_pq_idx",
+        emb.filter(col("vec_id") < 32), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** T13: fixed-quota per-source sampling — the training-mix knob that
     * caps every source at N docs, deterministically (md5-rank election, no
     * RNG: reruns and retries pick identical docs). Selection runs through
@@ -2069,6 +2084,7 @@ object Queries {
     "v11_indexed_ann" -> v11IndexedAnn,
     "v12_indexed_ivf" -> v12IndexedIvf,
     "v13_pq_ann" -> v13PqAnn,
+    "v14_indexed_pq" -> v14IndexedPq,
     "t05_normalize" -> t05Normalize,
     "t06_stratified_sample" -> t06StratifiedSample,
     "t07_repetition" -> t07Repetition,

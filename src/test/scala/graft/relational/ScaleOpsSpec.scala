@@ -605,6 +605,82 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaIncr.nonEmpty && viaIncr === viaFull)
   }
 
+  test("PQ index: identical results to the inline path, corpus never shuffles") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    graft.llm.Similarity.buildPqIndex(emb, "emb_pq_idx", buckets = 4)
+
+    val inline = graft.llm.Similarity.annPq(emb, queries, k = 5)
+      .collect().map(_.toString).sorted
+    val indexed = graft.llm.Similarity.annPqIndexed(
+      spark, "emb_pq_idx", queries, k = 5)
+    assert(indexed.collect().map(_.toString).sorted === inline,
+      "indexed path must reproduce the inline PQ result exactly")
+    val p = indexed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("Bucketed: true"), s"index scan not bucketed:\n$p")
+    // serve-path exchanges are query-keyed only (shortlist heap + final
+    // heap); a corpus-keyed exchange would mean codes or embeddings
+    // shuffled. The rerank re-attach reads the same bucketed table.
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"corpus side shuffled ($n exchanges):\n$p")
+    assert(!"Exchange hashpartitioning\\(neighbor_id".r.findFirstIn(p).isDefined ||
+      p.contains("Bucketed: true"), s"rerank re-attach not bucketed:\n$p")
+  }
+
+  test("PQ index append: frozen-codebook growth == rebuild, write is batch-sized") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val b1 = emb.filter(col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 8)
+    graft.llm.Similarity.buildPqIndex(b1, "pq_incr_idx", buckets = 4)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier("pq_incr_idx")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = {
+      val it = fs.listFiles(loc, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.result()
+    }
+    val filesBefore = dataFiles()
+    val (booksBefore, ksubBefore) =
+      graft.llm.Similarity.readPqCodebooks(spark, "pq_incr_idx")
+
+    graft.llm.Similarity.appendToPqIndex(b2, "pq_incr_idx")
+
+    val filesAfter = dataFiles()
+    assert(filesBefore.subsetOf(filesAfter),
+      "append must not rewrite or drop existing index files")
+    val newFiles = (filesAfter -- filesBefore).toSeq
+    assert(newFiles.nonEmpty)
+    assert(spark.read.parquet(newFiles: _*).count() === b2.count(),
+      "append must write exactly the batch's rows")
+    // codebooks untouched by an append — retraining is a rebuild decision
+    val (booksAfter, ksubAfter) =
+      graft.llm.Similarity.readPqCodebooks(spark, "pq_incr_idx")
+    assert(ksubAfter === ksubBefore)
+    assert(booksAfter.map(_.map(_.toSeq).toSeq).toSeq ===
+      booksBefore.map(_.map(_.toSeq).toSeq).toSeq,
+      "append must not retrain the stored codebooks")
+
+    // serving parity: the grown index answers exactly like a full rebuild
+    // with the SAME (frozen) codebooks
+    graft.llm.Similarity.buildPqIndex(emb, "pq_full_idx", buckets = 4,
+      codebooks = Some(booksBefore))
+    val viaIncr = graft.llm.Similarity.annPqIndexed(
+      spark, "pq_incr_idx", queries, k = 5)
+      .collect().map(_.toString).sorted
+    val viaFull = graft.llm.Similarity.annPqIndexed(
+      spark, "pq_full_idx", queries, k = 5)
+      .collect().map(_.toString).sorted
+    assert(viaIncr.nonEmpty && viaIncr === viaFull)
+  }
+
   test("compaction recovers from a dead prior attempt's staging dir") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = Files.createTempDirectory("graft_compact_crash").toString
