@@ -1502,6 +1502,14 @@ object Oracle {
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value_r
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
+    // exact windowed distinct: the bitmap aggregate is exact, so the
+    // oracle is the plain distinct count — no error band anywhere
+    "st11_window_distinct" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
     // Quality gate -> keep-first fingerprint election -> per-lang counts:
     // the deterministic batch form of the streaming ingest front door.
     "st07_stream_ingest" ->

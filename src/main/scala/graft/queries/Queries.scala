@@ -950,6 +950,19 @@ object Queries {
         col("rnk"), col("event_id"), col("value_r"))
       .orderBy("user_id", "start_us", "rnk")
 
+  /** ST11: tumbling-window EXACT distinct users — the batch face of
+    * [[EventStreams.windowedDistinctUsers]] (same call, watermark a
+    * no-op): the bitmap aggregate's window state replaces the
+    * per-(window, user) rows a distinct-rewrite would keep, and the
+    * oracle is plain count(DISTINCT) — exactness is hash-checked, in
+    * batch AND (via StreamingSpec's stream==batch test) in streaming
+    * state. */
+  val st11WindowDistinct: Q = (s, dir) =>
+    graft.streaming.EventStreams.windowedDistinctUsers(eventsTs(s, dir))
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_users"), col("n_events"))
+      .orderBy("win_start", "event_type")
+
   val st07StreamIngest: Q = (s, dir) => {
     val gated = tbl(s, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 30)
@@ -2151,6 +2164,7 @@ object Queries {
     "st06_stream_static" -> st06StreamStatic,
     "st07_stream_ingest" -> st07StreamIngest,
     "st08_session_window" -> st08SessionWindow,
-    "st10_session_topk" -> st10SessionTopk
+    "st10_session_topk" -> st10SessionTopk,
+    "st11_window_distinct" -> st11WindowDistinct
   )
 }

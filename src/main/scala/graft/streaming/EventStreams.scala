@@ -29,6 +29,28 @@ object EventStreams {
         col("sum_value_r"))
 
   /**
+   * Tumbling-window EXACT distinct users through the mergeable
+   * [[graft.functions.BitmapDistinct]] aggregate — the streaming shape
+   * HLL is usually swapped in for, kept exact: window state is one
+   * roaring-style bitmap per (window, event_type) instead of the
+   * per-(window, user) row the `count(distinct)` rewrite would need
+   * (distinct-expansion is unsupported in streaming aggregation anyway),
+   * and watermark expiry drops each window's bitmaps with it — bounded
+   * state at any scale. Same call runs batch and streaming (st11's
+   * oracle is plain count(DISTINCT) over the batch mirror).
+   */
+  def windowedDistinctUsers(events: DataFrame,
+                            watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(graft.functions.VectorAggregates.bitmapDistinct(col("user_id"))
+          .as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_users"), col("n_events"))
+
+  /**
    * Per-user session aggregation through Spark's NATIVE session_window —
    * the declarative complement to the custom flatMapGroupsWithState
    * sessionizer ([[sessionize]]): gap-merged event-time windows

@@ -61,6 +61,35 @@ class StreamingSpec extends AnyFunSuite {
       ("02:00", "view", 1L, 5.0)))
   }
 
+  test("streaming windowed bitmap-distinct agrees with batch and is exact") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // user 1 hits hour 0 twice and hour 1 twice: distinct must collapse
+    // repeats inside a window but not across windows
+    val stream = MemoryStream[Event]
+    stream.addData(fixture: _*)
+    val q = EventStreams.windowedDistinctUsers(stream.toDF())
+      .writeStream.format("memory").queryName("win_distinct")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(date_format(col("win_start"), "HH:mm").as("w"), col("event_type"),
+        col("n_users"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val streamed = shape(spark.table("win_distinct"))
+    val batch = shape(EventStreams.windowedDistinctUsers(fixture.toDF()))
+    assert(streamed === batch)
+    assert(streamed === Set(
+      ("00:00", "click", 1L, 2L),   // user 1 twice -> 1 distinct
+      ("01:00", "view", 1L, 1L),
+      ("01:00", "click", 1L, 1L),
+      ("02:00", "view", 1L, 1L)))
+  }
+
   test("native session_window stream agrees with batch and closes on gap >= 30 min") {
     val s = spark
     import s.implicits._
