@@ -284,5 +284,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("bitmap_distinct"),
+      new ExpressionInfo(classOf[BitmapDistinct].getName, "bitmap_distinct"),
+      (exprs: Seq[Expression]) => BitmapDistinct(exprs(0))))
   }
 }

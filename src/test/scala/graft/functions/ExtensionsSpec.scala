@@ -143,4 +143,14 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |FROM sk""".stripMargin).head()
     assert(r.getAs[Long]("ex") === 3L && r.getAs[Long]("ey") === 1L)
   }
+
+  test("bitmap_distinct resolves from SQL and matches count(distinct)") {
+    val r = spark.sql(
+      """SELECT g, bitmap_distinct(id) AS bd, count(DISTINCT id) AS cd
+        |FROM (SELECT pmod(v, 2) AS g, pmod(v, 700) AS id
+        |      FROM (SELECT explode(sequence(0, 4999)) AS v))
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(r.length === 2)
+    r.foreach(row => assert(row.getAs[Long]("bd") === row.getAs[Long]("cd")))
+  }
 }
