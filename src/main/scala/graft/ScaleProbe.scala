@@ -196,7 +196,26 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save() }
       time(s"$tag v08 hamming ann") {
         graft.llm.Similarity.hammingAnn(e, q, 5).write.format("noop").mode("overwrite").save() }
+      // PQ round-trip: codebook train + encode/persist, then the ADC
+      // serve (codes scanned in place, query tables in broadcast) — the
+      // growth law to watch is the serve scan: 8 codes/vector, so 10x
+      // rows should cost ~10x scan, never 10x * dim floats
+      time(s"$tag v13 pq ann inline") {
+        graft.llm.Similarity.annPq(e, q, 5).write.format("noop").mode("overwrite").save() }
+      time(s"$tag v14 pq index build") {
+        graft.llm.Similarity.buildPqIndex(e, s"pq_probe_${tag.trim}", buckets = 32) }
+      time(s"$tag v14 pq index serve") {
+        graft.llm.Similarity.annPqIndexed(spark, s"pq_probe_${tag.trim}", q, 5)
+          .write.format("noop").mode("overwrite").save() }
       val evd = spark.read.parquet(s"$dir/events.parquet")
+      // exact distinct via the roaring bitmap aggregate: buffer-sized
+      // exchange per (group x mapper) — the 10x/1x wall ratio should
+      // track the SCAN, not the distinct-key population
+      time(s"$tag a21 bitmap distinct") {
+        evd.groupBy(col("event_type"))
+          .agg(graft.functions.VectorAggregates.bitmapDistinct(col("user_id"))
+            .as("n_users"))
+          .write.format("noop").mode("overwrite").save() }
       val bip = graft.queries.Queries.eventsBipartiteEdges(evd)
       time(s"$tag x16 pagerank") {
         graft.graph.PageRank.pageRankFixed(bip, iters = 3)
@@ -213,6 +232,17 @@ object ScaleProbe {
       time(s"$tag x16 10-iter indexed") {
         graft.graph.PageRank.pageRankIndexed(spark, s"pr_probe_${tag.trim}",
             iters = 10, checkpointEvery = 5)
+          .write.format("noop").mode("overwrite").save() }
+      // BFS over the same bipartite graph: per-round cost is the frontier
+      // equi-join; the folded known set keeps the anti-join side at
+      // <= log2(hops)+1 blocks whatever the hop count
+      val seeds = evd.filter(col("user_id") % 50 === 0)
+        .select(col("user_id").as("node")).distinct()
+      time(s"$tag x19 bfs direct") {
+        graft.graph.Bfs.bfsDistances(bip, seeds, maxHops = 4)
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag x20 bfs indexed") {
+        graft.graph.Bfs.bfsIndexed(spark, s"pr_probe_${tag.trim}", seeds, maxHops = 4)
           .write.format("noop").mode("overwrite").save() }
     }
     bench(sf, " 1x")

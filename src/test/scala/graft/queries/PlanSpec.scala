@@ -142,6 +142,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), s"unexpected host operator:\n$p")
   }
 
+  test("a21/st11: exact distinct is the bitmap aggregate's partial merge, never a distinct expansion") {
+    // count(distinct) rewrites into a first phase keyed on (group, id) —
+    // every distinct id crosses the exchange as a row. The bitmap
+    // aggregate must instead show ObjectHashAggregate partials: one
+    // mergeable buffer per (group x mapper) crosses, nothing id-keyed.
+    Seq("a21" -> Queries.a21BitmapDistinct(spark, sf),
+        "st11" -> Queries.st11WindowDistinct(spark, sf)).foreach { case (name, df) =>
+      val p = planString(df)
+      assert(p.contains("partial_bitmap_distinct"),
+        s"$name: no map-side partial bitmap_distinct:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$name: unexpected host operator:\n$p")
+      assert(!"hashpartitioning\\([^)]*user_id".r.findFirstIn(p).isDefined,
+        s"$name: id-keyed exchange — the distinct expansion is back:\n$p")
+    }
+  }
+
   test("v01/v03: ANN selection is the bounded top_k heap, never a per-query window sort") {
     // the r4 row_number form funneled the full scored corpus into one
     // reducer sort per query — the heap ships at most k pairs per query
