@@ -103,6 +103,56 @@ object TextOps {
           (col("stop_cnt").cast("double") / col("n_words")) * 0.5, 4))
   }
 
+  /** The Gopher battery's stopword-presence list (Rae et al. 2022 §A1.1
+    * uses exactly this set for the "contains >= 2 of" rule). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher quality-filter rules (Rae et al. 2022, appendix A1.1) — the
+   * standard rule BATTERY of large-scale corpus curation, distinct from
+   * [[qualityStats]]' composite score: each document gets a boolean per
+   * rule plus the conjunctive keep decision, so downstream reporting can
+   * attribute rejections to rules (the operating mode of a production
+   * filter, where "how many docs did rule 3 kill" is a daily question).
+   *
+   * INTEGER-EXACT by construction: every ratio rule is evaluated as an
+   * integer cross-multiplication (5 * n_alpha >= 4 * n_words, never
+   * n_alpha / n_words >= 0.8), so the engine-boundary hash compare never
+   * rides FP rounding. Map-only over builtins — one WholeStageCodegen
+   * span, no shuffle, no UDF: at 100 TB this is a pure scan.
+   *
+   * Rules (thresholds are the paper's, word-count floor parameterized for
+   * the synthetic corpus): word count in [minWords, maxWords]; mean word
+   * length in [3, 10] chars; symbol-to-word ratio ('#' + non-overlapping
+   * '...') < 1/10; alphabetic-word fraction >= 4/5; >= 2 hits from the
+   * 8-word stopword presence list.
+   */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+                  minWords: Int = 30, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, " ")
+    val nWords = size(words).cast("long")
+    val nChars = length(replace(t, lit(" "), lit(""))).cast("long")
+    val nHash = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    val nEll = ((length(t) - length(replace(t, lit("..."), lit(""))))
+      .cast("long") / lit(3L)).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(filter(words, w => w.isin(GopherStops: _*))).cast("long")
+    df.withColumn("n_words", nWords)
+      .withColumn("n_word_chars", nChars)
+      .withColumn("n_symbols", nHash + nEll)
+      .withColumn("n_alpha_words", nAlpha)
+      .withColumn("n_stop_hits", nStop)
+      .withColumn("wc_ok", nWords >= minWords && nWords <= maxWords)
+      .withColumn("mwl_ok", nChars >= nWords * 3L && nChars <= nWords * 10L)
+      .withColumn("sym_ok", (nHash + nEll) * 10L < nWords)
+      .withColumn("alpha_ok", nAlpha * 5L >= nWords * 4L)
+      .withColumn("stop_ok", nStop >= 2L)
+      .withColumn("keep", col("wc_ok") && col("mwl_ok") && col("sym_ok") &&
+        col("alpha_ok") && col("stop_ok"))
+  }
+
   /**
    * Polynomial rolling hash over the document's characters (Karp-Rabin,
    * base 31, natural 64-bit wraparound) — an order-sensitive content

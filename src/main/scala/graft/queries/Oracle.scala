@@ -1033,6 +1033,35 @@ object Oracle {
         |FROM tb JOIN tabl USING (b) GROUP BY tb.doc_id
         |ORDER BY tb.doc_id""".stripMargin,
 
+    // Gopher rule battery: every rule mirrored as the SAME integer
+    // cross-multiplication (never a ratio), '...' counted by the same
+    // non-overlapping replace arithmetic, integer-exact end to end
+    "t21_gopher_rules" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |    + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+        |    AS n_symbols,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+        |    AS n_stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_word_chars, n_symbols, n_alpha_words, n_stop_hits,
+        |  n_words >= 30 AND n_words <= 100000 AS wc_ok,
+        |  n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10 AS mwl_ok,
+        |  n_symbols * 10 < n_words AS sym_ok,
+        |  n_alpha_words * 5 >= n_words * 4 AS alpha_ok,
+        |  n_stop_hits >= 2 AS stop_ok,
+        |  (n_words >= 30 AND n_words <= 100000)
+        |    AND (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10)
+        |    AND (n_symbols * 10 < n_words)
+        |    AND (n_alpha_words * 5 >= n_words * 4)
+        |    AND (n_stop_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // Hashed-linear-classifier mirror: identical md5-derived integer
     // micro-weights (bucket then 'qw<bucket>' weight hash), integer sum
     // per doc, keep = sum > 0 * n as 0/1 — no FP anywhere.

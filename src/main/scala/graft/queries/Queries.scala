@@ -995,6 +995,18 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** T21: the Gopher quality-rule battery ([[TextOps.gopherRules]]) —
+    * per-rule boolean attribution + conjunctive keep, every ratio an
+    * integer cross-multiplication so the hash compare never rides FP.
+    * Map-only scan; the oracle mirrors each rule expression exactly. */
+  val t21GopherRules: Q = (s, dir) =>
+    TextOps.gopherRules(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("n_words"), col("n_word_chars"),
+        col("n_symbols"), col("n_alpha_words"), col("n_stop_hits"),
+        col("wc_ok"), col("mwl_ok"), col("sym_ok"), col("alpha_ok"),
+        col("stop_ok"), col("keep"))
+      .orderBy("doc_id")
+
   /** V13: product-quantization ANN ([[Similarity.annPq]]) — the third
     * scale path: the shortlist scan reads 8 offset-codes per corpus
     * vector instead of 64 floats (32x scan compression), ADC scoring is
@@ -2114,6 +2126,7 @@ object Queries {
     "t18_bm25" -> t18Bm25,
     "t19_dsir_weights" -> t19DsirWeights,
     "t20_quality_classifier" -> t20QualityClassifier,
+    "t21_gopher_rules" -> t21GopherRules,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,

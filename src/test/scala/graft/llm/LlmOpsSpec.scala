@@ -608,6 +608,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> "en", 2L -> "de", 3L -> "de"))
   }
 
+  test("gopher rules attribute rejections to the right rule, integer-exact") {
+    val good = "the quick brown fox and the lazy dog have fun with all of " +
+      (1 to 24).map(i => s"word$i").mkString(" ") // 36 words, all alpha, 2+ stops
+    val df = docsDf(Seq(
+      1L -> good,                                    // passes everything
+      2L -> "the of and with short",                 // wc_ok fails (5 words)
+      3L -> good.replace("word1", "### ### ### ###"), // symbol ratio fails
+      4L -> good.replace("fox", "supercalifragilisticexpialidocious" * 12),
+      5L -> ((1 to 36).map(i => s"w$i").mkString(" ")))) // no stop hits
+    val got = TextOps.gopherRules(df)
+      .select("doc_id", "wc_ok", "mwl_ok", "sym_ok", "alpha_ok", "stop_ok", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(got(1L) === ((true, true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._6, "doc 2 must fail on word count")
+    assert(!got(3L)._3 && !got(3L)._6, "doc 3 must fail on symbol ratio")
+    assert(!got(4L)._2 && !got(4L)._6, "doc 4 must fail on mean word length")
+    assert(!got(5L)._5 && !got(5L)._6, "doc 5 must fail on stopword presence")
+    // the battery is map-only: no exchange anywhere in the plan
+    val p = TextOps.gopherRules(df).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"gopher battery must not shuffle:\n$p")
+  }
+
   test("native word_count/stopword_count match the split/filter HOF forms exactly") {
     val stop = TextOps.StopEn
     val hofWc = size(TextOps.words(col("text")))
