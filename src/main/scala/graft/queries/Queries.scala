@@ -61,6 +61,25 @@ object Queries {
   def eventsTs(s: SparkSession, dir: String): DataFrame =
     events(s, dir).withColumn("ts", timestamp_micros(col("__tsu"))).drop("__tsu")
 
+  /** Schema-ADAPTIVE embeddings scan — the same insurance [[events]]
+    * gives ts, applied to the vector column the whole v-family and
+    * every native Float kernel (vec_dot/vec_norm/vec_sum) binds to: if
+    * a testdata regeneration widens `embedding` to array<double>, cast
+    * back to the canonical array<float> instead of dying at analysis
+    * (or worse, silently planning the non-codegen path). Identity when
+    * the physical type is already float — no cast node in the plan. */
+  def embeddings(s: SparkSession, dir: String): DataFrame = {
+    val df = tbl(s, dir, "embeddings")
+    df.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => df
+      case org.apache.spark.sql.types.ArrayType(_, _) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding: unsupported physical type $other")
+    }
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   // ===== sources / projections / scalar transforms ==========================
@@ -616,7 +635,7 @@ object Queries {
     * pairs / 201 dup docs at sf0.01). The scale path swaps the exact pair
     * kernel for LSH candidates via [[Dedup.embeddingNearDupFrom]]. */
   val d06EmbeddingNeardup: Q = (s, dir) =>
-    Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), tau = 0.35)
+    Dedup.embeddingNearDup(embeddings(s, dir), tau = 0.35)
       .orderBy("doc_id")
 
   /** D16: SemDeDup — semantic dedup with cluster-bounded pairwise search
@@ -629,7 +648,7 @@ object Queries {
     * equality, and LlmOpsSpec pins the pair-pruning contract against the
     * exact grid. */
   val d16SemanticDedup: Q = (s, dir) =>
-    Dedup.semanticDedup(tbl(s, dir, "embeddings"), tau = 0.35)
+    Dedup.semanticDedup(embeddings(s, dir), tau = 0.35)
       .orderBy("vec_id")
 
   /** D7: transitive near-dup clusters — connected components over the d03
@@ -755,7 +774,7 @@ object Queries {
   /** Brute-force exact top-k for a bounded query set: broadcast queries +
     * one corpus scan — the correct *exact* plan at any corpus size. */
   val v01KnnBrute: Q = (s, dir) => {
-    val emb = tbl(s, dir, "embeddings")
+    val emb = embeddings(s, dir)
     Similarity.knnBrute(emb, emb.filter(col("vec_id") < 32), k = 5)
       .orderBy("query_id", "rnk")
   }
@@ -766,14 +785,14 @@ object Queries {
     * in LlmOpsSpec), no driver collect, no corpus broadcast — shuffle is
     * n x numBlocks embedding copies and each task holds two blocks. */
   val v02CosinePairs: Q = (s, dir) =>
-    Similarity.cosinePairsGrid(tbl(s, dir, "embeddings"), minCos = 0.3)
+    Similarity.cosinePairsGrid(embeddings(s, dir), minCos = 0.3)
       .orderBy("id_a", "id_b")
 
   /** ANN via multi-table random-hyperplane LSH — bucketed equi-join
     * candidates, exact rerank; the 100 TB path (rows-only check; recall is
     * asserted against brute force in ScalaTest). */
   val v03AnnLsh: Q = (s, dir) => {
-    val emb = tbl(s, dir, "embeddings")
+    val emb = embeddings(s, dir)
     Similarity.annLsh(emb, emb.filter(col("vec_id") < 32), k = 5)
       .orderBy("query_id", "rnk")
   }
@@ -781,7 +800,7 @@ object Queries {
   /** Embedding norms / dimensionality audit (native codegen'd vec_norm). */
   val v04Norms: Q = (s, dir) => {
     graft.functions.VectorExpressions.register(s)
-    tbl(s, dir, "embeddings")
+    embeddings(s, dir)
       .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
         round(expr("vec_norm(embedding)"), 6).as("norm_r"))
       .orderBy("vec_id")
@@ -990,7 +1009,7 @@ object Queries {
   /** ANN via IVF coarse quantization — the second scale path (rows-only;
     * recall asserted vs brute force in ScalaTest). */
   val v05AnnIvf: Q = (s, dir) => {
-    val emb = tbl(s, dir, "embeddings")
+    val emb = embeddings(s, dir)
     Similarity.annIvf(emb, emb.filter(col("vec_id") < 32), k = 5)
       .orderBy("query_id", "rnk")
   }
@@ -1014,7 +1033,7 @@ object Queries {
     * order. Rows-only (approximate semantics); VerifyExtras asserts a
     * recall@5 floor vs brute force, like v03/v05. */
   val v13PqAnn: Q = (s, dir) => {
-    val emb = tbl(s, dir, "embeddings")
+    val emb = embeddings(s, dir)
     Similarity.annPq(emb, emb.filter(col("vec_id") < 32), k = 5)
       .orderBy("query_id", "rnk")
   }
@@ -1023,7 +1042,7 @@ object Queries {
     * storage-compression op of an embedding pipeline. Output is the audit
     * view: per-vector scale + quantized checksum. */
   val v06Quantize: Q = (s, dir) =>
-    tbl(s, dir, "embeddings")
+    embeddings(s, dir)
       // floor the scale at the min subnormal: an all-zero vector must
       // quantize to zeros, not divide 0/0 into a NaN that ANSI cast rejects
       .withColumn("scale",
@@ -1171,7 +1190,7 @@ object Queries {
     * components through a deterministic md5-seeded ±1 matrix. Map-only,
     * no shuffle; the oracle recomputes the identical sign rule in SQL. */
   val v07RandomProjection: Q = (s, dir) =>
-    Similarity.randomProjection(tbl(s, dir, "embeddings"), dims = 64, outDims = 4)
+    Similarity.randomProjection(embeddings(s, dir), dims = 64, outDims = 4)
       .orderBy("vec_id")
 
   /** V8: binary-quantized Hamming top-k ([[Similarity.hammingAnn]]) —
@@ -1180,7 +1199,7 @@ object Queries {
     * asc); the oracle recomputes hamming as the sign-disagreement count
     * over the unpacked floats — packing must be semantics-free. */
   val v08HammingAnn: Q = (s, dir) => {
-    val emb = tbl(s, dir, "embeddings")
+    val emb = embeddings(s, dir)
     Similarity.hammingAnn(emb, emb.filter(col("vec_id") < 32), k = 5)
       .orderBy("query_id", "rnk")
   }
@@ -1199,7 +1218,7 @@ object Queries {
     * the binary path is a COARSE pre-filter needing an exact rerank
     * stage (which is how v08's production use composes). */
   val v09AnnRecallAudit: Q = (s, dir) => {
-    val emb = tbl(s, dir, "embeddings")
+    val emb = embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 32)
     val exact = Similarity.knnBrute(emb, queries, k = 5)
       .select(col("query_id"), col("neighbor_id"))
@@ -1220,7 +1239,7 @@ object Queries {
     * float), exact cosine rerank of candidates only. Both stages are
     * deterministic, so the oracle mirrors them exactly. */
   val v10HammingRerank: Q = (s, dir) => {
-    val emb = tbl(s, dir, "embeddings")
+    val emb = embeddings(s, dir)
     Similarity.hammingRerank(emb, emb.filter(col("vec_id") < 32), k = 5)
       .orderBy("query_id", "rnk")
   }
@@ -1235,7 +1254,7 @@ object Queries {
     * result. The timed cost deliberately INCLUDES the index build — this
     * query is the deployment round-trip, not the steady-state probe. */
   val v11IndexedAnn: Q = (s, dir) => {
-    val emb = tbl(s, dir, "embeddings")
+    val emb = embeddings(s, dir)
     Similarity.buildSignIndex(emb, "graft_v11_sign_idx", buckets = 8,
       path = Some(java.nio.file.Files.createTempDirectory("graft_sign_idx").toString))
     Similarity.hammingRerankIndexed(s, "graft_v11_sign_idx",
@@ -1256,7 +1275,7 @@ object Queries {
     * same floor. As with v11, the timed cost INCLUDES the index build:
     * the query is the deployment round-trip. */
   val v12IndexedIvf: Q = (s, dir) => {
-    val emb = tbl(s, dir, "embeddings")
+    val emb = embeddings(s, dir)
     Similarity.buildIvfIndex(emb, "graft_v12_ivf_idx", buckets = 8,
       path = Some(java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString))
     Similarity.annIvfIndexed(s, "graft_v12_ivf_idx",
@@ -1271,7 +1290,7 @@ object Queries {
     * Deterministic codebooks make this row-identical to v13's inline
     * path — the storage split is invisible. */
   val v14IndexedPq: Q = (s, dir) => {
-    val emb = tbl(s, dir, "embeddings")
+    val emb = embeddings(s, dir)
     Similarity.buildPqIndex(emb, "graft_v14_pq_idx", buckets = 8,
       path = Some(java.nio.file.Files.createTempDirectory("graft_pq_idx").toString))
     Similarity.annPqIndexed(s, "graft_v14_pq_idx",
@@ -1553,7 +1572,7 @@ object Queries {
     * (element sum + norm, rounded: cross-partition accumulation order
     * differs between engines in the last ulps). */
   val x06LabelCentroids: Q = (s, dir) =>
-    tbl(s, dir, "embeddings")
+    embeddings(s, dir)
       .groupBy(col("label").cast("long").as("label"))
       .agg(count(lit(1)).as("n_vecs"),
         graft.functions.VectorAggregates.vecSum(col("embedding")).as("__sum"))

@@ -100,6 +100,39 @@ class SourceRobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddings() reads float and double physical vectors identically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = Seq((0L, Seq(1.5f, -2.25f, 0.0f), 1),
+      (1L, Seq(0.5f, 3.75f, -1.0f), 2))
+
+    def writeFixture(asDouble: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft_emb_${if (asDouble) "d" else "f"}").toString
+      val base = vecs.toDF("vec_id", "embedding", "label")
+      val df = if (asDouble)
+        base.withColumn("embedding", col("embedding").cast("array<double>"))
+      else base
+      df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
+    val fromFloat = Queries.embeddings(spark, writeFixture(asDouble = false))
+    val fromDouble = Queries.embeddings(spark, writeFixture(asDouble = true))
+    // both normalize to the canonical array<float> the native kernels bind to
+    import org.apache.spark.sql.types._
+    for (df <- Seq(fromFloat, fromDouble))
+      assert(df.schema("embedding").dataType == ArrayType(FloatType, containsNull = true)
+        || df.schema("embedding").dataType == ArrayType(FloatType, containsNull = false),
+        s"not normalized to array<float>: ${df.schema("embedding").dataType}")
+    val a = fromFloat.orderBy("vec_id").select("embedding")
+      .as[Seq[Float]].collect().toSeq
+    val b = fromDouble.orderBy("vec_id").select("embedding")
+      .as[Seq[Float]].collect().toSeq
+    assert(a == b && a == vecs.map(_._2),
+      s"float/double physical reads diverged: $a vs $b")
+  }
+
   test("a truncated part file fails the scan by default, is skipped on opt-in") {
     val (dir, total) = corpusDir()
     // explicit schema throughout: truncation destroys the FOOTER, so
