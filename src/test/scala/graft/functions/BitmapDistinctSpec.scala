@@ -68,6 +68,29 @@ class BitmapDistinctSpec extends AnyFunSuite {
     assert(got == Map("g0" -> 601L, "g1" -> 601L, "g2" -> 601L))
   }
 
+  test("sort-based fallback path (many groups per partition) stays exact") {
+    // ObjectHashAggregate abandons its hash map past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold distinct
+    // groups per partition and switches to sort-based aggregation — a
+    // DIFFERENT buffer serialize/merge path. At 100 TB group counts the
+    // fallback is the normal path, so it must be bit-exact too.
+    val s = spark
+    import s.implicits._
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4")
+    try {
+      val df = (0 until 20000).map(i => (s"g${i % 97}", (i % 701).toLong))
+        .toDF("g", "id").repartition(5)
+      val got = df.groupBy("g")
+        .agg(VectorAggregates.bitmapDistinct(col("id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = df.groupBy("g").agg(countDistinct(col("id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"fallback path diverged: got=$got")
+      assert(got.size == 97 && got.values.forall(_ > 0))
+    } finally
+      spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+  }
+
   test("nulls ignored; empty group is 0") {
     val s = spark
     import s.implicits._
