@@ -828,6 +828,21 @@ object Oracle {
         |FROM iv JOIN events p ON p.ts >= iv.s AND p.ts <= iv.e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the overlap join's oracle is the quadratic two-inequality form the
+    // binned plan replaces; timestamps cross as epoch micros
+    "x21_interval_overlap" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_start,
+        |             epoch_us(ts) + 1800000000 AS c_end
+        |           FROM events WHERE user_id < 15 AND event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_start,
+        |        epoch_us(ts) + 1800000000 AS v_end
+        |      FROM events WHERE user_id < 15 AND event_type = 'view')
+        |SELECT c.user_id, c.click_id, v.view_id,
+        |       least(c.c_end, v.v_end) - greatest(c.c_start, v.v_start) AS overlap_us
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND c.c_start <= v.v_end AND v.v_start <= c.c_end
+        |ORDER BY c.user_id, c.click_id, v.view_id""".stripMargin,
+
     // per-dim sums via unnest + generate_subscripts mirror the vec_sum
     // aggregate; round(6) absorbs cross-engine accumulation-order ulps
     "x06_label_centroids" ->

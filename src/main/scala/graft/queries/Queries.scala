@@ -1565,6 +1565,32 @@ object Queries {
       .orderBy("interval_id")
   }
 
+  /** X21: interval-OVERLAP join ([[graft.relational.RangeJoin
+    * .intervalOverlapJoin]]) — same-user click/view windows that
+    * intersect, with the exact overlap length in micros. The bin-
+    * ownership trick (pair kept only where its intersection starts)
+    * makes the pair set exactly-once with NO dedup exchange; the oracle
+    * is the plain two-inequality join DuckDB can afford at sf scale.
+    * Integer-exact end to end (epoch micros). */
+  val x21IntervalOverlap: Q = (s, dir) => {
+    val halfHourUs = 30L * 60 * 1000 * 1000
+    val ev = events(s, dir).filter(col("user_id") < 15)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("__tsu").as("c_start"), (col("__tsu") + halfHourUs).as("c_end"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("__tsu").as("v_start"), (col("__tsu") + halfHourUs).as("v_end"))
+    graft.relational.RangeJoin.intervalOverlapJoin(
+        clicks, views, keys = Seq("user_id"),
+        startL = "c_start", endL = "c_end",
+        startR = "v_start", endR = "v_end", binWidth = halfHourUs)
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (least(col("c_end"), col("v_end")) -
+          greatest(col("c_start"), col("v_start"))).as("overlap_us"))
+      .orderBy("user_id", "click_id", "view_id")
+  }
+
   /** Per-label embedding centroids via the native vec_sum
     * TypedImperativeAggregate ([[graft.functions.VecSum]]): ONE buffer row
     * per label with map-side partial merge — the posexplode alternative
@@ -2197,6 +2223,7 @@ object Queries {
     "st07_stream_ingest" -> st07StreamIngest,
     "st08_session_window" -> st08SessionWindow,
     "st10_session_topk" -> st10SessionTopk,
-    "st11_window_distinct" -> st11WindowDistinct
+    "st11_window_distinct" -> st11WindowDistinct,
+    "x21_interval_overlap" -> x21IntervalOverlap
   )
 }

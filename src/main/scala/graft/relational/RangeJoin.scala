@@ -41,4 +41,44 @@ object RangeJoin {
       .filter(col(time) >= col(start) && col(time) <= col(end))
       .drop("__bin")
   }
+
+  /**
+   * Interval-OVERLAP join — pairs (a, b) with `a.start <= b.end AND
+   * b.start <= a.end` (inclusive bounds): the session-overlap /
+   * validity-intersection sibling of [[rangeJoin]]'s point-in-interval.
+   * A bare two-inequality predicate is a cartesian at scale; here both
+   * sides explode to their covered bins and equi-join on
+   * (`keys`..., bin). Unlike the point case, an overlapping pair can
+   * share MANY bins — the dedup that would normally need its own
+   * pair-keyed exchange is eliminated by BIN OWNERSHIP instead: every
+   * overlapping pair's intersection starts at `greatest(a.start,
+   * b.start)`, which lies in exactly one bin, and the post-join filter
+   * keeps the pair only in that bin. Exactly-once by construction, no
+   * distinct, no second shuffle.
+   *
+   * Cost: each side explodes to span/w + 1 rows; one shuffle of both
+   * sides on (keys, bin). Same binWidth guidance as [[rangeJoin]];
+   * `keys` (e.g. the user id of per-user sessions) both shrinks bins
+   * and makes the join key selective.
+   *
+   * Column names must be disjoint across the two frames apart from
+   * `keys`.
+   */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          keys: Seq[String],
+                          startL: String, endL: String,
+                          startR: String, endR: String,
+                          binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val l = left.withColumn("__bin",
+      explode(sequence(expr(s"$startL div $binWidth"), expr(s"$endL div $binWidth"))))
+    val r = right.withColumn("__bin",
+      explode(sequence(expr(s"$startR div $binWidth"), expr(s"$endR div $binWidth"))))
+    l.join(r, keys :+ "__bin")
+      .filter(col(startL) <= col(endR) && col(startR) <= col(endL))
+      // ownership: keep the pair only in the bin where its intersection
+      // starts — greatest(startL, startR) div binWidth
+      .filter(col("__bin") === expr(s"greatest($startL, $startR) div $binWidth"))
+      .drop("__bin")
+  }
 }

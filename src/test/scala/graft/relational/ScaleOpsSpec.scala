@@ -387,6 +387,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(gotNeg === expectNeg)
   }
 
+  test("intervalOverlapJoin: exactly-once pairs == the naive inequality join, equi-plan") {
+    val s = spark
+    import s.implicits._
+    // boundary-heavy: touching endpoints (inclusive => overlap), nested,
+    // disjoint, multi-bin spans, different keys never pair
+    val a = Seq((1L, "u", 100L, 300L), (2L, "u", 250L, 260L), (3L, "u", 500L, 600L),
+      (4L, "w", 100L, 300L))
+      .toDF("a_id", "k", "a_start", "a_end")
+    val b = Seq((10L, "u", 300L, 400L),  // touches a1 at 300 exactly
+      (11L, "u", 0L, 1000L),             // spans everything (many shared bins)
+      (12L, "u", 601L, 700L),            // just past a3
+      (13L, "v", 100L, 300L))            // other key
+      .toDF("b_id", "k", "b_start", "b_end")
+    val got = RangeJoin.intervalOverlapJoin(a, b, Seq("k"),
+        "a_start", "a_end", "b_start", "b_end", binWidth = 100L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once: no pair may surface twice even when many bins are shared
+    assert(got.length === got.toSet.size, s"duplicate pairs: ${got.toSeq.sorted}")
+    val naive = a.collect().flatMap { ra =>
+      b.collect().filter(rb => ra.getString(1) == rb.getString(1) &&
+          ra.getLong(2) <= rb.getLong(3) && rb.getLong(2) <= ra.getLong(3))
+        .map(rb => (ra.getLong(0), rb.getLong(0)))
+    }.toSet
+    assert(got.toSet === naive)
+    assert(naive === Set((1L, 10L), (1L, 11L), (2L, 11L), (3L, 11L)))
+
+    val q = RangeJoin.intervalOverlapJoin(a, b, Seq("k"),
+      "a_start", "a_end", "b_start", "b_end", 100L)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"overlap join fell back to a non-equi plan:\n$p")
+  }
+
   test("zValue: Morton interleave goldens, clamping, and two-dimensional locality") {
     val s = spark
     import s.implicits._
