@@ -706,10 +706,13 @@ object Similarity {
   // ---- persisted IVF index (train once / add incrementally / probe) --------
 
   /** The quantized corpus frame shared by build and append: every vector
-    * labeled with its nearest-centroid list id `cl`. */
+    * labeled with its nearest-centroid list id `cl`. ALL corpus columns
+    * ride into the index (not just vec_id + embedding) so filtered
+    * serving ([[annIvfIndexed]]'s `predicate`) can constrain the scan on
+    * any metadata the corpus carried at build time. */
   private[llm] def ivfAssigned(emb: DataFrame, cents: Array[Array[Float]]): DataFrame =
-    emb.select(assignUdf(unitRows(cents))(col("embedding")).as("cl"),
-      col("vec_id"), col("embedding"))
+    emb.select(assignUdf(unitRows(cents))(col("embedding")).as("cl") +:
+      emb.columns.map(col).toIndexedSeq: _*)
 
   /**
    * Index-build half of an IVF-ANN deployment — the classic `train`/`add`
@@ -789,11 +792,25 @@ object Similarity {
    * nprobe / c rows touched, and the only exchange in the plan is the
    * final top-k heap aggregation on query_id.
    */
+  /**
+   * `predicate` enables FILTERED ANN — the production shape where search
+   * is constrained to a metadata slice (lang = 'en', source = trusted,
+   * license-clean) — as a PRE-filter: it lands on the index scan itself
+   * (pushed into the bucketed read, before any scoring), so the
+   * probe-list scan shrinks WITH the predicate's selectivity. A
+   * post-filter on the top-k would instead silently return fewer than k
+   * (the classic filtered-ANN bug); pre-filtering keeps k semantics
+   * exact over the qualifying subset. Columns the predicate references
+   * must be part of the index row (store them at buildIvfIndex time by
+   * keeping them on the corpus frame).
+   */
   def annIvfIndexed(spark: SparkSession, table: String, queries: DataFrame,
-                    k: Int, nprobe: Int = 12): DataFrame = {
+                    k: Int, nprobe: Int = 12,
+                    predicate: Option[Column] = None): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val units = unitRows(readIvfCentroids(spark, table))
-    val idx = graft.relational.Bucketing.read(spark, table)
+    val idx0 = graft.relational.Bucketing.read(spark, table)
+    val idx = predicate.fold(idx0)(idx0.filter)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       explode(probeUdf(units, nprobe)(col("embedding"))).as("cl")))

@@ -590,6 +590,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(n <= 1, s"corpus side shuffled ($n exchanges):\n$p")
   }
 
+  test("filtered ANN: predicate pre-filters the index scan, k semantics exact over the slice") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    graft.llm.Similarity.buildIvfIndex(emb, "emb_ivf_filt", buckets = 4)
+    val cents = graft.llm.Similarity.readIvfCentroids(spark, "emb_ivf_filt")
+    val pred = col("label") % 2 === 0
+
+    val filtered = graft.llm.Similarity.annIvfIndexed(
+      spark, "emb_ivf_filt", queries, k = 5, predicate = Some(pred))
+    // ground truth: an index built from ONLY the qualifying slice, with
+    // the SAME frozen quantizer — pre-filter at serve time must equal it
+    graft.llm.Similarity.buildIvfIndex(emb.filter(pred), "emb_ivf_slice",
+      buckets = 4, centroids = Some(cents))
+    val viaSlice = graft.llm.Similarity.annIvfIndexed(
+      spark, "emb_ivf_slice", queries, k = 5)
+    assert(filtered.collect().map(_.toString).sorted ===
+      viaSlice.collect().map(_.toString).sorted,
+      "serve-time pre-filter must equal an index built from the slice")
+    // every returned neighbor satisfies the predicate (no post-filter
+    // leakage), and results are non-trivial
+    val idx = graft.relational.Bucketing.read(spark, "emb_ivf_filt")
+    val bad = filtered.join(idx.filter(!pred).select(col("vec_id")
+      .as("neighbor_id")), Seq("neighbor_id"), "left_semi")
+    assert(filtered.count() > 0 && bad.count() === 0)
+  }
+
   test("IVF index append: frozen-quantizer growth == rebuild, write is batch-sized") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val b1 = emb.filter(col("vec_id") % 2 === 0)
