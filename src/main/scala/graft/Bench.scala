@@ -122,8 +122,11 @@ object Bench {
     // Durable copy: r8's committed artifact lost the front half of the
     // JSON line to the consumer's terminal-capture truncation, making the
     // per-query numbers unreproducible. The file is the artifact of
-    // record; stdout stays the driver contract.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // record; stdout stays the driver contract. A SPARK_GRAFT_ONLY subset
+    // run writes a SEPARATE file so a local iteration loop can never
+    // clobber the full-suite artifact with a 2-query line.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
