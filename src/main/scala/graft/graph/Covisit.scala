@@ -1,0 +1,90 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Co-visitation similarity graph + triangle counting — the two-step
+ * graph-structure signal of corpus curation: first project a bipartite
+ * incidence (user x page, crawl x domain, doc x shingle...) onto a
+ * similarity graph over one side, then read local clustering structure
+ * (triangle participation) off it. Dense triangle neighborhoods are the
+ * classic link-farm / mirror-cluster detector; the same two ops are the
+ * backbone of item-item collaborative filtering.
+ *
+ * Scale shape, pair generation ([[jaccardEdges]]): candidate pairs are
+ * generated KEYED ON THE SHARED ENTITY (one equi self-join on `u`), so
+ * cost is sum over users of C(fanout, 2) — bounded by real-world per-user
+ * activity, never |pages|^2 (the DIMSUM/item-item-CF discipline). The
+ * per-page set sizes ride in as a broadcast aggregate (one row per page —
+ * the small side by construction), and the Jaccard threshold is evaluated
+ * as an INTEGER cross-multiplication (`den * inter >= num * union`): no
+ * float enters the edge decision, so engines and reruns agree exactly.
+ *
+ * Scale shape, triangles ([[triangleCounts]]): edges are ORIENTED from
+ * the lower (degree, id) endpoint to the higher — the classic
+ * arboricity-bounded enumeration (Chiba–Nishizeki; Suri & Vassilvitskii's
+ * MR formulation): every triangle then has exactly ONE node with two
+ * out-edges, so wedges (two out-edges of one node, deduped by id order)
+ * enumerate each triangle once, and max out-degree is O(sqrt(|E|))
+ * regardless of raw hub degrees — a hub's edges all point IN (its
+ * neighbors have lower degree), so the hub that would explode the naive
+ * wedge join generates no wedges at all; the quadratic hot key vanishes
+ * by construction instead of needing a salt.
+ * Both the wedge join and the closure check are equi-joins (on the
+ * 8-byte src id and the canonical (a, b) pair); nothing in either op is
+ * a cartesian or a window sort.
+ */
+object Covisit {
+
+  /**
+   * Project a distinct bipartite incidence `(u, p)` onto the `p` side:
+   * edges `(p1, p2, inter, uni)` with `p1 < p2` for every pair whose
+   * exact Jaccard overlap `inter / uni >= tauNum / tauDen`.
+   */
+  def jaccardEdges(incidence: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
+    require(tauNum >= 0 && tauDen > 0, "threshold must be a non-negative rational")
+    val up = incidence.select(col("u"), col("p").cast("long").as("p")).distinct()
+    val l = up.select(col("u"), col("p").as("p1"))
+    val r = up.select(col("u"), col("p").as("p2"))
+    val pairs = l.join(r, Seq("u"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("inter"))
+    val sizes = up.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    pairs
+      .join(broadcast(sizes.select(col("p").as("p1"), col("c").as("c1"))), Seq("p1"))
+      .join(broadcast(sizes.select(col("p").as("p2"), col("c").as("c2"))), Seq("p2"))
+      .withColumn("uni", col("c1") + col("c2") - col("inter"))
+      .filter(lit(tauDen) * col("inter") >= lit(tauNum) * col("uni"))
+      .select("p1", "p2", "inter", "uni")
+  }
+
+  /**
+   * Per-node triangle participation counts over a canonical undirected
+   * edge list `(p1, p2)` with `p1 < p2`. Output: `(node, tri_cnt)` for
+   * every node in at least one triangle; each triangle contributes 1 to
+   * each of its three corners.
+   */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("p1").cast("long").as("a"), col("p2").cast("long").as("b"))
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient lower (degree, id) -> higher; a < b canonically, so the
+    // id tie-break folds into "<=" on the degrees
+    val oriented = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
+    // wedges: two out-edges of one src, deduped by id order on the tips;
+    // the closure check joins the canonical edge list (x < y matches a < b)
+    val wedges = oriented.select(col("src"), col("dst").as("x"))
+      .join(oriented.select(col("src"), col("dst").as("y")), Seq("src"))
+      .filter(col("x") < col("y"))
+    val tris = wedges.join(e.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+      .select(col("src").as("n1"), col("x").as("n2"), col("y").as("n3"))
+    tris.select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+  }
+}

@@ -843,6 +843,43 @@ object Oracle {
         |  AND c.c_start <= v.v_end AND v.v_start <= c.c_end
         |ORDER BY c.user_id, c.click_id, v.view_id""".stripMargin,
 
+    // same incidence -> exact Jaccard edge rule as the engine, with the
+    // threshold as the identical integer cross-multiplication
+    "x22_covisit_sim" ->
+      """WITH up AS (SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS p
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |pc AS (SELECT p, count(*) AS c FROM up GROUP BY p),
+        |pr AS (SELECT a.p AS p1, b.p AS p2, count(*) AS inter
+        |       FROM up a JOIN up b ON a.u = b.u AND a.p < b.p GROUP BY 1, 2)
+        |SELECT p1, p2, inter, c1.c + c2.c - inter AS uni
+        |FROM pr JOIN pc c1 ON c1.p = pr.p1 JOIN pc c2 ON c2.p = pr.p2
+        |WHERE 50 * inter >= 17 * (c1.c + c2.c - inter)
+        |ORDER BY p1, p2""".stripMargin,
+
+    // naive ordered-chain triangle enumeration (p1 < p2 < p3) over the
+    // same thresholded edge set: each triangle appears once, so per-node
+    // participation counts match the engine's degree-oriented form —
+    // orientation only changes HOW triangles are found, never which
+    "x23_triangle_count" ->
+      """WITH up AS (SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS p
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |pc AS (SELECT p, count(*) AS c FROM up GROUP BY p),
+        |pr AS (SELECT a.p AS p1, b.p AS p2, count(*) AS inter
+        |       FROM up a JOIN up b ON a.u = b.u AND a.p < b.p GROUP BY 1, 2),
+        |e AS (SELECT p1, p2
+        |      FROM pr JOIN pc c1 ON c1.p = pr.p1 JOIN pc c2 ON c2.p = pr.p2
+        |      WHERE 50 * inter >= 17 * (c1.c + c2.c - inter)),
+        |tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |        FROM e e1 JOIN e e2 ON e2.p1 = e1.p2
+        |        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+        |SELECT node, count(*) AS tri_cnt FROM (
+        |  SELECT a AS node FROM tri UNION ALL
+        |  SELECT b FROM tri UNION ALL
+        |  SELECT c FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin,
+
     // per-dim sums via unnest + generate_subscripts mirror the vec_sum
     // aggregate; round(6) absorbs cross-engine accumulation-order ulps
     "x06_label_centroids" ->

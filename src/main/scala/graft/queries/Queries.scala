@@ -1591,6 +1591,36 @@ object Queries {
       .orderBy("user_id", "click_id", "view_id")
   }
 
+  /** The distinct (user, page) incidence behind x22/x23 — the same
+    * props.k page derivation as [[eventsBipartiteEdges]], kept as the
+    * two-column frame [[graft.graph.Covisit]] projects. */
+  private def covisitIncidence(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("p"))
+      .filter(col("p").isNotNull)
+
+  /** X22: co-visitation similarity graph — page pairs whose audience
+    * Jaccard is >= 17/50, decided by integer cross-multiplication (no
+    * float in the edge rule). Pair generation is keyed on the shared
+    * user, page-set sizes ride in broadcast: the item-item-CF shape, see
+    * [[graft.graph.Covisit.jaccardEdges]] for the 100 TB rationale. */
+  val x22CovisitSim: Q = (s, dir) =>
+    graft.graph.Covisit.jaccardEdges(covisitIncidence(s, dir), 17, 50)
+      .orderBy("p1", "p2")
+
+  /** X23: per-node triangle participation over the x22 similarity graph
+    * — the local-clustering signal (link-farm / mirror-cluster
+    * detection). Degree-ordered orientation bounds the wedge join by
+    * O(sqrt(E)) per node with hubs generating NO wedges; enumeration and
+    * closure are equi-joins, each triangle counted exactly once
+    * ([[graft.graph.Covisit.triangleCounts]]). Integer counts: engines
+    * agree bit-for-bit. */
+  val x23TriangleCount: Q = (s, dir) =>
+    graft.graph.Covisit.triangleCounts(
+        graft.graph.Covisit.jaccardEdges(covisitIncidence(s, dir), 17, 50))
+      .orderBy("node")
+
   /** Per-label embedding centroids via the native vec_sum
     * TypedImperativeAggregate ([[graft.functions.VecSum]]): ONE buffer row
     * per label with map-side partial merge — the posexplode alternative
@@ -2224,6 +2254,8 @@ object Queries {
     "st08_session_window" -> st08SessionWindow,
     "st10_session_topk" -> st10SessionTopk,
     "st11_window_distinct" -> st11WindowDistinct,
-    "x21_interval_overlap" -> x21IntervalOverlap
+    "x21_interval_overlap" -> x21IntervalOverlap,
+    "x22_covisit_sim" -> x22CovisitSim,
+    "x23_triangle_count" -> x23TriangleCount
   )
 }

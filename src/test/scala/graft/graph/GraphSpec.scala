@@ -184,4 +184,65 @@ class GraphSpec extends AnyFunSuite {
     assert(stats.getLong(1) == scale && stats.getLong(2) == scale,
       s"ring ranks must all stay at S=$scale, got [${stats.getLong(1)}, ${stats.getLong(2)}]")
   }
+
+  private def canonEdges(e: Seq[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    e.toDF("p1", "p2")
+  }
+
+  test("triangleCounts: hand golden — two sharing triangles, tail node absent") {
+    // {1,2,3} and {2,3,4} are triangles; 4-5 is a tail; 5 touches none
+    val e = canonEdges(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L))
+    val got = Covisit.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), s"golden mismatch: $got")
+  }
+
+  test("triangleCounts: K4 has four triangles with every node in three; a star has none") {
+    val k4 = canonEdges(for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield a -> b)
+    val got = Covisit.triangleCounts(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // hub with 6 spokes: oriented edges all point INTO the hub, so the
+    // wedge join generates nothing — the hub-safety property, observable
+    // as an empty result instead of a quadratic wedge set
+    val star = canonEdges((2L to 7L).map(sp => 1L -> sp))
+    assert(Covisit.triangleCounts(star).isEmpty)
+  }
+
+  test("jaccardEdges: integer threshold rule, exact inter/union bookkeeping") {
+    val s = spark
+    import s.implicits._
+    // p1 and p2 share all of {1,2,3} (J=1); p3={1,9} vs p1 J=1/4 < 17/50
+    val inc = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (1L, 2L), (2L, 2L), (3L, 2L),
+      (1L, 3L), (9L, 3L),
+      // duplicate incidence rows must not inflate the counts
+      (1L, 1L), (1L, 2L)).toDF("u", "p")
+    val got = Covisit.jaccardEdges(inc, 17, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 3L, 3L)), s"got ${got.toSeq}")
+    // lowering the threshold to 1/4 admits the weak pairs too (p3 vs
+    // p1 and the identical p3 vs p2 both sit exactly at 1/4)
+    val loose = Covisit.jaccardEdges(inc, 1, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $loose")
+  }
+
+  test("triangleCounts over jaccardEdges: the x22 -> x23 composition on a planted cluster") {
+    val s = spark
+    import s.implicits._
+    // pages 1,2,3 share audience {1..5} exactly (a mirror cluster);
+    // page 4's audience {6,7} overlaps nothing
+    val inc = (for (u <- 1L to 5L; p <- Seq(1L, 2L, 3L)) yield (u, p)) ++
+      Seq((6L, 4L), (7L, 4L))
+    val edges = Covisit.jaccardEdges(inc.toDF("u", "p"), 17, 50)
+    val tri = Covisit.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $tri")
+  }
 }
