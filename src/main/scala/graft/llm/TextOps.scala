@@ -645,4 +645,45 @@ object TextOps {
       }
       .toDF()
   }
+
+  /**
+   * CCNet-style per-language quality buckets (Wenzek et al. 2020): rank
+   * every scorable document by the [[bigramLm]] fluency score WITHIN its
+   * language and cut the ranking into `n` equal-count tiles —
+   * head/middle/tail at the default 3, the split CCNet trains on head+middle
+   * of. Language-relative tiling is the point: an absolute threshold would
+   * empty the bucket for low-resource languages whose n-gram statistics
+   * score systematically lower.
+   *
+   * Determinism: the tile is assigned over the ROUNDED score (the same
+   * round(6) the t12 hash-compare proves cross-engine-equal) with doc_id
+   * as total tie-break, so both engines sort the identical key and ntile
+   * splits identically. Docs with no bigram (< 2 words) are unscorable
+   * and absent — the caller's totalization choice, one outer join away.
+   *
+   * Scale: the per-language ntile is a per-language sort — languages
+   * distribute across tasks, but ONE language's ranking lands in one
+   * task (the exact form; CCNet itself sorts per-language shards). At
+   * corpus scale swap the exact tile for threshold assignment off a
+   * sampled quantile sketch (a16's percentile machinery) and the window
+   * disappears into a broadcast-joined map — kept exact here because the
+   * driver hash-compares the assignment.
+   */
+  def qualityBuckets(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, "need at least two buckets")
+    val labels = array((1 to n).map {
+      case 1           => lit("head")
+      case i if i == n => lit("tail")
+      case _           => lit("middle")
+    }: _*)
+    bigramLm(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("tile", ntile(n).over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("avg_logp_r").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lang"), col("avg_logp_r"),
+        col("tile").cast("long").as("tile"),
+        element_at(labels, col("tile")).as("bucket"))
+  }
 }

@@ -1085,6 +1085,30 @@ object Oracle {
         |FROM tb JOIN tabl USING (b) GROUP BY tb.doc_id
         |ORDER BY tb.doc_id""".stripMargin,
 
+    // CCNet terciles: the t12 score pipeline verbatim, then ntile(3) per
+    // language over the ROUNDED score + doc_id — the identical total
+    // order both engines sort, so the equal-count split lands identically
+    "t22_quality_buckets" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS wd FROM tok),
+        |c1 AS (SELECT wd, count(*) AS c1 FROM uni GROUP BY wd),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b2
+        |       FROM tok WHERE len(w) >= 2),
+        |c2 AS (SELECT b2, count(*) AS c2 FROM bg GROUP BY b2),
+        |sc AS (SELECT g.doc_id, ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS lp
+        |       FROM bg g JOIN c2 USING (b2) JOIN c1 ON g.w1 = c1.wd CROSS JOIN v),
+        |s AS (SELECT doc_id, round(avg(lp), 6) AS avg_logp_r FROM sc GROUP BY doc_id),
+        |b AS (SELECT s.doc_id, d.lang, s.avg_logp_r,
+        |        CAST(ntile(3) OVER (PARTITION BY d.lang
+        |          ORDER BY s.avg_logp_r DESC, s.doc_id) AS BIGINT) AS tile
+        |      FROM s JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, avg_logp_r, tile,
+        |  CASE tile WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     // Gopher rule battery: every rule mirrored as the SAME integer
     // cross-multiplication (never a ratio), '...' counted by the same
     // non-overlapping replace arithmetic, integer-exact end to end

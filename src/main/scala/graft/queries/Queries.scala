@@ -1026,6 +1026,16 @@ object Queries {
         col("stop_ok"), col("keep"))
       .orderBy("doc_id")
 
+  /** T22: CCNet per-language quality buckets
+    * ([[TextOps.qualityBuckets]]) — head/middle/tail terciles of the t12
+    * fluency score WITHIN each language (absolute thresholds would empty
+    * low-resource languages). Tile assigned over the rounded score +
+    * doc_id tie-break: the identical total order in both engines, so
+    * ntile splits identically. */
+  val t22QualityBuckets: Q = (s, dir) =>
+    TextOps.qualityBuckets(tbl(s, dir, "documents"))
+      .orderBy("doc_id")
+
   /** V13: product-quantization ANN ([[Similarity.annPq]]) — the third
     * scale path: the shortlist scan reads 8 offset-codes per corpus
     * vector instead of 64 floats (32x scan compression), ADC scoring is
@@ -2202,6 +2212,7 @@ object Queries {
     "t19_dsir_weights" -> t19DsirWeights,
     "t20_quality_classifier" -> t20QualityClassifier,
     "t21_gopher_rules" -> t21GopherRules,
+    "t22_quality_buckets" -> t22QualityBuckets,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,

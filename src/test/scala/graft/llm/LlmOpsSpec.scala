@@ -1205,4 +1205,43 @@ class LlmOpsSpec extends AnyFunSuite {
     val again = Dedup.semanticDedup(emb, tau = 0.35).collect()
     assert(again.map(_.toString).sorted === out.map(_.toString).sorted)
   }
+
+  test("qualityBuckets: per-language equal-count terciles, fluent docs head, gibberish tail") {
+    val s = spark
+    import s.implicits._
+    // 6 'aa' docs: three repeat the same common phrase (high bigram
+    // probability), three are all-unique words (every bigram unseen
+    // elsewhere); 4 'bb' docs rank independently of 'aa'
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "aa"), (2L, "the cat sat on the mat", "aa"),
+      (3L, "the cat sat on the mat again", "aa"),
+      (4L, "qq ww ee rr tt yy", "aa"), (5L, "uu ii oo pp aa ss", "aa"),
+      (6L, "dd ff gg hh jj kk", "aa"),
+      (7L, "one two three four", "bb"), (8L, "one two three four", "bb"),
+      (9L, "five six seven eight", "bb"), (10L, "nine ten eleven twelve", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.qualityBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+    // every scorable doc appears exactly once
+    assert(out.map(_._1).sorted === (1L to 10L).toArray)
+    // equal-count tiles per language (sizes differ by at most 1)
+    for ((lang, grp) <- out.groupBy(_._2)) {
+      val sizes = grp.groupBy(_._4).view.mapValues(_.size).values
+      assert(sizes.max - sizes.min <= 1, s"$lang tile sizes $sizes")
+    }
+    // label mapping and order: heads outscore tails within the language
+    for ((_, grp) <- out.groupBy(_._2)) {
+      val byTile: Map[String, Seq[Double]] =
+        grp.groupBy(_._5).map { case (k, v) => k -> v.map(_._3).toSeq }
+      assert(grp.forall(r => (r._4 == 1L) == (r._5 == "head")))
+      assert(grp.forall(r => (r._4 == grp.map(_._4).max) == (r._5 == "tail")))
+      for (h <- byTile.getOrElse("head", Seq.empty);
+           t <- byTile.getOrElse("tail", Seq.empty))
+        assert(h >= t, s"head score $h below tail score $t")
+    }
+    // the planted fluent docs rank head, the gibberish tail, in 'aa'
+    val aa = out.filter(_._2 == "aa")
+    assert(aa.filter(_._5 == "head").map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)))
+    assert(aa.filter(_._5 == "tail").map(_._1).toSet.subsetOf(Set(4L, 5L, 6L)))
+  }
 }
