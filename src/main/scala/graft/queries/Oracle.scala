@@ -803,6 +803,22 @@ object Oracle {
         | AND v.ts BETWEEN c.ts - INTERVAL 60 MINUTE AND c.ts
         |ORDER BY click_id, view_id""".stripMargin,
 
+    // LEFT OUTER st04: the side filters move into CTEs so the outer
+    // join's null-padding applies to genuinely unmatched clicks only
+    "st12_outer_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts, value
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, ts, value
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, c.user_id,
+        |       epoch_us(c.ts) AS click_ts_us, c.value AS click_value,
+        |       v.view_id, epoch_us(v.ts) AS view_ts_us,
+        |       v.value AS view_value
+        |FROM c LEFT JOIN v
+        |  ON v.user_id = c.user_id
+        | AND v.ts BETWEEN c.ts - INTERVAL 60 MINUTE AND c.ts
+        |ORDER BY click_id, view_id""".stripMargin,
+
     "x04_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
         |               WHERE event_type = 'click'),

@@ -918,6 +918,20 @@ object Queries {
         col("view_value"))
       .orderBy("click_id", "view_id")
 
+  /** ST12: batch mirror of the LEFT OUTER stream-stream interval join
+    * ([[graft.streaming.EventStreams.clickViewJoinOuter]]) — st04's
+    * attribution-completeness sibling: every click emits, null-padded
+    * when no view preceded it in the lookback (streaming defers those
+    * rows until the watermark closes the window; the batch mirror shows
+    * them immediately — same rows either way, StreamingSpec proves it). */
+  val st12OuterJoin: Q = (s, dir) =>
+    graft.streaming.EventStreams.clickViewJoinOuter(eventsTs(s, dir))
+      .select(col("click_id"), col("user_id"),
+        expr("unix_micros(click_ts)").as("click_ts_us"), col("click_value"),
+        col("view_id"), expr("unix_micros(view_ts)").as("view_ts_us"),
+        col("view_value"))
+      .orderBy("click_id", "view_id")
+
   /** Batch mirror of the stream-static enrichment join
     * ([[graft.streaming.EventStreams.enrichedTumblingCounts]]): events
     * enriched against a RESTRICTED customer dim (c_custkey < 100) so the
@@ -2265,6 +2279,7 @@ object Queries {
     "st08_session_window" -> st08SessionWindow,
     "st10_session_topk" -> st10SessionTopk,
     "st11_window_distinct" -> st11WindowDistinct,
+    "st12_outer_join" -> st12OuterJoin,
     "x21_interval_overlap" -> x21IntervalOverlap,
     "x22_covisit_sim" -> x22CovisitSim,
     "x23_triangle_count" -> x23TriangleCount

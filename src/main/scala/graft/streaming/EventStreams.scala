@@ -413,4 +413,32 @@ object EventStreams {
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("click_value"), col("view_id"), col("view_ts"), col("view_value"))
   }
+
+  /** LEFT OUTER [[clickViewJoin]] — the attribution-completeness form:
+    * every click emits, null-padded when NO view preceded it in the
+    * lookback. Same watermarks + time-range condition, so streaming
+    * state stays bounded; the engine holds an unmatched click only
+    * until the watermark proves no matching view can still arrive, then
+    * emits it null-padded — exactly-once row semantics either way, just
+    * deferred by the watermark horizon on the unmatched path (the
+    * documented Structured Streaming outer-join contract). Batch and
+    * stream share this one code path (the st-family discipline). */
+  def clickViewJoinOuter(events: DataFrame, watermark: String = "2 hours",
+                         lookbackMinutes: Int = 60): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+        col("user_id") === col("view_user_id") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+          col("view_ts") <= col("click_ts"),
+        "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("click_value"), col("view_id"), col("view_ts"), col("view_value"))
+  }
 }

@@ -233,6 +233,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === Set((11L, 10L), (13L, 12L)))
   }
 
+  test("stream-stream LEFT OUTER join null-pads unmatched clicks once the watermark closes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(10, ts(5), 1, "view", 1.0),
+      Event(11, ts(20), 1, "click", 2.0),  // pairs with view 10
+      Event(12, ts(40), 2, "view", 3.0),
+      Event(13, ts(50), 2, "click", 4.0),  // pairs with view 12
+      Event(14, ts(200), 1, "click", 5.0)) // view 10 is 195 min old: unmatched
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val q = EventStreams.clickViewJoinOuter(stream.toDF(), lookbackMinutes = 60)
+      .writeStream.format("memory").queryName("ovjoin").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // far-future sentinels on BOTH sides: the global watermark is the
+      // min over the two withWatermark nodes, so each side needs its max
+      // event time advanced before unmatched rows may emit; the
+      // sentinels themselves stay out of the result (the view matches
+      // nothing, the click's own window never closes)
+      stream.addData(Event(98, ts(1000), 99, "view", 0.0),
+        Event(99, ts(1001), 99, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("user_id") =!= 99)
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val streamed = rows(spark.table("ovjoin"))
+    val batch = rows(EventStreams.clickViewJoinOuter(events.toDF(), lookbackMinutes = 60))
+    assert(streamed === batch)
+    assert(streamed === Set((11L, 10L), (13L, 12L), (14L, -1L)))
+  }
+
   test("stream-static enrichment join agrees with its batch mirror, '(none)' kept") {
     val s = spark
     import s.implicits._
