@@ -1096,4 +1096,151 @@ object Similarity {
       .select(col("query_id"), col("t.id").as("neighbor_id"))
     rerank(candidates, idx.select(col("vec_id"), col("embedding")), queries, k)
   }
+
+  // ---- IVF + PQ composition (IVFADC; Jégou, Douze & Schmid 2011 §IV) -------
+
+  /** Unit-normalized float copies of the coarse centroids — the residual
+    * REFERENCE points: encode and query must subtract the same vector or
+    * the ADC distances silently drift. */
+  private def unitCentroidsF(cents: Array[Array[Float]]): Array[Array[Float]] =
+    cents.map(unitVec)
+
+  /** PQ codebooks trained over coarse-assignment RESIDUALS of the same
+    * bounded deterministic sample both quantizers train on — the Faiss
+    * IVFADC training recipe: residuals concentrate near zero once the
+    * coarse cell is subtracted, so the same ksub entries per subspace
+    * spend their resolution on the fine structure the coarse quantizer
+    * left behind (why IVF+PQ beats PQ alone at equal code size). */
+  def ivfPqResidualBooks(emb: DataFrame, cents: Array[Array[Float]],
+                         m: Int = PqM, ksub: Int = PqKsub, iters: Int = 5,
+                         sampleSize: Int = IvfTrainingSample): Array[Array[Array[Float]]] = {
+    val sample = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "ivfPqResidualBooks: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"ivfPqResidualBooks: dim $dim not divisible by m = $m")
+    val units = unitRows(cents)
+    val cus = unitCentroidsF(cents)
+    val sub = dim / m
+    val residuals = sample.map { v =>
+      val nv = unitVec(v)
+      val cu = cus(bestOf(nv, units))
+      Array.tabulate(dim)(d =>
+        (if (d < nv.length) nv(d) else 0f) - (if (d < cu.length) cu(d) else 0f))
+    }
+    Array.tabulate(m) { s =>
+      kmeansL2(residuals.map(r =>
+        java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub)), ksub, iters)
+    }
+  }
+
+  /** Encode: coarse cell + offset-coded PQ codes of the residual, one
+    * pass per corpus row. */
+  private def ivfPqEncodeUdf(units: Array[Array[Double]], cus: Array[Array[Float]],
+                             books: Array[Array[Array[Float]]], ksub: Int) =
+    udf { (v: Seq[Float]) =>
+      val nv = unitVec(v.toArray)
+      val ci = bestOf(nv, units)
+      val cu = cus(ci)
+      val sub = books(0)(0).length
+      val dim = books.length * sub
+      val r = Array.tabulate(dim)(d =>
+        (if (d < nv.length) nv(d) else 0f) - (if (d < cu.length) cu(d) else 0f))
+      val codes = Array.tabulate(books.length)(s =>
+        s * ksub + nearestL2(java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub),
+          books(s)))
+      (ci, codes)
+    }
+
+  /** Per query: the `nprobe` closest coarse cells, each with its OWN
+    * asymmetric-distance table over the query's residual IN THAT CELL —
+    * the table is cell-relative because the stored codes are. */
+  private def ivfPqTabUdf(units: Array[Array[Double]], cus: Array[Array[Float]],
+                          books: Array[Array[Array[Float]]], ksub: Int, nprobe: Int) =
+    udf { (v: Seq[Float]) =>
+      val nv = unitVec(v.toArray)
+      val cells = scoresOf(nv, units).zipWithIndex
+        .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+      val sub = books(0)(0).length
+      val dim = books.length * sub
+      cells.map { ci =>
+        val cu = cus(ci)
+        val r = Array.tabulate(dim)(d =>
+          (if (d < nv.length) nv(d) else 0f) - (if (d < cu.length) cu(d) else 0f))
+        val tab = new Array[Double](books.length * ksub)
+        var s = 0
+        while (s < books.length) {
+          var j = 0
+          while (j < books(s).length) {
+            val cen = books(s)(j)
+            var d2 = 0.0
+            var d = 0
+            while (d < sub) {
+              val diff = r(s * sub + d).toDouble - cen(d)
+              d2 += diff * diff
+              d += 1
+            }
+            tab(s * ksub + j) = d2
+            j += 1
+          }
+          s += 1
+        }
+        (ci, tab)
+      }
+    }
+
+  /**
+   * IVFADC search — the composition the standalone paths build toward
+   * and the shape a billion-scale deployment actually runs (the Faiss
+   * default): the coarse quantizer prunes WHICH vectors are scored
+   * (`nprobe / c` of the corpus, via the equi-join on the cell id — the
+   * IVF half), and PQ codes over residuals compress WHAT the scan reads
+   * per scored vector (m offset-codes instead of dim floats — the PQ
+   * half). Both prunings compose multiplicatively: per query the ADC
+   * work is |corpus| * nprobe / c rows x m table lookups, against
+   * |corpus| * m for flat PQ (v13) and |corpus| * nprobe / c * dim
+   * floats for IVF with raw rerank-side reads (v05).
+   *
+   * The per-(query, cell) distance tables ride in one broadcast
+   * (|queries| x nprobe rows of m * ksub doubles); the corpus-sided ADC
+   * fold is the same codegen'd transform/aggregate as v13 — no UDF
+   * touches a corpus-sized frame at query time. Candidate pairs are
+   * unique by construction (one cell per stored vector), so the
+   * shortlist heap consumes the join directly; the exact cosine rerank
+   * restores true order (v10's two-stage discipline: ADC error decides
+   * shortlist MEMBERSHIP, never the final ranking). A persisted form
+   * would bucket the codes table by `cl` so probed lists become
+   * partition-pruned scans — the v12/v14 index discipline; inline here,
+   * the broadcast equi-join on `cl` does the pruning.
+   */
+  def annIvfPq(emb: DataFrame, queries: DataFrame, k: Int, c: Int = 0,
+               m: Int = PqM, ksub: Int = PqKsub, nprobe: Int = 12,
+               shortlist: Int = 96): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val cents = ivfCentroids(emb, c)
+    val units = unitRows(cents)
+    val cus = unitCentroidsF(cents)
+    val books = ivfPqResidualBooks(emb, cents, m, ksub)
+    val codes = emb.select(col("vec_id").as("neighbor_id"),
+        ivfPqEncodeUdf(units, cus, books, ksub)(col("embedding")).as("e"))
+      .select(col("neighbor_id"), col("e._1").as("cl"), col("e._2").as("codes"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+        explode(ivfPqTabUdf(units, cus, books, ksub, nprobe)(col("embedding"))).as("ct"))
+      .select(col("query_id"), col("ct._1").as("cl"), col("ct._2").as("tab")))
+    val scored = codes.join(q, Seq("cl"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(transform(col("codes"), cd => element_at(col("tab"), cd + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+    val candidates = scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorAggregates
+        .topK(-col("adc"), col("neighbor_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"))
+    rerank(candidates, emb, queries, k)
+  }
 }

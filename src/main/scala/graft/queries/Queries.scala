@@ -1322,6 +1322,19 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** V15: IVFADC ([[Similarity.annIvfPq]]) — the IVF x PQ composition a
+    * billion-scale deployment runs: the coarse quantizer prunes WHICH
+    * vectors are scored (nprobe/c of the corpus, cell-id equi-join), PQ
+    * residual codes compress WHAT the scan reads per scored vector (8
+    * offset-codes, not 64 floats); exact cosine rerank restores true
+    * order. Rows-only (approximate semantics); VerifyExtras asserts the
+    * same recall@5 floor as the component paths v05/v13. */
+  val v15IvfPq: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    Similarity.annIvfPq(emb, emb.filter(col("vec_id") < 32), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** T13: fixed-quota per-source sampling — the training-mix knob that
     * caps every source at N docs, deterministically (md5-rank election, no
     * RNG: reruns and retries pick identical docs). Selection runs through
@@ -2209,6 +2222,7 @@ object Queries {
     "v12_indexed_ivf" -> v12IndexedIvf,
     "v13_pq_ann" -> v13PqAnn,
     "v14_indexed_pq" -> v14IndexedPq,
+    "v15_ivfpq" -> v15IvfPq,
     "t05_normalize" -> t05Normalize,
     "t06_stratified_sample" -> t06StratifiedSample,
     "t07_repetition" -> t07Repetition,

@@ -733,6 +733,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in PQ plan:\n$plan")
   }
 
+  test("IVFADC recall@5 vs brute force holds the component floor; cell join prunes the scan") {
+    val queries = emb.filter(col("vec_id") < 32)
+    val brute = Similarity.knnBrute(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val got = Similarity.annIvfPq(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val recalls = brute.map { case (q, trueNs) =>
+      trueNs.intersect(got.getOrElse(q, Set.empty)).size.toDouble / trueNs.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"IVFADC mean recall@5 = $meanRecall%.3f over ${recalls.size} queries")
+    // deterministic training (stride init, hash-ordered sample) on both
+    // quantizers, so the floor is stable, not flaky
+    assert(meanRecall >= 0.6, f"recall too low: $meanRecall%.3f")
+    // deterministic end to end
+    val again = Similarity.annIvfPq(emb, queries, k = 5).collect()
+    val first = Similarity.annIvfPq(emb, queries, k = 5).collect()
+    assert(again.map(_.toString).sorted === first.map(_.toString).sorted)
+    val plan = Similarity.annIvfPq(emb, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in IVFADC plan:\n$plan")
+  }
+
   test("CDC chunking: identical runs share chunks regardless of offset; disjoint docs share none") {
     // doc 2 contains doc 1's full text shifted right by a prefix — content-
     // defined boundaries must reproduce the same chunks inside the shared
