@@ -201,6 +201,70 @@ object PageRank {
       iters, scale, checkpointEvery)
   }
 
+  /**
+   * TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) — personalized
+   * PageRank with the teleport restricted to a TRUSTED seed set: rank
+   * mass enters the graph only at the seeds and decays with link
+   * distance, so a page's score measures "how reachable from trust" —
+   * the canonical web-spam demotion signal, and the natural upgrade of
+   * x19's hop distances from "how far" to "how much flow". Same
+   * integer-exact discipline as [[pageRankFixed]]: seeds start at
+   * `scale`, non-seeds at 0, each round is
+   * `seed * (15*scale div 100) + (85 * in_mass) div 100` — all 64-bit
+   * integer ops, so engines agree bit-for-bit. The auto-sized scale
+   * bounds on the SEED count (total mass never exceeds |seeds| * scale
+   * — teleport adds 0.15 of seed mass, propagation keeps 0.85 of what
+   * exists), giving small trusted sets finer granularity than the
+   * all-nodes bound. Per round: the same one edge equi-join + one
+   * partial-aggregated groupBy as PageRank; the seed flag rides on the
+   * node frame, no extra join in the loop.
+   */
+  def trustRankFixed(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+                     scale: Long = 0L, checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = never)")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val sd = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("__s", lit(1L))
+    // the seed flag becomes a 0/1 long on the node frame: the teleport
+    // term multiplies by it, so the loop never re-joins the seed set
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(sd, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+    val scFrame =
+      if (scale > 0L)
+        e.sparkSession.range(1).select(lit(scale).as("__scale"))
+      else nodes.agg(sum(col("__s")).as("__n")).select(expr(
+        "coalesce(array_max(filter(transform(sequence(0, 18)," +
+          " k -> cast(pow(10, k) as bigint))," +
+          s" s -> s <= ${Long.MaxValue}L div 85 div __n)), 1L)" +
+          s" + coalesce(cast(assert_true(__n = 0 OR ${Long.MaxValue}L div 85 div __n >= 1," +
+          " 'trustRankFixed: seed count too large for integer scale') as bigint), 0L)")
+        .as("__scale"))
+    var ranks = nodes.crossJoin(broadcast(scFrame))
+      .select(col("node"), col("__s"), (col("__s") * col("__scale")).as("rank"))
+    val maxMass = Long.MaxValue / 85L
+    for (it <- 1 to iters) {
+      val contrib = e.join(deg, "src")
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+      ranks = nodes
+        .join(contrib.groupBy("node").agg(sum(col("c")).as("m")), Seq("node"), "left")
+        .crossJoin(broadcast(scFrame))
+        .select(col("node"), col("__s"),
+          (col("__s") * expr("(15 * __scale) div 100") +
+            expr(s"(85 * (coalesce(m, 0L) + " +
+              s"coalesce(cast(assert_true(coalesce(m, 0L) >= 0 and " +
+              s"coalesce(m, 0L) <= ${maxMass}L) as long), 0L))) div 100")).as("rank"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Core fixed-point loop over pre-built (edge, degree, node) frames —
     * plain parquet-derived (pageRankFixed) or stored bucketed
     * (pageRankIndexed); the math is identical. */

@@ -141,6 +141,50 @@ object Oracle {
     * — shared VERBATIM by x16 (direct) and x18 (persisted bucketed layout):
     * one oracle text for both registrations is the proof obligation that
     * the storage split is invisible in the result. */
+  /** x24: the pagerank CTE shape with teleport restricted to the seed
+    * set and the integer scale bounded on the SEED count; every step the
+    * same `//` truncating division as the engine's `div`. */
+  private val trustrankSql: String =
+    """WITH e0 AS (SELECT DISTINCT user_id AS src,
+      |    1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+      |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+      |sds AS (SELECT node FROM n WHERE node < 1000000 AND node % 50 = 0),
+      |sc AS (SELECT max(CAST(power(10, t.k) AS BIGINT)) AS scale
+      |       FROM range(0, 19) t(k), (SELECT count(*) AS s FROM sds) c
+      |       WHERE CAST(power(10, t.k) AS BIGINT) <= (9223372036854775807 // 85) // c.s),
+      |r0 AS (SELECT n.node,
+      |         CASE WHEN sds.node IS NOT NULL THEN (SELECT scale FROM sc)
+      |              ELSE 0 END AS rank
+      |       FROM n LEFT JOIN sds USING (node)),
+      |c1 AS (SELECT e.dst AS node, sum(r0.rank // deg.deg) AS m
+      |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT n.node,
+      |         CAST(CASE WHEN sds.node IS NOT NULL
+      |                   THEN (SELECT 15 * scale // 100 FROM sc) ELSE 0 END
+      |           + (85 * coalesce(c1.m, 0)) // 100 AS BIGINT) AS rank
+      |       FROM n LEFT JOIN sds USING (node) LEFT JOIN c1 USING (node)),
+      |c2 AS (SELECT e.dst AS node, sum(r1.rank // deg.deg) AS m
+      |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT n.node,
+      |         CAST(CASE WHEN sds.node IS NOT NULL
+      |                   THEN (SELECT 15 * scale // 100 FROM sc) ELSE 0 END
+      |           + (85 * coalesce(c2.m, 0)) // 100 AS BIGINT) AS rank
+      |       FROM n LEFT JOIN sds USING (node) LEFT JOIN c2 USING (node)),
+      |c3 AS (SELECT e.dst AS node, sum(r2.rank // deg.deg) AS m
+      |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |r3 AS (SELECT n.node,
+      |         CAST(CASE WHEN sds.node IS NOT NULL
+      |                   THEN (SELECT 15 * scale // 100 FROM sc) ELSE 0 END
+      |           + (85 * coalesce(c3.m, 0)) // 100 AS BIGINT) AS rank
+      |       FROM n LEFT JOIN sds USING (node) LEFT JOIN c3 USING (node))
+      |SELECT node AS node_id,
+      |  CASE WHEN node >= 1000000 THEN 'page' ELSE 'user' END AS node_type,
+      |  rank
+      |FROM r3 ORDER BY node_id""".stripMargin
+
   private val pagerankSql: String =
     """WITH e0 AS (SELECT DISTINCT user_id AS src,
       |    1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
@@ -1583,6 +1627,8 @@ object Oracle {
     // of 10 with 10^k <= (2^63-1) // 85 // node_count; power(10, k) is
     // exact in a double through 10^18, so the BIGINT cast is exact).
     "x16_pagerank" -> pagerankSql,
+
+    "x24_trustrank" -> trustrankSql,
 
     // recursive-CTE BFS over the same edge derivation; see bfsSql scaladoc
     "x19_bfs_dist" -> bfsSql,

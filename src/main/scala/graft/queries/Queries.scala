@@ -1658,6 +1658,25 @@ object Queries {
         graft.graph.Covisit.jaccardEdges(covisitIncidence(s, dir), 17, 50))
       .orderBy("node")
 
+  /** X24: TrustRank over the event graph
+    * ([[graft.graph.PageRank.trustRankFixed]]) — personalized PageRank
+    * with teleport restricted to the trusted users (the x19 seed rule:
+    * user nodes divisible by 50, here intersected with the graph's node
+    * set so every seed holds mass). Rank mass decays with link distance
+    * from trust — the web-spam demotion signal. Integer-exact, scale
+    * auto-sized on the SEED count; oracle is the unrolled 3-round CTE. */
+  val x24TrustRank: Q = (s, dir) => {
+    val edges = eventsBipartiteEdges(tbl(s, dir, "events"))
+    val seeds = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .filter(col("node") < 1000000L && col("node") % 50 === 0)
+    graft.graph.PageRank.trustRankFixed(edges, seeds, iters = 3)
+      .select(col("node").as("node_id"),
+        when(col("node") >= 1000000L, lit("page")).otherwise(lit("user")).as("node_type"),
+        col("rank"))
+      .orderBy("node_id")
+  }
+
   /** Per-label embedding centroids via the native vec_sum
     * TypedImperativeAggregate ([[graft.functions.VecSum]]): ONE buffer row
     * per label with map-side partial merge — the posexplode alternative
@@ -2296,6 +2315,7 @@ object Queries {
     "st12_outer_join" -> st12OuterJoin,
     "x21_interval_overlap" -> x21IntervalOverlap,
     "x22_covisit_sim" -> x22CovisitSim,
-    "x23_triangle_count" -> x23TriangleCount
+    "x23_triangle_count" -> x23TriangleCount,
+    "x24_trustrank" -> x24TrustRank
   )
 }

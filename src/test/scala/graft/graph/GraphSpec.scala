@@ -185,6 +185,34 @@ class GraphSpec extends AnyFunSuite {
       s"ring ranks must all stay at S=$scale, got [${stats.getLong(1)}, ${stats.getLong(2)}]")
   }
 
+  test("trustRankFixed: seed-star golden — teleport only at seeds, mass decays from trust") {
+    // seed 1 -> {2, 3}; 4 is disconnected from trust (edge 4 -> 2 only
+    // SENDS); with one seed the auto scale is the full 10^16
+    val e = edgesDf(Seq(1L -> 2L, 1L -> 3L, 4L -> 2L))
+    val s = PageRank.autoScale(1L) // seed-count bound: 10^17
+    assert(s == 100000000000000000L)
+    val ranks = PageRank.trustRankFixed(e, nodesDf(Seq(1L)), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r0: node1 = S, others 0. contrib: 1 (deg 2) sends S div 2 to 2 and 3;
+    // 4 (deg 1) sends 0. r1(1) = 15S div 100; r1(2) = r1(3) = 85*(S div 2)
+    // div 100; r1(4) = 0 — no teleport at a non-seed
+    assert(ranks(1L) === 15L * s / 100L)
+    assert(ranks(2L) === 85L * (s / 2L) / 100L)
+    assert(ranks(3L) === ranks(2L))
+    assert(ranks(4L) === 0L)
+    // two rounds on a chain: mass reaches distance 2 attenuated by 0.85^2
+    // exactly — r2(3) = (85 * ((85 * S) div 100)) div 100
+    val chain = edgesDf(Seq(1L -> 2L, 2L -> 3L))
+    val r2 = PageRank.trustRankFixed(chain, nodesDf(Seq(1L)), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(3L) === 85L * (85L * s / 100L) / 100L, s"chain golden: $r2")
+    assert(r2(1L) === 15L * s / 100L)
+    // deterministic across reruns (integer math end to end)
+    val again = PageRank.trustRankFixed(e, nodesDf(Seq(1L)), iters = 3).collect()
+    val first = PageRank.trustRankFixed(e, nodesDf(Seq(1L)), iters = 3).collect()
+    assert(again.map(_.toString).sorted === first.map(_.toString).sorted)
+  }
+
   private def canonEdges(e: Seq[(Long, Long)]) = {
     val s = spark
     import s.implicits._
