@@ -244,6 +244,7 @@ object VerifyExtras {
       "v13_pq_ann" -> (() => checkRecall(spark, sfDir, outDir, "v13_pq_ann", 0.60)),
       "v14_indexed_pq" -> (() => checkRecall(spark, sfDir, outDir, "v14_indexed_pq", 0.60)),
       "v15_ivfpq" -> (() => checkRecall(spark, sfDir, outDir, "v15_ivfpq", 0.60)),
+      "v16_indexed_ivfpq" -> (() => checkRecall(spark, sfDir, outDir, "v16_indexed_ivfpq", 0.60)),
       "d16_semantic_dedup" -> (() => checkSemanticDedup(spark, sfDir, outDir)),
       "a08_approx_distinct" -> (() => checkApproxDistinct(spark, sfDir, outDir)),
       "a16_approx_percentiles" -> (() => checkApproxPercentiles(spark, sfDir, outDir)))

@@ -1243,4 +1243,118 @@ object Similarity {
       .select(col("query_id"), col("t.id").as("neighbor_id"))
     rerank(candidates, emb, queries, k)
   }
+
+  // ---- persisted IVFADC index (train once / add incrementally / query) -----
+
+  /** The encoded corpus frame shared by IVFADC build and append:
+    * (cl, vec_id, codes, embedding) — cell id for the probe join, codes
+    * for the ADC scan, the raw embedding riding along for the exact
+    * rerank (the v14 single-table discipline). */
+  private def ivfPqAssigned(emb: DataFrame, cents: Array[Array[Float]],
+                            books: Array[Array[Array[Float]]], ksub: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        ivfPqEncodeUdf(unitRows(cents), unitCentroidsF(cents), books, ksub)(
+          col("embedding")).as("e"))
+      .select(col("e._1").as("cl"), col("vec_id"),
+        col("e._2").as("codes"), col("embedding"))
+
+  /**
+   * Index-build half of an IVFADC deployment — [[buildIvfIndex]]'s
+   * list-bucketed layout carrying [[buildPqIndex]]'s codes: the corpus
+   * persists as `(cl, vec_id, codes, embedding)` BUCKETED ON THE LIST ID,
+   * so a probe touches only its lists' buckets, and what it reads there
+   * is 8 offset-codes per vector, not 64 floats. BOTH trained parameter
+   * sets pin in companion tables (`_centroids` + `_codebooks` — the
+   * quantizers an append must never retrain); the codebooks are
+   * residual-trained, so they are only meaningful relative to their
+   * centroids and the pair freezes together.
+   */
+  def buildIvfPqIndex(emb: DataFrame, table: String, c: Int = 0, m: Int = PqM,
+                      ksub: Int = PqKsub, buckets: Int = 8,
+                      path: Option[String] = None,
+                      writerTasksPerBucket: Int = 1,
+                      params: Option[(Array[Array[Float]], Array[Array[Array[Float]]])] =
+                        None): Unit = {
+    val (cents, books) = params.getOrElse {
+      val cs = ivfCentroids(emb, c)
+      (cs, ivfPqResidualBooks(emb, cs, m, ksub))
+    }
+    graft.relational.Bucketing.writeBucketed(
+      ivfPqAssigned(emb, cents, books, ksub), table, "cl", buckets, path = path,
+      writerTasksPerBucket = writerTasksPerBucket)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.relational.Bucketing.writeSmallTable(
+      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cl", "centroid"),
+      centroidTable(table),
+      path = path.map(p => s"$p/_centroids"))
+    val bookRows = for {
+      (book, s) <- books.zipWithIndex
+      (cen, j) <- book.zipWithIndex
+    } yield (s, j, s * ksub + j, ksub, cen.toSeq)
+    graft.relational.Bucketing.writeSmallTable(
+      bookRows.toSeq.toDF("s", "j", "code", "ksub", "centroid"),
+      codebookTable(table),
+      path = path.map(p => s"$p/_codebooks"))
+  }
+
+  /** Incremental growth of a [[buildIvfPqIndex]] table: encode the NEW
+    * batch with BOTH stored parameter sets and append under the table's
+    * bucket scheme — batch-sized work, frozen quantizer pair, so the
+    * grown index is bit-identical to a rebuild over old+new with the
+    * same parameters (ScaleOpsSpec proves it). */
+  def appendToIvfPqIndex(newBatch: DataFrame, table: String,
+                         writerTasksPerBucket: Int = 1): Unit = {
+    val spark = newBatch.sparkSession
+    require(spark.catalog.tableExists(centroidTable(table)) &&
+        spark.catalog.tableExists(codebookTable(table)),
+      s"appendToIvfPqIndex: companion tables for $table not found — not a buildIvfPqIndex table")
+    val cents = readIvfCentroids(spark, table)
+    val (books, ksub) = readPqCodebooks(spark, table)
+    graft.relational.Bucketing.appendBucketed(
+      ivfPqAssigned(newBatch, cents, books, ksub), table,
+      writerTasksPerBucket = writerTasksPerBucket)
+  }
+
+  /**
+   * IVFADC search served from a [[buildIvfPqIndex]] table — identical
+   * output to [[annIvfPq]] on the same corpus (deterministic training:
+   * build-time and inline parameters coincide; ScaleOpsSpec asserts
+   * row-exact equality). The probe equi-join lands on the cl-bucketed
+   * scan, so only probed lists are read and what the ADC fold touches
+   * there is stored codes — nothing re-encodes at query time, the corpus
+   * never shuffles, and the exact rerank re-attaches embeddings from the
+   * SAME table rows. The only exchanges are the two query-keyed heap
+   * aggregations. `predicate` pre-filters the index scan (the
+   * [[annIvfIndexed]] filtered-ANN discipline: k semantics stay exact
+   * over the qualifying slice, and the scan shrinks with selectivity).
+   */
+  def annIvfPqIndexed(spark: SparkSession, table: String, queries: DataFrame,
+                      k: Int, nprobe: Int = 12, shortlist: Int = 96,
+                      predicate: Option[Column] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    graft.functions.VectorExpressions.register(spark)
+    val cents = readIvfCentroids(spark, table)
+    val (books, ksub) = readPqCodebooks(spark, table)
+    val units = unitRows(cents)
+    val cus = unitCentroidsF(cents)
+    val idx0 = graft.relational.Bucketing.read(spark, table)
+    val idx = predicate.fold(idx0)(idx0.filter)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+        explode(ivfPqTabUdf(units, cus, books, ksub, nprobe)(col("embedding"))).as("ct"))
+      .select(col("query_id"), col("ct._1").as("cl"), col("ct._2").as("tab")))
+    val scored = idx.join(q, Seq("cl"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(transform(col("codes"), cd => element_at(col("tab"), cd + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+    val candidates = scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorAggregates
+        .topK(-col("adc"), col("neighbor_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"))
+    rerank(candidates, idx.select(col("vec_id"), col("embedding")), queries, k)
+  }
 }

@@ -1335,6 +1335,21 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** V16: v15 through the PERSISTED IVFADC index
+    * ([[Similarity.buildIvfPqIndex]] + [[Similarity.annIvfPqIndexed]]) —
+    * probe joins land on the cl-bucketed stored layout (only probed
+    * lists read, stored codes scanned as-is, rerank embeddings from the
+    * same rows: zero corpus-side exchange). Deterministic training makes
+    * the storage split invisible: identical rows to v15. */
+  val v16IndexedIvfPq: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    Similarity.buildIvfPqIndex(emb, "graft_v16_ivfpq_idx", buckets = 8,
+      path = Some(java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString))
+    Similarity.annIvfPqIndexed(s, "graft_v16_ivfpq_idx",
+        emb.filter(col("vec_id") < 32), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** T13: fixed-quota per-source sampling — the training-mix knob that
     * caps every source at N docs, deterministically (md5-rank election, no
     * RNG: reruns and retries pick identical docs). Selection runs through
@@ -2242,6 +2257,7 @@ object Queries {
     "v13_pq_ann" -> v13PqAnn,
     "v14_indexed_pq" -> v14IndexedPq,
     "v15_ivfpq" -> v15IvfPq,
+    "v16_indexed_ivfpq" -> v16IndexedIvfPq,
     "t05_normalize" -> t05Normalize,
     "t06_stratified_sample" -> t06StratifiedSample,
     "t07_repetition" -> t07Repetition,

@@ -741,6 +741,79 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaIncr.nonEmpty && viaIncr === viaFull)
   }
 
+  test("IVFADC index: identical results to the inline path, probed lists read in place") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    graft.llm.Similarity.buildIvfPqIndex(emb, "emb_ivfpq_idx", buckets = 4)
+
+    val inline = graft.llm.Similarity.annIvfPq(emb, queries, k = 5)
+      .collect().map(_.toString).sorted
+    val indexed = graft.llm.Similarity.annIvfPqIndexed(
+      spark, "emb_ivfpq_idx", queries, k = 5)
+    assert(indexed.collect().map(_.toString).sorted === inline,
+      "indexed path must reproduce the inline IVFADC result exactly")
+    val p = indexed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("Bucketed: true"), s"index scan not bucketed:\n$p")
+    // serve-path exchanges are query-keyed only (shortlist heap + final
+    // heap); a corpus-keyed exchange would mean codes or embeddings moved
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"corpus side shuffled ($n exchanges):\n$p")
+  }
+
+  test("IVFADC index append: frozen centroid+codebook growth == rebuild, batch-sized write") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val b1 = emb.filter(col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 8)
+    graft.llm.Similarity.buildIvfPqIndex(b1, "ivfpq_incr_idx", buckets = 4)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier("ivfpq_incr_idx")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = {
+      val it = fs.listFiles(loc, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.result()
+    }
+    val filesBefore = dataFiles()
+    val centsBefore = graft.llm.Similarity.readIvfCentroids(spark, "ivfpq_incr_idx")
+    val (booksBefore, _) = graft.llm.Similarity.readPqCodebooks(spark, "ivfpq_incr_idx")
+
+    graft.llm.Similarity.appendToIvfPqIndex(b2, "ivfpq_incr_idx")
+
+    val filesAfter = dataFiles()
+    assert(filesBefore.subsetOf(filesAfter),
+      "append must not rewrite or drop existing index files")
+    val newFiles = (filesAfter -- filesBefore).toSeq
+    assert(newFiles.nonEmpty)
+    assert(spark.read.parquet(newFiles: _*).count() === b2.count(),
+      "append must write exactly the batch's rows")
+    // BOTH parameter sets untouched by an append — the residual codebooks
+    // are meaningful only relative to their centroids; the pair freezes
+    val centsAfter = graft.llm.Similarity.readIvfCentroids(spark, "ivfpq_incr_idx")
+    val (booksAfter, _) = graft.llm.Similarity.readPqCodebooks(spark, "ivfpq_incr_idx")
+    assert(centsAfter.map(_.toSeq).toSeq === centsBefore.map(_.toSeq).toSeq)
+    assert(booksAfter.map(_.map(_.toSeq).toSeq).toSeq ===
+      booksBefore.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // serving parity: the grown index answers exactly like a full rebuild
+    // with the SAME (frozen) parameter pair
+    graft.llm.Similarity.buildIvfPqIndex(emb, "ivfpq_full_idx", buckets = 4,
+      params = Some((centsBefore, booksBefore)))
+    val viaIncr = graft.llm.Similarity.annIvfPqIndexed(
+      spark, "ivfpq_incr_idx", queries, k = 5)
+      .collect().map(_.toString).sorted
+    val viaFull = graft.llm.Similarity.annIvfPqIndexed(
+      spark, "ivfpq_full_idx", queries, k = 5)
+      .collect().map(_.toString).sorted
+    assert(viaIncr.nonEmpty && viaIncr === viaFull)
+  }
+
   test("compaction recovers from a dead prior attempt's staging dir") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = Files.createTempDirectory("graft_compact_crash").toString
