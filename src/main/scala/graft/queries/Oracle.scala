@@ -252,6 +252,16 @@ object Oracle {
         |FROM documents WHERE lang IN ('en', 'fr')
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
+    // post-state of the dynamic partition overwrite, declaratively: the
+    // reprocessed 'en' partition carries doubled n_chars, every other
+    // partition is untouched
+    "s15_partition_overwrite" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END)
+        |    AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "p04_name_coalesce" ->
       """SELECT p_partkey, CASE WHEN p_brand <> 'Brand#11' THEN p_brand ELSE p_type END AS display_name
         |FROM part ORDER BY p_partkey""".stripMargin,

@@ -156,6 +156,32 @@ object Queries {
       .orderBy("lang", "source")
   }
 
+  /** S15: DYNAMIC partition overwrite — the daily-reprocess write mode:
+    * re-running one partition's extraction must replace exactly that
+    * partition's files and leave every other partition untouched (the
+    * default STATIC overwrite truncates the whole table first — the
+    * classic reprocessing data-loss foot-gun; ScaleOpsSpec asserts the
+    * untouched partitions keep their physical files). Query: documents
+    * partitioned by lang; the 'en' slice arrives re-extracted (n_chars
+    * doubled) and dynamically overwrites; the readback aggregate shows
+    * en updated and everything else intact. The oracle states the
+    * post-state declaratively. */
+  val s15PartitionOverwrite: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dynpart").toString
+    val docs = tbl(s, dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    docs.filter(col("lang") === "en")
+      .withColumn("n_chars", col("n_chars") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(tmp)
+    s.read.parquet(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_texts"))
+      .orderBy("lang")
+  }
+
   /** S10: ORC sink + source roundtrip — the second columnar format a
     * warehouse interchange needs beside parquet (same explicit-schema,
     * no-inference discipline; ORC read paths are vectorized like parquet).
@@ -2302,6 +2328,7 @@ object Queries {
     "s12_shard_export" -> s12ShardExport,
     "s13_zorder_layout" -> s13ZorderLayout,
     "s14_compaction" -> s14Compaction,
+    "s15_partition_overwrite" -> s15PartitionOverwrite,
     "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
     "s10_orc_roundtrip" -> s10OrcRoundtrip,

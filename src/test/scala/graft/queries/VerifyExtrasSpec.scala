@@ -25,6 +25,7 @@ class VerifyExtrasSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private val extras = Seq("d05_simhash", "t04_fingerprint", "v03_ann_lsh",
     "v05_ann_ivf", "v12_indexed_ivf", "v13_pq_ann", "v14_indexed_pq",
+    "v15_ivfpq", "v16_indexed_ivfpq",
     "d16_semantic_dedup",
     "a08_approx_distinct", "a16_approx_percentiles")
 

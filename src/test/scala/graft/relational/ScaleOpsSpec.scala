@@ -741,6 +741,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaIncr.nonEmpty && viaIncr === viaFull)
   }
 
+  test("dynamic partition overwrite replaces one partition's files, preserves the rest") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "fr", 30L), (4L, "nl", 40L))
+      .toDF("doc_id", "lang", "n")
+    val tmp = java.nio.file.Files.createTempDirectory("dynpart_t").toString
+    base.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    def files(sub: String): Set[String] = {
+      val d = new java.io.File(s"$tmp/lang=$sub")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val frBefore = files("fr"); val nlBefore = files("nl"); val enBefore = files("en")
+    assert(frBefore.nonEmpty && nlBefore.nonEmpty && enBefore.nonEmpty)
+    // reprocess ONLY en
+    Seq((1L, "en", 11L), (2L, "en", 22L)).toDF("doc_id", "lang", "n")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(tmp)
+    // untouched partitions keep their exact physical files; en is replaced
+    assert(files("fr") === frBefore, "fr partition files must be untouched")
+    assert(files("nl") === nlBefore, "nl partition files must be untouched")
+    assert(files("en").intersect(enBefore).isEmpty, "en partition must be rewritten")
+    val got = spark.read.parquet(tmp)
+      .select("doc_id", "lang", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1L, "en", 11L), (2L, "en", 22L), (3L, "fr", 30L), (4L, "nl", 40L)))
+  }
+
   test("IVFADC index: identical results to the inline path, probed lists read in place") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 8)
