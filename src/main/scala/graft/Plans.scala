@@ -192,7 +192,50 @@ object Plans {
       "loop-invariant edge side (servable from the bucketed layout, " +
       "where it never shuffles), with an early exit when the frontier " +
       "empties. Integer hop counts: bit-stable across engines and " +
-      "reruns."))
+      "reruns."),
+    "x22_covisit_sim" -> ("Co-visitation similarity graph: candidate " +
+      "pairs generate KEYED ON THE SHARED USER (one equi self-join, " +
+      "ReuseExchange serves both sides from one incidence exchange), so " +
+      "cost is sum C(fanout,2) — never |pages|^2; per-page set sizes " +
+      "ride in as BROADCAST aggregates and the Jaccard threshold is an " +
+      "integer cross-multiplication inside the join condition — no FP, " +
+      "no second pass."),
+    "x23_triangle_count" -> ("Triangle counting via degree-ordered " +
+      "orientation: every triangle has exactly one wedge owner, max " +
+      "oriented out-degree is O(sqrt E), and a hub's edges all point IN " +
+      "— the quadratic wedge hot key vanishes by construction, not by " +
+      "salting. Wedge generation and the closure check are both " +
+      "equi-joins (src id; canonical (a,b) pair); no cartesian, no " +
+      "window."),
+    "x24_trustrank" -> ("TrustRank: the x16 PageRank round shape — one " +
+      "edge equi-join + one partial-aggregated groupBy per iteration — " +
+      "with the teleport term gated by a 0/1 seed flag carried ON the " +
+      "node frame, so personalization adds zero joins to the loop; " +
+      "integer-exact ranks, scale auto-sized on the seed count as an " +
+      "in-plan broadcast scalar."),
+    "v15_ivfpq" -> ("IVFADC: the coarse cell equi-join prunes WHICH " +
+      "vectors are scored (nprobe/c of the corpus), PQ residual codes " +
+      "compress WHAT the scan reads per scored vector (8 offset-codes, " +
+      "not 64 floats) — multiplicative composition of the v05 and v13 " +
+      "prunings; per-(query,cell) ADC tables broadcast, the fold is " +
+      "codegen'd builtins, exact cosine rerank restores order."),
+    "v16_indexed_ivfpq" -> ("Persisted IVFADC: probes land on the " +
+      "cl-BUCKETED stored layout — only probed lists are read, stored " +
+      "codes scan as-is (nothing re-encodes at query time), the rerank " +
+      "re-attaches embeddings from the SAME table rows; the only " +
+      "exchanges are the two query-keyed heap aggregations " +
+      "(ScaleOpsSpec asserts <= 2)."),
+    "t22_quality_buckets" -> ("CCNet terciles: the t12 score pipeline " +
+      "feeds a per-LANGUAGE ntile — languages distribute across tasks; " +
+      "one language's ranking sorts in one task (the exact form CCNet " +
+      "itself runs per-language; at corpus scale the documented swap is " +
+      "sampled-quantile thresholds, which turns the window into a " +
+      "broadcast-joined map)."),
+    "st12_outer_join" -> ("Stream-stream LEFT OUTER interval join " +
+      "(batch mirror): user-keyed equi-join with the time-range " +
+      "predicate as the join condition — never a nested loop; in " +
+      "streaming the same two-sided watermark bounds buffered state and " +
+      "times out unmatched clicks into null-padded rows."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
