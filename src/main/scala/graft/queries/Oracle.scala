@@ -434,6 +434,36 @@ object Oracle {
     "d03_neardup_ngram" ->
       jaccardSql(0.2, postingsCap = Some(graft.llm.Dedup.NearDup.maxShinglePostings)),
 
+    // Broder containment over the SAME shingle/candidate CTEs as d03,
+    // but normalized by the contained side's set size, both directions
+    "d17_containment" -> {
+      val cap = graft.llm.Dedup.NearDup.maxShinglePostings
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+         |          i -> list_aggregate(w[i:i+4], 'string_agg', chr(31)))) AS s
+         |        FROM tok WHERE len(w) >= 5),
+         |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $cap),
+         |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |pr AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |       FROM cand c JOIN sh a ON a.doc_id = c.id_a
+         |       JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s GROUP BY 1, 2),
+         |dir AS (SELECT pr.id_a AS contained_id, pr.id_b AS container_id,
+         |               pr.inter, ca.n AS n_contained
+         |        FROM pr JOIN cnt ca ON ca.doc_id = pr.id_a
+         |        UNION ALL
+         |        SELECT pr.id_b, pr.id_a, pr.inter, cb.n
+         |        FROM pr JOIN cnt cb ON cb.doc_id = pr.id_b)
+         |SELECT contained_id, container_id, CAST(inter AS BIGINT) AS inter,
+         |  CAST(n_contained AS BIGINT) AS n_contained,
+         |  round(CAST(inter AS DOUBLE) / n_contained, 6) AS containment
+         |FROM dir WHERE round(CAST(inter AS DOUBLE) / n_contained, 6) >= 0.5
+         |ORDER BY contained_id, container_id""".stripMargin
+    },
+
     // transitive closure of the d03 pair graph via a recursive CTE: comp =
     // min reachable id, matching the Spark min-label-propagation fixpoint
     "d07_dedup_components" -> {

@@ -601,6 +601,15 @@ object Queries {
     Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), w = 5, minJ = 0.2)
       .orderBy("id_a", "id_b")
 
+  /** D17: asymmetric near-containment pairs
+    * ([[Dedup.containmentPairs]]) — Broder's |A∩B|/|A| over the d03
+    * shingle sets: catches the short-doc-quoted-in-long-doc case whose
+    * Jaccard stays tiny because the union is container-sized. Both
+    * directions evaluated per candidate pair. */
+  val d17Containment: Q = (s, dir) =>
+    Dedup.containmentPairs(tbl(s, dir, "documents"), w = 5, minC = 0.5)
+      .orderBy("contained_id", "container_id")
+
   /** MinHash-LSH near-dup — banded signatures, candidate equi-join, exact
     * verify. P(miss | j>=0.7) < 1e-4, so it reproduces the exact-Jaccard
     * oracle at these scale factors while staying sub-quadratic. */
@@ -2256,6 +2265,7 @@ object Queries {
     "d15_cluster_keep_best" -> d15ClusterKeepBest,
     "st09_neardup_admission" -> st09NearDupAdmission,
     "d16_semantic_dedup" -> d16SemanticDedup,
+    "d17_containment" -> d17Containment,
     "d05_simhash" -> d05Simhash,
     "d06_embedding_neardup" -> d06EmbeddingNeardup,
     "d07_dedup_components" -> d07DedupComponents,

@@ -1231,6 +1231,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).sorted === out.map(_.toString).sorted)
   }
 
+  test("containmentPairs: full quote scores 1.0 where Jaccard stays small; directions asymmetric") {
+    // doc 1 is fully quoted inside the much longer doc 2: containment
+    // (1 in 2) = 1.0, the reverse direction is small, and Jaccard is
+    // diluted by doc 2's size; doc 3 shares nothing
+    val quoted = (1 to 10).map(i => s"q$i").mkString(" ")
+    val container = quoted + " " + (1 to 40).map(i => s"pad$i").mkString(" ")
+    val df = docsDf(Seq(1L -> quoted, 2L -> container,
+      3L -> (1 to 20).map(i => s"z$i").mkString(" ")))
+    val got = Dedup.containmentPairs(df, w = 5, minC = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    // doc1 has 6 5-shingles, all present in doc2 -> containment 1.0;
+    // doc2 has 46 shingles, 6 shared -> 0.1304 < 0.5 (direction dropped)
+    assert(got === Set((1L, 2L, 1.0)), s"got $got")
+    // the symmetric Jaccard verifier misses this pair at the same bar:
+    // 6 / (6 + 46 - 6) = 0.13
+    val jac = Dedup.ngramJaccardPairs(df, w = 5, minJ = 0.5).collect()
+    assert(jac.isEmpty, "Jaccard at 0.5 must miss the quoted pair containment catches")
+  }
+
   test("qualityBuckets: per-language equal-count terciles, fluent docs head, gibberish tail") {
     val s = spark
     import s.implicits._
