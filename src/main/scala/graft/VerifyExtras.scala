@@ -98,6 +98,60 @@ object VerifyExtras {
       mean >= floor, f"mean recall = $mean%.3f over ${recalls.size} queries")
   }
 
+  /** Exact driver-side k-core recompute for x25 — fully independent of
+    * the Covisit operators: incidence parsed from raw events with a
+    * regex (not get_json_object), Jaccard edges by plain set math, core
+    * by the textbook sequential peel. Bounded: the driver's SF is 10^4
+    * event rows / ~10^2 pages; this is oracle-role work, not a scale
+    * path. */
+  private def checkKCore(spark: SparkSession, sfDir: String, outDir: String): Check = {
+    val K = 8
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id", "props").collect()
+    val kRe = """"k"\s*:\s*"?(-?\d+)""".r
+    val inc: Set[(Long, Long)] = rows.iterator.flatMap { r =>
+      val props = if (r.isNullAt(1)) "" else r.getString(1)
+      kRe.findFirstMatchIn(props).map(m => (r.getLong(0), m.group(1).toLong))
+    }.toSet
+    val byPage: Map[Long, Set[Long]] =
+      inc.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val pages = byPage.keys.toSeq.sorted
+    val edges = for {
+      i <- pages.indices
+      j <- (i + 1) until pages.length
+      a = pages(i); b = pages(j)
+      in = (byPage(a) & byPage(b)).size
+      un = byPage(a).size + byPage(b).size - in
+      if 50L * in >= 17L * un
+    } yield (a, b)
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      adj.keys.toSeq.foreach { n =>
+        if (adj.get(n).exists(_.size < K)) {
+          adj(n).foreach(m => adj.get(m).foreach(_ -= n))
+          adj -= n
+          changed = true
+        }
+      }
+    }
+    val expect = adj.iterator.map { case (n, s) => n -> s.size.toLong }.toMap
+    val dumped = spark.read.parquet(s"$outDir/x25_kcore").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ok = dumped == expect
+    Check("x25_kcore",
+      s"dump == independent driver-side peel (k=$K) over ${edges.size} recomputed edges",
+      ok,
+      if (ok) s"${expect.size} core members equal"
+      else s"dump=${dumped.size} rows, expect=${expect.size} rows, differ at " +
+        (expect.toSet ++ dumped.toSet -- (expect.toSet & dumped.toSet)).take(3).mkString(", "))
+  }
+
   /** Per-group HLL++ estimate within 3x rsd of the exact distinct count. */
   private def checkApproxDistinct(spark: SparkSession, sfDir: String, outDir: String): Check = {
     val bound = 3 * 0.02 // 3x the rsd the query configures
@@ -246,6 +300,7 @@ object VerifyExtras {
       "v15_ivfpq" -> (() => checkRecall(spark, sfDir, outDir, "v15_ivfpq", 0.60)),
       "v16_indexed_ivfpq" -> (() => checkRecall(spark, sfDir, outDir, "v16_indexed_ivfpq", 0.60)),
       "d16_semantic_dedup" -> (() => checkSemanticDedup(spark, sfDir, outDir)),
+      "x25_kcore" -> (() => checkKCore(spark, sfDir, outDir)),
       "a08_approx_distinct" -> (() => checkApproxDistinct(spark, sfDir, outDir)),
       "a16_approx_percentiles" -> (() => checkApproxPercentiles(spark, sfDir, outDir)))
     checks.map { case (q, f) =>

@@ -60,6 +60,53 @@ object Covisit {
   }
 
   /**
+   * k-core decomposition by iterative peeling (Seidman 1983; the
+   * Batagelj–Zaveršnik peel expressed as a dataflow fixpoint): repeatedly
+   * drop nodes with degree < k until none remain — the surviving maximal
+   * subgraph where EVERY node keeps >= k neighbors. The dense-core signal
+   * of corpus curation: link farms and mirror clusters live in high
+   * cores, and "in the k-core" is a robustness statement no raw degree
+   * threshold gives (a hub wired to leaves has high degree and no core).
+   *
+   * Scale shape: each round is one partial-aggregated degree count plus
+   * two LEFT SEMI equi-joins (edges whose BOTH endpoints survive) — no
+   * window, no cartesian; the edge set shrinks monotonically, each
+   * round's state is cut to a stored block (eager localCheckpoint, the
+   * BFS loop discipline), and the convergence probe doubles as the
+   * materializing action. Rounds are bounded by the peel depth (small in
+   * practice — single digits even on web graphs at fixed k).
+   *
+   * Input: canonical `(p1, p2)` edges with `p1 < p2`. Output:
+   * `(node, core_deg)` for k-core members, `core_deg` the within-core
+   * degree (>= k by construction).
+   */
+  def kCore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var e = edges.select(col("p1").cast("long").as("a"), col("p2").cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"))
+      .localCheckpoint(true)
+    var n = e.count()
+    var converged = n == 0L
+    while (!converged) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+        .localCheckpoint(true)
+      val e2 = e
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      converged = n2 == n || n2 == 0L
+      e = e2
+      n = n2
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /**
    * Per-node triangle participation counts over a canonical undirected
    * edge list `(p1, p2)` with `p1 < p2`. Output: `(node, tri_cnt)` for
    * every node in at least one triangle; each triangle contributes 1 to

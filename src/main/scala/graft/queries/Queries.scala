@@ -1708,6 +1708,18 @@ object Queries {
         graft.graph.Covisit.jaccardEdges(covisitIncidence(s, dir), 17, 50))
       .orderBy("node")
 
+  /** X25: k-core of the x22 similarity graph
+    * ([[graft.graph.Covisit.kCore]], k = 8) — the dense-core robustness
+    * signal: members keep >= 8 similar neighbors even after every weaker
+    * node peels away (a mirror-cluster detector raw degree can't give).
+    * Rows-only: the iterate-until-fixpoint peel is not expressible in
+    * the oracle's SQL; VerifyExtras recomputes the core independently
+    * (driver-side peel from raw events, no shared code path). */
+  val x25Kcore: Q = (s, dir) =>
+    graft.graph.Covisit.kCore(
+        graft.graph.Covisit.jaccardEdges(covisitIncidence(s, dir), 17, 50), k = 8)
+      .orderBy("node")
+
   /** X24: TrustRank over the event graph
     * ([[graft.graph.PageRank.trustRankFixed]]) — personalized PageRank
     * with teleport restricted to the trusted users (the x19 seed rule:
@@ -2369,6 +2381,7 @@ object Queries {
     "x21_interval_overlap" -> x21IntervalOverlap,
     "x22_covisit_sim" -> x22CovisitSim,
     "x23_triangle_count" -> x23TriangleCount,
-    "x24_trustrank" -> x24TrustRank
+    "x24_trustrank" -> x24TrustRank,
+    "x25_kcore" -> x25Kcore
   )
 }

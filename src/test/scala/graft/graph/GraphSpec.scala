@@ -261,6 +261,26 @@ class GraphSpec extends AnyFunSuite {
     assert(loose === Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $loose")
   }
 
+  test("kCore: peel cascades, cycles survive at 2, paths empty, within-core degrees exact") {
+    // K4 with a pendant tail 4-5-6: 3-core = K4 exactly (the tail peels
+    // in cascade: 6 first, then 5, then nothing — 5 had degree 2)
+    val k4tail = canonEdges((for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield a -> b) ++ Seq(4L -> 5L, 5L -> 6L))
+    val core3 = Covisit.kCore(k4tail, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core3")
+    // a cycle is its own 2-core; a path has none
+    val cycle = canonEdges(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L))
+    assert(Covisit.kCore(cycle, 2).collect().map(_.getLong(1)).forall(_ == 2L))
+    assert(Covisit.kCore(cycle, 2).count() === 4)
+    val path = canonEdges(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L))
+    assert(Covisit.kCore(path, 2).isEmpty)
+    // empty input stays empty, k larger than any degree empties everything
+    assert(Covisit.kCore(canonEdges(Seq.empty), 1).isEmpty)
+    assert(Covisit.kCore(k4tail, 10).isEmpty)
+  }
+
   test("triangleCounts over jaccardEdges: the x22 -> x23 composition on a planted cluster") {
     val s = spark
     import s.implicits._
