@@ -887,6 +887,18 @@ object Oracle {
         | AND v.ts BETWEEN c.ts - INTERVAL 60 MINUTE AND c.ts
         |ORDER BY click_id, view_id""".stripMargin,
 
+    // LEFT SEMI st04: one row per click with >= 1 preceding view — the
+    // EXISTS form, never multiplied per matching view
+    "st13_semi_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |       epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+        |FROM events c
+        |WHERE c.event_type = 'click' AND EXISTS (
+        |  SELECT 1 FROM events v
+        |  WHERE v.event_type = 'view' AND v.user_id = c.user_id
+        |    AND v.ts BETWEEN c.ts - INTERVAL 60 MINUTE AND c.ts)
+        |ORDER BY click_id""".stripMargin,
+
     // LEFT OUTER st04: the side filters move into CTEs so the outer
     // join's null-padding applies to genuinely unmatched clicks only
     "st12_outer_join" ->

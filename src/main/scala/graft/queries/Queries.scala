@@ -967,6 +967,17 @@ object Queries {
         col("view_value"))
       .orderBy("click_id", "view_id")
 
+  /** ST13: batch mirror of the LEFT SEMI stream-stream interval join
+    * ([[graft.streaming.EventStreams.clickViewJoinSemi]]) — conversion
+    * detection: one row per click with >= 1 preceding view, never
+    * multiplied per view (st04's inner form emits N rows for N views).
+    * Oracle is the equivalent EXISTS. */
+  val st13SemiJoin: Q = (s, dir) =>
+    graft.streaming.EventStreams.clickViewJoinSemi(eventsTs(s, dir))
+      .select(col("click_id"), col("user_id"),
+        expr("unix_micros(click_ts)").as("click_ts_us"), col("click_value"))
+      .orderBy("click_id")
+
   /** Batch mirror of the stream-static enrichment join
     * ([[graft.streaming.EventStreams.enrichedTumblingCounts]]): events
     * enriched against a RESTRICTED customer dim (c_custkey < 100) so the
@@ -2378,6 +2389,7 @@ object Queries {
     "st10_session_topk" -> st10SessionTopk,
     "st11_window_distinct" -> st11WindowDistinct,
     "st12_outer_join" -> st12OuterJoin,
+    "st13_semi_join" -> st13SemiJoin,
     "x21_interval_overlap" -> x21IntervalOverlap,
     "x22_covisit_sim" -> x22CovisitSim,
     "x23_triangle_count" -> x23TriangleCount,

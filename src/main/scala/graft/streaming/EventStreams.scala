@@ -414,6 +414,32 @@ object EventStreams {
         col("click_value"), col("view_id"), col("view_ts"), col("view_value"))
   }
 
+  /** LEFT SEMI [[clickViewJoin]] — the conversion-detection form: a
+    * click emits ONCE iff at least one view preceded it in the lookback,
+    * with no view payload and no per-view row multiplication (the inner
+    * join emits one row per matching view — N:1 attribution noise when
+    * the question is just "was there a preceding view?"). Same two-sided
+    * watermark + time-range condition bounds the buffered state; the
+    * engine guarantees single emission even with many matches. One code
+    * path batch and stream. */
+  def clickViewJoinSemi(events: DataFrame, watermark: String = "2 hours",
+                        lookbackMinutes: Int = 60): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+        col("user_id") === col("view_user_id") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+          col("view_ts") <= col("click_ts"),
+        "left_semi")
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("click_value"))
+  }
+
   /** LEFT OUTER [[clickViewJoin]] — the attribution-completeness form:
     * every click emits, null-padded when NO view preceded it in the
     * lookback. Same watermarks + time-range condition, so streaming

@@ -268,6 +268,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === Set((11L, 10L), (13L, 12L), (14L, -1L)))
   }
 
+  test("stream-stream LEFT SEMI join emits converted clicks once, never per view") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(10, ts(5), 1, "view", 1.0),
+      Event(11, ts(10), 1, "view", 1.5),   // second matching view for click 12
+      Event(12, ts(20), 1, "click", 2.0),  // 2 preceding views -> ONE row
+      Event(13, ts(40), 2, "view", 3.0),
+      Event(14, ts(50), 2, "click", 4.0),  // 1 preceding view
+      Event(15, ts(200), 1, "click", 5.0)) // views 195+ min old: not emitted
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val q = EventStreams.clickViewJoinSemi(stream.toDF(), lookbackMinutes = 60)
+      .writeStream.format("memory").queryName("svjoin").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("click_id").collect().map(_.getLong(0)).toSeq.sorted
+    val streamed = rows(spark.table("svjoin"))
+    val batch = rows(EventStreams.clickViewJoinSemi(events.toDF(), lookbackMinutes = 60))
+    assert(streamed === batch)
+    assert(streamed === Seq(12L, 14L), s"got $streamed")
+  }
+
   test("stream-static enrichment join agrees with its batch mirror, '(none)' kept") {
     val s = spark
     import s.implicits._
