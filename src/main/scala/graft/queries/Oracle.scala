@@ -887,6 +887,16 @@ object Oracle {
         | AND v.ts BETWEEN c.ts - INTERVAL 60 MINUTE AND c.ts
         |ORDER BY click_id, view_id""".stripMargin,
 
+    // converged upsert state: the max-event_id row per user, however
+    // the batches were split
+    "st14_upsert_state" ->
+      """WITH last AS (SELECT user_id, max(event_id) AS event_id
+        |              FROM events GROUP BY user_id)
+        |SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+        |       e.event_type, e.value
+        |FROM events e JOIN last USING (user_id, event_id)
+        |ORDER BY user_id""".stripMargin,
+
     // LEFT SEMI st04: one row per click with >= 1 preceding view — the
     // EXISTS form, never multiplied per matching view
     "st13_semi_join" ->

@@ -978,6 +978,24 @@ object Queries {
         expr("unix_micros(click_ts)").as("click_ts_us"), col("click_value"))
       .orderBy("click_id")
 
+  /** ST14: the streaming upsert sink's state table
+    * ([[graft.streaming.EventStreams.upsertBatch]]) — latest row per
+    * user after the event stream folds in as two micro-batches (split by
+    * event_id parity, so both batches upsert over each other's keys).
+    * Partition-local merge: each batch rewrites only touched hash
+    * partitions via dynamic overwrite. The oracle states the converged
+    * state declaratively: the max-event_id row per user. */
+  val st14UpsertState: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/state"
+    val ev = eventsTs(s, dir)
+    graft.streaming.EventStreams.upsertBatch(ev.filter(col("event_id") % 2 === 0), tmp)
+    graft.streaming.EventStreams.upsertBatch(ev.filter(col("event_id") % 2 === 1), tmp)
+    s.read.parquet(tmp)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
   /** Batch mirror of the stream-static enrichment join
     * ([[graft.streaming.EventStreams.enrichedTumblingCounts]]): events
     * enriched against a RESTRICTED customer dim (c_custkey < 100) so the
@@ -2390,6 +2408,7 @@ object Queries {
     "st11_window_distinct" -> st11WindowDistinct,
     "st12_outer_join" -> st12OuterJoin,
     "st13_semi_join" -> st13SemiJoin,
+    "st14_upsert_state" -> st14UpsertState,
     "x21_interval_overlap" -> x21IntervalOverlap,
     "x22_covisit_sim" -> x22CovisitSim,
     "x23_triangle_count" -> x23TriangleCount,

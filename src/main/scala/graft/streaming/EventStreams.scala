@@ -414,6 +414,69 @@ object EventStreams {
         col("click_value"), col("view_id"), col("view_ts"), col("view_value"))
   }
 
+  /**
+   * Continuously-maintained keyed state table — the streaming UPSERT
+   * sink (the CDC-consumer shape: a stream of events folds into "latest
+   * row per key", queryable between batches): each micro-batch applies
+   * last-wins upserts into a hash-partitioned parquet table, rewriting
+   * ONLY the partitions the batch touches.
+   *
+   * Why partition-local: the naive upsert rewrites the whole table per
+   * batch — O(|table|) writes for O(|batch|) changes, unusable once the
+   * key space is large. Here rows hash-partition by `pmod(user_id, n)`;
+   * the batch's touched partition set is collected (bounded by n — a
+   * plan constant, not data), only those partitions are read back for
+   * the merge, and the write is a DYNAMIC partition overwrite (the s15
+   * discipline), so untouched partitions keep their physical files —
+   * cost per batch ~ |batch| + |touched partitions|, not |table|.
+   *
+   * Last-wins is decided by max event_id through the native `arg_max`
+   * aggregate (unique ids: deterministic, the k02 contract) — applied
+   * within the batch AND across the merge, so replays and overlapping
+   * batches converge to the same state (idempotent upserts).
+   */
+  def upsertBatch(batch: DataFrame, tableDir: String, nParts: Int = 16): Unit = {
+    import graft.functions.VectorAggregates.argMax
+    val spark = batch.sparkSession
+    val payload = struct(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val incoming = batch
+      .groupBy(col("user_id"))
+      .agg(argMax(col("event_id"), payload).as("__w"))
+      .select(col("user_id"), col("__w.event_id").as("event_id"),
+        col("__w.ts").as("ts"), col("__w.event_type").as("event_type"),
+        col("__w.value").as("value"))
+      .withColumn("__p", pmod(col("user_id"), lit(nParts)))
+      .localCheckpoint(true)
+    val touched = incoming.select(col("__p").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded by nParts
+    val existing =
+      if (!new java.io.File(tableDir).exists()) None
+      else Some(spark.read.parquet(tableDir)
+        .filter(col("__p").isin(touched: _*))
+        .select(incoming.columns.map(col).toIndexedSeq: _*))
+    val merged = existing.fold(incoming)(_.union(incoming))
+      .groupBy(col("user_id"))
+      .agg(argMax(col("event_id"),
+        struct(col("event_id"), col("ts"), col("event_type"),
+          col("value"), col("__p"))).as("__w"))
+      .select(col("user_id"), col("__w.event_id").as("event_id"),
+        col("__w.ts").as("ts"), col("__w.event_type").as("event_type"),
+        col("__w.value").as("value"), col("__w.__p").as("__p"))
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__p").parquet(tableDir)
+  }
+
+  /** [[upsertBatch]] as a `foreachBatch` streaming sink: the state table
+    * is exactly-once per key because the merge is idempotent (a replayed
+    * batch re-elects the same winners). */
+  def upsertStream(events: DataFrame, tableDir: String,
+                   nParts: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, tableDir, nParts)
+      }
+
   /** LEFT SEMI [[clickViewJoin]] — the conversion-detection form: a
     * click emits ONCE iff at least one view preceded it in the lookback,
     * with no view payload and no per-view row multiplication (the inner

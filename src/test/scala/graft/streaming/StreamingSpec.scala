@@ -292,6 +292,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === Seq(12L, 14L), s"got $streamed")
   }
 
+  test("streaming upsert sink: last-wins state converges, untouched partitions keep files") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert_t").toString + "/state"
+    val stream = MemoryStream[Event]
+    val q = EventStreams.upsertStream(stream.toDF(), dir, nParts = 4)
+      .outputMode("update").start()
+    def files(p: Int): Set[String] = {
+      val d = new java.io.File(s"$dir/__p=$p")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    try {
+      // batch 1: users 1..4 (all four partitions), two rows for user 1
+      stream.addData(
+        Event(10, ts(5), 1, "view", 1.0), Event(11, ts(6), 1, "click", 2.0),
+        Event(12, ts(7), 2, "view", 3.0), Event(13, ts(8), 3, "view", 4.0),
+        Event(14, ts(9), 4, "click", 5.0))
+      q.processAllAvailable()
+      val p2Before = files(2)
+      val p3Before = files(3)
+      assert(p2Before.nonEmpty && p3Before.nonEmpty)
+      // batch 2: only user 1 (partition 1) and user 4 (partition 0);
+      // an OLDER event id for user 4 must lose to the stored winner
+      stream.addData(Event(15, ts(20), 1, "view", 9.0),
+        Event(9, ts(2), 4, "view", 0.5))
+      q.processAllAvailable()
+      assert(files(2) === p2Before, "partition 2 untouched by batch 2")
+      assert(files(3) === p3Before, "partition 3 untouched by batch 2")
+    } finally q.stop()
+    val got = spark.read.parquet(dir)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 15L, 9.0), (2L, 12L, 3.0), (3L, 13L, 4.0), (4L, 14L, 5.0)),
+      s"got $got")
+    // replay idempotence: re-applying batch 2 as a batch changes nothing
+    val replay = Seq(Event(15, ts(20), 1, "view", 9.0), Event(9, ts(2), 4, "view", 0.5))
+    EventStreams.upsertBatch(replay.toDF(), dir, nParts = 4)
+    val again = spark.read.parquet(dir)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again === got, "replayed batch must be a no-op")
+  }
+
   test("stream-static enrichment join agrees with its batch mirror, '(none)' kept") {
     val s = spark
     import s.implicits._
