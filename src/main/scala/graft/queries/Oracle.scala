@@ -1692,6 +1692,29 @@ object Oracle {
 
     "x24_trustrank" -> trustrankSql,
 
+    // same integer sufficient statistics, one final double expression —
+    // IEEE-identical inputs, so the rounded coefficient matches exactly
+    "x26_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT user_id AS src,
+        |    1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+        |j AS (SELECT dx.d AS dx, dy.d AS dy
+        |      FROM e JOIN deg dx ON dx.src = e.src
+        |      JOIN deg dy ON dy.src = e.dst),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        |         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |         CAST(sum(dy * dy) AS BIGINT) AS syy
+        |       FROM j)
+        |SELECT n_edges, sx, sy, sxy, sxx, syy,
+        |  round(CAST(n_edges * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n_edges * syy - sy * sy AS DOUBLE)), 6) AS assortativity_r
+        |FROM st""".stripMargin,
+
     // recursive-CTE BFS over the same edge derivation; see bfsSql scaladoc
     "x19_bfs_dist" -> bfsSql,
 

@@ -1749,6 +1749,35 @@ object Queries {
         graft.graph.Covisit.jaccardEdges(covisitIncidence(s, dir), 17, 50), k = 8)
       .orderBy("node")
 
+  /** X26: degree assortativity of the event graph (Newman 2002) — the
+    * Pearson correlation of endpoint degrees over edges: negative
+    * (disassortative) is the organic-web signature, a shift toward 0/+
+    * flags farm-like wiring. Computed from INTEGER sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy² — exact 64-bit sums on both engines, the
+    * a19 discipline) with ONE double expression at the end, so the
+    * rounded coefficient is deterministic — no FP accumulation crosses
+    * the hash. One edge-degree join + one total aggregate; the doubled
+    * edge list makes the statistic symmetric by construction. */
+  val x26Assortativity: Q = (s, dir) => {
+    val e = eventsBipartiteEdges(tbl(s, dir, "events"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    e.join(deg.select(col("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n_edges"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+        // each variance term is an exact 64-bit integer; only their
+        // PRODUCT would overflow, so the two cast to double first —
+        // one deterministic FP multiply, same on both engines
+        round((col("n_edges") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n_edges") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n_edges") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("assortativity_r"))
+  }
+
   /** X24: TrustRank over the event graph
     * ([[graft.graph.PageRank.trustRankFixed]]) — personalized PageRank
     * with teleport restricted to the trusted users (the x19 seed rule:
@@ -2413,6 +2442,7 @@ object Queries {
     "x22_covisit_sim" -> x22CovisitSim,
     "x23_triangle_count" -> x23TriangleCount,
     "x24_trustrank" -> x24TrustRank,
-    "x25_kcore" -> x25Kcore
+    "x25_kcore" -> x25Kcore,
+    "x26_assortativity" -> x26Assortativity
   )
 }
