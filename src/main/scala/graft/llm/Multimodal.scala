@@ -199,6 +199,62 @@ object Multimodal {
    * 16-bit bands keep buckets selective (uniform-random collision odds
    * 4/65536 per pair).
    */
+  /**
+   * M05: cross-video shared-FRAME near-dup — the composition the m-family
+   * builds toward (m03's frame sampling x m04's perceptual hashing x the
+   * banded pairing): two payloads are near-duplicates when at least
+   * `minShared` of the left side's sampled frames each match SOME frame
+   * of the right side within `maxHam` bits. Whole-payload hashing (m04)
+   * misses re-encoded/trimmed copies whose bytes shift globally; shared
+   * frames survive because sampling is position-proportional and the
+   * hash is per-frame.
+   *
+   * Scale shape: frames explode map-side (n per payload), each frame
+   * hashes in the native codegen kernel off the scan, candidates come
+   * from the (band_idx, band_val) equi-join — exact for maxHam <= 3 by
+   * the 4-band pigeonhole, never a cross product — and the popcount
+   * verify touches candidates only. Band-collision duplicate candidates
+   * are NOT pre-deduped: the terminal `count(DISTINCT frame)` aggregate
+   * absorbs them, so the pair set shuffles once, not twice.
+   */
+  def videoNearDup(media: Dataset[MediaRecord], n: Int = 8, frameBytes: Int = 64,
+                   maxHam: Int = 3, minShared: Int = 2): DataFrame = {
+    require(maxHam >= 0 && maxHam <= 3,
+      s"the 4-band pigeonhole is exact only for maxHam <= 3, got $maxHam")
+    val frames = sampleFrames(media, n, frameBytes)
+      .select(col("doc_id"), posexplode(col("frames")).as(Seq("fi", "frame")))
+      .filter(octet_length(col("frame")) > 0)
+    val ph = graft.SessionResources.trackPersisted {
+      val p = frames.select(col("doc_id"), col("fi").cast("long").as("fi"),
+          graft.functions.MediaExpressions.perceptualHash(col("frame")).as("__ph"))
+        .select(col("doc_id"), col("fi"),
+          element_at(col("__ph"), 1).as("b0"), element_at(col("__ph"), 2).as("b1"),
+          element_at(col("__ph"), 3).as("b2"), element_at(col("__ph"), 4).as("b3"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    val bands = ph.select(col("doc_id"), col("fi"), posexplode(
+      array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("bi", "bv")))
+    val cand = bands.select(col("bi"), col("bv"), col("doc_id").as("id_a"), col("fi").as("fa"))
+      .join(bands.select(col("bi"), col("bv"), col("doc_id").as("id_b"), col("fi").as("fb")),
+        Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "fa", "id_b", "fb")
+    val pa = ph.select(col("doc_id").as("id_a"), col("fi").as("fa"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val pb = ph.select(col("doc_id").as("id_b"), col("fi").as("fb"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(pa, Seq("id_a", "fa")).join(pb, Seq("id_b", "fb"))
+      .withColumn("ham", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("ham") <= maxHam)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("fa")).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
+
   def phashNearDup(media: Dataset[MediaRecord], maxHam: Int = 3): DataFrame = {
     require(maxHam >= 0 && maxHam <= 3,
       s"the 4-band pigeonhole is exact only for maxHam <= 3, got $maxHam")

@@ -898,6 +898,24 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** M05: cross-video shared-frame near-dup
+    * ([[Multimodal.videoNearDup]]) — m03's frame sampling x m04's
+    * perceptual hashing: pairs sharing >= 2 near-identical sampled
+    * frames (ham <= 3 per frame), the re-encoded/trimmed-copy detector
+    * whole-payload hashing misses. Same ASCII oracle-parity guard as
+    * m04; the DuckDB mirror recomputes frame slicing + per-frame hash +
+    * pairwise popcount from the text bytes. */
+  val m05VideoNearDup: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val t = coalesce(col("text"), lit(""))
+    val guarded = docs.withColumn("text", concat(col("text"),
+      coalesce(assert_true(octet_length(t) === length(t),
+        lit("m05_video_neardup: oracle parity requires an ASCII-only corpus"))
+        .cast("string"), lit(""))))
+    Multimodal.videoNearDup(Multimodal.fromDocuments(guarded))
+      .orderBy("id_a", "id_b")
+  }
+
   // ===== streaming-shaped (batch-equivalent; streaming variant in tests) ====
 
   /** Tumbling-window aggregation via window() — identical shape to the
@@ -2425,6 +2443,7 @@ object Queries {
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,
     "m04_phash_neardup" -> m04PhashNearDup,
+    "m05_video_neardup" -> m05VideoNearDup,
     "st01_tumbling_window" -> st01TumblingWindow,
     "st02_sessionize" -> st02Sessionize,
     "st03_sliding_window" -> st03SlidingWindow,

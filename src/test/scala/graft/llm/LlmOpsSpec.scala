@@ -1231,6 +1231,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).sorted === out.map(_.toString).sorted)
   }
 
+  test("videoNearDup: identical payloads share all frames, half-replaced share half, disjoint none") {
+    val s = spark
+    import s.implicits._
+    // 1024-byte payloads: 8 frames of 64 bytes at step 128. Doc 2 is an
+    // exact copy (8 shared frames); doc 3 keeps the first half and
+    // replaces the second with different bytes AT THE SAME LENGTH, so
+    // offsets align and exactly the first 4 frames still match; doc 4 is
+    // disjoint everywhere.
+    // APERIODIC generators (quadratic/cubic residue mixes): a periodic
+    // pattern makes every frame's phash collide cross-position and the
+    // per-position goldens dissolve; these three profiles were simulated
+    // to give exactly 8 / 4 / 0 shared frames for copy / half-swap /
+    // disjoint
+    def mk(f: Long => Long) = (0L until 1024L).map(i => f(i).toChar).mkString
+    val base = mk(i => 'a' + (i * 37 + (i * i) % 41) % 23)
+    val other = mk(i => '0' + (i * 53 + (i * i * i) % 29) % 10)
+    val third = mk(i => 'A' + (i * 11 + (i * 7) % 13) % 26)
+    val halfSwap = base.substring(0, 512) + other.substring(512)
+    val df = Seq(1L -> base, 2L -> base, 3L -> halfSwap, 4L -> third)
+      .toDF("doc_id", "text")
+    val rows = graft.llm.Multimodal.videoNearDup(
+        graft.llm.Multimodal.fromDocuments(df), minShared = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.get((1L, 2L)).contains(8L), s"exact copy must share all 8 frames: $rows")
+    assert(rows.get((1L, 3L)).contains(4L) && rows.get((2L, 3L)).contains(4L),
+      s"half-replaced copy must share exactly the first 4 frames: $rows")
+    assert(!rows.keys.exists(k => k._1 == 4L || k._2 == 4L),
+      s"disjoint payload must pair with nothing: $rows")
+  }
+
   test("containmentPairs: full quote scores 1.0 where Jaccard stays small; directions asymmetric") {
     // doc 1 is fully quoted inside the much longer doc 2: containment
     // (1 in 2) = 1.0, the reverse direction is small, and Jaccard is
