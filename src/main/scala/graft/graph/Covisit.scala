@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
  */
 object Covisit {
 
+  /** Session-tracked MEMORY_AND_DISK materialization (the Dedup
+    * discipline): eager, and released by the Verify/Bench harness after
+    * each query so storage never accumulates across a run. */
+  private def materialized(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    graft.SessionResources.trackPersisted(p)
+  }
+
   /**
    * Project a distinct bipartite incidence `(u, p)` onto the `p` side:
    * edges `(p1, p2, inter, uni)` with `p1 < p2` for every pair whose
@@ -44,7 +53,12 @@ object Covisit {
    */
   def jaccardEdges(incidence: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
     require(tauNum >= 0 && tauDen > 0, "threshold must be a non-negative rational")
-    val up = incidence.select(col("u"), col("p").cast("long").as("p")).distinct()
+    // the deduped incidence feeds THREE subtrees (both pair-join sides +
+    // the size aggregate): materialize it once — ReuseExchange covers the
+    // twin join sides, but the size branch would otherwise re-derive from
+    // a second source scan (the d03 shingle-table lesson)
+    val up = materialized(
+      incidence.select(col("u"), col("p").cast("long").as("p")).distinct())
     val l = up.select(col("u"), col("p").as("p1"))
     val r = up.select(col("u"), col("p").as("p2"))
     val pairs = l.join(r, Seq("u"))
@@ -113,7 +127,11 @@ object Covisit {
    * each of its three corners.
    */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("p1").cast("long").as("a"), col("p2").cast("long").as("b"))
+    // the edge frame feeds degree counting, orientation, AND the closure
+    // check — materialize it so an expensive upstream edge derivation
+    // (x22's similarity pipeline) runs once, not three times
+    val e = materialized(
+      edges.select(col("p1").cast("long").as("a"), col("p2").cast("long").as("b")))
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient lower (degree, id) -> higher; a < b canonically, so the
