@@ -646,6 +646,22 @@ object Oracle {
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // τ=2 temperature mix: sqrt is IEEE correctly-rounded in both
+    // engines (pow is not — why the temperature is 2); the only FP sums
+    // run over the handful of language rows
+    "t23_mixture_weights" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_tokens) AS tot,
+        |             sum(sqrt(CAST(n_tokens AS DOUBLE))) AS stot FROM c)
+        |SELECT c.lang, c.n_docs, c.n_tokens,
+        |  round(CAST(c.n_tokens AS DOUBLE) / t.tot, 6) AS flat_r,
+        |  round(sqrt(CAST(c.n_tokens AS DOUBLE)) / t.stot, 6) AS weight_r,
+        |  CAST(round(1000000.0 * sqrt(CAST(c.n_tokens AS DOUBLE)) / t.stot, 0)
+        |    AS BIGINT) AS epoch_tokens
+        |FROM c, t ORDER BY c.lang""".stripMargin,
+
     "t02_text_quality" ->
       """WITH q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words0, length(text) AS n_chars0,
         |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to'))) AS stop0

@@ -783,6 +783,31 @@ object Queries {
         TextOps.regexTokenCount(col("text")).cast("long").as("re_tokens"))
       .orderBy("doc_id")
 
+  /** T23: temperature-scaled training-mix weights (the multilingual
+    * sampling rule of Conneau & Lample 2019 / the LLaMA data mix, at
+    * τ = 2): p_l ∝ sqrt(tokens_l) — up-samples low-resource languages
+    * relative to their raw share without flattening the mix. Exact
+    * integer token counts feed ONE sqrt per language (IEEE
+    * correctly-rounded, unlike pow — why τ is 2 here) and one sum over
+    * the handful of language rows; the flat share rides along for the
+    * contrast. The 1M-token epoch allocation rounds from the weight. */
+  val t23MixtureWeights: Q = (s, dir) => {
+    val counts = tbl(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.wordCount(col("text")).cast("long")).as("n_tokens"))
+    val totals = counts.agg(
+      sum(col("n_tokens")).as("__tot"),
+      sum(sqrt(col("n_tokens").cast("double"))).as("__stot"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__tot"), 6).as("flat_r"),
+        round(sqrt(col("n_tokens").cast("double")) / col("__stot"), 6).as("weight_r"),
+        round(lit(1000000.0) * sqrt(col("n_tokens").cast("double")) / col("__stot"), 0)
+          .cast("long").as("epoch_tokens"))
+      .orderBy("lang")
+  }
+
   /** Quality scoring (length/stopword/avg-word-length stats). */
   val t02TextQuality: Q = (s, dir) =>
     TextOps.qualityStats(tbl(s, dir, "documents"))
@@ -2400,6 +2425,7 @@ object Queries {
     "t20_quality_classifier" -> t20QualityClassifier,
     "t21_gopher_rules" -> t21GopherRules,
     "t22_quality_buckets" -> t22QualityBuckets,
+    "t23_mixture_weights" -> t23MixtureWeights,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,
