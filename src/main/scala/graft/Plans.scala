@@ -235,7 +235,39 @@ object Plans {
       "(batch mirror): user-keyed equi-join with the time-range " +
       "predicate as the join condition — never a nested loop; in " +
       "streaming the same two-sided watermark bounds buffered state and " +
-      "times out unmatched clicks into null-padded rows."))
+      "times out unmatched clicks into null-padded rows."),
+    "d17_containment" -> ("Near-containment: the d03 inverted-index " +
+      "candidate generator (skew-guarded postings equi-join) with " +
+      "ASYMMETRIC normalization — containment |A∩B|/|A| catches the " +
+      "quoted-short-doc case the symmetric Jaccard dilutes; both " +
+      "directions explode from one verified pair row, nothing " +
+      "corpus-sized moves twice."),
+    "x25_kcore" -> ("k-core peel (final-round plan shown; the loop ran " +
+      "to fixpoint): per round one partial-aggregated degree count + " +
+      "two LEFT SEMI equi-joins over a monotonically SHRINKING, " +
+      "checkpointed edge set — the convergence count is the same action " +
+      "that materializes the round, no extra job."),
+    "st14_upsert_state" -> ("Streaming upsert state (batch-applied " +
+      "mirror): per batch, last-wins election is ONE arg_max hash " +
+      "aggregate (map-side partials), the merge reads back ONLY touched " +
+      "hash partitions, and the write is a dynamic partition overwrite " +
+      "— cost per batch ~ batch + touched partitions, never the table."),
+    "m05_video_neardup" -> ("Cross-video shared-frame near-dup: frames " +
+      "explode map-side, hash in the native perceptual_hash codegen " +
+      "kernel straight off the scan, candidates from the exact 4-band " +
+      "pigeonhole equi-join; band-collision duplicates are absorbed by " +
+      "the terminal count(DISTINCT frame), so the pair set shuffles " +
+      "once, not twice."),
+    "x26_assortativity" -> ("Degree assortativity from INTEGER " +
+      "sufficient statistics: one edge-degree join + one total " +
+      "aggregate; the only FP op is the final correlation expression " +
+      "over six exact 64-bit sums — deterministic, so the rounded " +
+      "coefficient hash-compares."),
+    "t23_mixture_weights" -> ("Temperature mix weights: exact integer " +
+      "token counts (native word-count kernel, map-side partial sums), " +
+      "one IEEE-exact sqrt per language, totals ride as a broadcast " +
+      "1-row aggregate — the language-count-sized tail of a corpus-" +
+      "sized map."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
