@@ -50,8 +50,22 @@ object Covisit {
    * Project a distinct bipartite incidence `(u, p)` onto the `p` side:
    * edges `(p1, p2, inter, uni)` with `p1 < p2` for every pair whose
    * exact Jaccard overlap `inter / uni >= tauNum / tauDen`.
+   *
+   * `maxFanout` is the hub guard — the d03 postings-cap discipline
+   * applied to the shared-entity key: a user touching f pages generates
+   * C(f, 2) pair rows, so one 10^6-page crawler bot would emit 5*10^11
+   * rows into the pair join. With `maxFanout > 0`, CANDIDATE generation
+   * sees only a deterministic md5-ranked sample of each over-cap user's
+   * pages, and surviving candidates are then scored EXACTLY against the
+   * full incidence (a candidate-bounded semi-join recount — same split
+   * as d03: the cap prunes candidates, never the score). The one
+   * semantic edge mirrors d03's: a pair co-visited ONLY by capped-out
+   * hub slots loses its candidate (reachable through any other shared
+   * user). `maxFanout = 0` (default, and the registered query's form)
+   * is exact end to end.
    */
-  def jaccardEdges(incidence: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
+  def jaccardEdges(incidence: DataFrame, tauNum: Long, tauDen: Long,
+                   maxFanout: Int = 0): DataFrame = {
     require(tauNum >= 0 && tauDen > 0, "threshold must be a non-negative rational")
     // the deduped incidence feeds THREE subtrees (both pair-join sides +
     // the size aggregate): materialize it once — ReuseExchange covers the
@@ -59,11 +73,31 @@ object Covisit {
     // a second source scan (the d03 shingle-table lesson)
     val up = materialized(
       incidence.select(col("u"), col("p").cast("long").as("p")).distinct())
-    val l = up.select(col("u"), col("p").as("p1"))
-    val r = up.select(col("u"), col("p").as("p2"))
-    val pairs = l.join(r, Seq("u"))
+    val genSide =
+      if (maxFanout <= 0) up
+      else up
+        .groupBy(col("u"))
+        .agg(graft.functions.VectorAggregates.topK(
+          -conv(substring(md5(concat(col("u"), lit(":"), col("p"))), 1, 8), 16, 10)
+            .cast("double"),
+          col("p"), maxFanout).as("top"))
+        .select(col("u"), explode(col("top")).as("t"))
+        .select(col("u"), col("t.id").as("p"))
+    val pairs0 = genSide.select(col("u"), col("p").as("p1"))
+      .join(genSide.select(col("u"), col("p").as("p2")), Seq("u"))
       .filter(col("p1") < col("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("inter"))
+    val pairs =
+      if (maxFanout <= 0)
+        pairs0.groupBy("p1", "p2").agg(count(lit(1)).as("inter"))
+      else {
+        // exact recount over the FULL incidence, candidate-bounded: each
+        // candidate fans out to p1's true user set, then a semi-join
+        // keeps the users also on p2 — |cand| x |p1| rows, never C(f,2)
+        val cand = pairs0.select("p1", "p2").distinct()
+        cand.join(up.select(col("p").as("p1"), col("u")), Seq("p1"))
+          .join(up.select(col("p").as("p2"), col("u")), Seq("p2", "u"), "left_semi")
+          .groupBy("p1", "p2").agg(count(lit(1)).as("inter"))
+      }
     val sizes = up.groupBy(col("p")).agg(count(lit(1)).as("c"))
     pairs
       .join(broadcast(sizes.select(col("p").as("p1"), col("c").as("c1"))), Seq("p1"))

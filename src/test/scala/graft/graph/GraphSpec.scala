@@ -281,6 +281,30 @@ class GraphSpec extends AnyFunSuite {
     assert(Covisit.kCore(k4tail, 10).isEmpty)
   }
 
+  test("jaccardEdges maxFanout: hub capped in candidate gen, survivors scored exactly") {
+    val s = spark
+    import s.implicits._
+    // pages 1,2 share audience {1,2,3} (J=1); user 99 is a crawler bot
+    // touching EVERY page — with the cap at 2 its candidate fanout
+    // shrinks, but pair (1,2) survives via users 1-3 and its score must
+    // come out EXACT (inter includes the bot row: full-incidence recount)
+    val inc = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (1L, 2L), (2L, 2L), (3L, 2L),
+      (9L, 3L), (8L, 3L)) ++ (1L to 3L).map(p => (99L, p))
+    val exact = Covisit.jaccardEdges(inc.toDF("u", "p"), 17, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val capped = Covisit.jaccardEdges(inc.toDF("u", "p"), 17, 50, maxFanout = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the exact form finds (1,2) with inter 4 (users 1,2,3,99), uni 4
+    assert(exact.contains((1L, 2L, 4L, 4L)), s"exact: $exact")
+    // capped candidates are a subset; every surviving pair's score is
+    // the EXACT full-incidence value, bot row included
+    assert(capped.subsetOf(exact), s"capped $capped must be a subset of exact $exact")
+    assert(capped.contains((1L, 2L, 4L, 4L)),
+      s"pair (1,2) reachable via 3 uncapped users must survive with the exact score: $capped")
+  }
+
   test("triangleCounts over jaccardEdges: the x22 -> x23 composition on a planted cluster") {
     val s = spark
     import s.implicits._
