@@ -211,11 +211,23 @@ object Multimodal {
    *
    * Scale shape: frames explode map-side (n per payload), each frame
    * hashes in the native codegen kernel off the scan, candidates come
-   * from the (band_idx, band_val) equi-join — exact for maxHam <= 3 by
-   * the 4-band pigeonhole, never a cross product — and the popcount
-   * verify touches candidates only. Band-collision duplicate candidates
-   * are NOT pre-deduped: the terminal `count(DISTINCT frame)` aggregate
-   * absorbs them, so the pair set shuffles once, not twice.
+   * from the (band_idx, band_val) equi-join — never a cross product —
+   * and the popcount verify touches candidates only. Band-collision
+   * duplicate candidates are NOT pre-deduped: the terminal
+   * `count(DISTINCT frame)` aggregate absorbs them, so the pair set
+   * shuffles once, not twice.
+   *
+   * Skew guard ([[MediaNearDup.maxBandPostings]], the d03 postings-cap
+   * discipline): band values carried by more than the cap are
+   * BOILERPLATE — short tail frames and uniform content collapse whole
+   * bands to zero, and one such value held 6k of 160k postings at
+   * sf0.1, contributing 18M of 45M candidate pairs. Capped bands drop
+   * from candidate generation; a frame pair whose matching bands are
+   * ALL boilerplate loses its candidate (measured: every planted
+   * exact-copy pair keeps >= 4 of its 8 frame matches through rare
+   * bands — boilerplate-only matches are precision noise, not copies).
+   * Within surviving candidates the pigeonhole remains exact for
+   * maxHam <= 3.
    */
   def videoNearDup(media: Dataset[MediaRecord], n: Int = 8, frameBytes: Int = 64,
                    maxHam: Int = 3, minShared: Int = 2): DataFrame = {
@@ -234,8 +246,15 @@ object Multimodal {
       p.count()
       p
     }
-    val bands = ph.select(col("doc_id"), col("fi"), posexplode(
+    val bands0 = ph.select(col("doc_id"), col("fi"), posexplode(
       array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("bi", "bv")))
+    // groupBy + join back, not a window count: the hot band this guard
+    // drops must never materialize inside one task (the d03 rationale)
+    val rareBands = bands0.groupBy("bi", "bv")
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= MediaNearDup.maxBandPostings)
+      .select("bi", "bv")
+    val bands = bands0.join(rareBands, Seq("bi", "bv"))
     val cand = bands.select(col("bi"), col("bv"), col("doc_id").as("id_a"), col("fi").as("fa"))
       .join(bands.select(col("bi"), col("bv"), col("doc_id").as("id_b"), col("fi").as("fb")),
         Seq("bi", "bv"))
@@ -253,6 +272,13 @@ object Multimodal {
       .groupBy(col("id_a"), col("id_b"))
       .agg(countDistinct(col("fa")).as("shared_frames"))
       .filter(col("shared_frames") >= minShared)
+  }
+
+  object MediaNearDup {
+    /** Frame-band skew guard for [[videoNearDup]]: a band value carried
+      * by more postings than this is boilerplate (zero-bands of short /
+      * uniform frames) and is dropped from candidate generation. */
+    val maxBandPostings = 200
   }
 
   def phashNearDup(media: Dataset[MediaRecord], maxHam: Int = 3): DataFrame = {

@@ -797,38 +797,52 @@ object Oracle {
 
     // m05: frame slicing (step = max(1, n//8), prefix offsets < n, 64-byte
     // windows) + the m04 per-frame average-hash, packed into two 32-bit
-    // halves so the pairwise hamming is two xor+bit_count calls instead of
-    // a 64-element list fold; full pairwise replaces the engine's banded
-    // candidates (same final set — the pigeonhole is exact at ham <= 3)
-    "m05_video_neardup" ->
-      """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
-        |           WHERE length(text) > 0),
-        |fr AS (SELECT doc_id, CAST(t.i AS BIGINT) AS fi,
-        |         substring(text, CAST(t.i * greatest(1, n // 8) + 1 AS INT), 64) AS f
-        |       FROM b, unnest(range(0, 8)) AS t(i)
-        |       WHERE t.i * greatest(1, n // 8) < n),
-        |ph AS (SELECT doc_id, fi, length(f) AS m,
-        |   list_transform(range(0, 64), j ->
-        |     coalesce(list_aggregate(list_transform(range(CAST(1 + j AS BIGINT), length(f) + 1, 64),
-        |        i -> ascii(substring(f, CAST(i AS INT), 1))), 'sum'), 0)) AS bs,
-        |   coalesce(list_aggregate(list_transform(range(1, length(f) + 1),
-        |        i -> ascii(substring(f, CAST(i AS INT), 1))), 'sum'), 0) AS total
-        | FROM fr),
-        |bits AS (SELECT doc_id, fi,
-        |   CAST(coalesce(list_aggregate(list_transform(range(0, 32), j ->
-        |     CASE WHEN bs[CAST(j + 1 AS INT)] * m > total * greatest(0, (m - j + 63) // 64)
-        |          THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), 'sum'), 0) AS BIGINT) AS h1,
-        |   CAST(coalesce(list_aggregate(list_transform(range(32, 64), j ->
-        |     CASE WHEN bs[CAST(j + 1 AS INT)] * m > total * greatest(0, (m - j + 63) // 64)
-        |          THEN CAST(power(2, j - 32) AS BIGINT) ELSE 0 END), 'sum'), 0) AS BIGINT) AS h2
-        | FROM ph),
-        |fp AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.fi AS fa,
-        |         bit_count(xor(a.h1, c.h1)) + bit_count(xor(a.h2, c.h2)) AS ham
-        |       FROM bits a JOIN bits c ON a.doc_id < c.doc_id)
-        |SELECT id_a, id_b, CAST(count(DISTINCT fa) AS BIGINT) AS shared_frames
-        |FROM fp WHERE ham <= 3
-        |GROUP BY 1, 2 HAVING count(DISTINCT fa) >= 2
-        |ORDER BY id_a, id_b""".stripMargin,
+    // halves so hamming is two xor+bit_count calls; candidates mirror the
+    // engine's rare-band join INCLUDING the boilerplate-band cap (a pair
+    // whose matching bands are all capped is dropped on both sides)
+    "m05_video_neardup" -> {
+      val cap = graft.llm.Multimodal.MediaNearDup.maxBandPostings
+      s"""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+         |           WHERE length(text) > 0),
+         |fr AS (SELECT doc_id, CAST(t.i AS BIGINT) AS fi,
+         |         substring(text, CAST(t.i * greatest(1, n // 8) + 1 AS INT), 64) AS f
+         |       FROM b, unnest(range(0, 8)) AS t(i)
+         |       WHERE t.i * greatest(1, n // 8) < n),
+         |ph AS (SELECT doc_id, fi, length(f) AS m,
+         |   list_transform(range(0, 64), j ->
+         |     coalesce(list_aggregate(list_transform(range(CAST(1 + j AS BIGINT), length(f) + 1, 64),
+         |        i -> ascii(substring(f, CAST(i AS INT), 1))), 'sum'), 0)) AS bs,
+         |   coalesce(list_aggregate(list_transform(range(1, length(f) + 1),
+         |        i -> ascii(substring(f, CAST(i AS INT), 1))), 'sum'), 0) AS total
+         | FROM fr),
+         |bits AS (SELECT doc_id, fi,
+         |   CAST(coalesce(list_aggregate(list_transform(range(0, 32), j ->
+         |     CASE WHEN bs[CAST(j + 1 AS INT)] * m > total * greatest(0, (m - j + 63) // 64)
+         |          THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), 'sum'), 0) AS BIGINT) AS h1,
+         |   CAST(coalesce(list_aggregate(list_transform(range(32, 64), j ->
+         |     CASE WHEN bs[CAST(j + 1 AS INT)] * m > total * greatest(0, (m - j + 63) // 64)
+         |          THEN CAST(power(2, j - 32) AS BIGINT) ELSE 0 END), 'sum'), 0) AS BIGINT) AS h2
+         | FROM ph),
+         |bands AS (SELECT doc_id, fi, t.bi,
+         |    CASE t.bi WHEN 0 THEN h1 % 65536 WHEN 1 THEN h1 // 65536
+         |              WHEN 2 THEN h2 % 65536 ELSE h2 // 65536 END AS bv
+         |  FROM bits, unnest(range(0, 4)) AS t(bi)),
+         |rare AS (SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) <= $cap),
+         |rb AS (SELECT bands.doc_id, bands.fi, bands.bi, bands.bv
+         |       FROM bands JOIN rare USING (bi, bv)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.fi AS fa,
+         |           c.doc_id AS id_b, c.fi AS fb
+         |         FROM rb a JOIN rb c ON a.bi = c.bi AND a.bv = c.bv
+         |           AND a.doc_id < c.doc_id),
+         |fp AS (SELECT cand.id_a, cand.id_b, cand.fa,
+         |         bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2)) AS ham
+         |       FROM cand JOIN bits x ON x.doc_id = cand.id_a AND x.fi = cand.fa
+         |       JOIN bits y ON y.doc_id = cand.id_b AND y.fi = cand.fb)
+         |SELECT id_a, id_b, CAST(count(DISTINCT fa) AS BIGINT) AS shared_frames
+         |FROM fp WHERE ham <= 3
+         |GROUP BY 1, 2 HAVING count(DISTINCT fa) >= 2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "v06_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,
