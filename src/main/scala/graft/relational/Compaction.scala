@@ -68,6 +68,7 @@ object Compaction {
       val n = f.getPath.getName
       f.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
+    refuseBucketed(dataFiles())
 
     val before = dataFiles()
     val (small, big) = before.partition(_.getLen < threshold)
@@ -151,6 +152,23 @@ object Compaction {
    * used) for maintainability. A LIVE sink must not be graduated: its
    * next trigger would re-create the log and re-add whatever it commits.
    */
+  /** A BUCKETED table's physical layout is part of its contract: the
+    * bucket id lives in the file NAME (`..._00003.c000.parquet`), and
+    * every bucket-map join / exchange-free index serve path trusts it.
+    * Folding those files would silently scramble rows across buckets —
+    * the reader would not fail, it would return wrong joins. Refuse;
+    * bucketed tables compact by rebuild (writeBucketed over a read), or
+    * per-bucket with `writerTasksPerBucket` at write time. */
+  private def refuseBucketed(files: Array[FileStatus]): Unit = {
+    val bucketName = ".*_\\d{5}\\.c\\d{3}.*".r
+    files.find(f => bucketName.matches(f.getPath.getName)).foreach { f =>
+      throw new IllegalArgumentException(
+        s"${f.getPath.getParent} holds bucketed table files (${f.getPath.getName}); " +
+          "compacting would scramble the bucket-id-in-filename contract — " +
+          "rebuild via Bucketing.writeBucketed instead")
+    }
+  }
+
   private def refuseSinkLog(fs: org.apache.hadoop.fs.FileSystem,
                             dir: Path): Unit = {
     if (fs.exists(new Path(dir, "_spark_metadata")))

@@ -843,6 +843,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaIncr.nonEmpty && viaIncr === viaFull)
   }
 
+  test("compaction refuses a bucketed table dir; serving stays intact") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bktcompact_t").toString + "/tbl"
+    graft.relational.Bucketing.writeBucketed(
+      (1L to 100L).map(i => (i, i * 2)).toDF("k", "v"),
+      "bkt_compact_guard_t", "k", 4, path = Some(dir))
+    val before = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(before.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      graft.relational.Compaction.compactDir(spark, dir, targetBytes = 1 << 20)
+    }
+    assert(e.getMessage.contains("bucketed"), e.getMessage)
+    val after = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(after === before, "refusal must leave every file untouched")
+    // the table still serves through its bucket layout
+    assert(spark.table("bkt_compact_guard_t").count() === 100)
+  }
+
   test("compaction recovers from a dead prior attempt's staging dir") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = Files.createTempDirectory("graft_compact_crash").toString
