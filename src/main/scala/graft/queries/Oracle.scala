@@ -844,6 +844,40 @@ object Oracle {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // d18: the d17 CTEs plus the bottom-k sketch rule — row_number over
+    // the identical (32-bit md5 prefix, shingle) total order the engine's
+    // TopKStr heap keeps, probe joined against full (capped) postings
+    "d18_containment_sketch" -> {
+      val cap = graft.llm.Dedup.NearDup.maxShinglePostings
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+         |          i -> list_aggregate(w[i:i+4], 'string_agg', chr(31)))) AS s
+         |        FROM tok WHERE len(w) >= 5),
+         |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $cap),
+         |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |pref AS (SELECT doc_id, s,
+         |           CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS pf FROM shc),
+         |bk AS (SELECT doc_id, s FROM (
+         |         SELECT doc_id, s,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY pf, s) AS rn
+         |         FROM pref) t WHERE rn <= 16),
+         |cand AS (SELECT DISTINCT bk.doc_id AS contained_id,
+         |           shc.doc_id AS container_id
+         |         FROM bk JOIN shc ON bk.s = shc.s AND bk.doc_id <> shc.doc_id),
+         |pr AS (SELECT c.contained_id, c.container_id, count(*) AS inter
+         |       FROM cand c JOIN sh a ON a.doc_id = c.contained_id
+         |       JOIN sh b ON b.doc_id = c.container_id AND b.s = a.s
+         |       GROUP BY 1, 2)
+         |SELECT pr.contained_id, pr.container_id, CAST(pr.inter AS BIGINT) AS inter,
+         |  CAST(cn.n AS BIGINT) AS n_contained,
+         |  round(CAST(pr.inter AS DOUBLE) / cn.n, 6) AS containment
+         |FROM pr JOIN cnt cn ON cn.doc_id = pr.contained_id
+         |WHERE round(CAST(pr.inter AS DOUBLE) / cn.n, 6) >= 0.5
+         |ORDER BY contained_id, container_id""".stripMargin
+    },
+
     "v06_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,
         |  greatest(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'),

@@ -610,6 +610,17 @@ object Queries {
     Dedup.containmentPairs(tbl(s, dir, "documents"), w = 5, minC = 0.5)
       .orderBy("contained_id", "container_id")
 
+  /** D18: bottom-k sketch-accelerated containment
+    * ([[Dedup.containmentSketchPairs]]) — d17's scale path: probe-side
+    * postings shrink from |shingles| to k=16 md5-ordered samples per
+    * doc, candidates stay directional, survivors verify EXACTLY;
+    * P(miss | containment >= 0.5) <= 0.5^16. The oracle mirrors the
+    * sketch rule (row_number over the identical (md5-prefix, shingle)
+    * order), so the result hash-compares exactly. */
+  val d18ContainmentSketch: Q = (s, dir) =>
+    Dedup.containmentSketchPairs(tbl(s, dir, "documents"), w = 5, k = 16, minC = 0.5)
+      .orderBy("contained_id", "container_id")
+
   /** MinHash-LSH near-dup — banded signatures, candidate equi-join, exact
     * verify. P(miss | j>=0.7) < 1e-4, so it reproduces the exact-Jaccard
     * oracle at these scale factors while staying sub-quadratic. */
@@ -2379,6 +2390,7 @@ object Queries {
     "st09_neardup_admission" -> st09NearDupAdmission,
     "d16_semantic_dedup" -> d16SemanticDedup,
     "d17_containment" -> d17Containment,
+    "d18_containment_sketch" -> d18ContainmentSketch,
     "d05_simhash" -> d05Simhash,
     "d06_embedding_neardup" -> d06EmbeddingNeardup,
     "d07_dedup_components" -> d07DedupComponents,

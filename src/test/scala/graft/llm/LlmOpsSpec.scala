@@ -1280,6 +1280,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(jac.isEmpty, "Jaccard at 0.5 must miss the quoted pair containment catches")
   }
 
+  test("containmentSketchPairs: recovers the planted quote and never invents pairs") {
+    val quoted = (1 to 10).map(i => s"q$i").mkString(" ")
+    val container = quoted + " " + (1 to 40).map(i => s"pad$i").mkString(" ")
+    val df = docsDf(Seq(1L -> quoted, 2L -> container,
+      3L -> (1 to 20).map(i => s"z$i").mkString(" ")))
+    val exact = Dedup.containmentPairs(df, w = 5, minC = 0.5)
+      .collect().map(_.toString).toSet
+    val sketch = Dedup.containmentSketchPairs(df, w = 5, k = 16, minC = 0.5)
+      .collect().map(_.toString).toSet
+    // the verify stage is exact, so sketch results are a subset of the
+    // full-postings results; the planted full quote (6 shingles, all in
+    // a 16-slot sketch) is recovered with certainty, not probability
+    assert(sketch.subsetOf(exact), s"sketch invented pairs: ${sketch -- exact}")
+    assert(sketch === exact, s"sketch missed: ${exact -- sketch}")
+    assert(sketch.nonEmpty)
+  }
+
   test("qualityBuckets: per-language equal-count terciles, fluent docs head, gibberish tail") {
     val s = spark
     import s.implicits._
