@@ -101,6 +101,49 @@ object Bfs {
     frontiers.reduce(_ union _)
   }
 
+  /**
+   * Per-LANDMARK BFS distances: the [[bfsDistances]] loop with the seed
+   * id carried through the frontier, so the output is (seed, node, dist)
+   * — every node's exact hop distance to EACH landmark, not the min over
+   * the set. This is the primitive of pivot-based centrality estimation
+   * (Eppstein & Wang 2004): exact all-pairs closeness is O(V·E) and
+   * unpayable, but a bounded landmark sample gives an unbiased estimate
+   * whose error shrinks with the sample, and the whole computation stays
+   * L bounded BFS runs fused into ONE loop — frontier rows are
+   * (seed, node) pairs, so per-round cost is <= landmarks x the
+   * single-source frontier, with the same shrinking-frontier early exit,
+   * binary-counter known-set fold, and per-hop disjoint output blocks.
+   * The edge side is loop-invariant and joins on the node alone, so the
+   * [[bfsIndexed]] bucketed-layout serving applies unchanged.
+   */
+  def landmarkDistances(edges: DataFrame, landmarks: DataFrame,
+                        maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val frontiers = scala.collection.mutable.ArrayBuffer(
+      landmarks.select(col("node").cast("long").as("seed")).distinct()
+        .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+        .localCheckpoint(true))
+    val known = new FoldedSet
+    known.add(frontiers.last.select("seed", "node"))
+    var h = 1
+    var exhausted = frontiers.last.isEmpty
+    while (h <= maxHops && !exhausted) {
+      val frontier = frontiers.last
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("seed"), e("dst").as("node")).distinct()
+        .join(known.view, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h.toLong).as("dist"))
+        .localCheckpoint(true)
+      frontiers += next
+      known.add(next.select("seed", "node"))
+      exhausted = next.isEmpty
+      h += 1
+    }
+    frontiers.reduce(_ union _)
+  }
+
   /** BFS served from a [[PageRank.buildEdgeLayout]] layout: the
     * loop-invariant edge side reads the src-bucketed store, so each
     * round shuffles only the frontier. */

@@ -1532,6 +1532,19 @@ object Oracle {
         |       count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // histogram quantiles vs the sort-based quantile_disc: both engines
+    // pick rank ceil(q*n) over the same cent-scaled total order (the
+    // cent mapping is monotone, so quantile-of-cents == cent-of-quantile;
+    // round(value*100) evaluates on identical IEEE doubles both sides).
+    // Quantiles cross the boundary as cents — exact integers
+    "a22_hist_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(round(quantile_disc(value, 0.50) * 100, 0) AS BIGINT) AS p50_c,
+        |       CAST(round(quantile_disc(value, 0.90) * 100, 0) AS BIGINT) AS p90_c,
+        |       CAST(round(quantile_disc(value, 0.99) * 100, 0) AS BIGINT) AS p99_c
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "t09_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -1821,6 +1834,29 @@ object Oracle {
     // bucketed layout — one oracle text, verbatim, for both (the
     // x16/x18 discipline): the storage split must be invisible
     "x20_bfs_indexed" -> bfsSql,
+
+    // per-landmark recursive BFS, then the identical integer harmonic
+    // rule: 12 // dist (lcm(1..4) scaling) summed as exact integers;
+    // the UNION-dedup recursion needs min(dist) per (seed, node) before
+    // the 1/d fold, exactly like bfsSql's per-node min
+    "x27_harmonic" ->
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT user_id AS src,
+        |    1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |lms AS (SELECT DISTINCT user_id AS node FROM events
+        |        WHERE user_id % 100 = 0),
+        |bfs(seed, node, dist) AS (
+        |  SELECT node, node, 0 FROM lms
+        |  UNION
+        |  SELECT b.seed, e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.node
+        |  WHERE b.dist < 4
+        |),
+        |d AS (SELECT seed, node, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+        |SELECT node AS node_id,
+        |  CASE WHEN node >= 1000000 THEN 'page' ELSE 'user' END AS node_type,
+        |  count(*) AS n_lm, CAST(sum(12 // dist) AS BIGINT) AS harm12
+        |FROM d WHERE dist >= 1 GROUP BY node ORDER BY node_id""".stripMargin,
 
     // the indexed form serves the SAME integer-exact iteration from the
     // persisted bucketed layout — one oracle text, verbatim, for both:

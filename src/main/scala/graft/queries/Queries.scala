@@ -530,6 +530,40 @@ object Queries {
         round(expr("percentile(value, 0.99)"), 6).as("p99_r"))
       .orderBy("event_type")
 
+  /** A22: EXACT discrete quantiles via a bounded-domain value histogram —
+    * the scale path a06's engine-native `percentile` lacks. a06 buffers
+    * every group value in the final aggregation (state ∝ rows); a16
+    * trades exactness for a sketch. This form is exact AND bounded-state
+    * when the value domain is fixed-point (money, counts, scores —
+    * `events.value` is 2-decimal): count per (type, cent) — one
+    * partial-aggregated shuffle whose result is DOMAIN-sized, not
+    * row-sized — then cumulate the tiny histogram and pick the
+    * percentile_disc element, smallest v with cume >= ceil(q*n), as the
+    * integer cross-multiplication `100*cum >= qnum*n` (no FP anywhere in
+    * the selection). The window sorts per-type HISTOGRAMS (≤ |domain|
+    * rows each), never the corpus; at 100 TB the histogram is still
+    * ~50k rows per type. Quantiles cross the oracle boundary as cents
+    * (long) — exact integers, no float representation to drift. */
+  val a22HistQuantiles: Q = (s, dir) => {
+    val hist = tbl(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("v"))
+      .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def pick(qnum: Int): Column =
+      min(when(col("cum") * 100 >= lit(qnum) * col("n"), col("v")))
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"), pick(50).as("p50_c"),
+        pick(90).as("p90_c"), pick(99).as("p99_c"))
+      .orderBy("event_type")
+  }
+
   /** A7: analytic window functions (rank/dense_rank/ntile/running sum) —
     * engine breadth the reference's SQLite surface never exercises. */
   val a07WindowRank: Q = (s, dir) => {
@@ -2303,6 +2337,30 @@ object Queries {
       .orderBy("node_id")
   }
 
+  /** X27: pivot-estimated harmonic centrality
+    * ([[graft.graph.Bfs.landmarkDistances]]) — the Eppstein–Wang
+    * landmark scheme: exact all-pairs closeness is O(V·E), so score each
+    * node by its exact hop distances to a BOUNDED landmark sample
+    * (users with id % 100 == 0), fused into one multi-frontier BFS loop.
+    * Harmonic form (sum of 1/d) so disconnected pairs contribute 0
+    * instead of poisoning the mean. INTEGER-EXACT: the horizon is 4, so
+    * 1/d scales by lcm(1..4) = 12 — contributions 12, 6, 4, 3 — and
+    * `12 div dist` sums as 64-bit integers; no FP crosses the hash.
+    * Self-distances (d = 0) are excluded by definition. */
+  val x27Harmonic: Q = (s, dir) => {
+    val ev = tbl(s, dir, "events")
+    val lms = ev.filter(col("user_id") % 100 === 0)
+      .select(col("user_id").as("node")).distinct()
+    graft.graph.Bfs.landmarkDistances(eventsBipartiteEdges(ev), lms, maxHops = 4)
+      .filter(col("dist") >= 1)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_lm"), sum(expr("12 div dist")).as("harm12"))
+      .select(col("node").as("node_id"),
+        when(col("node") >= 1000000L, lit("page")).otherwise(lit("user")).as("node_type"),
+        col("n_lm"), col("harm12"))
+      .orderBy("node_id")
+  }
+
   val x16Pagerank: Q = (s, dir) => {
     graft.graph.PageRank.pageRankFixed(eventsBipartiteEdges(tbl(s, dir, "events")), iters = 3)
       .select(col("node").as("node_id"),
@@ -2460,6 +2518,7 @@ object Queries {
     "a19_regression" -> a19Regression,
     "a20_cms_heavy_hitters" -> a20CmsHeavyHitters,
     "a21_bitmap_distinct" -> a21BitmapDistinct,
+    "a22_hist_quantiles" -> a22HistQuantiles,
     "s11_text_roundtrip" -> s11TextRoundtrip,
     "s12_shard_export" -> s12ShardExport,
     "s13_zorder_layout" -> s13ZorderLayout,
@@ -2500,6 +2559,7 @@ object Queries {
     "x23_triangle_count" -> x23TriangleCount,
     "x24_trustrank" -> x24TrustRank,
     "x25_kcore" -> x25Kcore,
-    "x26_assortativity" -> x26Assortativity
+    "x26_assortativity" -> x26Assortativity,
+    "x27_harmonic" -> x27Harmonic
   )
 }

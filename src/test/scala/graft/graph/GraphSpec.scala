@@ -317,4 +317,36 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tri === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $tri")
   }
+
+  test("landmarkDistances: per-seed goldens — NOT the min-over-set bfsDistances gives") {
+    // chain 1->2->3->4; seeds 1 and 3. Multi-source BFS would report
+    // node 4 at dist 1 (from 3); the landmark form must keep BOTH rows:
+    // (1,4,3) and (3,4,1).
+    val e = edgesDf(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L))
+    val got = Bfs.landmarkDistances(e, nodesDf(Seq(1L, 3L)), maxHops = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L, (1L, 4L) -> 3L,
+      (3L, 3L) -> 0L, (3L, 4L) -> 1L), s"golden mismatch: $got")
+    // horizon caps per seed; each seed's reachable set is independent
+    val capped = Bfs.landmarkDistances(e, nodesDf(Seq(1L, 3L)), maxHops = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped === Map((1L, 1L) -> 0L, (1L, 2L) -> 1L,
+      (3L, 3L) -> 0L, (3L, 4L) -> 1L))
+  }
+
+  test("landmark harmonic centrality: integer 12/d fold matches the hand sum") {
+    // undirected path 1-2-3-4-5 (doubled edges), landmarks {1, 5}.
+    // Node 3 sees both at d=2: harm12 = 6+6 = 12. Node 2: d(1)=1, d(5)=3
+    // -> 12+4 = 16. Landmark 1 sees landmark 5 at d=4 -> 3.
+    val e = edgesDf(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) })
+    val harm = Bfs.landmarkDistances(e, nodesDf(Seq(1L, 5L)), maxHops = 4)
+      .filter(col("dist") >= 1)
+      .groupBy(col("node"))
+      .agg(sum(expr("12 div dist")).as("harm12"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(harm === Map(1L -> 3L, 2L -> 16L, 3L -> 12L, 4L -> 16L, 5L -> 3L),
+      s"got $harm")
+  }
 }
