@@ -466,6 +466,28 @@ object Oracle {
 
     // transitive closure of the d03 pair graph via a recursive CTE: comp =
     // min reachable id, matching the Spark min-label-propagation fixpoint
+    // the d07 recursive component closure totalized over ALL documents
+    // (LEFT join, singleton = own cluster), then the identical md5
+    // cluster-hash split rule — a near-dup pair split across
+    // train/holdout anywhere is a hash mismatch
+    "t24_leakfree_split" -> {
+      val edgesSql = jaccardSql(0.2,
+        postingsCap = Some(graft.llm.Dedup.NearDup.maxShinglePostings))
+      s"""WITH RECURSIVE je AS (SELECT id_a, id_b FROM ($edgesSql) t),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM je
+         |       UNION ALL SELECT id_b, id_a FROM je),
+         |r AS (SELECT src AS id, src AS comp FROM ed
+         |      UNION
+         |      SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+         |lab AS (SELECT id AS doc_id, min(comp) AS comp_id FROM r GROUP BY 1),
+         |cl AS (SELECT d.doc_id, coalesce(lab.comp_id, d.doc_id) AS cluster
+         |       FROM documents d LEFT JOIN lab USING (doc_id))
+         |SELECT doc_id, cluster,
+         |  CASE WHEN CAST('0x' || substring(md5('sp' || CAST(cluster AS VARCHAR)), 1, 8) AS BIGINT)
+         |         % 100 >= 10 THEN 'train' ELSE 'holdout' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin
+    },
+
     "d07_dedup_components" -> {
       val edgesSql = jaccardSql(0.2,
         postingsCap = Some(graft.llm.Dedup.NearDup.maxShinglePostings))

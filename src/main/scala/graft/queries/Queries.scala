@@ -853,6 +853,21 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** T24: contamination-safe train/holdout split
+    * ([[Dedup.leakFreeSplit]]) — the split is cut along NEAR-DUP CLUSTER
+    * boundaries (d07's components over the d03 pair graph, singletons
+    * their own cluster), so no near-duplicate pair ever straddles
+    * train/holdout: the within-corpus leak a per-doc hash split is blind
+    * to. Assignment hashes the cluster id — deterministic md5 rule, the
+    * same integer idiom both engines evaluate identically; the only cost
+    * beyond the pair graph is the log-diameter component closure and one
+    * map-only labeling pass. */
+  val t24LeakfreeSplit: Q = (s, dir) =>
+    Dedup.leakFreeSplit(tbl(s, dir, "documents"),
+        Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), w = 5, minJ = 0.2),
+        holdoutPct = 10)
+      .orderBy("doc_id")
+
   /** Quality scoring (length/stopword/avg-word-length stats). */
   val t02TextQuality: Q = (s, dir) =>
     TextOps.qualityStats(tbl(s, dir, "documents"))
@@ -2496,6 +2511,7 @@ object Queries {
     "t21_gopher_rules" -> t21GopherRules,
     "t22_quality_buckets" -> t22QualityBuckets,
     "t23_mixture_weights" -> t23MixtureWeights,
+    "t24_leakfree_split" -> t24LeakfreeSplit,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,

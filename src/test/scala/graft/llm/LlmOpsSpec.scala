@@ -1335,4 +1335,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(aa.filter(_._5 == "head").map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)))
     assert(aa.filter(_._5 == "tail").map(_._1).toSet.subsetOf(Set(4L, 5L, 6L)))
   }
+
+  test("leakFreeSplit: near-dup clusters never straddle the split; naive doc-hash split leaks") {
+    // two planted near-dup pairs (one word changed in ~12) + singletons
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = docsDf(Seq(
+      1L -> base, 2L -> base.replace("lazy", "sleepy"),
+      10L -> "completely different text about training data pipelines at scale",
+      11L -> "completely different text about training data pipelines at large scale",
+      20L -> "a singleton document with no near duplicate in this corpus at all",
+      21L -> "another lonely text sharing nothing with anything else here today"))
+    val pairs = Dedup.ngramJaccardPairs(df, w = 5, minJ = 0.2)
+    assert(pairs.count() >= 2, "fixture must plant at least the two near-dup pairs")
+    val split = Dedup.leakFreeSplit(df, pairs, holdoutPct = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // totality: every doc labeled
+    assert(split.keySet === Set(1L, 2L, 10L, 11L, 20L, 21L))
+    // the leak-free invariant: both members of each planted pair share
+    // cluster AND split
+    assert(split(1L) === split(2L), s"pair (1,2) split apart: $split")
+    assert(split(10L) === split(11L), s"pair (10,11) split apart: $split")
+    // singletons are their own cluster
+    assert(split(20L)._1 === 20L && split(21L)._1 === 21L)
+    // the naive per-doc rule (same md5 idiom, doc_id instead of cluster)
+    // DOES leak on at least one planted pair at 50/50 — the failure mode
+    // the operator exists to prevent
+    def naive(id: Long): String = {
+      val h = java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex("sp" + id.toString).substring(0, 8), 16)
+      if (h % 100 >= 50) "train" else "holdout"
+    }
+    assert(naive(1L) != naive(2L) || naive(10L) != naive(11L),
+      "fixture no longer demonstrates the naive-split leak — re-plant ids")
+  }
 }
