@@ -690,12 +690,80 @@ object Similarity {
         col("embedding")),
       table, writerTasksPerBucket = writerTasksPerBucket)
 
+  private def tombstoneTable(table: String): String = s"${table}_tombstones"
+
+  /**
+   * Takedown / right-to-be-forgotten DELETE on a [[buildSignIndex]]
+   * table — the maintenance verb a deployed training-corpus index cannot
+   * ship without. A physical per-row delete from a bucketed parquet
+   * table would rewrite whole buckets per request, so deletes follow the
+   * warehouse tombstone discipline (Delta/Iceberg delete files): the id
+   * batch APPENDS to a companion `{table}_tombstones` side table —
+   * batch-sized, crash-safe (append-only, duplicate ids harmless), the
+   * stored corpus untouched — and every serve path anti-joins the
+   * tombstones. Takedown sets are tiny relative to the corpus, so the
+   * anti-join is a BROADCAST: the serve plan stays corpus-exchange-free.
+   * When tombstones accumulate, [[vacuumSignIndex]] folds them in
+   * physically. The same discipline drops onto the minhash/IVF/PQ index
+   * tables unchanged — they share the Bucketing layout and id column.
+   */
+  def deleteFromSignIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                          ids: DataFrame): Unit = {
+    val t = tombstoneTable(table)
+    val batch = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    if (spark.catalog.tableExists(t))
+      batch.repartition(1).write.format("parquet").mode("append").saveAsTable(t)
+    else graft.relational.Bucketing.writeSmallTable(batch, t)
+  }
+
+  /** The live (post-delete) index view: stored rows minus tombstones.
+    * Broadcast LEFT ANTI — zero added exchange on the corpus side. */
+  private def liveIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String): DataFrame = {
+    val idx = graft.relational.Bucketing.read(spark, table)
+    val t = tombstoneTable(table)
+    if (spark.catalog.tableExists(t))
+      idx.join(broadcast(spark.table(t)), Seq("vec_id"), "left_anti")
+    else idx
+  }
+
+  /**
+   * Fold accumulated tombstones into the physical layout: write the
+   * surviving rows as a NEW bucketed table under the same spec (fresh
+   * path), swap it in with a catalog rename, drop the tombstone table.
+   * Cost is one corpus rewrite — amortized over many deletes (run at a
+   * tombstone-fraction threshold); serving is never interrupted and
+   * never wrong: before the swap the anti-join serves, after it the
+   * clean layout does. No-op without tombstones.
+   */
+  def vacuumSignIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                      path: Option[String] = None,
+                      writerTasksPerBucket: Int = 1): Unit = {
+    val t = tombstoneTable(table)
+    if (!spark.catalog.tableExists(t)) return
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+      .getOrElse(throw new IllegalStateException(s"vacuum: $table is not bucketed"))
+    val survivors = liveIndex(spark, table)
+    val staging = s"${table}__vacuum"
+    graft.relational.Bucketing.writeBucketed(survivors, staging,
+      spec.bucketColumnNames.head, spec.numBuckets,
+      path = path.orElse(Some(
+        java.nio.file.Files.createTempDirectory(s"${table}_vacuum").toString)),
+      writerTasksPerBucket = writerTasksPerBucket)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   /** Two-stage shortlist + exact rerank ([[hammingRerank]]) served from a
-    * [[buildSignIndex]] table — shuffle-free on the corpus side. */
+    * [[buildSignIndex]] table — shuffle-free on the corpus side, and
+    * tombstone-aware: deleted ids ([[deleteFromSignIndex]]) are excluded
+    * from shortlist AND rerank by a broadcast anti-join. */
   def hammingRerankIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                            queries: DataFrame, k: Int, shortlist: Int = 50): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val idx = graft.relational.Bucketing.read(spark, table)
+    val idx = liveIndex(spark, table)
     val candidates = hammingAnnFrom(
         idx.select(col("vec_id").as("neighbor_id"), col("sig").as("c_sig")),
         queries, shortlist)

@@ -89,12 +89,17 @@ object Oracle {
 
   /** Shared by v10 (inline) and v11 (served from the persisted bucketed
     * sign index): the storage split may never change the answer. */
-  private lazy val twoStageHammingSql: String =
+  /** `corpusPred` restricts the CORPUS (neighbor) side only — v17's
+    * delete semantics: tombstoned vectors leave the index, while the
+    * query workload is external and unaffected. Shortlist AND rerank
+    * read the restricted corpus, so survivor promotion is exercised. */
+  private def twoStageHammingSql(corpusPred: String = "TRUE"): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
        |           FROM embeddings WHERE vec_id < 32),
        |z AS (SELECT q.query_id, e.vec_id AS neighbor_id,
        |        unnest(q.qe) AS qx, unnest(e.embedding) AS ex
-       |      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+       |      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+       |                              AND ($corpusPred)),
        |hs AS (SELECT query_id, neighbor_id,
        |        sum(CASE WHEN (qx >= 0) <> (ex >= 0) THEN 1 ELSE 0 END) AS ham
        |       FROM z GROUP BY 1, 2),
@@ -1512,12 +1517,17 @@ object Oracle {
     // Two-stage mirror: hamming top-50 shortlist (sign-disagreement count,
     // integer rank), then the exact rounded-cosine rerank of candidates
     // only — stage boundaries identical to the engine's, so hash-exact.
-    "v10_hamming_rerank" -> twoStageHammingSql,
+    "v10_hamming_rerank" -> twoStageHammingSql(),
 
     // v11 runs the SAME two-stage semantics served from the persisted
     // bucketed sign index — the index must be invisible in the result, so
     // its oracle IS v10's SQL.
-    "v11_indexed_ann" -> twoStageHammingSql,
+    "v11_indexed_ann" -> twoStageHammingSql(),
+
+    // v17: the identical two-stage computation over the corpus MINUS the
+    // tombstoned ids — the delete must be equivalent to never having
+    // indexed those vectors at all
+    "v17_index_delete" -> twoStageHammingSql("e.vec_id % 17 <> 0"),
 
     // The oracle is the window form the heap aggregate replaces: rank DESC
     // with doc_id ASC tie-break is TopK's exact total order.

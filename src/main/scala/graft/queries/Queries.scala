@@ -1453,6 +1453,27 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** V17: takedown DELETE on the persisted sign-bit index
+    * ([[Similarity.deleteFromSignIndex]]) — the maintenance verb v11's
+    * build/append lifecycle was missing: a right-to-be-forgotten batch
+    * (vec_id % 17 == 0 here) lands as an append-only tombstone side
+    * table, the stored corpus is neither read nor rewritten, and the
+    * SAME serve call excludes the deleted rows via a broadcast anti-join
+    * (corpus side still exchange-free). The oracle re-runs the exact
+    * two-stage computation over the corpus MINUS the deleted ids —
+    * shortlist membership shifts as survivors move up, so a leaked
+    * tombstone anywhere is a hash mismatch, not just a missing row. */
+  val v17IndexDelete: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    Similarity.buildSignIndex(emb, "graft_v17_sign_idx", buckets = 8,
+      path = Some(java.nio.file.Files.createTempDirectory("graft_v17_idx").toString))
+    Similarity.deleteFromSignIndex(s, "graft_v17_sign_idx",
+      emb.filter(col("vec_id") % 17 === 0).select("vec_id"))
+    Similarity.hammingRerankIndexed(s, "graft_v17_sign_idx",
+        emb.filter(col("vec_id") < 32), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** V12: the index-build / query split of the IVF path
     * ([[Similarity.buildIvfIndex]] + [[Similarity.annIvfIndexed]]) — the
     * FAISS train/add/search contract as tables: centroids trained once,
@@ -2487,6 +2508,7 @@ object Queries {
     "v09_ann_recall_audit" -> v09AnnRecallAudit,
     "v10_hamming_rerank" -> v10HammingRerank,
     "v11_indexed_ann" -> v11IndexedAnn,
+    "v17_index_delete" -> v17IndexDelete,
     "v12_indexed_ivf" -> v12IndexedIvf,
     "v13_pq_ann" -> v13PqAnn,
     "v14_indexed_pq" -> v14IndexedPq,

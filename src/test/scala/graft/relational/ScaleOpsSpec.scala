@@ -179,6 +179,64 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaIncr.nonEmpty && viaIncr === viaFull)
   }
 
+  test("sign index delete: tombstones == never-indexed; vacuum folds physically") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val deleted = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val survivors = emb.filter(col("vec_id") % 7 =!= 0)
+    graft.llm.Similarity.buildSignIndex(emb, "sign_del_idx", buckets = 4)
+    def idxFiles(table: String): Set[String] = {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(ident).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(loc, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.result()
+    }
+    val corpusFilesBefore = idxFiles("sign_del_idx")
+
+    graft.llm.Similarity.deleteFromSignIndex(spark, "sign_del_idx", deleted)
+
+    // the delete wrote a tombstone batch, never touched the corpus layout
+    assert(idxFiles("sign_del_idx") === corpusFilesBefore,
+      "delete must not read or rewrite the stored corpus")
+    assert(spark.catalog.tableExists("sign_del_idx_tombstones"))
+
+    // serve parity: tombstoned index == an index the deleted rows never
+    // entered (deleted ids may still arrive as QUERIES — external workload)
+    graft.llm.Similarity.buildSignIndex(survivors, "sign_del_ref_idx", buckets = 4)
+    val viaRef = graft.llm.Similarity.hammingRerankIndexed(
+      spark, "sign_del_ref_idx", queries, k = 5, shortlist = 20)
+      .collect().map(_.toString).sorted
+    val viaTomb = graft.llm.Similarity.hammingRerankIndexed(
+      spark, "sign_del_idx", queries, k = 5, shortlist = 20)
+    assert(viaTomb.collect().map(_.toString).sorted === viaRef)
+    // and no tombstoned id survives as a neighbor anywhere
+    val delIds = deleted.collect().map(_.getLong(0)).toSet
+    assert(viaTomb.collect().forall(r => !delIds(r.getAs[Long]("neighbor_id"))))
+
+    // vacuum: survivors-only physical layout under the same bucket spec,
+    // tombstone table dropped, serving identical before/after the swap
+    graft.llm.Similarity.vacuumSignIndex(spark, "sign_del_idx")
+    assert(!spark.catalog.tableExists("sign_del_idx_tombstones"))
+    assert(spark.table("sign_del_idx").count() === survivors.count())
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("sign_del_idx")).bucketSpec
+    assert(spec.exists(s => s.numBuckets == 4 && s.bucketColumnNames == Seq("vec_id")),
+      s"vacuum must preserve the bucket spec, got $spec")
+    val afterVacuum = graft.llm.Similarity.hammingRerankIndexed(
+      spark, "sign_del_idx", queries, k = 5, shortlist = 20)
+      .collect().map(_.toString).sorted
+    assert(afterVacuum === viaRef)
+    // second vacuum with no tombstones: no-op, not an error
+    graft.llm.Similarity.vacuumSignIndex(spark, "sign_del_idx")
+  }
+
   test("AQE skew-join splits a planted hot key on the postings-join shape") {
     // the d03 postings self-join's hazard: one boilerplate shingle shared
     // by thousands of docs lands its whole pair fanout on one reducer.
