@@ -622,6 +622,24 @@ object Oracle {
 
     // Identical EXACT semantics to d08 (mod-89 split): the Bloom gate is a
     // pure pre-filter and must be invisible in the answer.
+    // the admission complement of d08: admitted = incoming docs with NO
+    // bench doc sharing >= 2 shingles (same string-shingle/64-bit-hash
+    // collision contract); the bloom tier is invisible by construction
+    "st15_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |          i -> list_aggregate(w[i:i+2], 'string_agg', chr(31)))) AS s
+        |        FROM tok WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+        |bad AS (SELECT DISTINCT t.doc_id
+        |        FROM sh t JOIN sh b ON t.s = b.s
+        |          AND t.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+        |        GROUP BY t.doc_id, b.doc_id HAVING count(*) >= 2)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id % 97 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "d09_bloom_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),

@@ -1099,6 +1099,25 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** ST15 batch mirror: streaming benchmark-decontamination gate
+    * ([[graft.streaming.EventStreams.decontaminateStream]]) — d08's
+    * contamination rule run as ADMISSION at the crawl front door. Same
+    * bench slice as d08 (doc_id % 97 == 0), incoming = the rest; a doc
+    * is admitted iff NO bench doc shares >= 2 distinct 3-gram shingles.
+    * The gate is stateless (bloom literal prefilter + row-local exact
+    * verify), so the identical transform runs bounded here and unbounded
+    * in StreamingSpec — which proves stream == batch on planted
+    * contamination and that the bloom tier alone never decides a drop. */
+  val st15Decontaminate: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    graft.streaming.EventStreams.decontaminateStream(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        w = 3, minShared = 2)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** Batch mirror of the stream-static enrichment join
     * ([[graft.streaming.EventStreams.enrichedTumblingCounts]]): events
     * enriched against a RESTRICTED customer dim (c_custkey < 100) so the
@@ -2592,6 +2611,7 @@ object Queries {
     "st12_outer_join" -> st12OuterJoin,
     "st13_semi_join" -> st13SemiJoin,
     "st14_upsert_state" -> st14UpsertState,
+    "st15_decontaminate" -> st15Decontaminate,
     "x21_interval_overlap" -> x21IntervalOverlap,
     "x22_covisit_sim" -> x22CovisitSim,
     "x23_triangle_count" -> x23TriangleCount,

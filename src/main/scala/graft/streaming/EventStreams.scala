@@ -232,6 +232,45 @@ object EventStreams {
     s.join(c, cond, "left_anti").drop("sh", "n_sh", "sig", "__bands")
   }
 
+  /**
+   * Streaming benchmark DECONTAMINATION gate — d08/d09's guard moved to
+   * the crawl front door: an incoming document is dropped iff it shares
+   * >= `minShared` distinct w-gram shingles with ANY benchmark document,
+   * so eval-set text never enters the corpus in the first place (GPT-3
+   * appendix-C run as admission, not as a later scrub).
+   *
+   * Stateless two-tier gate, both tiers row-local so the transform works
+   * identically batch and streaming with no state and exactly-once for
+   * free:
+   *  1. a serialized Bloom filter of ALL bench shingles rides the plan
+   *     as a literal ([[graft.llm.Dedup.benchBloomBytes]]); a row whose
+   *     bloom-hit count is < minShared can't reach minShared against any
+   *     single bench doc (hits bound shared-with-union from above) —
+   *     admitted map-only, the overwhelmingly common case;
+   *  2. bloom suspects (planted contamination + fpp survivors) verify
+   *     EXACTLY against the broadcast per-doc bench shingle sets via a
+   *     row-local `array_intersect` LEFT ANTI — the [[admitNearDupStream]]
+   *     discipline, no explode, no aggregation, no false drops.
+   * Bench sets are bounded (eval suites), so the broadcast is small; the
+   * stream side never shuffles. Unshingle-able rows (short/null text)
+   * hit neither tier and are admitted — stream totality.
+   */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame, w: Int = 3,
+                          minShared: Int = 2, fpp: Double = 0.01): DataFrame = {
+    val benchSh = graft.llm.Dedup.docShingleHashes(bench, w)
+    val bf = graft.llm.Dedup.benchBloomBytes(benchSh, fpp)
+    val s = docs.withColumn("__sh",
+        graft.functions.TextExpressions.shingleHashes(col("text"), w))
+      .withColumn("__hits", coalesce(
+        size(filter(col("__sh"), graft.llm.Dedup.bloomMightContain(bf) _)), lit(0)))
+    val cleanFast = s.filter(col("__hits") < minShared)
+    val suspects = s.filter(col("__hits") >= minShared)
+    val benchSets = broadcast(benchSh.select(col("sh").as("__sh_c")))
+    val verified = suspects.join(benchSets,
+      size(array_intersect(col("__sh"), col("__sh_c"))) >= minShared, "left_anti")
+    cleanFast.unionByName(verified).drop("__sh", "__hits")
+  }
+
   /** foreachBatch body for the INDEXED corpus-scale admission path:
     * `stream.writeStream.foreachBatch { (b, _) =>
     *   sink(EventStreams.nearDupAdmitBatch(index)(b)) }` — see

@@ -602,6 +602,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted.toSeq === expected, s"foreachBatch path admitted $admitted")
   }
 
+  test("streaming decontamination gate: stream == batch; split-across-bench bloom suspects survive") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (900L, "question one alpha beta gamma delta answer"),
+      (901L, "question two epsilon zeta eta theta answer"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      // verbatim bench text inside a longer doc: many shared 3-grams -> DROP
+      (1L, ts(1), "prefix words question one alpha beta gamma delta answer suffix words"),
+      // exactly ONE shared 3-gram ("alpha beta gamma"): bloom hits 1 < 2 -> fast-path admit
+      (2L, ts(2), "unrelated text alpha beta gamma continues differently here now"),
+      // one shared 3-gram with EACH bench doc (union hits 2 -> bloom
+      // suspect) but never 2 with the same doc: exact verify must ADMIT —
+      // the false drop a union-level count would make
+      (3L, ts(3), "mix alpha beta gamma and epsilon zeta eta but nothing else shared"),
+      // clean and unshingle-able rows: admitted
+      (4L, ts(4), "completely novel content about bucketed layouts and codegen"),
+      (5L, ts(5), "tiny"))
+    val expected = Seq(2L, 3L, 4L, 5L)
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    stream.addData(incoming: _*)
+    val q = EventStreams.decontaminateStream(
+        stream.toDF().toDF("doc_id", "ts", "text"), bench, w = 3, minShared = 2)
+      .writeStream.format("memory").queryName("decon").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("decon").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed === expected, s"stream gate admitted $streamed")
+
+    // the identical transform on the bounded frame agrees (mode-agnostic)
+    val viaBatch = EventStreams.decontaminateStream(
+        incoming.toDF("doc_id", "ts", "text"), bench, w = 3, minShared = 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaBatch === expected, s"batch mirror admitted $viaBatch")
+
+    // and agrees with the batch decontamination operator's drop set
+    val flagged = graft.llm.Dedup.decontaminate(
+        incoming.toDF("doc_id", "ts", "text"), bench, w = 3, minShared = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(1L), s"batch operator flagged $flagged")
+  }
+
   test("sessionizer state compression: a session spanning watermark advances keeps exact counts") {
     val s = spark
     import s.implicits._
