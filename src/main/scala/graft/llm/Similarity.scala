@@ -114,6 +114,62 @@ object Similarity {
   }
 
   /**
+   * Exact Maximum-Inner-Product Search for a bounded query set — the
+   * recommendation-serving primitive (user-embedding · item-embeddings,
+   * two-tower retrieval): top-k by RAW dot product, NOT cosine — a
+   * popular long item beats an on-angle obscure one, which is the point.
+   * Same plan discipline as [[knnBrute]]: broadcast queries, one corpus
+   * scan, selection through the bounded heap on the integer-scaled
+   * rounded score (shuffle = queries x k, no per-query window sort).
+   * The heap key needs |round(dot,6)*10^6| inside double's exact 2^53
+   * integer range — |dot| <= ~4·10^8, any real embedding regime.
+   */
+  def mipsBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = withVectorFns(c.join(q, col("query_id") =!= col("neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"),
+        round(expr("vec_dot(q_emb, c_emb)"), 6).as("dot"))
+    val guard = coalesce(
+      assert_true(!isnan(col("dot")), lit("NaN dot product")).cast("double"), lit(0.0))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorAggregates.topK(
+        round(col("dot") * lit(1000000.0)) + guard, col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("rnk0") + 1).cast("long").as("rnk"),
+        (col("t.ord") / lit(1000000.0)).as("dot"))
+  }
+
+  /**
+   * The MIPS -> cosine reduction (Bachrach et al. 2014 / Neyshabur &
+   * Srebro 2015): augment every corpus vector with one extra coordinate
+   * sqrt(M^2 - |x|^2) (M = the corpus max norm) and queries with 0. All
+   * augmented corpus vectors then share norm M, so cosine ORDER on the
+   * augmented space == inner-product order on the original — which lets
+   * every cosine ANN structure in this engine (sign-bit, IVF, PQ
+   * indexes) serve MIPS unchanged: augment at index build, augment the
+   * query, done. Returns (corpusAug, queriesAug); LlmOpsSpec proves
+   * rank-for-rank agreement of cosine-over-augmented with [[mipsBrute]].
+   * Map-only after one 1-row max-norm aggregate broadcast in-plan.
+   */
+  def mipsAugment(corpus: DataFrame, queries: DataFrame): (DataFrame, DataFrame) = {
+    val withNorm = withVectorFns(corpus)
+      .withColumn("__nrm", expr("vec_norm(embedding)"))
+    val m = broadcast(withNorm.agg(max(col("__nrm")).as("__m")))
+    val corpusAug = withNorm.crossJoin(m)
+      .withColumn("embedding", concat(col("embedding"), array(
+        sqrt(greatest(col("__m") * col("__m") - col("__nrm") * col("__nrm"),
+          lit(0.0))).cast("float"))))
+      .drop("__nrm", "__m")
+    val queriesAug = queries
+      .withColumn("embedding", concat(col("embedding"), array(lit(0.0f))))
+    (corpusAug, queriesAug)
+  }
+
+  /**
    * All pairs (a < b) with rounded cosine >= minCos. Quadratic — the
    * verification oracle for [[annLsh]]/ScalaTest at small scale factors; at
    * scale use [[annLsh]] or [[Dedup.minhashLshPairs]]-style bucketing.

@@ -743,6 +743,18 @@ object Oracle {
          |  FROM sc)
          |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // raw-dot ranking (NO norm division) — both engines accumulate the
+    // dot sequentially in double, so round(dot, 6) is cross-engine exact
+    "v18_mips" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 32),
+         |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  round(${dot("q.qe", "e.embedding")}, 6) AS dot
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rnk, dot
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, rnk, dot FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     "v02_cosine_pairs" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings),
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -899,6 +899,19 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** V18: exact Maximum-Inner-Product Search ([[Similarity.mipsBrute]])
+    * — the recommendation-serving primitive: top-k by RAW dot, not
+    * cosine (magnitude is signal: popularity/quality-scaled item
+    * embeddings). Broadcast queries, one corpus scan, bounded-heap
+    * selection; [[Similarity.mipsAugment]] is the scale path — the
+    * Bachrach/Neyshabur reduction whose rank-equivalence proof in
+    * LlmOpsSpec lets every cosine ANN index here serve MIPS unchanged. */
+  val v18Mips: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    Similarity.mipsBrute(emb, emb.filter(col("vec_id") < 32), k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** All-pairs cosine >= threshold — the exact quadratic baseline the ANN
     * paths are audited against. Runs the distributed block-grid kernel:
     * identical output to the declarative join form (asserted bit-for-bit
@@ -2528,6 +2541,7 @@ object Queries {
     "v10_hamming_rerank" -> v10HammingRerank,
     "v11_indexed_ann" -> v11IndexedAnn,
     "v17_index_delete" -> v17IndexDelete,
+    "v18_mips" -> v18Mips,
     "v12_indexed_ivf" -> v12IndexedIvf,
     "v13_pq_ann" -> v13PqAnn,
     "v14_indexed_pq" -> v14IndexedPq,

@@ -1336,6 +1336,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(aa.filter(_._5 == "tail").map(_._1).toSet.subsetOf(Set(4L, 5L, 6L)))
   }
 
+  test("MIPS: dot ranking differs from cosine; augmented-cosine reduction reproduces it rank-for-rank") {
+    // the testdata embeddings are ~unit-norm (dot == cosine there), so
+    // plant MAGNITUDE: scale each vector by 1 + vec_id % 5 — direction
+    // untouched, norms spread 1x-5x, exactly the popularity/quality
+    // scaling regime MIPS exists for
+    val scaled = emb.withColumn("embedding",
+      transform(col("embedding"),
+        x => (x * (lit(1.0f) + (col("vec_id") % 5).cast("float"))).cast("float")))
+    val queries = scaled.filter(col("vec_id") < 8)
+    val mips = Similarity.mipsBrute(scaled, queries, k = 5)
+      .select("query_id", "neighbor_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(mips.nonEmpty)
+    // MIPS is NOT cosine top-k once magnitude carries signal
+    val cosine = Similarity.knnBrute(scaled, queries, k = 5)
+      .select("query_id", "neighbor_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(mips !== cosine, "fixture degenerate: dot and cosine rankings coincide")
+    // the Bachrach/Neyshabur reduction: cosine top-k over the AUGMENTED
+    // space (corpus padded to constant norm M, query padded with 0)
+    // reproduces the inner-product ranking exactly — the lemma that lets
+    // every cosine ANN index serve MIPS
+    val (corpusAug, queriesAug) = Similarity.mipsAugment(scaled, queries)
+    val viaAug = Similarity.knnBrute(corpusAug, queriesAug, k = 5)
+      .select("query_id", "neighbor_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(viaAug === mips,
+      s"augmented-cosine ranking diverged from MIPS:\n aug=$viaAug\n mips=$mips")
+  }
+
   test("leakFreeSplit: near-dup clusters never straddle the split; naive doc-hash split leaks") {
     // two planted near-dup pairs (one word changed in ~12) + singletons
     val base = "the quick brown fox jumps over the lazy dog again and again"
