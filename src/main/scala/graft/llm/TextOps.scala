@@ -624,6 +624,36 @@ object TextOps {
    * stratum key must be bounded: pass a sharded key (e.g. lang + a hash
    * bucket of doc_id) and each shard packs independently in parallel.
    */
+  /**
+   * Fixed-length context-window chunking with overlap — the sequence-prep
+   * step between raw documents and [[packSequences]]: every doc splits
+   * into windows of `w` tokens advancing by stride `s` (the HuggingFace
+   * overflow-stride convention), so a training example never loses the
+   * tail of a long doc and boundary context survives in the `w - s`
+   * token overlap. Chunk count = 1 + ceil((len - w) / s) (never a
+   * fully-contained redundant tail; a short doc is one chunk; chunks
+   * cover the doc exactly). MAP-ONLY: split + in-row `transform` over
+   * the start sequence + one `posexplode` — no shuffle, no state, whole
+   * operator in one Generate stage; at 100 TB this runs at scan speed
+   * and the output is what the packer shuffles, not the raw corpus.
+   */
+  def chunkWindows(docs: DataFrame, w: Int, s: Int): DataFrame = {
+    require(w > 0 && s > 0 && s <= w, "need 0 < stride <= window")
+    val toks = words(col("text"))
+    val len = size(toks)
+    // ceil((len - w) / s) as exact-in-double floor division: operands are
+    // token counts, far inside 2^53
+    val nChunks = when(len <= w, lit(1))
+      .otherwise(floor((len - w + lit(s - 1)) / lit(s)).cast("int") + 1)
+    docs
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * s + 1, lit(w)), " "))).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tok"))
+  }
+
   def packSequences(docs: DataFrame, budget: Long,
                     stratumCol: String = "lang"): DataFrame = {
     val spark = docs.sparkSession

@@ -622,6 +622,20 @@ object Oracle {
 
     // Identical EXACT semantics to d08 (mod-89 split): the Bloom gate is a
     // pure pre-filter and must be invisible in the answer.
+    // same chunk-count rule (1 + ceil((len-32)/24)), same 1-based
+    // INCLUSIVE slice semantics, chunk text compared verbatim
+    "t26_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t2 AS (SELECT doc_id, w, len(w) AS l FROM t),
+        |c AS (SELECT doc_id, unnest(list_transform(
+        |        range(0, CASE WHEN l <= 32 THEN 1 ELSE (l - 32 + 23) // 24 + 1 END),
+        |        i -> struct_pack(i := i,
+        |               c := array_to_string(w[i*24+1:i*24+32], ' ')))) AS u
+        |      FROM t2)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx, u.c AS chunk,
+        |       CAST(len(string_split(u.c, ' ')) AS BIGINT) AS n_tok
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // the admission complement of d08: admitted = incoming docs with NO
     // bench doc sharing >= 2 shingles (same string-shingle/64-bit-hash
     // collision contract); the bloom tier is invisible by construction

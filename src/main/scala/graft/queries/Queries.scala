@@ -868,6 +868,15 @@ object Queries {
         holdoutPct = 10)
       .orderBy("doc_id")
 
+  /** T26: context-window chunking ([[TextOps.chunkWindows]]) — docs
+    * split into 32-token windows at stride 24 (the HF overflow-stride
+    * convention: tails never lost, 8-token boundary overlap). Map-only
+    * Generate, no shuffle: the chunker runs at scan speed and its output
+    * — not the raw corpus — is what downstream packing shuffles. */
+  val t26ChunkWindows: Q = (s, dir) =>
+    TextOps.chunkWindows(tbl(s, dir, "documents"), w = 32, s = 24)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Quality scoring (length/stopword/avg-word-length stats). */
   val t02TextQuality: Q = (s, dir) =>
     TextOps.qualityStats(tbl(s, dir, "documents"))
@@ -2567,6 +2576,7 @@ object Queries {
     "t22_quality_buckets" -> t22QualityBuckets,
     "t23_mixture_weights" -> t23MixtureWeights,
     "t24_leakfree_split" -> t24LeakfreeSplit,
+    "t26_chunk_windows" -> t26ChunkWindows,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,

@@ -1366,6 +1366,29 @@ class LlmOpsSpec extends AnyFunSuite {
       s"augmented-cosine ranking diverged from MIPS:\n aug=$viaAug\n mips=$mips")
   }
 
+  test("chunkWindows: coverage, overlap, no redundant tail; short docs one chunk") {
+    val df = docsDf(Seq(
+      1L -> (1 to 10).map(i => s"w$i").mkString(" "), // 10 toks: 3 chunks at w=4,s=3
+      2L -> "a b c",                                  // short: one chunk, whole doc
+      3L -> (1 to 7).map(i => s"w$i").mkString(" "))) // exactly w + s: 2 chunks
+    val got = TextOps.chunkWindows(df, w = 4, s = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      (1L, 0L) -> (("w1 w2 w3 w4", 4L)), (1L, 1L) -> (("w4 w5 w6 w7", 4L)),
+      (1L, 2L) -> (("w7 w8 w9 w10", 4L)),
+      (2L, 0L) -> (("a b c", 3L)),
+      (3L, 0L) -> (("w1 w2 w3 w4", 4L)), (3L, 1L) -> (("w4 w5 w6 w7", 4L))),
+      s"got $got")
+    // reconstruction: dropping each chunk's leading (w - s) overlap past
+    // chunk 0 rebuilds the doc exactly — the no-token-lost invariant
+    val rebuilt = got.toSeq.filter(_._1._1 == 1L).sortBy(_._1._2).map {
+      case ((_, 0L), (c, _)) => c
+      case ((_, _), (c, _)) => c.split(" ").drop(1).mkString(" ")
+    }.mkString(" ")
+    assert(rebuilt === (1 to 10).map(i => s"w$i").mkString(" "))
+  }
+
   test("leakFreeSplit: near-dup clusters never straddle the split; naive doc-hash split leaks") {
     // two planted near-dup pairs (one word changed in ~12) + singletons
     val base = "the quick brown fox jumps over the lazy dog again and again"
