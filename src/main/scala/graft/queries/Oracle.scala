@@ -1911,6 +1911,32 @@ object Oracle {
     // x16/x18 discipline): the storage split must be invisible
     "x20_bfs_indexed" -> bfsSql,
 
+    // 3 synchronous LPA rounds unrolled as chained CTEs: votes from the
+    // PREVIOUS round's labels, winner = (cnt DESC, label ASC) — the
+    // row_number form of the engine's arg_max on (cnt, -label)
+    "x28_label_prop" -> {
+      def round(prev: String, v: String, w: String, next: String): String =
+        s"""$v AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+           |     FROM e JOIN $prev l ON l.node = e.src GROUP BY 1, 2),
+           |$w AS (SELECT node, label FROM (
+           |     SELECT node, label, row_number() OVER (PARTITION BY node
+           |       ORDER BY cnt DESC, label) AS rn FROM $v) WHERE rn = 1),
+           |$next AS (SELECT p.node, coalesce($w.label, p.label) AS label
+           |     FROM $prev p LEFT JOIN $w USING (node))""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT user_id AS src,
+         |    1000000 + CAST(json_extract_string(props, '$$.k') AS BIGINT) AS dst
+         |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |l0 AS (SELECT node, node AS label FROM
+         |       (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         |${round("l0", "v1", "w1", "l1")},
+         |${round("l1", "v2", "w2", "l2")},
+         |${round("l2", "v3", "w3", "l3")}
+         |SELECT node AS node_id,
+         |  CASE WHEN node >= 1000000 THEN 'page' ELSE 'user' END AS node_type,
+         |  label FROM l3 ORDER BY node_id""".stripMargin
+    },
+
     // per-landmark recursive BFS, then the identical integer harmonic
     // rule: 12 // dist (lcm(1..4) scaling) summed as exact integers;
     // the UNION-dedup recursion needs min(dist) per (seed, node) before

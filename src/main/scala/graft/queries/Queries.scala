@@ -2438,6 +2438,24 @@ object Queries {
       .orderBy("node_id")
   }
 
+  /** X28: label-propagation communities
+    * ([[graft.graph.LabelProp.labelPropagation]]) — deterministic
+    * synchronous LPA, 3 rounds over the x16 event graph: majority-vote
+    * relabeling carves densely intra-linked communities INSIDE connected
+    * components (the spam-farm / mirror-network structure a components
+    * closure can't see). Integer labels end to end; vote winners through
+    * the native arg_max on the (cnt, -label) composite — one row per
+    * node crosses the shuffle, no per-node sort. The oracle unrolls the
+    * same 3 synchronous rounds as chained CTEs. */
+  val x28LabelProp: Q = (s, dir) => {
+    graft.graph.LabelProp.labelPropagation(
+        eventsBipartiteEdges(tbl(s, dir, "events")), iters = 3)
+      .select(col("node").as("node_id"),
+        when(col("node") >= 1000000L, lit("page")).otherwise(lit("user")).as("node_type"),
+        col("label"))
+      .orderBy("node_id")
+  }
+
   val x16Pagerank: Q = (s, dir) => {
     graft.graph.PageRank.pageRankFixed(eventsBipartiteEdges(tbl(s, dir, "events")), iters = 3)
       .select(col("node").as("node_id"),
@@ -2642,6 +2660,7 @@ object Queries {
     "x24_trustrank" -> x24TrustRank,
     "x25_kcore" -> x25Kcore,
     "x26_assortativity" -> x26Assortativity,
-    "x27_harmonic" -> x27Harmonic
+    "x27_harmonic" -> x27Harmonic,
+    "x28_label_prop" -> x28LabelProp
   )
 }

@@ -335,6 +335,25 @@ class GraphSpec extends AnyFunSuite {
       (3L, 3L) -> 0L, (3L, 4L) -> 1L))
   }
 
+  test("labelPropagation: two bridged cliques settle into two min-id communities") {
+    // K4 on {1..4} + K4 on {10..13}, doubled edges, one bridge 4-10: the
+    // majority vote inside each clique must beat the single bridge vote,
+    // and min-label tie-breaking pulls each clique to its smallest id
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a != b) yield (a, b)
+    val e = edgesDf(clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L))
+      ++ Seq(4L -> 10L, 10L -> 4L))
+    val got = LabelProp.labelPropagation(e, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L))
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L), s"clique A labels: $got")
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L), s"clique B labels: $got")
+    // determinism: a rerun agrees exactly
+    val again = LabelProp.labelPropagation(e, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("landmark harmonic centrality: integer 12/d fold matches the hand sum") {
     // undirected path 1-2-3-4-5 (doubled edges), landmarks {1, 5}.
     // Node 3 sees both at d=2: harm12 = 6+6 = 12. Node 2: d(1)=1, d(5)=3
