@@ -471,6 +471,43 @@ object Oracle {
 
     // transitive closure of the d03 pair graph via a recursive CTE: comp =
     // min reachable id, matching the Spark min-label-propagation fixpoint
+    // same totalized components as t24, then the integer ppm weight —
+    // cluster sizes and the 1/n division both exact integers
+    "d19_soft_dedup_weights" -> {
+      val edgesSql = jaccardSql(0.2,
+        postingsCap = Some(graft.llm.Dedup.NearDup.maxShinglePostings))
+      s"""WITH RECURSIVE je AS (SELECT id_a, id_b FROM ($edgesSql) t),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM je
+         |       UNION ALL SELECT id_b, id_a FROM je),
+         |r AS (SELECT src AS id, src AS comp FROM ed
+         |      UNION
+         |      SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+         |lab AS (SELECT id AS doc_id, min(comp) AS comp_id FROM r GROUP BY 1),
+         |cl AS (SELECT d.doc_id, coalesce(lab.comp_id, d.doc_id) AS cluster
+         |       FROM documents d LEFT JOIN lab USING (doc_id)),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM cl GROUP BY 1)
+         |SELECT cl.doc_id, cl.cluster, sz.n_members,
+         |       1000000 // sz.n_members AS weight_ppm
+         |FROM cl JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin
+    },
+
+    // explode -> per-(doc, word) counts -> per-doc fold, ratios as exact
+    // integer ppm — the same split-on-single-space token contract as the
+    // rest of the t-family
+    "t25_lexical_diversity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |f AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |        CAST(count(*) AS BIGINT) AS n_types,
+        |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        |      FROM f GROUP BY 1)
+        |SELECT doc_id, n_words, n_types, hapax,
+        |       1000000 * n_types // n_words AS ttr_ppm,
+        |       1000000 * hapax // n_words AS hapax_ppm
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // the d07 recursive component closure totalized over ALL documents
     // (LEFT join, singleton = own cluster), then the identical md5
     // cluster-hash split rule — a near-dup pair split across

@@ -750,6 +750,29 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** D19: SOFT dedup — down-weight instead of drop: every doc keeps a
+    * sampling weight 1/|near-dup cluster| (ppm, integer division), so a
+    * 5-way duplicated page contributes one page's worth of expected
+    * training mass while unique docs keep weight 1.0. The policy knob
+    * between d02's hard drop and keeping everything — hard dedup can
+    * hurt when near-dups carry real variation (translations, forks,
+    * quote contexts). Same totalized components as t24 (singletons =
+    * their own cluster of 1); the weight is map-only on the cluster
+    * sizes, integer end to end. */
+  val d19SoftDedupWeights: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val comps = Dedup.dedupComponents(
+      Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.2).select("id_a", "id_b"))
+    val clustered = docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp_id"), col("doc_id")).as("cluster"))
+    clustered
+      .join(clustered.groupBy("cluster").agg(count(lit(1)).as("n_members")), "cluster")
+      .select(col("doc_id"), col("cluster"), col("n_members"),
+        expr("1000000 div n_members").as("weight_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** D8: benchmark decontamination — training docs sharing >= 2 distinct
     * 3-gram shingles with any "benchmark" doc (the doc_id % 97 == 0 slice
     * stands in for a held-out eval set; w=3/minShared=2 is non-vacuous at
@@ -866,6 +889,27 @@ object Queries {
     Dedup.leakFreeSplit(tbl(s, dir, "documents"),
         Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), w = 5, minJ = 0.2),
         holdoutPct = 10)
+      .orderBy("doc_id")
+
+  /** T25: lexical diversity — type-token ratio + hapax fraction per doc,
+    * the classic gibberish/boilerplate detector orthogonal to t02/t21:
+    * keyboard-mash has high TTR but no stopwords, template spam has LOW
+    * TTR (the same phrases over and over) while passing length checks.
+    * Canonical distributed form: explode -> (doc, word) partial-agg
+    * count -> per-doc fold — two hash-keyed shuffles with map-side
+    * partials, state per task O(distinct words), arbitrary doc lengths
+    * (no in-row quadratic). Ratios as ppm integer division — nothing
+    * floating crosses the hash. */
+  val t25LexicalDiversity: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("doc_id"), col("n_words"), col("n_types"), col("hapax"),
+        expr("1000000 * n_types div n_words").as("ttr_ppm"),
+        expr("1000000 * hapax div n_words").as("hapax_ppm"))
       .orderBy("doc_id")
 
   /** T26: context-window chunking ([[TextOps.chunkWindows]]) — docs
@@ -2544,6 +2588,7 @@ object Queries {
     "d16_semantic_dedup" -> d16SemanticDedup,
     "d17_containment" -> d17Containment,
     "d18_containment_sketch" -> d18ContainmentSketch,
+    "d19_soft_dedup_weights" -> d19SoftDedupWeights,
     "d05_simhash" -> d05Simhash,
     "d06_embedding_neardup" -> d06EmbeddingNeardup,
     "d07_dedup_components" -> d07DedupComponents,
@@ -2594,6 +2639,7 @@ object Queries {
     "t22_quality_buckets" -> t22QualityBuckets,
     "t23_mixture_weights" -> t23MixtureWeights,
     "t24_leakfree_split" -> t24LeakfreeSplit,
+    "t25_lexical_diversity" -> t25LexicalDiversity,
     "t26_chunk_windows" -> t26ChunkWindows,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,

@@ -1366,6 +1366,39 @@ class LlmOpsSpec extends AnyFunSuite {
       s"augmented-cosine ranking diverged from MIPS:\n aug=$viaAug\n mips=$mips")
   }
 
+  test("soft-dedup weights: ppm = 1e6 div cluster size; per-cluster mass within truncation of 1.0") {
+    val sfDocs = "/root/testdata/sf0.001"
+    val out = graft.queries.Queries.d19SoftDedupWeights(spark, sfDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // every row: weight_ppm == 1_000_000 / n_members exactly (integer div)
+    assert(out.forall { case (_, _, n, w) => w == 1000000L / n })
+    // per-cluster expected mass: n * (1e6 div n) in (1e6 - n, 1e6]
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      val n = rows.head._3
+      val mass = rows.map(_._4).sum
+      assert(rows.forall(_._3 == n), s"cluster $cl inconsistent sizes")
+      assert(mass <= 1000000L && mass > 1000000L - n,
+        s"cluster $cl mass $mass outside truncation band")
+    }
+  }
+
+  test("lexical diversity: hand goldens for TTR and hapax on planted repetition") {
+    val df = docsDf(Seq(
+      1L -> "a a b",               // 3 words, 2 types, 1 hapax
+      2L -> "x y z",               // all hapax
+      3L -> "t t t t"))            // template spam: 1 type, 0 hapax
+    val dir = java.nio.file.Files.createTempDirectory("graft_t25").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val res = graft.queries.Queries.t25LexicalDiversity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(res === Map(
+      1L -> ((3L, 2L, 1L, 666666L, 333333L)),
+      2L -> ((3L, 3L, 3L, 1000000L, 1000000L)),
+      3L -> ((4L, 1L, 0L, 250000L, 0L))), s"got $res")
+  }
+
   test("chunkWindows: coverage, overlap, no redundant tail; short docs one chunk") {
     val df = docsDf(Seq(
       1L -> (1 to 10).map(i => s"w$i").mkString(" "), // 10 toks: 3 chunks at w=4,s=3
