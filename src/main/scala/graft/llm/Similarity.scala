@@ -320,6 +320,31 @@ object Similarity {
       .toDF("id_a", "id_b", "cos")
   }
 
+  /**
+   * kNN-GRAPH construction — every corpus vector's top-k cosine
+   * neighbors (among pairs at cos >= minCos), the substrate of
+   * graph-based curation: SemDeDup-style clustering, kNN-connectivity
+   * diversity metrics, graph-propagated quality labels, UMAP/HNSW
+   * bootstrap. Unlike [[knnBrute]] (bounded QUERY set vs the corpus)
+   * this is all-vs-all: pair generation runs the distributed block-grid
+   * kernel ([[cosinePairsGrid]] — no cartesian node, no driver collect,
+   * a task holds two blocks), pairs double into both directions with one
+   * explode, and per-node selection goes through the bounded heap on the
+   * integer-scaled cosine — shuffle = nodes x k, never a per-node sort.
+   * The minCos floor is what keeps the pair set sub-quadratic in
+   * practice; at corpus scale swap the exact grid for LSH-bucketed
+   * candidates ([[withLshBuckets]]) with the same downstream heap.
+   */
+  def knnGraph(emb: DataFrame, k: Int, minCos: Double): DataFrame = {
+    val pairs = cosinePairsGrid(emb, minCos)
+    val directed = pairs.select(explode(array(
+        struct(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cos")),
+        struct(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cos")))).as("e"))
+      .select(col("e.query_id"), col("e.neighbor_id"), col("e.cos"))
+    topKByCosine(directed, k)
+      .withColumnRenamed("query_id", "vec_id")
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * table t, plane p, dimension d -> double. Pure function of the seed, so
     * every executor (and every test) derives identical planes. */

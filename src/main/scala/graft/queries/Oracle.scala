@@ -794,6 +794,20 @@ object Oracle {
          |  FROM sc)
          |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // the v02 pair rule (round-6 cosine, threshold) + per-node top-3 by
+    // (cos DESC, neighbor ASC) — the heap's exact total order
+    "v19_knn_graph" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |  round(${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |f AS (SELECT * FROM p WHERE cos >= 0.3),
+         |r AS (SELECT vec_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM f)
+         |SELECT vec_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 3
+         |ORDER BY vec_id, rnk""".stripMargin,
+
     // raw-dot ranking (NO norm division) — both engines accumulate the
     // dot sequentially in double, so round(dot, 6) is cross-engine exact
     "v18_mips" ->
@@ -1643,6 +1657,22 @@ object Oracle {
     "a21_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |       count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle sees only the published data: a publish that dropped,
+    // duplicated, or reordered anything through the stage/swap is a hash
+    // mismatch
+    "s16_wap" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the exact distinct count is oracle-able; the union-homomorphism +
+    // 5%-of-exact bound is pinned TRUE — the sketch is deterministic, so
+    // a violation is a hash mismatch, not a flake (the a20 discipline)
+    "a23_sketch_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |       TRUE AS reagg_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // histogram quantiles vs the sort-based quantile_disc: both engines

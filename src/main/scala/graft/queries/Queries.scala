@@ -564,6 +564,36 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** A23: re-aggregatable SKETCH TABLES — the warehouse pattern that
+    * makes distinct counts affordable at 100 TB: store one HLL sketch
+    * per (event_type, day) partition (datasketches `hll_sketch_agg`,
+    * mergeable state, map-side partials), then answer ANY rollup by
+    * UNIONING stored sketches (`hll_union_agg`) without touching raw
+    * data — a year-over-arbitrary-ranges distinct-users dashboard reads
+    * 365 sketch rows per type, not the event log. The query materializes
+    * the daily sketch table, serves the all-time rollup from it, and
+    * hash-checks two DETERMINISTIC facts against the oracle: the exact
+    * distinct count, and `reagg_ok` — the merged estimate equals the
+    * single-pass sketch estimate (union-homomorphism, the property the
+    * whole pattern rests on) AND lands within 5% of exact (lgK=12
+    * standard error is ~0.8%, so 5% is a deterministic-pass bound). */
+  val a23SketchRollup: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .withColumn("day", expr("date_trunc('DAY', timestamp_micros(__tsu))"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"),
+        countDistinct(col("user_id")).as("n_exact"))
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (col("est") === col("est_direct") &&
+          abs(col("est") - col("n_exact")) * 100 <= col("n_exact") * 5).as("reagg_ok"))
+      .orderBy("event_type")
+  }
+
   /** A7: analytic window functions (rank/dense_rank/ntile/running sum) —
     * engine breadth the reference's SQLite surface never exercises. */
   val a07WindowRank: Q = (s, dir) => {
@@ -951,6 +981,18 @@ object Queries {
     Similarity.knnBrute(emb, emb.filter(col("vec_id") < 32), k = 5)
       .orderBy("query_id", "rnk")
   }
+
+  /** V19: kNN-graph construction ([[Similarity.knnGraph]]) — every
+    * vector's top-3 cosine neighbors among pairs at cos >= 0.3: the
+    * all-vs-all substrate of graph-based curation (SemDeDup clustering,
+    * kNN-connectivity diversity, label propagation over embeddings).
+    * Pair generation through the v02 block-grid kernel (no cartesian,
+    * no driver collect), selection through the bounded heap — shuffle =
+    * nodes x k. Oracle: the full quadratic with the same threshold and
+    * (cos DESC, neighbor ASC) total order. */
+  val v19KnnGraph: Q = (s, dir) =>
+    Similarity.knnGraph(embeddings(s, dir), k = 3, minCos = 0.3)
+      .orderBy("vec_id", "rnk")
 
   /** V18: exact Maximum-Inner-Product Search ([[Similarity.mipsBrute]])
     * — the recommendation-serving primitive: top-k by RAW dot, not
@@ -2292,6 +2334,28 @@ object Queries {
         (-col("m.neg")).as("mode_cnt"), col("n_events"))
       .orderBy("user_id")
 
+  /** S16: Write-Audit-Publish ([[graft.relational.Publish]]) — the
+    * data-quality gate of table publication: per-language document stats
+    * stage invisibly, audits run in one aggregation over the STAGED
+    * files (written-data discipline, the s12 manifest rule), and only a
+    * fully-green audit report swaps the version in by rename. The
+    * returned frame reads the PUBLISHED path — so the oracle compare
+    * certifies the whole stage/audit/publish round-trip preserved the
+    * data exactly; ScaleOpsSpec covers the failing-audit path (dest
+    * byte-identical, staging cleaned). */
+  val s16Wap: Q = (s, dir) => {
+    val dest = java.nio.file.Files.createTempDirectory("graft_wap").toString + "/lang_stats"
+    val stats = tbl(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val report = graft.relational.Publish.writeAuditPublish(stats, dest, Seq(
+      "nonempty" -> (count(lit(1)) > 0),
+      "no_null_lang" -> (count(when(col("lang").isNull, 1)) === 0),
+      "positive_counts" -> (count(when(col("n_docs") <= 0, 1)) === 0)))
+    require(report.published, s"WAP audits failed: ${report.audits}")
+    s.read.parquet(dest).orderBy("lang")
+  }
+
   /** X13: snapshot diff (CDC) — classify rows across two dump generations
     * as added / removed / changed by a FULL OUTER join on the key with
     * content-hash comparison. The 100 TB shape of "what changed since last
@@ -2614,6 +2678,7 @@ object Queries {
     "v11_indexed_ann" -> v11IndexedAnn,
     "v17_index_delete" -> v17IndexDelete,
     "v18_mips" -> v18Mips,
+    "v19_knn_graph" -> v19KnnGraph,
     "v12_indexed_ivf" -> v12IndexedIvf,
     "v13_pq_ann" -> v13PqAnn,
     "v14_indexed_pq" -> v14IndexedPq,
@@ -2664,11 +2729,13 @@ object Queries {
     "a20_cms_heavy_hitters" -> a20CmsHeavyHitters,
     "a21_bitmap_distinct" -> a21BitmapDistinct,
     "a22_hist_quantiles" -> a22HistQuantiles,
+    "a23_sketch_rollup" -> a23SketchRollup,
     "s11_text_roundtrip" -> s11TextRoundtrip,
     "s12_shard_export" -> s12ShardExport,
     "s13_zorder_layout" -> s13ZorderLayout,
     "s14_compaction" -> s14Compaction,
     "s15_partition_overwrite" -> s15PartitionOverwrite,
+    "s16_wap" -> s16Wap,
     "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
     "s10_orc_roundtrip" -> s10OrcRoundtrip,

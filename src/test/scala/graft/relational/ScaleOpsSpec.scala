@@ -237,6 +237,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     graft.llm.Similarity.vacuumSignIndex(spark, "sign_del_idx")
   }
 
+  test("WAP: failed audit leaves dest byte-identical and cleans staging; pass swaps atomically") {
+    val s = spark
+    import s.implicits._
+    val dest = java.nio.file.Files.createTempDirectory("graft_wap_t").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val ok = Publish.writeAuditPublish(v1, dest, Seq(
+      "nonempty" -> (count(lit(1)) > 0),
+      "no_null_id" -> (count(when(col("id").isNull, 1)) === 0)))
+    assert(ok.published && ok.audits.forall(_._2))
+    val published = spark.read.parquet(dest).collect().map(_.toString).sorted
+    assert(published.length === 2)
+
+    // v2 fails an audit (planted null id): dest must stay v1 exactly,
+    // staging and prev must not linger
+    val v2 = Seq((Some(3L), "c"), (Option.empty[Long], "d")).toDF("id", "v")
+    val bad = Publish.writeAuditPublish(v2, dest, Seq(
+      "nonempty" -> (count(lit(1)) > 0),
+      "no_null_id" -> (count(when(col("id").isNull, 1)) === 0)))
+    assert(!bad.published)
+    assert(bad.audits.toMap === Map("nonempty" -> true, "no_null_id" -> false))
+    assert(spark.read.parquet(dest).collect().map(_.toString).sorted === published,
+      "failed audit must leave the published version untouched")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dest + "__staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dest + "__prev")))
+
+    // a passing v3 replaces v1
+    val v3 = Seq((7L, "z")).toDF("id", "v")
+    val ok3 = Publish.writeAuditPublish(v3, dest, Seq(
+      "exact_count" -> (count(lit(1)) === 1)))
+    assert(ok3.published)
+    assert(spark.read.parquet(dest).as[(Long, String)].collect().toSeq === Seq((7L, "z")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dest + "__prev")))
+  }
+
   test("AQE skew-join splits a planted hot key on the postings-join shape") {
     // the d03 postings self-join's hazard: one boilerplate shingle shared
     // by thousands of docs lands its whole pair fanout on one reducer.
