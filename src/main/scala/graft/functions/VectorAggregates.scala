@@ -141,6 +141,17 @@ object VectorAggregates {
   def bitmapDistinct(id: Column): Column =
     ColumnBridge.column(
       BitmapDistinct(ColumnBridge.expression(id)).toAggregateExpression())
+
+  /** Column binding: bitmap_agg(id) — serialized roaring bitmap. */
+  def bitmapAgg(id: Column): Column =
+    ColumnBridge.column(
+      BitmapAgg(ColumnBridge.expression(id)).toAggregateExpression())
+
+  /** Column binding: bitmap_or_count(bin) — cardinality of the OR of
+    * stored bitmaps. */
+  def bitmapOrCount(bin: Column): Column =
+    ColumnBridge.column(
+      BitmapOrCount(ColumnBridge.expression(bin)).toAggregateExpression())
 }
 
 /**
@@ -355,6 +366,116 @@ object BitmapDistinct {
       buf
     }
   }
+}
+
+/**
+ * bitmap_agg(id) — the STORABLE half of the [[BitmapDistinct]] layout:
+ * same roaring-style buffer, but eval returns the serialized bitmap
+ * BYTES instead of collapsing to a count. This is what turns exact
+ * distinct into the sketch-table pattern (a23's discipline, without the
+ * approximation): persist one bitmap per (group, partition-unit) — e.g.
+ * per (event_type, day) — and any later rollup over any group-set ORs
+ * stored bitmaps via [[BitmapOrCount]] instead of rescanning raw ids.
+ * Exact at every level because bitmap union IS set union.
+ */
+case class BitmapAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BitmapDistinct.Buf] {
+
+  override def children: Seq[Expression] = child :: Nil
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_agg expects an integral id, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bitmap_agg"
+
+  override def createAggregationBuffer(): BitmapDistinct.Buf = new BitmapDistinct.Buf
+
+  override def update(buf: BitmapDistinct.Buf, input: InternalRow): BitmapDistinct.Buf = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Number].longValue())
+    buf
+  }
+
+  override def merge(b1: BitmapDistinct.Buf, b2: BitmapDistinct.Buf): BitmapDistinct.Buf = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: BitmapDistinct.Buf): Any = buf.toBytes
+
+  override def serialize(buf: BitmapDistinct.Buf): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): BitmapDistinct.Buf =
+    BitmapDistinct.Buf.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapAgg =
+    copy(child = newChildren(0))
+}
+
+/**
+ * bitmap_or_count(bin) — cardinality of the UNION of serialized
+ * [[BitmapAgg]] bitmaps: the read half of the stored-bitmap rollup.
+ * Each input row contributes one bitmap; partials OR map-side (one
+ * buffer per group crosses the shuffle) and the final count is exact.
+ * `count(distinct)` over the same window would rescan and reshuffle the
+ * raw id space; this reads |days| bitmap rows per window instead.
+ */
+case class BitmapOrCount(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BitmapDistinct.Buf] {
+
+  override def children: Seq[Expression] = child :: Nil
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_or_count expects a bitmap_agg binary, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bitmap_or_count"
+
+  override def createAggregationBuffer(): BitmapDistinct.Buf = new BitmapDistinct.Buf
+
+  override def update(buf: BitmapDistinct.Buf, input: InternalRow): BitmapDistinct.Buf = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.mergeFrom(BitmapDistinct.Buf.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(b1: BitmapDistinct.Buf, b2: BitmapDistinct.Buf): BitmapDistinct.Buf = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: BitmapDistinct.Buf): Any = buf.cardinality
+
+  override def serialize(buf: BitmapDistinct.Buf): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): BitmapDistinct.Buf =
+    BitmapDistinct.Buf.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapOrCount =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapOrCount =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapOrCount =
+    copy(child = newChildren(0))
 }
 
 /**

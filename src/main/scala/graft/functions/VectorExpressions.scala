@@ -287,5 +287,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("bitmap_distinct"),
       new ExpressionInfo(classOf[BitmapDistinct].getName, "bitmap_distinct"),
       (exprs: Seq[Expression]) => BitmapDistinct(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("bitmap_agg"),
+      new ExpressionInfo(classOf[BitmapAgg].getName, "bitmap_agg"),
+      (exprs: Seq[Expression]) => BitmapAgg(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("bitmap_or_count"),
+      new ExpressionInfo(classOf[BitmapOrCount].getName, "bitmap_or_count"),
+      (exprs: Seq[Expression]) => BitmapOrCount(exprs(0))))
   }
 }

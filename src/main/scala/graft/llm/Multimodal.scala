@@ -108,6 +108,33 @@ object Multimodal {
   }
 
   /**
+   * ViT-style PATCH-GRID extraction — the patchify step between raw
+   * images and a vision tower: tile each (width x height) media row into
+   * p x p patches in row-major order, edge patches CLIPPED to the image
+   * bounds (the resize-free convention; a pad-to-multiple variant is one
+   * `when` away). Pure integer metadata math off the stored dimensions —
+   * the pixel decode stays behind the documented codec boundary — as one
+   * in-row `transform` + `posexplode`: map-only, zero shuffle, the t26
+   * chunker's discipline applied to the spatial axes. Output one row per
+   * patch: (doc_id, patch_idx, px, py, pw, ph).
+   */
+  def patchGrid(media: Dataset[MediaRecord], p: Int): DataFrame = {
+    require(p >= 1, "patch size must be >= 1")
+    val nx = floor((col("width") + (p - 1)) / lit(p)).cast("int")
+    val ny = floor((col("height") + (p - 1)) / lit(p)).cast("int")
+    media.toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        posexplode(transform(sequence(lit(0), nx * ny - 1), i => struct(
+          ((i % nx) * p).cast("long").as("px"),
+          (floor(i / nx).cast("int") * p).cast("long").as("py"))))
+          .as(Seq("patch_idx", "pt")))
+      .select(col("doc_id"), col("patch_idx").cast("long").as("patch_idx"),
+        col("pt.px").as("px"), col("pt.py").as("py"),
+        least(lit(p.toLong), col("width") - col("pt.px")).as("pw"),
+        least(lit(p.toLong), col("height") - col("pt.py")).as("ph"))
+  }
+
+  /**
    * Batch "decode" + feature extraction. mapPartitions (not map/UDF) so a
    * real codec initializes once per task, not once per record — the shape
    * that matters when each partition holds thousands of blobs.

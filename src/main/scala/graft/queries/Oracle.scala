@@ -1304,6 +1304,41 @@ object Oracle {
         |FROM documents d LEFT JOIN cn ON cn.doc_id = d.doc_id
         |LEFT JOIN re ON re.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
 
+    // t11's block derivation, keep-first WITHIN the doc (min line_no per
+    // (doc, line)), order-stable rebuild — the intra-doc half of CCNet
+    "t27_intradoc_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ln AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+        |         i -> {'line_no': i, 'line': list_aggregate(w[i*10+1:i*10+10], 'string_agg', ' ')})) AS s
+        |       FROM tok),
+        |l AS (SELECT doc_id, CAST(s.line_no AS BIGINT) AS line_no, s.line AS line FROM ln),
+        |k AS (SELECT doc_id, line_no, line,
+        |        row_number() OVER (PARTITION BY doc_id, line ORDER BY line_no) AS rn FROM l),
+        |re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(line, ' ' ORDER BY line_no) AS text_dedup
+        |       FROM k WHERE rn = 1 GROUP BY 1),
+        |cn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY 1)
+        |SELECT cn.doc_id, cn.n_lines, re.n_kept, re.text_dedup
+        |FROM cn JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // same synthetic width/height derivation as the m-family, same
+    // row-major clipped 16x16 grid — pure integer math both sides
+    "m06_patch_grid" ->
+      """WITH m AS (SELECT doc_id,
+        |    16 + octet_length(encode(coalesce(text, ''))) % 48 AS w,
+        |    16 + (octet_length(encode(coalesce(text, ''))) * 7) % 48 AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, h,
+        |    (w + 15) // 16 AS nx, (h + 15) // 16 AS ny FROM m),
+        |p AS (SELECT doc_id, w, h, nx,
+        |    unnest(range(0, nx * ny)) AS i FROM g)
+        |SELECT doc_id, CAST(i AS BIGINT) AS patch_idx,
+        |  CAST((i % nx) * 16 AS BIGINT) AS px,
+        |  CAST((i // nx) * 16 AS BIGINT) AS py,
+        |  CAST(least(16, w - (i % nx) * 16) AS BIGINT) AS pw,
+        |  CAST(least(16, h - (i // nx) * 16) AS BIGINT) AS ph
+        |FROM p ORDER BY doc_id, patch_idx""".stripMargin,
+
     // Novelty = 1 - (shingles with corpus df >= 2) / (doc's shingles);
     // integer '/' is float division in both engines, quotient rounded.
     "t14_novelty" ->
@@ -1666,6 +1701,23 @@ object Oracle {
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the declarative statement of the bitmap rollup: exact distinct per
+    // day and per trailing-7-day window — a dropped or invented bit
+    // anywhere in the store/OR path is a count mismatch
+    "a24_retention" ->
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY 1),
+        |wau AS (SELECT a.d, count(DISTINCT b.user_id) AS wau
+        |        FROM days a JOIN du b
+        |          ON b.d BETWEEN a.d - INTERVAL 6 DAY AND a.d
+        |        GROUP BY 1)
+        |SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+        |       CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+        |       1000000 * dau.dau // wau.wau AS stickiness_ppm
+        |FROM dau JOIN wau USING (d) ORDER BY day""".stripMargin,
 
     // the exact distinct count is oracle-able; the union-homomorphism +
     // 5%-of-exact bound is pinned TRUE — the sketch is deterministic, so

@@ -594,6 +594,35 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** A24: rolling retention (DAU / trailing-7-day WAU / stickiness)
+    * through STORED EXACT BITMAPS — a23's sketch-table pattern without
+    * the approximation: the event log reduces once to one roaring
+    * bitmap per day (`bitmap_agg`, mergeable map-side partials), and
+    * every trailing window is then a bitmap OR over at most 7 stored
+    * DAY rows (`bitmap_or_count`) — the day-pair range join touches
+    * |days|^2/2 tiny rows, never the raw id space, while the
+    * count(DISTINCT) rewrite would reshuffle (day x 7) copies of every
+    * event row. Exact at every level because bitmap union is set union;
+    * stickiness as integer ppm. */
+  val a24Retention: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .select(date_format(timestamp_micros(col("__tsu")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+    val daily = ev.groupBy("day")
+      .agg(graft.functions.VectorAggregates.bitmapAgg(col("user_id")).as("bm"),
+        graft.functions.VectorAggregates.bitmapDistinct(col("user_id")).as("dau"))
+    val wau = daily.alias("a")
+      .join(daily.alias("b"),
+        datediff(col("a.day").cast("date"), col("b.day").cast("date")).between(0, 6))
+      .groupBy(col("a.day").as("day"))
+      .agg(graft.functions.VectorAggregates.bitmapOrCount(col("b.bm")).as("wau"))
+    daily.select(col("day"), col("dau"))
+      .join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("1000000 * dau div wau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
   /** A7: analytic window functions (rank/dense_rank/ntile/running sum) —
     * engine breadth the reference's SQLite surface never exercises. */
   val a07WindowRank: Q = (s, dir) => {
@@ -1068,6 +1097,16 @@ object Queries {
           .as("frames_bytes"))
       .orderBy("doc_id")
 
+  /** M6: ViT patch-grid extraction ([[Multimodal.patchGrid]]) — tile
+    * each media row into 16x16 patches in row-major order off the
+    * STORED dimensions (pixel decode stays behind the codec boundary),
+    * edge patches clipped. Map-only transform + posexplode, zero
+    * shuffle; the oracle rebuilds the identical integer grid from the
+    * same synthetic width/height derivation. */
+  val m06PatchGrid: Q = (s, dir) =>
+    Multimodal.patchGrid(Multimodal.fromDocuments(tbl(s, dir, "documents")), p = 16)
+      .orderBy("doc_id", "patch_idx")
+
   /** M4: perceptual near-dup over the multimodal payload
     * ([[Multimodal.phashNearDup]]) — 64-bit average-hash, banded
     * (band_idx, band_val) equi-join candidates (exact for ham <= 3 by
@@ -1501,6 +1540,32 @@ object Queries {
         .as(Seq("line_no", "line")))
       .withColumn("line_no", col("line_no").cast("long"))
     Dedup.lineDedup(docs, lines).orderBy("doc_id")
+  }
+
+  /** T27: INTRA-doc line dedup — t11's corpus-wide keep-first rule
+    * applied within each document (the first pass CCNet actually runs:
+    * navigation chrome and repeated boilerplate blocks drop before any
+    * corpus-level election). Same 10-word-block line derivation as t11;
+    * the keep-first-occurrence filter is an IN-ROW indexed lambda
+    * (`filter((b, i) -> b not among the first i blocks)`) — map-only,
+    * zero shuffle, O(blocks^2) per row over tens of blocks; the rebuild
+    * is order-stable by construction. */
+  val t27IntraDocDedup: Q = (s, dir) => {
+    // null text -> '' so totality holds (one empty block, not a null row)
+    val words = split(coalesce(col("text"), lit("")), " ")
+    val blocks = transform(
+      sequence(lit(0), ceil(size(words) / lit(10.0)).cast("int") - 1),
+      i => array_join(slice(words, i * 10 + 1, lit(10)), " "))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), blocks.as("bl"))
+      .select(col("doc_id"),
+        size(col("bl")).cast("long").as("n_lines"),
+        filter(col("bl"), (b, i) =>
+          array_position(slice(col("bl"), lit(1), i), b) === 0).as("kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("text_dedup"))
+      .orderBy("doc_id")
   }
 
   /** V7: random-projection dimensionality reduction
@@ -2706,6 +2771,7 @@ object Queries {
     "t24_leakfree_split" -> t24LeakfreeSplit,
     "t25_lexical_diversity" -> t25LexicalDiversity,
     "t26_chunk_windows" -> t26ChunkWindows,
+    "t27_intradoc_dedup" -> t27IntraDocDedup,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,
@@ -2730,6 +2796,7 @@ object Queries {
     "a21_bitmap_distinct" -> a21BitmapDistinct,
     "a22_hist_quantiles" -> a22HistQuantiles,
     "a23_sketch_rollup" -> a23SketchRollup,
+    "a24_retention" -> a24Retention,
     "s11_text_roundtrip" -> s11TextRoundtrip,
     "s12_shard_export" -> s12ShardExport,
     "s13_zorder_layout" -> s13ZorderLayout,
@@ -2753,6 +2820,7 @@ object Queries {
     "m03_frame_sample" -> m03FrameSample,
     "m04_phash_neardup" -> m04PhashNearDup,
     "m05_video_neardup" -> m05VideoNearDup,
+    "m06_patch_grid" -> m06PatchGrid,
     "st01_tumbling_window" -> st01TumblingWindow,
     "st02_sessionize" -> st02Sessionize,
     "st03_sliding_window" -> st03SlidingWindow,

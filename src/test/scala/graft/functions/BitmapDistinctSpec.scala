@@ -91,6 +91,30 @@ class BitmapDistinctSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
   }
 
+  test("bitmap_agg -> bitmap_or_count: stored-bitmap rollup == distinct of the union") {
+    val s = spark
+    import s.implicits._
+    // users overlap across days (u % 400): the OR must count each once.
+    // 700 distinct ids also crosses the array->bitmap upgrade inside the
+    // stored bytes, so fromBytes sees both container modes.
+    val rows = (0 until 3000).map(i => (s"d${i % 5}", (i % 700).toLong))
+    val df = rows.toDF("day", "user").repartition(7)
+    val daily = df.groupBy("day")
+      .agg(VectorAggregates.bitmapAgg(col("user")).as("bm"),
+        VectorAggregates.bitmapDistinct(col("user")).as("dau"))
+    // per-day bytes reproduce per-day cardinality through a round-trip
+    val viaBytes = daily.groupBy("day")
+      .agg(VectorAggregates.bitmapOrCount(col("bm")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = daily.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(viaBytes === direct, s"bytes=$viaBytes direct=$direct")
+    // the rollup: OR of all five day-bitmaps == distinct over all days
+    val rolled = daily.agg(VectorAggregates.bitmapOrCount(col("bm")).as("n"))
+      .head().getLong(0)
+    val exact = df.agg(countDistinct(col("user"))).head().getLong(0)
+    assert(rolled === exact, s"rolled=$rolled exact=$exact")
+  }
+
   test("nulls ignored; empty group is 0") {
     val s = spark
     import s.implicits._
