@@ -67,6 +67,30 @@ object Oracle {
       |    ), 1, 8) AS BIGINT) % 2000001 - 1000000), 'sum') AS BIGINT)""".stripMargin
 
   private val sumSq = "list_aggregate(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+  /** The t16/t17 BPE pipeline as shared CTE text (word split, in-word
+    * pair counts, top-8 merge ranking, wrapped-separator replace-chain
+    * encode, per-doc char/token sums) — one tokenizer definition for
+    * every BPE-derived oracle (t17 per-doc, t28 per-language). */
+  private lazy val bpeCoreSql: String = {
+    val inter = """regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g')"""
+    val enc = (1 to 8).foldLeft(inter) { (acc, r) =>
+      s"replace($acc, (SELECT chr(1)||substring(pair,1,1)||chr(1)||chr(1)" +
+        s"||substring(pair,2,1)||chr(1) FROM mr WHERE rnk=$r), " +
+        s"(SELECT chr(1)||pair||chr(1) FROM mr WHERE rnk=$r))"
+    }
+    s"""w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |wf AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+       |pc AS (SELECT pair, count(*) AS cnt FROM (
+       |         SELECT unnest(list_transform(range(1, length(word)),
+       |           i -> substring(word, i, 2))) AS pair
+       |         FROM wf WHERE length(word) >= 2) GROUP BY pair),
+       |mr AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rnk FROM pc),
+       |enc AS (SELECT doc_id, length(word) AS n_chars, $enc AS e FROM wf),
+       |tok AS (SELECT doc_id, n_chars,
+       |          (length(e) - length(replace(e, chr(1), ''))) // 2 AS n_tok FROM enc),
+       |agg AS (SELECT doc_id, sum(n_chars) AS nc, sum(n_tok) AS nt FROM tok GROUP BY doc_id)""".stripMargin
+  }
+
   private def norm(c: String): String = s"sqrt(${sumSq.format(c)})"
   private def dot(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
@@ -794,6 +818,29 @@ object Oracle {
          |  FROM sc)
          |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // both rankings rebuilt with the same round-6 cosine and
+    // (cos DESC, neighbor ASC) order; truncation = 1-based inclusive
+    // list slice [1:16]; overlap totalized to 0 per query
+    "v20_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 32),
+         |fsc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  round(${dot("q.qe", "e.embedding")} / (${norm("q.qe")} * ${norm("e.embedding")}), 6) AS cos
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |fr AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM fsc),
+         |tsc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  round(${dot("q.qe[1:16]", "e.embedding[1:16]")} / (${norm("q.qe[1:16]")} * ${norm("e.embedding[1:16]")}), 6) AS cos
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |tr AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM tsc),
+         |ov AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS overlap5
+         |  FROM (SELECT * FROM fr WHERE rnk <= 5) f
+         |  JOIN (SELECT * FROM tr WHERE rnk <= 5) t
+         |    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.query_id, coalesce(ov.overlap5, 0) AS overlap5
+         |FROM q LEFT JOIN ov USING (query_id) ORDER BY query_id""".stripMargin,
+
     // the v02 pair rule (round-6 cosine, threshold) + per-node top-3 by
     // (cos DESC, neighbor ASC) — the heap's exact total order
     "v19_knn_graph" ->
@@ -1391,30 +1438,30 @@ object Oracle {
     // RE2's '\1' backref and Java's '$1' denote the same group; '.'
     // excludes newline in both (corpus asserted control-char-free).
     // LEFT JOIN keeps empty docs at 0.
-    "t17_bpe_encode" -> {
-      val inter = """regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g')"""
-      val enc = (1 to 8).foldLeft(inter) { (acc, r) =>
-        s"replace($acc, (SELECT chr(1)||substring(pair,1,1)||chr(1)||chr(1)" +
-          s"||substring(pair,2,1)||chr(1) FROM mr WHERE rnk=$r), " +
-          s"(SELECT chr(1)||pair||chr(1) FROM mr WHERE rnk=$r))"
-      }
-      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-         |wf AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
-         |pc AS (SELECT pair, count(*) AS cnt FROM (
-         |         SELECT unnest(list_transform(range(1, length(word)),
-         |           i -> substring(word, i, 2))) AS pair
-         |         FROM wf WHERE length(word) >= 2) GROUP BY pair),
-         |mr AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rnk FROM pc),
-         |enc AS (SELECT doc_id, length(word) AS n_chars, $enc AS e FROM wf),
-         |tok AS (SELECT doc_id, n_chars,
-         |          (length(e) - length(replace(e, chr(1), ''))) // 2 AS n_tok FROM enc),
-         |agg AS (SELECT doc_id, sum(n_chars) AS nc, sum(n_tok) AS nt FROM tok GROUP BY doc_id)
+    "t17_bpe_encode" ->
+      s"""WITH $bpeCoreSql
          |SELECT d.doc_id,
          |  CAST(coalesce(a.nc, 0) AS BIGINT) AS n_char_tokens,
          |  CAST(coalesce(a.nt, 0) AS BIGINT) AS n_bpe_tokens,
          |  CAST(coalesce(a.nc, 0) - coalesce(a.nt, 0) AS BIGINT) AS n_merged
-         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
-    },
+         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the identical BPE core (shared CTE text — one tokenizer by
+    // construction), rolled up per language with integer ppm ratios
+    "t28_fertility" ->
+      s"""WITH $bpeCoreSql,
+         |wl AS (SELECT doc_id, lang,
+         |         len(string_split(text, ' ')) AS nw FROM documents),
+         |j AS (SELECT wl.lang, wl.nw, coalesce(a.nc, 0) AS nc,
+         |        coalesce(a.nt, 0) AS nt
+         |      FROM wl LEFT JOIN agg a USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  1000000 * CAST(sum(nt) AS BIGINT) // CAST(sum(nw) AS BIGINT) AS fertility_ppm,
+         |  1000000 * CAST(sum(nc) AS BIGINT) // CAST(sum(nt) AS BIGINT) AS chars_per_token_ppm
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // BM25 mirror: identical Okapi formula with identical ASSOCIATION and
     // the same exact literal constants (2.2, 0.25 — NOT 1.2+1.0/1-0.75,

@@ -1011,6 +1011,31 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** V20: Matryoshka truncation audit (Kusupati et al. 2022 MRL
+    * serving: score with the first d' dims, keep the full vector only
+    * for rerank) — exact top-5 over the 16-dim PREFIX vs exact top-5
+    * over all 64 dims, per-query overlap as an integer 0..5. The
+    * dimension-adaptive twin of v09's ANN recall audit: before
+    * deploying prefix-scored retrieval you measure exactly what the
+    * truncation costs, and both rankings are deterministic (same
+    * (cos DESC, neighbor ASC) total order), so the audit is hash-exact
+    * — no recall floor needed. Truncation is a map-only `slice`;
+    * cosine renormalizes per-space by construction. */
+  val v20Matryoshka: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    val tr = emb.withColumn("embedding", slice(col("embedding"), 1, 16))
+    val full = Similarity.knnBrute(emb, emb.filter(col("vec_id") < 32), k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val trunc = Similarity.knnBrute(tr, tr.filter(col("vec_id") < 32), k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = full.join(trunc, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("overlap5"))
+    full.select("query_id").distinct()
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("overlap5"), lit(0L)).as("overlap5"))
+      .orderBy("query_id")
+  }
+
   /** V19: kNN-graph construction ([[Similarity.knnGraph]]) — every
     * vector's top-3 cosine neighbors among pairs at cos >= 0.3: the
     * all-vs-all substrate of graph-based curation (SemDeDup clustering,
@@ -1829,8 +1854,10 @@ object Queries {
     * literals, and every document is encoded map-only. All-integer
     * output; the oracle derives the identical merge table and walks the
     * identical per-word replace chain in SQL. */
-  val t17BpeEncode: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+  /** The t16-trained top-8 merge table as a driver-side literal list —
+    * 8 bounded rows (documented collect), shared by t17 and t28 so the
+    * tokenizer both queries apply is identical by construction. */
+  private def bpeMergesTop8(docs: org.apache.spark.sql.DataFrame): Seq[String] = {
     val merges = docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
       .select(explode(expr(
@@ -1842,8 +1869,37 @@ object Queries {
       .collect().map(_.getString(0)).toSeq
     // the oracle's replace chain is arity-8: a corpus too degenerate to
     // yield 8 merge pairs must fail loudly, not silently diverge
-    require(merges.length == 8, s"t17: corpus yields only ${merges.length} merge pairs")
-    TextOps.bpeEncode(docs, merges).orderBy("doc_id")
+    require(merges.length == 8, s"bpe: corpus yields only ${merges.length} merge pairs")
+    merges
+  }
+
+  val t17BpeEncode: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    TextOps.bpeEncode(docs, bpeMergesTop8(docs)).orderBy("doc_id")
+  }
+
+  /** T28: tokenizer FERTILITY audit — tokens-per-word and
+    * chars-per-token by language under the t16/t17 BPE: the multilingual
+    * tokenizer-efficiency metric (a language with high fertility pays
+    * more sequence length per word, skewing effective compute and the
+    * t23 mixture). Per-doc counting through the native `bpe_token_count`
+    * kernel (one byte scan per merge), then one partial-aggregated
+    * roll-up per language; ratios as integer ppm. */
+  val t28Fertility: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val enc = TextOps.bpeEncode(docs, bpeMergesTop8(docs))
+    docs.select(col("doc_id"), col("lang"),
+        TextOps.wordCount(col("text")).cast("long").as("nw"))
+      .join(enc, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("n_char_tokens")).as("n_chars"),
+        sum(col("n_bpe_tokens")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        expr("1000000 * n_tokens div n_words").as("fertility_ppm"),
+        expr("1000000 * n_chars div n_tokens").as("chars_per_token_ppm"))
+      .orderBy("lang")
   }
 
   /** T18: BM25 relevance scoring (Okapi, k1=1.2, b=0.75) of every
@@ -2744,6 +2800,7 @@ object Queries {
     "v17_index_delete" -> v17IndexDelete,
     "v18_mips" -> v18Mips,
     "v19_knn_graph" -> v19KnnGraph,
+    "v20_matryoshka" -> v20Matryoshka,
     "v12_indexed_ivf" -> v12IndexedIvf,
     "v13_pq_ann" -> v13PqAnn,
     "v14_indexed_pq" -> v14IndexedPq,
@@ -2772,6 +2829,7 @@ object Queries {
     "t25_lexical_diversity" -> t25LexicalDiversity,
     "t26_chunk_windows" -> t26ChunkWindows,
     "t27_intradoc_dedup" -> t27IntraDocDedup,
+    "t28_fertility" -> t28Fertility,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,
