@@ -267,7 +267,65 @@ object Plans {
       "token counts (native word-count kernel, map-side partial sums), " +
       "one IEEE-exact sqrt per language, totals ride as a broadcast " +
       "1-row aggregate — the language-count-sized tail of a corpus-" +
-      "sized map."))
+      "sized map."),
+    "a22_hist_quantiles" -> ("Exact histogram quantiles: the corpus " +
+      "reduces to a DOMAIN-sized (type, cent) histogram in one " +
+      "partial-aggregated shuffle; the cumulative window then sorts " +
+      "per-type HISTOGRAMS (<= |domain| rows), never the corpus — the " +
+      "bounded-state exact-percentile plan a06's value-buffering form " +
+      "can't give."),
+    "a24_retention" -> ("Stored-bitmap retention: raw (day, user) rows " +
+      "fold map-side into ONE roaring bitmap per day (bitmap_agg " +
+      "partials merge by OR); the trailing-7-day window is a range " +
+      "join over the tiny per-day frame and a bitmap_or_count of <= 7 " +
+      "stored bitmaps — the raw id space crosses the wire once, not " +
+      "once per window."),
+    "x27_harmonic" -> ("Landmark harmonic centrality: L per-seed BFS " +
+      "runs fused into ONE multi-frontier loop — frontier rows are " +
+      "(seed, node) pairs, each round one src equi-join against the " +
+      "loop-invariant edge side + one anti-join against the " +
+      "binary-counter-folded known set; the integer 12/d fold is a " +
+      "partial-aggregated sum, no window."),
+    "x28_label_prop" -> ("Label propagation: per round one edge " +
+      "equi-join + one partial-aggregated (node, label) vote count + " +
+      "the arg_max ObjectHashAggregate on (cnt, -label) — one winner " +
+      "row per node crosses the shuffle, no per-node sort, plan cut " +
+      "per round at a localCheckpoint."),
+    "t24_leakfree_split" -> ("Leak-free split: the component closure " +
+      "moves 8-byte id labels only; totalization is one LEFT join of " +
+      "the label table onto doc ids, and the md5 cluster-hash split is " +
+      "a map-only expression — no text ever shuffles."),
+    "v17_index_delete" -> ("Index takedown delete: the serve plan is " +
+      "v11's bucketed zero-corpus-exchange shape plus ONE broadcast " +
+      "LEFT ANTI against the tombstone side table — tombstones are " +
+      "takedown-sized, so the delete costs a broadcast, not a corpus " +
+      "rewrite; vacuum folds them physically off the serve path."),
+    "v18_mips" -> ("Exact MIPS: queries broadcast, one corpus scan " +
+      "scores raw dots, partial_top_k keeps k pairs per query " +
+      "map-side — shuffle volume queries x k; the augmented-cosine " +
+      "reduction (constant-norm padding) makes every cosine ANN index " +
+      "serve the same ranking."),
+    "v19_knn_graph" -> ("kNN graph: all-vs-all pairs through the v02 " +
+      "block-grid kernel (no cartesian node, no driver collect), " +
+      "doubled by one explode, per-node selection through " +
+      "partial_top_k — shuffle nodes x k, never a per-node sort."),
+    "st15_decontaminate" -> ("Streaming decontamination gate (batch " +
+      "mirror): the Bloom literal rejects the clean majority inside " +
+      "the map stage (no state, no shuffle); only bloom suspects reach " +
+      "the broadcast per-doc LEFT ANTI, whose match rule is row-local " +
+      "array_intersect — stream-side rows never exchange."),
+    "t26_chunk_windows" -> ("Context-window chunking: split + in-row " +
+      "transform over the start sequence + one Generate (posexplode) — " +
+      "a single map-only stage; the chunker runs at scan speed and its " +
+      "OUTPUT is what downstream packing shuffles."),
+    "t28_fertility" -> ("Tokenizer fertility: per-doc token counts in " +
+      "the native bpe_token_count kernel (map-only byte scans, merges " +
+      "as plan literals), then ONE partial-aggregated language rollup " +
+      "— corpus text never shuffles, only language-count-sized sums."),
+    "s16_wap" -> ("Write-Audit-Publish: all audits evaluate in ONE " +
+      "aggregation job over the staged scan (boolean aggregate " +
+      "columns), publish is a filesystem rename — the gate adds one " +
+      "bounded job to any write, independent of audit count."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
