@@ -91,6 +91,26 @@ object Oracle {
        |agg AS (SELECT doc_id, sum(n_chars) AS nc, sum(n_tok) AS nt FROM tok GROUP BY doc_id)""".stripMargin
   }
 
+  /** Okapi BM25 of every document against the 3-term fixture query as
+    * shared CTE text ending in `sc(doc_id, n_qterms, score)` — one
+    * formula definition for t18 (per-doc scores) and x29 (the sparse
+    * leg of the hybrid fusion). */
+  private lazy val bm25CoreSql: String =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+      |stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       WHERE term IN ('stream', 'data', 'query') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |         CAST(count(*) AS BIGINT) AS n_qterms,
+      |         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+      |                 / (CAST(stats.total AS DOUBLE) / stats.n)))) AS score
+      |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      |       GROUP BY 1)""".stripMargin
+
   private def norm(c: String): String = s"sqrt(${sumSq.format(c)})"
   private def dot(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
@@ -1193,6 +1213,22 @@ object Oracle {
         | AND v.ts BETWEEN c.ts - INTERVAL 60 MINUTE AND c.ts
         |ORDER BY click_id, view_id""".stripMargin,
 
+    // every click and view exactly once, null-padded when unmatched;
+    // the compare sorts rows, so the null-keyed order is hash-safe
+    "st16_full_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts, value
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, ts, value
+        |      FROM events WHERE event_type = 'view')
+        |SELECT coalesce(c.user_id, v.user_id) AS "user",
+        |       c.click_id, epoch_us(c.ts) AS click_ts_us,
+        |       c.value AS click_value, v.view_id,
+        |       epoch_us(v.ts) AS view_ts_us, v.value AS view_value
+        |FROM c FULL JOIN v
+        |  ON v.user_id = c.user_id
+        | AND v.ts BETWEEN c.ts - INTERVAL 60 MINUTE AND c.ts
+        |ORDER BY coalesce(c.click_id, -1), coalesce(v.view_id, -1)""".stripMargin,
+
     "x04_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
         |               WHERE event_type = 'click'),
@@ -1469,22 +1505,43 @@ object Oracle {
     // engines; the per-doc sum over <= 3 terms is rounded per the
     // FP-aggregation contract.
     "t18_bm25" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
-        |stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-        |       WHERE term IN ('stream', 'data', 'query') GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT tf.doc_id,
-        |         CAST(count(*) AS BIGINT) AS n_qterms,
-        |         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-        |             * tf.tf * 2.2
-        |             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
-        |                 / (CAST(stats.total AS DOUBLE) / stats.n)))) AS score
-        |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        |       GROUP BY 1)
-        |SELECT doc_id, n_qterms, round(score, 6) AS bm25_r
-        |FROM sc ORDER BY doc_id""".stripMargin,
+      s"""WITH $bm25CoreSql
+         |SELECT doc_id, n_qterms, round(score, 6) AS bm25_r
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // RRF: the shared BM25 core ranks the sparse leg, the v01 cosine
+    // shape (query vector 0) ranks the dense leg, fusion sums the
+    // integer 10^9 // (60 + r) keys — rank-based, no score scales meet
+    "x29_hybrid_rrf" ->
+      s"""WITH $bm25CoreSql,
+         |sp0 AS (SELECT doc_id,
+         |          CAST(round(round(score, 6) * 1000000, 0) AS BIGINT) AS s6 FROM sc),
+         |spr AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY s6 DESC, doc_id) AS r_sparse
+         |        FROM sp0),
+         |sp AS (SELECT doc_id, r_sparse FROM spr WHERE r_sparse <= 20),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dsc AS (SELECT e.vec_id AS doc_id,
+         |          round(${dot("q.qe", "e.embedding")} / (${norm("q.qe")} * ${norm("e.embedding")}), 6) AS cos
+         |        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+         |der AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY cos DESC, doc_id) AS r_dense FROM dsc),
+         |de AS (SELECT doc_id, r_dense FROM der WHERE r_dense <= 20),
+         |f AS (SELECT coalesce(sp.doc_id, de.doc_id) AS doc_id,
+         |        coalesce(sp.r_sparse, 0) AS r_sparse,
+         |        coalesce(de.r_dense, 0) AS r_dense
+         |      FROM sp FULL JOIN de ON sp.doc_id = de.doc_id),
+         |rr AS (SELECT doc_id, CAST(r_sparse AS BIGINT) AS r_sparse,
+         |         CAST(r_dense AS BIGINT) AS r_dense,
+         |         CAST(CASE WHEN r_sparse > 0 THEN 1000000000 // (60 + r_sparse) ELSE 0 END
+         |           + CASE WHEN r_dense > 0 THEN 1000000000 // (60 + r_dense) ELSE 0 END
+         |           AS BIGINT) AS rrf
+         |       FROM f),
+         |top AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+         |        FROM rr)
+         |SELECT CAST(fused_rank AS BIGINT) AS fused_rank, doc_id,
+         |       r_sparse, r_dense, rrf
+         |FROM top WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin,
 
     // DSIR mirror: same md5-prefix-mod-256 token buckets, same add-one
     // models (target = lang 'en', source = all docs), and the SAME
@@ -1773,6 +1830,37 @@ object Oracle {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |       TRUE AS reagg_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // median, MAD, and the 3-MAD census rebuilt from the same cent
+    // domain: weighted median = smallest value with 2*cum >= n (the
+    // ceil(n/2) cross-multiplication), everything 64-bit integer
+    "a25_mad_outliers" ->
+      """WITH h AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |             count(*) AS c
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |hc AS (SELECT event_type, v, c,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+        |       FROM h),
+        |med AS (SELECT hc.event_type, min(v) AS med_c
+        |        FROM hc JOIN n USING (event_type)
+        |        WHERE 2 * cum >= n.n GROUP BY 1),
+        |d AS (SELECT h.event_type, abs(h.v - med.med_c) AS dev,
+        |        CAST(sum(h.c) AS BIGINT) AS c
+        |      FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+        |dc AS (SELECT event_type, dev, c,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+        |       FROM d),
+        |mad AS (SELECT dc.event_type, min(dev) AS mad_c
+        |        FROM dc JOIN n USING (event_type)
+        |        WHERE 2 * cum >= n.n GROUP BY 1),
+        |outl AS (SELECT d.event_type, CAST(sum(d.c) AS BIGINT) AS n_outliers
+        |         FROM d JOIN mad USING (event_type)
+        |         WHERE d.dev > 3 * mad.mad_c GROUP BY 1)
+        |SELECT n.event_type, n.n, med.med_c, mad.mad_c,
+        |       coalesce(outl.n_outliers, 0) AS n_outliers
+        |FROM n JOIN med USING (event_type) JOIN mad USING (event_type)
+        |LEFT JOIN outl USING (event_type) ORDER BY event_type""".stripMargin,
 
     // histogram quantiles vs the sort-based quantile_disc: both engines
     // pick rank ceil(q*n) over the same cent-scaled total order (the

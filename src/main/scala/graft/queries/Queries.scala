@@ -623,6 +623,51 @@ object Queries {
       .orderBy("day")
   }
 
+  /** A25: robust outlier detection — median + MAD (median absolute
+    * deviation) + a 3-MAD outlier census per event type, ALL derived
+    * from the one a22-style cent histogram: the deviation histogram is
+    * a map of the value histogram (|v - med| with the same counts), the
+    * weighted median rides the identical `2*cum >= n` integer rule, and
+    * the outlier count is a sum over histogram rows. ONE corpus scan
+    * total; every later step is domain-sized. Mean/stddev z-scores
+    * break under the heavy tails telemetry actually has — MAD has a 50%
+    * breakdown point, and the whole chain stays 64-bit-integer exact
+    * (cents), so the census hash-compares with no FP contract. */
+  val a25MadOutliers: Q = (s, dir) => {
+    val hist = tbl(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("v"))
+      .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // domain-sized; reused by all three derivations
+    val wCum = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("med_c"))
+    val dev = hist.join(med, "event_type")
+      .groupBy(col("event_type"), abs(col("v") - col("med_c")).as("dev"))
+      .agg(sum(col("c")).as("c"), max(col("n")).as("n"))
+    val wDevCum = Window.partitionBy("event_type").orderBy("dev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = dev
+      .withColumn("cum", sum(col("c")).over(wDevCum))
+      .groupBy("event_type")
+      .agg(min(when(col("cum") * 2 >= col("n"), col("dev"))).as("mad_c"))
+    val outliers = dev.join(mad, "event_type")
+      .filter(col("dev") > lit(3) * col("mad_c"))
+      .groupBy("event_type").agg(sum(col("c")).as("n_outliers"))
+    med.join(mad, "event_type")
+      .join(outliers, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"), col("med_c"), col("mad_c"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** A7: analytic window functions (rank/dense_rank/ntile/running sum) —
     * engine breadth the reference's SQLite surface never exercises. */
   val a07WindowRank: Q = (s, dir) => {
@@ -1241,6 +1286,21 @@ object Queries {
         col("view_id"), expr("unix_micros(view_ts)").as("view_ts_us"),
         col("view_value"))
       .orderBy("click_id", "view_id")
+
+  /** ST16: batch mirror of the FULL OUTER stream-stream interval join
+    * ([[graft.streaming.EventStreams.clickViewJoinFull]]) — the
+    * audit-completeness form closing the family: every click AND every
+    * view emits exactly once (matched, or null-padded from its side),
+    * so source-vs-output row reconciliation is one count. User id
+    * totalized by coalescing the surviving side. */
+  val st16FullJoin: Q = (s, dir) =>
+    graft.streaming.EventStreams.clickViewJoinFull(eventsTs(s, dir))
+      .select(coalesce(col("user_id"), col("view_user_id")).as("user"),
+        col("click_id"), expr("unix_micros(click_ts)").as("click_ts_us"),
+        col("click_value"), col("view_id"),
+        expr("unix_micros(view_ts)").as("view_ts_us"), col("view_value"))
+      .orderBy(coalesce(col("click_id"), lit(-1L)),
+        coalesce(col("view_id"), lit(-1L)))
 
   /** ST13: batch mirror of the LEFT SEMI stream-stream interval join
     * ([[graft.streaming.EventStreams.clickViewJoinSemi]]) — conversion
@@ -2685,6 +2745,43 @@ object Queries {
       .orderBy("node_id")
   }
 
+  /** X29: hybrid retrieval via Reciprocal-Rank Fusion (Cormack et al.
+    * 2009, k=60) — THE production retrieval stack: a sparse BM25
+    * ranking (t18's operator, 3-term query) and a dense cosine ranking
+    * (v01's operator, query vector 0) fuse by summing 10^9 div (60+r)
+    * per list — rank-based, so the two incomparable score scales never
+    * meet, and integer division keeps the fused key exact. Each leg is
+    * its own bounded top-20 (TakeOrderedAndProject / the kNN heap —
+    * corpus never globally sorts); the fusion join and final ranking
+    * run on <= 40 rows. Docs and vectors share the id domain, which is
+    * exactly the deployment contract (one corpus, two indexes). */
+  val x29HybridRrf: Q = (s, dir) => {
+    val sess = s
+    import sess.implicits._
+    val qterms = Seq("stream", "data", "query").toDF("term")
+    val sparse = TextOps.bm25(tbl(s, dir, "documents"), qterms)
+      .select(col("doc_id"), round(col("bm25_r") * 1000000).cast("long").as("s6"))
+      .orderBy(col("s6").desc, col("doc_id")).limit(20)
+      .withColumn("r_sparse",
+        row_number().over(Window.orderBy(col("s6").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "r_sparse")
+    val emb = embeddings(s, dir)
+    val dense = Similarity.knnBrute(emb, emb.filter(col("vec_id") === 0), k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rnk").as("r_dense"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_sparse"), lit(0L)).as("r_sparse"),
+        coalesce(col("r_dense"), lit(0L)).as("r_dense"))
+      .withColumn("rrf",
+        when(col("r_sparse") > 0, expr("1000000000 div (60 + r_sparse)")).otherwise(lit(0L)) +
+        when(col("r_dense") > 0, expr("1000000000 div (60 + r_dense)")).otherwise(lit(0L)))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select("fused_rank", "doc_id", "r_sparse", "r_dense", "rrf")
+      .orderBy("fused_rank")
+  }
+
   val x16Pagerank: Q = (s, dir) => {
     graft.graph.PageRank.pageRankFixed(eventsBipartiteEdges(tbl(s, dir, "events")), iters = 3)
       .select(col("node").as("node_id"),
@@ -2855,6 +2952,7 @@ object Queries {
     "a22_hist_quantiles" -> a22HistQuantiles,
     "a23_sketch_rollup" -> a23SketchRollup,
     "a24_retention" -> a24Retention,
+    "a25_mad_outliers" -> a25MadOutliers,
     "s11_text_roundtrip" -> s11TextRoundtrip,
     "s12_shard_export" -> s12ShardExport,
     "s13_zorder_layout" -> s13ZorderLayout,
@@ -2893,6 +2991,7 @@ object Queries {
     "st13_semi_join" -> st13SemiJoin,
     "st14_upsert_state" -> st14UpsertState,
     "st15_decontaminate" -> st15Decontaminate,
+    "st16_full_join" -> st16FullJoin,
     "x21_interval_overlap" -> x21IntervalOverlap,
     "x22_covisit_sim" -> x22CovisitSim,
     "x23_triangle_count" -> x23TriangleCount,
@@ -2900,6 +2999,7 @@ object Queries {
     "x25_kcore" -> x25Kcore,
     "x26_assortativity" -> x26Assortativity,
     "x27_harmonic" -> x27Harmonic,
-    "x28_label_prop" -> x28LabelProp
+    "x28_label_prop" -> x28LabelProp,
+    "x29_hybrid_rrf" -> x29HybridRrf
   )
 }

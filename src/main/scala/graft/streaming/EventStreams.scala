@@ -569,4 +569,35 @@ object EventStreams {
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("click_value"), col("view_id"), col("view_ts"), col("view_value"))
   }
+
+  /** FULL OUTER [[clickViewJoin]] — the audit-completeness form, closing
+    * the interval-join family (inner st04 / left outer st12 / left semi
+    * st13): every click AND every view emits exactly once — matched as a
+    * pair, unmatched null-padded from its own side — so row-count
+    * reconciliation against the source streams needs no second query.
+    * The engine buffers each side only inside the two-sided watermark +
+    * time-range bound; an unmatched row emits when the watermark proves
+    * its partner can no longer arrive. One code path batch and stream.
+    * A view's user/key columns come from ITS side when the click side is
+    * null — the caller coalesces, the batch mirror st16 shows the
+    * canonical totalized projection. */
+  def clickViewJoinFull(events: DataFrame, watermark: String = "2 hours",
+                        lookbackMinutes: Int = 60): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+        col("user_id") === col("view_user_id") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+          col("view_ts") <= col("click_ts"),
+        "full_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("click_value"), col("view_id"), col("view_user_id"),
+        col("view_ts"), col("view_value"))
+  }
 }

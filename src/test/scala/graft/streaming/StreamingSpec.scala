@@ -268,6 +268,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === Set((11L, 10L), (13L, 12L), (14L, -1L)))
   }
 
+  test("stream-stream FULL OUTER join emits every row of both sides exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(10, ts(5), 1, "view", 1.0),    // pairs with click 11
+      Event(11, ts(20), 1, "click", 2.0),
+      Event(12, ts(40), 2, "view", 3.0),   // pairs with click 13
+      Event(13, ts(50), 2, "click", 4.0),
+      Event(14, ts(200), 1, "click", 5.0), // view 10 too old: click-side null pad
+      Event(15, ts(300), 3, "view", 6.0))  // no click ever: view-side null pad
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val q = EventStreams.clickViewJoinFull(stream.toDF(), lookbackMinutes = 60)
+      .writeStream.format("memory").queryName("fvjoin").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance both side watermarks so unmatched rows on EACH side emit
+      stream.addData(Event(98, ts(1500), 99, "view", 0.0),
+        Event(99, ts(1501), 99, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .filter(coalesce(col("user_id"), col("view_user_id")) =!= 99)
+      .select("click_id", "view_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val streamed = rows(spark.table("fvjoin"))
+    val batch = rows(EventStreams.clickViewJoinFull(events.toDF(), lookbackMinutes = 60))
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+    // completeness: both matched pairs, the unmatched click, AND the
+    // unmatched view — the row the left-outer form silently drops
+    assert(streamed === Set((11L, 10L), (13L, 12L), (14L, -1L), (-1L, 15L)))
+  }
+
   test("stream-stream LEFT SEMI join emits converted clicks once, never per view") {
     val s = spark
     import s.implicits._
