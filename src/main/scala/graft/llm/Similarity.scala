@@ -345,6 +345,33 @@ object Similarity {
       .withColumnRenamed("query_id", "vec_id")
   }
 
+  /**
+   * SEMANTIC admission — the embedding-level front door completing the
+   * d10/d13/st09 admission family: a new-crawl batch vector is admitted
+   * iff NO corpus vector lies within cosine `tau` (paraphrases and
+   * re-renders that shingle admission misses — same text semantics,
+   * different bytes). Plan shape is the d08 small-side discipline: the
+   * DAILY BATCH broadcasts (bounded by construction — it's one crawl
+   * day against the full corpus), the corpus streams ONCE map-side
+   * through the broadcast join, and the per-batch-vector max cosine
+   * partial-aggregates — the corpus is never shuffled and never holds
+   * state. Exact by construction (every corpus vector is scored); the
+   * documented scale alternative once the batch itself outgrows a
+   * broadcast is the persisted-IVF probe ([[annIvfIndexed]]) feeding
+   * the same threshold rule.
+   */
+  def semanticAdmit(batch: DataFrame, corpus: DataFrame, tau: Double): DataFrame = {
+    val b = broadcast(withVectorFns(batch)
+      .select(col("vec_id").as("__bid"), col("embedding").as("__be"),
+        expr("vec_norm(embedding)").as("__bn")))
+    val hits = withVectorFns(corpus)
+      .select(col("embedding").as("__ce"), expr("vec_norm(embedding)").as("__cn"))
+      .join(b, round(expr("vec_dot(__be, __ce)") / (col("__bn") * col("__cn")), 6)
+        >= tau)
+      .select(col("__bid")).distinct()
+    batch.join(hits, batch("vec_id") === hits("__bid"), "left_anti")
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * table t, plane p, dimension d -> double. Pure function of the seed, so
     * every executor (and every test) derives identical planes. */

@@ -735,6 +735,20 @@ object Oracle {
         |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // admitted = batch vectors with NO corpus vector at rounded cosine
+    // >= tau; same dot/norm/round(6) contract as v02/d06
+    "d20_semantic_admission" ->
+      s"""WITH b AS (SELECT vec_id, embedding, label, ${norm("embedding")} AS nrm
+         |           FROM embeddings WHERE vec_id % 2 = 1),
+         |c AS (SELECT embedding, ${norm("embedding")} AS nrm
+         |      FROM embeddings WHERE vec_id % 2 = 0),
+         |hit AS (SELECT DISTINCT b.vec_id
+         |        FROM b JOIN c
+         |          ON round(${dot("b.embedding", "c.embedding")} / (b.nrm * c.nrm), 6) >= 0.35)
+         |SELECT b.vec_id, b.label FROM b
+         |WHERE b.vec_id NOT IN (SELECT vec_id FROM hit)
+         |ORDER BY b.vec_id""".stripMargin,
+
     "d09_bloom_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
@@ -1386,6 +1400,21 @@ object Oracle {
         |       coalesce(re.n_kept, 0) AS n_kept, coalesce(re.dedup_text, '') AS dedup_text
         |FROM documents d LEFT JOIN cn ON cn.doc_id = d.doc_id
         |LEFT JOIN re ON re.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // same fixture blocklist derivation (top-20 frequent >= 6-char
+    // terms, count desc / term asc), same integer keep threshold
+    "t29_blocklist" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |blk AS (SELECT term FROM (
+        |          SELECT term, count(*) AS cnt FROM tok
+        |          WHERE length(term) >= 6 GROUP BY 1)
+        |        ORDER BY cnt DESC, term ASC LIMIT 20),
+        |h AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM tok JOIN blk USING (term) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |       CASE WHEN coalesce(h.n_hits, 0) < 5 THEN 1 ELSE 0 END AS kept
+        |FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // t11's block derivation, keep-first WITHIN the doc (min line_no per
     // (doc, line)), order-stable rebuild — the intra-doc half of CCNet

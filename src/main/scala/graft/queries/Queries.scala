@@ -877,6 +877,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** D20: SEMANTIC admission ([[Similarity.semanticAdmit]]) — the
+    * embedding-level front door: batch = odd vec_ids (the day's crawl),
+    * corpus = even vec_ids (already ingested); a batch vector is
+    * admitted iff no corpus vector lies within cosine 0.35 (the d06
+    * tau). Catches paraphrases/re-renders that byte- and
+    * shingle-admission (d10/d13) miss. The batch broadcasts, the corpus
+    * streams once map-side — the d08 small-side discipline. */
+  val d20SemanticAdmission: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    Similarity.semanticAdmit(
+        emb.filter(col("vec_id") % 2 === 1),
+        emb.filter(col("vec_id") % 2 === 0), tau = 0.35)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   /** D8: benchmark decontamination — training docs sharing >= 2 distinct
     * 3-gram shingles with any "benchmark" doc (the doc_id % 97 == 0 slice
     * stands in for a held-out eval set; w=3/minShared=2 is non-vacuous at
@@ -1625,6 +1641,33 @@ object Queries {
         .as(Seq("line_no", "line")))
       .withColumn("line_no", col("line_no").cast("long"))
     Dedup.lineDedup(docs, lines).orderBy("doc_id")
+  }
+
+  /** T29: term-blocklist filtering — the policy/compliance gate every
+    * production corpus runs (profanity, PII keywords, licensing terms).
+    * The blocklist is a TABLE, not an `isin` literal (the t18/t19
+    * model-as-data discipline — real lists run to 10^4+ terms and must
+    * stay a broadcast join, never a plan string); here the fixture list
+    * is the corpus's 20 most frequent >= 6-char terms, a real deployment
+    * drops its list in. Per doc: total blocked-term hits via one explode
+    * + broadcast equi-join + partial-aggregated count, keep rule an
+    * integer threshold, totalized with a LEFT join so clean docs report
+    * 0 hits instead of vanishing. */
+  val t29Blocklist: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val blk = docs.select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) >= 6)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(20)
+      .select("term")
+    val hits = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(blk), "term")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0L)) < 5, 1L).otherwise(0L).as("kept"))
+      .orderBy("doc_id")
   }
 
   /** T27: INTRA-doc line dedup — t11's corpus-wide keep-first rule
@@ -2871,6 +2914,7 @@ object Queries {
     "d17_containment" -> d17Containment,
     "d18_containment_sketch" -> d18ContainmentSketch,
     "d19_soft_dedup_weights" -> d19SoftDedupWeights,
+    "d20_semantic_admission" -> d20SemanticAdmission,
     "d05_simhash" -> d05Simhash,
     "d06_embedding_neardup" -> d06EmbeddingNeardup,
     "d07_dedup_components" -> d07DedupComponents,
@@ -2927,6 +2971,7 @@ object Queries {
     "t26_chunk_windows" -> t26ChunkWindows,
     "t27_intradoc_dedup" -> t27IntraDocDedup,
     "t28_fertility" -> t28Fertility,
+    "t29_blocklist" -> t29Blocklist,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,

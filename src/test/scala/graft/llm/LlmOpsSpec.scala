@@ -1366,6 +1366,25 @@ class LlmOpsSpec extends AnyFunSuite {
       s"augmented-cosine ranking diverged from MIPS:\n aug=$viaAug\n mips=$mips")
   }
 
+  test("semanticAdmit: rejects a paraphrase-close vector, admits novel and anti-aligned ones") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Float*) = xs.toArray
+    val corpus = Seq((100L, v(1f, 0f, 0f, 0f), "a")).toDF("vec_id", "embedding", "label")
+    val batch = Seq(
+      (1L, v(0.99f, 0.1f, 0f, 0f), "a"), // cos ~0.995 with corpus -> reject
+      (2L, v(0f, 1f, 0f, 0f), "b"),      // orthogonal -> admit
+      (3L, v(-1f, 0f, 0f, 0f), "c"))     // anti-aligned (cos -1) -> admit
+      .toDF("vec_id", "embedding", "label")
+    val admitted = Similarity.semanticAdmit(batch, corpus, tau = 0.35)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted === Seq(2L, 3L), s"admitted $admitted")
+    // empty corpus: everything admits (first-day bootstrap)
+    val bootstrap = Similarity.semanticAdmit(batch, corpus.filter(lit(false)), tau = 0.35)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(bootstrap === Seq(1L, 2L, 3L))
+  }
+
   test("soft-dedup weights: ppm = 1e6 div cluster size; per-cluster mass within truncation of 1.0") {
     val sfDocs = "/root/testdata/sf0.001"
     val out = graft.queries.Queries.d19SoftDedupWeights(spark, sfDocs).collect()
