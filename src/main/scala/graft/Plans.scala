@@ -325,7 +325,32 @@ object Plans {
     "s16_wap" -> ("Write-Audit-Publish: all audits evaluate in ONE " +
       "aggregation job over the staged scan (boolean aggregate " +
       "columns), publish is a filesystem rename — the gate adds one " +
-      "bounded job to any write, independent of audit count."))
+      "bounded job to any write, independent of audit count."),
+    "a25_mad_outliers" -> ("MAD outlier census: one corpus scan builds " +
+      "the cent histogram; median, the deviation histogram, MAD, and " +
+      "the 3-MAD census all derive from that domain-sized frame — " +
+      "windows sort histograms, never events, and every rule is " +
+      "64-bit-integer exact."),
+    "x29_hybrid_rrf" -> ("Hybrid RRF: the BM25 leg ends in " +
+      "TakeOrderedAndProject (top-20, no global sort), the dense leg " +
+      "in the kNN heap; fusion joins <= 40 rows and ranks with integer " +
+      "10^9 div (60+r) keys — two incomparable score scales never " +
+      "meet, and the whole fusion tail is constant-sized."),
+    "d20_semantic_admission" -> ("Semantic admission: the day's batch " +
+      "BROADCASTS, the corpus streams ONCE map-side through the " +
+      "broadcast join, per-batch max-cos partial-aggregates, and the " +
+      "LEFT ANTI is batch-sized — the corpus never shuffles and holds " +
+      "no state; the paraphrase gate costs one corpus scan per day."),
+    "t29_blocklist" -> ("Blocklist gate: the term list is a broadcast " +
+      "TABLE (model-as-data — 10^4-term lists stay a hash join, never " +
+      "a plan string), hits count through one explode + equi-join with " +
+      "map-side partials, and the keep rule is an integer threshold; " +
+      "clean docs totalize at 0 via the LEFT join."),
+    "st16_full_join" -> ("FULL OUTER interval join (batch mirror): " +
+      "user-keyed equi-join with the time-range predicate in the join " +
+      "condition — no nested loop; in streaming the two-sided " +
+      "watermark bounds both buffers and null-pads each side's " +
+      "unmatched rows exactly once."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

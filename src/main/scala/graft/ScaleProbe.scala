@@ -34,6 +34,21 @@ import org.apache.spark.sql.functions._
  * probed lists bound the scan); and the 10-round iterated-PageRank A/B
  * reads direct 19.5s vs layout-served 12.4s at 10x (the per-round edge
  * exchange the stored layout deletes).
+ *
+ * Third-sitting additions (2026-08-14 run): the domain-bounded
+ * histogram analytics are near-flat as designed — a22 0.9->1.2s,
+ * a24 0.6->1.0s, a25 1.8->3.6s — map-only text prep sits at the noise
+ * floor (t26 0.45->0.25s, t27 1.3->0.7s), LPA grows with edges
+ * (x28 4.5->9.9s, 2.2x for 10x edges over 3 fixed rounds), semantic
+ * admission reads 0.5->2.8s with BOTH sides 10x (its batch-broadcast x
+ * corpus-scan product grew 100x — 5.7x wall is the broadcast join
+ * parallelizing), and v19's kNN graph inherits v02's quadratic
+ * contract verbatim (0.8->8.8s on 100x dot products). One calibration
+ * note: x27 landmark BFS reads 4.3->29.7s (6.9x) because this probe
+ * scales the LANDMARK SET with the graph (users % 100 of 10x users) —
+ * the Eppstein-Wang design holds the landmark count CONSTANT as the
+ * graph grows (it is the accuracy knob, not a data-proportional set),
+ * under which per-round cost is landmarks x frontier, linear in V.
  */
 object ScaleProbe {
   def time[T](label: String)(f: => T)(implicit spark: SparkSession): T = {
@@ -243,6 +258,51 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save() }
       time(s"$tag x20 bfs indexed") {
         graft.graph.Bfs.bfsIndexed(spark, s"pr_probe_${tag.trim}", seeds, maxHops = 4)
+          .write.format("noop").mode("overwrite").save() }
+      // third-sitting additions. landmark BFS: frontier rows are
+      // (seed, node) pairs — wall should track landmarks x reachable,
+      // with the same early exit; LPA: three fixed rounds of
+      // equi-join + vote argmax, so ~linear in edges
+      val lms = evd.filter(col("user_id") % 100 === 0)
+        .select(col("user_id").as("node")).distinct()
+      time(s"$tag x27 landmark bfs") {
+        graft.graph.Bfs.landmarkDistances(bip, lms, maxHops = 4)
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag x28 label prop") {
+        graft.graph.LabelProp.labelPropagation(bip, iters = 3)
+          .write.format("noop").mode("overwrite").save() }
+      // histogram analytics: the corpus scan dominates; every later
+      // stage is DOMAIN-sized, so 10x rows should cost ~the scan alone
+      time(s"$tag a22 hist quantiles") {
+        graft.queries.Queries.a22HistQuantiles(spark, dir)
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag a25 mad outliers") {
+        graft.queries.Queries.a25MadOutliers(spark, dir)
+          .write.format("noop").mode("overwrite").save() }
+      // stored-bitmap retention: one bitmap per day; the window join is
+      // day-count-sized whatever the event volume
+      time(s"$tag a24 retention") {
+        graft.queries.Queries.a24Retention(spark, dir)
+          .write.format("noop").mode("overwrite").save() }
+      // semantic admission: batch broadcast x corpus scan — linear in
+      // the corpus at fixed batch size (batch = 1/10 of vectors here)
+      time(s"$tag d20 semantic admit") {
+        graft.llm.Similarity.semanticAdmit(
+            e.filter(col("vec_id") % 10 === 1), e.filter(col("vec_id") % 10 =!= 1),
+            tau = 0.35)
+          .write.format("noop").mode("overwrite").save() }
+      // kNN graph: all-vs-all through the grid — quadratic COMPUTE by
+      // contract (the v02 caveat applies verbatim; corpus-scale swaps
+      // LSH-bucketed candidates under the same heap)
+      time(s"$tag v19 knn graph") {
+        graft.llm.Similarity.knnGraph(e, k = 3, minCos = 0.3)
+          .write.format("noop").mode("overwrite").save() }
+      // map-only text prep: chunker and intra-doc dedup run at scan speed
+      time(s"$tag t26 chunk windows") {
+        graft.llm.TextOps.chunkWindows(d, w = 32, s = 24)
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$tag t27 intradoc dedup") {
+        graft.queries.Queries.t27IntraDocDedup(spark, dir)
           .write.format("noop").mode("overwrite").save() }
     }
     bench(sf, " 1x")
