@@ -111,6 +111,25 @@ object Oracle {
       |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
       |       GROUP BY 1)""".stripMargin
 
+  /** The t03 stopword-profile language classifier as shared CTE text
+    * ending in `g(doc_id, s_de..s_zh, lang_guess)` — one classifier
+    * definition for t03 and the t31 confusion matrix. */
+  private lazy val langidCoreSql: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sc AS (SELECT doc_id,
+      |  CAST(len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+      |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+      |  CAST(len(list_filter(ws, x -> x IN ('el','que','los','una','es'))) AS BIGINT) AS s_es,
+      |  CAST(len(list_filter(ws, x -> x IN ('le','les','des','une','est'))) AS BIGINT) AS s_fr,
+      |  CAST(len(list_filter(ws, x -> x IN ('de','shi','le','bu','wo'))) AS BIGINT) AS s_zh
+      |  FROM w),
+      |g AS (SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+      |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+      |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+      |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+      |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_guess
+      |  FROM sc)""".stripMargin
+
   private def norm(c: String): String = s"sqrt(${sumSq.format(c)})"
   private def dot(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
@@ -827,20 +846,24 @@ object Oracle {
         |FROM q ORDER BY doc_id""".stripMargin,
 
     "t03_langid" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sc AS (SELECT doc_id,
-        |  CAST(len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
-        |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
-        |  CAST(len(list_filter(ws, x -> x IN ('el','que','los','una','es'))) AS BIGINT) AS s_es,
-        |  CAST(len(list_filter(ws, x -> x IN ('le','les','des','une','est'))) AS BIGINT) AS s_fr,
-        |  CAST(len(list_filter(ws, x -> x IN ('de','shi','le','bu','wo'))) AS BIGINT) AS s_zh
-        |  FROM w)
-        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
-        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
-        |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
-        |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
-        |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_guess
-        |FROM sc ORDER BY doc_id""".stripMargin,
+      s"""WITH $langidCoreSql
+         |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh, lang_guess
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // the shared langid core joined back to the LABELED lang: one
+    // classifier definition for t03 (per-doc) and t31 (the confusion
+    // matrix + row-normalized ppm)
+    "t31_langid_confusion" ->
+      s"""WITH $langidCoreSql,
+         |j AS (SELECT d.lang, g.lang_guess FROM documents d
+         |      JOIN g ON g.doc_id = d.doc_id),
+         |cell AS (SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM j GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM cell GROUP BY 1)
+         |SELECT cell.lang, cell.lang_guess, cell.cnt,
+         |       1000000 * cell.cnt // tot.n AS row_ppm
+         |FROM cell JOIN tot USING (lang)
+         |ORDER BY lang, lang_guess""".stripMargin,
 
     "v01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 32),
@@ -1226,6 +1249,16 @@ object Oracle {
         |  ON v.user_id = c.user_id
         | AND v.ts BETWEEN c.ts - INTERVAL 60 MINUTE AND c.ts
         |ORDER BY click_id, view_id""".stripMargin,
+
+    // first-50 per (type, hour) in (ts, event_id) order — the quota
+    // contract the streaming keyed-state form enforces incrementally
+    "st17_rate_limit" ->
+      """WITH r AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS BIGINT) AS admit_seq
+        |  FROM events)
+        |SELECT event_id, event_type, ts_us, admit_seq
+        |FROM r WHERE admit_seq <= 50 ORDER BY event_id""".stripMargin,
 
     // every click and view exactly once, null-padded when unmatched;
     // the compare sorts rows, so the null-keyed order is hash-safe

@@ -1054,6 +1054,25 @@ object Queries {
       .select("doc_id", "s_de", "s_en", "s_es", "s_fr", "s_zh", "lang_guess")
       .orderBy("doc_id")
 
+  /** T31: language-ID confusion matrix — classifier OBSERVABILITY, the
+    * eval loop every deployed heuristic needs: t03's guesses against
+    * the labeled lang as (lang, guess) cells with row-normalized ppm.
+    * Off-diagonal hot cells are exactly where a langid gate silently
+    * biases the corpus (the CCNet failure mode). One partial-aggregated
+    * cell count + a broadcast-sized marginal join; integer ppm. */
+  val t31LangidConfusion: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val cells = TextOps.langIdScores(docs)
+      .select(col("doc_id"), col("lang_guess"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "lang_guess").agg(count(lit(1)).as("cnt"))
+    cells
+      .join(cells.groupBy("lang").agg(sum(col("cnt")).as("n")), "lang")
+      .select(col("lang"), col("lang_guess"), col("cnt"),
+        expr("1000000 * cnt div n").as("row_ppm"))
+      .orderBy("lang", "lang_guess")
+  }
+
   /** Fingerprints: rolling hash + min-shingle-hash (rows-only). */
   val t04Fingerprint: Q = (s, dir) =>
     tbl(s, dir, "documents")
@@ -1317,6 +1336,26 @@ object Queries {
         expr("unix_micros(view_ts)").as("view_ts_us"), col("view_value"))
       .orderBy(coalesce(col("click_id"), lit(-1L)),
         coalesce(col("view_id"), lit(-1L)))
+
+  /** ST17 batch mirror: rate-limited admission
+    * ([[graft.streaming.EventStreams.rateLimit]]) — per (event_type,
+    * hour) only the first 50 events in (ts, event_id) order admit: the
+    * ingest-quota gate (crawl politeness, per-source caps). The batch
+    * statement is a window rank over HOUR-BOUNDED groups (each group's
+    * sort is one hour of one type — bounded however long the log);
+    * StreamingSpec proves the keyed-state streaming form admits the
+    * identical set with O(open windows) state. */
+  val st17RateLimit: Q = (s, dir) => {
+    val w = Window
+      .partitionBy(col("event_type"), expr("date_trunc('HOUR', ts)"))
+      .orderBy(col("ts"), col("event_id"))
+    eventsTs(s, dir)
+      .withColumn("admit_seq", row_number().over(w).cast("long"))
+      .filter(col("admit_seq") <= 50)
+      .select(col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"), col("admit_seq"))
+      .orderBy("event_id")
+  }
 
   /** ST13: batch mirror of the LEFT SEMI stream-stream interval join
     * ([[graft.streaming.EventStreams.clickViewJoinSemi]]) — conversion
@@ -2972,6 +3011,7 @@ object Queries {
     "t27_intradoc_dedup" -> t27IntraDocDedup,
     "t28_fertility" -> t28Fertility,
     "t29_blocklist" -> t29Blocklist,
+    "t31_langid_confusion" -> t31LangidConfusion,
     "x01_json_extract" -> x01JsonExtract,
     "x04_asof_join" -> x04AsofJoin,
     "x05_range_join" -> x05RangeJoin,
@@ -3037,6 +3077,7 @@ object Queries {
     "st14_upsert_state" -> st14UpsertState,
     "st15_decontaminate" -> st15Decontaminate,
     "st16_full_join" -> st16FullJoin,
+    "st17_rate_limit" -> st17RateLimit,
     "x21_interval_overlap" -> x21IntervalOverlap,
     "x22_covisit_sim" -> x22CovisitSim,
     "x23_triangle_count" -> x23TriangleCount,

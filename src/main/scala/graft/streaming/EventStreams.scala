@@ -570,6 +570,52 @@ object EventStreams {
         col("click_value"), col("view_id"), col("view_ts"), col("view_value"))
   }
 
+  /** Per-(type, window) admission counters for [[rateLimit]]: window
+    * start ms -> admitted count, pruned as the watermark passes. */
+  final case class QuotaState(counts: Map[Long, Long])
+
+  /**
+   * RATE-LIMITED admission — ingest quota enforcement at the stream
+   * front door (crawl politeness budgets, per-source daily caps, abuse
+   * throttling): within each (event_type, `windowMs` event-time window)
+   * only the FIRST `n` events in (ts, event_id) order are admitted, the
+   * rest drop. The deterministic contract is event-time rank <= n — the
+   * registered batch mirror states it as a window rank over
+   * hour-bounded groups — and the streaming form enforces it with O(1)
+   * state per OPEN window: a per-type map of window -> admitted-count,
+   * rows sorted within each micro-batch (batch-sized), closed windows
+   * pruned once the watermark passes them. Arrival in event-time order
+   * across triggers makes stream == batch exactly (the st02 sessionizer
+   * contract); out-of-order arrival within one trigger is absorbed by
+   * the in-batch sort.
+   */
+  def rateLimit(events: Dataset[Event], n: Int, windowMs: Long = 3600000L,
+                watermark: String = "2 hours"): Dataset[Event] = {
+    implicit val outEnc = Encoders.product[Event]
+    implicit val stateEnc = Encoders.product[QuotaState]
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[QuotaState, Event](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val counts = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(s => counts ++= s.counts)
+          val admitted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .filter { e =>
+              val w = e.ts.getTime / windowMs
+              val c = counts.getOrElse(w, 0L)
+              if (c < n) { counts(w) = c + 1; true } else false
+            }
+          // drop counters for windows fully below the watermark: state
+          // is O(open windows), not O(stream lifetime)
+          val wmk = state.getCurrentWatermarkMs()
+          state.update(QuotaState(
+            counts.filter { case (w, _) => (w + 1) * windowMs > wmk }.toMap))
+          admitted.iterator
+      }
+  }
+
   /** FULL OUTER [[clickViewJoin]] — the audit-completeness form, closing
     * the interval-join family (inner st04 / left outer st12 / left semi
     * st13): every click AND every view emits exactly once — matched as a

@@ -268,6 +268,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === Set((11L, 10L), (13L, 12L), (14L, -1L)))
   }
 
+  test("rate limit admits first-n per (type, window) with pruned state; stream == batch rank") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // window = 1h, n = 2: minute 0-59 has 3 'a' events (third drops) and
+    // 1 'b'; the next hour re-opens 'a' quota; a second TRIGGER continues
+    // the same hour for 'b' (state must carry the count across triggers)
+    val batch1 = Seq(
+      Event(1, ts(1), 1, "a", 1.0), Event(2, ts(2), 2, "a", 1.0),
+      Event(3, ts(3), 3, "a", 1.0), // over quota -> drop
+      Event(4, ts(4), 4, "b", 1.0),
+      Event(5, ts(70), 5, "a", 1.0)) // next hour: admits
+    val batch2 = Seq(
+      Event(6, ts(75), 6, "b", 1.0),  // b's hour-1 window: count carried... (new window, admits)
+      Event(7, ts(80), 7, "a", 1.0),  // a hour-1: second admit
+      Event(8, ts(85), 8, "a", 1.0))  // a hour-1: over quota -> drop
+    val stream = MemoryStream[Event]
+    stream.addData(batch1: _*)
+    val q = EventStreams.rateLimit(stream.toDS(), n = 2)
+      .writeStream.format("memory").queryName("rlimit").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("rlimit").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed === Seq(1L, 2L, 4L, 5L, 6L, 7L), s"admitted $streamed")
+    // the batch-mirror rank form admits the identical set
+    val all = (batch1 ++ batch2).toDS()
+    val viaRank = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), expr("date_trunc('HOUR', ts)"))
+        .orderBy(col("ts"), col("event_id"))
+      all.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(viaRank === streamed)
+  }
+
   test("stream-stream FULL OUTER join emits every row of both sides exactly once") {
     val s = spark
     import s.implicits._
