@@ -24,7 +24,7 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (d05_simhash, t04_fingerprint, v03_ann_lsh, v05_ann_ivf,
     * v12_indexed_ivf, v13_pq_ann, v14_indexed_pq, v15_ivfpq,
-    * v16_indexed_ivfpq, d16_semantic_dedup, x25_kcore,
+    * v16_indexed_ivfpq, d16_semantic_dedup, x25_kcore, x30_ktruss,
     * a08_approx_distinct, a16_approx_percentiles)
     * -> rows-only check,
     * each backed by a [[VerifyExtras]] bound in verify_extras.json. */

@@ -152,6 +152,56 @@ object VerifyExtras {
         (expect.toSet ++ dumped.toSet -- (expect.toSet & dumped.toSet)).take(3).mkString(", "))
   }
 
+  /** Exact driver-side k-truss recompute for x30 — same independent
+    * incidence/Jaccard rebuild as [[checkKCore]], then the textbook
+    * sequential support peel: drop edges in < k-2 triangles until
+    * fixpoint, report survivors with final support. */
+  private def checkKTruss(spark: SparkSession, sfDir: String, outDir: String): Check = {
+    val K = 3
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id", "props").collect()
+    val kRe = """"k"\s*:\s*"?(-?\d+)""".r
+    val inc: Set[(Long, Long)] = rows.iterator.flatMap { r =>
+      val props = if (r.isNullAt(1)) "" else r.getString(1)
+      kRe.findFirstMatchIn(props).map(m => (r.getLong(0), m.group(1).toLong))
+    }.toSet
+    val byPage: Map[Long, Set[Long]] =
+      inc.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val pages = byPage.keys.toSeq.sorted
+    var edges: Set[(Long, Long)] = (for {
+      i <- pages.indices
+      j <- (i + 1) until pages.length
+      a = pages(i); b = pages(j)
+      in = (byPage(a) & byPage(b)).size
+      un = byPage(a).size + byPage(b).size - in
+      if 50L * in >= 17L * un
+    } yield (a, b)).toSet
+    def supports(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      es.iterator.map { case (a, b) =>
+        (a, b) -> (adj.getOrElse(a, Set.empty) & adj.getOrElse(b, Set.empty)).size.toLong
+      }.toMap
+    }
+    var changed = true
+    while (changed && edges.nonEmpty) {
+      val sup = supports(edges)
+      val next = edges.filter(e => sup(e) >= K - 2)
+      changed = next.size != edges.size
+      edges = next
+    }
+    val expect: Map[(Long, Long), Long] =
+      if (edges.isEmpty) Map.empty else supports(edges)
+    val dumped = spark.read.parquet(s"$outDir/x30_ktruss").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ok = dumped == expect
+    Check("x30_ktruss",
+      s"dump == independent driver-side support peel (k=$K)",
+      ok,
+      if (ok) s"${expect.size} truss edges equal"
+      else s"dump=${dumped.size} rows, expect=${expect.size} rows")
+  }
+
   /** Per-group HLL++ estimate within 3x rsd of the exact distinct count. */
   private def checkApproxDistinct(spark: SparkSession, sfDir: String, outDir: String): Check = {
     val bound = 3 * 0.02 // 3x the rsd the query configures
@@ -301,6 +351,7 @@ object VerifyExtras {
       "v16_indexed_ivfpq" -> (() => checkRecall(spark, sfDir, outDir, "v16_indexed_ivfpq", 0.60)),
       "d16_semantic_dedup" -> (() => checkSemanticDedup(spark, sfDir, outDir)),
       "x25_kcore" -> (() => checkKCore(spark, sfDir, outDir)),
+      "x30_ktruss" -> (() => checkKTruss(spark, sfDir, outDir)),
       "a08_approx_distinct" -> (() => checkApproxDistinct(spark, sfDir, outDir)),
       "a16_approx_percentiles" -> (() => checkApproxPercentiles(spark, sfDir, outDir)))
     checks.map { case (q, f) =>

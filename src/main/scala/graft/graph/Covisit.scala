@@ -155,6 +155,68 @@ object Covisit {
   }
 
   /**
+   * k-TRUSS decomposition (Cohen 2008) — the edge-level sibling of
+   * [[kCore]] and the stronger dense-subgraph signal: an edge survives
+   * iff it participates in >= k-2 triangles among surviving edges,
+   * iterated to fixpoint. A k-core can be a sparse star-of-stars; a
+   * k-truss demands every EDGE be triangle-reinforced, which is the
+   * mutual-corroboration structure of real communities and the tell of
+   * ring-wired link farms. Per round: one triangle enumeration over the
+   * SHRINKING canonical edge set (the degree-ordered orientation of
+   * [[triangleCounts]] — hubs generate zero wedges, both stages
+   * equi-joins), one per-edge support count with map-side partials, one
+   * filter; monotone edge removal guarantees termination,
+   * localCheckpoint cuts each round's lineage, and the convergence
+   * count doubles as the materializing action. Output: surviving edges
+   * (p1 < p2) with their within-truss support.
+   */
+  def kTruss(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3 (support threshold k-2 >= 1)")
+    var e = edges.select(col("p1").cast("long").as("a"), col("p2").cast("long").as("b"))
+      .distinct().localCheckpoint(true)
+    var n = e.count()
+    var converged = n == 0L
+    while (!converged) {
+      val sup = edgeSupport(e)
+      val e2 = e.join(sup.filter(col("support") >= k - 2), Seq("a", "b"), "left_semi")
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      converged = n2 == n || n2 == 0L
+      e = e2
+      n = n2
+    }
+    e.join(edgeSupport(e), Seq("a", "b"), "left")
+      .select(col("a").as("p1"), col("b").as("p2"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Per-edge triangle support over a canonical (a < b) edge list:
+    * every triangle credits its three edges once. Same oriented wedge
+    * enumeration as [[triangleCounts]], exploded per edge. */
+  private def edgeSupport(e0: DataFrame): DataFrame = {
+    val e = materialized(e0.select(col("a"), col("b")))
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
+    val wedges = oriented.select(col("src"), col("dst").as("x"))
+      .join(oriented.select(col("src"), col("dst").as("y")), Seq("src"))
+      .filter(col("x") < col("y"))
+    val tris = wedges.join(e.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+      .select(col("src").as("n1"), col("x").as("n2"), col("y").as("n3"))
+    tris.select(explode(array(
+        struct(least(col("n1"), col("n2")).as("a"), greatest(col("n1"), col("n2")).as("b")),
+        struct(least(col("n1"), col("n3")).as("a"), greatest(col("n1"), col("n3")).as("b")),
+        struct(col("n2").as("a"), col("n3").as("b")))).as("t"))
+      .select(col("t.a").as("a"), col("t.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+  }
+
+  /**
    * Per-node triangle participation counts over a canonical undirected
    * edge list `(p1, p2)` with `p1 < p2`. Output: `(node, tri_cnt)` for
    * every node in at least one triangle; each triangle contributes 1 to

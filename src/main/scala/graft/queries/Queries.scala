@@ -2263,6 +2263,19 @@ object Queries {
         graft.graph.Covisit.jaccardEdges(covisitIncidence(s, dir), 17, 50), k = 8)
       .orderBy("node")
 
+  /** X30: k-truss decomposition ([[graft.graph.Covisit.kTruss]]) over
+    * the x22 co-visitation similarity graph — the edge-level density
+    * signal x25's k-core can't give (a core can be a sparse
+    * star-of-stars; a truss demands every edge triangle-reinforced).
+    * k = 3: surviving edges sit in >= 1 triangle among survivors.
+    * Iterative like x25 -> rows-only for the driver; VerifyExtras
+    * recomputes the whole pipeline sequentially (regex incidence, set
+    * Jaccard, textbook support peel) and requires exact equality. */
+  val x30Ktruss: Q = (s, dir) =>
+    graft.graph.Covisit.kTruss(
+        graft.graph.Covisit.jaccardEdges(covisitIncidence(s, dir), 17, 50), k = 3)
+      .orderBy("p1", "p2")
+
   /** X26: degree assortativity of the event graph (Newman 2002) — the
     * Pearson correlation of endpoint degrees over edges: negative
     * (disassortative) is the organic-web signature, a shift toward 0/+
@@ -3086,6 +3099,7 @@ object Queries {
     "x26_assortativity" -> x26Assortativity,
     "x27_harmonic" -> x27Harmonic,
     "x28_label_prop" -> x28LabelProp,
-    "x29_hybrid_rrf" -> x29HybridRrf
+    "x29_hybrid_rrf" -> x29HybridRrf,
+    "x30_ktruss" -> x30Ktruss
   )
 }

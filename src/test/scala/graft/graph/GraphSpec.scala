@@ -318,6 +318,34 @@ class GraphSpec extends AnyFunSuite {
     assert(tri === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $tri")
   }
 
+  test("kTruss: K4 survives at k=4; bowtie dies at k=4 though it is a 2-core; paths empty") {
+    val s = spark
+    import s.implicits._
+    def df(e: Seq[(Long, Long)]) = e.toDF("p1", "p2")
+    // K4 on {1..4}: every edge in 2 triangles -> survives k=4 with support 2
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toSeq
+    val got = Covisit.kTruss(df(k4), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === k4.toSet && got.values.forall(_ == 2L), s"got $got")
+    // bowtie: triangles {1,2,3} and {3,4,5} share vertex 3 — every node
+    // is in a 2-core, but each edge sits in only ONE triangle, so the
+    // k=4 truss (support >= 2) is EMPTY: the discriminator k-core misses
+    val bowtie = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 3L -> 5L, 4L -> 5L)
+    assert(Covisit.kTruss(df(bowtie), k = 4).count() === 0L)
+    // ...while at k=3 (support >= 1) the bowtie survives whole
+    val t3 = Covisit.kTruss(df(bowtie), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3.keySet === bowtie.toSet && t3.values.forall(_ == 1L))
+    // a path has no triangles: empty at any k
+    assert(Covisit.kTruss(df(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)), k = 3).count() === 0L)
+    // cascade: a triangle with a pendant edge — the pendant drops in
+    // round 1, the triangle stays (its support never depended on it)
+    val pend = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 9L)
+    val pt = Covisit.kTruss(df(pend), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pt === Set(1L -> 2L, 1L -> 3L, 2L -> 3L))
+  }
+
   test("landmarkDistances: per-seed goldens — NOT the min-over-set bfsDistances gives") {
     // chain 1->2->3->4; seeds 1 and 3. Multi-source BFS would report
     // node 4 at dist 1 (from 3); the landmark form must keep BOTH rows:
