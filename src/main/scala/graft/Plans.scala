@@ -350,7 +350,21 @@ object Plans {
       "user-keyed equi-join with the time-range predicate in the join " +
       "condition — no nested loop; in streaming the two-sided " +
       "watermark bounds both buffers and null-pads each side's " +
-      "unmatched rows exactly once."))
+      "unmatched rows exactly once."),
+    "t31_langid_confusion" -> ("Langid confusion: one partial-" +
+      "aggregated (lang, guess) cell count over the native scoring " +
+      "map, marginals joined from the same tiny frame — classifier " +
+      "observability at one corpus scan, integer ppm cells."),
+    "st17_rate_limit" -> ("Rate-limited admission (batch mirror): the " +
+      "quota contract as a window rank over HOUR-BOUNDED groups — each " +
+      "sort is one hour of one type regardless of log length; the " +
+      "streaming form replaces the window with one counter per open " +
+      "(type, hour) in keyed state, pruned at the watermark."),
+    "x30_ktruss" -> ("k-truss: per round one degree-ordered triangle " +
+      "enumeration over the SHRINKING edge set (hubs generate zero " +
+      "wedges) + a per-edge support count with map-side partials + a " +
+      "LEFT SEMI filter — monotone removal, lineage cut per round, no " +
+      "cartesian, no window."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

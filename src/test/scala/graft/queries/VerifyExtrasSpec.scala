@@ -26,7 +26,7 @@ class VerifyExtrasSpec extends AnyFunSuite {
   private val extras = Seq("d05_simhash", "t04_fingerprint", "v03_ann_lsh",
     "v05_ann_ivf", "v12_indexed_ivf", "v13_pq_ann", "v14_indexed_pq",
     "v15_ivfpq", "v16_indexed_ivfpq",
-    "d16_semantic_dedup", "x25_kcore",
+    "d16_semantic_dedup", "x25_kcore", "x30_ktruss",
     "a08_approx_distinct", "a16_approx_percentiles")
 
   private def dump(outDir: String): Unit =
