@@ -1860,6 +1860,14 @@ object Oracle {
         |       count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the converged maintained aggregate == the one-shot declarative
+    // aggregate: lost partials, double-applied slots, or misrouted keys
+    // anywhere across the three folds break the hash
+    "s17_incremental_agg" ->
+      """SELECT event_type AS key, count(*) AS cnt,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the oracle sees only the published data: a publish that dropped,
     // duplicated, or reordered anything through the stage/swap is a hash
     // mismatch

@@ -2632,6 +2632,29 @@ object Queries {
     s.read.parquet(dest).orderBy("lang")
   }
 
+  /** S17: incremental aggregate maintenance
+    * ([[graft.relational.IncrementalAgg]]) — the always-fresh-dashboard
+    * pattern: a stored per-type (count, sum) table folds the event log
+    * in as three chronological deltas (thirds by event_id), each fold
+    * reading back ONLY the touched hash slots and rewriting them via
+    * dynamic overwrite. The returned frame reads the maintained table;
+    * the oracle states the CONVERGED aggregate declaratively — so any
+    * drift across the three folds (lost partial, double-applied slot,
+    * key misrouted between slots) is a hash mismatch. Value folded in
+    * cents so the sums compose as exact integers. */
+  val s17IncrementalAgg: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivm").toString + "/agg"
+    val ev = tbl(s, dir, "events")
+      .select(col("event_id"), col("event_type").as("key"),
+        round(col("value") * 100, 0).cast("long").as("value"))
+    graft.relational.IncrementalAgg.applyDelta(ev.filter(col("event_id") % 3 === 0), tmp)
+    graft.relational.IncrementalAgg.applyDelta(ev.filter(col("event_id") % 3 === 1), tmp)
+    graft.relational.IncrementalAgg.applyDelta(ev.filter(col("event_id") % 3 === 2), tmp)
+    graft.relational.IncrementalAgg.read(s, tmp)
+      .select(col("key"), col("cnt"), col("sum").as("sum_cents"))
+      .orderBy("key")
+  }
+
   /** X13: snapshot diff (CDC) — classify rows across two dump generations
     * as added / removed / changed by a FULL OUTER join on the key with
     * content-hash comparison. The 100 TB shape of "what changed since last
@@ -3057,6 +3080,7 @@ object Queries {
     "s14_compaction" -> s14Compaction,
     "s15_partition_overwrite" -> s15PartitionOverwrite,
     "s16_wap" -> s16Wap,
+    "s17_incremental_agg" -> s17IncrementalAgg,
     "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
     "s10_orc_roundtrip" -> s10OrcRoundtrip,

@@ -237,6 +237,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     graft.llm.Similarity.vacuumSignIndex(spark, "sign_del_idx")
   }
 
+  test("incremental agg: folds == one-shot recompute; untouched slots keep their files") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm_t").toString + "/agg"
+    // keys chosen so delta 2 touches ONLY key 'b''s hash slot
+    val d1 = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("c", 5L)).toDF("key", "value")
+    val d2 = Seq(("b", 30L)).toDF("key", "value")
+    IncrementalAgg.applyDelta(d1, dir, nParts = 8)
+    def files(): Map[String, Long] = {
+      val base = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(base).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    IncrementalAgg.applyDelta(d2, dir, nParts = 8)
+    val after = files()
+    // the touched slot is rewritten (fresh part-file names); every
+    // surviving path keeps its mtime — dynamic overwrite never touched it
+    assert(after.keySet != before.keySet, "second fold must rewrite the touched slot")
+    val common = before.keySet & after.keySet
+    assert(common.nonEmpty && common.forall(p => before(p) == after(p)),
+      s"untouched slots must keep their files byte-for-byte (mtimes changed)")
+    // converged state == one-shot recompute
+    val got = IncrementalAgg.read(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("a" -> ((2L, 3L)), "b" -> ((2L, 40L)), "c" -> ((1L, 5L))),
+      s"got $got")
+  }
+
   test("WAP: failed audit leaves dest byte-identical and cleans staging; pass swaps atomically") {
     val s = spark
     import s.implicits._
