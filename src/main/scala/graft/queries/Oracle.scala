@@ -1860,6 +1860,15 @@ object Oracle {
         |       count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // exact integer statistics per slice — the ANALYZE contract
+    "s18_table_stats" ->
+      """SELECT lang, count(*) AS n_rows,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes,
+        |       CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS null_texts,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the converged maintained aggregate == the one-shot declarative
     // aggregate: lost partials, double-applied slots, or misrouted keys
     // anywhere across the three folds break the hash

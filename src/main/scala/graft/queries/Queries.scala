@@ -2655,6 +2655,26 @@ object Queries {
       .orderBy("key")
   }
 
+  /** S18: table statistics collection (the ANALYZE verb) — per-slice
+    * min/max/rowcount/null-count metadata, the raw material of
+    * cost-based planning and file skipping: a scan with a doc_id range
+    * predicate prunes a slice exactly when its [min, max] envelope
+    * misses, and join sizing needs row counts before the first byte is
+    * read. One partial-aggregated pass per stats refresh; every
+    * statistic an exact integer. (Engine-native `ANALYZE TABLE` fills
+    * the catalog the same way — this is the queryable, versionable
+    * form a lakehouse stores next to the data.) */
+  val s18TableStats: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(octet_length(col("text")).cast("long")).as("text_bytes"),
+        count(when(col("text").isNull, 1)).as("null_texts"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
   /** X13: snapshot diff (CDC) — classify rows across two dump generations
     * as added / removed / changed by a FULL OUTER join on the key with
     * content-hash comparison. The 100 TB shape of "what changed since last
@@ -3081,6 +3101,7 @@ object Queries {
     "s15_partition_overwrite" -> s15PartitionOverwrite,
     "s16_wap" -> s16Wap,
     "s17_incremental_agg" -> s17IncrementalAgg,
+    "s18_table_stats" -> s18TableStats,
     "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
     "s10_orc_roundtrip" -> s10OrcRoundtrip,
