@@ -1910,6 +1910,38 @@ object Oracle {
         |       TRUE AS reagg_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // st08's island rule for the sessions, integer in-session positions
+    // for strict ordering, the same three chained conditional mins
+    "a26_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+        |           FROM events),
+        |i AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+        |                       OR tsu - lag(tsu) OVER w >= 1800000000
+        |                     THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |        ORDER BY tsu, event_id) AS sid FROM i),
+        |d AS (SELECT user_id, sid, event_type,
+        |        row_number() OVER (PARTITION BY user_id, sid
+        |          ORDER BY tsu, event_id) AS pos FROM g),
+        |p1 AS (SELECT user_id, sid,
+        |         min(CASE WHEN event_type = 'view' THEN pos END) AS p1
+        |       FROM d GROUP BY 1, 2),
+        |p2 AS (SELECT d.user_id, d.sid,
+        |         min(CASE WHEN d.event_type = 'click' AND d.pos > p1.p1
+        |               THEN d.pos END) AS p2
+        |       FROM d JOIN p1 USING (user_id, sid) GROUP BY 1, 2),
+        |p3 AS (SELECT d.user_id, d.sid,
+        |         min(CASE WHEN d.event_type = 'purchase' AND d.pos > p2.p2
+        |               THEN d.pos END) AS p3
+        |       FROM d JOIN p2 USING (user_id, sid) GROUP BY 1, 2)
+        |SELECT p1.user_id, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN p1.p1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_view,
+        |  CAST(sum(CASE WHEN p2.p2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_click,
+        |  CAST(sum(CASE WHEN p3.p3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_purchase
+        |FROM p1 JOIN p2 USING (user_id, sid) JOIN p3 USING (user_id, sid)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // median, MAD, and the 3-MAD census rebuilt from the same cent
     // domain: weighted median = smallest value with 2*cum >= n (the
     // ceil(n/2) cross-multiplication), everything 64-bit integer

@@ -2573,6 +2573,45 @@ object Queries {
       .agg(count(lit(1)).as("cnt"), round(avg(col("o_totalprice")), 2).as("avg_price_r"))
       .orderBy("bucket")
 
+  /** A26: multi-stage SESSION funnel — the product-analytics form a14's
+    * pairwise rule can't express: within each 30-minute-gap session,
+    * did a view occur, then STRICTLY LATER a click, then strictly later
+    * a purchase? Ordering is the integer in-session position
+    * (row_number by (ts, event_id)), so "later" never rides timestamp
+    * ties; stages chain as three session-keyed conditional-min
+    * aggregates (each partial-aggregated, joined back on the session
+    * key — no per-session re-sort after the one island pass). Output
+    * per user: sessions entered at each stage — the funnel table a
+    * dashboard plots. */
+  val a26SessionFunnel: Q = (s, dir) => {
+    val wU = Window.partitionBy("user_id").orderBy("__tsu", "event_id")
+    val d = events(s, dir)
+      .withColumn("prev", lag(col("__tsu"), 1).over(wU))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("__tsu") - col("prev") >= 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(wU))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy("__tsu", "event_id")))
+      .select("user_id", "sid", "pos", "event_type")
+    val p1 = d.groupBy("user_id", "sid")
+      .agg(min(when(col("event_type") === "view", col("pos"))).as("p1"))
+    val p2 = d.join(p1, Seq("user_id", "sid"))
+      .groupBy("user_id", "sid")
+      .agg(min(when(col("event_type") === "click" && col("pos") > col("p1"),
+        col("pos"))).as("p2"))
+    val p3 = d.join(p2, Seq("user_id", "sid"))
+      .groupBy("user_id", "sid")
+      .agg(min(when(col("event_type") === "purchase" && col("pos") > col("p2"),
+        col("pos"))).as("p3"))
+    p1.join(p2, Seq("user_id", "sid")).join(p3, Seq("user_id", "sid"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("p1").isNotNull, 1L).otherwise(0L)).as("s_view"),
+        sum(when(col("p2").isNotNull, 1L).otherwise(0L)).as("s_click"),
+        sum(when(col("p3").isNotNull, 1L).otherwise(0L)).as("s_purchase"))
+      .orderBy("user_id")
+  }
+
   /** A14: funnel conversion — for every click, was there a view by the
     * same user within the preceding 30 minutes? One key shuffle + one
     * partition-local sort: a running `max(view ts)` over the user's
@@ -3094,6 +3133,7 @@ object Queries {
     "a23_sketch_rollup" -> a23SketchRollup,
     "a24_retention" -> a24Retention,
     "a25_mad_outliers" -> a25MadOutliers,
+    "a26_session_funnel" -> a26SessionFunnel,
     "s11_text_roundtrip" -> s11TextRoundtrip,
     "s12_shard_export" -> s12ShardExport,
     "s13_zorder_layout" -> s13ZorderLayout,
