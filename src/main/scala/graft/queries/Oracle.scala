@@ -1910,6 +1910,18 @@ object Oracle {
         |       TRUE AS reagg_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // ISO-week truncation agrees across engines (Monday start); week
+    // index = exact integer day-diff div 7
+    "a27_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS c0 FROM uw GROUP BY 1)
+        |SELECT strftime(c.c0, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', c.c0, uw.wk) // 7 AS BIGINT) AS week_idx,
+        |       count(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // st08's island rule for the sessions, integer in-session positions
     // for strict ordering, the same three chained conditional mins
     "a26_session_funnel" ->
@@ -2275,6 +2287,28 @@ object Oracle {
     // bucketed layout — one oracle text, verbatim, for both (the
     // x16/x18 discipline): the storage split must be invisible
     "x20_bfs_indexed" -> bfsSql,
+
+    // one-row integer graph profile; components via the recursive CC
+    // over the same canonical undirected edge set
+    "x31_graph_summary" ->
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT user_id AS src,
+        |    1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |und AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+        |ed AS (SELECT a AS src, b AS dst FROM und
+        |       UNION ALL SELECT b, a FROM und),
+        |r AS (SELECT src AS id, src AS comp FROM ed
+        |      UNION
+        |      SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+        |lab AS (SELECT id, min(comp) AS comp FROM r GROUP BY 1),
+        |cs AS (SELECT comp, count(*) AS sz FROM lab GROUP BY 1),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM und) AS n_edges,
+        |       (SELECT count(*) FROM cs) AS n_components,
+        |       (SELECT CAST(max(sz) AS BIGINT) FROM cs) AS max_component,
+        |       (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree""".stripMargin,
 
     // 3 synchronous LPA rounds unrolled as chained CTEs: votes from the
     // PREVIOUS round's labels, winner = (cnt DESC, label ASC) — the

@@ -2612,6 +2612,29 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** A27: cohort retention matrix — the classic growth-analytics table:
+    * users cohorted by their FIRST-event ISO week, each later active
+    * week counted into (cohort, week_index) cells. Two partial-
+    * aggregated shuffles (first-event per user; distinct user-weeks)
+    * plus a broadcast-sized cohort join; week indexes are exact integer
+    * day-diffs div 7, so the matrix hash-compares with no calendar FP.
+    * At 100 TB this is the a24 discipline's neighbor: the (user, week)
+    * dedup is the only corpus-sized exchange, everything after is
+    * cohort-count-sized. */
+  val a27CohortRetention: Q = (s, dir) => {
+    val uw = events(s, dir)
+      .select(col("user_id"),
+        date_trunc("WEEK", timestamp_micros(col("__tsu"))).cast("date").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("c0"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("c0"), (datediff(col("wk"), col("c0")) / 7).cast("long").as("week_idx"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("c0"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_idx"), col("n_users"))
+      .orderBy("cohort_week", "week_idx")
+  }
+
   /** A14: funnel conversion — for every click, was there a view by the
     * same user within the preceding 30 minutes? One key shuffle + one
     * partition-local sort: a running `max(view ts)` over the user's
@@ -2959,6 +2982,28 @@ object Queries {
       .orderBy("fused_rank")
   }
 
+  /** X31: graph summary card — the one-row integer profile a graph
+    * pipeline publishes next to its data (the s18 ANALYZE discipline
+    * for graphs): node/edge counts, connected-component count and
+    * largest size (d07's log-diameter closure applied to the EVENT
+    * graph — the graph-side registration of the CC operator), and max
+    * degree. Every statistic an exact integer from partial-aggregated
+    * shuffles; the closure moves 8-byte labels only. */
+  val x31GraphSummary: Q = (s, dir) => {
+    val e = eventsBipartiteEdges(tbl(s, dir, "events"))
+    val und = e.filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b")).distinct()
+    val comps = Dedup.dedupComponents(und)
+    val compStats = comps.groupBy("comp_id").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_components"), max(col("sz")).as("max_component"))
+    val degStats = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"))
+    val edgeCount = und.agg(count(lit(1)).as("n_edges"))
+    degStats.crossJoin(edgeCount).crossJoin(compStats)
+      .select(col("n_nodes"), col("n_edges"), col("n_components"),
+        col("max_component"), col("max_degree"))
+  }
+
   val x16Pagerank: Q = (s, dir) => {
     graft.graph.PageRank.pageRankFixed(eventsBipartiteEdges(tbl(s, dir, "events")), iters = 3)
       .select(col("node").as("node_id"),
@@ -3134,6 +3179,7 @@ object Queries {
     "a24_retention" -> a24Retention,
     "a25_mad_outliers" -> a25MadOutliers,
     "a26_session_funnel" -> a26SessionFunnel,
+    "a27_cohort_retention" -> a27CohortRetention,
     "s11_text_roundtrip" -> s11TextRoundtrip,
     "s12_shard_export" -> s12ShardExport,
     "s13_zorder_layout" -> s13ZorderLayout,
@@ -3185,6 +3231,7 @@ object Queries {
     "x27_harmonic" -> x27Harmonic,
     "x28_label_prop" -> x28LabelProp,
     "x29_hybrid_rrf" -> x29HybridRrf,
-    "x30_ktruss" -> x30Ktruss
+    "x30_ktruss" -> x30Ktruss,
+    "x31_graph_summary" -> x31GraphSummary
   )
 }

@@ -506,6 +506,21 @@ object EventStreams {
       .partitionBy("__p").parquet(tableDir)
   }
 
+  /** [[graft.relational.IncrementalAgg.applyDelta]] as a `foreachBatch`
+    * streaming sink — the always-fresh maintained aggregate fed directly
+    * from the stream: each micro-batch folds its (key, value) rows into
+    * the stored (key, cnt, sum) table, touching only the batch's hash
+    * slots. UNLIKE the upsert sink the fold is additive, NOT idempotent
+    * — a replayed batch double-counts — so this sink belongs behind the
+    * exactly-once dedup gate ([[dedupEvents]]) or a checkpointed source;
+    * the spec exercises the multi-batch convergence contract. */
+  def maintainAggStream(kv: DataFrame, tableDir: String,
+                        nParts: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    kv.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.relational.IncrementalAgg.applyDelta(batch, tableDir, nParts)
+      }
+
   /** [[upsertBatch]] as a `foreachBatch` streaming sink: the state table
     * is exactly-once per key because the merge is idempotent (a replayed
     * batch re-elects the same winners). */

@@ -268,6 +268,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === Set((11L, 10L), (13L, 12L), (14L, -1L)))
   }
 
+  test("maintained-aggregate sink: stream-fed folds converge to the one-shot aggregate") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggsink").toString + "/agg"
+    val rows1 = Seq(("a", 1L), ("b", 10L), ("a", 2L))
+    val rows2 = Seq(("b", 5L), ("c", 7L), ("a", 4L))
+    val stream = MemoryStream[(String, Long)]
+    stream.addData(rows1: _*)
+    val q = EventStreams.maintainAggStream(
+        stream.toDF().toDF("key", "value"), dir, nParts = 4)
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // mid-stream read: the table already serves batch 1's aggregate
+      val mid = graft.relational.IncrementalAgg.read(spark, dir)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(mid === Map("a" -> ((2L, 3L)), "b" -> ((1L, 10L))), s"mid $mid")
+      stream.addData(rows2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = graft.relational.IncrementalAgg.read(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // converged == the one-shot aggregate over everything the stream saw
+    val oneShot = (rows1 ++ rows2).groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.size.toLong, vs.map(_._2).sum))
+    }
+    assert(fin === oneShot, s"stream-fed $fin != one-shot $oneShot")
+  }
+
   test("rate limit admits first-n per (type, window) with pruned state; stream == batch rank") {
     val s = spark
     import s.implicits._
