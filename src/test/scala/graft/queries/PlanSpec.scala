@@ -107,6 +107,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"classifier should not join:\n$p")
   }
 
+  test("t26/m06: the chunker and the patch grid are pure map — no exchange, no join") {
+    // operator forms (the registered queries add the determinism orderBy)
+    val pc = planString(graft.llm.TextOps.chunkWindows(
+      Queries.tbl(spark, sf, "documents"), w = 32, s = 24))
+    assert(!pc.contains("Exchange"), s"chunker should not shuffle:\n$pc")
+    assert(!pc.contains("Join"), s"chunker should not join:\n$pc")
+    val pg = planString(graft.llm.Multimodal.patchGrid(
+      graft.llm.Multimodal.fromDocuments(Queries.tbl(spark, sf, "documents")), p = 16))
+    assert(!pg.contains("Exchange"), s"patch grid should not shuffle:\n$pg")
+    assert(!pg.contains("Join"), s"patch grid should not join:\n$pg")
+  }
+
+  test("v17: the tombstone-aware serve keeps the corpus side exchange-free") {
+    import org.apache.spark.sql.functions.col
+    // build + delete, then audit the serve plan: the only addition over
+    // v11's shape must be a BROADCAST anti-join on the tombstones
+    val emb = Queries.embeddings(spark, sf)
+    graft.llm.Similarity.buildSignIndex(emb, "plan_v17_idx", buckets = 4,
+      path = Some(java.nio.file.Files.createTempDirectory("plan_v17").toString))
+    graft.llm.Similarity.deleteFromSignIndex(spark, "plan_v17_idx",
+      emb.filter(col("vec_id") % 17 === 0).select("vec_id"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val served = graft.llm.Similarity.hammingRerankIndexed(
+        spark, "plan_v17_idx", emb.filter(col("vec_id") < 8), k = 5, shortlist = 20)
+      served.collect()
+      val p = served.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("BroadcastHashJoin LeftAnti") ||
+        p.contains("LeftAnti, BuildRight") || p.contains("LeftAnti"),
+        s"tombstone exclusion missing:\n$p")
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n <= 3, s"corpus side shuffled under tombstones ($n exchanges):\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("t19: the DSIR probe joins the model by broadcast, never a shuffled join") {
     val p = planString(Queries.t19DsirWeights(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast probe join:\n$p")
