@@ -1860,6 +1860,17 @@ object Oracle {
         |       count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // version 1 == the even-ids aggregate, version 2 == the full
+    // aggregate: a pinned snapshot disturbed by the later write, or a
+    // stale/mixed latest pointer, breaks the hash
+    "s19_time_travel" ->
+      """SELECT CAST(1 AS BIGINT) AS version, lang, count(*) AS n_docs
+        |FROM documents WHERE doc_id % 2 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS version, lang, count(*) AS n_docs
+        |FROM documents GROUP BY 2
+        |ORDER BY version, lang""".stripMargin,
+
     // exact integer statistics per slice — the ANALYZE contract
     "s18_table_stats" ->
       """SELECT lang, count(*) AS n_rows,

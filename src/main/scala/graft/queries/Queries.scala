@@ -2737,6 +2737,32 @@ object Queries {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
 
+  /** S19: versioned table + TIME TRAVEL
+    * ([[graft.relational.Versioned]]) — the lakehouse snapshot
+    * contract on plain parquet: version 1 (even doc_ids) commits, then
+    * version 2 (all docs) commits over it, and the query reads the
+    * PINNED v1 AFTER v2 landed plus the latest pointer — so the oracle
+    * hash certifies that later writes never disturb a pinned snapshot
+    * and that the pointer flip is atomic-read-consistent. Training
+    * reproducibility is exactly this: the run pins the corpus version
+    * it saw. */
+  val s19TimeTravel: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/t"
+    val docs = tbl(s, dir, "documents")
+    def langCounts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val v1 = graft.relational.Versioned.write(
+      langCounts(docs.filter(col("doc_id") % 2 === 0)), tmp)
+    graft.relational.Versioned.write(langCounts(docs), tmp)
+    val pinned = graft.relational.Versioned.read(s, tmp, Some(v1))
+      .withColumn("version", lit(1L))
+    val latest = graft.relational.Versioned.read(s, tmp)
+      .withColumn("version", lit(2L))
+    pinned.unionByName(latest)
+      .select(col("version"), col("lang"), col("n_docs"))
+      .orderBy("version", "lang")
+  }
+
   /** X13: snapshot diff (CDC) — classify rows across two dump generations
     * as added / removed / changed by a FULL OUTER join on the key with
     * content-hash comparison. The 100 TB shape of "what changed since last
@@ -3188,6 +3214,7 @@ object Queries {
     "s16_wap" -> s16Wap,
     "s17_incremental_agg" -> s17IncrementalAgg,
     "s18_table_stats" -> s18TableStats,
+    "s19_time_travel" -> s19TimeTravel,
     "x13_snapshot_diff" -> x13SnapshotDiff,
     "s09_schema_evolution" -> s09SchemaEvolution,
     "s10_orc_roundtrip" -> s10OrcRoundtrip,

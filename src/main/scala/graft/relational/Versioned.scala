@@ -1,0 +1,93 @@
+package graft.relational
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Versioned table with TIME TRAVEL — the lakehouse snapshot contract
+ * (Delta/Iceberg's core promise) on plain parquet: every write lands in
+ * a fresh immutable `v=N` directory and publication is ONE atomic
+ * rename of a pointer file, so
+ *  - readers of any pinned version are never disturbed by later writes
+ *    (reproducibility: a training run pins the corpus version it saw);
+ *  - "latest" flips atomically — a reader sees version N or N+1 in
+ *    full, never a mix;
+ *  - rollback is re-pointing, not rewriting.
+ *
+ * Layout: `<dir>/v=N/` parquet snapshots, `<dir>/_latest` a one-line
+ * pointer. The pointer write goes through `_latest.tmp` + rename (the
+ * same-filesystem atomicity the WAP publish relies on). Old versions
+ * are retained until an explicit `expire` (not implemented here —
+ * retention policy is deployment-specific); at 100 TB snapshots share
+ * no files, which is the cost of plain parquet vs a manifest format —
+ * the INTERFACE (pin, flip, rollback) is what pipelines program
+ * against.
+ */
+object Versioned {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed version, or None for an empty table. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, "_latest")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Highest snapshot directory present — the version high-water mark.
+    * Distinct from [[latestVersion]]: a rollback re-points `_latest`
+    * below the high-water mark, and the NEXT write must still mint a
+    * fresh version number, never collide with a retained snapshot. */
+  private def highWater(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) None
+    else f.listStatus(p).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .maxOption
+  }
+
+  /** Commit `df` as the next version; returns the version number. */
+  def write(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val v = highWater(spark, dir).fold(1L)(_ + 1L)
+    df.write.mode("errorifexists").parquet(s"$dir/v=$v")
+    val tmp = new Path(dir, "_latest.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(dir, "_latest")
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"pointer flip failed for $dir")
+    v
+  }
+
+  /** Read a pinned version (or latest when None). */
+  def read(spark: SparkSession, dir: String,
+           version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, dir))
+      .getOrElse(throw new IllegalStateException(s"no committed version in $dir"))
+    spark.read.parquet(s"$dir/v=$v")
+  }
+
+  /** Roll back: re-point `_latest` at an existing earlier version. */
+  def rollback(spark: SparkSession, dir: String, version: Long): Unit = {
+    val f = fs(spark, dir)
+    require(f.exists(new Path(dir, s"v=$version")), s"no such version $version")
+    val tmp = new Path(dir, "_latest.tmp")
+    val out = f.create(tmp, true)
+    try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(dir, "_latest")
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"pointer flip failed for $dir")
+  }
+}

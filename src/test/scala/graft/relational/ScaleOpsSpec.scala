@@ -237,6 +237,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     graft.llm.Similarity.vacuumSignIndex(spark, "sign_del_idx")
   }
 
+  test("time travel: pinned reads survive later writes; rollback re-points without rewriting") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt_t").toString + "/t"
+    val v1 = Versioned.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    val v2 = Versioned.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    assert(v1 === 1L && v2 === 2L)
+    assert(Versioned.latestVersion(spark, dir) === Some(2L))
+    // pinned v1 unchanged after v2; latest serves v2
+    assert(Versioned.read(spark, dir, Some(1L)).count() === 1L)
+    assert(Versioned.read(spark, dir).count() === 2L)
+    // rollback: pointer-only — v2's files remain, latest serves v1
+    Versioned.rollback(spark, dir, 1L)
+    assert(Versioned.latestVersion(spark, dir) === Some(1L))
+    assert(Versioned.read(spark, dir).count() === 1L)
+    assert(Versioned.read(spark, dir, Some(2L)).count() === 2L,
+      "rollback must not destroy the rolled-back version")
+    // the next write continues past the HIGH-WATER mark, not the rolled-
+    // back pointer — it must never collide with the retained v2 snapshot
+    val v3 = Versioned.write(Seq((9L, "z")).toDF("id", "v"), dir)
+    assert(v3 === 3L, s"post-rollback write must mint v3, got $v3")
+    assert(Versioned.read(spark, dir).count() === 1L,
+      "a fresh commit flips latest to the new version")
+    // rollback to a version that never existed refuses loudly
+    intercept[IllegalArgumentException] {
+      Versioned.rollback(spark, dir, 99L)
+    }
+  }
+
   test("incremental agg: folds == one-shot recompute; untouched slots keep their files") {
     val s = spark
     import s.implicits._
