@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed goldens for the histogram-statistics and session
+  * analytics queries on planted event fixtures — the unit-level
+  * complement of their DuckDB oracle rows. */
+class AnalyticsGoldenSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("analytics-golden-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ag").toString
+    rows.toDF("event_id", "tsu", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("tsu") * 60000000L)) // minutes -> micros
+      .withColumn("props", lit("""{"k": 1}"""))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("a25: median, MAD, and the 3-MAD census match the hand computation") {
+    // cents: 100 x3, 200 x4, 300 x2, 10000 x1 -> n=10, med=200 (rank 5),
+    // devs: 100 x5(3+2), 0 x4, 9800 x1 -> MAD=100 (rank 5); outliers:
+    // dev > 300 -> exactly the 10000-cent row
+    val vals = Seq.fill(3)(1.00) ++ Seq.fill(4)(2.00) ++ Seq.fill(2)(3.00) ++ Seq(100.00)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong, 1L, "t", v)
+    }
+    val dir = writeEvents(rows)
+    val got = Queries.a25MadOutliers(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map("t" -> ((10L, 200L, 100L, 1L))), s"got $got")
+  }
+
+  test("a26: three sessions reach view / view+click / the full funnel as planted") {
+    // user 1, 30-min gap sessions (minutes):
+    //  session A t=0..2:    view, click, purchase      -> all three stages
+    //  session B t=100..102: click, view, click        -> view then click, no purchase
+    //  session C t=200..201: purchase, view            -> view only (purchase precedes)
+    val rows = Seq(
+      (1L, 0L, 1L, "view", 1.0), (2L, 1L, 1L, "click", 1.0),
+      (3L, 2L, 1L, "purchase", 1.0),
+      (4L, 100L, 1L, "click", 1.0), (5L, 101L, 1L, "view", 1.0),
+      (6L, 102L, 1L, "click", 1.0),
+      (7L, 200L, 1L, "purchase", 1.0), (8L, 201L, 1L, "view", 1.0))
+    val dir = writeEvents(rows)
+    val got = Queries.a26SessionFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(1L -> ((3L, 3L, 2L, 1L))), s"got $got")
+  }
+
+  test("a27: cohorts index by ISO week of first activity") {
+    // user 1 first active week 0, active again week 2; user 2 first
+    // active week 2 only (weeks = 7-day blocks from a Monday epoch
+    // anchor: minute offsets chosen inside distinct ISO weeks)
+    val wk = 7L * 24 * 60 // minutes per week
+    val rows = Seq(
+      (1L, 0L, 1L, "view", 1.0),           // 1970-01-01 (week of Mon 1969-12-29)
+      (2L, 2 * wk, 1L, "view", 1.0),       // two weeks later
+      (3L, 2 * wk + 10, 2L, "view", 1.0))  // user 2's first week
+    val dir = writeEvents(rows)
+    val got = Queries.a27CohortRetention(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // user 1: cohort 1969-12-29, week_idx 0 and 2; user 2: cohort
+    // 1970-01-12, week_idx 0
+    assert(got === Map(
+      ("1969-12-29", 0L) -> 1L, ("1969-12-29", 2L) -> 1L,
+      ("1970-01-12", 0L) -> 1L), s"got $got")
+  }
+}
