@@ -605,6 +605,47 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout: a 2D box filter reads a fraction of the rows a hash layout scans") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 64k points, both dims md5-spread over [0, 65536)
+    val pts = (0 until 65536).map { i =>
+      val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString)
+      (java.lang.Long.parseLong(h.substring(0, 4), 16),
+        java.lang.Long.parseLong(h.substring(4, 8), 16))
+    }.toDF("x", "y")
+    val hashDir = Files.createTempDirectory("graft_zskip_h").toString
+    val zDir = Files.createTempDirectory("graft_zskip_z").toString
+    pts.repartition(16).write.mode("overwrite").parquet(hashDir)
+    pts.withColumn("z", Layout.zValue(col("x"), col("y")))
+      .repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(zDir)
+
+    def scannedRows(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .filter(col("x").between(1000, 3000) && col("y").between(5000, 7000))
+      // collect() drives THIS df's executedPlan, so its scan metrics are
+      // the ones populated (a count() would execute a separate plan)
+      val n = df.collect().length.toLong
+      val scanned = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+      (n, scanned)
+    }
+    val (nHash, scanHash) = scannedRows(hashDir)
+    val (nZ, scanZ) = scannedRows(zDir)
+    // same answer from both layouts...
+    assert(nHash === nZ && nZ > 0, s"box results differ: $nHash vs $nZ")
+    // ...but the hash layout's row groups all span the full domain (no
+    // pruning: every row reaches the filter), while the z-layout's tight
+    // min/max envelopes let the parquet reader skip most row groups
+    assert(scanHash >= 60000L, s"hash layout unexpectedly pruned: $scanHash")
+    assert(scanZ * 4 <= scanHash,
+      s"z-order layout must scan <= 1/4 of the hash layout's rows, " +
+        s"got z=$scanZ vs hash=$scanHash")
+  }
+
   test("pageRank edge layout: stored bucketed graph serves the loop without edge-side exchanges") {
     val s = spark
     import s.implicits._
