@@ -534,6 +534,28 @@ object Oracle {
 
     // transitive closure of the d03 pair graph via a recursive CTE: comp =
     // min reachable id, matching the Spark min-label-propagation fixpoint
+    // the d07 closure joined to source metadata; clustered = any comp
+    // label, canonical = the min-id representative, ppm integer division
+    "d21_dup_rate_by_source" -> {
+      val edgesSql = jaccardSql(0.2,
+        postingsCap = Some(graft.llm.Dedup.NearDup.maxShinglePostings))
+      s"""WITH RECURSIVE je AS (SELECT id_a, id_b FROM ($edgesSql) t),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM je
+         |       UNION ALL SELECT id_b, id_a FROM je),
+         |r AS (SELECT src AS id, src AS comp FROM ed
+         |      UNION
+         |      SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+         |lab AS (SELECT id AS doc_id, min(comp) AS comp_id FROM r GROUP BY 1),
+         |j AS (SELECT d.source, d.doc_id, lab.comp_id
+         |      FROM documents d LEFT JOIN lab USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN comp_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+         |  CAST(sum(CASE WHEN comp_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+         |  1000000 * CAST(sum(CASE WHEN comp_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    // count(*) AS dup_ppm
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // same totalized components as t24, then the integer ppm weight —
     // cluster sizes and the 1/n division both exact integers
     "d19_soft_dedup_weights" -> {

@@ -893,6 +893,26 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** D21: duplication rate by SOURCE — the crawl-triage scorecard: per
+    * source, how many docs sit in near-dup clusters, how many are the
+    * cluster's canonical survivor, and the dup rate in ppm. The number
+    * that decides which feed gets throttled or re-crawled; one label
+    * join from the d07 closure onto doc metadata, integer ppm. */
+  val d21DupRateBySource: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val comps = Dedup.dedupComponents(
+      Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.2).select("id_a", "id_b"))
+    docs.select(col("doc_id"), col("source"))
+      .join(comps, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("comp_id").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("comp_id") === col("doc_id"), 1L).otherwise(0L)).as("n_canonical"))
+      .select(col("source"), col("n_docs"), col("n_clustered"), col("n_canonical"),
+        expr("1000000 * n_clustered div n_docs").as("dup_ppm"))
+      .orderBy("source")
+  }
+
   /** D8: benchmark decontamination — training docs sharing >= 2 distinct
     * 3-gram shingles with any "benchmark" doc (the doc_id % 97 == 0 slice
     * stands in for a held-out eval set; w=3/minShared=2 is non-vacuous at
@@ -3120,6 +3140,7 @@ object Queries {
     "d18_containment_sketch" -> d18ContainmentSketch,
     "d19_soft_dedup_weights" -> d19SoftDedupWeights,
     "d20_semantic_admission" -> d20SemanticAdmission,
+    "d21_dup_rate_by_source" -> d21DupRateBySource,
     "d05_simhash" -> d05Simhash,
     "d06_embedding_neardup" -> d06EmbeddingNeardup,
     "d07_dedup_components" -> d07DedupComponents,
