@@ -920,6 +920,25 @@ object Oracle {
          |SELECT q.query_id, coalesce(ov.overlap5, 0) AS overlap5
          |FROM q LEFT JOIN ov USING (query_id) ORDER BY query_id""".stripMargin,
 
+    // the v19 ranking in both directions, kept iff mutual; canonical
+    // a < b with both ranks
+    "v21_mutual_knn" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |  round(${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |f AS (SELECT * FROM p WHERE cos >= 0.3),
+         |r AS (SELECT vec_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM f),
+         |k AS (SELECT vec_id, neighbor_id, rnk FROM r WHERE rnk <= 3)
+         |SELECT a.vec_id AS id_a, a.neighbor_id AS id_b,
+         |       a.rnk AS rnk_ab, b.rnk AS rnk_ba
+         |FROM k a JOIN k b
+         |  ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+         |WHERE a.vec_id < a.neighbor_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // the v02 pair rule (round-6 cosine, threshold) + per-node top-3 by
     // (cos DESC, neighbor ASC) — the heap's exact total order
     "v19_knn_graph" ->

@@ -1148,6 +1148,25 @@ object Queries {
     Similarity.knnGraph(embeddings(s, dir), k = 3, minCos = 0.3)
       .orderBy("vec_id", "rnk")
 
+  /** V21: MUTUAL kNN pairs — the reliable-match criterion of bitext /
+    * parallel-data mining (the symmetric core of Artetxe & Schwenk's
+    * margin retrieval): a pair qualifies iff each vector is in the
+    * OTHER's top-3 — one-directional neighbors are mostly hubness
+    * noise, mutuality is the cheap strong filter. Composes the v19
+    * graph with a self-join on the reversed edge (ids-only shuffle);
+    * output canonical (a < b) pairs with both ranks. */
+  val v21MutualKnn: Q = (s, dir) => {
+    val g = Similarity.knnGraph(embeddings(s, dir), k = 3, minCos = 0.3)
+      .select(col("vec_id"), col("neighbor_id"), col("rnk"))
+    val rev = g.select(col("vec_id").as("neighbor_id"),
+      col("neighbor_id").as("vec_id"), col("rnk").as("rnk_back"))
+    g.join(rev, Seq("vec_id", "neighbor_id"))
+      .filter(col("vec_id") < col("neighbor_id"))
+      .select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("rnk").as("rnk_ab"), col("rnk_back").as("rnk_ba"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** V18: exact Maximum-Inner-Product Search ([[Similarity.mipsBrute]])
     * — the recommendation-serving primitive: top-k by RAW dot, not
     * cosine (magnitude is signal: popularity/quality-scaled item
@@ -3168,6 +3187,7 @@ object Queries {
     "v18_mips" -> v18Mips,
     "v19_knn_graph" -> v19KnnGraph,
     "v20_matryoshka" -> v20Matryoshka,
+    "v21_mutual_knn" -> v21MutualKnn,
     "v12_indexed_ivf" -> v12IndexedIvf,
     "v13_pq_ann" -> v13PqAnn,
     "v14_indexed_pq" -> v14IndexedPq,
