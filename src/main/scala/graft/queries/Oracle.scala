@@ -1253,6 +1253,42 @@ object Oracle {
         | AND v.ts BETWEEN c.ts - INTERVAL 60 MINUTE AND c.ts
         |ORDER BY click_id, view_id""".stripMargin,
 
+    // exactly-once admission over an at-least-once log: re-delivered
+    // copies are exact, so dedup by event_id reconstructs the original
+    "st18_dedup_redelivery" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // keep-first per near-dup fingerprint, the min-doc_id election form:
+    // the fingerprint chain is null-text -> id class, short (<5 words) ->
+    // exact-content class, else min md5 over the distinct 5-word shingles
+    // (chr(31)-joined, the engine's ShingleSep) — salted prefixes keep
+    // the classes disjoint; md5 hex + lexicographic min reproduce the
+    // Spark expression byte-for-byte
+    "st19_neardedup_election" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |          i -> list_aggregate(w[i:i+4], 'string_agg', chr(31)))) AS s
+        |        FROM tok WHERE len(w) >= 5),
+        |mn AS (SELECT doc_id, min(md5(s)) AS m
+        |       FROM (SELECT DISTINCT doc_id, s FROM sh0) GROUP BY 1),
+        |fp AS (SELECT d.doc_id,
+        |         CASE WHEN d.text IS NULL THEN 'null:' || CAST(d.doc_id AS VARCHAR)
+        |              WHEN mn.m IS NOT NULL THEN 'fp:' || mn.m
+        |              ELSE 'short:' || md5(d.text) END AS f
+        |       FROM documents d LEFT JOIN mn USING (doc_id)),
+        |win AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN win USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // converged maintained aggregate: however the delta batches were
+    // split, the folded table equals the plain GROUP BY over the log
+    // (values as exact integer cents — floor(value*100))
+    "st20_maintained_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // converged upsert state: the max-event_id row per user, however
     // the batches were split
     "st14_upsert_state" ->

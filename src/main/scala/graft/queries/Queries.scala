@@ -1532,6 +1532,75 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** ST18: batch mirror of the streaming exactly-once dedup
+    * ([[graft.streaming.EventStreams.dedupEvents]]) — the at-least-once
+    * delivery scenario stated deterministically: the input is the event
+    * log UNION a re-delivered copy of every third event (exact payload
+    * copies, as a replayed source partition produces), and admission
+    * keeps one row per event_id. Re-delivered rows are bit-identical to
+    * their originals, so any-survivor == first-survivor and the batch
+    * `dropDuplicates` states the stream's keep-first contract exactly
+    * (StreamingSpec proves the watermark-bounded streaming form admits
+    * the same set, duplicates dropped, exactly once). Oracle: the
+    * original log — dedup must reconstruct it. */
+  val st18DedupRedelivery: Q = (s, dir) => {
+    val ev = eventsTs(s, dir)
+    val redelivered = ev.unionByName(ev.filter(col("event_id") % 3 === 0))
+    redelivered.dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** ST19: batch mirror of the streaming near-dup dedup
+    * ([[graft.streaming.EventStreams.dedupNearStream]]) — keep-first per
+    * content fingerprint, stated as the deterministic min-doc_id election
+    * (the st07 discipline: the batch election coincides with the stream's
+    * first-arrival-wins under doc_id-ordered arrival, proven in
+    * StreamingSpec over THIS fingerprint). The fingerprint is the
+    * operator's full fallback chain in its oracle-able md5 form
+    * ([[graft.streaming.EventStreams.nearDupFingerprintMd5]]): null text
+    * -> id class, short text -> exact-content class, else min md5 over
+    * the w=5 word shingles — each class salted so they cannot collide.
+    * Scale: fingerprinting is map-only; the election is one equi-shuffle
+    * on the 16-byte fingerprint + a semi-join — no text moves twice. */
+  val st19NearDedupElection: Q = (s, dir) => {
+    val withFp = tbl(s, dir, "documents").withColumn("__fp",
+      graft.streaming.EventStreams.nearDupFingerprintMd5(
+        col("text"), col("doc_id"), 5))
+    val winners = withFp.groupBy("__fp").agg(min(col("doc_id")).as("doc_id"))
+    withFp.join(winners, Seq("__fp", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** ST20: the maintained-aggregate streaming sink's state table
+    * ([[graft.streaming.EventStreams.maintainAggStream]] — its
+    * foreachBatch body is [[graft.relational.IncrementalAgg.applyDelta]],
+    * invoked here directly, the st14 discipline): per-user (count, sum)
+    * folded in as two micro-batches split by event_id parity, so the
+    * second batch merges into every slot the first one wrote. Values
+    * enter the fold as exact integer cents (floor(value*100) — IEEE
+    * multiply + floor are bit-reproducible in DuckDB, unlike an FP sum),
+    * so replays/convergence are hash-checkable, not approximately so.
+    * The oracle states the converged table declaratively: plain
+    * GROUP BY over the whole log. */
+  val st20MaintainedAgg: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_magg").toString + "/state"
+    val kv = eventsTs(s, dir).select(
+      col("user_id").cast("string").as("key"),
+      floor(col("value") * 100).cast("long").as("value"),
+      col("event_id"))
+    graft.relational.IncrementalAgg.applyDelta(
+      kv.filter(col("event_id") % 2 === 0).drop("event_id"), tmp)
+    graft.relational.IncrementalAgg.applyDelta(
+      kv.filter(col("event_id") % 2 === 1).drop("event_id"), tmp)
+    graft.relational.IncrementalAgg.read(s, tmp)
+      .select(col("key").cast("long").as("user_id"), col("cnt"),
+        col("sum").as("sum_cents"))
+      .orderBy("user_id")
+  }
+
   /** ANN via IVF coarse quantization — the second scale path (rows-only;
     * recall asserted vs brute force in ScalaTest). */
   val v05AnnIvf: Q = (s, dir) => {
@@ -3290,6 +3359,9 @@ object Queries {
     "st15_decontaminate" -> st15Decontaminate,
     "st16_full_join" -> st16FullJoin,
     "st17_rate_limit" -> st17RateLimit,
+    "st18_dedup_redelivery" -> st18DedupRedelivery,
+    "st19_neardedup_election" -> st19NearDedupElection,
+    "st20_maintained_agg" -> st20MaintainedAgg,
     "x21_interval_overlap" -> x21IntervalOverlap,
     "x22_covisit_sim" -> x22CovisitSim,
     "x23_triangle_count" -> x23TriangleCount,

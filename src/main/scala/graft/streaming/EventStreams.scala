@@ -158,10 +158,50 @@ object EventStreams {
    * Streaming exactly-once dedup: drop re-delivered events by id, keeping
    * state only within the watermark horizon (dropDuplicatesWithinWatermark)
    * — the unbounded-stream analog of the K2 batch dedup, with bounded state.
+   * Batch mirror: st18_dedup_redelivery (re-delivered copies are exact, so
+   * any-survivor == first-survivor and the mirror is deterministic).
    */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** [[dedupNearStream]]'s fingerprint fallback chain (xxhash64 domain).
+    * The chain keeps dropDuplicates' null-grouping from silently collapsing
+    * unrelated docs: short docs (null min-shingle-hash) dedup by exact
+    * content hash, and null-text rows (where xxhash64 degenerates to its
+    * seed, NOT null) dedup by their id — each fallback domain is salted so
+    * the classes cannot collide. */
+  def nearDupFingerprint(text: Column, id: Column, w: Int = 5): Column =
+    when(text.isNull, xxhash64(lit("graft:null-text"), id))
+      .otherwise(coalesce(graft.llm.TextOps.docFingerprint(text, w),
+        xxhash64(lit("graft:short-text"), text)))
+
+  /** The SAME fallback chain in the md5/string domain — semantically the
+    * chain of [[nearDupFingerprint]] (null-text class / short-text class /
+    * min-shingle content class, salted prefixes in place of salted seeds)
+    * with the engine-side 64-bit shingle hash swapped for md5 over the
+    * identical string shingles ([[graft.llm.TextOps.shingles]]), because
+    * md5 + lexicographic min are reproducible in DuckDB while xxhash64 is
+    * not. This is what makes the st19 batch mirror of [[dedupNearStream]]
+    * hash-ORACLE-able; StreamingSpec proves the streaming form over this
+    * fingerprint admits exactly the mirror's winner set. Production keeps
+    * the xxhash64 chain (one codegen kernel, no shingle strings built). */
+  def nearDupFingerprintMd5(text: Column, id: Column, w: Int = 5): Column =
+    when(text.isNull, concat(lit("null:"), id.cast("string")))
+      .otherwise(coalesce(
+        concat(lit("fp:"),
+          array_min(transform(graft.llm.TextOps.shingles(text, w),
+            sh => md5(sh)))),
+        concat(lit("short:"), md5(text))))
+
+  /** Keep the FIRST row per `fingerprint` within the watermark horizon —
+    * the keyed-admission core of [[dedupNearStream]], pluggable so the
+    * oracle-able md5 fingerprint runs the identical streaming path. */
+  def dedupStreamBy(docs: DataFrame, fingerprint: Column,
+                    watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("fingerprint", fingerprint)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
 
   /**
    * Streaming near-duplicate dedup: keep the first document per content
@@ -170,21 +210,13 @@ object EventStreams {
    * near-identical re-crawls cheaply with bounded state; it is the
    * streaming complement of the batch MinHash-LSH path (which needs the
    * full corpus for banding + exact verification). Input needs (ts, text).
+   * Batch mirror: st19_neardedup_election (min-doc_id election over the
+   * [[nearDupFingerprintMd5]] form of the chain).
    */
   def dedupNearStream(docs: DataFrame, watermark: String = "1 hour",
                       w: Int = 5, idCol: String = "doc_id"): DataFrame =
-    docs.withColumn("fingerprint",
-        // fallback chain keeps dropDuplicates' null-grouping from silently
-        // collapsing unrelated docs: short docs (null min-shingle-hash)
-        // dedup by exact content hash, and null-text rows (where xxhash64
-        // degenerates to its seed, NOT null) dedup by their id — each
-        // fallback domain is salted so the classes cannot collide
-        when(col("text").isNull,
-          xxhash64(lit("graft:null-text"), col(idCol)))
-          .otherwise(coalesce(graft.llm.TextOps.docFingerprint(col("text"), w),
-            xxhash64(lit("graft:short-text"), col("text")))))
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("fingerprint")
+    dedupStreamBy(docs, nearDupFingerprint(col("text"), col(idCol), w),
+      watermark)
 
   /**
    * Streaming near-dup ADMISSION against the existing corpus — closes the

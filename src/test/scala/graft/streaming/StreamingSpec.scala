@@ -648,6 +648,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 4L, 5L, 6L))
   }
 
+  test("st19 mirror: streaming dedup over the md5 fingerprint admits the min-doc_id election set") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    // doc_id-ordered arrival (one MemoryStream batch), so the stream's
+    // first-arrival-wins coincides with the batch election's min doc_id
+    val docs = Seq(
+      (1L, ts(1), base),
+      (2L, ts(2), base),            // exact re-crawl -> same fp class
+      (3L, ts(3), base + " w11"),   // near-dup: fp equality decided by md5 min
+      (4L, ts(4), "z1 z2 z3 z4 z5 z6"),
+      (5L, ts(5), "shorty"),        // <5 words -> short: class
+      (6L, ts(6), "shorty"),        // exact short re-crawl -> dropped
+      (7L, ts(7), null.asInstanceOf[String]), // null text -> id class, always kept
+      (8L, ts(8), null.asInstanceOf[String]))
+    val df = docs.toDF("doc_id", "ts", "text")
+    val fp = EventStreams.nearDupFingerprintMd5(col("text"), col("doc_id"), 5)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    stream.addData(docs: _*)
+    val q = EventStreams.dedupStreamBy(
+        stream.toDF().toDF("doc_id", "ts", "text"), fp)
+      .writeStream.format("memory").queryName("nd19").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("nd19").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // the st19 batch election over the identical fingerprint
+    val withFp = df.withColumn("__fp", fp)
+    val winners = withFp.groupBy("__fp")
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+    val elected = withFp.join(winners, Seq("__fp", "doc_id"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed === elected, s"stream $streamed != election $elected")
+    // class disjointness: both null-text docs keep (id class), one short
+    // keeps, and the exact re-crawl of doc 1 never survives
+    assert(streamed.contains(7L) && streamed.contains(8L))
+    assert(streamed.contains(5L) && !streamed.contains(6L))
+    assert(streamed.contains(1L) && !streamed.contains(2L))
+  }
+
   test("streaming near-dup admission rejects cross-corpus dups: stream == batch, both forms") {
     val s = spark
     import s.implicits._
