@@ -21,7 +21,10 @@ import java.nio.file.{Files, Paths}
  *    check cannot see).
  *  - v03_ann_lsh / v05_ann_ivf: mean recall@5 of the dumped neighbor sets
  *    vs exact brute-force kNN ([[graft.llm.Similarity.knnBrute]]) must
- *    clear the floor the ScalaTest suite pins (LSH >= 0.75, IVF >= 0.60).
+ *    clear a measured-minus-margin floor (r10: LSH >= 0.80 on 0.91
+ *    measured, IVF >= 0.70 on 0.85, PQ >= 0.70 on 0.775, IVFPQ >= 0.65 on
+ *    0.731 — VERDICT r9 ask #4: a floor 15 points under measured recall
+ *    would never trip on a real ANN-quality regression).
  *  - a08_approx_distinct: every group's HLL++ estimate must sit within
  *    3x the configured rsd (0.02) of the exact distinct count.
  *  - a16_approx_percentiles: every sketch quantile must sit between the
@@ -342,13 +345,13 @@ object VerifyExtras {
     val checks: Seq[(String, () => Check)] = Seq(
       "d05_simhash" -> (() => checkSimhash(spark, sfDir, outDir)),
       "t04_fingerprint" -> (() => checkFingerprint(spark, sfDir, outDir)),
-      "v03_ann_lsh" -> (() => checkRecall(spark, sfDir, outDir, "v03_ann_lsh", 0.75)),
-      "v05_ann_ivf" -> (() => checkRecall(spark, sfDir, outDir, "v05_ann_ivf", 0.60)),
-      "v12_indexed_ivf" -> (() => checkRecall(spark, sfDir, outDir, "v12_indexed_ivf", 0.60)),
-      "v13_pq_ann" -> (() => checkRecall(spark, sfDir, outDir, "v13_pq_ann", 0.60)),
-      "v14_indexed_pq" -> (() => checkRecall(spark, sfDir, outDir, "v14_indexed_pq", 0.60)),
-      "v15_ivfpq" -> (() => checkRecall(spark, sfDir, outDir, "v15_ivfpq", 0.60)),
-      "v16_indexed_ivfpq" -> (() => checkRecall(spark, sfDir, outDir, "v16_indexed_ivfpq", 0.60)),
+      "v03_ann_lsh" -> (() => checkRecall(spark, sfDir, outDir, "v03_ann_lsh", 0.80)),
+      "v05_ann_ivf" -> (() => checkRecall(spark, sfDir, outDir, "v05_ann_ivf", 0.70)),
+      "v12_indexed_ivf" -> (() => checkRecall(spark, sfDir, outDir, "v12_indexed_ivf", 0.70)),
+      "v13_pq_ann" -> (() => checkRecall(spark, sfDir, outDir, "v13_pq_ann", 0.70)),
+      "v14_indexed_pq" -> (() => checkRecall(spark, sfDir, outDir, "v14_indexed_pq", 0.70)),
+      "v15_ivfpq" -> (() => checkRecall(spark, sfDir, outDir, "v15_ivfpq", 0.65)),
+      "v16_indexed_ivfpq" -> (() => checkRecall(spark, sfDir, outDir, "v16_indexed_ivfpq", 0.65)),
       "d16_semantic_dedup" -> (() => checkSemanticDedup(spark, sfDir, outDir)),
       "x25_kcore" -> (() => checkKCore(spark, sfDir, outDir)),
       "x30_ktruss" -> (() => checkKTruss(spark, sfDir, outDir)),
