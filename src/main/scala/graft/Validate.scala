@@ -127,4 +127,27 @@ object Validate {
   }
 
   def errorCount(checks: Seq[Check]): Long = checks.count(_.isError)
+
+  /** The adressen-frame-local subset of the threshold suite as named
+    * boolean AGGREGATE audit columns — the form
+    * [[graft.relational.Publish]]/[[graft.relational.Versioned.commitAudited]]
+    * evaluate in one job over the files actually written. This is what
+    * gates the curated layer's production publication
+    * ([[Pipeline.publishCurated]]): a mis-joined or truncated build fails
+    * the gate and never becomes the readable table. The cross-table
+    * integrity checks (anti-joins against raw dims) stay in [[run]] —
+    * audits are single-frame by design so the gate is one aggregation. */
+  def auditColumns(th: Thresholds): Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "adressen >= min" ->
+      (count(lit(1)) >= th.minAdressen),
+    "adressen met pand >= min" ->
+      (count(when(col("pand_id").isNotNull, 1)) >= th.minAdressenMetPand),
+    "ligplaatsen >= min" ->
+      (count(when(col("object_type") === "ligplaats", 1)) >= th.minLigplaatsen),
+    "standplaatsen >= min" ->
+      (count(when(col("object_type") === "standplaats", 1)) >= th.minStandplaatsen),
+    "nummer_id niet null" ->
+      (count(when(col("nummer_id").isNull, 1)) === 0),
+    "nummer_id uniek" ->
+      (count_distinct(col("nummer_id")) === count(lit(1))))
 }

@@ -29,6 +29,20 @@ object Publish {
 
   final case class Report(audits: Seq[(String, Boolean)], published: Boolean)
 
+  /** Evaluate named boolean aggregate audits over a staged scan in ONE
+    * aggregation job (a null audit value — e.g. min() over zero rows —
+    * counts as FAILED, never silently true). Shared by [[writeAuditPublish]]
+    * and the versioned-snapshot commit ([[Versioned.commitAudited]]). */
+  def auditStaged(staged: DataFrame, audits: Seq[(String, Column)]): Seq[(String, Boolean)] = {
+    require(audits.nonEmpty, "WAP without audits is just a write — declare at least one")
+    val row = staged.agg(
+      audits.head._2.as("a0"),
+      audits.tail.zipWithIndex.map { case ((_, c), i) => c.as(s"a${i + 1}") }: _*).head()
+    audits.zipWithIndex.map { case ((name, _), i) =>
+      name -> (!row.isNullAt(i) && row.getBoolean(i))
+    }
+  }
+
   def writeAuditPublish(df: DataFrame, dest: String,
                         audits: Seq[(String, Column)]): Report = {
     require(audits.nonEmpty, "WAP without audits is just a write — declare at least one")
@@ -40,13 +54,7 @@ object Publish {
     if (fs.exists(staging)) fs.delete(staging, true)
     df.write.mode("errorifexists").parquet(staging.toString)
 
-    val staged = spark.read.parquet(staging.toString)
-    val row = staged.agg(
-      audits.head._2.as("a0"),
-      audits.tail.zipWithIndex.map { case ((_, c), i) => c.as(s"a${i + 1}") }: _*).head()
-    val results = audits.zipWithIndex.map { case ((name, _), i) =>
-      name -> (!row.isNullAt(i) && row.getBoolean(i))
-    }
+    val results = auditStaged(spark.read.parquet(staging.toString), audits)
 
     if (results.forall(_._2)) {
       if (fs.exists(prev)) fs.delete(prev, true)

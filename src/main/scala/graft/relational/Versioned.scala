@@ -78,6 +78,39 @@ object Versioned {
     spark.read.parquet(s"$dir/v=$v")
   }
 
+  /** Audit-gated commit — WAP fused into the versioned layout (one data
+    * write, not Publish-then-recopy): the snapshot lands in `<dir>/v=N`
+    * (invisible: `_latest` still points at N-1), the audits evaluate over
+    * the FILES ACTUALLY WRITTEN ([[Publish.auditStaged]] — the same
+    * written-files discipline as `writeAuditPublish`, one aggregation
+    * job), and only a full pass flips the pointer. A failed audit deletes
+    * the staged snapshot and leaves `_latest` — and every pinned reader —
+    * untouched, so a bad batch can never replace a good table.
+    * Returns the per-audit report plus the committed version (None when
+    * the gate refused). */
+  def commitAudited(df: DataFrame, dir: String,
+                    audits: Seq[(String, org.apache.spark.sql.Column)]): (Publish.Report, Option[Long]) = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val v = highWater(spark, dir).fold(1L)(_ + 1L)
+    val snap = new Path(s"$dir/v=$v")
+    df.write.mode("errorifexists").parquet(snap.toString)
+    val results = Publish.auditStaged(spark.read.parquet(snap.toString), audits)
+    if (results.forall(_._2)) {
+      val tmp = new Path(dir, "_latest.tmp")
+      val out = f.create(tmp, true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val dst = new Path(dir, "_latest")
+      if (f.exists(dst)) f.delete(dst, false)
+      require(f.rename(tmp, dst), s"pointer flip failed for $dir")
+      (Publish.Report(results, published = true), Some(v))
+    } else {
+      f.delete(snap, true)
+      (Publish.Report(results, published = false), None)
+    }
+  }
+
   /** Roll back: re-point `_latest` at an existing earlier version. */
   def rollback(spark: SparkSession, dir: String, version: Long): Unit = {
     val f = fs(spark, dir)

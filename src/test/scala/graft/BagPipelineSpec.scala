@@ -355,6 +355,51 @@ class BagPipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("curated layer publishes through WAP + versioning; a failed audit leaves the previous snapshot served") {
+    val th = Validate.Thresholds(
+      minAdressen = 9, minAdressenMetPand = 3, minLigplaatsen = 1,
+      minStandplaatsen = 1, minOpenbareRuimten = 4, minWoonplaatsen = 3,
+      minGemeenten = 3, exactProvincies = 2)
+    val dir = java.nio.file.Files.createTempDirectory("bag_versioned").toString + "/adressen"
+
+    // v1: the real curated build clears the audit gate
+    val (r1, v1) = Pipeline.publishCurated(adressen, dir, th)
+    assert(r1.published && v1.contains(1L), s"v1 refused: ${r1.audits}")
+    val served1 = graft.relational.Versioned.read(spark, dir)
+      .select("nummer_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(served1 === adressen.select("nummer_id")
+      .collect().map(_.getString(0)).sorted.toSeq)
+
+    // a truncated build (the mis-join failure mode WAP exists for) must
+    // NOT publish: pointer, snapshot set, and served rows all untouched
+    val truncated = adressen.filter(col("object_type") === "ligplaats")
+    val (r2, v2) = Pipeline.publishCurated(truncated, dir, th)
+    assert(!r2.published && v2.isEmpty)
+    assert(r2.audits.exists { case (n, ok) => n == "adressen >= min" && !ok })
+    assert(graft.relational.Versioned.latestVersion(spark, dir).contains(1L),
+      "failed audit moved the pointer")
+    assert(!new java.io.File(s"$dir/v=2").exists(),
+      "failed audit left a staged snapshot behind")
+    val servedAfterFail = graft.relational.Versioned.read(spark, dir)
+      .select("nummer_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(servedAfterFail === served1, "failed audit disturbed the served table")
+
+    // a corrupted build (duplicated keys) trips the uniqueness audit too
+    val duplicated = adressen.unionByName(adressen.limit(1))
+    val (r3, _) = Pipeline.publishCurated(duplicated, dir, th)
+    assert(!r3.published &&
+      r3.audits.exists { case (n, ok) => n == "nummer_id uniek" && !ok })
+
+    // v2: a good re-build commits as the next version; the pinned v1
+    // snapshot stays readable and identical (training-run reproducibility)
+    val (r4, v4) = Pipeline.publishCurated(adressen, dir, th)
+    assert(r4.published && v4.contains(2L))
+    val pinned1 = graft.relational.Versioned.read(spark, dir, Some(1L))
+      .select("nummer_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(pinned1 === served1, "pinned v1 disturbed by the v2 commit")
+    assert(graft.relational.Versioned.latestVersion(spark, dir).contains(2L))
+  }
+
   test("validation suite passes on the fixture") {
     val checks = Validate.run(adressen, raw, Validate.Thresholds(
       minAdressen = 9, minAdressenMetPand = 3, minLigplaatsen = 1,
