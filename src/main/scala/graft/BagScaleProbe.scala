@@ -425,6 +425,26 @@ object BagScaleProbe {
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
+    // XML members are NON-SPLITTABLE, so scan parallelism = files per
+    // partition bin, not bytes: under the default 128 MB bins + 4 MB
+    // open-cost the ~3-5 MB members pack ~15 to a partition and the two
+    // biggest scans (620 MB NUM / 933 MB VBO, ~204 files each) ran
+    // 12-14-wide on a 32-core box — the r10 ingest ask's missing
+    // parallelism. Parse-bound work wants ~one member per task: 8 MB
+    // bins + 1 MB open-cost puts every core on the scan (same rule on a
+    // cluster: bins sized to the member, tasks = files). Restored after
+    // the import so a shared session (Bench) keeps its defaults.
+    val prevMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+    def restoreSplitConf(): Unit = {
+      prevMax.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+        spark.conf.set("spark.sql.files.maxPartitionBytes", _))
+      prevOpen.fold(spark.conf.unset("spark.sql.files.openCostInBytes"))(
+        spark.conf.set("spark.sql.files.openCostInBytes", _))
+    }
+    try {
 
     val (xmlDirs, tStage) = timed(ingest.BagZip.stage(outerZip, layout.stagingDir))
     val (raw, tRaw) = timed {
@@ -462,6 +482,7 @@ object BagScaleProbe {
       s"[probe] FAIL adressen count $count != expected ${sh.expectedAdressen}")
     Result(n, count, Validate.errorCount(checks) + exactErr,
       tStage, tRaw, tCurate, tValidate)
+    } finally restoreSplitConf()
   }
 
   def main(args: Array[String]): Unit = {

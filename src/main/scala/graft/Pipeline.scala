@@ -45,23 +45,44 @@ object Pipeline {
   }
 
   /** Write each raw table as parquet and re-read — layer materialization
-    * (K1/K5: parallel job-atomic write replaces the single-writer sink). */
+    * (K1/K5: parallel job-atomic write replaces the single-writer sink).
+    *
+    * The ten writes are submitted CONCURRENTLY (Spark's scheduler is
+    * built for multi-job sessions): sequential submission ran each
+    * table's job alone, so the small dimension tables each paid their
+    * scheduling + low-task-count tail on an otherwise idle 32-core box,
+    * and the big scans' straggler waves had nothing to overlap with.
+    * Concurrent submission packs all parse/write tasks into one shared
+    * pool — wall time ~ the largest table instead of the sum (the r10
+    * ingest-throughput ask; on a 1000-executor cluster this is the
+    * difference between 10 barrier stages and one fleet-wide schedule). */
   def materialize(spark: SparkSession, t: BagTables, warehouseDir: String): BagTables = {
-    def save(df: DataFrame, name: String): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(10)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    def save(df: DataFrame, name: String): Future[DataFrame] = Future {
       df.write.mode("overwrite").parquet(s"$warehouseDir/$name")
       spark.read.parquet(s"$warehouseDir/$name")
     }
+    val fs = Seq(
+      save(t.woonplaatsen, "woonplaatsen"),
+      save(t.gemeenteWoonplaatsen, "gemeente_woonplaatsen"),
+      save(t.openbareRuimten, "openbare_ruimten"),
+      save(t.nummers, "nummers"),
+      save(t.panden, "panden"),
+      save(t.verblijfsobjecten, "verblijfsobjecten"),
+      save(t.ligplaatsen, "ligplaatsen"),
+      save(t.standplaatsen, "standplaatsen"),
+      save(t.gemeenten, "gemeenten"),
+      save(t.provincies, "provincies"))
+    val r = try Await.result(Future.sequence(fs), Duration.Inf)
+    finally pool.shutdown()
     BagTables(
-      woonplaatsen = save(t.woonplaatsen, "woonplaatsen"),
-      gemeenteWoonplaatsen = save(t.gemeenteWoonplaatsen, "gemeente_woonplaatsen"),
-      openbareRuimten = save(t.openbareRuimten, "openbare_ruimten"),
-      nummers = save(t.nummers, "nummers"),
-      panden = save(t.panden, "panden"),
-      verblijfsobjecten = save(t.verblijfsobjecten, "verblijfsobjecten"),
-      ligplaatsen = save(t.ligplaatsen, "ligplaatsen"),
-      standplaatsen = save(t.standplaatsen, "standplaatsen"),
-      gemeenten = save(t.gemeenten, "gemeenten"),
-      provincies = save(t.provincies, "provincies"))
+      woonplaatsen = r(0), gemeenteWoonplaatsen = r(1), openbareRuimten = r(2),
+      nummers = r(3), panden = r(4), verblijfsobjecten = r(5),
+      ligplaatsen = r(6), standplaatsen = r(7), gemeenten = r(8),
+      provincies = r(9))
   }
 
   /** Materialize the raw layer with the big tables BUCKETED on their join
