@@ -381,7 +381,24 @@ object Plans {
       "partials, only the touched hash slots of the stored table are " +
       "read back and merged by the distributive law, dynamic overwrite " +
       "keeps untouched slot files — refresh costs delta + touched, " +
-      "never the log."))
+      "never the log."),
+    "v22_margin_mining" -> ("Margin-based bitext mining: pairs come " +
+      "from the v19 block-grid kernel + bounded heap (no cartesian), " +
+      "per-node neighborhood stats are one tiny aggregate over ids+" +
+      "micro-cosines, and the mutual gate + margin join move ids only " +
+      "— embeddings never cross an exchange after the kNN stage."),
+    "t30_repetition" -> ("Repetition stats: one explode to (doc, " +
+      "3-gram) rows, a partial-aggregated per-shingle count, a per-doc " +
+      "fold — two hash-keyed shuffles of strings+ids, arbitrary doc " +
+      "lengths, no window, no in-row quadratic."),
+    "m07_aspect_buckets" -> ("Aspect bucketing: the 7-entry bucket " +
+      "list rides the plan as a literal array, the argmin is an in-row " +
+      "array_sort — map-only, zero shuffle, zero FP (lcm-scaled " +
+      "integer cross-multiplication decides nearest)."),
+    "a28_inactivity_gaps" -> ("Inactivity gaps: one window partitioned " +
+      "by user (each sort is one user's events — bounded however long " +
+      "the log), then a hash aggregate; gap math is integer epoch-" +
+      "micros end to end."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

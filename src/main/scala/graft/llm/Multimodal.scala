@@ -134,6 +134,43 @@ object Multimodal {
         least(lit(p.toLong), col("height") - col("pt.py")).as("ph"))
   }
 
+  /** The fixed aspect-ratio bucket list of [[aspectBucket]] (the
+    * SDXL-style bucketed-batching convention): portrait/landscape pairs
+    * around square. `bh` values {1,3,4,9,16} — lcm 144 is the common
+    * scale that keeps the nearest-bucket comparison integer-exact. */
+  final val AspectBuckets: Seq[(Int, Int)] =
+    Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16), (2, 1), (1, 2))
+
+  /**
+   * Aspect-ratio BUCKETING — how vision-training pipelines batch
+   * variable-shape images (SDXL / NovelAI bucketed batching): each image
+   * is assigned the nearest of a fixed aspect-ratio bucket list, and a
+   * batch is drawn from ONE bucket so every member resizes to the same
+   * target without destructive cropping. Nearest is by ratio distance
+   * |w/h - bw/bh|, evaluated WITHOUT floating point: for buckets i, j
+   * the comparison |w*bh_i - h*bw_i|/bh_i < |w*bh_j - h*bw_j|/bh_j
+   * cross-multiplies to integers via the common scale lcm(bh)=144 —
+   * assignment is integer-exact and cross-engine reproducible, ties to
+   * the lower bucket index. In-row `array_sort` over the 7-entry literal
+   * list picks the argmin: MAP-ONLY, zero shuffle — the bucketer runs at
+   * scan speed and only the (bucket -> count) histogram downstream ever
+   * aggregates.
+   */
+  def aspectBucket(media: Dataset[MediaRecord]): DataFrame = {
+    val scored = array(AspectBuckets.zipWithIndex.map { case ((bw, bh), i) =>
+      struct(
+        (abs(col("width") * bh - col("height") * bw) * lit(144 / bh)).as("score"),
+        lit(i.toLong).as("idx"),
+        lit(s"$bw:$bh").as("bucket"))
+    }: _*)
+    media.toDF()
+      .withColumn("__best", element_at(array_sort(scored), 1))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("__best.bucket").as("ar_bucket"),
+        col("__best.idx").as("bucket_idx"),
+        (col("width") * col("height")).as("n_pixels"))
+  }
+
   /**
    * Batch "decode" + feature extraction. mapPartitions (not map/UDF) so a
    * real codec initializes once per task, not once per record — the shape

@@ -920,6 +920,84 @@ object Oracle {
          |SELECT q.query_id, coalesce(ov.overlap5, 0) AS overlap5
          |FROM q LEFT JOIN ov USING (query_id) ORDER BY query_id""".stripMargin,
 
+    // v21's mutual pairs scored by the Artetxe & Schwenk ratio margin in
+    // cross-multiplied integer form: per-node (sum, count) over the same
+    // micro-unit top-3 cosines, margin_ppm = 2*cos*ca*cb*10^6 // (sa*cb +
+    // sb*ca) — identical `//` truncation as the engine's `div`
+    "v22_margin_mining" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |  round(${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |f AS (SELECT * FROM p WHERE cos >= 0.3),
+         |r AS (SELECT vec_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM f),
+         |k AS (SELECT vec_id, neighbor_id,
+         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_i FROM r WHERE rnk <= 3),
+         |st AS (SELECT vec_id, CAST(sum(cos_i) AS BIGINT) AS nb_sum,
+         |  CAST(count(*) AS BIGINT) AS nb_cnt FROM k GROUP BY 1)
+         |SELECT a.vec_id AS id_a, a.neighbor_id AS id_b, a.cos_i AS cos_ppm,
+         |  CAST(2 * a.cos_i * sa.nb_cnt * sb.nb_cnt * 1000000
+         |       // (sa.nb_sum * sb.nb_cnt + sb.nb_sum * sa.nb_cnt) AS BIGINT) AS margin_ppm
+         |FROM k a
+         |JOIN k b ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+         |JOIN st sa ON sa.vec_id = a.vec_id
+         |JOIN st sb ON sb.vec_id = a.neighbor_id
+         |WHERE a.vec_id < a.neighbor_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // 3-gram bag vs set per doc: total windows, distinct, duplicate
+    // fraction ppm, most-repeated count — same chr(31)-joined shingles
+    "t30_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |          i -> list_aggregate(w[i:i+2], 'string_agg', chr(31)))) AS s
+        |       FROM tok WHERE len(w) >= 3),
+        |c AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS cnt FROM sh GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_shingles,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        CAST(max(cnt) AS BIGINT) AS top_cnt FROM c GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_distinct,
+        |       CAST(1000000 * (n_shingles - n_distinct) // n_shingles AS BIGINT) AS dup_ppm,
+        |       top_cnt
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // nearest aspect bucket by lcm(144)-scaled integer ratio distance,
+    // ties to the lower bucket index; same synthetic width/height
+    // derivation as m01
+    "m07_aspect_buckets" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(16 + octet_length(encode(coalesce(text, ''))) % 48 AS BIGINT) AS width,
+        |    CAST(16 + (octet_length(encode(coalesce(text, ''))) * 7) % 48 AS BIGINT) AS height
+        |  FROM documents),
+        |b(bw, bh, idx) AS (VALUES (1, 1, 0), (4, 3, 1), (3, 4, 2), (16, 9, 3),
+        |                          (9, 16, 4), (2, 1, 5), (1, 2, 6)),
+        |sc AS (SELECT m.doc_id, m.width, m.height, b.bw, b.bh,
+        |         CAST(b.idx AS BIGINT) AS idx,
+        |         abs(m.width * b.bh - m.height * b.bw) * (144 // b.bh) AS score
+        |       FROM m CROSS JOIN b),
+        |best AS (SELECT doc_id, width, height, bw, bh, idx,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY score, idx) AS rn
+        |         FROM sc)
+        |SELECT doc_id, width, height,
+        |       CAST(bw AS VARCHAR) || ':' || CAST(bh AS VARCHAR) AS ar_bucket,
+        |       idx AS bucket_idx, width * height AS n_pixels
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // per-user consecutive-event gaps over (ts, event_id) order: count
+    // over 6h, max gap, total idle — exact integer micros -> seconds
+    "a28_inactivity_gaps" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+        |g AS (SELECT user_id,
+        |        tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS gap
+        |      FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |       CAST(sum(CASE WHEN gap > 21600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_6h,
+        |       CAST(max(gap) // 1000000 AS BIGINT) AS max_gap_s,
+        |       CAST(sum(CASE WHEN gap > 21600000000 THEN gap ELSE 0 END) // 1000000 AS BIGINT) AS idle_s
+        |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // the v19 ranking in both directions, kept iff mutual; canonical
     // a < b with both ranks
     "v21_mutual_knn" ->

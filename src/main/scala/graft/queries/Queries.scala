@@ -1167,6 +1167,99 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** V22: margin-based bitext/parallel-pair mining (Artetxe & Schwenk
+    * 2019's ratio margin over the v21 mutual-kNN pairs): a candidate
+    * pair's cosine is scored AGAINST both endpoints' neighborhood
+    * averages — margin = cos(x,y) / ((avg_k(x) + avg_k(y)) / 2) — so a
+    * hub vector that is "close to everything" stops producing false
+    * matches (its own average is high, its margins collapse toward 1).
+    * Entirely integer once the heap's micro-unit cosines come back:
+    * margin_ppm = 2*cos*ca*cb*10^6 div (sa*cb + sb*ca) — the
+    * cross-multiplied form of the ratio with per-node (sum, count)
+    * neighbor stats, so nothing floating crosses the hash. Composes the
+    * L104 kNN graph (block-grid pairs, bounded heap) + one tiny
+    * per-node stats aggregate + ids-only joins. */
+  val v22MarginMining: Q = (s, dir) => {
+    val g = Similarity.knnGraph(embeddings(s, dir), k = 3, minCos = 0.3)
+      .withColumn("cos_i", round(col("cos") * 1e6).cast("long"))
+      .select("vec_id", "neighbor_id", "cos_i")
+    val stats = g.groupBy("vec_id")
+      .agg(sum("cos_i").as("nb_sum"), count(lit(1)).as("nb_cnt"))
+    val rev = g.select(col("vec_id").as("neighbor_id"),
+      col("neighbor_id").as("vec_id"))
+    g.join(rev, Seq("vec_id", "neighbor_id")) // mutual-kNN gate (v21)
+      .filter(col("vec_id") < col("neighbor_id"))
+      .join(stats.select(col("vec_id"), col("nb_sum").as("sa"),
+        col("nb_cnt").as("ca")), "vec_id")
+      .join(stats.select(col("vec_id").as("neighbor_id"),
+        col("nb_sum").as("sb"), col("nb_cnt").as("cb")), "neighbor_id")
+      .select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cos_i").as("cos_ppm"),
+        expr("2 * cos_i * ca * cb * 1000000 div (sa * cb + sb * ca)")
+          .as("margin_ppm"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** T30: repeated-n-gram repetition stats (the Gopher/MassiveText
+    * repetition rule family): per doc the 3-gram BAG vs SET — total
+    * windows, distinct windows, duplicate fraction in integer ppm, and
+    * the most-repeated window's count. Low distinct/total = template
+    * spam and boilerplate loops that length/stopword checks miss.
+    * Canonical explode -> (doc, shingle) partial-agg count -> per-doc
+    * fold (two hash-keyed shuffles, the t25 discipline — the in-row
+    * kernel can't help here because the BAG needs per-shingle counts,
+    * not the deduplicated hash set). */
+  val t30Repetition: Q = (s, dir) => {
+    val ws = split(col("text"), " ")
+    val sh = tbl(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(ws) - 2),
+        i => concat_ws(TextOps.ShingleSep, slice(ws, i, lit(3))))).as("sh"))
+    sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_shingles"), count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        expr("1000000 * (n_shingles - n_distinct) div n_shingles").as("dup_ppm"),
+        col("top_cnt"))
+      .orderBy("doc_id")
+  }
+
+  /** M7: aspect-ratio bucket assignment ([[Multimodal.aspectBucket]]) —
+    * SDXL-style bucketed batching for vision training: nearest fixed
+    * ratio bucket per image by integer cross-multiplication (lcm-scaled,
+    * ties to the lower bucket index), map-only off the stored
+    * dimensions. The oracle re-derives the argmin from the same
+    * synthetic width/height. */
+  val m07AspectBuckets: Q = (s, dir) =>
+    Multimodal.aspectBucket(Multimodal.fromDocuments(tbl(s, dir, "documents")))
+      .orderBy("doc_id")
+
+  /** A28: per-user inactivity gaps (the session-boundary census at the
+    * account level — churn/dormancy signals): consecutive-event deltas
+    * per user via one bounded window (each partition is one user's
+    * events), then gap count over a 6 h threshold, max gap, and total
+    * idle time — all exact integer seconds from epoch-micros
+    * arithmetic, no timestamp math crosses the hash. */
+  val a28InactivityGaps: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("__tsu"), col("event_id"))
+    val thr = 6L * 3600 * 1000000
+    events(s, dir)
+      .withColumn("__prev", lag(col("__tsu"), 1).over(byUser))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__gap", col("__tsu") - col("__prev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("__gap") > thr, 1L).otherwise(0L)).as("n_gaps_6h"),
+        expr("max(__gap) div 1000000").as("max_gap_s"),
+        sum(when(col("__gap") > thr, col("__gap")).otherwise(0L)).as("__idle_us"))
+      .select(col("user_id"), col("n_intervals"), col("n_gaps_6h"),
+        col("max_gap_s"), expr("__idle_us div 1000000").as("idle_s"))
+      .orderBy("user_id")
+  }
+
   /** V18: exact Maximum-Inner-Product Search ([[Similarity.mipsBrute]])
     * — the recommendation-serving primitive: top-k by RAW dot, not
     * cosine (magnitude is signal: popularity/quality-scaled item
@@ -3372,6 +3465,10 @@ object Queries {
     "x28_label_prop" -> x28LabelProp,
     "x29_hybrid_rrf" -> x29HybridRrf,
     "x30_ktruss" -> x30Ktruss,
-    "x31_graph_summary" -> x31GraphSummary
+    "x31_graph_summary" -> x31GraphSummary,
+    "v22_margin_mining" -> v22MarginMining,
+    "t30_repetition" -> t30Repetition,
+    "m07_aspect_buckets" -> m07AspectBuckets,
+    "a28_inactivity_gaps" -> a28InactivityGaps
   )
 }

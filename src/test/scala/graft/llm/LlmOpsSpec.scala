@@ -1418,6 +1418,86 @@ class LlmOpsSpec extends AnyFunSuite {
       3L -> ((4L, 1L, 0L, 250000L, 0L))), s"got $res")
   }
 
+  test("t30 repetition: hand goldens for the 3-gram bag-vs-set stats") {
+    val df = docsDf(Seq(
+      1L -> "a b a b a b",   // windows: aba bab aba bab -> 4 total, 2 distinct
+      2L -> "p q r s",       // 2 windows, both unique
+      3L -> "x y"))          // < 3 words: no row
+    val dir = java.nio.file.Files.createTempDirectory("graft_t30").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val res = graft.queries.Queries.t30Repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(res === Map(
+      1L -> ((4L, 2L, 500000L, 2L)),
+      2L -> ((2L, 2L, 0L, 1L))), s"got $res")
+  }
+
+  test("m07 aspect bucketing: exact ratios, nearest election, and the lcm tie rule") {
+    val s = spark
+    import s.implicits._
+    def rec(id: Long, w: Long, h: Long) =
+      Multimodal.MediaRecord(id, Array.emptyByteArray, "image/x", w, h, 1L)
+    val media = Seq(
+      rec(1, 32, 24),  // exact 4:3
+      rec(2, 16, 16),  // exact 1:1
+      rec(3, 33, 16),  // 2.06 -> 2:1 beats 16:9 (score 144 vs 656)
+      rec(4, 7, 6),    // planted TIE 1:1 vs 4:3 (score 144 both) -> lower idx
+      rec(5, 18, 32)). // 0.5625 = exact 9:16
+      toDS()
+    val got = Multimodal.aspectBucket(media).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got === Map(1L -> "4:3", 2L -> "1:1", 3L -> "2:1",
+      4L -> "1:1", 5L -> "9:16"), s"got $got")
+  }
+
+  test("v22 margin mining: margins match an independent recompute; hub margins collapse") {
+    val s = spark
+    import s.implicits._
+    // tight pair (0,1), hub 2 moderately close to everything, outlier 3
+    // closer to the hub than to the pair — all pairwise cos >= 0.3 so
+    // every node ranks all others and every pair is mutual at k=3
+    val vecs = Map(
+      0L -> Array(1.0f, 0.0f), 1L -> Array(0.995f, 0.1f),
+      2L -> Array(0.8f, 0.6f), 3L -> Array(0.5f, 0.866f))
+    val dir = java.nio.file.Files.createTempDirectory("graft_v22").toString
+    vecs.toSeq.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.Queries.v22MarginMining(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+
+    // independent scala recompute from first principles (same round-6
+    // micro-unit cosines, same integer cross-multiplied margin)
+    def cosI(a: Array[Float], b: Array[Float]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      math.round(BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val top = ids.map { i =>
+      i -> ids.filter(_ != i).map(j => (j, cosI(vecs(i), vecs(j))))
+        .filter(_._2 >= 300000L)
+        .sortBy { case (j, c) => (-c, j) }.take(3)
+    }.toMap
+    val sums = top.map { case (i, ns) => i -> ns.map(_._2).sum }
+    val cnts = top.map { case (i, ns) => i -> ns.size.toLong }
+    val expected = (for {
+      a <- ids; (b, c) <- top(a) if a < b && top(b).exists(_._1 == a)
+    } yield (a, b) -> ((c,
+      2L * c * cnts(a) * cnts(b) * 1000000L /
+        (sums(a) * cnts(b) + sums(b) * cnts(a))))).toMap
+    assert(got === expected, s"got $got expected $expected")
+    // the hub gate: the tight pair's margin stands out above 1.0, and
+    // every hub pair sits below the tight pair's margin
+    val pairMargin = got((0L, 1L))._2
+    assert(pairMargin > 1000000L, s"tight pair margin $pairMargin")
+    Seq((0L, 2L), (1L, 2L), (2L, 3L)).foreach { e =>
+      assert(got(e)._2 < pairMargin, s"hub edge $e margin ${got(e)._2}")
+    }
+  }
+
   test("chunkWindows: coverage, overlap, no redundant tail; short docs one chunk") {
     val df = docsDf(Seq(
       1L -> (1 to 10).map(i => s"w$i").mkString(" "), // 10 toks: 3 chunks at w=4,s=3

@@ -80,4 +80,22 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       ("1969-12-29", 0L) -> 1L, ("1969-12-29", 2L) -> 1L,
       ("1970-01-12", 0L) -> 1L), s"got $got")
   }
+
+  test("a28: inactivity gaps — strict 6h threshold, single-event users drop, exact seconds") {
+    val rows = Seq(
+      (1L, 0L, 1L, "view", 1.0),
+      (2L, 30L, 1L, "view", 1.0),    // 30 min gap
+      (3L, 450L, 1L, "view", 1.0),   // 420 min = 7h gap -> counted
+      (4L, 510L, 1L, "view", 1.0),   // 60 min gap
+      (5L, 0L, 2L, "view", 1.0),     // single event: no interval, no row
+      (6L, 0L, 3L, "view", 1.0),
+      (7L, 360L, 3L, "view", 1.0))   // exactly 6h: NOT > threshold
+    val dir = writeEvents(rows)
+    val got = Queries.a28InactivityGaps(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(
+      1L -> ((3L, 1L, 25200L, 25200L)),
+      3L -> ((1L, 0L, 21600L, 0L))), s"got $got")
+  }
 }
