@@ -387,10 +387,10 @@ object Plans {
       "per-node neighborhood stats are one tiny aggregate over ids+" +
       "micro-cosines, and the mutual gate + margin join move ids only " +
       "— embeddings never cross an exchange after the kNN stage."),
-    "t30_repetition" -> ("Repetition stats: one explode to (doc, " +
-      "3-gram) rows, a partial-aggregated per-shingle count, a per-doc " +
-      "fold — two hash-keyed shuffles of strings+ids, arbitrary doc " +
-      "lengths, no window, no in-row quadratic."),
+    "t30_repetition" -> ("Top-gram census: one explode to (doc, 3-gram) " +
+      "rows, a partial-aggregated per-gram count, then a per-doc max + " +
+      "tie-broken min-gram election — hash aggregates and one semi-join " +
+      "on (doc, cnt), no window, no in-row quadratic."),
     "m07_aspect_buckets" -> ("Aspect bucketing: the 7-entry bucket " +
       "list rides the plan as a literal array, the argmin is an in-row " +
       "array_sort — map-only, zero shuffle, zero FP (lcm-scaled " +

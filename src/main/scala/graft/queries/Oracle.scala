@@ -947,21 +947,25 @@ object Oracle {
          |WHERE a.vec_id < a.neighbor_id
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // 3-gram bag vs set per doc: total windows, distinct, duplicate
-    // fraction ppm, most-repeated count — same chr(31)-joined shingles
+    // top 3-gram per doc by (count DESC, gram ASC) + the Gopher
+    // top-gram character-coverage ppm; space-joined grams (words are
+    // space-split, so the join is unambiguous)
     "t30_repetition" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-        |          i -> list_aggregate(w[i:i+2], 'string_agg', chr(31)))) AS s
+      """WITH tok AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |         string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, n_chars, unnest(list_transform(range(1, len(w) - 1),
+        |          i -> list_aggregate(w[i:i+2], 'string_agg', ' '))) AS gram
         |       FROM tok WHERE len(w) >= 3),
-        |c AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS cnt FROM sh GROUP BY 1, 2),
-        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_shingles,
-        |        CAST(count(*) AS BIGINT) AS n_distinct,
-        |        CAST(max(cnt) AS BIGINT) AS top_cnt FROM c GROUP BY 1)
-        |SELECT doc_id, n_shingles, n_distinct,
-        |       CAST(1000000 * (n_shingles - n_distinct) // n_shingles AS BIGINT) AS dup_ppm,
-        |       top_cnt
-        |FROM a ORDER BY doc_id""".stripMargin,
+        |c AS (SELECT doc_id, n_chars, gram, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM sh GROUP BY 1, 2, 3),
+        |m AS (SELECT doc_id, max(cnt) AS cnt FROM c GROUP BY 1),
+        |e AS (SELECT c.doc_id, c.n_chars, min(c.gram) AS top_gram,
+        |        max(c.cnt) AS top_cnt
+        |      FROM c JOIN m ON m.doc_id = c.doc_id AND m.cnt = c.cnt
+        |      GROUP BY 1, 2)
+        |SELECT doc_id, top_gram, CAST(top_cnt AS BIGINT) AS top_cnt,
+        |       CAST(1000000 * top_cnt * length(top_gram) // n_chars AS BIGINT) AS top_char_ppm
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     // nearest aspect bucket by lcm(144)-scaled integer ratio distance,
     // ties to the lower bucket index; same synthetic width/height

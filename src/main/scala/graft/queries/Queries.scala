@@ -1200,29 +1200,30 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
-  /** T30: repeated-n-gram repetition stats (the Gopher/MassiveText
-    * repetition rule family): per doc the 3-gram BAG vs SET — total
-    * windows, distinct windows, duplicate fraction in integer ppm, and
-    * the most-repeated window's count. Low distinct/total = template
-    * spam and boilerplate loops that length/stopword checks miss.
-    * Canonical explode -> (doc, shingle) partial-agg count -> per-doc
-    * fold (two hash-keyed shuffles, the t25 discipline — the in-row
-    * kernel can't help here because the BAG needs per-shingle counts,
-    * not the deduplicated hash set). */
+  /** T30: most-frequent-n-gram census (the Gopher "fraction of
+    * characters in the most common n-gram" rule — the BAG-side sibling
+    * t07's map-only set kernel cannot express, since it needs the
+    * per-shingle COUNT, not the deduplicated hash set): per doc the
+    * top 3-gram by (count DESC, gram ASC), its count, and the ppm of
+    * document characters its occurrences cover — the "same slogan over
+    * and over" spam signal a global dup *ratio* (t07) dilutes on long
+    * docs. Explode -> (doc, gram) partial-agg count -> per-doc max ->
+    * tie-broken min-gram election: all hash aggregates + one semi-join
+    * on (doc, cnt), no window, no in-row quadratic. */
   val t30Repetition: Q = (s, dir) => {
     val ws = split(col("text"), " ")
-    val sh = tbl(s, dir, "documents")
+    val counts = tbl(s, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(ws) - 2),
-        i => concat_ws(TextOps.ShingleSep, slice(ws, i, lit(3))))).as("sh"))
-    sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(sum("cnt").as("n_shingles"), count(lit(1)).as("n_distinct"),
-        max("cnt").as("top_cnt"))
-      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
-        expr("1000000 * (n_shingles - n_distinct) div n_shingles").as("dup_ppm"),
-        col("top_cnt"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(transform(sequence(lit(1), size(ws) - 2),
+          i => concat_ws(" ", slice(ws, i, lit(3))))).as("gram"))
+      .groupBy("doc_id", "n_chars", "gram").agg(count(lit(1)).as("cnt"))
+    val top = counts.groupBy("doc_id").agg(max("cnt").as("cnt"))
+    counts.join(top, Seq("doc_id", "cnt"), "left_semi")
+      .groupBy("doc_id", "n_chars")
+      .agg(min("gram").as("top_gram"), max("cnt").as("top_cnt"))
+      .select(col("doc_id"), col("top_gram"), col("top_cnt"),
+        expr("1000000 * top_cnt * length(top_gram) div n_chars").as("top_char_ppm"))
       .orderBy("doc_id")
   }
 

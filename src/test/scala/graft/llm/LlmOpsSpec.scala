@@ -1418,19 +1418,21 @@ class LlmOpsSpec extends AnyFunSuite {
       3L -> ((4L, 1L, 0L, 250000L, 0L))), s"got $res")
   }
 
-  test("t30 repetition: hand goldens for the 3-gram bag-vs-set stats") {
+  test("t30 top-gram census: count election, ASC tie-break, char-coverage ppm") {
     val df = docsDf(Seq(
-      1L -> "a b a b a b",   // windows: aba bab aba bab -> 4 total, 2 distinct
-      2L -> "p q r s",       // 2 windows, both unique
+      1L -> "a b a b a b",   // grams: 'a b a' x2, 'b a b' x2 -> tie, min wins
+      2L -> "p q r s",       // both grams x1 -> 'p q r' by tie-break
       3L -> "x y"))          // < 3 words: no row
     val dir = java.nio.file.Files.createTempDirectory("graft_t30").toString
     df.write.parquet(s"$dir/documents.parquet")
     val res = graft.queries.Queries.t30Repetition(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
       .toMap
+    // doc 1: 11 chars, top 'a b a' (5 chars) x2 -> 1e6*2*5 div 11 = 909090
+    // doc 2: 7 chars, top 'p q r' x1 -> 1e6*5 div 7 = 714285
     assert(res === Map(
-      1L -> ((4L, 2L, 500000L, 2L)),
-      2L -> ((2L, 2L, 0L, 1L))), s"got $res")
+      1L -> (("a b a", 2L, 909090L)),
+      2L -> (("p q r", 1L, 714285L))), s"got $res")
   }
 
   test("m07 aspect bucketing: exact ratios, nearest election, and the lcm tie rule") {
