@@ -398,7 +398,16 @@ object Plans {
     "a28_inactivity_gaps" -> ("Inactivity gaps: one window partitioned " +
       "by user (each sort is one user's events — bounded however long " +
       "the log), then a hash aggregate; gap math is integer epoch-" +
-      "micros end to end."))
+      "micros end to end."),
+    "t32_phrase_index" -> ("Phrase index: one explode off the dedup " +
+      "shingle kernel, a partial-aggregated df count with the hub cap, " +
+      "a 3-row TakeOrderedAndProject for the query phrases (never a " +
+      "full sort), broadcast serve join — postings shuffle once, docs " +
+      "never move."),
+    "a29_gapfill_spine" -> ("Gap fill: corpus touched once for the " +
+      "hourly counts; the spine explodes from a per-type (min, max) " +
+      "aggregate — rows ~ types x hours, joined back on the tiny " +
+      "side."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -989,6 +989,34 @@ object Oracle {
         |       idx AS bucket_idx, width * height AS n_pixels
         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // phrase postings (distinct 3-grams per doc, space-joined), df-capped
+    // hub guard, top-3 phrases by (df DESC, phrase ASC), per-doc match
+    // counts over the postings join
+    "t32_phrase_index" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |        i -> list_aggregate(w[i:i+2], 'string_agg', ' '))) AS phrase
+        |      FROM tok WHERE len(w) >= 3),
+        |d AS (SELECT phrase, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1
+        |      HAVING count(*) <= 1000),
+        |q AS (SELECT phrase FROM d ORDER BY df DESC, phrase LIMIT 3)
+        |SELECT g.doc_id, doc.lang, CAST(count(*) AS BIGINT) AS n_matched
+        |FROM g JOIN q USING (phrase) JOIN documents doc ON doc.doc_id = g.doc_id
+        |GROUP BY g.doc_id, doc.lang ORDER BY g.doc_id""".stripMargin,
+
+    // per-type hourly spine (integer epoch-micros div hours) LEFT-joined
+    // onto the counts, absent hours zero-filled
+    "a29_gapfill_spine" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, unnest(range(min(h), max(h) + 1)) AS h
+        |      FROM c GROUP BY event_type)
+        |SELECT s.event_type, CAST(s.h AS BIGINT) AS hour_idx,
+        |       coalesce(c.cnt, 0) AS cnt
+        |FROM s LEFT JOIN c ON c.event_type = s.event_type AND c.h = s.h
+        |ORDER BY s.event_type, hour_idx""".stripMargin,
+
     // per-user consecutive-event gaps over (ts, event_id) order: count
     // over 6h, max gap, total idle — exact integer micros -> seconds
     "a28_inactivity_gaps" ->

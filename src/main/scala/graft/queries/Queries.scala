@@ -1261,6 +1261,54 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** T32: inverted PHRASE index + boolean serve — the text-side member
+    * of the index family (v11-v17 are its vector siblings): postings are
+    * (3-gram phrase -> doc) pairs off the dedup shingle kernel, df per
+    * phrase is one partial-aggregated count with a hub cap (df <= 1000
+    * drops boilerplate phrases whose postings would hot-spot a bucket —
+    * the d03 postings-cap discipline), and the serve side is ranked
+    * boolean retrieval: the 3 highest-df phrases (df DESC, phrase ASC —
+    * a deterministic TakeOrderedAndProject, never a full sort) BROADCAST
+    * against the postings, per-doc match counts aggregate ids only. At
+    * corpus scale the postings persist bucketed by phrase (the v11
+    * layout) and a query touches its phrases' buckets, zero corpus
+    * exchange — the serve here is that plan's in-frame form. */
+  val t32PhraseIndex: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val post = docs.select(col("doc_id"),
+      explode(TextOps.shingles(col("text"), 3)).as("phrase"))
+    val dfreq = post.groupBy("phrase").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 1000)
+    val qphrases = dfreq.orderBy(col("df").desc, col("phrase")).limit(3)
+    post.join(broadcast(qphrases), "phrase")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_matched"))
+      .orderBy("doc_id")
+  }
+
+  /** A29: time-spine densification (gap fill) — the dashboard/ML-feature
+    * fix for sparse aggregates: hourly counts per event type LEFT-joined
+    * onto each type's full [min, max] hour spine, absent hours
+    * zero-filled, so downstream rolling windows and models see an
+    * equally-spaced series instead of silently skipping quiet hours.
+    * Hours are exact integer epoch-micros div 3600000000 — no timestamp
+    * arithmetic crosses the hash; the spine explodes from one tiny
+    * per-type (min, max) aggregate, so the only corpus-sized work is the
+    * initial count. */
+  val a29GapfillSpine: Q = (s, dir) => {
+    val counts = events(s, dir)
+      .select(col("event_type"), expr("__tsu div 3600000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+    val spine = counts.groupBy("event_type")
+      .agg(min("h").as("mn"), max("h").as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("h"))
+    spine.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").as("hour_idx"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("event_type", "hour_idx")
+  }
+
   /** V18: exact Maximum-Inner-Product Search ([[Similarity.mipsBrute]])
     * — the recommendation-serving primitive: top-k by RAW dot, not
     * cosine (magnitude is signal: popularity/quality-scaled item
@@ -3470,6 +3518,8 @@ object Queries {
     "v22_margin_mining" -> v22MarginMining,
     "t30_repetition" -> t30Repetition,
     "m07_aspect_buckets" -> m07AspectBuckets,
-    "a28_inactivity_gaps" -> a28InactivityGaps
+    "a28_inactivity_gaps" -> a28InactivityGaps,
+    "t32_phrase_index" -> t32PhraseIndex,
+    "a29_gapfill_spine" -> a29GapfillSpine
   )
 }

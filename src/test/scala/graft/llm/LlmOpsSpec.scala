@@ -1435,6 +1435,24 @@ class LlmOpsSpec extends AnyFunSuite {
       2L -> (("p q r", 1L, 714285L))), s"got $res")
   }
 
+  test("t32 phrase index: df election picks (df DESC, phrase ASC); match counts per doc") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "x y z a b", "en"),  // grams: 'x y z','y z a','z a b'
+      (2L, "x y z c d", "en"),  // 'x y z' df=2; rest df=1
+      (3L, "q r s t u", "fr"),  // 'q r s','r s t','s t u'
+      (4L, "x y", "en"))        // < 3 words: no postings
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_t32").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    // query phrases: 'x y z' (df 2), then df-1 ties ASC: 'q r s', 'r s t'
+    val got = graft.queries.Queries.t32PhraseIndex(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> (("en", 1L)), 2L -> (("en", 1L)),
+      3L -> (("fr", 2L))), s"got $got")
+  }
+
   test("m07 aspect bucketing: exact ratios, nearest election, and the lcm tie rule") {
     val s = spark
     import s.implicits._

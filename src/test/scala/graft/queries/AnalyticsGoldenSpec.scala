@@ -98,4 +98,18 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       1L -> ((3L, 1L, 25200L, 25200L)),
       3L -> ((1L, 0L, 21600L, 0L))), s"got $got")
   }
+
+  test("a29: gap-fill spine zero-fills interior hours per type, bounds from the data") {
+    val rows = Seq(
+      (1L, 0L, 1L, "a", 1.0),    // hour 0
+      (2L, 10L, 1L, "a", 1.0),   // hour 0 again
+      (3L, 190L, 2L, "a", 1.0),  // hour 3: hours 1, 2 must zero-fill
+      (4L, 70L, 3L, "b", 1.0))   // hour 1 only: single-cell spine
+    val dir = writeEvents(rows)
+    val got = Queries.a29GapfillSpine(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("a", 0L) -> 2L, ("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L,
+      ("b", 1L) -> 1L), s"got $got")
+  }
 }
