@@ -407,7 +407,20 @@ object Plans {
     "a29_gapfill_spine" -> ("Gap fill: corpus touched once for the " +
       "hourly counts; the spine explodes from a per-type (min, max) " +
       "aggregate — rows ~ types x hours, joined back on the tiny " +
-      "side."))
+      "side."),
+    "d22_source_overlap" -> ("Source overlap: the closure labels reduce " +
+      "to (cluster, source) pairs first, so the self-join's fan-out is " +
+      "sources-per-cluster, never docs-per-cluster — a 10k-doc mirror " +
+      "cluster costs the same as a 2-doc one."),
+    "v23_kmeans_assign" -> ("Lloyd assignment: 8x64 centroid literal " +
+      "rides the plan (model-as-data), per-row distance + argmin are " +
+      "in-row HOFs — map-only, zero shuffle, zero join; the scan IS " +
+      "the iteration cost."),
+    "x32_temporal_reach" -> ("Temporal reachability: per round one " +
+      "delta-frontier equi-join on src + a partial-aggregated min + a " +
+      "min-merge — the BFS round shape with relaxation, expansion " +
+      "bounded by improved rows only (min-merge dominance proof in " +
+      "the scaladoc), lineage cut per round."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -151,4 +151,55 @@ object Bfs {
                  seeds: DataFrame, maxHops: Int): DataFrame =
     bfsDistances(graft.relational.Bucketing.read(spark, s"${name}_edges"),
       seeds, maxHops)
+
+  /**
+   * TEMPORAL (time-respecting) reachability — earliest-arrival BFS over
+   * timestamped contact edges: an edge (src, dst, ts) propagates only
+   * when `ts >= arrival(src)`, so influence flows forward in event time
+   * (contact tracing, cascade/contagion analysis, "who could have seen
+   * this document after it entered the corpus" provenance queries —
+   * structure plain BFS is blind to: a path that exists topologically
+   * may be unusable because its edges happened in the wrong order).
+   *
+   * arrival(n) = min over time-respecting paths of <= maxHops edges of
+   * the LAST edge's timestamp; seeds start at arrival 0. Exact integer
+   * micros, so engines agree bit-for-bit.
+   *
+   * Scale shape: the BFS round discipline with a RELAXATION twist —
+   * because a later round can IMPROVE an arrival (a longer path whose
+   * last edge is earlier), the known set is a min-merge, and the
+   * per-round expansion side is the DELTA frontier (rows whose arrival
+   * improved last round, found by an anti-join on the (node, arrival)
+   * pair): min-merge dominance makes delta expansion complete — any
+   * edge usable from a dominated arrival is usable from the minimal
+   * one. Per round: one src equi-join against the loop-invariant edge
+   * list + one partial-aggregated min + one merge aggregate, lineage
+   * cut per round.
+   */
+  def temporalArrivals(contacts: DataFrame, seeds: DataFrame,
+                       maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = contacts.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("ts").cast("long").as("ts"))
+    var arr = seeds.select(col("node").cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("arr"))
+      .localCheckpoint(true)
+    var frontier = arr
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .filter(col("ts") >= col("arr"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("ts")).as("arr"))
+      val merged = arr.unionByName(next)
+        .groupBy("node").agg(min("arr").as("arr"))
+        .localCheckpoint(true)
+      // delta frontier: nodes whose minimal arrival changed this round
+      frontier = merged.join(arr, Seq("node", "arr"), "left_anti")
+        .localCheckpoint(true)
+      arr = merged
+      hop += 1
+    }
+    arr
+  }
 }

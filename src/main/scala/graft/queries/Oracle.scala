@@ -556,6 +556,66 @@ object Oracle {
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // time-respecting path enumeration (hop-bounded recursive CTE): an
+    // edge extends a path iff its ts >= the path's arrival; min arrival
+    // per node over <= 4-hop paths — min-merge dominance makes this
+    // equal to the engine's delta-frontier relaxation loop
+    "x32_temporal_reach" ->
+      """WITH RECURSIVE ct AS (
+        |  SELECT user_id AS u,
+        |         1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS p,
+        |         epoch_us(ts) AS t
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |ed AS (SELECT u AS src, p AS dst, t FROM ct
+        |       UNION ALL SELECT p, u, t FROM ct),
+        |r AS (SELECT DISTINCT user_id AS node, CAST(0 AS BIGINT) AS arr, 0 AS hop
+        |      FROM events WHERE user_id % 50 = 0
+        |      UNION
+        |      SELECT ed.dst, ed.t, r.hop + 1
+        |      FROM r JOIN ed ON ed.src = r.node AND ed.t >= r.arr
+        |      WHERE r.hop < 4)
+        |SELECT node AS node_id,
+        |       CASE WHEN node >= 1000000 THEN 'page' ELSE 'user' END AS node_type,
+        |       CAST(min(arr) AS BIGINT) AS arrival_us
+        |FROM r GROUP BY 1, 2 ORDER BY node_id""".stripMargin,
+
+    // the d21 closure, reduced to (cluster, source) pairs and self-joined
+    // on the cluster id: shared-cluster counts per unordered source pair
+    "d22_source_overlap" -> {
+      val edgesSql = jaccardSql(0.2,
+        postingsCap = Some(graft.llm.Dedup.NearDup.maxShinglePostings))
+      s"""WITH RECURSIVE je AS (SELECT id_a, id_b FROM ($edgesSql) t),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM je
+         |       UNION ALL SELECT id_b, id_a FROM je),
+         |r AS (SELECT src AS id, src AS comp FROM ed
+         |      UNION
+         |      SELECT ed.dst AS id, r.comp FROM r JOIN ed ON ed.src = r.id),
+         |lab AS (SELECT id AS doc_id, min(comp) AS comp_id FROM r GROUP BY 1),
+         |cs AS (SELECT DISTINCT lab.comp_id, d.source
+         |       FROM documents d JOIN lab USING (doc_id))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       CAST(count(DISTINCT a.comp_id) AS BIGINT) AS n_shared_clusters
+         |FROM cs a JOIN cs b ON a.comp_id = b.comp_id AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+    },
+
+    // nearest of the 8 seed centroids by squared L2 (same sequential
+    // double fold as the engine's aggregate HOF), argmin on the ROUNDED
+    // distance with cluster-id tie-break
+    "v23_kmeans_assign" -> {
+      val d2 = "list_aggregate(list_transform(list_zip(e.embedding, c.embedding), " +
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')"
+      s"""WITH c AS (SELECT vec_id AS cluster_id, embedding FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, c.cluster_id, round($d2, 6) AS dist2
+         |       FROM embeddings e CROSS JOIN c),
+         |r AS (SELECT vec_id, cluster_id, dist2,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn
+         |      FROM sc)
+         |SELECT vec_id, cluster_id, dist2 AS dist2_r FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    },
+
     // same totalized components as t24, then the integer ppm weight —
     // cluster sizes and the 1/n division both exact integers
     "d19_soft_dedup_weights" -> {

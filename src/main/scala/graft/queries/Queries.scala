@@ -913,6 +913,29 @@ object Queries {
       .orderBy("source")
   }
 
+  /** D22: cross-source duplication overlap matrix — d21 says HOW MUCH
+    * each feed duplicates; this says WITH WHOM: per unordered source
+    * pair, the near-dup clusters containing docs from both (the
+    * "who mirrors whom" triage that decides which of two overlapping
+    * feeds to drop entirely vs de-prioritize). One (cluster, source)
+    * dedup off the d07 closure labels, then a self-join on the cluster
+    * id — pair fan-out bounded by sources-per-cluster, never docs —
+    * and a distinct-cluster count per pair. */
+  val d22SourceOverlap: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val comps = Dedup.dedupComponents(
+      Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.2).select("id_a", "id_b"))
+    val cs = docs.select(col("doc_id"), col("source"))
+      .join(comps, Seq("doc_id"))
+      .select(col("comp_id"), col("source")).distinct()
+    cs.select(col("comp_id"), col("source").as("src_a"))
+      .join(cs.select(col("comp_id"), col("source").as("src_b")), Seq("comp_id"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count_distinct(col("comp_id")).as("n_shared_clusters"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** D8: benchmark decontamination — training docs sharing >= 2 distinct
     * 3-gram shingles with any "benchmark" doc (the doc_id % 97 == 0 slice
     * stands in for a held-out eval set; w=3/minShared=2 is non-vacuous at
@@ -1307,6 +1330,41 @@ object Queries {
       .select(col("event_type"), col("h").as("hour_idx"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
       .orderBy("event_type", "hour_idx")
+  }
+
+  /** V23: one Lloyd ASSIGNMENT step (k-means over embeddings — the
+    * clustering substrate SemDeDup/diversity sampling build on): every
+    * vector assigned to the nearest of 8 fixed seed centroids by
+    * squared L2, centroids riding the plan as a LITERAL (model-as-data:
+    * an 8 x 64 table is driver-bounded by construction — the t16 BPE
+    * merge-table precedent), the per-vector argmin an in-row array_sort
+    * over (round-6 dist2, cluster idx) — MAP-ONLY, zero shuffle, zero
+    * join: assignment runs at scan speed, which is what makes Lloyd
+    * iterations affordable at corpus scale (the update half is x06's
+    * vec_sum centroid aggregate). Distances accumulate sequentially
+    * per row in double (float widened first), so round-6 is
+    * cross-engine exact. */
+  val v23KmeansAssign: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    // bounded, documented collect: 8 seed centroids (vec_id < 8)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    val scored = array(seeds.map { case (cid, c) =>
+      val cArr = array(c.map(lit): _*)
+      struct(
+        round(aggregate(
+          zip_with(col("__e"), cArr, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v), 6).as("dist2"),
+        lit(cid).as("cluster_id"))
+    }.toIndexedSeq: _*)
+    emb.withColumn("__e", col("embedding").cast("array<double>"))
+      .withColumn("__best", element_at(array_sort(scored), 1))
+      .select(col("vec_id"), col("__best.cluster_id").as("cluster_id"),
+        col("__best.dist2").as("dist2_r"))
+      .orderBy("vec_id")
   }
 
   /** V18: exact Maximum-Inner-Product Search ([[Similarity.mipsBrute]])
@@ -3141,6 +3199,36 @@ object Queries {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
+  /** X32: TEMPORAL reachability over the event contact graph
+    * ([[graft.graph.Bfs.temporalArrivals]]) — earliest-arrival spread
+    * from the x19 seed users where an edge propagates only FORWARD in
+    * event time (ts >= arrival of its source): the contact-tracing /
+    * cascade semantics plain BFS is blind to — a topological path whose
+    * edges happened in the wrong order carries nothing. Contacts are
+    * the x16 bipartite (user, page) touches WITH their event
+    * timestamps, both directions; arrivals are exact integer micros.
+    * Per round: delta-frontier equi-join + partial-agg min + min-merge
+    * (the relaxation-safe BFS round shape). */
+  val x32TemporalReach: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val touches = ev.select(col("user_id").as("u"),
+        (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("p"),
+        col("__tsu").as("ts"))
+      .filter(col("p").isNotNull)
+    val contacts = touches.select(explode(array(
+        struct(col("u").as("src"), col("p").as("dst"), col("ts")),
+        struct(col("p").as("src"), col("u").as("dst"), col("ts")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.ts"))
+    val seeds = ev.filter(col("user_id") % 50 === 0)
+      .select(col("user_id").as("node")).distinct()
+    graft.graph.Bfs.temporalArrivals(contacts, seeds, maxHops = 4)
+      .select(col("node").as("node_id"),
+        when(col("node") >= 1000000L, lit("page")).otherwise(lit("user"))
+          .as("node_type"),
+        col("arr").as("arrival_us"))
+      .orderBy("node_id")
+  }
+
   /** X19: multi-source BFS hop distance over the event graph
     * ([[graft.graph.Bfs.bfsDistances]]) — link distance from a trusted
     * seed set, the classic graph-proximity quality prior. Seeds are the
@@ -3520,6 +3608,9 @@ object Queries {
     "m07_aspect_buckets" -> m07AspectBuckets,
     "a28_inactivity_gaps" -> a28InactivityGaps,
     "t32_phrase_index" -> t32PhraseIndex,
-    "a29_gapfill_spine" -> a29GapfillSpine
+    "a29_gapfill_spine" -> a29GapfillSpine,
+    "d22_source_overlap" -> d22SourceOverlap,
+    "v23_kmeans_assign" -> v23KmeansAssign,
+    "x32_temporal_reach" -> x32TemporalReach
   )
 }

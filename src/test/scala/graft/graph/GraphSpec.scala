@@ -363,6 +363,32 @@ class GraphSpec extends AnyFunSuite {
       (3L, 3L) -> 0L, (3L, 4L) -> 1L))
   }
 
+  test("temporalArrivals: forward-in-time paths only; relaxation improves arrivals; hop bound") {
+    val s = spark
+    import s.implicits._
+    // contact edges (src, dst, ts):
+    //   seed 1 -e(t=10)-> 2 -e(t=20)-> 3      usable (10 <= 20): 3 reached at 20
+    //   seed 1 -e(t=30)-> 4 -e(t=25)-> 5      BLOCKED: 25 < arrival(4)=30
+    //   seed 1 -e(t=40)-> 6, and 2 -e(t=15)-> 6: 6's min arrival is 15, not 40
+    //   3 -e(t=50)-> 7 -e(t=60)-> 8 -e(t=70)-> 9: 9 needs 5 hops -> absent at maxHops=4
+    val contacts = Seq(
+      (1L, 2L, 10L), (2L, 3L, 20L),
+      (1L, 4L, 30L), (4L, 5L, 25L),
+      (1L, 6L, 40L), (2L, 6L, 15L),
+      (3L, 7L, 50L), (7L, 8L, 60L), (8L, 9L, 70L))
+      .toDF("src", "dst", "ts")
+    val got = Bfs.temporalArrivals(contacts, nodesDf(Seq(1L)), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 30L,
+      6L -> 15L, 7L -> 50L, 8L -> 60L), s"got $got")
+    assert(!got.contains(5L), "wrong-time-order path must not propagate")
+    assert(!got.contains(9L), "beyond the hop bound")
+    // one more hop reaches 9; arrivals already found never change
+    val got5 = Bfs.temporalArrivals(contacts, nodesDf(Seq(1L)), maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got5 === got + (9L -> 70L), s"got5 $got5")
+  }
+
   test("labelPropagation: two bridged cliques settle into two min-id communities") {
     // K4 on {1..4} + K4 on {10..13}, doubled edges, one bridge 4-10: the
     // majority vote inside each clique must beat the single bridge vote,

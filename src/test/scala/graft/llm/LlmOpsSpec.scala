@@ -1435,6 +1435,42 @@ class LlmOpsSpec extends AnyFunSuite {
       2L -> (("p q r", 1L, 714285L))), s"got $res")
   }
 
+  test("d22 source overlap: cross-source clusters counted once, same-source clusters invisible") {
+    val s = spark
+    import s.implicits._
+    val base = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (1L, base, "sA"),                // near-dup cluster {1, 2} spans sA + sB
+      (2L, base + " eleven", "sB"),
+      (3L, "alpha beta gamma delta epsilon zeta", "sA"), // cluster {3, 4}
+      (4L, "alpha beta gamma delta epsilon zeta", "sA"), // ... within ONE source
+      (5L, "unrelated totally different words entirely here", "sB"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_d22").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Queries.d22SourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("sA", "sB") -> 1L), s"got $got")
+  }
+
+  test("v23 k-means assignment: nearest seed, round-6 tie to the lower cluster id, seeds self-assign") {
+    val s = spark
+    import s.implicits._
+    val far = (2 to 7).map(i => (i.toLong, Array(100.0f + i, 100.0f)))
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(2.0f, 0.0f))) ++ far ++ Seq(
+      (10L, Array(1.0f, 0.0f)),  // dist2 1.0 to both seed 0 and 1 -> tie -> 0
+      (11L, Array(2.5f, 0.0f)))  // nearest seed 1 at 0.25
+    val dir = java.nio.file.Files.createTempDirectory("graft_v23").toString
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.Queries.v23KmeansAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(10L) === ((0L, 1.0)), s"tie broke wrong: ${got(10L)}")
+    assert(got(11L) === ((1L, 0.25)))
+    (0 to 7).foreach(i => assert(got(i.toLong) === ((i.toLong, 0.0)),
+      s"seed $i must self-assign: ${got(i.toLong)}"))
+  }
+
   test("t32 phrase index: df election picks (df DESC, phrase ASC); match counts per doc") {
     val s = spark
     import s.implicits._
