@@ -420,7 +420,15 @@ object Plans {
       "delta-frontier equi-join on src + a partial-aggregated min + a " +
       "min-merge — the BFS round shape with relaxation, expansion " +
       "bounded by improved rows only (min-merge dominance proof in " +
-      "the scaladoc), lineage cut per round."))
+      "the scaladoc), lineage cut per round."),
+    "s20_snapshot_expire" -> ("Snapshot expiry: pure filesystem-" +
+      "catalog work — a bounded listing + per-doomed-version recursive " +
+      "delete; no data read, no job, and the pointer target is spared " +
+      "so serving never breaks mid-expiry."),
+    "s21_table_history" -> ("Table history: one tiny aggregate per " +
+      "retained snapshot (catalog-sized loop under the retention " +
+      "bound), unioned lazily — stats come from the snapshots " +
+      "themselves, so the listing cannot drift from the data."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

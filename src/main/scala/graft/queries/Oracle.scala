@@ -556,6 +556,33 @@ object Oracle {
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // survivors after expiry: pinned v2 (doc_id % 2) + latest v3 (all) —
+    // the deleted v1 must be absent from disk (engine-side require), so
+    // only these rows can appear
+    "s20_snapshot_expire" ->
+      """SELECT CAST(2 AS BIGINT) AS version, lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT) AS version, lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY lang
+        |ORDER BY version, lang""".stripMargin,
+
+    // per-snapshot audit stats from the same three splits
+    "s21_table_history" ->
+      """SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids, FALSE AS is_latest
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(count(DISTINCT lang) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), FALSE
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT), CAST(count(DISTINCT lang) AS BIGINT),
+        |       CAST(sum(doc_id) AS BIGINT), TRUE
+        |FROM documents
+        |ORDER BY version""".stripMargin,
+
     // time-respecting path enumeration (hop-bounded recursive CTE): an
     // edge extends a path iff its ts >= the path's arrival; min arrival
     // per node over <= 4-hop paths — min-merge dominance makes this

@@ -3071,6 +3071,62 @@ object Queries {
       .orderBy("version", "lang")
   }
 
+  /** S20: snapshot EXPIRY ([[graft.relational.Versioned.expire]]) — the
+    * retention half s19 left as policy: three commits, then expire to
+    * the newest two; the query ASSERTS in-plan that v1's directory is
+    * physically gone and that the expiry reported exactly [1], then
+    * reads the two survivors. A failed delete, an over-eager one, or a
+    * moved pointer all either throw or hash-mismatch. */
+  val s20SnapshotExpire: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_exp").toString + "/t"
+    val docs = tbl(s, dir, "documents")
+    def langCounts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    graft.relational.Versioned.write(langCounts(docs.filter(col("doc_id") % 3 === 0)), tmp)
+    val v2 = graft.relational.Versioned.write(
+      langCounts(docs.filter(col("doc_id") % 2 === 0)), tmp)
+    graft.relational.Versioned.write(langCounts(docs), tmp)
+    val deleted = graft.relational.Versioned.expire(s, tmp, keep = 2)
+    require(deleted == Seq(1L), s"expiry deleted $deleted, expected [1]")
+    require(!new java.io.File(s"$tmp/v=1").exists(), "v=1 survived expiry")
+    require(graft.relational.Versioned.versions(s, tmp) == Seq(2L, 3L),
+      "retained set wrong")
+    val pinned = graft.relational.Versioned.read(s, tmp, Some(v2))
+      .withColumn("version", lit(2L))
+    val latest = graft.relational.Versioned.read(s, tmp)
+      .withColumn("version", lit(3L))
+    pinned.unionByName(latest)
+      .select(col("version"), col("lang"), col("n_docs"))
+      .orderBy("version", "lang")
+  }
+
+  /** S21: table HISTORY ([[graft.relational.Versioned.versions]]) — the
+    * DESCRIBE-HISTORY surface of the versioned table: one row per
+    * retained snapshot with its audit stats (rowcount, distinct langs,
+    * doc total), read from the snapshots themselves so the listing can
+    * never drift from the data. Snapshot count is bounded by retention
+    * ([[graft.relational.Versioned.expire]]), so the per-version loop
+    * is catalog-sized, not data-sized. */
+  val s21TableHistory: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hist").toString + "/t"
+    val docs = tbl(s, dir, "documents")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang")
+    graft.relational.Versioned.write(snap(docs.filter(col("doc_id") % 3 === 0)), tmp)
+    graft.relational.Versioned.write(snap(docs.filter(col("doc_id") % 2 === 0)), tmp)
+    graft.relational.Versioned.write(snap(docs), tmp)
+    val latest = graft.relational.Versioned.latestVersion(s, tmp).getOrElse(-1L)
+    graft.relational.Versioned.versions(s, tmp).map { v =>
+      graft.relational.Versioned.read(s, tmp, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(col("doc_id")).as("sum_ids"))
+        .select(lit(v).as("version"), col("n_rows"), col("n_langs"),
+          col("sum_ids"), lit(v == latest).as("is_latest"))
+    }.reduce(_.unionByName(_))
+      .orderBy("version")
+  }
+
   /** X13: snapshot diff (CDC) — classify rows across two dump generations
     * as added / removed / changed by a FULL OUTER join on the key with
     * content-hash comparison. The 100 TB shape of "what changed since last
@@ -3611,6 +3667,8 @@ object Queries {
     "a29_gapfill_spine" -> a29GapfillSpine,
     "d22_source_overlap" -> d22SourceOverlap,
     "v23_kmeans_assign" -> v23KmeansAssign,
-    "x32_temporal_reach" -> x32TemporalReach
+    "x32_temporal_reach" -> x32TemporalReach,
+    "s20_snapshot_expire" -> s20SnapshotExpire,
+    "s21_table_history" -> s21TableHistory
   )
 }

@@ -111,6 +111,35 @@ object Versioned {
     }
   }
 
+  /** All committed snapshot versions present on disk, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .toSeq.sorted
+  }
+
+  /** Snapshot EXPIRY — the retention half of the time-travel contract
+    * (Delta VACUUM / Iceberg expire_snapshots on plain parquet): delete
+    * all but the newest `keep` snapshots, with two refusals that keep
+    * expiry from ever breaking readers: the `_latest` pointer target is
+    * ALWAYS retained (even when older than the horizon — a rolled-back
+    * table keeps serving), and `keep` must be >= 1. Pinned readers of
+    * an EXPIRED version lose it by definition — that is the documented
+    * trade a retention policy makes; pin + retention window are chosen
+    * together. Returns the versions actually deleted. */
+  def expire(spark: SparkSession, dir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val f = fs(spark, dir)
+    val all = versions(spark, dir)
+    val retained = all.takeRight(keep).toSet ++ latestVersion(spark, dir)
+    val doomed = all.filterNot(retained)
+    doomed.foreach(v => f.delete(new Path(s"$dir/v=$v"), true))
+    doomed
+  }
+
   /** Roll back: re-point `_latest` at an existing earlier version. */
   def rollback(spark: SparkSession, dir: String, version: Long): Unit = {
     val f = fs(spark, dir)

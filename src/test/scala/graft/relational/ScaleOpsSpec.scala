@@ -266,6 +266,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot expiry: retention horizon + the pointer target is never deleted") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_exp_t").toString + "/t"
+    (1 to 4).foreach(i =>
+      Versioned.write(Seq((i.toLong, "x")).toDF("id", "v"), dir))
+    // keep 2 -> v1, v2 go; v3, v4 stay; latest (v4) untouched
+    assert(Versioned.expire(spark, dir, keep = 2) === Seq(1L, 2L))
+    assert(Versioned.versions(spark, dir) === Seq(3L, 4L))
+    assert(Versioned.read(spark, dir).collect().map(_.getLong(0)).toSeq === Seq(4L))
+    // a second expiry at the same horizon is a no-op (idempotent)
+    assert(Versioned.expire(spark, dir, keep = 2) === Seq.empty)
+    // after a rollback BELOW the horizon, the pointer target survives
+    // expiry even though the horizon alone would delete it
+    Versioned.rollback(spark, dir, 3L)
+    Versioned.write(Seq((9L, "z")).toDF("id", "v"), dir) // v5
+    Versioned.write(Seq((10L, "z")).toDF("id", "v"), dir) // v6
+    Versioned.rollback(spark, dir, 3L)
+    assert(Versioned.expire(spark, dir, keep = 1) === Seq(4L, 5L),
+      "expiry must spare the rolled-back pointer target")
+    assert(Versioned.versions(spark, dir) === Seq(3L, 6L))
+    assert(Versioned.read(spark, dir).collect().map(_.getLong(0)).toSeq === Seq(3L),
+      "the table keeps serving the rolled-back version after expiry")
+    // keep = 0 refuses: an empty table is not a retention policy
+    intercept[IllegalArgumentException] { Versioned.expire(spark, dir, 0) }
+  }
+
   test("incremental agg: folds == one-shot recompute; untouched slots keep their files") {
     val s = spark
     import s.implicits._
