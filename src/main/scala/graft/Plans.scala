@@ -428,7 +428,11 @@ object Plans {
     "s21_table_history" -> ("Table history: one tiny aggregate per " +
       "retained snapshot (catalog-sized loop under the retention " +
       "bound), unioned lazily — stats come from the snapshots " +
-      "themselves, so the listing cannot drift from the data."))
+      "themselves, so the listing cannot drift from the data."),
+    "m08_frame_coherence" -> ("Frame coherence: frames hash in the " +
+      "native perceptual_hash codegen kernel straight off the scan; " +
+      "the lag window's partitions are <= 8 frames by construction, " +
+      "then one hash aggregate — per-video cost is constant."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

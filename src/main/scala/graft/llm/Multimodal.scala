@@ -134,6 +134,40 @@ object Multimodal {
         least(lit(p.toLong), col("height") - col("pt.py")).as("ph"))
   }
 
+  /**
+   * Temporal frame-COHERENCE census — the static-scene/slideshow
+   * detector of video curation (m05 finds videos SHARING frames; this
+   * profiles motion WITHIN one video): per video the perceptual-hash
+   * Hamming distance between consecutive sampled frames, reduced to
+   * (min, max, sum). min-ham ~ 0 flags a static camera or a looped
+   * slideshow (near-free training tokens to down-weight), max-ham
+   * locates hard cuts (shot boundaries at threshold = the caller's
+   * policy). Frames hash in the native codegen kernel straight off the
+   * scan; the only non-map step is one lag window whose partitions are
+   * <= n frames by construction — bounded however large the corpus.
+   * Only videos with >= 2 non-empty frames appear (one frame has no
+   * transition to score).
+   */
+  def frameCoherence(media: Dataset[MediaRecord], n: Int = 8,
+                     frameBytes: Int = 64): DataFrame = {
+    val frames = sampleFrames(media, n, frameBytes)
+      .select(col("doc_id"), posexplode(col("frames")).as(Seq("fi", "frame")))
+      .filter(octet_length(col("frame")) > 0)
+    val ph = frames.select(col("doc_id"), col("fi").cast("long").as("fi"),
+      graft.functions.MediaExpressions.perceptualHash(col("frame")).as("ph"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("fi")
+    ph.withColumn("prev", lag(col("ph"), 1).over(byDoc))
+      .filter(col("prev").isNotNull)
+      .withColumn("ham", expr(
+        "aggregate(zip_with(ph, prev, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), 0L, (a, v) -> a + v)"))
+      .groupBy("doc_id")
+      .agg((count(lit(1)) + 1).cast("long").as("n_frames"),
+        min("ham").as("min_ham"), max("ham").as("max_ham"),
+        sum("ham").as("sum_ham"))
+      .orderBy("doc_id")
+  }
+
   /** The fixed aspect-ratio bucket list of [[aspectBucket]] (the
     * SDXL-style bucketed-batching convention): portrait/landscape pairs
     * around square. `bh` values {1,3,4,9,16} — lcm 144 is the common

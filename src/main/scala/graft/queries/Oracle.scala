@@ -1264,6 +1264,41 @@ object Oracle {
     // halves so hamming is two xor+bit_count calls; candidates mirror the
     // engine's rare-band join INCLUDING the boilerplate-band cap (a pair
     // whose matching bands are all capped is dropped on both sides)
+    // per-video consecutive-frame Hamming stats: the m05 frame/hash
+    // derivation verbatim, then a (doc, fi-1) self-join + popcount of
+    // the xor'd 32-bit halves
+    "m08_frame_coherence" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE length(text) > 0),
+        |fr AS (SELECT doc_id, CAST(t.i AS BIGINT) AS fi,
+        |         substring(text, CAST(t.i * greatest(1, n // 8) + 1 AS INT), 64) AS f
+        |       FROM b, unnest(range(0, 8)) AS t(i)
+        |       WHERE t.i * greatest(1, n // 8) < n),
+        |ph AS (SELECT doc_id, fi, length(f) AS m,
+        |   list_transform(range(0, 64), j ->
+        |     coalesce(list_aggregate(list_transform(range(CAST(1 + j AS BIGINT), length(f) + 1, 64),
+        |        i -> ascii(substring(f, CAST(i AS INT), 1))), 'sum'), 0)) AS bs,
+        |   coalesce(list_aggregate(list_transform(range(1, length(f) + 1),
+        |        i -> ascii(substring(f, CAST(i AS INT), 1))), 'sum'), 0) AS total
+        | FROM fr),
+        |bits AS (SELECT doc_id, fi,
+        |   CAST(coalesce(list_aggregate(list_transform(range(0, 32), j ->
+        |     CASE WHEN bs[CAST(j + 1 AS INT)] * m > total * greatest(0, (m - j + 63) // 64)
+        |          THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), 'sum'), 0) AS BIGINT) AS h1,
+        |   CAST(coalesce(list_aggregate(list_transform(range(32, 64), j ->
+        |     CASE WHEN bs[CAST(j + 1 AS INT)] * m > total * greatest(0, (m - j + 63) // 64)
+        |          THEN CAST(power(2, j - 32) AS BIGINT) ELSE 0 END), 'sum'), 0) AS BIGINT) AS h2
+        | FROM ph),
+        |pair AS (SELECT c.doc_id,
+        |           bit_count(xor(p.h1, c.h1)) + bit_count(xor(p.h2, c.h2)) AS ham
+        |         FROM bits c JOIN bits p
+        |           ON p.doc_id = c.doc_id AND p.fi = c.fi - 1)
+        |SELECT doc_id, CAST(count(*) + 1 AS BIGINT) AS n_frames,
+        |       CAST(min(ham) AS BIGINT) AS min_ham,
+        |       CAST(max(ham) AS BIGINT) AS max_ham,
+        |       CAST(sum(ham) AS BIGINT) AS sum_ham
+        |FROM pair GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "m05_video_neardup" -> {
       val cap = graft.llm.Multimodal.MediaNearDup.maxBandPostings
       s"""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents

@@ -3127,6 +3127,17 @@ object Queries {
       .orderBy("version")
   }
 
+  /** M8: per-video frame-coherence census ([[Multimodal.frameCoherence]])
+    * — consecutive-frame perceptual-hash Hamming stats: the static-
+    * scene/slideshow detector (min-ham ~ 0) and hard-cut locator
+    * (max-ham) of video curation, m05's within-video complement. Same
+    * ASCII fixture contract as m04/m05 — the oracle recomputes the
+    * identical average-hash from the text bytes. */
+  val m08FrameCoherence: Q = (s, dir) =>
+    Multimodal.frameCoherence(
+        Multimodal.fromDocuments(tbl(s, dir, "documents")))
+      .orderBy("doc_id")
+
   /** X13: snapshot diff (CDC) — classify rows across two dump generations
     * as added / removed / changed by a FULL OUTER join on the key with
     * content-hash comparison. The 100 TB shape of "what changed since last
@@ -3669,6 +3680,7 @@ object Queries {
     "v23_kmeans_assign" -> v23KmeansAssign,
     "x32_temporal_reach" -> x32TemporalReach,
     "s20_snapshot_expire" -> s20SnapshotExpire,
-    "s21_table_history" -> s21TableHistory
+    "s21_table_history" -> s21TableHistory,
+    "m08_frame_coherence" -> m08FrameCoherence
   )
 }

@@ -1489,6 +1489,33 @@ class LlmOpsSpec extends AnyFunSuite {
       3L -> (("fr", 2L))), s"got $got")
   }
 
+  test("m08 frame coherence: static payload scores 0; stats match the stub-spec recompute") {
+    val s = spark
+    import s.implicits._
+    def rec(id: Long, payload: Array[Byte]) =
+      Multimodal.MediaRecord(id, payload, "video/x", 32L, 32L, 8L)
+    val static = Array.fill(128)('a'.toByte)       // every frame identical
+    val varied = (0 until 256).map(i => ((i * 37 + 11) % 96 + 32).toByte).toArray
+    val media = Seq(rec(1, static), rec(2, varied)).toDS()
+    val got = Multimodal.frameCoherence(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) === ((8L, 0L, 0L, 0L)), s"static video must score 0: ${got(1L)}")
+    // independent recompute from the executable codec spec
+    def expected(payload: Array[Byte]): (Long, Long, Long, Long) = {
+      val step = math.max(1, payload.length / 8)
+      val frames = (0 until 8).map(_ * step).filter(_ < payload.length)
+        .map(o => payload.slice(o, math.min(o + 64, payload.length)))
+        .filter(_.nonEmpty)
+      val hs = frames.map(Multimodal.MediaCodecStub.phash)
+      val hams = hs.sliding(2).map { case Seq(a, b) =>
+        a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+      }.toSeq
+      (frames.size.toLong, hams.min, hams.max, hams.sum)
+    }
+    assert(got(2L) === expected(varied), s"got ${got(2L)} expected ${expected(varied)}")
+  }
+
   test("m07 aspect bucketing: exact ratios, nearest election, and the lcm tie rule") {
     val s = spark
     import s.implicits._
