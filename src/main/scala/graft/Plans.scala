@@ -432,7 +432,11 @@ object Plans {
     "m08_frame_coherence" -> ("Frame coherence: frames hash in the " +
       "native perceptual_hash codegen kernel straight off the scan; " +
       "the lag window's partitions are <= 8 frames by construction, " +
-      "then one hash aggregate — per-video cost is constant."))
+      "then one hash aggregate — per-video cost is constant."),
+    "t33_word_dropout" -> ("Word dropout: in-row index filter + gather " +
+      "+ rebuild — map-only, zero shuffle, zero RNG state; determinism " +
+      "comes from hashing (doc, position), so retried tasks emit " +
+      "identical rows."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

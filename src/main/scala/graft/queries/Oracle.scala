@@ -1264,6 +1264,22 @@ object Oracle {
     // halves so hamming is two xor+bit_count calls; candidates mirror the
     // engine's rare-band join INCLUDING the boilerplate-band cap (a pair
     // whose matching bands are all capped is dropped on both sides)
+    // hash-seeded word dropout: drop position i iff md5(doc_id:i) starts
+    // with '0' — identical md5 hex both engines, 1-based positions,
+    // space rebuild
+    "t33_word_dropout" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |k AS (SELECT doc_id, len(w) AS n_words,
+        |        list_filter(range(1, len(w) + 1),
+        |          i -> substring(md5(doc_id || ':' || i), 1, 1) <> '0') AS keep,
+        |        w
+        |      FROM t)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |       CAST(n_words - len(keep) AS BIGINT) AS n_dropped,
+        |       list_aggregate(list_transform(keep, i -> w[CAST(i AS INT)]),
+        |         'string_agg', ' ') AS aug_text
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     // per-video consecutive-frame Hamming stats: the m05 frame/hash
     // derivation verbatim, then a (doc, fi-1) self-join + popcount of
     // the xor'd 32-bit halves

@@ -3127,6 +3127,28 @@ object Queries {
       .orderBy("version")
   }
 
+  /** T33: deterministic word-dropout augmentation — the training-data
+    * augmentation family (word dropout / random deletion a la Wei & Zou
+    * 2019 EDA), made REPRODUCIBLE the way a 100 TB pipeline needs it:
+    * the "randomness" is a pure function of (doc_id, position) — drop
+    * word i iff md5(doc_id:i) starts with '0' (rate 1/16) — so reruns,
+    * retries, and engines produce the identical augmented corpus (no
+    * RNG state, no seed plumbing, the t06 hash-sampling discipline
+    * applied within the row). MAP-ONLY: index filter + element gather +
+    * rebuild are in-row HOFs, the augmenter runs at scan speed. */
+  val t33WordDropout: Q = (s, dir) => {
+    val ws = split(col("text"), " ")
+    val keptIdx = filter(sequence(lit(1), size(ws)),
+      i => substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        i.cast("string"))), 1, 1) =!= "0")
+    val kept = transform(keptIdx, i => element_at(ws, i))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), size(ws).cast("long").as("n_words"),
+        (size(ws) - size(kept)).cast("long").as("n_dropped"),
+        concat_ws(" ", kept).as("aug_text"))
+      .orderBy("doc_id")
+  }
+
   /** M8: per-video frame-coherence census ([[Multimodal.frameCoherence]])
     * — consecutive-frame perceptual-hash Hamming stats: the static-
     * scene/slideshow detector (min-ham ~ 0) and hard-cut locator
@@ -3681,6 +3703,7 @@ object Queries {
     "x32_temporal_reach" -> x32TemporalReach,
     "s20_snapshot_expire" -> s20SnapshotExpire,
     "s21_table_history" -> s21TableHistory,
-    "m08_frame_coherence" -> m08FrameCoherence
+    "m08_frame_coherence" -> m08FrameCoherence,
+    "t33_word_dropout" -> t33WordDropout
   )
 }

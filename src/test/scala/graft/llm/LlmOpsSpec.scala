@@ -1489,6 +1489,22 @@ class LlmOpsSpec extends AnyFunSuite {
       3L -> (("fr", 2L))), s"got $got")
   }
 
+  test("t33 word dropout: hash-seeded positions, rebuild order, determinism across reruns") {
+    // md5('1:i') for i in 1..12 never starts with '0'; md5('2:3') does —
+    // verified against a reference md5 implementation
+    val df = docsDf(Seq(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",
+      2L -> "a b c d e f"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_t33").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    def run() = graft.queries.Queries.t33WordDropout(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val got = run()
+    assert(got(1L) === ((12L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12")))
+    assert(got(2L) === ((6L, 1L, "a b d e f")), s"got ${got(2L)}")
+    assert(run() === got, "augmentation must be deterministic across reruns")
+  }
+
   test("m08 frame coherence: static payload scores 0; stats match the stub-spec recompute") {
     val s = spark
     import s.implicits._
