@@ -127,6 +127,8 @@ object Bench {
         s""","bag_import":{"error":true}"""
       }
     }.getOrElse("")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LAST.json")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"repeats":$repeats,"sf":"$sfDir"$bagImport}"""
     println(line)
     // Truncation defense (VERDICT r8/r9): the consumer's terminal capture
@@ -145,15 +147,13 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":$nFailed,"repeats":$repeats,"sf":"$sfDir",""" +
       s""""headliner_sec":$hlSum,"headliners":$hlJson$bagImport,""" +
-      s""""queries_detail":"BENCH_LAST.json"}""")
+      s""""queries_detail":"$out"}""")
     // Durable copy: r8's committed artifact lost the front half of the
     // JSON line to the consumer's terminal-capture truncation, making the
     // per-query numbers unreproducible. The file is the artifact of
     // record; stdout stays the driver contract. A SPARK_GRAFT_ONLY subset
     // run writes a SEPARATE file so a local iteration loop can never
     // clobber the full-suite artifact with a 2-query line.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

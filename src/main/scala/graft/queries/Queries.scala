@@ -1765,9 +1765,22 @@ object Queries {
     * Scale: fingerprinting is map-only; the election is one equi-shuffle
     * on the 16-byte fingerprint + a semi-join — no text moves twice. */
   val st19NearDedupElection: Q = (s, dir) => {
-    val withFp = tbl(s, dir, "documents").withColumn("__fp",
-      graft.streaming.EventStreams.nearDupFingerprintMd5(
-        col("text"), col("doc_id"), 5))
+    val docs = tbl(s, dir, "documents")
+    // same VALUE as EventStreams.nearDupFingerprintMd5, different
+    // physical shape: the streaming form must carry the fingerprint
+    // in-row (it is the state key), but in-row min-over-md5 runs the
+    // interpreted HOF lambda path — 9s at sf0.1. The batch mirror
+    // computes the identical min via explode -> codegen'd md5 -> one
+    // partial-aggregated min (shuffle volume = |docs|), then the
+    // fallback chain totalizes docs with no shingles.
+    val mins = docs
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("sh"))
+      .groupBy("doc_id").agg(min(md5(col("sh"))).as("m"))
+    val withFp = docs.join(mins, Seq("doc_id"), "left")
+      .withColumn("__fp",
+        when(col("text").isNull, concat(lit("null:"), col("doc_id").cast("string")))
+          .otherwise(coalesce(concat(lit("fp:"), col("m")),
+            concat(lit("short:"), md5(col("text"))))))
     val winners = withFp.groupBy("__fp").agg(min(col("doc_id")).as("doc_id"))
     withFp.join(winners, Seq("__fp", "doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("source"))
