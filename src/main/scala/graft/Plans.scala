@@ -436,7 +436,14 @@ object Plans {
     "t33_word_dropout" -> ("Word dropout: in-row index filter + gather " +
       "+ rebuild — map-only, zero shuffle, zero RNG state; determinism " +
       "comes from hashing (doc, position), so retried tasks emit " +
-      "identical rows."))
+      "identical rows."),
+    "t34_length_buckets" -> ("Length buckets: tier id is integer " +
+      "bit-length math in the scan projection, then one tiny " +
+      "per-tier fold — map-side combine leaves ~10 rows to shuffle."),
+    "x33_join_profile" -> ("Join profile: two map-side partial-" +
+      "aggregated key histograms + a key-on-key full join — shuffle " +
+      "volume is DISTINCT KEYS, never data rows; forecasting a 100 TB " +
+      "join's cardinality costs a key census, not the join."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -1264,6 +1264,41 @@ object Oracle {
     // halves so hamming is two xor+bit_count calls; candidates mirror the
     // engine's rare-band join INCLUDING the boilerplate-band cap (a pair
     // whose matching bands are all capped is dropped on both sides)
+    // power-of-two capacity tiers via length(bin(n-1)) — integer
+    // ceil(log2), no FP near boundaries; pad waste exact
+    "t34_length_buckets" ->
+      """WITH d AS (SELECT doc_id,
+        |    greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS n_words
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_words,
+        |    greatest(CAST(1 AS BIGINT) << length(bin(n_words - 1)), 16) AS cap
+        |  FROM d)
+        |SELECT cap, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_words) AS BIGINT) AS sum_words,
+        |       CAST(sum(cap - n_words) AS BIGINT) AS pad_tokens,
+        |       CAST(1000000 * sum(cap - n_words) // (cap * count(*)) AS BIGINT) AS waste_ppm
+        |FROM c GROUP BY cap ORDER BY cap""".stripMargin,
+
+    // exact join-cardinality forecast from the two per-key histograms;
+    // hottest key = max product, min key on ties
+    "x33_join_profile" ->
+      """WITH a AS (SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS na
+        |           FROM lineitem GROUP BY 1),
+        |b AS (SELECT o_orderkey AS key, CAST(count(*) AS BIGINT) AS nb
+        |      FROM orders GROUP BY 1),
+        |f AS (SELECT coalesce(a.key, b.key) AS key,
+        |        coalesce(na, 0) AS na, coalesce(nb, 0) AS nb,
+        |        coalesce(na, 0) * coalesce(nb, 0) AS prod
+        |      FROM a FULL JOIN b ON a.key = b.key)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_matched,
+        |       CAST(sum(na) AS BIGINT) AS rows_a, CAST(sum(nb) AS BIGINT) AS rows_b,
+        |       CAST(sum(prod) AS BIGINT) AS join_rows,
+        |       CAST(max(prod) AS BIGINT) AS max_fanout,
+        |       CAST(min(key) FILTER (WHERE prod = (SELECT max(prod) FROM f)) AS BIGINT) AS hot_key,
+        |       CAST(1000000 * sum(prod) // (sum(na) + sum(nb)) AS BIGINT) AS amp_ppm
+        |FROM f""".stripMargin,
+
     // hash-seeded word dropout: drop position i iff md5(doc_id:i) starts
     // with '0' — identical md5 hex both engines, 1-based positions,
     // space rebuild

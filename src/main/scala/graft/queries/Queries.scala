@@ -3162,6 +3162,65 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X33: join-fanout profile — ANALYZE for JOINS (the planning number
+    * s18's per-table stats can't give): the EXACT output cardinality of
+    * the lineitem⋈orders key join forecast WITHOUT executing it —
+    * sum(na*nb) over the two per-key count histograms — plus the skew
+    * diagnostics that pick the physical strategy: distinct keys per
+    * side and matched, per-side row totals, max per-key fanout and the
+    * (deterministic, min-id tie-broken) hottest key, and amplification
+    * in ppm of the input rows. Shuffle = DISTINCT KEYS (two map-side
+    * partial-aggregated histograms joined key-on-key), never data rows
+    * — profiling a 100 TB join costs a key census, not the join. */
+  val x33JoinProfile: Q = (s, dir) => {
+    import graft.functions.VectorAggregates.argMax
+    val a = tbl(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("na"))
+    val b = tbl(s, dir, "orders")
+      .groupBy(col("o_orderkey").as("key")).agg(count(lit(1)).as("nb"))
+    a.join(b, Seq("key"), "full")
+      .select(col("key"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+      .withColumn("prod", col("na") * col("nb"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("na") > 0 && col("nb") > 0, 1L).otherwise(0L)).as("n_keys_matched"),
+        sum("na").as("rows_a"), sum("nb").as("rows_b"),
+        sum("prod").as("join_rows"), max("prod").as("max_fanout"),
+        argMax(struct(col("prod"), -col("key")), col("key")).as("hot_key"))
+      .select(col("n_keys"), col("n_keys_matched"), col("rows_a"),
+        col("rows_b"), col("join_rows"), col("max_fanout"), col("hot_key"),
+        expr("1000000 * join_rows div (rows_a + rows_b)").as("amp_ppm"))
+  }
+
+  /** T34: length-bucketed batching economics — m07's discipline on the
+    * sequence axis (dynamic batching for seq2seq/packing planners):
+    * docs bucket by word count into power-of-two capacity tiers
+    * (pad-to-bucket), and the census prices each tier: doc count,
+    * token mass, and PAD WASTE in exact integer tokens + ppm — the
+    * number that says whether naive pad-to-max is burning compute vs
+    * t08's packing. Bucket id = ceil(log2(n)) via bit_length of (n-1)
+    * — pure integer, no log FP; map-only scan then a tiny per-bucket
+    * fold. */
+  val t34LengthBuckets: Q = (s, dir) => {
+    val n = size(split(col("text"), " ")).cast("long")
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        greatest(n, lit(1L)).as("n_words"))
+      // capacity = next power of two >= n_words (min tier 16):
+      // length(bin(x - 1)) is ceil(log2(x)) for x >= 2 — integer exact,
+      // no log() FP near tier boundaries
+      .withColumn("cap", greatest(
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), length(bin(n_words - 1))) AS BIGINT)"),
+        lit(16L)))
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("sum_words"),
+        (sum(col("cap") - col("n_words"))).as("pad_tokens"))
+      .select(col("cap"), col("n_docs"), col("sum_words"), col("pad_tokens"),
+        expr("1000000 * pad_tokens div (cap * n_docs)").as("waste_ppm"))
+      .orderBy("cap")
+  }
+
   /** M8: per-video frame-coherence census ([[Multimodal.frameCoherence]])
     * — consecutive-frame perceptual-hash Hamming stats: the static-
     * scene/slideshow detector (min-ham ~ 0) and hard-cut locator
@@ -3717,6 +3776,8 @@ object Queries {
     "s20_snapshot_expire" -> s20SnapshotExpire,
     "s21_table_history" -> s21TableHistory,
     "m08_frame_coherence" -> m08FrameCoherence,
-    "t33_word_dropout" -> t33WordDropout
+    "t33_word_dropout" -> t33WordDropout,
+    "t34_length_buckets" -> t34LengthBuckets,
+    "x33_join_profile" -> x33JoinProfile
   )
 }

@@ -1505,6 +1505,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(run() === got, "augmentation must be deterministic across reruns")
   }
 
+  test("t34 length buckets: power-of-two tiers exact at boundaries, pad waste integer-exact") {
+    val df = docsDf(Seq(
+      1L -> (1 to 15).map(i => s"w$i").mkString(" "),  // 15 -> cap 16
+      2L -> (1 to 16).map(i => s"w$i").mkString(" "),  // 16 -> cap 16 (boundary)
+      3L -> (1 to 17).map(i => s"w$i").mkString(" "),  // 17 -> cap 32 (boundary + 1)
+      4L -> "tiny",                                     // 1 -> min tier 16
+      5L -> (1 to 33).map(i => s"w$i").mkString(" "))) // 33 -> cap 64
+    val dir = java.nio.file.Files.createTempDirectory("graft_t34").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Queries.t34LengthBuckets(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // cap 16: docs {1, 2, 4} words 15+16+1=32, pad 1+0+15=16, waste 16/48
+    // cap 32: doc 3, pad 15; cap 64: doc 5, pad 31
+    assert(got === Map(
+      16L -> ((3L, 32L, 16L, 1000000L * 16 / 48)),
+      32L -> ((1L, 17L, 15L, 1000000L * 15 / 32)),
+      64L -> ((1L, 33L, 31L, 1000000L * 31 / 64))), s"got $got")
+  }
+
   test("m08 frame coherence: static payload scores 0; stats match the stub-spec recompute") {
     val s = spark
     import s.implicits._

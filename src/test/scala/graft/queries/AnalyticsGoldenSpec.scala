@@ -99,6 +99,24 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       3L -> ((1L, 0L, 21600L, 0L))), s"got $got")
   }
 
+  test("x33: join profile — exact cardinality forecast, skew key election, unmatched keys counted") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_x33").toString
+    // lineitem: key 1 x3, key 2 x2, key 9 x4 (unmatched on orders)
+    Seq(1L, 1L, 1L, 2L, 2L, 9L, 9L, 9L, 9L).toDF("l_orderkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // orders: key 1 x2, key 2 x1, key 7 x5 (unmatched on lineitem)
+    Seq(1L, 1L, 2L, 7L, 7L, 7L, 7L, 7L).toDF("o_orderkey")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = Queries.x33JoinProfile(spark, dir).collect().head
+    // keys {1,2,7,9}; matched {1,2}; rows 9/8; join = 3*2 + 2*1 = 8;
+    // max fanout 6 at key 1; amp = 1e6*8 div 17
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7)) ===
+      ((4L, 2L, 9L, 8L, 8L, 6L, 1L, 1000000L * 8 / 17)), s"got $r")
+  }
+
   test("a29: gap-fill spine zero-fills interior hours per type, bounds from the data") {
     val rows = Seq(
       (1L, 0L, 1L, "a", 1.0),    // hour 0
