@@ -443,7 +443,11 @@ object Plans {
     "x33_join_profile" -> ("Join profile: two map-side partial-" +
       "aggregated key histograms + a key-on-key full join — shuffle " +
       "volume is DISTINCT KEYS, never data rows; forecasting a 100 TB " +
-      "join's cardinality costs a key census, not the join."))
+      "join's cardinality costs a key census, not the join."),
+    "x34_random_walks" -> ("Random walks: the ranked adjacency builds " +
+      "once (one window pass over src partitions); each of the 3 steps " +
+      "joins the SEEDS-SIZED frontier against it — walk cost scales " +
+      "with walks, not with the graph."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -583,6 +583,30 @@ object Oracle {
         |FROM documents
         |ORDER BY version""".stripMargin,
 
+    // deterministic walks: step k from cur picks sorted-adjacency index
+    // md5(seed:k:cur) mod degree — same 32-bit hex prefix rule both
+    // engines (the t20 '0x' cast pattern)
+    "x34_random_walks" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT user_id AS src,
+        |         1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |ed AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |adj AS (SELECT src, dst,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) - 1 AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+        |  FROM ed),
+        |sd AS (SELECT DISTINCT src AS seed FROM ed
+        |       WHERE src < 1000000 AND src % 100 = 0),
+        |w AS (SELECT seed, CAST(0 AS BIGINT) AS step, seed AS node FROM sd
+        |      UNION ALL
+        |      SELECT w.seed, w.step + 1, adj.dst
+        |      FROM w JOIN adj ON adj.src = w.node
+        |        AND adj.rnk = CAST('0x' || substring(md5(
+        |              w.seed || ':' || (w.step + 1) || ':' || w.node), 1, 8) AS BIGINT) % adj.deg
+        |      WHERE w.step < 3)
+        |SELECT seed, step, node FROM w ORDER BY seed, step""".stripMargin,
+
     // time-respecting path enumeration (hop-bounded recursive CTE): an
     // edge extends a path iff its ts >= the path's arrival; min arrival
     // per node over <= 4-hop paths — min-merge dominance makes this

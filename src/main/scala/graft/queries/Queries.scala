@@ -3390,6 +3390,42 @@ object Queries {
       .orderBy("node_id")
   }
 
+  /** X34: deterministic random-walk corpus ([[x32TemporalReach]]'s
+    * sibling on the SAMPLING side — DeepWalk/node2vec's data-generation
+    * step, whose walk sequences are the training corpus for graph
+    * embeddings): one 3-step walk per seed over the bipartite event
+    * graph, where step k's choice from cur's SORTED adjacency is index
+    * md5(seed:k:cur) mod degree — the t33 discipline on graphs:
+    * "randomness" as a pure function of (walk, step, node), so reruns,
+    * task retries, and engines emit the identical corpus with no RNG
+    * state. Per step one equi-join on the current node against the
+    * ranked adjacency (rank + degree from one window pass over src
+    * partitions); the walk frontier is seeds-sized, never graph-sized. */
+  val x34RandomWalks: Q = (s, dir) => {
+    val edges = eventsBipartiteEdges(tbl(s, dir, "events")).distinct()
+    val bySrc = Window.partitionBy("src").orderBy("dst")
+    val adj = edges
+      .withColumn("rnk", row_number().over(bySrc).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+    val seeds = edges.select(col("src")).distinct()
+      .filter(col("src") < 1000000L && col("src") % 100 === 0)
+      .select(col("src").as("seed"))
+    var walk = seeds.select(col("seed"), lit(0L).as("step"),
+      col("seed").as("node"))
+    var out = walk
+    for (k <- 1 to 3) {
+      val pick = conv(substring(md5(concat(
+        col("seed").cast("string"), lit(":"), lit(k.toLong).cast("string"),
+        lit(":"), col("node").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % col("deg")
+      walk = walk.join(adj, walk("node") === adj("src"))
+        .filter(col("rnk") === pick)
+        .select(col("seed"), lit(k.toLong).as("step"), col("dst").as("node"))
+      out = out.unionByName(walk)
+    }
+    out.orderBy("seed", "step")
+  }
+
   /** X19: multi-source BFS hop distance over the event graph
     * ([[graft.graph.Bfs.bfsDistances]]) — link distance from a trusted
     * seed set, the classic graph-proximity quality prior. Seeds are the
@@ -3778,6 +3814,7 @@ object Queries {
     "m08_frame_coherence" -> m08FrameCoherence,
     "t33_word_dropout" -> t33WordDropout,
     "t34_length_buckets" -> t34LengthBuckets,
-    "x33_join_profile" -> x33JoinProfile
+    "x33_join_profile" -> x33JoinProfile,
+    "x34_random_walks" -> x34RandomWalks
   )
 }

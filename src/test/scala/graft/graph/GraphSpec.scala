@@ -363,6 +363,46 @@ class GraphSpec extends AnyFunSuite {
       (3L, 3L) -> 0L, (3L, 4L) -> 1L))
   }
 
+  test("x34 walk rule: md5(seed:step:cur) mod degree over sorted adjacency — independent recompute") {
+    val s = spark
+    import s.implicits._
+    // bipartite-style fixture through the registered query's own edge
+    // derivation: users 100, 200 (seeds: % 100 == 0), pages via props.k
+    val rows = Seq(
+      (1L, 100L, "{\"k\": 1}"), (2L, 100L, "{\"k\": 2}"), (3L, 100L, "{\"k\": 3}"),
+      (4L, 200L, "{\"k\": 1}"), (5L, 150L, "{\"k\": 2}"))
+      .map { case (e, u, p) => (e, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "view", 1.0, p) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_x34").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.queries.Queries.x34RandomWalks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // independent recompute of the whole walk from first principles
+    val e0 = Set((100L, 1000001L), (100L, 1000002L), (100L, 1000003L),
+      (200L, 1000001L), (150L, 1000002L))
+    val adjMap = (e0 ++ e0.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSeq.sorted }
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def pick(seed: Long, step: Int, cur: Long): Long = {
+      val ns = adjMap(cur)
+      val idx = java.lang.Long.parseLong(md5hex(s"$seed:$step:$cur").take(8), 16) % ns.size
+      ns(idx.toInt)
+    }
+    val expected = Seq(100L, 200L).flatMap { seed =>
+      var cur = seed
+      ((seed, 0L) -> seed) +: (1 to 3).map { k =>
+        cur = pick(seed, k, cur); (seed, k.toLong) -> cur
+      }
+    }.toMap
+    assert(got === expected, s"got $got expected $expected")
+    // determinism across reruns (no RNG state anywhere)
+    val again = graft.queries.Queries.x34RandomWalks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again === got)
+  }
+
   test("temporalArrivals: forward-in-time paths only; relaxation improves arrivals; hop bound") {
     val s = spark
     import s.implicits._
