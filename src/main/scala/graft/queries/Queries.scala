@@ -1298,8 +1298,16 @@ object Queries {
     * exchange — the serve here is that plan's in-frame form. */
   val t32PhraseIndex: Q = (s, dir) => {
     val docs = tbl(s, dir, "documents")
-    val post = docs.select(col("doc_id"),
-      explode(TextOps.shingles(col("text"), 3)).as("phrase"))
+    // the postings ARE the index: materialize once (the m05/v11 build
+    // discipline) — election and serve would otherwise each re-run the
+    // corpus-wide shingle materialization
+    val post = graft.SessionResources.trackPersisted {
+      val p = docs.select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 3)).as("phrase"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
     val dfreq = post.groupBy("phrase").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 1000)
     val qphrases = dfreq.orderBy(col("df").desc, col("phrase")).limit(3)
