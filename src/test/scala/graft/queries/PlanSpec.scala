@@ -119,6 +119,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!pg.contains("Join"), s"patch grid should not join:\n$pg")
   }
 
+  test("r10 map-only operators are pure map — no exchange, no join (m07/v23/t33 forms)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // operator forms (the registered queries add the determinism orderBy)
+    val pa = planString(graft.llm.Multimodal.aspectBucket(
+      graft.llm.Multimodal.fromDocuments(Queries.tbl(spark, sf, "documents"))))
+    assert(!pa.contains("Exchange"), s"aspect bucketer should not shuffle:\n$pa")
+    assert(!pa.contains("Join"), s"aspect bucketer should not join:\n$pa")
+    // v23's assignment half (centroid literal + in-row argmin), pre-orderBy
+    val emb = Queries.embeddings(spark, sf)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    import org.apache.spark.sql.functions._
+    val scored = array(seeds.map { case (cid, c) =>
+      struct(round(aggregate(zip_with(col("__e"), array(c.map(lit): _*),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v), 6).as("dist2"),
+        lit(cid).as("cluster_id"))
+    }.toIndexedSeq: _*)
+    val pk = planString(emb.withColumn("__e", col("embedding").cast("array<double>"))
+      .withColumn("__best", element_at(array_sort(scored), 1))
+      .select(col("vec_id"), col("__best.cluster_id"), col("__best.dist2")))
+    assert(!pk.contains("Exchange"), s"k-means assignment should not shuffle:\n$pk")
+    assert(!pk.contains("Join"), s"k-means assignment should not join:\n$pk")
+    // t33's augmenter (index filter + gather + rebuild), pre-orderBy
+    val ws = split(col("text"), " ")
+    val keptIdx = filter(sequence(lit(1), size(ws)),
+      i => substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        i.cast("string"))), 1, 1) =!= "0")
+    val pd = planString(Queries.tbl(spark, sf, "documents")
+      .select(col("doc_id"), concat_ws(" ",
+        transform(keptIdx, i => element_at(ws, i))).as("aug_text")))
+    assert(!pd.contains("Exchange"), s"word dropout should not shuffle:\n$pd")
+    assert(!pd.contains("Join"), s"word dropout should not join:\n$pd")
+  }
+
   test("v17: the tombstone-aware serve keeps the corpus side exchange-free") {
     import org.apache.spark.sql.functions.col
     // build + delete, then audit the serve plan: the only addition over
