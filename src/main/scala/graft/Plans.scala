@@ -447,7 +447,13 @@ object Plans {
     "x34_random_walks" -> ("Random walks: the ranked adjacency builds " +
       "once (one window pass over src partitions); each of the 3 steps " +
       "joins the SEEDS-SIZED frontier against it — walk cost scales " +
-      "with walks, not with the graph."))
+      "with walks, not with the graph."),
+    "a30_kanonymity" -> ("k-anonymity: ONE corpus-sized census (map-" +
+      "side partials), then the generalization walk runs over CLASS " +
+      "COUNTS — two tiny aggregations, rows never touched again."),
+    "x35_fd_profile" -> ("FD profile: per candidate one (lhs, rhs) " +
+      "dedup with map-side partials + a per-lhs count — shuffle is " +
+      "distinct pairs; verdicts are exact, not sampled."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

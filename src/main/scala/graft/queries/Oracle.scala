@@ -1288,6 +1288,46 @@ object Oracle {
     // halves so hamming is two xor+bit_count calls; candidates mirror the
     // engine's rare-band join INCLUDING the boilerplate-band cap (a pair
     // whose matching bands are all capped is dropped on both sides)
+    // k-anonymity with generalization: level-0 classes >= 10 release
+    // as-is; violators pool per nation (level 1), still-violating pool
+    // fully suppressed (level 2); row conservation rides the hash
+    "a30_kanonymity" ->
+      """WITH l0 AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM customer GROUP BY 1, 2),
+        |ok0 AS (SELECT CAST(0 AS BIGINT) AS gen_level, CAST(nation AS VARCHAR) AS nation_out,
+        |          segment AS segment_out, n AS n_rows
+        |        FROM l0 WHERE n >= 10),
+        |l1 AS (SELECT nation, CAST(sum(n) AS BIGINT) AS n FROM l0 WHERE n < 10 GROUP BY 1),
+        |ok1 AS (SELECT CAST(1 AS BIGINT), CAST(nation AS VARCHAR), '*', n
+        |        FROM l1 WHERE n >= 10),
+        |l2 AS (SELECT CAST(2 AS BIGINT), '*', '*', CAST(sum(n) AS BIGINT)
+        |       FROM l1 WHERE n < 10 HAVING sum(n) > 0)
+        |SELECT * FROM ok0 UNION ALL SELECT * FROM ok1 UNION ALL SELECT * FROM l2
+        |ORDER BY gen_level, nation_out, segment_out""".stripMargin,
+
+    // per-candidate FD: distinct (lhs, rhs) -> per-lhs rhs count ->
+    // violation census; includes the true key FD
+    "x35_fd_profile" ->
+      """WITH f1 AS (SELECT 'o_orderkey->o_custkey' AS fd,
+        |        CAST(count(*) AS BIGINT) AS n_lhs,
+        |        CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        |      FROM (SELECT o_orderkey AS l, count(DISTINCT o_custkey) AS nr
+        |            FROM orders GROUP BY 1)),
+        |f2 AS (SELECT 'o_custkey->o_orderpriority',
+        |        CAST(count(*) AS BIGINT),
+        |        CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      FROM (SELECT o_custkey AS l, count(DISTINCT o_orderpriority) AS nr
+        |            FROM orders GROUP BY 1)),
+        |f3 AS (SELECT 'o_custkey->o_orderstatus',
+        |        CAST(count(*) AS BIGINT),
+        |        CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      FROM (SELECT o_custkey AS l, count(DISTINCT o_orderstatus) AS nr
+        |            FROM orders GROUP BY 1)),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+        |SELECT fd, n_lhs, n_violating, n_violating = 0 AS holds
+        |FROM u ORDER BY fd""".stripMargin,
+
     // power-of-two capacity tiers via length(bin(n-1)) — integer
     // ceil(log2), no FP near boundaries; pad waste exact
     "t34_length_buckets" ->

@@ -3201,6 +3201,62 @@ object Queries {
         expr("1000000 * join_rows div (rows_a + rows_b)").as("amp_ppm"))
   }
 
+  /** A30: k-anonymity census WITH the generalization step (the
+    * compliance gate tabular training data passes before release —
+    * Sweeney's k-anonymity, t10's regex redaction's structured
+    * sibling): quasi-identifier classes (nation, segment) below k=10
+    * GENERALIZE up the hierarchy — segment suppressed to '*', then
+    * nation too — until every released class holds >= k rows or lands
+    * in the fully-suppressed pool; every input row is released exactly
+    * ONCE at its minimal sufficient level (conservation is part of the
+    * oracle hash). Three tiny aggregations over one corpus-sized
+    * census — the hierarchy walk touches class counts, never rows
+    * again. */
+  val a30Kanonymity: Q = (s, dir) => {
+    val k = 10L
+    val l0 = tbl(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+    val ok0 = l0.filter(col("n") >= k)
+      .select(lit(0L).as("gen_level"), col("nation").cast("string").as("nation_out"),
+        col("segment").as("segment_out"), col("n").as("n_rows"))
+    val l1 = l0.filter(col("n") < k)
+      .groupBy(col("nation")).agg(sum(col("n")).as("n"))
+    val ok1 = l1.filter(col("n") >= k)
+      .select(lit(1L).as("gen_level"), col("nation").cast("string").as("nation_out"),
+        lit("*").as("segment_out"), col("n").as("n_rows"))
+    val l2 = l1.filter(col("n") < k).agg(sum(col("n")).as("n"))
+      .filter(col("n").isNotNull && col("n") > 0)
+      .select(lit(2L).as("gen_level"), lit("*").as("nation_out"),
+        lit("*").as("segment_out"), col("n").as("n_rows"))
+    ok0.unionByName(ok1).unionByName(l2)
+      .orderBy("gen_level", "nation_out", "segment_out")
+  }
+
+  /** X35: functional-dependency profile (Metanome-style data
+    * profiling — the schema-inference signal that decides key choice,
+    * normalization, and CDC merge keys): for each candidate LHS -> RHS
+    * pair, the distinct-LHS count, how many LHS values witness MORE
+    * than one RHS (violations), and whether the FD holds exactly. One
+    * partial-aggregated (lhs, rhs) dedup + per-lhs count per
+    * candidate; candidates include a true key FD so both outcomes are
+    * exercised. */
+  val x35FdProfile: Q = (s, dir) => {
+    val o = tbl(s, dir, "orders")
+    def fd(name: String, lhs: String, rhs: String) =
+      o.select(col(lhs).as("l"), col(rhs).as("r")).distinct()
+        .groupBy("l").agg(count(lit(1)).as("nr"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("nr") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          (col("n_violating") === 0).as("holds"))
+    fd("o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+      .unionByName(fd("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+      .unionByName(fd("o_custkey->o_orderstatus", "o_custkey", "o_orderstatus"))
+      .orderBy("fd")
+  }
+
   /** T34: length-bucketed batching economics — m07's discipline on the
     * sequence axis (dynamic batching for seq2seq/packing planners):
     * docs bucket by word count into power-of-two capacity tiers
@@ -3823,6 +3879,8 @@ object Queries {
     "t33_word_dropout" -> t33WordDropout,
     "t34_length_buckets" -> t34LengthBuckets,
     "x33_join_profile" -> x33JoinProfile,
-    "x34_random_walks" -> x34RandomWalks
+    "x34_random_walks" -> x34RandomWalks,
+    "a30_kanonymity" -> a30Kanonymity,
+    "x35_fd_profile" -> x35FdProfile
   )
 }

@@ -117,6 +117,43 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       ((4L, 2L, 9L, 8L, 8L, 6L, 1L, 1000000L * 8 / 17)), s"got $r")
   }
 
+  test("a30: k-anonymity generalization — release levels, pooling, row conservation") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_a30").toString
+    val rows = Seq.fill(12)((1L, "A")) ++          // level 0: class of 12
+      Seq.fill(6)((2L, "A")) ++ Seq.fill(5)((2L, "B")) ++ // pool to nation 2: 11
+      Seq.fill(4)((3L, "A"))                        // still < 10: fully suppressed
+    rows.toDF("c_nationkey", "c_mktsegment").write.parquet(s"$dir/customer.parquet")
+    val got = Queries.a30Kanonymity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got === Map(
+      (0L, "1", "A") -> 12L,
+      (1L, "2", "*") -> 11L,
+      (2L, "*", "*") -> 4L), s"got $got")
+    assert(got.values.sum === rows.size.toLong, "released rows must conserve input")
+  }
+
+  test("x35: FD profile — key FD holds, violating custkey FDs counted exactly") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_x35").toString
+    // custkey 10 has two priorities (violates) but one status (holds);
+    // custkey 20 uniform; custkey 30 singleton
+    Seq(
+      (1L, 10L, "P1", "O"), (2L, 10L, "P2", "O"),
+      (3L, 20L, "P1", "F"), (4L, 20L, "P1", "F"),
+      (5L, 30L, "P3", "O"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = Queries.x35FdProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      "o_orderkey->o_custkey" -> ((5L, 0L, true)),
+      "o_custkey->o_orderpriority" -> ((3L, 1L, false)),
+      "o_custkey->o_orderstatus" -> ((3L, 0L, true))), s"got $got")
+  }
+
   test("a29: gap-fill spine zero-fills interior hours per type, bounds from the data") {
     val rows = Seq(
       (1L, 0L, 1L, "a", 1.0),    // hour 0
