@@ -575,17 +575,20 @@ object Queries {
     * hash-checks two DETERMINISTIC facts against the oracle: the exact
     * distinct count, and `reagg_ok` — the merged estimate equals the
     * single-pass sketch estimate (union-homomorphism, the property the
-    * whole pattern rests on) AND lands within 5% of exact (lgK=12
-    * standard error is ~0.8%, so 5% is a deterministic-pass bound). */
+    * whole pattern rests on) AND lands within 5% of exact. lgConfigK
+    * is PINNED at 14 (standard error ~0.8%, so the 5% bound is ~6
+    * sigma): the default lgK=12's ~1.6% error made 5% a 3-sigma bound,
+    * and at sf0.1 one group genuinely tripped it — found by running
+    * the full oracle compare at 10x the driver's gate SF (r10). */
   val a23SketchRollup: Q = (s, dir) => {
     val ev = events(s, dir)
       .withColumn("day", expr("date_trunc('DAY', timestamp_micros(__tsu))"))
     val daily = ev.groupBy(col("event_type"), col("day"))
-      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
     val merged = daily.groupBy(col("event_type"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
     val direct = ev.groupBy(col("event_type"))
-      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"),
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est_direct"),
         countDistinct(col("user_id")).as("n_exact"))
     merged.join(direct, "event_type")
       .select(col("event_type"), col("n_exact"),
