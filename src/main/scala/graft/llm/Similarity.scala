@@ -1144,7 +1144,7 @@ object Similarity {
    * only membership in the shortlist (v10's two-stage discipline).
    */
   def annPq(emb: DataFrame, queries: DataFrame, k: Int, m: Int = PqM,
-            ksub: Int = PqKsub, shortlist: Int = 64): DataFrame = {
+            ksub: Int = PqKsub, shortlist: Int = 192): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     graft.functions.VectorExpressions.register(emb.sparkSession)
     val books = pqCodebooks(emb, m, ksub)
@@ -1251,7 +1251,7 @@ object Similarity {
    * aggregations (shortlist + final k), both |queries|-sized.
    */
   def annPqIndexed(spark: SparkSession, table: String, queries: DataFrame,
-                   k: Int, shortlist: Int = 64): DataFrame = {
+                   k: Int, shortlist: Int = 192): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     graft.functions.VectorExpressions.register(spark)
     val (books, ksub) = readPqCodebooks(spark, table)
@@ -1393,7 +1393,7 @@ object Similarity {
    */
   def annIvfPq(emb: DataFrame, queries: DataFrame, k: Int, c: Int = 0,
                m: Int = PqM, ksub: Int = PqKsub, nprobe: Int = 12,
-               shortlist: Int = 96): DataFrame = {
+               shortlist: Int = 192): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     graft.functions.VectorExpressions.register(emb.sparkSession)
     val cents = ivfCentroids(emb, c)
@@ -1507,7 +1507,7 @@ object Similarity {
    * over the qualifying slice, and the scan shrinks with selectivity).
    */
   def annIvfPqIndexed(spark: SparkSession, table: String, queries: DataFrame,
-                      k: Int, nprobe: Int = 12, shortlist: Int = 96,
+                      k: Int, nprobe: Int = 12, shortlist: Int = 192,
                       predicate: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     graft.functions.VectorExpressions.register(spark)
