@@ -17,10 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * Layout: `<dir>/v=N/` parquet snapshots, `<dir>/_latest` a one-line
  * pointer. The pointer write goes through `_latest.tmp` + rename (the
  * same-filesystem atomicity the WAP publish relies on). Old versions
- * are retained until an explicit `expire` (not implemented here —
- * retention policy is deployment-specific); at 100 TB snapshots share
- * no files, which is the cost of plain parquet vs a manifest format —
- * the INTERFACE (pin, flip, rollback) is what pipelines program
+ * are retained until an explicit `expire(keepLast)` call (below) drops
+ * them — retention policy is deployment-specific, so expiry is invoked
+ * by the pipeline, never implicit. At 100 TB snapshots share no files,
+ * which is the cost of plain parquet vs a manifest format — the
+ * INTERFACE (pin, flip, rollback, expire) is what pipelines program
  * against.
  */
 object Versioned {
