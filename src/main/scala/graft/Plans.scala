@@ -19,6 +19,10 @@ object Plans {
     "s05_scan_project" -> ("Scan pushdown: PushedFilters carries the quantity " +
       "predicate; ReadSchema reads 4 of 11 columns. At 100 TB this is the " +
       "difference between scanning 4 TB and 40 TB."),
+    "j00_adressen_build" -> ("FLAGSHIP curate chain end-to-end on the " +
+      "synthesized BAG fixture: five-way left join (dims broadcast, " +
+      "NULL-key sentinel), arg_max PK dedup, then the J3-J7 enrichment " +
+      "joins all reusing the nummer_id partitioning, U1-U3 cleanup."),
     "j01_join_5way" -> ("Star join: customer/nation/region broadcast (no " +
       "shuffle of lineitem for them); the only exchange pair is " +
       "lineitem-orders on orderkey. Partial aggregation runs map-side."),

@@ -22,11 +22,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (d05_simhash, t04_fingerprint, v03_ann_lsh, v05_ann_ivf,
-    * v12_indexed_ivf, v13_pq_ann, v14_indexed_pq, v15_ivfpq,
-    * v16_indexed_ivfpq, d16_semantic_dedup, x25_kcore, x30_ktruss,
+    * (v03_ann_lsh, v05_ann_ivf, v12_indexed_ivf, v13_pq_ann,
+    * v14_indexed_pq, v15_ivfpq, v16_indexed_ivfpq, d16_semantic_dedup,
     * a08_approx_distinct, a16_approx_percentiles)
     * -> rows-only check,
-    * each backed by a [[VerifyExtras]] bound in verify_extras.json. */
+    * each backed by a [[VerifyExtras]] bound in verify_extras.json.
+    * r11 flipped x25_kcore/x30_ktruss (fixpoint unrolled as chained
+    * MATERIALIZED CTEs) from rows-only to hash-exact; their VerifyExtras
+    * recomputes remain as independent second evidence. */
   def oracleSql: Map[String, String] = Oracle.sql
 }
