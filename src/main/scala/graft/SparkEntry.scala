@@ -28,7 +28,9 @@ object SparkEntry {
     * -> rows-only check,
     * each backed by a [[VerifyExtras]] bound in verify_extras.json.
     * r11 flipped x25_kcore/x30_ktruss (fixpoint unrolled as chained
-    * MATERIALIZED CTEs) from rows-only to hash-exact; their VerifyExtras
-    * recomputes remain as independent second evidence. */
+    * MATERIALIZED CTEs) and d05_simhash/t04_fingerprint (FNV-1a/
+    * splitmix64/XXH64 reproduced bit-exactly in HUGEINT mod-2^64 SQL)
+    * from rows-only to hash-exact; their VerifyExtras recomputes remain
+    * as independent second evidence. */
   def oracleSql: Map[String, String] = Oracle.sql
 }
