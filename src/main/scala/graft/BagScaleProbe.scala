@@ -417,10 +417,17 @@ object BagScaleProbe {
   /** Stage → raw-materialize → curate → validate, each timed. The three
     * import stages are the reference's measured window (readme.MD:86-87
     * times parse+insert+index, not validation). */
+  /** The probe's pipeline Config — geometry parsing ON (the reference's
+    * heavier configuration, readme.MD:87-88: every pand/lig/standplaats
+    * GML polygon is parsed, RD->WGS84-transformed and serialized to
+    * GeoJSON during the import). The generated extract always CONTAINS
+    * geometries, so with this flag the probe prices the full work. */
+  private[graft] val probeCfg = Config(asOfDate = "2024-06-30")
+
   def run(spark: SparkSession, workDir: String, n: Int): Result = {
     val sh = Shape(n)
     val (outerZip, csvPath) = generate(workDir, n)
-    val cfg = Config(asOfDate = "2024-06-30")
+    val cfg = probeCfg
     val layout = Pipeline.Layout(s"$workDir/staging", s"$workDir/warehouse")
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
@@ -503,6 +510,7 @@ object BagScaleProbe {
       // reference's ~25k/s headline (9M addresses / ~360 s, readme.MD:86-87)
       println(s"""{"metric":"bag_import_addresses_per_sec","value":${r.addressesPerSec.round},""" +
         s""""unit":"addresses/sec","n":${r.n},"adressen":${r.adressen},"errors":${r.errors},""" +
+        s""""parse_geometries":${probeCfg.parseGeometries},""" +
         s""""sec_stage":${r.secStage},"sec_raw_xml":${r.secRaw},"sec_curate":${r.secCurate},""" +
         s""""sec_validate":${r.secValidate},"sec_import":${r.secImport},""" +
         s""""reference_addresses_per_sec":25000}""")

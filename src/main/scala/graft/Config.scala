@@ -16,6 +16,18 @@ package graft
  * @param parseGeometries      convert GML geometry -> GeoJSON; else '' (config.py:39-43)
  * @param deleteOrphansBelow   drop adressen without a valid openbare ruimte only when
  *                             the orphan count is below this threshold (config.py:45-48)
+ * @param deleteNoLongerNeededBagTables
+ *                             after the adressen build, drop the five raw tables the
+ *                             curated layer subsumes (nummers, panden,
+ *                             verblijfsobjecten, ligplaatsen, standplaatsen) plus the
+ *                             XML staging area (config.py:29-32 +
+ *                             utils_sqlite_shrink.py:1-13; the reference's follow-up
+ *                             VACUUM has no parquet analog — deleting the directories
+ *                             reclaims the space immediately). Defaults FALSE here
+ *                             (the reference defaults true) because the raw parquet
+ *                             layer is this engine's queryable surface
+ *                             (Pipeline.registerViews, ValidateDb's integrity
+ *                             anti-joins); opt in via ImportBag `--drop-raw-tables`.
  */
 final case class Config(
     asOfDate: String,
@@ -23,7 +35,8 @@ final case class Config(
     createAdressenTable: Boolean = true,
     useShortStreetNames: Boolean = true,
     parseGeometries: Boolean = true,
-    deleteOrphansBelow: Long = 100L)
+    deleteOrphansBelow: Long = 100L,
+    deleteNoLongerNeededBagTables: Boolean = false)
 
 object Config {
   /** Explicit opt-in to wall-clock "today" (reference: utils.py:168-169). */

@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
  *                         flag for reproducible runs)
  *   --no-geometries       skip GML->GeoJSON        (config.py:39-43)
  *   --long-street-names   full street names        (config.py:34-37)
+ *   --drop-raw-tables     after the (validated) import, drop the five raw
+ *                         tables the adressen layer subsumes + the staging
+ *                         dir (config.py:29-32, utils_sqlite_shrink.py —
+ *                         the reference defaults this ON; here it is
+ *                         opt-in because the raw parquet layer is the
+ *                         engine's queryable surface)
  *   --skip-validation     do not run the post-import validation suite
  *   --master URL          Spark master             (default: local[*])
  *
@@ -28,7 +34,8 @@ object ImportBag {
   private val usage: String =
     """usage: runMain graft.ImportBag [--bag FILE] [--gemeenten FILE]
       |  [--warehouse DIR] [--staging DIR] [--as-of YYYY-MM-DD]
-      |  [--no-geometries] [--long-street-names] [--skip-validation] [--master URL]""".stripMargin
+      |  [--no-geometries] [--long-street-names] [--drop-raw-tables]
+      |  [--skip-validation] [--master URL]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     var bag = "input/bag.zip"
@@ -39,6 +46,7 @@ object ImportBag {
     var geometries = true
     var shortNames = true
     var validate = true
+    var dropRaw = false
     var master = "local[*]"
     var i = 0
     def value(flag: String): String = {
@@ -59,6 +67,7 @@ object ImportBag {
         case "--no-geometries"     => geometries = false
         case "--long-street-names" => shortNames = false
         case "--skip-validation"   => validate = false
+        case "--drop-raw-tables"   => dropRaw = true
         case "--master"            => master = value("--master")
         case "-h" | "--help"       => println(usage); return
         case other =>
@@ -78,7 +87,7 @@ object ImportBag {
       today
     }
     val cfg = Config(asOfDate = asOfDate, parseGeometries = geometries,
-      useShortStreetNames = shortNames)
+      useShortStreetNames = shortNames, deleteNoLongerNeededBagTables = dropRaw)
 
     val hadSession = SparkSession.getDefaultSession.nonEmpty
     val spark = SparkSession.builder()
@@ -104,6 +113,13 @@ object ImportBag {
           System.err.println(s"[validate] $errors check(s) failed")
           sys.exit(1)
         }
+      }
+      // reference order (import_bag.py:60-78): build -> validate -> THEN
+      // delete — a failed validation keeps the raw layer for forensics
+      if (cfg.deleteNoLongerNeededBagTables) {
+        val reclaimed = Pipeline.deleteNoLongerNeededBagTables(spark,
+          Pipeline.Layout(staging, warehouse))
+        println(f"[import] dropped raw tables + staging: ${reclaimed / 1048576.0}%.1f MB reclaimed")
       }
     } finally if (!hadSession) spark.stop()
   }

@@ -190,10 +190,46 @@ object Pipeline {
     Exports.writeCsv(df, outPath, singleFile)
   }
 
+  /** The shrink step (reference: config.py:29-32 `delete_no_longer_needed
+    * _bag_tables` + utils_sqlite_shrink.py:1-13): once the curated
+    * adressen layer is on disk, the five raw tables it subsumes — and the
+    * staged XML — are dead weight (the reference's 16 GB -> 7 GB
+    * headline). Drops exactly the reference's five DROP TABLEs
+    * (database_sqlite.py:532-541) plus the staging dir; the dimension
+    * tables (woonplaatsen, openbare_ruimten, gemeente_woonplaatsen,
+    * gemeenten, provincies) stay — exports and the golden lookups join
+    * them. SQLite needs a VACUUM to reclaim the pages; parquet
+    * directories free the bytes on delete, so this IS the vacuum.
+    * Returns the reclaimed byte count. */
+  def deleteNoLongerNeededBagTables(spark: SparkSession, layout: Layout): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dead = Seq("nummers", "panden", "verblijfsobjecten",
+      "ligplaatsen", "standplaatsen")
+      .map(n => new org.apache.hadoop.fs.Path(s"${layout.warehouseDir}/raw/$n")) :+
+      new org.apache.hadoop.fs.Path(layout.stagingDir)
+    dead.map { p =>
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) {
+        val bytes = fs.getContentSummary(p).getLength
+        fs.delete(p, true)
+        bytes
+      } else 0L
+    }.sum
+  }
+
   /** Re-open a warehouse written by [[importBag]]/[[materialize]]: raw layer
-    * parquet + curated adressen. */
+    * parquet + curated adressen. A warehouse shrunk by
+    * [[deleteNoLongerNeededBagTables]] re-opens with the dropped tables as
+    * empty frames — the exports surface only joins the retained dimension
+    * tables (the reference's shrunk bag.sqlite makes the same trade:
+    * export_to_csv works, the full raw-table test suite does not). */
   def openWarehouse(spark: SparkSession, warehouseDir: String): (BagTables, DataFrame) = {
-    def tbl(name: String) = spark.read.parquet(s"$warehouseDir/raw/$name")
+    def tbl(name: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/raw/$name")
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        spark.read.parquet(s"$warehouseDir/raw/$name")
+      else spark.emptyDataFrame
+    }
     val t = BagTables(
       woonplaatsen = tbl("woonplaatsen"),
       gemeenteWoonplaatsen = tbl("gemeente_woonplaatsen"),

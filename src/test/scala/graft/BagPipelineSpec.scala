@@ -244,12 +244,12 @@ class BagPipelineSpec extends AnyFunSuite {
     assert(new java.io.File(s"$out/adressen_postcodes.csv").exists())
   }
 
-  test("ImportBag + Exports CLIs run the reference workflow end to end from a bag.zip") {
+  /** Pack the BagFixtures XML into the real BAG layout (outer zip of
+    * per-object-type inner zips) under `root`; returns (bag.zip, csv). */
+  private def packFixtureZip(root: java.nio.file.Path): (java.nio.file.Path, String) = {
     import java.nio.file.{Files => JFiles, Paths => JPaths}
     import java.util.zip.{ZipEntry, ZipOutputStream}
-    val root = JFiles.createTempDirectory("bag_cli_e2e")
     val (xmlDirs, csv) = BagFixtures.write(root.resolve("plain"))
-    // pack the fixture into the BAG layout: outer zip of per-type inner zips
     val innerDir = root.resolve("inner")
     JFiles.createDirectories(innerDir)
     xmlDirs.foreach { case (code, dir) =>
@@ -268,7 +268,42 @@ class BagPipelineSpec extends AnyFunSuite {
       zos.write(JFiles.readAllBytes(f))
       zos.closeEntry()
     } finally zos.close()
+    (outerZip, csv)
+  }
 
+  test("--drop-raw-tables: shrink drops exactly the five subsumed tables + staging") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = JFiles.createTempDirectory("bag_cli_shrink")
+    val (outerZip, csv) = packFixtureZip(root)
+    val wh = root.resolve("warehouse").toString
+    val staging = root.resolve("staging").toString
+    graft.ImportBag.main(Array(
+      "--bag", outerZip.toString, "--gemeenten", csv,
+      "--warehouse", wh, "--staging", staging,
+      "--as-of", BagFixtures.asOf, "--skip-validation", "--drop-raw-tables"))
+    val dropped = Seq("nummers", "panden", "verblijfsobjecten",
+      "ligplaatsen", "standplaatsen")
+    val kept = Seq("woonplaatsen", "openbare_ruimten", "gemeente_woonplaatsen",
+      "gemeenten", "provincies")
+    dropped.foreach(n => assert(!JFiles.exists(JPaths.get(s"$wh/raw/$n")),
+      s"$n must be dropped"))
+    kept.foreach(n => assert(JFiles.exists(JPaths.get(s"$wh/raw/$n")),
+      s"$n must be kept"))
+    assert(!JFiles.exists(JPaths.get(staging)), "staging must be emptied")
+    // the shrunk warehouse still serves the curated layer + exports
+    // (the reference's shrunk bag.sqlite trade): reopen and run pc6 stats
+    val (t, adressen) = Pipeline.openWarehouse(spark, wh)
+    assert(adressen.count() === 9)
+    val out = root.resolve("out").toString
+    graft.Exports.main(Array("-p6", "--warehouse", wh, "--out", out, "--single-file"))
+    assert(new java.io.File(s"$out/adressen_p6_stats.csv").isFile)
+    assert(t.nummers.isEmpty, "dropped tables reopen as empty frames")
+  }
+
+  test("ImportBag + Exports CLIs run the reference workflow end to end from a bag.zip") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = JFiles.createTempDirectory("bag_cli_e2e")
+    val (outerZip, csv) = packFixtureZip(root)
     val wh = root.resolve("warehouse").toString
     graft.ImportBag.main(Array(
       "--bag", outerZip.toString, "--gemeenten", csv,
