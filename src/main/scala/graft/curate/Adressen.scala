@@ -19,11 +19,19 @@ import org.apache.spark.sql.functions._
  *  - nummers/verblijfsobjecten/panden are the big fan (~9M each in the real
  *    BAG; arbitrarily larger in principle): those joins shuffle on their keys.
  *  - openbare_ruimten (~250k) and woonplaatsen (~2.5k) are dimension-sized:
- *    broadcast them so the J1 chain costs exactly two shuffles
- *    (vbo-by-nummer_id, panden-by-id).
- *  - every enrichment join (J3-J7) keys on nummer_id, the same key as the
- *    J1 output — consecutive joins reuse the shuffle partitioning, so the
- *    whole enrichment chain adds no extra full shuffles of adressen.
+ *    broadcast them. The fact joins run vbo⋈pand FIRST (two narrow tables
+ *    shuffle on the pand key), then nummers⋈(vbo+pand) on nummer_id — so
+ *    the wide frame is born partitioned by nummer_id and shuffles on it
+ *    exactly ONCE (into the arg_max PK dedup).
+ *  - every enrichment join (J3-J7) keys on nummer_id, the same ATTRIBUTE
+ *    as the dedup's group key (no rename — r11: an `.as("__k")` alias had
+ *    severed the partitioning link and bought a full extra shuffle+sort of
+ *    the wide frame): consecutive joins reuse the partitioning, only the
+ *    small update sides shuffle. CuratePlanSpec asserts this shape with
+ *    broadcasts disabled.
+ *  - adressen4 feeds both sides of the J6 self-join; it is persisted so
+ *    the J1-J7 chain executes once, not twice (released via
+ *    [[releaseCaches]]).
  */
 object Adressen {
 
@@ -93,20 +101,32 @@ object Adressen {
     // The reference joins panden on the raw comma-joined pand_id, so only
     // single-pand verblijfsobjecten match; multi-pand rows stay NULL here and
     // are repaired by J3. With arrays: join on the sole element iff size==1.
+    //
+    // Join ORDER is vbo⋈pand FIRST, then nummers⋈(vbo+pand) — semantically
+    // identical to the reference's n⋈...⋈v⋈p (left joins over distinct
+    // keys associate: pand columns are NULL exactly when the vbo is NULL
+    // or multi-pand either way), but the pand-key shuffle then moves only
+    // the two narrow fact tables, and the combined frame arrives at the
+    // nummers join — and leaves it — partitioned by nummer_id, which the
+    // arg_max dedup and every J3-J7 enrichment join below reuse (r11:
+    // the old order shuffled the full five-way-wide frame by pand key and
+    // then re-shuffled it by nummer_id for the dedup).
     val vSingle = v.withColumn("__pand_join_id",
       when(size(col("pand_id")) === 1, element_at(col("pand_id"), 1)))
+
+    // NULL join keys (multi-pand or pand-less vbo's) all hash to ONE
+    // shuffle partition — a straggler/OOM magnet at full-BAG scale. A
+    // per-row sentinel that can never match a pand id (pand ids are
+    // 16-digit strings) keeps unmatched rows spread evenly; the left
+    // join still yields NULL pand columns for them.
+    val vp = vSingle.alias("v")
+      .join(p, coalesce(col("v.__pand_join_id"),
+        concat(lit("__geen_pand__:"), col("v.id"))) === col("p.id"), "left")
 
     val j1 = n.alias("n")
       .join(broadcast(o), col("o.id") === col("n.openbare_ruimte_id"), "left")
       .join(broadcast(w), col("w.id") === col("o.woonplaats_id"), "left")
-      .join(vSingle.alias("v"), col("v.nummer_id") === col("n.id"), "left")
-      // NULL join keys (nummers without a single-pand vbo) all hash to ONE
-      // shuffle partition — a straggler/OOM magnet at full-BAG scale. A
-      // per-row sentinel that can never match a pand id (pand ids are
-      // 16-digit strings) keeps unmatched rows spread evenly; the left
-      // join still yields NULL pand columns for them.
-      .join(p, coalesce(col("v.__pand_join_id"),
-        concat(lit("__geen_pand__:"), col("n.id"))) === col("p.id"), "left")
+      .join(vp, col("v.nummer_id") === col("n.id"), "left")
       .select(
         col("n.id").as("nummer_id"),
         col("n.begindatum_geldigheid").as("nummer_begindatum_geldigheid"),
@@ -138,14 +158,20 @@ object Adressen {
     // several (gemeente_id) rows — append the full payload as content
     // tie-break so equal-ord rows are identical rows and the winner never
     // depends on merge order.
+    // groupBy the UNRENAMED nummer_id so the aggregate's output keeps the
+    // same attribute the J3-J7 joins key on — Spark then recognizes the
+    // hash partitioning and the whole enrichment chain runs without
+    // another exchange of the wide frame (r11: the old `.as("__k")`
+    // severed that link and bought an extra full shuffle + sort).
     val j1Cols = j1.columns
+    val j1Rest = j1Cols.filter(_ != "nummer_id").toIndexedSeq
     val j1Ord = struct((col("verblijfsobject_id") +:
       j1Cols.toIndexedSeq.zipWithIndex.map { case (c, i) => col(c).as(s"__t$i") }): _*)
-    val adressen0 = j1.groupBy(col("nummer_id").as("__k"))
+    val adressen0 = j1.groupBy(col("nummer_id"))
       .agg(graft.functions.VectorAggregates.argMax(
         j1Ord,
-        struct(j1Cols.map(col).toIndexedSeq: _*)).as("__w"))
-      .select(j1Cols.map(c => col(s"__w.$c").as(c)).toIndexedSeq: _*)
+        struct(j1Rest.map(col): _*)).as("__w"))
+      .select((col("nummer_id") +: j1Rest.map(c => col(s"__w.$c").as(c))): _*)
 
     // ---- J3: multi-pand repair (database_sqlite.py:398-437).
     // The reference explodes pand_id and lets the last UPDATE win ("only last
@@ -168,33 +194,49 @@ object Adressen {
 
     // ---- J4/J5: ligplaatsen then standplaatsen override coordinates +
     // geometry + object_type (database_sqlite.py:440-464). Standplaats runs
-    // after and therefore wins on conflict. Dedup to one row per nummer_id
-    // (greatest id) — the reference's multi-match UPDATE order is arbitrary.
-    def plaatsUpdates(src: DataFrame, objectType: String)(base: DataFrame): DataFrame = {
-      val one = src.filter(col("nummer_id") =!= "")
-        .groupBy(col("nummer_id"))
-        .agg(graft.functions.VectorAggregates.argMax(struct(col("id")),
-          struct(col("rd_x").as("__rd_x"), col("rd_y").as("__rd_y"),
-            col("latitude").as("__lat"), col("longitude").as("__lon"),
-            col("geometry").as("__geom"))).as("__w"))
-        .select(col("nummer_id"), col("__w.__rd_x").as("__rd_x"),
-          col("__w.__rd_y").as("__rd_y"), col("__w.__lat").as("__lat"),
-          col("__w.__lon").as("__lon"), col("__w.__geom").as("__geom"))
-      updateJoin(base, one, "nummer_id", Map(
-        "rd_x" -> (_ => col("__rd_x")), "rd_y" -> (_ => col("__rd_y")),
-        "latitude" -> (_ => col("__lat")), "longitude" -> (_ => col("__lon")),
-        "geometry" -> (_ => col("__geom")),
-        "object_type" -> (_ => lit(objectType))))
-    }
-    val adressen2 = plaatsUpdates(t.ligplaatsen, "ligplaats")(adressen1)
-    val adressen3 = plaatsUpdates(t.standplaatsen, "standplaats")(adressen2)
+    // after and therefore wins on conflict; within a table the greatest id
+    // wins (the reference's multi-match UPDATE order is arbitrary). FUSED
+    // into one pass (r11): the sequential form was two identical
+    // updateJoins of the full-width frame; arg_max over (priority, id)
+    // with standplaats priority 1 elects the same winner per nummer —
+    // greatest-id standplaats if any, else greatest-id ligplaats — in ONE
+    // join. Half the enrichment passes at 9M for free.
+    val plaatsCols = Seq("id", "nummer_id", "rd_x", "rd_y",
+      "latitude", "longitude", "geometry").map(col)
+    val plaatsen = t.ligplaatsen.select(plaatsCols :+ lit(0).as("__pri"): _*)
+      .union(t.standplaatsen.select(plaatsCols :+ lit(1).as("__pri"): _*))
+    val plaatsOne = plaatsen.filter(col("nummer_id") =!= "")
+      .groupBy(col("nummer_id"))
+      .agg(graft.functions.VectorAggregates.argMax(
+        struct(col("__pri"), col("id")),
+        struct(col("rd_x").as("__rd_x"), col("rd_y").as("__rd_y"),
+          col("latitude").as("__lat"), col("longitude").as("__lon"),
+          col("geometry").as("__geom"),
+          when(col("__pri") === 1, lit("standplaats"))
+            .otherwise(lit("ligplaats")).as("__otype"))).as("__w"))
+      .select(col("nummer_id"), col("__w.__rd_x").as("__rd_x"),
+        col("__w.__rd_y").as("__rd_y"), col("__w.__lat").as("__lat"),
+        col("__w.__lon").as("__lon"), col("__w.__geom").as("__geom"),
+        col("__w.__otype").as("__otype"))
+    val adressen3 = updateJoin(adressen1, plaatsOne, "nummer_id", Map(
+      "rd_x" -> (_ => col("__rd_x")), "rd_y" -> (_ => col("__rd_y")),
+      "latitude" -> (_ => col("__lat")), "longitude" -> (_ => col("__lon")),
+      "geometry" -> (_ => col("__geom")),
+      "object_type" -> (_ => col("__otype"))))
 
     // ---- J7: a nummer's own woonplaats overrides the street's
     // (database_sqlite.py:523-529).
     val numWpl = n.filter(col("woonplaats_id") =!= "")
       .select(col("id").as("nummer_id"), col("woonplaats_id").cast("long").as("__wpl"))
+    // Persist: adressen4 feeds BOTH sides of the J6 self-join (the hoofd
+    // value lookup AND the update base) — without a cut the whole
+    // J1-J3-J4/J5-J7 chain executes twice (r11: at 9M that was ~half the
+    // curate wall). Tracked in persistedFrames; released by
+    // releaseCaches after the curated layer is written.
     val adressen4 = updateJoin(adressen3, numWpl, "nummer_id", Map(
       "woonplaats_id" -> (_ => col("__wpl"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(adressen4)
 
     // ---- J6: nevenadres backfill, LAST so it reads fully-enriched hoofd rows
     // (database_sqlite.py:466-518). Explode the nevenadressen array into
