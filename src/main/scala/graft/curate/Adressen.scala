@@ -291,14 +291,16 @@ object Adressen {
   def deleteOrphans(adressen: DataFrame, openbareRuimten: DataFrame, cfg: Config): DataFrame = {
     // Single broadcast left join: a NULL __opr_id marks an orphan (either a
     // NULL openbare_ruimte_id — never matches — or an id with no dim row).
-    // Persist the joined result ONCE so the count action and the downstream
-    // consumer both reuse it instead of replaying the whole build DAG
-    // (VERDICT r1: the un-persisted double count recomputed the pipeline 3x).
+    // The tripwire count is a COUNT-ONLY pre-pass (r10 carried item #4):
+    // Catalyst prunes the aggregate's replay down to the
+    // openbare_ruimte_id lineage, and the replay is bounded by the
+    // adressen4 persist in [[build]] — so the corpus-wide frame is never
+    // cached here just to be counted once and written once. (r1's
+    // original persist predated that cache: an un-persisted double count
+    // then replayed the whole build DAG.)
     val oprIds = openbareRuimten.select(col("id").as("__opr_id"))
     val joined = adressen
       .join(broadcast(oprIds), col("openbare_ruimte_id") === col("__opr_id"), "left")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(joined)
     val orphanCount = joined
       .agg(count(when(col("__opr_id").isNull, lit(1))).as("n"))
       .first().getLong(0)
@@ -308,7 +310,7 @@ object Adressen {
   }
 
   /** Full curate: build + clean + conditional orphan delete. The result is
-    * backed by the persist() in deleteOrphans; `.unpersist()` on the
+    * backed by the adressen4 persist() in [[build]]; `.unpersist()` on the
     * returned (derived) frame does NOT release that cache — call
     * [[releaseCaches]] after materializing downstream layers, as
     * Pipeline.importBag does. */

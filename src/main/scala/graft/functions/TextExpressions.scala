@@ -35,6 +35,55 @@ object TextKernels {
   /** Seed shared with Spark's own xxhash64 default. */
   final val Seed = 42L
 
+  /** POSITIONED w-word window hash sequence: element i is the hash of the
+    * window starting at word i (same per-word XXH64 + chained hashLong
+    * combine as [[shingleHashes]], WITHOUT the dedup — array index IS the
+    * window position, duplicates preserved). The substrate of span-level
+    * operators (exact-substring dedup needs to know WHERE a duplicated
+    * window sits, not just that it exists). Empty array below w words. */
+  def shingleHashSeq(text: UTF8String, w: Int): ArrayData = {
+    val wordHash = wordHashes(text)
+    if (wordHash.length < w) return ArrayData.toArrayData(Array.emptyLongArray)
+    val n = wordHash.length - w + 1
+    val out = new Array[Long](n)
+    var s = 0
+    while (s < n) {
+      var h = Seed
+      var j = 0
+      while (j < w) { h = XXH64.hashLong(wordHash(s + j), h); j += 1 }
+      out(s) = h
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Per-word XXH64 hashes of a space-delimited text, in word order. */
+  private def wordHashes(text: UTF8String): Array[Long] = {
+    val nBytes = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var nWords = 1
+    var i = 0
+    while (i < nBytes) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) nWords += 1
+      i += 1
+    }
+    val wordHash = new Array[Long](nWords)
+    var wi = 0
+    var start = 0
+    i = 0
+    while (i <= nBytes) {
+      if (i == nBytes ||
+          org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        wordHash(wi) = XXH64.hashUnsafeBytes(base, off + start, i - start, Seed)
+        wi += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    wordHash
+  }
+
   /** Distinct w-word shingle hashes of `text` (space-delimited words, empty
     * words kept — same tokenization as split(text, ' ')). Returns an empty
     * array when the document has fewer than `w` words. */
@@ -375,6 +424,32 @@ case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** shingle_hash_seq(text, w) -> array<bigint>: positioned window hashes
+  * (index = window start word), duplicates preserved — see
+  * [[TextKernels.shingleHashSeq]]. */
+case class ShingleHashSeq(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"shingle width must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash_seq expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_seq"
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.shingleHashSeq(t.asInstanceOf[UTF8String], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.shingleHashSeq($t, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSeq =
+    copy(child = newChild)
+}
+
 /** word_count(text) -> int: split-on-space word count, no array built. */
 case class WordCount(child: Expression) extends UnaryExpression {
 
@@ -559,6 +634,9 @@ object TextExpressions {
   /** Column binding — no registry needed. */
   def shingleHashes(text: Column, w: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), w))
+
+  def shingleHashSeq(text: Column, w: Int): Column =
+    ColumnBridge.column(ShingleHashSeq(ColumnBridge.expression(text), w))
 
   def wordCount(text: Column): Column =
     ColumnBridge.column(WordCount(ColumnBridge.expression(text)))

@@ -613,6 +613,25 @@ object Oracle {
        |FROM fp ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared CTE core for t04/d23: per-doc 5-word window hashes at their
+    * word positions — per-word XXH64 (seed 42) + the chained hashLong
+    * combine, exactly TextKernels.shingleHashes/shingleHashSeq. `wins`
+    * yields (doc_id, pos0 0-based window start, whash HUGEINT). */
+  private val xxhWinCtes: String = {
+    val chain5 = "list_reduce(list_prepend(42::HUGEINT, [h, g1, g2, g3, g4]), " +
+      s"(acc, v) -> ${xxhashLong("v", "acc")})"
+    s"""docs AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+       |w AS (SELECT doc_id, unnest(words) AS word,
+       |        generate_subscripts(words, 1) AS pos, len(words) AS nw FROM docs),
+       |wh AS (SELECT doc_id, pos, nw, ${xxh64Word("word")} AS h FROM w),
+       |seq AS (SELECT doc_id, pos, nw, h,
+       |         lead(h, 1) OVER pw AS g1, lead(h, 2) OVER pw AS g2,
+       |         lead(h, 3) OVER pw AS g3, lead(h, 4) OVER pw AS g4
+       |        FROM wh WINDOW pw AS (PARTITION BY doc_id ORDER BY pos)),
+       |wins AS (SELECT doc_id, pos - 1 AS pos0, $chain5 AS whash
+       |         FROM seq WHERE pos + 4 <= nw)""".stripMargin
+  }
+
   /** t04 mirror: Karp-Rabin rolling hash (31*h + c mod 2^64 over chars,
     * TextOps.rollingHash64) + the winnowing fingerprint (min over the
     * 5-word windows of chained XXH64.hashLong over per-word XXH64 hashes
@@ -623,22 +642,34 @@ object Oracle {
       "list_transform(range(1, length(text) + 1), i -> " +
       "CAST(unicode(substr(text, CAST(i AS INT), 1)) AS HUGEINT))), " +
       s"(h, c) -> (31 * h + c) % $Mod)"
-    val chain5 = "list_reduce(list_prepend(42::HUGEINT, [h, g1, g2, g3, g4]), " +
-      s"(acc, v) -> ${xxhashLong("v", "acc")})"
-    s"""WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
-       |w AS (SELECT doc_id, unnest(words) AS word,
-       |        generate_subscripts(words, 1) AS pos, len(words) AS nw FROM docs),
-       |wh AS (SELECT doc_id, pos, nw, ${xxh64Word("word")} AS h FROM w),
-       |seq AS (SELECT doc_id, pos, nw, h,
-       |         lead(h, 1) OVER pw AS g1, lead(h, 2) OVER pw AS g2,
-       |         lead(h, 3) OVER pw AS g3, lead(h, 4) OVER pw AS g4
-       |        FROM wh WINDOW pw AS (PARTITION BY doc_id ORDER BY pos)),
-       |wins AS (SELECT doc_id, $chain5 AS whash FROM seq WHERE pos + 4 <= nw),
+    s"""WITH $xxhWinCtes,
        |fp AS (SELECT doc_id, min(${toSigned("whash")}) AS fingerprint
        |       FROM wins GROUP BY doc_id)
        |SELECT d.doc_id, ${toSigned(roll)} AS rolling_hash, fp.fingerprint
        |FROM docs d LEFT JOIN fp ON fp.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
   }
+
+  /** d23 mirror: ExactSubstr spans — cross-doc duplicated 5-word windows
+    * (count(DISTINCT doc) >= 2 per window hash), merged into maximal
+    * spans per doc via gaps-and-islands (break when the gap exceeds w;
+    * the first row's NULL lag falls to the ELSE 1 branch, matching
+    * Spark's when().otherwise()). The dup set has unique hashes, so the
+    * flag-back join cannot fan out — it IS the Spark side's left-semi. */
+  private val d23Sql: String =
+    s"""WITH $xxhWinCtes,
+       |dup AS (SELECT whash FROM (
+       |    SELECT whash, count(DISTINCT doc_id) AS nd FROM wins GROUP BY whash)
+       |  WHERE nd >= 2),
+       |fl AS (SELECT w.doc_id, w.pos0 FROM wins w JOIN dup USING (whash)),
+       |isl AS (SELECT doc_id, pos0,
+       |    CASE WHEN pos0 - lag(pos0) OVER (PARTITION BY doc_id ORDER BY pos0) <= 5
+       |         THEN 0 ELSE 1 END AS brk FROM fl),
+       |isl2 AS (SELECT doc_id, pos0,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos0) AS island FROM isl)
+       |SELECT doc_id, CAST(min(pos0) AS BIGINT) AS span_start,
+       |  CAST(max(pos0) + 5 AS BIGINT) AS span_end,
+       |  count(*) AS n_windows
+       |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
 
   /** Shared CTE prefix for the x22-x25/x30 co-visitation family: the
     * similarity edge list (p1 < p2) from the events incidence — identical
@@ -2197,6 +2228,8 @@ object Oracle {
     "d05_simhash" -> d05Sql,
 
     "t04_fingerprint" -> t04Sql,
+
+    "d23_exact_substr" -> d23Sql,
 
     "x25_kcore" -> kcoreSql(k = 8, rounds = 12),
 

@@ -990,6 +990,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** D23: ExactSubstr span detection ([[Dedup.exactSubstrSpans]], Lee et
+    * al. 2022 §4.1) — maximal word-offset spans covered by 5-word windows
+    * that occur verbatim in >= 2 documents: the span-granularity
+    * complement of d12/d14's chunk dedup, with offsets a pipeline can cut
+    * surgically. Positioned window hashes from the codegen
+    * shingle_hash_seq kernel; cross-doc census + left-semi flag-back +
+    * per-doc island merge — nothing pairwise. Oracle: the bit-exact
+    * XXH64 window-hash SQL (t04's core) + the identical gaps-and-islands
+    * merge. */
+  val d23ExactSubstr: Q = (s, dir) =>
+    Dedup.exactSubstrSpans(tbl(s, dir, "documents"), w = 5)
+      .orderBy("doc_id", "span_start")
+
   /** D11: edit-distance near-dup pairs ([[Dedup.editDistancePairs]]) —
     * 4-gram-shingle candidate generation (>= 2 shared) + bounded-prefix
     * thresholded-levenshtein verify. */
@@ -3912,6 +3925,7 @@ object Queries {
     "t32_phrase_index" -> t32PhraseIndex,
     "a29_gapfill_spine" -> a29GapfillSpine,
     "d22_source_overlap" -> d22SourceOverlap,
+    "d23_exact_substr" -> d23ExactSubstr,
     "v23_kmeans_assign" -> v23KmeansAssign,
     "x32_temporal_reach" -> x32TemporalReach,
     "s20_snapshot_expire" -> s20SnapshotExpire,
