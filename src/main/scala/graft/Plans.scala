@@ -73,6 +73,17 @@ object Plans {
       "never line text, and min(struct) partial-aggregates map-side so a " +
       "boilerplate line shared by millions of docs is a non-event. Only " +
       "the join-back and reassembly move text, once each."),
+    "t35_boilerplate" -> ("Per-source boilerplate strip: the census " +
+      "dedups (source, md5(line), doc) occurrence rows in one " +
+      "partial-aggregated exchange of 16-byte hashes, the strip is a " +
+      "LEFT ANTI equi-join against the template-sized boilerplate set " +
+      "on the derived (source, hash) key, and text moves exactly twice " +
+      "— the anti-join probe and the per-doc reassembly."),
+    "t36_token_drift" -> ("Snapshot drift census: BOTH snapshots are " +
+      "conditional-sum columns of ONE partial-aggregated token census " +
+      "(never two scans or a grid join), the top-50 cut is a bounded " +
+      "TakeOrdered, and the smoothing totals ride a whole-frame window " +
+      "over exactly 50 rows — bounded by the limit, not the corpus."),
     "a10_topk_agg" -> ("Top-k per group via the bounded-heap " +
       "TypedImperativeAggregate: partial_top_k runs before the exchange, " +
       "so each mapper ships at most k pairs per group — shuffle volume " +

@@ -716,4 +716,94 @@ object TextOps {
         col("tile").cast("long").as("tile"),
         element_at(labels, col("tile")).as("bucket"))
   }
+
+  /**
+   * Per-source boilerplate strip — the CCNet/jusText/Dolma template-removal
+   * step web-corpus pipelines run BEFORE corpus-wide dedup: a line that
+   * appears verbatim in >= 2 distinct documents of the SAME source (host)
+   * is template chrome (navigation, footer, cookie banner), and is removed
+   * from EVERY document of that source. The complement of
+   * [[graft.llm.Dedup.lineDedup]]: t11 keeps one global first occurrence of
+   * a repeated line; this deletes all within-source occurrences, because a
+   * host repeating itself is markup, not content.
+   *
+   * `lines` is the caller's (doc_id, source, line_no, line) segmentation
+   * (the 10-word-chunk discipline of t11 in [[queries.Queries]]).
+   * Output per input doc, totalized: (doc_id, n_lines, n_removed,
+   * clean_text) with clean_text the kept lines rejoined in line_no order.
+   *
+   * Scale shape: the census dedups (source, md5(line), doc_id) occurrence
+   * rows — ONE partial-aggregated shuffle moving 16-byte hashes, never
+   * line text — then counts docs per (source, hash); the strip is a LEFT
+   * ANTI equi-join of the lines against the (small, template-sized)
+   * boilerplate set on the derived (source, hash) key; reassembly is one
+   * per-doc aggregate bounded by doc length. Nothing is pairwise and no
+   * stage moves text through a wide shuffle twice.
+   */
+  /**
+   * Token-distribution drift census between two corpus snapshots — the
+   * crawl-refresh QA monitor production pipelines run before admitting a
+   * new dump: for the corpus-wide top-`topK` tokens, the per-token
+   * population-stability-index contribution
+   * `(p_A - p_B) * ln(p_A / p_B)` with add-1 smoothing over the top-K
+   * universe, where A/B is the caller's snapshot predicate (here the
+   * deterministic doc_id parity — the stand-in for previous-vs-current
+   * dump ids). A large total PSI (sum of the column) flags a shifted
+   * scrape (encoding regression, spam flood, template change) before it
+   * poisons training.
+   *
+   * Determinism: the top-K cut is totally ordered (count DESC, token
+   * ASC); the contribution is rounded to 6 dp AFTER the float math (the
+   * t12 cross-engine discipline — both engines compute IEEE doubles and
+   * the ulp-level ln/division differences sit 10 digits below the
+   * rounding).
+   *
+   * Scale shape: ONE partial-aggregated token census (conditional sums —
+   * the two snapshots are columns of one aggregate, never two scans or a
+   * join), a bounded top-K, and the smoothing totals via a whole-frame
+   * window over exactly `topK` rows (bounded by the limit, not the
+   * corpus). No grid join, nothing pairwise, text never shuffles.
+   */
+  def tokenDrift(docs: DataFrame, isA: Column, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(isA.as("__a"),
+      explode(words(col("text"))).as("token"))
+    val cens = tok.groupBy("token").agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("c_b"))
+    val top = cens
+      .orderBy((col("c_a") + col("c_b")).desc, col("token")).limit(topK)
+    val w = Window.partitionBy()
+    val p = (col("c_a") + lit(1)) / (col("n_a") + lit(topK))
+    val q = (col("c_b") + lit(1)) / (col("n_b") + lit(topK))
+    top
+      .withColumn("n_a", sum("c_a").over(w))
+      .withColumn("n_b", sum("c_b").over(w))
+      .select(col("token"), col("c_a"), col("c_b"),
+        round((p - q) * log(p / q), 6).as("psi_r"))
+  }
+
+  def boilerplateStrip(docs: DataFrame, lines: DataFrame): DataFrame = {
+    val boiler = lines
+      .select(col("source"), md5(col("line")).as("__h"), col("doc_id"))
+      .distinct()
+      .groupBy("source", "__h").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("source"), col("__h"))
+    val kept = lines.withColumn("__h", md5(col("line")))
+      .join(boiler, Seq("source", "__h"), "left_anti")
+    val reassembled = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("__n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x.getField("line")), " ").as("clean_text"))
+    val counts = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    docs.select("doc_id").join(counts, Seq("doc_id"), "left")
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (coalesce(col("n_lines"), lit(0L)) -
+          coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

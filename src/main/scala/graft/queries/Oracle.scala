@@ -2335,6 +2335,48 @@ object Oracle {
         |FROM documents d LEFT JOIN cn ON cn.doc_id = d.doc_id
         |LEFT JOIN re ON re.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
 
+    // t36: identical census (conditional counts by doc_id parity), same
+    // total order on the top-50 cut, same add-1 smoothing over the
+    // top-K universe; round(6) after the float math (t12 discipline)
+    "t36_token_drift" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |cens AS (SELECT token,
+        |           CAST(count(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS c_a,
+        |           CAST(count(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS c_b
+        |         FROM tok GROUP BY 1),
+        |top AS (SELECT * FROM cens ORDER BY (c_a + c_b) DESC, token ASC LIMIT 50),
+        |tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM top)
+        |SELECT token, c_a, c_b,
+        |       round(((c_a + 1.0) / (n_a + 50) - (c_b + 1.0) / (n_b + 50))
+        |             * ln(((c_a + 1.0) / (n_a + 50)) / ((c_b + 1.0) / (n_b + 50))), 6) AS psi_r
+        |FROM top, tot ORDER BY token""".stripMargin,
+
+    // t35: same 10-word line derivation as t11; boilerplate = a line in
+    // >= 2 distinct docs of the SAME source, removed everywhere it
+    // appears within that source (Spark keys the census on md5(line) —
+    // the d02 negligible-collision contract — DuckDB on the raw line)
+    "t35_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |ln AS (SELECT doc_id, source, unnest(list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+        |         i -> {'line_no': i, 'line': list_aggregate(w[i*10+1:i*10+10], 'string_agg', ' ')})) AS s
+        |       FROM tok),
+        |l AS (SELECT doc_id, source, CAST(s.line_no AS BIGINT) AS line_no, s.line AS line FROM ln),
+        |bp AS (SELECT source, line FROM (
+        |         SELECT source, line, count(DISTINCT doc_id) AS nd
+        |         FROM l GROUP BY 1, 2) WHERE nd >= 2),
+        |k AS (SELECT l.* FROM l LEFT JOIN bp
+        |        ON bp.source = l.source AND bp.line = l.line
+        |      WHERE bp.line IS NULL),
+        |re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(line, ' ' ORDER BY line_no) AS clean_text
+        |       FROM k GROUP BY 1),
+        |cn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY 1)
+        |SELECT d.doc_id, coalesce(cn.n_lines, 0) AS n_lines,
+        |       coalesce(cn.n_lines, 0) - coalesce(re.n_kept, 0) AS n_removed,
+        |       coalesce(re.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN cn ON cn.doc_id = d.doc_id
+        |LEFT JOIN re ON re.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
+
     // same fixture blocklist derivation (top-20 frequent >= 6-char
     // terms, count desc / term asc), same integer keep threshold
     "t29_blocklist" ->

@@ -2064,6 +2064,30 @@ object Queries {
     Dedup.lineDedup(docs, lines).orderBy("doc_id")
   }
 
+  /** T36: token-distribution drift between two corpus snapshots (PSI over
+    * the top-50 tokens, add-1 smoothed) — snapshots stood in by doc_id
+    * parity, deterministically. The crawl-refresh QA gate. */
+  val t36TokenDrift: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    TextOps.tokenDrift(docs, col("doc_id") % 2 === 0).orderBy("token")
+  }
+
+  /** T35: per-source boilerplate strip (CCNet/jusText template removal) —
+    * t11's complement: a line repeated across >= 2 distinct docs of the
+    * SAME source is host chrome and is removed from all of them. Same
+    * 10-word-chunk line segmentation as t11. */
+  val t35Boilerplate: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val words = split(col("text"), " ")
+    val lines = docs.select(col("doc_id"), col("source"), posexplode(
+        transform(
+          sequence(lit(0), ceil(size(words) / lit(10.0)).cast("int") - 1),
+          i => array_join(slice(words, i * 10 + 1, lit(10)), " ")))
+        .as(Seq("line_no", "line")))
+      .withColumn("line_no", col("line_no").cast("long"))
+    TextOps.boilerplateStrip(docs, lines).orderBy("doc_id")
+  }
+
   /** T29: term-blocklist filtering — the policy/compliance gate every
     * production corpus runs (profanity, PII keywords, licensing terms).
     * The blocklist is a TABLE, not an `isin` literal (the t18/t19
@@ -3814,6 +3838,8 @@ object Queries {
     "t09_tfidf" -> t09Tfidf,
     "t10_pii_redact" -> t10PiiRedact,
     "t11_line_dedup" -> t11LineDedup,
+    "t35_boilerplate" -> t35Boilerplate,
+    "t36_token_drift" -> t36TokenDrift,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

@@ -340,6 +340,82 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(4L) === ((0L, 0L, ""))) // doc with no lines at all stays total
   }
 
+  test("tokenDrift: symmetric corpora score zero, a shifted token scores positive") {
+    val s = spark
+    import s.implicits._
+    // doc 0 (A) and doc 1 (B) identical -> every token's PSI contribution
+    // is exactly 0 at any smoothing
+    val same = docsDf(Seq(0L -> "x y z", 1L -> "x y z"))
+    val zeros = TextOps.tokenDrift(same, col("doc_id") % 2 === 0).collect()
+    assert(zeros.length === 3)
+    assert(zeros.forall(_.getDouble(3) === 0.0), zeros.mkString(","))
+    // "flood" appears only in the A snapshot -> positive drift; the
+    // balanced token stays 0
+    val shifted = docsDf(Seq(
+      0L -> "flood flood flood base", 1L -> "base", 2L -> "flood base"))
+    val got = TextOps.tokenDrift(shifted, col("doc_id") % 2 === 0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("flood")._1 === 4L && got("flood")._2 === 0L)
+    assert(got("flood")._3 > 0.0)
+    assert(got("base") === ((2L, 1L, got("base")._3)))
+    // PSI contributions are non-negative by construction: (p-q) and
+    // ln(p/q) always share a sign
+    assert(got.values.forall(_._3 >= 0.0))
+  }
+
+  test("tokenDrift top-K cut is count-desc token-asc total-ordered") {
+    val s = spark
+    import s.implicits._
+    val docs = docsDf(Seq(0L -> "a a b b c", 1L -> "d d e"))
+    val got = TextOps.tokenDrift(docs, col("doc_id") % 2 === 0, topK = 3)
+      .collect().map(_.getString(0)).sorted.toSeq
+    // counts: a=2 b=2 d=2 c=1 e=1 -> top3 by (count desc, token asc) = a, b, d
+    assert(got === Seq("a", "b", "d"))
+  }
+
+  test("boilerplateStrip removes within-source repeats, keeps cross-source ones") {
+    val s = spark
+    import s.implicits._
+    // source A: "footer text" in docs 1+2 (boilerplate -> stripped from both);
+    // source B: the SAME line in doc 3 only (1 doc in B -> kept: the rule is
+    // per-source, not global); doc 4 is all-boilerplate -> empty clean_text.
+    val lines = Seq(
+      (1L, "A", 0L, "footer text"), (1L, "A", 1L, "unique one"),
+      (2L, "A", 0L, "footer text"), (2L, "A", 1L, "unique two"),
+      (3L, "B", 0L, "footer text"), (3L, "B", 1L, "unique three"),
+      (4L, "A", 0L, "footer text"))
+      .toDF("doc_id", "source", "line_no", "line")
+    val docs = docsDf(Seq(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "x", 5L -> "x"))
+    val got = TextOps.boilerplateStrip(docs, lines).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 1L, "unique one")))
+    assert(got(2L) === ((2L, 1L, "unique two")))
+    assert(got(3L) === ((2L, 0L, "footer text unique three")))
+    assert(got(4L) === ((1L, 1L, "")))
+    assert(got(5L) === ((0L, 0L, ""))) // doc with no lines stays total
+  }
+
+  test("boilerplateStrip census and anti-join key on md5, not line text") {
+    val s = spark
+    import s.implicits._
+    val lines = Seq((1L, "A", 0L, "a b"), (2L, "A", 0L, "a b"))
+      .toDF("doc_id", "source", "line_no", "line")
+    val docs = docsDf(Seq(1L -> "x", 2L -> "x"))
+    val df = TextOps.boilerplateStrip(docs, lines)
+    df.collect()
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("md5"), s"census must key on md5(line):\n$analyzed")
+    // the boilerplate-set aggregate output carries (source, hash) only —
+    // line text never rides the census aggregate
+    val aggs = df.queryExecution.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    val census = aggs.filter(_.aggregateExpressions.exists(_.name == "__nd"))
+    assert(census.nonEmpty, "expected the (source, hash) census aggregate")
+    assert(!census.head.output.map(_.name).contains("line"),
+      "census output must not carry line text")
+  }
+
   test("lineDedup election shuffles hashes, not line text") {
     val s = spark
     import s.implicits._
