@@ -84,6 +84,11 @@ object Plans {
       "(never two scans or a grid join), the top-50 cut is a bounded " +
       "TakeOrdered, and the smoothing totals ride a whole-frame window " +
       "over exactly 50 rows — bounded by the limit, not the corpus."),
+    "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
+      "event_type (sort-bound by definition), running counts folded " +
+      "per distinct value, per-type totals broadcast back, and the " +
+      "statistic is an integer cross-multiplication — no float crosses " +
+      "the hash until the final rounded ratio."),
     "a10_topk_agg" -> ("Top-k per group via the bounded-heap " +
       "TypedImperativeAggregate: partial_top_k runs before the exchange, " +
       "so each mapper ships at most k pairs per group — shuffle volume " +

@@ -1773,6 +1773,33 @@ object Oracle {
         |SELECT * FROM ok0 UNION ALL SELECT * FROM ok1 UNION ALL SELECT * FROM l2
         |ORDER BY gen_level, nation_out, segment_out""".stripMargin,
 
+    // exact two-sample KS per event_type between user_id-parity
+    // snapshots: identical running-count construction; the statistic is
+    // the INTEGER max |cumA*nB - cumB*nA| (tie-safe: per-distinct-value
+    // max of a nondecreasing running count = inclusive-through-v count
+    // on both engines regardless of tie order); only the final rounded
+    // ratio is floating
+    "a31_ks_drift" ->
+      """WITH e AS (SELECT event_type, value,
+        |             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+        |           FROM events),
+        |c AS (SELECT event_type, value,
+        |        sum(a) OVER (PARTITION BY event_type ORDER BY value
+        |                     ROWS UNBOUNDED PRECEDING) AS ca,
+        |        sum(1 - a) OVER (PARTITION BY event_type ORDER BY value
+        |                         ROWS UNBOUNDED PRECEDING) AS cb
+        |      FROM e),
+        |g AS (SELECT event_type, value, max(ca) AS ca, max(cb) AS cb
+        |      FROM c GROUP BY 1, 2),
+        |t AS (SELECT event_type, max(ca) AS n_a, max(cb) AS n_b
+        |      FROM g GROUP BY 1)
+        |SELECT g.event_type, CAST(n_a AS BIGINT) AS n_a,
+        |       CAST(n_b AS BIGINT) AS n_b,
+        |       CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) AS d_num,
+        |       round(max(abs(ca * n_b - cb * n_a)) / (1.0 * n_a * n_b), 6) AS ks_r
+        |FROM g JOIN t USING (event_type)
+        |GROUP BY 1, n_a, n_b ORDER BY 1""".stripMargin,
+
     // per-candidate FD: distinct (lhs, rhs) -> per-lhs rhs count ->
     // violation census; includes the true key FD
     "x35_fd_profile" ->

@@ -3311,6 +3311,48 @@ object Queries {
       .orderBy("gen_level", "nation_out", "segment_out")
   }
 
+  /** A31: exact two-sample Kolmogorov-Smirnov drift per event_type —
+    * t36's numeric sibling (PSI watches categorical token mass, KS
+    * watches a continuous feature's whole CDF): between two snapshots
+    * (user_id parity as the deterministic dump-id stand-in), the KS
+    * statistic D = max |ecdf_A - ecdf_B| over `value`, computed as the
+    * INTEGER cross-multiplication max |cumA * nB - cumB * nA| so the
+    * reported statistic is exact (the only float is the final rounded
+    * ratio). Tie-safe by construction: cumulative counts are
+    * aggregated per distinct value with max(), and because both
+    * running counts are nondecreasing, the max within a tie group is
+    * attained at the group's last row — inclusive-through-v counts on
+    * both engines regardless of their tie order.
+    *
+    * Scale shape: ONE window sort per event_type (exact KS is
+    * sort-bound by definition) + a distinct-value dedup + a broadcast
+    * of the per-type totals (#event_types rows). At corpus scale the
+    * exact sort swaps for the a22 binned-histogram KS (D evaluated at
+    * bin edges, error bounded by bin width) — kept exact here because
+    * the driver hash-compares D's integer numerator. */
+  val a31KsDrift: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir).select(col("event_type"), col("value"),
+      when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("__a"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = e
+      .withColumn("__ca", sum(col("__a")).over(w))
+      .withColumn("__cb", sum(lit(1L) - col("__a")).over(w))
+      .groupBy("event_type", "value")
+      .agg(max("__ca").as("__ca"), max("__cb").as("__cb"))
+    val tot = cums.groupBy("event_type")
+      .agg(max("__ca").as("n_a"), max("__cb").as("n_b"))
+    cums.join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("__ca") * col("n_b") - col("__cb") * col("n_a")))
+        .as("d_num"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num") / (col("n_a") * col("n_b")).cast("double"), 6)
+          .as("ks_r"))
+      .orderBy("event_type")
+  }
+
   /** X35: functional-dependency profile (Metanome-style data
     * profiling — the schema-inference signal that decides key choice,
     * normalization, and CDC merge keys): for each candidate LHS -> RHS
@@ -3962,6 +4004,7 @@ object Queries {
     "x33_join_profile" -> x33JoinProfile,
     "x34_random_walks" -> x34RandomWalks,
     "a30_kanonymity" -> a30Kanonymity,
+    "a31_ks_drift" -> a31KsDrift,
     "x35_fd_profile" -> x35FdProfile
   )
 }

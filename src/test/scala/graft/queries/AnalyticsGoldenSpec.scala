@@ -117,6 +117,30 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       ((4L, 2L, 9L, 8L, 8L, 6L, 1L, 1000000L * 8 / 17)), s"got $r")
   }
 
+  test("a31: exact KS drift — ties, identical dists, and full separation") {
+    // snapshot A = even user_id, B = odd.
+    // type "m" (ties at value 2): A=[1,2,2,5] (n_a=4), B=[2,3] (n_b=2)
+    //   through v=1: |1*2-0*4|=2; v=2: |3*2-1*4|=2; v=3: |3*2-2*4|=2;
+    //   v=5: |4*2-2*4|=0 -> d_num=2, ks=2/8=0.25
+    // type "same": A=[1,2], B=[1,2] -> d_num=0
+    // type "split": A=[1,2], B=[10,11] -> d_num=|2*2-0*2|=4, ks=1.0
+    val rows = Seq(
+      (0L, 0L, 0L, "m", 1.0), (1L, 0L, 2L, "m", 2.0), (2L, 0L, 4L, "m", 2.0),
+      (3L, 0L, 6L, "m", 5.0), (4L, 0L, 1L, "m", 2.0), (5L, 0L, 3L, "m", 3.0),
+      (6L, 0L, 0L, "same", 1.0), (7L, 0L, 2L, "same", 2.0),
+      (8L, 0L, 1L, "same", 1.0), (9L, 0L, 3L, "same", 2.0),
+      (10L, 0L, 0L, "split", 1.0), (11L, 0L, 2L, "split", 2.0),
+      (12L, 0L, 1L, "split", 10.0), (13L, 0L, 3L, "split", 11.0))
+    val dir = writeEvents(rows)
+    val got = Queries.a31KsDrift(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      "m" -> ((4L, 2L, 2L, 0.25)),
+      "same" -> ((2L, 2L, 0L, 0.0)),
+      "split" -> ((2L, 2L, 4L, 1.0))), s"got $got")
+  }
+
   test("a30: k-anonymity generalization — release levels, pooling, row conservation") {
     val s = spark
     import s.implicits._
