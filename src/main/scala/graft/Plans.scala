@@ -84,6 +84,11 @@ object Plans {
       "(never two scans or a grid join), the top-50 cut is a bounded " +
       "TakeOrdered, and the smoothing totals ride a whole-frame window " +
       "over exactly 50 rows — bounded by the limit, not the corpus."),
+    "t37_encoding_census" -> ("Encoding-corruption census: three " +
+      "codegen'd single-char translate scans plus one regex-class scan " +
+      "per row, ppm under integer floor-division — a pure map stage " +
+      "with no shuffle and no UDF that fuses into whatever scan " +
+      "precedes it; at 100 TB this is free riding on the ingest pass."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

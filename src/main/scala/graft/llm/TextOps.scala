@@ -783,6 +783,42 @@ object TextOps {
         round((p - q) * log(p / q), 6).as("psi_r"))
   }
 
+  /** Encoding-corruption census (the ftfy/CCNet "fix or drop mojibake"
+    * gate web pipelines run at ingest): per document, counts of the
+    * three dominant artifact classes a broken decode leaves behind —
+    * `moji` = U+00C3 'Ã' occurrences (the tell-tale lead character of
+    * UTF-8 bytes re-decoded as Latin-1: every two-byte UTF-8 sequence
+    * C3 xx mis-reads as 'Ã' + junk), `repl` = U+FFFD replacement
+    * characters (a decoder already gave up), `ctrl` = C1 control block
+    * U+0080–U+009F (Windows-1252 bytes pushed through a Latin-1
+    * decode). `score_ppm` = anomalies per million characters under
+    * integer floor-division, `flagged` at >= 2000 ppm — the doc-level
+    * verdict a pipeline uses to route documents to re-decode or drop.
+    *
+    * Map-only: three codegen'd single-char scans (`translate`) plus one
+    * regex class scan per row; no shuffle, no UDF — at 100 TB this is a
+    * pure pass-through stage that fuses into whatever scan precedes it.
+    */
+  def encodingAnomalies(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def charCount(ch: String): Column =
+      (length(t) - length(translate(t, ch, ""))).cast("long")
+    docs
+      .withColumn("n_chars", length(t).cast("long"))
+      .withColumn("moji", charCount("\u00C3"))
+      .withColumn("repl", charCount("\uFFFD"))
+      .withColumn("ctrl",
+        (length(t) - length(regexp_replace(t, "[\\x{80}-\\x{9F}]", "")))
+          .cast("long"))
+      .withColumn("score_ppm",
+        when(col("n_chars") > 0,
+          expr("(moji + repl + ctrl) * 1000000 div n_chars"))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_chars"), col("moji"), col("repl"),
+        col("ctrl"), col("score_ppm"),
+        (col("score_ppm") >= 2000L).as("flagged"))
+  }
+
   def boilerplateStrip(docs: DataFrame, lines: DataFrame): DataFrame = {
     val boiler = lines
       .select(col("source"), md5(col("line")).as("__h"), col("doc_id"))

@@ -2378,6 +2378,32 @@ object Oracle {
         |             * ln(((c_a + 1.0) / (n_a + 50)) / ((c_b + 1.0) / (n_b + 50))), 6) AS psi_r
         |FROM top, tot ORDER BY token""".stripMargin,
 
+    // t37: identical deterministic corruption plant (same md5 bucket,
+    // same three replace rules — artifact chars spelled chr() so the
+    // SQL stays ASCII), then the same three census scans: chr(195) =
+    // the mojibake lead 'A-tilde', chr(65533) = U+FFFD, and the C1
+    // control class via the same regex; ppm under integer floor-div
+    "t37_encoding_census" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bk
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN bk < 10 THEN replace(text, 'value', 'v' || chr(195) || chr(161) || 'lue')
+        |       WHEN bk < 20 THEN replace(text, 'table', 'ta' || chr(65533) || 'ble')
+        |       WHEN bk < 25 THEN replace(text, 'query', 'qu' || chr(146) || 'ery')
+        |       ELSE text END AS text
+        |  FROM b),
+        |m AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(replace(text, chr(195), '')) AS BIGINT) AS moji,
+        |  CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) AS repl,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{80}-\x{9f}]', '', 'g')) AS BIGINT) AS ctrl
+        |  FROM c)
+        |SELECT doc_id, n_chars, moji, repl, ctrl,
+        |  CASE WHEN n_chars > 0 THEN (moji + repl + ctrl) * 1000000 // n_chars ELSE 0 END AS score_ppm,
+        |  (CASE WHEN n_chars > 0 THEN (moji + repl + ctrl) * 1000000 // n_chars ELSE 0 END) >= 2000 AS flagged
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // t35: same 10-word line derivation as t11; boilerplate = a line in
     // >= 2 distinct docs of the SAME source, removed everywhere it
     // appears within that source (Spark keys the census on md5(line) —

@@ -2088,6 +2088,27 @@ object Queries {
     TextOps.boilerplateStrip(docs, lines).orderBy("doc_id")
   }
 
+  /** T37: encoding-corruption census ([[TextOps.encodingAnomalies]]) —
+    * the ftfy-style mojibake gate crawls run at ingest. The ASCII
+    * synthetic corpus carries no real decode damage, so the fixture
+    * deterministically re-breaks a hash-selected subset the way real
+    * crawls break (the d23/x34 derive-then-detect discipline — the
+    * detector sees only the corrupted text and knows nothing of the
+    * plant): buckets 0-9 get the UTF-8-read-as-Latin-1 digraph
+    * ('value' -> 'v U+00C3 U+00A1 lue'), 10-19 a decoder replacement char
+    * ('table' -> 'ta U+FFFD ble'), 20-24 a Windows-1252 C1 control
+    * ('query' -> 'qu U+0092 ery'); the other 75% stay clean, so both
+    * verdicts are live at every SF. */
+  val t37EncodingCensus: Q = (s, dir) => {
+    val b = sampleBucket(col("doc_id"))
+    val corrupted = tbl(s, dir, "documents").withColumn("text",
+      when(b < 10, replace(col("text"), lit("value"), lit("v\u00C3\u00A1lue")))
+        .when(b < 20, replace(col("text"), lit("table"), lit("ta\uFFFDble")))
+        .when(b < 25, replace(col("text"), lit("query"), lit("qu\u0092ery")))
+        .otherwise(col("text")))
+    TextOps.encodingAnomalies(corrupted).orderBy("doc_id")
+  }
+
   /** T29: term-blocklist filtering — the policy/compliance gate every
     * production corpus runs (profanity, PII keywords, licensing terms).
     * The blocklist is a TABLE, not an `isin` literal (the t18/t19
@@ -3882,6 +3903,7 @@ object Queries {
     "t11_line_dedup" -> t11LineDedup,
     "t35_boilerplate" -> t35Boilerplate,
     "t36_token_drift" -> t36TokenDrift,
+    "t37_encoding_census" -> t37EncodingCensus,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

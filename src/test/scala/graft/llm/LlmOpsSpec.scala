@@ -395,6 +395,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(5L) === ((0L, 0L, ""))) // doc with no lines stays total
   }
 
+  test("encodingAnomalies counts the three artifact classes exactly") {
+    val df = docsDf(Seq(
+      1L -> ("v\u00C3\u00A1lue " + "x" * 600), // 1 anomaly in 607 chars
+      2L -> "completely clean ascii text",
+      3L -> "\uFFFD\uFFFD\u0092x", // 3 anomalies in 4 chars -> 750000 ppm
+      4L -> "nel\u0085here")) // U+0085 is C1 but not the planted 0x92
+    val got = TextOps.encodingAnomalies(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val d1 = got(1L)
+    assert((d1._1, d1._2, d1._3) === ((1L, 0L, 0L)))
+    assert(d1._4 === 1000000L / 607L && !d1._5) // 1647 ppm < the 2000 ppm gate
+    assert(got(2L) === ((0L, 0L, 0L, 0L, false)))
+    assert(got(3L) === ((0L, 2L, 1L, 750000L, true)))
+    assert(got(4L) === ((0L, 0L, 1L, 1000000L / 8L, true)))
+  }
+
+  test("encodingAnomalies is map-only: no exchange, no UDF") {
+    val df = TextOps.encodingAnomalies(docs)
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"map-only operator shuffled:\n$phys")
+    assert(!phys.contains("BatchEvalPython") && !phys.toLowerCase.contains("scalaudf"),
+      s"detector must stay codegen:\n$phys")
+  }
+
   test("boilerplateStrip census and anti-join key on md5, not line text") {
     val s = spark
     import s.implicits._
