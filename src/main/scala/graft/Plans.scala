@@ -89,6 +89,11 @@ object Plans {
       "per row, ppm under integer floor-division — a pure map stage " +
       "with no shuffle and no UDF that fuses into whatever scan " +
       "precedes it; at 100 TB this is free riding on the ingest pass."),
+    "t38_entropy_census" -> ("Character-entropy junk gate: ONE native " +
+      "codegen char_stats kernel call per row (single UTF-8 byte pass, " +
+      "no String materialization, order-deterministic entropy fold), " +
+      "round(6) then verdict thresholds — a pure map stage with no " +
+      "shuffle and no UDF; at 100 TB it rides the ingest scan for free."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

@@ -398,6 +398,78 @@ object TextKernels {
       Array[Any](UTF8String.fromString(s), countOcc(s, "<EMAIL>"),
         countOcc(s, "<IP>"), countOcc(s, "<PHONE>")))
   }
+
+  /** Codepoint census of `text` in one UTF-8 byte pass: character count,
+    * distinct-codepoint count, and Shannon entropy in bits/char. Entropy is
+    * summed in ASCENDING codepoint order (ASCII bank first, then a sorted
+    * map of the rest) so the double accumulation order is deterministic —
+    * the same order an engine-side `ORDER BY codepoint` fold produces, which
+    * keeps the cross-engine delta at libm-ulp scale, far inside the query
+    * layer's round(6). No String materialization: codepoints are decoded
+    * straight off the UTF8String buffer. */
+  def charStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val nBytes = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val ascii = new Array[Long](128)
+    var other: java.util.TreeMap[Integer, Long] = null
+    var n = 0L
+    var i = 0
+    while (i < nBytes) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xFF
+      var cp = 0
+      if (b < 0x80) { cp = b; i += 1 }
+      else if ((b & 0xE0) == 0xC0) {
+        cp = ((b & 0x1F) << 6) |
+          (org.apache.spark.unsafe.Platform.getByte(base, off + i + 1) & 0x3F)
+        i += 2
+      } else if ((b & 0xF0) == 0xE0) {
+        cp = ((b & 0x0F) << 12) |
+          ((org.apache.spark.unsafe.Platform.getByte(base, off + i + 1) & 0x3F) << 6) |
+          (org.apache.spark.unsafe.Platform.getByte(base, off + i + 2) & 0x3F)
+        i += 3
+      } else {
+        cp = ((b & 0x07) << 18) |
+          ((org.apache.spark.unsafe.Platform.getByte(base, off + i + 1) & 0x3F) << 12) |
+          ((org.apache.spark.unsafe.Platform.getByte(base, off + i + 2) & 0x3F) << 6) |
+          (org.apache.spark.unsafe.Platform.getByte(base, off + i + 3) & 0x3F)
+        i += 4
+      }
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.TreeMap[Integer, Long]()
+        val prev = other.get(cp)
+        other.put(cp, if (prev == null) 1L else prev + 1L)
+      }
+      n += 1
+    }
+    var distinct = 0L
+    var entropy = 0.0
+    if (n > 0) {
+      val ln2 = java.lang.Math.log(2.0)
+      val dn = n.toDouble
+      var c = 0
+      while (c < 128) {
+        val k = ascii(c)
+        if (k > 0) {
+          distinct += 1
+          val p = k / dn
+          entropy -= p * (java.lang.Math.log(p) / ln2)
+        }
+        c += 1
+      }
+      if (other != null) {
+        val it = other.values().iterator()
+        while (it.hasNext) {
+          distinct += 1
+          val p = it.next() / dn
+          entropy -= p * (java.lang.Math.log(p) / ln2)
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, distinct, entropy))
+  }
 }
 
 /** shingle_hashes(text, w) -> array<bigint>: distinct hashed w-shingles. */
@@ -603,6 +675,39 @@ object PiiRedact {
     StructField("n_phones", LongType, nullable = false)))
 }
 
+/** char_stats(text) -> struct(n_chars, n_distinct, entropy): one-pass
+  * codepoint census — the substrate of the binary/gibberish junk gate
+  * (degenerate repetition scores low, base64/minified blobs score high).
+  * See [[TextKernels.charStats]] for the deterministic-order entropy fold. */
+case class CharStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_stats expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = CharStats.OutType
+  override def prettyName: String = "char_stats"
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.charStats(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.charStats($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharStats =
+    copy(child = newChild)
+}
+
+object CharStats {
+  val OutType: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+}
+
 /** normalize_spaces(text) -> string: fused lower+trim+space-collapse. */
 case class NormalizeSpaces(child: Expression) extends UnaryExpression {
 
@@ -653,6 +758,9 @@ object TextExpressions {
   def piiRedact(text: Column): Column =
     ColumnBridge.column(PiiRedact(ColumnBridge.expression(text)))
 
+  def charStats(text: Column): Column =
+    ColumnBridge.column(CharStats(ColumnBridge.expression(text)))
+
   /** SQL-surface registration (idempotent), mirroring VectorExpressions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -667,5 +775,7 @@ object TextExpressions {
       "regex_token_count", exprs => RegexTokenCount(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "pii_redact", exprs => PiiRedact(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_stats", exprs => CharStats(exprs(0)), "built-in")
   }
 }

@@ -819,6 +819,38 @@ object TextOps {
         (col("score_ppm") >= 2000L).as("flagged"))
   }
 
+  /** Character-entropy junk gate (the raw-crawl complement of perplexity
+    * filtering — CCNet buckets score fluency, THIS catches what a language
+    * model never should see at all): per document, Shannon entropy in
+    * bits/char over the codepoint distribution, plus character and
+    * distinct-codepoint counts. Degenerate repetition (error-page spam,
+    * scraper loops) collapses toward log2(alphabet) ~ 1-2 bits; base64
+    * blobs / minified JS / compressed junk saturate toward 6; natural
+    * language sits in the 3.5-4.7 band — so a doc outside
+    * [`lowBits`, `highBits`] is routed to drop, with the verdict kept as a
+    * string for downstream audit tables.
+    *
+    * Map-only: ONE native codegen kernel call per row
+    * ([[graft.functions.TextExpressions.charStats]] — single UTF-8 byte
+    * pass, no String materialization, deterministic-order entropy fold);
+    * no shuffle, no UDF, fuses into whatever scan precedes it. At 100 TB
+    * this rides the ingest pass for free, like [[encodingAnomalies]]. */
+  def entropyCensus(docs: DataFrame, textCol: String = "text",
+                    lowBits: Double = 2.5, highBits: Double = 5.0): DataFrame = {
+    val stats = graft.functions.TextExpressions.charStats(col(textCol))
+    docs
+      .withColumn("__cs", stats)
+      .select(col("doc_id"),
+        col("__cs.n_chars").as("n_chars"),
+        col("__cs.n_distinct").as("n_distinct"),
+        round(col("__cs.entropy"), 6).as("entropy"))
+      .withColumn("verdict",
+        when(col("n_chars") === 0L, lit("empty"))
+          .when(col("entropy") < lowBits, lit("junk_repetitive"))
+          .when(col("entropy") > highBits, lit("junk_random"))
+          .otherwise(lit("clean")))
+  }
+
   def boilerplateStrip(docs: DataFrame, lines: DataFrame): DataFrame = {
     val boiler = lines
       .select(col("source"), md5(col("line")).as("__h"), col("doc_id"))

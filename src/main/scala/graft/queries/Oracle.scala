@@ -2404,6 +2404,37 @@ object Oracle {
         |  (CASE WHEN n_chars > 0 THEN (moji + repl + ctrl) * 1000000 // n_chars ELSE 0 END) >= 2000 AS flagged
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // t38: identical deterministic junk plant (same md5 bucket; repeat()
+    // for the 3-symbol repetition, base64-of-md5-chain blocks for the
+    // random blob — both engines' md5/base64 are the same RFC outputs),
+    // then the census: per-(doc,char) counts -> Shannon entropy in
+    // bits/char, round(6) before the verdict thresholds on BOTH engines
+    "t38_entropy_census" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bk
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN bk < 10 THEN repeat('ab ', 150)
+        |       WHEN bk < 20 THEN list_aggregate(list_transform(range(16),
+        |           i -> to_base64(unhex(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))))),
+        |           'string_agg', '')
+        |       ELSE text END AS text
+        |  FROM b),
+        |h AS (SELECT doc_id, cch, CAST(count(*) AS DOUBLE) AS cnt
+        |      FROM (SELECT doc_id, unnest(string_split(text, '')) AS cch FROM c)
+        |      GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(cnt) AS n, CAST(count(*) AS BIGINT) AS n_distinct
+        |      FROM h GROUP BY 1),
+        |e AS (SELECT h.doc_id, round(sum(-(cnt / t.n) * log2(cnt / t.n)), 6) AS entropy,
+        |             CAST(max(t.n) AS BIGINT) AS n_chars, max(t.n_distinct) AS n_distinct
+        |      FROM h JOIN t USING (doc_id) GROUP BY 1)
+        |SELECT doc_id, n_chars, n_distinct, entropy,
+        |  CASE WHEN n_chars = 0 THEN 'empty'
+        |       WHEN entropy < 2.5 THEN 'junk_repetitive'
+        |       WHEN entropy > 5.0 THEN 'junk_random'
+        |       ELSE 'clean' END AS verdict
+        |FROM e ORDER BY doc_id""".stripMargin,
+
     // t35: same 10-word line derivation as t11; boilerplate = a line in
     // >= 2 distinct docs of the SAME source, removed everywhere it
     // appears within that source (Spark keys the census on md5(line) —

@@ -2109,6 +2109,29 @@ object Queries {
     TextOps.encodingAnomalies(corrupted).orderBy("doc_id")
   }
 
+  /** T38: character-entropy junk gate ([[TextOps.entropyCensus]]) — the
+    * raw-crawl filter that catches what perplexity scoring never sees:
+    * degenerate repetition (slow-collapse scraper loops, error-page spam)
+    * at the low end and base64/minified/compressed blobs at the high end.
+    * The ASCII synthetic corpus is uniformly mid-band natural text, so the
+    * fixture plants both failure modes deterministically (derive-then-
+    * detect; detector sees only the text): buckets 0-9 become a 3-symbol
+    * repetition (entropy exactly log2(3) ~ 1.585), buckets 10-19 become
+    * 384 chars of base64-coded md5 chains (~5.9 bits/char), the other 80%
+    * stay clean — all three verdicts live at every SF. */
+  val t38EntropyCensus: Q = (s, dir) => {
+    val b = sampleBucket(col("doc_id"))
+    val junkRandom = array_join(
+      transform(sequence(lit(0), lit(15)), i =>
+        base64(unhex(md5(concat(col("doc_id").cast("string"), lit(":"),
+          i.cast("string")))))), "")
+    val planted = tbl(s, dir, "documents").withColumn("text",
+      when(b < 10, repeat(lit("ab "), 150))
+        .when(b < 20, junkRandom)
+        .otherwise(col("text")))
+    TextOps.entropyCensus(planted).orderBy("doc_id")
+  }
+
   /** T29: term-blocklist filtering — the policy/compliance gate every
     * production corpus runs (profanity, PII keywords, licensing terms).
     * The blocklist is a TABLE, not an `isin` literal (the t18/t19
@@ -3904,6 +3927,7 @@ object Queries {
     "t35_boilerplate" -> t35Boilerplate,
     "t36_token_drift" -> t36TokenDrift,
     "t37_encoding_census" -> t37EncodingCensus,
+    "t38_entropy_census" -> t38EntropyCensus,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

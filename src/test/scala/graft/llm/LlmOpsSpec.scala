@@ -421,6 +421,42 @@ class LlmOpsSpec extends AnyFunSuite {
       s"detector must stay codegen:\n$phys")
   }
 
+  test("entropyCensus: exact entropy goldens across the verdict bands") {
+    val df = docsDf(Seq(
+      1L -> "aaaa", // 1 symbol -> exactly 0 bits
+      2L -> "ab", // 2 symbols uniform -> exactly 1 bit
+      3L -> "ab " * 150, // 3 symbols uniform -> log2(3)
+      4L -> "héllo", // multibyte codepoint counted once
+      5L -> "", // empty stays total, verdict 'empty'
+      6L -> "😀😀")) // one 4-byte codepoint, twice
+    val got = TextOps.entropyCensus(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(got(1L) === ((4L, 1L, 0.0, "junk_repetitive")))
+    assert(got(2L) === ((2L, 2L, 1.0, "junk_repetitive")))
+    assert(got(3L) === ((450L, 3L, 1.584963, "junk_repetitive")))
+    assert(got(4L) === ((5L, 4L, 1.921928, "junk_repetitive")))
+    assert(got(5L) === ((0L, 0L, 0.0, "empty")))
+    assert(got(6L) === ((2L, 1L, 0.0, "junk_repetitive")))
+    // natural text lands mid-band; a base64 blob crosses the high gate
+    val bands = TextOps.entropyCensus(docsDf(Seq(
+      7L -> "the quick brown fox jumps over the lazy dog and then some more words",
+      8L -> ("3Se48jON9FWHDX/yLM7JaA==bdbJ9vp9c7s112TRHUmtZQ==" * 8)))).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(bands(7L) === "clean")
+    assert(bands(8L) === "junk_random")
+  }
+
+  test("entropyCensus is map-only: no exchange, no UDF, kernel in codegen") {
+    val df = TextOps.entropyCensus(docs)
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"map-only operator shuffled:\n$phys")
+    assert(!phys.contains("BatchEvalPython") && !phys.toLowerCase.contains("scalaudf"),
+      s"detector must stay codegen:\n$phys")
+    assert(phys.contains("char_stats"), s"native kernel missing from plan:\n$phys")
+  }
+
   test("boilerplateStrip census and anti-join key on md5, not line text") {
     val s = spark
     import s.implicits._
