@@ -94,6 +94,13 @@ object Plans {
       "no String materialization, order-deterministic entropy fold), " +
       "round(6) then verdict thresholds — a pure map stage with no " +
       "shuffle and no UDF; at 100 TB it rides the ingest scan for free."),
+    "t39_domain_reputation" -> ("Per-domain reputation census: one hash " +
+      "aggregation keyed on the derived registered domain (multi-distinct " +
+      "via Expand, still a single exchange on the group key) plus a 1-row " +
+      "corpus-total broadcast back over the domain-sized census — text " +
+      "never moves, only its 16-byte md5 fingerprint enters the " +
+      "aggregate. The domain blocklist this emits is tiny and broadcasts " +
+      "back over the corpus for free."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL/domain operators for web-crawl training-data pipelines: host
+ * extraction, public-suffix-aware registered-domain derivation, and the
+ * per-domain reputation census (C4/RefinedWeb/Dolma all blocklist spam
+ * domains from exactly this aggregate before any per-document filtering —
+ * a content farm is cheaper to kill once at the domain level than a
+ * million times at the document level).
+ *
+ * Everything is built-in codegen'd expressions over the URL string —
+ * no UDF, no per-row regex beyond `parse_url`'s native host extraction.
+ */
+object WebOps {
+
+  /** Multi-label public suffixes the corpus can encounter. The real
+    * public-suffix list is ~9k entries and ships as a broadcast lookup in
+    * a production deployment; the suffix RULE (registered domain = last 2
+    * labels, or last 3 when the last 2 are themselves a public suffix) is
+    * what the engine implements, and it is exercised by both branches. */
+  final val MultiPartSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "ac.uk", "com.au", "co.jp")
+
+  /** Hostname of `url` via Spark's native `parse_url` expression. */
+  def host(url: Column): Column = parse_url(url, lit("HOST"))
+
+  /** Public-suffix-aware registered domain of a hostname: the last two
+    * labels, or the last three when the last two are a listed multi-part
+    * suffix (www.news.co.uk -> news.co.uk; www.blog.example.com ->
+    * example.com). Pure string expressions — stays in codegen. */
+  def registeredDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    when(n >= 3 && last2.isin(MultiPartSuffixes: _*),
+      concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+        element_at(labels, -1)))
+      .otherwise(last2)
+  }
+
+  /** Per-registered-domain reputation census over `docs(doc_id, url,
+    * text)`: document count, distinct-host count, exact-duplicate share
+    * and corpus share (both as integer parts-per-million — nothing
+    * floating crosses the result), and the spam verdict
+    * (`dup_ppm >= dupPpmMax` OR `share_ppm >= sharePpmMax`) a pipeline
+    * feeds back as a domain blocklist.
+    *
+    * Shape at scale: ONE hash aggregation keyed on the derived registered
+    * domain (multi-distinct via Spark's Expand — still a single exchange
+    * on the group key), plus a 1-row corpus total broadcast back over the
+    * domain-sized census. Text never moves — only its 16-byte md5
+    * fingerprint enters the aggregate. No pairwise anything: the dup share
+    * is count-distinct-of-fingerprint, the same L1 discipline. */
+  def domainReputation(docs: DataFrame, dupPpmMax: Long = 500000L,
+                       sharePpmMax: Long = 200000L): DataFrame = {
+    val census = docs
+      .select(registeredDomain(host(col("url"))).as("registered_domain"),
+        host(col("url")).as("__host"), md5(col("text")).as("__fp"))
+      .groupBy("registered_domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__host")).as("n_hosts"),
+        countDistinct(col("__fp")).as("n_uniq"))
+    val total = docs.agg(count(lit(1)).as("__total"))
+    census
+      .crossJoin(broadcast(total)) // 1 row -> BroadcastNestedLoopJoin
+      .withColumn("dup_ppm",
+        expr("(n_docs - n_uniq) * 1000000 div n_docs"))
+      .withColumn("share_ppm", expr("n_docs * 1000000 div __total"))
+      .select(col("registered_domain"), col("n_docs"), col("n_hosts"),
+        col("dup_ppm"), col("share_ppm"),
+        (col("dup_ppm") >= dupPpmMax || col("share_ppm") >= sharePpmMax)
+          .as("flagged"))
+  }
+}

@@ -2435,6 +2435,44 @@ object Oracle {
         |       ELSE 'clean' END AS verdict
         |FROM e ORDER BY doc_id""".stripMargin,
 
+    // t39: identical deterministic URL/text plant (same md5 bucket, same
+    // subdomain/domain/template rotation); the oracle states the
+    // registered-domain truth directly per branch (oracle-as-spec for the
+    // public-suffix rule the Spark side derives from the hostname), then
+    // the same census: count / distinct hosts / distinct text
+    // fingerprints, integer ppm shares against the 1-row corpus total
+    "t39_domain_reputation" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bk
+        |  FROM documents),
+        |u AS (SELECT doc_id, bk,
+        |  CASE doc_id % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'm' WHEN 2 THEN 'cdn' ELSE 'blog' END
+        |    || '.' ||
+        |  CASE WHEN bk < 25 THEN 'contentfarm.biz'
+        |       WHEN bk < 40 THEN 'news.co.uk'
+        |       WHEN bk < 55 THEN 'blog.example.com'
+        |       ELSE 'site' || CAST(bk % 8 AS VARCHAR) || '.org' END AS host,
+        |  CASE WHEN bk < 25 THEN 'contentfarm.biz'
+        |       WHEN bk < 40 THEN 'news.co.uk'
+        |       WHEN bk < 55 THEN 'example.com'
+        |       ELSE 'site' || CAST(bk % 8 AS VARCHAR) || '.org' END AS registered_domain,
+        |  CASE WHEN bk < 25 THEN 'breaking news template ' ||
+        |         (CASE doc_id % 3 WHEN 0 THEN 'one' WHEN 1 THEN 'two' ELSE 'three' END)
+        |       ELSE text END AS text
+        |  FROM b),
+        |c AS (SELECT registered_domain,
+        |        CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq
+        |      FROM u GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+        |SELECT registered_domain, n_docs, n_hosts,
+        |  (n_docs - n_uniq) * 1000000 // n_docs AS dup_ppm,
+        |  n_docs * 1000000 // total AS share_ppm,
+        |  ((n_docs - n_uniq) * 1000000 // n_docs >= 500000
+        |    OR n_docs * 1000000 // total >= 200000) AS flagged
+        |FROM c, t ORDER BY registered_domain""".stripMargin,
+
     // t35: same 10-word line derivation as t11; boilerplate = a line in
     // >= 2 distinct docs of the SAME source, removed everywhere it
     // appears within that source (Spark keys the census on md5(line) —

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.geo.GeoFunctions
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps, WebOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2132,6 +2132,39 @@ object Queries {
     TextOps.entropyCensus(planted).orderBy("doc_id")
   }
 
+  /** T39: per-domain reputation census ([[WebOps.domainReputation]]) —
+    * the domain-level blocklist aggregate C4/RefinedWeb/Dolma run before
+    * any per-document filtering (a content farm is cheaper to kill once
+    * at the domain level). The corpus has no URLs, so the fixture derives
+    * them deterministically (derive-then-detect): buckets 0-24 become a
+    * content farm (one registered domain, texts overwritten with three
+    * rotating templates — the exact-dup signature of scraped spam),
+    * buckets 25-39 a multi-part-suffix domain (news.co.uk — exercises the
+    * public-suffix rule), 40-54 a subdomain-of-registered case
+    * (www.blog.example.com -> example.com), the rest spread over eight
+    * site{k}.org domains; four rotating hosts per domain. The detector
+    * sees only the url+text columns. */
+  val t39DomainReputation: Q = (s, dir) => {
+    val b = sampleBucket(col("doc_id"))
+    val sub = element_at(
+      array(lit("www"), lit("m"), lit("cdn"), lit("blog")),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val dom = when(b < 25, lit("contentfarm.biz"))
+      .when(b < 40, lit("news.co.uk"))
+      .when(b < 55, lit("blog.example.com"))
+      .otherwise(concat(lit("site"), (b % 8).cast("string"), lit(".org")))
+    val template = element_at(
+      array(lit("breaking news template one"),
+        lit("breaking news template two"),
+        lit("breaking news template three")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val planted = tbl(s, dir, "documents")
+      .withColumn("url", concat(lit("https://"), sub, lit("."), dom,
+        lit("/doc/"), col("doc_id").cast("string")))
+      .withColumn("text", when(b < 25, template).otherwise(col("text")))
+    WebOps.domainReputation(planted).orderBy("registered_domain")
+  }
+
   /** T29: term-blocklist filtering — the policy/compliance gate every
     * production corpus runs (profanity, PII keywords, licensing terms).
     * The blocklist is a TABLE, not an `isin` literal (the t18/t19
@@ -3928,6 +3961,7 @@ object Queries {
     "t36_token_drift" -> t36TokenDrift,
     "t37_encoding_census" -> t37EncodingCensus,
     "t38_entropy_census" -> t38EntropyCensus,
+    "t39_domain_reputation" -> t39DomainReputation,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

@@ -457,6 +457,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(phys.contains("char_stats"), s"native kernel missing from plan:\n$phys")
   }
 
+  test("domainReputation: suffix rule, dup/share ppm, spam verdict") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "https://www.spam.biz/doc/1", "same"),
+      (2L, "https://m.spam.biz/doc/2", "same"),
+      (3L, "https://www.spam.biz/doc/3", "same"),
+      (4L, "https://www.news.co.uk/doc/4", "a"), // multi-part public suffix
+      (5L, "https://m.news.co.uk/doc/5", "b"),
+      (6L, "https://www.blog.example.com/doc/6", "c")) // strip 2 labels
+      .toDF("doc_id", "url", "text")
+    val got = WebOps.domainReputation(df, sharePpmMax = 400000L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(got.keySet === Set("spam.biz", "news.co.uk", "example.com"))
+    assert(got("spam.biz") === ((3L, 2L, 666666L, 500000L, true)))
+    assert(got("news.co.uk") === ((2L, 2L, 0L, 333333L, false)))
+    assert(got("example.com") === ((1L, 1L, 0L, 166666L, false)))
+  }
+
+  test("registeredDomain handles bare two-label hosts") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("foo.org", "www.bar.co.uk", "a.b.c.example.com")
+      .toDF("h").select(WebOps.registeredDomain(col("h")))
+      .collect().map(_.getString(0))
+    assert(got === Array("foo.org", "bar.co.uk", "example.com"))
+  }
+
   test("boilerplateStrip census and anti-join key on md5, not line text") {
     val s = spark
     import s.implicits._
