@@ -101,6 +101,11 @@ object Plans {
       "never moves, only its 16-byte md5 fingerprint enters the " +
       "aggregate. The domain blocklist this emits is tiny and broadcasts " +
       "back over the corpus for free."),
+    "d24_url_dedup" -> ("Crawl-frontier URL dedup: canonicalization is " +
+      "pure built-in string expressions per row (map-only, fuses into " +
+      "the scan), then ONE hash aggregation on the canonical key — " +
+      "map-side partials collapse the variants where they sit, so the " +
+      "exchange carries one row per canonical URL, not per variant."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

@@ -41,6 +41,51 @@ object WebOps {
       .otherwise(last2)
   }
 
+  /** Tracking parameters every canonicalizer strips — the query-string
+    * noise (analytics attribution) that makes one page look like many. */
+  final val TrackingParamRe = "^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+
+  /** URL canonicalization — the crawl-frontier normalization step that
+    * runs BEFORE content dedup (the same page arrives as
+    * `HTTPS://WWW.Site.org:443/a/?utm_source=feed&b=2&a=1#frag` and
+    * `https://www.site.org/a?a=1&b=2`; fetching both wastes a fetch and
+    * poisons content dedup with twins): lowercase scheme+host, drop the
+    * fragment, drop default ports (:80/:443), drop tracking parameters
+    * ([[TrackingParamRe]]), sort the surviving query parameters, and
+    * strip trailing path slashes (root stays `/`). Pure built-in string
+    * expressions per row — map-only, order-insensitive, no UDF. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val host = regexp_replace(
+      lower(regexp_extract(noFrag, "^([^/?]+)", 1)), ":(443|80)$", "")
+    val pathQ = regexp_replace(noFrag, "^[^/?]+", "")
+    val rawPath = regexp_extract(pathQ, "^([^?]*)", 1)
+    val path = {
+      val stripped = regexp_replace(rawPath, "/+$", "")
+      when(stripped === "", lit("/")).otherwise(stripped)
+    }
+    val query = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe)))
+    val qs = array_join(params, "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
+  /** Crawl-frontier URL dedup: canonicalize, then collapse every page's
+    * decoration variants into one row per canonical URL — count of
+    * collapsed variants plus the kept (minimum) doc_id, the
+    * fetch-once/keep-one policy a frontier applies. ONE hash aggregation
+    * on the derived canonical key (map-side partials do the collapsing
+    * where the variants sit); nothing pairwise, text never moves. */
+  def urlDedup(pages: DataFrame): DataFrame =
+    pages
+      .select(canonicalizeUrl(col("url")).as("canonical_url"), col("doc_id"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("kept_doc_id"))
+
   /** Per-registered-domain reputation census over `docs(doc_id, url,
     * text)`: document count, distinct-host count, exact-duplicate share
     * and corpus share (both as integer parts-per-million — nothing

@@ -2473,6 +2473,43 @@ object Oracle {
         |    OR n_docs * 1000000 // total >= 200000) AS flagged
         |FROM c, t ORDER BY registered_domain""".stripMargin,
 
+    // d24: identical deterministic decoration plant (4 variants per page
+    // group), then the SAME canonicalization rule chain mirrored step by
+    // step in DuckDB string functions (lowercase scheme+host, drop
+    // fragment, drop :443/:80, drop tracking params, sort surviving
+    // params, strip trailing path slashes), then the collapse census
+    "d24_url_dedup" ->
+      """WITH g AS (SELECT doc_id, doc_id // 4 AS p, doc_id % 4 AS v FROM documents),
+        |m AS (SELECT doc_id,
+        |  CASE v
+        |    WHEN 0 THEN 'https://www.site' || (p % 7) || '.org/articles/item' || p || '?b=2&a=1'
+        |    WHEN 1 THEN 'https://www.site' || (p % 7) || '.org/articles/item' || p || '/?a=1&utm_source=feed&b=2'
+        |    WHEN 2 THEN 'HTTPS://WWW.SITE' || (p % 7) || '.ORG:443/articles/item' || p || '?a=1&b=2'
+        |    ELSE 'https://www.site' || (p % 7) || '.org/articles/item' || p || '?a=1&b=2#section-3'
+        |  END AS url FROM g),
+        |s1 AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS nofrag
+        |  FROM m),
+        |s2 AS (SELECT doc_id, scheme,
+        |  regexp_replace(lower(regexp_extract(nofrag, '^([^/?]+)', 1)), ':(443|80)$', '') AS host,
+        |  regexp_replace(nofrag, '^[^/?]+', '') AS pathq
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, scheme, host,
+        |  CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') = ''
+        |       THEN '/' ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') END AS path,
+        |  array_to_string(list_sort(list_filter(
+        |    string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+        |    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&') AS qs
+        |  FROM s2),
+        |c AS (SELECT doc_id,
+        |  scheme || '://' || host || path ||
+        |    (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canonical_url
+        |  FROM s3)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+        |  min(doc_id) AS kept_doc_id
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // t35: same 10-word line derivation as t11; boilerplate = a line in
     // >= 2 distinct docs of the SAME source, removed everywhere it
     // appears within that source (Spark keys the census on md5(line) —

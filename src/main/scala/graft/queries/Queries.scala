@@ -2165,6 +2165,30 @@ object Queries {
     WebOps.domainReputation(planted).orderBy("registered_domain")
   }
 
+  /** D24: crawl-frontier URL dedup ([[WebOps.urlDedup]]) — the
+    * canonicalize-then-collapse step that runs BEFORE content dedup
+    * (fetching decoration variants wastes fetches and poisons content
+    * dedup with twins). The fixture gives every 4-doc page group the four
+    * classic decorations of one logical URL (unsorted params; trailing
+    * slash + utm tracking param; uppercase scheme+host + explicit :443;
+    * fragment) — all four must collapse to the same canonical row. */
+  val d24UrlDedup: Q = (s, dir) => {
+    val p = expr("doc_id div 4")
+    val hostL = concat(lit("www.site"), (p % 7).cast("string"), lit(".org"))
+    val path = concat(lit("/articles/item"), p.cast("string"))
+    val v = col("doc_id") % 4
+    val url = when(v === 0,
+      concat(lit("https://"), hostL, path, lit("?b=2&a=1")))
+      .when(v === 1,
+        concat(lit("https://"), hostL, path, lit("/?a=1&utm_source=feed&b=2")))
+      .when(v === 2,
+        concat(lit("HTTPS://"), upper(hostL), lit(":443"), path, lit("?a=1&b=2")))
+      .otherwise(
+        concat(lit("https://"), hostL, path, lit("?a=1&b=2#section-3")))
+    val planted = tbl(s, dir, "documents").withColumn("url", url)
+    WebOps.urlDedup(planted).orderBy("canonical_url")
+  }
+
   /** T29: term-blocklist filtering — the policy/compliance gate every
     * production corpus runs (profanity, PII keywords, licensing terms).
     * The blocklist is a TABLE, not an `isin` literal (the t18/t19
@@ -3962,6 +3986,7 @@ object Queries {
     "t37_encoding_census" -> t37EncodingCensus,
     "t38_entropy_census" -> t38EntropyCensus,
     "t39_domain_reputation" -> t39DomainReputation,
+    "d24_url_dedup" -> d24UrlDedup,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

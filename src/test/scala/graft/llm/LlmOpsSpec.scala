@@ -487,6 +487,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Array("foo.org", "bar.co.uk", "example.com"))
   }
 
+  test("canonicalizeUrl normalizes every decoration class") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      "HTTPS://WWW.Site.org:443/a/?utm_source=feed&b=2&a=1#frag",
+      "https://www.site.org/a?a=1&b=2",
+      "http://host.com:80/",
+      "http://host.com",
+      "https://x.org/p?gclid=1&fbclid=2&ref=rss", // all params tracking
+      "https://x.org/p/?z=9&y=8")
+      .toDF("url").select(WebOps.canonicalizeUrl(col("url")))
+      .collect().map(_.getString(0))
+    assert(got(0) === "https://www.site.org/a?a=1&b=2")
+    assert(got(1) === "https://www.site.org/a?a=1&b=2")
+    assert(got(2) === "http://host.com/")
+    assert(got(3) === "http://host.com/")
+    assert(got(4) === "https://x.org/p")
+    assert(got(5) === "https://x.org/p?y=8&z=9")
+  }
+
+  test("urlDedup collapses variants to one canonical row, keeps min doc_id") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (10L, "https://a.org/x?b=2&a=1"),
+      (11L, "https://a.org/x/?a=1&utm_source=f&b=2"),
+      (12L, "HTTPS://A.ORG:443/x?a=1&b=2"),
+      (13L, "https://a.org/x?a=1&b=2#frag"),
+      (14L, "https://a.org/other"))
+      .toDF("doc_id", "url")
+    val got = WebOps.urlDedup(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "https://a.org/x?a=1&b=2" -> ((4L, 10L)),
+      "https://a.org/other" -> ((1L, 14L))))
+  }
+
   test("boilerplateStrip census and anti-join key on md5, not line text") {
     val s = spark
     import s.implicits._
