@@ -106,6 +106,11 @@ object Plans {
       "the scan), then ONE hash aggregation on the canonical key — " +
       "map-side partials collapse the variants where they sit, so the " +
       "exchange carries one row per canonical URL, not per variant."),
+    "a32_zipf_fit" -> ("Zipf corpus-health fit: one partial-aggregated " +
+      "token census, a bounded TakeOrdered top-100 cut, then the " +
+      "closed-form OLS rides whole-frame window sums over exactly 100 " +
+      "rows — bounded by the limit, not the corpus. The only corpus-" +
+      "sized stage is the census every text operator already pays."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

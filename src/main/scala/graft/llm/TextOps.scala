@@ -783,6 +783,44 @@ object TextOps {
         round((p - q) * log(p / q), 6).as("psi_r"))
   }
 
+  /** Zipf-law fit over the corpus token-frequency head — the one-number
+    * corpus-health check (natural language obeys freq ~ rank^-s with
+    * s ~ 1; a much flatter slope means template/boilerplate flooding, a
+    * much steeper one means a collapsed vocabulary — both are corpus
+    * defects that per-document filters cannot see). Census = ONE
+    * partial-aggregated token count; head cut = bounded top-K totally
+    * ordered (count DESC, token ASC); the OLS fit of log2(freq) on
+    * log2(rank) rides whole-frame window sums over exactly `topK` rows
+    * (bounded by the limit, not the corpus — the t36 discipline), solved
+    * in closed form: no iteration, no driver math. Emits the head with
+    * per-rank log-log residuals (where the fit breaks tells you WHICH
+    * ranks are anomalous — a spam token bulges its own rank) plus the
+    * fitted slope on every row; round(6) after the float math. */
+  def zipfFit(docs: DataFrame, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cens = docs.select(explode(words(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = cens.orderBy(col("cnt").desc, col("token")).limit(topK)
+    val wOrd = Window.partitionBy().orderBy(col("cnt").desc, col("token"))
+    val wAll = Window.partitionBy()
+    val slope =
+      (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+    val intercept = (col("sy") - slope * col("sx")) / col("n")
+    top
+      .withColumn("rank", row_number().over(wOrd).cast("long"))
+      .withColumn("x", log(2.0, col("rank")))
+      .withColumn("y", log(2.0, col("cnt")))
+      .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("sx", sum(col("x")).over(wAll))
+      .withColumn("sy", sum(col("y")).over(wAll))
+      .withColumn("sxy", sum(col("x") * col("y")).over(wAll))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wAll))
+      .select(col("rank"), col("token"), col("cnt"),
+        round(slope, 6).as("slope"),
+        round(col("y") - (intercept + slope * col("x")), 6).as("resid_r"))
+  }
+
   /** Encoding-corruption census (the ftfy/CCNet "fix or drop mojibake"
     * gate web pipelines run at ingest): per document, counts of the
     * three dominant artifact classes a broken decode leaves behind —

@@ -2510,6 +2510,26 @@ object Oracle {
         |  min(doc_id) AS kept_doc_id
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // a32: same census (space tokenization), same totally-ordered top-100
+    // cut, same closed-form OLS of log2(freq) on log2(rank) — the fit
+    // sums ride a scalar subframe over exactly 100 rows; round(6) after
+    // the float math on both engines
+    "a32_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cens AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+        |top AS (SELECT token, cnt FROM cens ORDER BY cnt DESC, token LIMIT 100),
+        |r AS (SELECT token, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+        |      FROM top),
+        |xy AS (SELECT token, cnt, rank, log2(rank) AS x, log2(cnt) AS y FROM r),
+        |f AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        |SELECT rank, token, cnt,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round(y - ((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |             + (n * sxy - sx * sy) / (n * sxx - sx * sx) * x), 6) AS resid_r
+        |FROM xy, f ORDER BY rank""".stripMargin,
+
     // t35: same 10-word line derivation as t11; boilerplate = a line in
     // >= 2 distinct docs of the SAME source, removed everywhere it
     // appears within that source (Spark keys the census on md5(line) —

@@ -3431,6 +3431,17 @@ object Queries {
     * exact sort swaps for the a22 binned-histogram KS (D evaluated at
     * bin edges, error bounded by bin width) — kept exact here because
     * the driver hash-compares D's integer numerator. */
+  /** A32: Zipf-law fit over the token-frequency head
+    * ([[TextOps.zipfFit]]) — the one-number corpus-health check
+    * (natural language: freq ~ rank^-s, s ~ 1; flatter = template
+    * flooding, steeper = collapsed vocabulary). Bounded top-100 cut,
+    * closed-form OLS of log2(freq) on log2(rank) via whole-frame window
+    * sums over exactly 100 rows, per-rank residuals expose WHICH ranks
+    * break the law. No plant needed — the statistic is live on the raw
+    * corpus. */
+  val a32ZipfFit: Q = (s, dir) =>
+    TextOps.zipfFit(tbl(s, dir, "documents")).orderBy("rank")
+
   val a31KsDrift: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val e = events(s, dir).select(col("event_type"), col("value"),
@@ -4110,6 +4121,7 @@ object Queries {
     "x34_random_walks" -> x34RandomWalks,
     "a30_kanonymity" -> a30Kanonymity,
     "a31_ks_drift" -> a31KsDrift,
+    "a32_zipf_fit" -> a32ZipfFit,
     "x35_fd_profile" -> x35FdProfile
   )
 }

@@ -524,6 +524,28 @@ class LlmOpsSpec extends AnyFunSuite {
       "https://a.org/other" -> ((1L, 14L))))
   }
 
+  test("zipfFit recovers an exact power law: slope -1, zero residuals") {
+    // counts 24/rank at ranks 1..4 -> log2(cnt) = log2(24) - log2(rank),
+    // a perfect line with slope -1
+    val text = (Seq.fill(24)("aa") ++ Seq.fill(12)("bb") ++
+      Seq.fill(8)("cc") ++ Seq.fill(6)("dd")).mkString(" ")
+    val rows = TextOps.zipfFit(docsDf(Seq(1L -> text)), topK = 10)
+      .orderBy("rank").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1L, "aa", 24L), (2L, "bb", 12L), (3L, "cc", 8L), (4L, "dd", 6L)))
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - (-1.0)) < 1e-9, s"slope ${r.getDouble(3)}")
+      assert(math.abs(r.getDouble(4)) < 1e-9, s"resid ${r.getDouble(4)}")
+    }
+  }
+
+  test("zipfFit top-K cut is totally ordered: count desc, token asc on ties") {
+    val text = "z z y y x w" // ties: z=y=2, x=w=1
+    val got = TextOps.zipfFit(docsDf(Seq(1L -> text)), topK = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "y"), (2L, "z"), (3L, "w")))
+  }
+
   test("boilerplateStrip census and anti-join key on md5, not line text") {
     val s = spark
     import s.implicits._
