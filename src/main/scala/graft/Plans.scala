@@ -111,6 +111,11 @@ object Plans {
       "closed-form OLS rides whole-frame window sums over exactly 100 " +
       "rows — bounded by the limit, not the corpus. The only corpus-" +
       "sized stage is the census every text operator already pays."),
+    "d25_crawl_diff" -> ("Crawl-snapshot diff: two map-side-collapsed " +
+      "hash aggregations (one per snapshot) + ONE co-partitioned " +
+      "full-outer equi-join on the canonical key. Text never moves — " +
+      "only the 16-byte fingerprint rides the join; AQE broadcasts a " +
+      "small incremental side automatically."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

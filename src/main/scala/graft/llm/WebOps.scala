@@ -86,6 +86,39 @@ object WebOps {
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("kept_doc_id"))
 
+  /** Crawl-snapshot diff — the refresh-QA join run before admitting a new
+    * dump (CommonCrawl-style pipelines keep per-URL content fingerprints
+    * exactly for this): canonicalize both snapshots, pre-collapse each to
+    * one row per canonical URL (min doc_id + ITS fingerprint, the d24
+    * keep policy), FULL OUTER join on the canonical key, and classify —
+    * `added` (B only), `removed` (A only), `changed` (both, fingerprints
+    * differ), `unchanged`. The status census drives refresh economics
+    * (a dump that is 95% unchanged re-fetches almost nothing) and the
+    * `changed` set is the recrawl work-list.
+    *
+    * Scale shape: two hash aggregations (one per snapshot, map-side
+    * collapse) + ONE co-partitioned full-outer equi-join on the canonical
+    * key — the canonical snapshot-diff plan; AQE broadcasts a side that
+    * turns out small (incremental dumps usually are). Text never moves:
+    * only the 16-byte fingerprint rides the join. */
+  def crawlDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    def side(df: DataFrame, idCol: String, fpCol: String) = df
+      .select(canonicalizeUrl(col("url")).as("canonical_url"),
+        col("doc_id"), md5(col("text")).as("__fp"))
+      .groupBy("canonical_url")
+      .agg(min_by(col("__fp"), col("doc_id")).as(fpCol),
+        min(col("doc_id")).as(idCol))
+    side(a, "a_doc_id", "__fp_a")
+      .join(side(b, "b_doc_id", "__fp_b"), Seq("canonical_url"), "full_outer")
+      .select(col("canonical_url"),
+        when(col("__fp_a").isNull, lit("added"))
+          .when(col("__fp_b").isNull, lit("removed"))
+          .when(col("__fp_a") =!= col("__fp_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("a_doc_id"), lit(-1L)).as("a_doc_id"),
+        coalesce(col("b_doc_id"), lit(-1L)).as("b_doc_id"))
+  }
+
   /** Per-registered-domain reputation census over `docs(doc_id, url,
     * text)`: document count, distinct-host count, exact-duplicate share
     * and corpus share (both as integer parts-per-million — nothing

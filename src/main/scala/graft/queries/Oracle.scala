@@ -2530,6 +2530,35 @@ object Oracle {
         |             + (n * sxy - sx * sy) / (n * sxx - sx * sx) * x), 6) AS resid_r
         |FROM xy, f ORDER BY rank""".stripMargin,
 
+    // d25: identical page/snapshot/fate plant, then the same per-side
+    // collapse (arg_min fingerprint by doc_id) and FULL OUTER classify;
+    // planted URLs are already canonical so the oracle states them
+    // directly; NULL side-ids coalesced to -1 on both engines
+    "d25_crawl_diff" ->
+      """WITH g AS (SELECT doc_id, doc_id // 2 AS pg, doc_id % 2 AS snap FROM documents),
+        |p AS (SELECT doc_id, pg, snap, pg % 100 AS pb FROM g
+        |      WHERE NOT (pg % 100 < 10 AND doc_id % 2 = 1)
+        |        AND NOT (pg % 100 >= 10 AND pg % 100 < 20 AND doc_id % 2 = 0)),
+        |m AS (SELECT doc_id, snap,
+        |  'https://www.site' || CAST(pg % 7 AS VARCHAR) || '.org/p/' || CAST(pg AS VARCHAR) AS canonical_url,
+        |  CASE WHEN pb >= 20 AND pb < 35
+        |       THEN 'v' || CAST(snap AS VARCHAR) || '-' || CAST(pg AS VARCHAR)
+        |       ELSE 'stable-' || CAST(pg AS VARCHAR) END AS text
+        |  FROM p),
+        |a AS (SELECT canonical_url, arg_min(md5(text), doc_id) AS fp, min(doc_id) AS a_doc_id
+        |      FROM m WHERE snap = 0 GROUP BY 1),
+        |b AS (SELECT canonical_url, arg_min(md5(text), doc_id) AS fp, min(doc_id) AS b_doc_id
+        |      FROM m WHERE snap = 1 GROUP BY 1)
+        |SELECT coalesce(a.canonical_url, b.canonical_url) AS canonical_url,
+        |  CASE WHEN a.canonical_url IS NULL THEN 'added'
+        |       WHEN b.canonical_url IS NULL THEN 'removed'
+        |       WHEN a.fp <> b.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(a_doc_id, -1) AS a_doc_id,
+        |  coalesce(b_doc_id, -1) AS b_doc_id
+        |FROM a FULL OUTER JOIN b ON a.canonical_url = b.canonical_url
+        |ORDER BY 1""".stripMargin,
+
     // t35: same 10-word line derivation as t11; boilerplate = a line in
     // >= 2 distinct docs of the SAME source, removed everywhere it
     // appears within that source (Spark keys the census on md5(line) —

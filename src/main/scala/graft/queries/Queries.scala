@@ -2189,6 +2189,37 @@ object Queries {
     WebOps.urlDedup(planted).orderBy("canonical_url")
   }
 
+  /** D25: crawl-snapshot diff ([[WebOps.crawlDiff]]) — the refresh-QA
+    * join run before admitting a new dump. The fixture pairs docs into
+    * page groups (doc_id div 2 = page, parity = snapshot) and assigns
+    * each page a fate by page bucket: 0-9 removed (present only in A),
+    * 10-19 added (only in B), 20-34 changed (content version differs by
+    * snapshot), the rest unchanged (content a function of the page
+    * alone) — all four statuses live at every SF, detector sees only
+    * (doc_id, url, text) per snapshot. */
+  val d25CrawlDiff: Q = (s, dir) => {
+    val pg = expr("doc_id div 2")
+    val base = tbl(s, dir, "documents")
+      .withColumn("__pg", pg)
+      .withColumn("__snap", col("doc_id") % 2)
+      .withColumn("__pb", col("__pg") % 100)
+      .filter(!(col("__pb") < 10 && col("__snap") === 1) &&
+        !(col("__pb") >= 10 && col("__pb") < 20 && col("__snap") === 0))
+      .withColumn("url", concat(lit("https://www.site"),
+        (col("__pg") % 7).cast("string"), lit(".org/p/"),
+        col("__pg").cast("string")))
+      .withColumn("text",
+        when(col("__pb") >= 20 && col("__pb") < 35,
+          concat(lit("v"), col("__snap").cast("string"), lit("-"),
+            col("__pg").cast("string")))
+          .otherwise(concat(lit("stable-"), col("__pg").cast("string"))))
+    val cols = Seq("doc_id", "url", "text").map(col)
+    WebOps.crawlDiff(
+      base.filter(col("__snap") === 0).select(cols: _*),
+      base.filter(col("__snap") === 1).select(cols: _*))
+      .orderBy("canonical_url")
+  }
+
   /** T29: term-blocklist filtering — the policy/compliance gate every
     * production corpus runs (profanity, PII keywords, licensing terms).
     * The blocklist is a TABLE, not an `isin` literal (the t18/t19
@@ -3998,6 +4029,7 @@ object Queries {
     "t38_entropy_census" -> t38EntropyCensus,
     "t39_domain_reputation" -> t39DomainReputation,
     "d24_url_dedup" -> d24UrlDedup,
+    "d25_crawl_diff" -> d25CrawlDiff,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

@@ -546,6 +546,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, "y"), (2L, "z"), (3L, "w")))
   }
 
+  test("crawlDiff classifies added/removed/changed/unchanged across snapshots") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, "https://a.org/1", "same"),
+      (2L, "https://a.org/2", "old"),
+      (3L, "https://a.org/3", "gone")).toDF("doc_id", "url", "text")
+    val b = Seq(
+      (10L, "https://a.org/1?utm_source=x", "same"), // canonicalizes to /1
+      (11L, "https://a.org/2", "new"),
+      (12L, "https://a.org/4", "fresh")).toDF("doc_id", "url", "text")
+    val got = WebOps.crawlDiff(a, b).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      "https://a.org/1" -> (("unchanged", 1L, 10L)),
+      "https://a.org/2" -> (("changed", 2L, 11L)),
+      "https://a.org/3" -> (("removed", 3L, -1L)),
+      "https://a.org/4" -> (("added", -1L, 12L))))
+  }
+
+  test("crawlDiff pre-collapses variants per snapshot: min doc_id's fingerprint wins") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (5L, "https://a.org/x", "kept"),
+      (6L, "https://a.org/x#frag", "ignored-variant")).toDF("doc_id", "url", "text")
+    val b = Seq((9L, "https://a.org/x", "kept")).toDF("doc_id", "url", "text")
+    val got = WebOps.crawlDiff(a, b).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(("https://a.org/x", "unchanged", 5L)))
+  }
+
   test("boilerplateStrip census and anti-join key on md5, not line text") {
     val s = spark
     import s.implicits._
