@@ -116,6 +116,15 @@ object Plans {
       "full-outer equi-join on the canonical key. Text never moves — " +
       "only the 16-byte fingerprint rides the join; AQE broadcasts a " +
       "small incremental side automatically."),
+    "x36_link_graph" -> ("Site link graph: one codegen regexp scan + " +
+      "explode bounded by links-per-doc, then a single hash aggregation " +
+      "on the (src,dst) domain edge key — the edge list is domain-" +
+      "squared-sized, orders of magnitude below the corpus, and feeds " +
+      "x16/x24 directly."),
+    "t40_path_blocklist" -> ("Path-prefix blocklist: the prefix theta-" +
+      "join becomes an equi-join by exploding each URL's own segment " +
+      "prefixes (bounded by path depth) against the broadcast rules " +
+      "table — no LIKE scan, no cartesian, rules side always tiny."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

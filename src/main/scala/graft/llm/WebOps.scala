@@ -119,6 +119,67 @@ object WebOps {
         coalesce(col("b_doc_id"), lit(-1L)).as("b_doc_id"))
   }
 
+  /** Outlink extraction + site-level link graph — the bridge from raw
+    * HTML-ish text to the graph operators (PageRank/TrustRank run on
+    * exactly this edge list in web-quality pipelines; a domain's inlink
+    * profile is a quality prior per Gyongyi's TrustRank setup): pull
+    * `href="..."` targets out of the text with one codegen'd
+    * `regexp_extract_all`, explode, map BOTH endpoints through the same
+    * public-suffix rule ([[registeredDomain]]), drop self-loops, and
+    * census the (src, dst) edges. ONE corpus scan + explode bounded by
+    * links-per-doc + ONE hash aggregation on the edge key — the edge
+    * list is domain×domain-sized, orders of magnitude below the corpus. */
+  def linkGraph(pages: DataFrame): DataFrame = {
+    val src = registeredDomain(host(col("url")))
+    val dst = registeredDomain(host(col("link")))
+    pages
+      .select(src.as("src_domain"),
+        explode(regexp_extract_all(col("text"),
+          lit("href=\"([^\"]+)\""), lit(1))).as("link"))
+      .select(col("src_domain"), dst.as("dst_domain"))
+      .filter(col("src_domain") =!= col("dst_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"))
+  }
+
+  /** Robots-style path-prefix blocklist — URL filtering against a rules
+    * table of (domain, path prefix) disallows, the compliance gate a
+    * crawl applies before fetch AND a corpus applies retroactively when
+    * a site's robots.txt tightens. Matching is at path-SEGMENT
+    * boundaries (`/private` blocks `/private` and `/private/x`, not
+    * `/privateX` — swap the prefix generator for byte prefixes to get
+    * robots.txt's raw-string variant). The scalable trick: a prefix
+    * match is a theta join (`path LIKE prefix || '%'`) that no engine
+    * can hash — so each URL EXPLODES its own segment prefixes (bounded
+    * by path depth, ~4-8 per URL) and the match becomes a plain
+    * equi-join on (domain, prefix) against the broadcast-sized rules
+    * table. Output is the page set with the `blocked` verdict. */
+  def pathPrefixBlock(pages: DataFrame, rules: DataFrame): DataFrame = {
+    val hostC = host(col("url"))
+    val domain = registeredDomain(hostC)
+    val path = regexp_replace(regexp_replace(col("url"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", ""), "[?#].*$", "")
+    val labels = split(path, "/")
+    // guard: sequence(1, 0) would generate DESCENDING [1, 0] for a
+    // rootless path — emit no prefixes instead
+    val prefixes = when(size(labels) > 1,
+      transform(sequence(lit(1), size(labels) - 1),
+        i => concat_ws("/", slice(labels, lit(1), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = pages
+      .select(col("doc_id"), domain.as("domain"),
+        explode(prefixes).as("prefix"))
+    val blockedIds = exploded
+      .join(broadcast(rules.select(col("domain"), col("prefix"))),
+        Seq("domain", "prefix"))
+      .select(col("doc_id")).distinct()
+      .withColumn("blocked", lit(true))
+    pages
+      .join(blockedIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url"),
+        coalesce(col("blocked"), lit(false)).as("blocked"))
+  }
+
   /** Per-registered-domain reputation census over `docs(doc_id, url,
     * text)`: document count, distinct-host count, exact-duplicate share
     * and corpus share (both as integer parts-per-million — nothing

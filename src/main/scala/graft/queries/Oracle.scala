@@ -2559,6 +2559,42 @@ object Oracle {
         |FROM a FULL OUTER JOIN b ON a.canonical_url = b.canonical_url
         |ORDER BY 1""".stripMargin,
 
+    // x36: oracle-as-spec — the planted anchors are a pure function of
+    // doc_id, so the oracle states the edge truth directly (dst rotation
+    // over j in 0..doc_id%3) instead of re-running the href extraction
+    "x36_link_graph" ->
+      """WITH l AS (SELECT doc_id,
+        |  unnest(list_transform(range(doc_id % 3 + 1), j -> (doc_id + j + 1) % 5)) AS d
+        |  FROM documents),
+        |e AS (SELECT 'site' || CAST(doc_id % 5 AS VARCHAR) || '.org' AS src_domain,
+        |             'site' || CAST(d AS VARCHAR) || '.org' AS dst_domain
+        |      FROM l)
+        |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
+        |FROM e WHERE src_domain <> dst_domain
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // t40: identical deterministic URL plant; the oracle states the
+    // segment-boundary prefix-match truth with a correlated EXISTS
+    // (path = prefix OR starts_with(path, prefix || '/')) — the spec the
+    // engine's prefix-explode equi-join must reproduce
+    "t40_path_blocklist" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bk
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  'site' || CAST(doc_id % 5 AS VARCHAR) || '.org' AS domain,
+        |  CASE WHEN bk < 20 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+        |       WHEN bk < 30 THEN '/tmp/cache/' || CAST(doc_id AS VARCHAR)
+        |       ELSE '/articles/item' || CAST(doc_id AS VARCHAR) END AS path
+        |  FROM b),
+        |r AS (SELECT * FROM (VALUES
+        |  ('site0.org', '/private'), ('site1.org', '/private'),
+        |  ('site2.org', '/private'), ('site3.org', '/tmp')) AS t(domain, prefix))
+        |SELECT m.doc_id, 'https://www.' || m.domain || m.path AS url,
+        |  EXISTS (SELECT 1 FROM r WHERE r.domain = m.domain
+        |          AND (m.path = r.prefix OR starts_with(m.path, r.prefix || '/'))) AS blocked
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // t35: same 10-word line derivation as t11; boilerplate = a line in
     // >= 2 distinct docs of the SAME source, removed everywhere it
     // appears within that source (Spark keys the census on md5(line) —

@@ -2220,6 +2220,54 @@ object Queries {
       .orderBy("canonical_url")
   }
 
+  /** X36: outlink extraction + site-level link graph
+    * ([[WebOps.linkGraph]]) — the bridge from raw HTML-ish text to the
+    * graph family (x16 PageRank / x24 TrustRank run on exactly this edge
+    * list in web-quality pipelines). The fixture appends 1-3
+    * deterministic `<a href>` anchors per doc pointing at rotating
+    * neighbor domains; the detector extracts them back with one
+    * regexp_extract_all and censuses the (src, dst) domain edges. */
+  val x36LinkGraph: Q = (s, dir) => {
+    val dom = concat(lit("site"), (col("doc_id") % 5).cast("string"),
+      lit(".org"))
+    val links = transform(sequence(lit(0), (col("doc_id") % 3).cast("int")),
+      j => concat(lit("<a href=\"https://www.site"),
+        ((col("doc_id") + j + 1) % 5).cast("string"),
+        lit(".org/p/"), col("doc_id").cast("string"), lit("\">x</a>")))
+    val planted = tbl(s, dir, "documents")
+      .withColumn("url", concat(lit("https://www."), dom, lit("/p/"),
+        col("doc_id").cast("string")))
+      .withColumn("text", concat(col("text"), lit(" "),
+        array_join(links, " ")))
+    WebOps.linkGraph(planted).orderBy("src_domain", "dst_domain")
+  }
+
+  /** T40: robots-style path-prefix blocklist
+    * ([[WebOps.pathPrefixBlock]]) — URL filtering against (domain,
+    * path-prefix) disallow rules at segment boundaries. The scalable
+    * trick under test: the prefix theta-join becomes an equi-join by
+    * exploding each URL's own path prefixes (bounded by path depth)
+    * against the broadcast rules table. Fixture routes buckets 0-19 to
+    * /private/... paths (disallowed on three of five domains) and 20-29
+    * to /tmp/... (disallowed on one), so both verdicts are live. */
+  val t40PathBlocklist: Q = (s, dir) => {
+    import s.implicits._
+    val b = sampleBucket(col("doc_id"))
+    val dom = concat(lit("site"), (col("doc_id") % 5).cast("string"),
+      lit(".org"))
+    val path = when(b < 20,
+      concat(lit("/private/doc"), col("doc_id").cast("string")))
+      .when(b < 30, concat(lit("/tmp/cache/"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("/articles/item"), col("doc_id").cast("string")))
+    val planted = tbl(s, dir, "documents")
+      .withColumn("url", concat(lit("https://www."), dom, path))
+    val rules = Seq(
+      ("site0.org", "/private"), ("site1.org", "/private"),
+      ("site2.org", "/private"), ("site3.org", "/tmp"))
+      .toDF("domain", "prefix")
+    WebOps.pathPrefixBlock(planted, rules).orderBy("doc_id")
+  }
+
   /** T29: term-blocklist filtering — the policy/compliance gate every
     * production corpus runs (profanity, PII keywords, licensing terms).
     * The blocklist is a TABLE, not an `isin` literal (the t18/t19
@@ -4030,6 +4078,8 @@ object Queries {
     "t39_domain_reputation" -> t39DomainReputation,
     "d24_url_dedup" -> d24UrlDedup,
     "d25_crawl_diff" -> d25CrawlDiff,
+    "x36_link_graph" -> x36LinkGraph,
+    "t40_path_blocklist" -> t40PathBlocklist,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

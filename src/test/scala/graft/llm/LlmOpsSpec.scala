@@ -579,6 +579,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Seq(("https://a.org/x", "unchanged", 5L)))
   }
 
+  test("linkGraph extracts hrefs, maps domains, drops self-loops") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "https://www.a.org/p",
+        """see <a href="https://x.b.org/1">l</a> and <a href="https://www.b.org/2">m</a>"""),
+      (2L, "https://www.a.org/q",
+        """self <a href="https://m.a.org/3">s</a> out <a href="https://c.co.uk/4">t</a>"""),
+      (3L, "https://www.b.org/r", "no links here"))
+      .toDF("doc_id", "url", "text")
+    val got = WebOps.linkGraph(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // both b.org hosts collapse to one registered domain; the a.org
+    // self-link vanishes; c.co.uk keeps its multi-part suffix
+    assert(got === Map(
+      ("a.org", "b.org") -> 2L,
+      ("a.org", "c.co.uk") -> 1L))
+  }
+
+  test("pathPrefixBlock matches at segment boundaries only") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      (1L, "https://a.org/private/doc1"), // blocked: under /private
+      (2L, "https://a.org/private"), // blocked: exact prefix
+      (3L, "https://a.org/privateX/doc"), // NOT blocked: segment boundary
+      (4L, "https://a.org/pub/x"), // no rule
+      (5L, "https://b.org/private/doc5")) // rule is per-domain: b.org free
+      .toDF("doc_id", "url")
+    val rules = Seq(("a.org", "/private")).toDF("domain", "prefix")
+    val got = WebOps.pathPrefixBlock(pages, rules).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> false))
+  }
+
   test("boilerplateStrip census and anti-join key on md5, not line text") {
     val s = spark
     import s.implicits._
