@@ -125,6 +125,11 @@ object Plans {
       "join becomes an equi-join by exploding each URL's own segment " +
       "prefixes (bounded by path depth) against the broadcast rules " +
       "table — no LIKE scan, no cartesian, rules side always tiny."),
+    "t41_token_budget" -> ("Token-budget admission: map-only native " +
+      "word_count per doc, then one window sort per source for the " +
+      "running sum — sort-bound by definition, and at corpus scale the " +
+      "same admission runs via a per-source token-count quantile sketch " +
+      "instead of the exact sort."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

@@ -783,6 +783,35 @@ object TextOps {
         round((p - q) * log(p / q), 6).as("psi_r"))
   }
 
+  /** Per-source token-budget sampling — the mixture-recipe admission
+    * step: a training mix is specified in TOKENS per source ("30B web,
+    * 5B code, 2B books"), not documents, so each source keeps a
+    * deterministic pseudo-random prefix of its docs until the token
+    * budget fills (greedy inclusive-cumsum admission; the L42 doc-count
+    * quota and L91 temperature weights are the other two faces of the
+    * mixing knob). Order is md5(doc_id) — stable across runs and
+    * engines, no RNG — with doc_id tiebreak.
+    *
+    * Shape: token counts via the native word_count kernel (map-only),
+    * then ONE window sort per source for the running sum. Exact
+    * prefix-by-cumsum is sort-bound by definition; at corpus scale the
+    * same admission runs approximately via a per-source token-count
+    * quantile sketch (admit below the budget's rank quantile) — kept
+    * exact here because the driver hash-compares the admitted set. */
+  def tokenBudgetSample(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("__rk", "doc_id")
+    docs
+      .withColumn("n_tokens", graft.functions.TextExpressions
+        .wordCount(col("text")).cast("long"))
+      .withColumn("__rk", md5(col("doc_id").cast("string")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** Zipf-law fit over the corpus token-frequency head — the one-number
     * corpus-health check (natural language obeys freq ~ rank^-s with
     * s ~ 1; a much flatter slope means template/boilerplate flooding, a

@@ -2595,6 +2595,20 @@ object Oracle {
         |          AND (m.path = r.prefix OR starts_with(m.path, r.prefix || '/'))) AS blocked
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // t41: same deterministic admission — token count = split-on-space
+    // length (the word_count kernel's contract), order = md5(doc_id)
+    // with doc_id tiebreak, inclusive running sum, keep while <= budget
+    "t41_token_budget" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id) AS cum_tokens
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
+
     // t35: same 10-word line derivation as t11; boilerplate = a line in
     // >= 2 distinct docs of the SAME source, removed everywhere it
     // appears within that source (Spark keys the census on md5(line) —

@@ -2268,6 +2268,15 @@ object Queries {
     WebOps.pathPrefixBlock(planted, rules).orderBy("doc_id")
   }
 
+  /** T41: per-source token-budget sampling
+    * ([[TextOps.tokenBudgetSample]]) — the mixture-recipe admission step
+    * (training mixes are specified in tokens per source, not documents).
+    * Budget 800 tokens/source keeps a strict ~8-doc prefix of every
+    * source at every SF, so admission is live everywhere. */
+  val t41TokenBudget: Q = (s, dir) =>
+    TextOps.tokenBudgetSample(tbl(s, dir, "documents"), 800L)
+      .orderBy("doc_id")
+
   /** T29: term-blocklist filtering — the policy/compliance gate every
     * production corpus runs (profanity, PII keywords, licensing terms).
     * The blocklist is a TABLE, not an `isin` literal (the t18/t19
@@ -4080,6 +4089,7 @@ object Queries {
     "d25_crawl_diff" -> d25CrawlDiff,
     "x36_link_graph" -> x36LinkGraph,
     "t40_path_blocklist" -> t40PathBlocklist,
+    "t41_token_budget" -> t41TokenBudget,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

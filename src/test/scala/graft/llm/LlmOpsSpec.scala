@@ -615,6 +615,25 @@ class LlmOpsSpec extends AnyFunSuite {
       4L -> false, 5L -> false))
   }
 
+  test("tokenBudgetSample admits a deterministic prefix per source until the budget") {
+    val s = spark
+    import s.implicits._
+    // md5('1')..md5('4') order within source A: 1 < 4 < 3 < 2
+    // (c4ca.., a87f.., ecca.., c81e.. -> a87f(4) < c4ca(1) < c81e(2) < ecca(3))
+    val df = Seq(
+      (1L, "A", "w w w w"), // 4 tokens
+      (2L, "A", "w w w"), // 3
+      (3L, "A", "w w w w w"), // 5
+      (4L, "A", "w w"), // 2
+      (5L, "B", "w w w w w w")) // 6
+      .toDF("doc_id", "source", "text").select(col("source"), col("doc_id"), col("text"))
+    val got = TextOps.tokenBudgetSample(df, budget = 7L).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // order in A by md5: 4 (cum 2), 1 (cum 6), 2 (cum 9 > 7 stop), 3 never
+    assert(got.keySet === Set(4L, 1L, 5L))
+    assert(got(4L) === 2L && got(1L) === 6L && got(5L) === 6L)
+  }
+
   test("boilerplateStrip census and anti-join key on md5, not line text") {
     val s = spark
     import s.implicits._
