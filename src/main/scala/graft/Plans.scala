@@ -130,6 +130,10 @@ object Plans {
       "running sum — sort-bound by definition, and at corpus scale the " +
       "same admission runs via a per-source token-count quantile sketch " +
       "instead of the exact sort."),
+    "t42_markup_residue" -> ("Markup-residue census: three codegen'd " +
+      "regexp-class counts per row, ppm under integer floor-division — " +
+      "a pure map stage with no shuffle and no UDF; rides the ingest " +
+      "scan for free next to t37's encoding gate."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

@@ -918,6 +918,35 @@ object TextOps {
           .otherwise(lit("clean")))
   }
 
+  /** Markup-residue census (the extraction-QA gate that pairs with
+    * [[encodingAnomalies]] — that one catches broken DECODES, this one
+    * catches broken EXTRACTION: when trafilatura/jusText-style HTML→text
+    * conversion fails, tags, entities and script fragments leak into the
+    * "plain text" and poison training): per doc, counts of the three
+    * residue classes — `tags` (`<div`, `</p>`, `<br/>`-style markup),
+    * `entities` (`&nbsp;`-style named or `&#160;`-style numeric), and
+    * `script` (javascript/css giveaway substrings `function(`, `var `,
+    * `{…}` css rule heads); residue-per-million tokens of damage under
+    * integer floor-division, flagged at >= 5000 ppm. Map-only: three
+    * codegen regexp counts per row, no shuffle, no UDF. */
+  def markupResidue(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def reCount(re: String): Column =
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    docs
+      .withColumn("n_chars", length(t).cast("long"))
+      .withColumn("tags", reCount("</?[A-Za-z][A-Za-z0-9]*[^<>]*>"))
+      .withColumn("entities", reCount("&(#[0-9]+|[A-Za-z]+);"))
+      .withColumn("script", reCount("function\\s*\\(|\\bvar\\s+[A-Za-z_]|\\{[^{}]*:[^{}]*;[^{}]*\\}"))
+      .withColumn("residue_ppm",
+        when(col("n_chars") > 0,
+          expr("(tags + entities + script) * 1000000 div n_chars"))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_chars"), col("tags"), col("entities"),
+        col("script"), col("residue_ppm"),
+        (col("residue_ppm") >= 5000L).as("flagged"))
+  }
+
   def boilerplateStrip(docs: DataFrame, lines: DataFrame): DataFrame = {
     val boiler = lines
       .select(col("source"), md5(col("line")).as("__h"), col("doc_id"))

@@ -2609,6 +2609,30 @@ object Oracle {
         |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
 
+    // t42: identical deterministic residue plant (same md5 bucket, same
+    // three replace rules), then the same three regexp-class counts —
+    // disjoint alternations, so Java and RE2 count identically
+    "t42_markup_residue" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bk
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN bk < 10 THEN replace(text, 'value', '<div class="x">value</div>')
+        |       WHEN bk < 20 THEN replace(text, 'table', 'ta&nbsp;ble&#160;')
+        |       WHEN bk < 25 THEN replace(text, 'query', 'function(query){color:red;} var q')
+        |       ELSE text END AS text
+        |  FROM b),
+        |m AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '</?[A-Za-z][A-Za-z0-9]*[^<>]*>')) AS BIGINT) AS tags,
+        |  CAST(len(regexp_extract_all(text, '&(#[0-9]+|[A-Za-z]+);')) AS BIGINT) AS entities,
+        |  CAST(len(regexp_extract_all(text, 'function\s*\(|\bvar\s+[A-Za-z_]|\{[^{}]*:[^{}]*;[^{}]*\}')) AS BIGINT) AS script
+        |  FROM c)
+        |SELECT doc_id, n_chars, tags, entities, script,
+        |  CASE WHEN n_chars > 0 THEN (tags + entities + script) * 1000000 // n_chars ELSE 0 END AS residue_ppm,
+        |  (CASE WHEN n_chars > 0 THEN (tags + entities + script) * 1000000 // n_chars ELSE 0 END) >= 5000 AS flagged
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // t35: same 10-word line derivation as t11; boilerplate = a line in
     // >= 2 distinct docs of the SAME source, removed everywhere it
     // appears within that source (Spark keys the census on md5(line) —

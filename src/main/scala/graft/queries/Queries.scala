@@ -2277,6 +2277,26 @@ object Queries {
     TextOps.tokenBudgetSample(tbl(s, dir, "documents"), 800L)
       .orderBy("doc_id")
 
+  /** T42: markup-residue census ([[TextOps.markupResidue]]) — the
+    * extraction-QA gate (t37's sibling: that one catches broken decodes,
+    * this one broken HTML→text extraction). The clean synthetic corpus
+    * carries no real extraction damage, so the fixture re-breaks a
+    * hash-selected 25% the way real extractions break (derive-then-
+    * detect): buckets 0-9 leak tags, 10-19 leak entities, 20-24 leak
+    * javascript/css fragments; the detector sees only the text. */
+  val t42MarkupResidue: Q = (s, dir) => {
+    val b = sampleBucket(col("doc_id"))
+    val planted = tbl(s, dir, "documents").withColumn("text",
+      when(b < 10, replace(col("text"), lit("value"),
+        lit("<div class=\"x\">value</div>")))
+        .when(b < 20, replace(col("text"), lit("table"),
+          lit("ta&nbsp;ble&#160;")))
+        .when(b < 25, replace(col("text"), lit("query"),
+          lit("function(query){color:red;} var q")))
+        .otherwise(col("text")))
+    TextOps.markupResidue(planted).orderBy("doc_id")
+  }
+
   /** T29: term-blocklist filtering — the policy/compliance gate every
     * production corpus runs (profanity, PII keywords, licensing terms).
     * The blocklist is a TABLE, not an `isin` literal (the t18/t19
@@ -4090,6 +4110,7 @@ object Queries {
     "x36_link_graph" -> x36LinkGraph,
     "t40_path_blocklist" -> t40PathBlocklist,
     "t41_token_budget" -> t41TokenBudget,
+    "t42_markup_residue" -> t42MarkupResidue,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

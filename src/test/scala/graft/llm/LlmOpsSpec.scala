@@ -634,6 +634,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(4L) === 2L && got(1L) === 6L && got(5L) === 6L)
   }
 
+  test("markupResidue counts tags, entities and script fragments exactly") {
+    val df = docsDf(Seq(
+      1L -> ("""<div class="x">hi</div> plain <br/>""" + " y" * 300), // 3 tags
+      2L -> "clean text with a < b and x > y comparisons only", // not tags
+      3L -> "a&nbsp;b&#160;c &notanentity here", // 2 entities (no ';' on 3rd)
+      4L -> "function(a){color:red;} var q here", // 3 script hits
+      5L -> "short <b>x</b>")) // 2 tags in 14 chars -> flagged
+    val got = TextOps.markupResidue(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6)))).toMap
+    assert(got(1L)._1 === 3L && got(1L)._2 === 0L && got(1L)._3 === 0L)
+    assert(got(2L) === ((0L, 0L, 0L, false)))
+    assert(got(3L) === ((0L, 2L, 0L, true)))
+    assert(got(4L) === ((0L, 0L, 3L, true)))
+    assert(got(5L) === ((2L, 0L, 0L, true)))
+  }
+
+  test("markupResidue is map-only: no exchange, no UDF") {
+    val df = TextOps.markupResidue(docs)
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"map-only operator shuffled:\n$phys")
+    assert(!phys.contains("BatchEvalPython") && !phys.toLowerCase.contains("scalaudf"),
+      s"detector must stay codegen:\n$phys")
+  }
+
   test("boilerplateStrip census and anti-join key on md5, not line text") {
     val s = spark
     import s.implicits._
