@@ -134,6 +134,11 @@ object Plans {
       "regexp-class counts per row, ppm under integer floor-division — " +
       "a pure map stage with no shuffle and no UDF; rides the ingest " +
       "scan for free next to t37's encoding gate."),
+    "st21_crawl_changes" -> ("Crawl-change classifier (batch mirror): " +
+      "one window sort per URL partition — the declarative statement of " +
+      "the streaming form's O(1)-per-URL fingerprint state; the stream " +
+      "never re-sorts history, it compares against one stored " +
+      "fingerprint and advances."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

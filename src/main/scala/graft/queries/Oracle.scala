@@ -2633,6 +2633,24 @@ object Oracle {
         |  (CASE WHEN n_chars > 0 THEN (tags + entities + script) * 1000000 // n_chars ELSE 0 END) >= 5000 AS flagged
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // st21: same fetch-log derivation (url from user_id, fingerprint =
+    // md5(event_type)), same declarative contract — lag over the URL
+    // partition in (epoch-micros, event_id) order; microsecond ordering
+    // is exact on both engines (the st02 discipline)
+    "st21_crawl_changes" ->
+      """WITH f AS (SELECT event_id,
+        |  'https://www.site' || CAST(user_id % 7 AS VARCHAR) || '.org/u/' || CAST(user_id AS VARCHAR) AS url,
+        |  md5(event_type) AS fp, epoch_us(ts) AS tsu
+        |  FROM events),
+        |l AS (SELECT event_id, url, fp,
+        |  lag(fp) OVER (PARTITION BY url ORDER BY tsu, event_id) AS prev
+        |  FROM f)
+        |SELECT event_id, url,
+        |  CASE WHEN prev IS NULL THEN 'new'
+        |       WHEN prev <> fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM l ORDER BY event_id""".stripMargin,
+
     // t35: same 10-word line derivation as t11; boilerplate = a line in
     // >= 2 distinct docs of the SAME source, removed everywhere it
     // appears within that source (Spark keys the census on md5(line) —

@@ -1793,6 +1793,31 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** ST21: batch mirror of the streaming crawl-change classifier
+    * ([[graft.streaming.EventStreams.crawlChanges]]) — the incremental
+    * face of d25: each fetch classified against the URL's previous
+    * fingerprint in (ts, event_id) order. The mirror states the
+    * deterministic contract declaratively (lag over the URL partition —
+    * the st02 discipline); StreamingSpec proves the O(1)-state streaming
+    * form equals it across micro-batches. Fetch log derived from events:
+    * url from user_id, fingerprint from event_type (types flip over a
+    * user's history, so all three statuses are live). */
+  val st21CrawlChanges: Q = (s, dir) => {
+    val byUrl = Window.partitionBy(col("url"))
+      .orderBy(col("__tsu"), col("event_id"))
+    events(s, dir)
+      .withColumn("url", concat(lit("https://www.site"),
+        (col("user_id") % 7).cast("string"), lit(".org/u/"),
+        col("user_id").cast("string")))
+      .withColumn("fp", md5(col("event_type")))
+      .withColumn("__prev", lag(col("fp"), 1).over(byUrl))
+      .select(col("event_id"), col("url"),
+        when(col("__prev").isNull, lit("new"))
+          .when(col("__prev") =!= col("fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy("event_id")
+  }
+
   /** ST18: batch mirror of the streaming exactly-once dedup
     * ([[graft.streaming.EventStreams.dedupEvents]]) — the at-least-once
     * delivery scenario stated deterministically: the input is the event
@@ -4199,6 +4224,7 @@ object Queries {
     "st13_semi_join" -> st13SemiJoin,
     "st14_upsert_state" -> st14UpsertState,
     "st15_decontaminate" -> st15Decontaminate,
+    "st21_crawl_changes" -> st21CrawlChanges,
     "st16_full_join" -> st16FullJoin,
     "st17_rate_limit" -> st17RateLimit,
     "st18_dedup_redelivery" -> st18DedupRedelivery,

@@ -663,6 +663,74 @@ object EventStreams {
       }
   }
 
+  /** One fetch record at the crawl front door: a URL observed at `ts`
+    * with content fingerprint `fp` (`ts_us` = event-time micros, the
+    * deterministic in-batch sort key — millisecond Timestamp math never
+    * decides an ordering). */
+  final case class Fetch(event_id: Long, ts: java.sql.Timestamp,
+                         url: String, fp: String, ts_us: Long)
+
+  /** Per-URL change state: last seen fingerprint + its event time. */
+  final case class LastFp(fp: String, lastUs: Long)
+
+  final case class ChangeOut(event_id: Long, url: String, status: String)
+
+  /**
+   * Streaming crawl-change classifier — the incremental face of the d25
+   * snapshot diff: as fetches stream in, each record is classified
+   * against the URL's LAST seen fingerprint (`new` = never seen,
+   * `changed` = fingerprint flipped, `unchanged`) and the state advances
+   * — the CDC-at-the-crawl-front-door shape that feeds recrawl
+   * scheduling without ever materializing two snapshots.
+   *
+   * Deterministic contract (what the st21 batch mirror and its DuckDB
+   * oracle state declaratively): status per fetch = comparison against
+   * the previous fetch of the same URL in (ts_us, event_id) order — a
+   * `lag()` over the URL partition. The streaming form holds O(1) state
+   * per URL (one fingerprint, ~50 bytes — state is bounded by the live
+   * URL set, not the fetch history), sorts within each micro-batch, and
+   * expires URLs idle past `idleTtlMs` via event-time timeout (an
+   * expired URL re-reads as `new` — the documented recrawl-horizon
+   * trade every frontier makes; set the TTL above the horizon and the
+   * stream equals the batch mirror exactly, the StreamingSpec proof).
+   */
+  def crawlChanges(fetches: Dataset[Fetch], watermark: String = "2 hours",
+                   idleTtlMs: Long = 7L * 24 * 3600 * 1000): Dataset[ChangeOut] = {
+    implicit val outEnc = Encoders.product[ChangeOut]
+    implicit val stEnc = Encoders.product[LastFp]
+    import fetches.sparkSession.implicits._
+
+    def update(url: String, rows: Iterator[Fetch],
+               state: GroupState[LastFp]): Iterator[ChangeOut] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val sorted = rows.toSeq.sortBy(f => (f.ts_us, f.event_id))
+      var last = state.getOption.map(_.fp)
+      val out = sorted.map { f =>
+        val status =
+          if (last.isEmpty) "new"
+          else if (last.get != f.fp) "changed"
+          else "unchanged"
+        last = Some(f.fp)
+        ChangeOut(f.event_id, url, status)
+      }
+      // batch execution has no watermark: getCurrentWatermarkMs throws,
+      // and a bounded run keeps no state (the st02 sessionizer contract)
+      val wm = try state.getCurrentWatermarkMs()
+        catch { case _: UnsupportedOperationException => -1L }
+      if (wm >= 0L && sorted.nonEmpty) {
+        state.update(LastFp(last.get, sorted.last.ts_us))
+        state.setTimeoutTimestamp(
+          math.max(sorted.last.ts_us / 1000L + idleTtlMs, wm + 1L))
+      }
+      out.iterator
+    }
+
+    fetches.withWatermark("ts", watermark)
+      .groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** FULL OUTER [[clickViewJoin]] — the audit-completeness form, closing
     * the interval-join family (inner st04 / left outer st12 / left semi
     * st13): every click AND every view emits exactly once — matched as a

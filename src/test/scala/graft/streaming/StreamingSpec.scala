@@ -209,6 +209,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq === fixture.map(_.event_id).sorted)
   }
 
+  test("crawl-change classifier: stream == batch across micro-batches, state carries") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Fetch
+    def f(id: Long, minute: Int, url: String, fp: String): Fetch =
+      Fetch(id, ts(minute), url, fp, ts(minute).getTime * 1000L)
+    val batch1 = Seq(
+      f(0, 5, "u1", "A"), // new
+      f(1, 10, "u1", "A"), // unchanged (same batch)
+      f(2, 15, "u2", "X")) // new
+    val batch2 = Seq(
+      f(3, 65, "u1", "B"), // changed vs batch-1 state
+      f(4, 70, "u2", "X"), // unchanged vs batch-1 state
+      f(5, 75, "u3", "Z")) // new
+    val stream = MemoryStream[Fetch]
+    val q = EventStreams.crawlChanges(stream.toDS())
+      .writeStream.format("memory").queryName("crawlchg").outputMode("append").start()
+    try {
+      stream.addData(batch1: _*); q.processAllAvailable()
+      stream.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val streamed = rows(spark.table("crawlchg"))
+    assert(streamed === Map(0L -> "new", 1L -> "unchanged", 2L -> "new",
+      3L -> "changed", 4L -> "unchanged", 5L -> "new"))
+    // bounded run of the same operator agrees (the st21 mirror contract)
+    val batch = rows(EventStreams.crawlChanges((batch1 ++ batch2).toDS()).toDF())
+    assert(batch === streamed)
+  }
+
   test("stream-stream interval join agrees with its batch mirror") {
     val s = spark
     import s.implicits._
