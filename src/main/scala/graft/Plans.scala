@@ -139,6 +139,11 @@ object Plans {
       "the streaming form's O(1)-per-URL fingerprint state; the stream " +
       "never re-sorts history, it compares against one stored " +
       "fingerprint and advances."),
+    "v24_filtered_knn" -> ("Filtered-ANN audit: two broadcast-query " +
+      "corpus scans through the bounded-heap top-k (shuffle = queries " +
+      "x k, never a corpus window), a re-rank window over <= 20 rows " +
+      "per query, and query-sized joins — the corpus is scanned, never " +
+      "re-shuffled."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

@@ -80,6 +80,47 @@ object Similarity {
   }
 
   /**
+   * Filtered-ANN serve audit — the pre-filter vs post-filter decision
+   * every vector store makes when a metadata predicate rides the vector
+   * query ("top-5 similar docs WHERE license = permissive"): PRE-filter
+   * scores only the predicate's survivors (exact, but needs a
+   * filter-aware index); POST-filter takes the unfiltered top-`overfetch`
+   * and keeps survivors (works on any index, loses recall when the
+   * predicate is selective — the failure mode this audit prices). Per
+   * query: `n_post` = how many of the k slots post-filtering filled at
+   * all, `overlap` = how many match the exact filtered top-k. Both
+   * rankings share the round-6 cosine and (cos DESC, neighbor ASC) total
+   * order, so the audit is hash-exact — no recall floor needed.
+   *
+   * Plan shape: two broadcast-query corpus scans through [[knnBrute]]'s
+   * bounded-heap selection (shuffle = queries x k, never a corpus
+   * window), a re-rank window over <= `overfetch` rows per query
+   * (bounded by the constant, not the corpus), and query-sized joins.
+   */
+  def filteredKnnAudit(corpus: DataFrame, queries: DataFrame, keep: Column,
+                       k: Int = 5, overfetch: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = knnBrute(corpus.filter(keep), queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val post = knnBrute(corpus, queries, overfetch)
+      .join(corpus.filter(keep).select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"))
+      .withColumn("__prnk", row_number().over(
+        Window.partitionBy("query_id").orderBy("rnk")))
+      .filter(col("__prnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val np = post.groupBy("query_id").agg(count(lit(1)).as("n_post"))
+    val ov = exact.join(post, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("overlap"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(np, Seq("query_id"), "left")
+      .join(ov, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+  }
+
+  /**
    * Shared heap selection for the cosine-ranked paths: keep the k best
    * (cos desc, neighbor_id asc) rows per query_id from a
    * `(query_id, neighbor_id, cos)` frame where `cos` is already rounded

@@ -1475,6 +1475,36 @@ object Oracle {
          |  FROM sc)
          |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // v24: both rankings rebuilt with the same round-6 cosine and
+    // (cos DESC, neighbor ASC) order; post-filter = unfiltered top-20,
+    // keep label%3=0 survivors in rank order, take 5; n_post/overlap
+    // totalized to 0 per query
+    "v24_filtered_knn" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 32),
+         |fsc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  round(${dot("q.qe", "e.embedding")} / (${norm("q.qe")} * ${norm("e.embedding")}), 6) AS cos
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id WHERE e.label % 7 = 0),
+         |fr AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM fsc),
+         |ex AS (SELECT query_id, neighbor_id FROM fr WHERE rnk <= 5),
+         |asc0 AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         |  round(${dot("q.qe", "e.embedding")} / (${norm("q.qe")} * ${norm("e.embedding")}), 6) AS cos
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |ar AS (SELECT query_id, neighbor_id, label,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM asc0),
+         |pf AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY rnk) AS prnk
+         |  FROM ar WHERE rnk <= 20 AND label % 7 = 0),
+         |p5 AS (SELECT query_id, neighbor_id FROM pf WHERE prnk <= 5),
+         |np AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_post FROM p5 GROUP BY 1),
+         |ov AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS overlap
+         |  FROM ex e JOIN p5 p ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.query_id, coalesce(np.n_post, 0) AS n_post,
+         |  coalesce(ov.overlap, 0) AS overlap
+         |FROM q LEFT JOIN np USING (query_id) LEFT JOIN ov USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+
     // both rankings rebuilt with the same round-6 cosine and
     // (cos DESC, neighbor ASC) order; truncation = 1-based inclusive
     // list slice [1:16]; overlap totalized to 0 per query

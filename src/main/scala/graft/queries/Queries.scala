@@ -1187,6 +1187,21 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** V24: filtered-ANN serve audit ([[Similarity.filteredKnnAudit]]) —
+    * pre-filter (score survivors only; exact) vs post-filter (unfiltered
+    * top-20, keep survivors, take 5) under the `label % 7 == 0`
+    * predicate (~20% selectivity — top-20 carries ~4 expected
+    * survivors, so the under-fill and disagreement failure modes
+    * post-filtering pays are BOTH live in the data, not just priced in
+    * the spec). Hash-exact: both rankings share the round-6 cosine
+    * total order. */
+  val v24FilteredKnn: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    Similarity.filteredKnnAudit(emb, emb.filter(col("vec_id") < 32),
+        col("label") % 7 === 0)
+      .orderBy("query_id")
+  }
+
   /** V20: Matryoshka truncation audit (Kusupati et al. 2022 MRL
     * serving: score with the first d' dims, keep the full vector only
     * for rerank) — exact top-5 over the 16-dim PREFIX vs exact top-5
@@ -4098,6 +4113,7 @@ object Queries {
     "t03_langid" -> t03Langid,
     "t04_fingerprint" -> t04Fingerprint,
     "v01_knn_brute" -> v01KnnBrute,
+    "v24_filtered_knn" -> v24FilteredKnn,
     "v02_cosine_pairs" -> v02CosinePairs,
     "v03_ann_lsh" -> v03AnnLsh,
     "v04_norms" -> v04Norms,

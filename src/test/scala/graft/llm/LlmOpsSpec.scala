@@ -660,6 +660,29 @@ class LlmOpsSpec extends AnyFunSuite {
       s"detector must stay codegen:\n$phys")
   }
 
+  test("filteredKnnAudit: post-filter under-fills and diverges exactly as priced") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, Seq(1f, 0f), 0), // the query
+      (1L, Seq(1f, 0.01f), 0), // keep; cos ~ .99995
+      (2L, Seq(1f, 0.1f), 1), // drop; cos ~ .995
+      (3L, Seq(0.9f, 0.3f), 3), // keep; cos ~ .9487
+      (4L, Seq(0f, 1f), 6)) // keep; cos 0
+      .toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    def run(overfetch: Int) =
+      Similarity.filteredKnnAudit(corpus, queries, col("label") % 3 === 0,
+        k = 2, overfetch = overfetch).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).head
+    // overfetch 3: unfiltered top-3 = {1,2,3}; survivors {1,3} fill both
+    // slots and match the exact filtered top-2 {1,3}
+    assert(run(3) === ((2L, 2L)))
+    // overfetch 2: unfiltered top-2 = {1,2}; only {1} survives -> one
+    // slot filled, one overlap — the recall loss post-filtering pays
+    assert(run(2) === ((1L, 1L)))
+  }
+
   test("boilerplateStrip census and anti-join key on md5, not line text") {
     val s = spark
     import s.implicits._
