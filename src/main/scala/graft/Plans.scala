@@ -144,6 +144,11 @@ object Plans {
       "x k, never a corpus window), a re-rank window over <= 20 rows " +
       "per query, and query-sized joins — the corpus is scanned, never " +
       "re-shuffled."),
+    "a33_hour_chi2" -> ("Hour chi-square: one partial-aggregated " +
+      "(type, hour) census folded to per-type count + sum-of-squares — " +
+      "the closed form 24*ss/n - n needs no grid completion because " +
+      "zero cells drop out algebraically. Two tiny hash aggregations, " +
+      "nothing corpus-sized after the first."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

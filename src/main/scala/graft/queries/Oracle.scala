@@ -2681,6 +2681,25 @@ object Oracle {
         |       ELSE 'unchanged' END AS status
         |FROM l ORDER BY event_id""".stripMargin,
 
+    // a33: same hour bucketing (epoch-micros div 3600000000 mod 24),
+    // same closed-form chi-square 24*sum(c^2)/n - n (zero cells drop out
+    // of sum(c^2) algebraically — no grid completion on either engine),
+    // same (count DESC, hour ASC) peak tie order
+    "a33_hour_chi2" ->
+      """WITH c AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, hr, cnt,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, hr) AS rk
+        |  FROM c),
+        |s AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(sum(cnt * cnt) AS BIGINT) AS ss FROM c GROUP BY 1)
+        |SELECT s.event_type, s.n,
+        |  round(24.0 * s.ss / s.n - s.n, 6) AS chi2_r,
+        |  CAST(r.hr AS BIGINT) AS peak_hour, r.cnt AS peak_cnt
+        |FROM s JOIN r ON s.event_type = r.event_type AND r.rk = 1
+        |ORDER BY 1""".stripMargin,
+
     // t35: same 10-word line derivation as t11; boilerplate = a line in
     // >= 2 distinct docs of the SAME source, removed everywhere it
     // appears within that source (Spark keys the census on md5(line) —

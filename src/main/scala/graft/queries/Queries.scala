@@ -3590,6 +3590,32 @@ object Queries {
   val a32ZipfFit: Q = (s, dir) =>
     TextOps.zipfFit(tbl(s, dir, "documents")).orderBy("rank")
 
+  /** A33: hour-of-day chi-square uniformity census — the
+    * traffic-structure QA for event streams (a bot flood or a broken
+    * ingestion region shows up as hour-of-day mass concentration long
+    * before totals move; a31/t36 compare SNAPSHOTS, this tests structure
+    * WITHIN one). Per event_type: chi-square against the uniform
+    * 24-hour profile via the closed form 24*sum(c^2)/n - n — zero cells
+    * contribute nothing to sum(c^2), so NO grid completion, no second
+    * pass: one integer census (count + sum of squared counts per type)
+    * and one rounded float; peak hour totally ordered (count DESC, hour
+    * ASC) for the analyst. */
+  val a33HourChi2: Q = (s, dir) => {
+    val cells = events(s, dir)
+      .withColumn("hr", expr("(__tsu div 3600000000) % 24"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+    cells
+      .groupBy("event_type")
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt") * col("cnt")).as("__ss"),
+        max(struct(col("cnt").as("c"), (-col("hr")).as("nh"))).as("__pk"))
+      .select(col("event_type"), col("n"),
+        round(lit(24.0) * col("__ss") / col("n") - col("n"), 6).as("chi2_r"),
+        (-col("__pk.nh")).cast("long").as("peak_hour"),
+        col("__pk.c").as("peak_cnt"))
+      .orderBy("event_type")
+  }
+
   val a31KsDrift: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val e = events(s, dir).select(col("event_type"), col("value"),
@@ -4277,6 +4303,7 @@ object Queries {
     "a30_kanonymity" -> a30Kanonymity,
     "a31_ks_drift" -> a31KsDrift,
     "a32_zipf_fit" -> a32ZipfFit,
+    "a33_hour_chi2" -> a33HourChi2,
     "x35_fd_profile" -> x35FdProfile
   )
 }

@@ -44,6 +44,23 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
     assert(got === Map("t" -> ((10L, 200L, 100L, 1L))), s"got $got")
   }
 
+  test("a33: closed-form hour chi-square and tie-broken peak match hand computation") {
+    // type t: hour 0 x3 + hour 1 x1 -> n=4, ss=10, chi2 = 24*10/4 - 4 = 56
+    // type u: hour 2 x2 + hour 5 x2 (tie) -> chi2 = 24*8/4 - 4 = 44, peak = hour 2
+    val rows = Seq(
+      (1L, 0L, 1L, "t", 1.0), (2L, 10L, 1L, "t", 1.0), (3L, 20L, 1L, "t", 1.0),
+      (4L, 70L, 1L, "t", 1.0),
+      (5L, 125L, 1L, "u", 1.0), (6L, 130L, 1L, "u", 1.0),
+      (7L, 310L, 1L, "u", 1.0), (8L, 320L, 1L, "u", 1.0))
+    val dir = writeEvents(rows)
+    val got = Queries.a33HourChi2(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "t" -> ((4L, 56.0, 0L, 3L)),
+      "u" -> ((4L, 44.0, 2L, 2L))), s"got $got")
+  }
+
   test("a26: three sessions reach view / view+click / the full funnel as planted") {
     // user 1, 30-min gap sessions (minutes):
     //  session A t=0..2:    view, click, purchase      -> all three stages
