@@ -149,6 +149,10 @@ object Plans {
       "the closed form 24*ss/n - n needs no grid completion because " +
       "zero cells drop out algebraically. Two tiny hash aggregations, " +
       "nothing corpus-sized after the first."),
+    "s22_change_feed" -> ("Change-data-feed: two snapshot scans + one " +
+      "co-partitioned full-outer equi-join on the key columns; 16-byte " +
+      "payload fingerprints decide update-vs-unchanged so the row " +
+      "payload crosses the exchange once, not twice."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

@@ -2700,6 +2700,28 @@ object Oracle {
         |FROM s JOIN r ON s.event_type = r.event_type AND r.rk = 1
         |ORDER BY 1""".stripMargin,
 
+    // s22: both snapshot aggregates recomputed straight from documents
+    // (independently proving the versioned storage round-trips them),
+    // then the same keyed classification; unchanged rows not emitted,
+    // absent sides totalized to -1
+    "s22_change_feed" ->
+      """WITH v1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE doc_id % 2 = 0 AND lang <> 'fr' GROUP BY 1),
+        |v2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE lang <> 'de' GROUP BY 1),
+        |j AS (SELECT coalesce(v1.lang, v2.lang) AS lang,
+        |  v1.n_docs AS n_before, v2.n_docs AS n_after
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.lang = v2.lang)
+        |SELECT lang,
+        |  CASE WHEN n_before IS NULL THEN 'insert'
+        |       WHEN n_after IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  coalesce(n_before, -1) AS n_before,
+        |  coalesce(n_after, -1) AS n_after
+        |FROM j
+        |WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after
+        |ORDER BY lang""".stripMargin,
+
     // t35: same 10-word line derivation as t11; boilerplate = a line in
     // >= 2 distinct docs of the SAME source, removed everywhere it
     // appears within that source (Spark keys the census on md5(line) —

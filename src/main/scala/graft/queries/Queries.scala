@@ -3418,6 +3418,30 @@ object Queries {
       .orderBy("version", "lang")
   }
 
+  /** S22: change-data-feed read ([[graft.relational.Versioned.changes]])
+    * — the Delta-CDF/Iceberg-changelog contract on the versioned layout:
+    * v1 = per-lang counts over even docs sans 'fr', v2 = the full corpus
+    * sans 'de', so the feed carries exactly one insert (fr), one delete
+    * (de) and three updates (en/es/zh count changes) at every SF. The
+    * oracle recomputes both versions straight from `documents` — which
+    * also independently proves the versioned storage round-trips the
+    * aggregates faithfully. */
+  val s22ChangeFeed: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdf").toString + "/t"
+    val docs = tbl(s, dir, "documents")
+    def langCounts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    graft.relational.Versioned.write(
+      langCounts(docs.filter(col("doc_id") % 2 === 0 && col("lang") =!= "fr")), tmp)
+    graft.relational.Versioned.write(
+      langCounts(docs.filter(col("lang") =!= "de")), tmp)
+    graft.relational.Versioned.changes(s, tmp, 1L, 2L, Seq("lang"))
+      .select(col("lang"), col("change_type"),
+        coalesce(col("__pre.n_docs"), lit(-1L)).as("n_before"),
+        coalesce(col("__post.n_docs"), lit(-1L)).as("n_after"))
+      .orderBy("lang")
+  }
+
   /** S20: snapshot EXPIRY ([[graft.relational.Versioned.expire]]) — the
     * retention half s19 left as policy: three commits, then expire to
     * the newest two; the query ASSERTS in-plan that v1's directory is
@@ -4267,6 +4291,7 @@ object Queries {
     "st14_upsert_state" -> st14UpsertState,
     "st15_decontaminate" -> st15Decontaminate,
     "st21_crawl_changes" -> st21CrawlChanges,
+    "s22_change_feed" -> s22ChangeFeed,
     "st16_full_join" -> st16FullJoin,
     "st17_rate_limit" -> st17RateLimit,
     "st18_dedup_redelivery" -> st18DedupRedelivery,

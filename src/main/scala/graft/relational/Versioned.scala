@@ -21,8 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * them — retention policy is deployment-specific, so expiry is invoked
  * by the pipeline, never implicit. At 100 TB snapshots share no files,
  * which is the cost of plain parquet vs a manifest format — the
- * INTERFACE (pin, flip, rollback, expire) is what pipelines program
- * against.
+ * INTERFACE (pin, flip, rollback, expire, change feed) is what
+ * pipelines program against.
  */
 object Versioned {
 
@@ -110,6 +110,45 @@ object Versioned {
       f.delete(snap, true)
       (Publish.Report(results, published = false), None)
     }
+  }
+
+  /** Change-data-feed read between two committed snapshots — the
+    * Delta CDF / Iceberg changelog contract on the versioned layout:
+    * the row-level diff a downstream incremental consumer applies
+    * instead of re-reading the whole table ("what changed between the
+    * corpus version I trained on and today's"). Rows are keyed by
+    * `keyCols`; non-key columns are fingerprinted (md5 of the
+    * field-ordered JSON struct) and the classification is
+    * `insert` (key only in `toV`) / `delete` (only in `fromV`) /
+    * `update` (both, payload differs) — unchanged rows are NOT emitted
+    * (a change feed carries changes). Output: key columns,
+    * `change_type`, and the full pre/post payload structs (`__pre` is
+    * null for inserts, `__post` for deletes).
+    *
+    * Shape: two snapshot scans + ONE co-partitioned full-outer
+    * equi-join on the key — the same plan at any table size; the
+    * payload fingerprints (16 bytes) ride the join, never the row twice. */
+  def changes(spark: SparkSession, dir: String, fromV: Long, toV: Long,
+              keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pre = read(spark, dir, Some(fromV))
+    val post = read(spark, dir, Some(toV))
+    val nonKey = pre.columns.filterNot(keyCols.contains).toSeq
+    require(post.columns.filterNot(keyCols.contains).toSeq == nonKey,
+      s"schema drift between v=$fromV and v=$toV is not diffable row-wise")
+    def side(df: DataFrame, fp: String, payload: String) =
+      df.select((keyCols.map(col) :+
+        md5(to_json(struct(nonKey.map(col): _*))).as(fp) :+
+        struct(nonKey.map(col): _*).as(payload)): _*)
+    side(pre, "__fpa", "__pre")
+      .join(side(post, "__fpb", "__post"), keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__fpa").isNull, lit("insert"))
+          .when(col("__fpb").isNull, lit("delete"))
+          .when(col("__fpa") =!= col("__fpb"), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select((keyCols.map(col) :+ col("change_type") :+
+        col("__pre") :+ col("__post")): _*)
   }
 
   /** All committed snapshot versions present on disk, ascending. */

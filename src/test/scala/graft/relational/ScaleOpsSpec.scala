@@ -266,6 +266,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("change feed: insert/delete/update classified, unchanged suppressed, payloads carried") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_cdf_spec").toString + "/t"
+    Versioned.write(Seq(
+      ("a", 1L, "x"), ("b", 2L, "y"), ("c", 3L, "z")).toDF("k", "n", "tag"), dir)
+    Versioned.write(Seq(
+      ("a", 1L, "x"), // unchanged -> suppressed
+      ("b", 9L, "y"), // update (payload fingerprint differs)
+      ("d", 4L, "w")).toDF("k", "n", "tag"), dir) // insert; c deleted
+    val got = Versioned.changes(spark, dir, 1L, 2L, Seq("k")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        Option(r.getStruct(2)).map(_.getLong(0)).getOrElse(-1L),
+        Option(r.getStruct(3)).map(_.getLong(0)).getOrElse(-1L)))).toMap
+    assert(got === Map(
+      "b" -> (("update", 2L, 9L)),
+      "c" -> (("delete", 3L, -1L)),
+      "d" -> (("insert", -1L, 4L))))
+  }
+
   test("snapshot expiry: retention horizon + the pointer target is never deleted") {
     val s = spark
     import s.implicits._
