@@ -153,6 +153,12 @@ object Plans {
       "co-partitioned full-outer equi-join on the key columns; 16-byte " +
       "payload fingerprints decide update-vs-unchanged so the row " +
       "payload crosses the exchange once, not twice."),
+    "x37_scc" -> ("SCC (FW-BW-min): per iteration one edge equi-join " +
+      "plus a partial-aggregated min or a (node,color) semi-join — " +
+      "O(E) with map-side combine, O(V) node frames, localCheckpoint " +
+      "lineage cuts. All color roots peel their SCCs simultaneously " +
+      "each outer round, so rounds track SCC-chain depth, not node " +
+      "count."),
     "a31_ks_drift" -> ("Exact two-sample KS: one window sort per " +
       "event_type (sort-bound by definition), running counts folded " +
       "per distinct value, per-type totals broadcast back, and the " +

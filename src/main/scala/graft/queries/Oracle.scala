@@ -2722,6 +2722,33 @@ object Oracle {
         |WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after
         |ORDER BY lang""".stripMargin,
 
+    // x37: identical planted edge rule, then SCC from first principles —
+    // RECURSIVE reachability closure (UNION set semantics terminates on
+    // cycles; chain-of-5 cross edges keep it linear in the corpus),
+    // mutual-reach pairs + self, scc_id = min of the class
+    "x37_scc" ->
+      """WITH RECURSIVE n AS (SELECT doc_id AS id, doc_id // 10 AS b FROM documents),
+        |e AS (
+        |  SELECT id AS src, (id // 10) * 10 + ((id % 10) + 1) % 10 AS dst
+        |    FROM n WHERE b % 5 <> 4
+        |  UNION ALL
+        |  SELECT id, id - 1 FROM n WHERE b % 5 = 4 AND id % 10 <> 0
+        |  UNION ALL
+        |  SELECT id, id - 10 FROM n WHERE b % 5 <> 0 AND id % 10 = 0),
+        |r AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+        |m AS (
+        |  SELECT id AS node, id AS member FROM n
+        |  UNION
+        |  SELECT r1.src, r1.dst FROM r r1 JOIN r r2
+        |    ON r1.src = r2.dst AND r1.dst = r2.src),
+        |s AS (SELECT node, min(member) AS scc_id FROM m GROUP BY 1),
+        |z AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size FROM s GROUP BY 1)
+        |SELECT s.node, s.scc_id, z.scc_size
+        |FROM s JOIN z USING (scc_id) ORDER BY node""".stripMargin,
+
     // t35: same 10-word line derivation as t11; boilerplate = a line in
     // >= 2 distinct docs of the SAME source, removed everywhere it
     // appears within that source (Spark keys the census on md5(line) —

@@ -2260,6 +2260,31 @@ object Queries {
       .orderBy("canonical_url")
   }
 
+  /** X37: strongly connected components
+    * ([[graft.graph.Scc.stronglyConnected]]) — the directed bowtie
+    * decomposition undirected components cannot see. Planted directed
+    * graph over doc_ids (dense 0..N-1, N % 10 == 0 at every SF): blocks
+    * of 10; four of every five blocks are forward RINGS (one SCC of 10),
+    * every fifth block a REVERSED chain (10 singleton SCCs — its head
+    * has descending ids downstream, so every node is its own color
+    * root and the whole block peels as singletons in the same round);
+    * chain-of-5 cross edges between block heads keep the DuckDB
+    * reachability closure linear in the corpus. Detector sees only the
+    * edge list. */
+  val x37Scc: Q = (s, dir) => {
+    val n = tbl(s, dir, "documents")
+      .select(col("doc_id").as("id"), expr("doc_id div 10").as("b"))
+    val ring = n.filter(col("b") % 5 =!= 4)
+      .select(col("id").as("src"),
+        (expr("id div 10") * 10 + (col("id") % 10 + 1) % 10).as("dst"))
+    val chain = n.filter(col("b") % 5 === 4 && col("id") % 10 =!= 0)
+      .select(col("id").as("src"), (col("id") - 1).as("dst"))
+    val cross = n.filter(col("b") % 5 =!= 0 && col("id") % 10 === 0)
+      .select(col("id").as("src"), (col("id") - 10).as("dst"))
+    graft.graph.Scc.stronglyConnected(ring.union(chain).union(cross))
+      .orderBy("node")
+  }
+
   /** X36: outlink extraction + site-level link graph
     * ([[WebOps.linkGraph]]) — the bridge from raw HTML-ish text to the
     * graph family (x16 PageRank / x24 TrustRank run on exactly this edge
@@ -4199,6 +4224,7 @@ object Queries {
     "d24_url_dedup" -> d24UrlDedup,
     "d25_crawl_diff" -> d25CrawlDiff,
     "x36_link_graph" -> x36LinkGraph,
+    "x37_scc" -> x37Scc,
     "t40_path_blocklist" -> t40PathBlocklist,
     "t41_token_budget" -> t41TokenBudget,
     "t42_markup_residue" -> t42MarkupResidue,

@@ -429,6 +429,33 @@ class GraphSpec extends AnyFunSuite {
     assert(got5 === got + (9L -> 70L), s"got5 $got5")
   }
 
+  test("scc: cycles, singleton DAG chain, and the multi-round peel case") {
+    // two 3-cycles bridged one-way, a DAG chain with ASCENDING ids off
+    // the first cycle (the case that forces multiple peel rounds: the
+    // chain shares the root's color, so its singletons surface only as
+    // outer rounds peel), and a 2-cycle island
+    val e = edgesDf(Seq(
+      1L -> 2L, 2L -> 3L, 3L -> 1L, // SCC {1,2,3}
+      3L -> 10L, 10L -> 11L, 11L -> 12L, 12L -> 10L, // SCC {10,11,12}
+      3L -> 20L, 20L -> 21L, // singleton chain, ascending ids
+      50L -> 51L, 51L -> 50L)) // SCC {50,51}
+    val got = Scc.stronglyConnected(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      10L -> ((10L, 3L)), 11L -> ((10L, 3L)), 12L -> ((10L, 3L)),
+      20L -> ((20L, 1L)), 21L -> ((21L, 1L)),
+      50L -> ((50L, 2L)), 51L -> ((50L, 2L))), s"got $got")
+  }
+
+  test("scc: descending singleton chain peels in one round as its own roots") {
+    val e = edgesDf(Seq(9L -> 8L, 8L -> 7L, 7L -> 6L))
+    val got = Scc.stronglyConnected(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(9L -> ((9L, 1L)), 8L -> ((8L, 1L)),
+      7L -> ((7L, 1L)), 6L -> ((6L, 1L))))
+  }
+
   test("labelPropagation: two bridged cliques settle into two min-id communities") {
     // K4 on {1..4} + K4 on {10..13}, doubled edges, one bridge 4-10: the
     // majority vote inside each clique must beat the single bridge vote,
