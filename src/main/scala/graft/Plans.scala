@@ -153,6 +153,11 @@ object Plans {
       "co-partitioned full-outer equi-join on the key columns; 16-byte " +
       "payload fingerprints decide update-vs-unchanged so the row " +
       "payload crosses the exchange once, not twice."),
+    "s23_merge_apply" -> ("CDC MERGE apply: ONE full-outer equi-join " +
+      "of snapshot x change batch decides update/insert/delete/carry " +
+      "per row — no window, no second pass; ghost tombstones vanish in " +
+      "the same join. Target side reads exchange-free from a " +
+      "key-bucketed layout at corpus scale."),
     "x37_scc" -> ("SCC (FW-BW-min): per iteration one edge equi-join " +
       "plus a partial-aggregated min or a (node,color) semi-join — " +
       "O(E) with map-side combine, O(V) node frames, localCheckpoint " +

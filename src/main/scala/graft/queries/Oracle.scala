@@ -2722,6 +2722,23 @@ object Oracle {
         |WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after
         |ORDER BY lang""".stripMargin,
 
+    // s23: the MERGE mirrored DECLARATIVELY — kept / updated / inserted
+    // unions under the same md5 directive buckets (0 delete, 1 update,
+    // 2 insert; bucket-3 ghost deletes touch nothing by construction)
+    "s23_merge_apply" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),1,8) AS BIGINT) % 10 AS b
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM base WHERE b NOT IN (0, 1)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM base WHERE b = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE b = 2)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // x37: identical planted edge rule, then SCC from first principles —
     // RECURSIVE reachability closure (UNION set semantics terminates on
     // cycles; chain-of-5 cross edges keep it linear in the corpus),

@@ -3467,6 +3467,50 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** S23: CDC MERGE apply ([[graft.relational.Merge.applyChanges]]) —
+    * the write-side twin of s22's change-feed READ: a Debezium-style
+    * change batch (per-row `__op` upsert/delete) applied to the
+    * versioned orders snapshot in ONE full-outer equi-join, committed
+    * as the next version, and read back from the committed snapshot
+    * (self-scan proof). The md5-bucket directives exercise every MERGE
+    * branch at every SF: bucket 0 = matched delete, 1 = matched upsert
+    * (update: status 'U', price + 1000.0 — one IEEE op, bit-identical
+    * on both engines), 2 = unmatched upsert (insert under a shifted
+    * key), 3 = unmatched delete (the redelivered-tombstone no-op — its
+    * keys never exist, and the hash proves nothing leaked). Bad `__op`
+    * values fail in-plan via raise_error, so a malformed batch can
+    * never half-apply. At 100 TB the target side of the join reads
+    * exchange-free from a key-bucketed layout ([[graft.relational
+    * .Bucketing]]); the oracle mirrors the merge DECLARATIVELY
+    * (kept/updated/inserted unions) so the engine's join-based apply is
+    * checked against independently-stated semantics, not itself. */
+  val s23MergeApply: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    val orders = tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.relational.Versioned.write(orders, tmp)
+    val base = orders.withColumn("__bkt", expr(
+      "cast(conv(substring(md5(cast(o_orderkey as string)),1,8),16,10) as bigint) % 10"))
+    val dels = base.filter(col("__bkt") === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit("delete").as("__op"))
+    val upds = base.filter(col("__bkt") === 1)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
+        lit("upsert").as("__op"))
+    val ins = base.filter(col("__bkt") === 2)
+      .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"),
+        lit("upsert").as("__op"))
+    val ghostDels = base.filter(col("__bkt") === 3)
+      .select((col("o_orderkey") + lit(900000000L)).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"), lit("delete").as("__op"))
+    val batch = dels.unionByName(upds).unionByName(ins).unionByName(ghostDels)
+    val (_, merged) =
+      graft.relational.Merge.applyChanges(s, tmp, batch, Seq("o_orderkey"))
+    merged.orderBy("o_orderkey")
+  }
+
   /** S20: snapshot EXPIRY ([[graft.relational.Versioned.expire]]) — the
     * retention half s19 left as policy: three commits, then expire to
     * the newest two; the query ASSERTS in-plan that v1's directory is
@@ -4318,6 +4362,7 @@ object Queries {
     "st15_decontaminate" -> st15Decontaminate,
     "st21_crawl_changes" -> st21CrawlChanges,
     "s22_change_feed" -> s22ChangeFeed,
+    "s23_merge_apply" -> s23MergeApply,
     "st16_full_join" -> st16FullJoin,
     "st17_rate_limit" -> st17RateLimit,
     "st18_dedup_redelivery" -> st18DedupRedelivery,

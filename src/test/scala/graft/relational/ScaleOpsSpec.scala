@@ -286,6 +286,38 @@ class ScaleOpsSpec extends AnyFunSuite {
       "d" -> (("insert", -1L, 4L))))
   }
 
+  test("CDC merge: update/insert/delete/ghost-delete branches; bad __op fails in-plan") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_merge_spec").toString + "/t"
+    Versioned.write(Seq(
+      ("a", 1L, "x"), ("b", 2L, "y"), ("c", 3L, "z")).toDF("k", "n", "tag"), dir)
+    val batch = Seq(
+      ("b", 9L, "y2", "upsert"),  // matched upsert -> update
+      ("d", 4L, "w", "upsert"),   // unmatched upsert -> insert
+      ("c", 0L, "", "delete"),    // matched delete -> gone
+      ("z", 0L, "", "delete")     // unmatched delete -> no-op (redelivered tombstone)
+    ).toDF("k", "n", "tag", "__op")
+    val (v, merged) = Merge.applyChanges(spark, dir, batch, Seq("k"))
+    assert(v === 2L)
+    val got = merged.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === Map(
+      "a" -> ((1L, "x")),   // untouched carry
+      "b" -> ((9L, "y2")),  // updated payload wins
+      "d" -> ((4L, "w"))))  // inserted
+    // the committed snapshot IS the merge result (self-scan parity)
+    assert(Versioned.read(spark, dir, Some(2L)).count() === 3L)
+    // v1 pinned read still serves the pre-merge table
+    assert(Versioned.read(spark, dir, Some(1L)).count() === 3L)
+    // malformed op fails the job in-plan, nothing half-applies
+    val bad = Seq(("a", 5L, "q", "replace")).toDF("k", "n", "tag", "__op")
+    intercept[Exception] {
+      Merge.merge(Versioned.read(spark, dir), bad, Seq("k")).collect()
+    }
+    assert(Versioned.latestVersion(spark, dir) === Some(2L))
+  }
+
   test("snapshot expiry: retention horizon + the pointer target is never deleted") {
     val s = spark
     import s.implicits._
