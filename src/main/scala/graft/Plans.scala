@@ -158,6 +158,12 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "j13_entity_resolution" -> ("Blocked record linkage: per pass one " +
+      "equi-join on the derived blocking key (cost = sum-over-blocks, " +
+      "never |L| x |R|), over-cap blocks dropped via an " +
+      "aggregation-sized broadcast anti-join, pass union deduped once, " +
+      "scoring joins ride the candidate set, resolution is one arg_max " +
+      "hash aggregate."),
     "x37_scc" -> ("SCC (FW-BW-min): per iteration one edge equi-join " +
       "plus a partial-aggregated min or a (node,color) semi-join — " +
       "O(E) with map-side combine, O(V) node frames, localCheckpoint " +

@@ -879,6 +879,49 @@ object Oracle {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
 
+    // j13: identical dirty-catalog derivation, the two blocking passes as
+    // plain joins (cap never binds on this uniform data — proven in spec),
+    // composite score, per-catalog-record argmax via row_number
+    "j13_entity_resolution" ->
+      """WITH cat AS (
+        |  SELECT p_partkey + 5000000 AS cat_id,
+        |    CASE WHEN (h // 16) % 5 = 0 THEN p_name ELSE
+        |      concat(substring(p_name, 1, CAST(1 + ((h // 8) % length(p_name)) AS INT) - 1), 'x',
+        |             substring(p_name, CAST(1 + ((h // 8) % length(p_name)) AS INT) + 1)) END AS name_dirty,
+        |    p_brand AS brand,
+        |    CAST(p_size + ((h // 4) % 2) AS INT) AS size_dirty
+        |  FROM (SELECT *, CAST('0x' || substring(md5('cat:' || CAST(p_partkey AS VARCHAR)),1,8) AS BIGINT) AS h
+        |        FROM part)
+        |  WHERE h % 4 < 3),
+        |cand AS (
+        |  SELECT DISTINCT p_partkey, cat_id FROM (
+        |    SELECT p.p_partkey, c.cat_id FROM part p JOIN cat c
+        |      ON p.p_brand = c.brand AND p.p_size // 4 = c.size_dirty // 4
+        |    UNION ALL
+        |    SELECT p.p_partkey, c.cat_id FROM part p JOIN cat c
+        |      ON substring(p.p_name, 1, 4) = substring(c.name_dirty, 1, 4)
+        |     AND p.p_size = c.size_dirty)),
+        |scored AS (
+        |  SELECT cand.cat_id, cand.p_partkey,
+        |    CAST(levenshtein(p.p_name, c.name_dirty) AS BIGINT) AS lev,
+        |    CAST(abs(p.p_size - c.size_dirty) AS BIGINT) AS sdiff,
+        |    100 - 30 * CAST(levenshtein(p.p_name, c.name_dirty) AS BIGINT)
+        |        - 10 * CAST(abs(p.p_size - c.size_dirty) AS BIGINT)
+        |        + CASE WHEN p.p_brand = c.brand THEN 20 ELSE 0 END AS score
+        |  FROM cand JOIN part p USING (p_partkey) JOIN cat c USING (cat_id)),
+        |m AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cat_id ORDER BY score DESC, p_partkey) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY cat_id) AS BIGINT) AS n_match
+        |  FROM scored WHERE score >= 70)
+        |SELECT c.cat_id,
+        |  coalesce(m.p_partkey, -1) AS matched_key,
+        |  coalesce(m.lev, -1) AS lev,
+        |  coalesce(m.sdiff, -1) AS sdiff,
+        |  CAST(coalesce(m.score, -1) AS BIGINT) AS score,
+        |  coalesce(m.n_match, 0) AS n_match
+        |FROM cat c LEFT JOIN (SELECT * FROM m WHERE rk = 1) m USING (cat_id)
+        |ORDER BY c.cat_id""".stripMargin,
+
     "e01_explode_words" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

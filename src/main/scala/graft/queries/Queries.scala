@@ -510,6 +510,65 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  /** J13: blocked entity resolution ([[graft.relational.RecordLinkage
+    * .candidates]]) — Fellegi-Sunter record linkage of the part catalog
+    * against a deterministically-dirtied external catalog (75% of parts
+    * present under shifted ids; 80% get one md5-chosen character
+    * substituted in the name — the rest stay clean so the lev-0 class
+    * is live; size drifts +1 half the time). TWO blocking passes with
+    * DIFFERENT failure modes — (brand, size div 4) survives name typos,
+    * (name-prefix-4, exact size) survives the size drift and reaches
+    * across brands — candidates are their distinct union, so dirty
+    * records one key loses the other recovers. Composite integer score
+    * (100 - 30*levenshtein - 10*|size diff| + 20*brand-agreement,
+    * match at >= 70), resolved per catalog record by the k02 arg_max
+    * hash aggregate (score DESC, partkey ASC tiebreak — never a window
+    * sort); unmatched records surface as -1 rows so the census keeps
+    * every class live (exact, fuzzy, ambiguous-multi-candidate,
+    * unmatched — all present at every SF). Scale shape: per-pass cost =
+    * sum-over-blocks |L||R| with an aggregation-sized broadcast hub
+    * guard; no cartesian anywhere (PlanSpec-swept), resolution is one
+    * hash aggregate. */
+  val j13EntityResolution: Q = (s, dir) => {
+    val parts = tbl(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    val cat = parts.selectExpr("*",
+        "cast(conv(substring(md5(concat('cat:', cast(p_partkey as string))),1,8),16,10) as bigint) as __h")
+      .where("__h % 4 < 3")
+      .selectExpr(
+        "p_partkey + 5000000 as cat_id",
+        "case when (__h div 16) % 5 = 0 then p_name else " +
+          "concat(substring(p_name, 1, cast(1 + ((__h div 8) % length(p_name)) as int) - 1), 'x'," +
+          " substring(p_name, cast(1 + ((__h div 8) % length(p_name)) as int) + 1)) end as name_dirty",
+        "p_brand as brand",
+        "cast(p_size + ((__h div 4) % 2) as int) as size_dirty")
+    val cand = graft.relational.RecordLinkage.candidates(
+      parts, "p_partkey", cat, "cat_id",
+      Seq(
+        (concat(col("p_brand"), lit("|"), expr("p_size div 4")),
+          concat(col("brand"), lit("|"), expr("size_dirty div 4"))),
+        (concat(substring(col("p_name"), 1, 4), lit("|"), col("p_size")),
+          concat(substring(col("name_dirty"), 1, 4), lit("|"), col("size_dirty")))))
+    val scored = cand.join(parts, Seq("p_partkey")).join(cat, Seq("cat_id"))
+      .withColumn("lev", levenshtein(col("p_name"), col("name_dirty")).cast("long"))
+      .withColumn("sdiff", abs(col("p_size") - col("size_dirty")).cast("long"))
+      .withColumn("score", lit(100L) - lit(30L) * col("lev") - lit(10L) * col("sdiff")
+        + when(col("p_brand") === col("brand"), lit(20L)).otherwise(lit(0L)))
+      .filter(col("score") >= 70)
+    val best = scored.groupBy("cat_id").agg(
+      max(struct(col("score"), (-col("p_partkey")).as("__nk"),
+        col("lev"), col("sdiff"))).as("__b"),
+      count(lit(1)).as("n_match"))
+    cat.join(best, Seq("cat_id"), "left_outer")
+      .select(col("cat_id"),
+        coalesce(-col("__b.__nk"), lit(-1L)).as("matched_key"),
+        coalesce(col("__b.lev"), lit(-1L)).as("lev"),
+        coalesce(col("__b.sdiff"), lit(-1L)).as("sdiff"),
+        coalesce(col("__b.score"), lit(-1L)).as("score"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+      .orderBy("cat_id")
+  }
+
   // ===== explodes / aggregations ============================================
 
   /** E1/E2: explode -> re-aggregate (word histogram). */
@@ -4194,6 +4253,7 @@ object Queries {
     "j03_repair_join" -> j03RepairJoin,
     "j11_anti_join" -> j11AntiJoin,
     "j12_semi_join" -> j12SemiJoin,
+    "j13_entity_resolution" -> j13EntityResolution,
     "e01_explode_words" -> e01ExplodeWords,
     "e02_explode_outer" -> e02ExplodeOuter,
     "a01_group_stats" -> a01GroupStats,

@@ -318,6 +318,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(Versioned.latestVersion(spark, dir) === Some(2L))
   }
 
+  test("record linkage: multi-pass recall, hub-guard drops oversized blocks, no dup candidates") {
+    val s = spark
+    import s.implicits._
+    // left: (id, blockA, blockB); right likewise. Pass A co-blocks 1<->10,
+    // pass B co-blocks 2<->20 (pass A key differs) — union recovers both.
+    val left = Seq(
+      (1L, "a1", "b1"), (2L, "a2", "b2"), (3L, "hub", "b3"),
+      (4L, "hub", "b4"), (5L, "hub", "b5")).toDF("id", "ka", "kb")
+    val right = Seq(
+      (10L, "a1", "bx"), (20L, "ax", "b2"), (30L, "hub", "by"),
+      (40L, "a1", "b2")).toDF("rid", "ka", "kb")
+    val got = RecordLinkage.candidates(left, "id", right, "rid",
+      passes = Seq((org.apache.spark.sql.functions.col("ka"),
+        org.apache.spark.sql.functions.col("ka")),
+        (org.apache.spark.sql.functions.col("kb"),
+          org.apache.spark.sql.functions.col("kb"))),
+      maxBlockSize = 2)
+      .as[(Long, Long)].collect().toSet
+    // "hub" has 3 left members > cap=2 -> the whole block drops (3,4,5 x 30
+    // never pair); 40 co-blocks with 1 via pass A AND with 2 via pass B;
+    // (1,10) pass A only, (2,20) pass B only.
+    assert(got === Set((1L, 10L), (1L, 40L), (2L, 20L), (2L, 40L)))
+    // distinct contract: a pair co-blocked by both passes appears once
+    val dup = RecordLinkage.candidates(left, "id", right, "rid",
+      passes = Seq((org.apache.spark.sql.functions.col("ka"),
+        org.apache.spark.sql.functions.col("ka")),
+        (org.apache.spark.sql.functions.col("ka"),
+          org.apache.spark.sql.functions.col("ka"))),
+      maxBlockSize = 10).count()
+    assert(dup === RecordLinkage.candidates(left, "id", right, "rid",
+      passes = Seq((org.apache.spark.sql.functions.col("ka"),
+        org.apache.spark.sql.functions.col("ka"))),
+      maxBlockSize = 10).count())
+  }
+
   test("snapshot expiry: retention horizon + the pointer target is never deleted") {
     val s = spark
     import s.implicits._
