@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "x38_interval_islands" -> ("Interval islands: one window sort per " +
+      "user (running-max-end boundary test, running island counter) + " +
+      "one per-island hash fold. The sort is the operator's intrinsic " +
+      "cost; user_id partitions it and nothing else shuffles."),
     "j13_entity_resolution" -> ("Blocked record linkage: per pass one " +
       "equi-join on the derived blocking key (cost = sum-over-blocks, " +
       "never |L| x |R|), over-cap blocks dropped via an " +

@@ -2765,6 +2765,24 @@ object Oracle {
         |WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after
         |ORDER BY lang""".stripMargin,
 
+    // x38: same deterministic durations, running-max-end boundary test,
+    // running island counter, per-island fold
+    "x38_interval_islands" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s0,
+        |    epoch_us(ts) + (event_id % 8 + 1) * 10800000000 AS e0 FROM events),
+        |f AS (SELECT *, max(e0) OVER (PARTITION BY user_id ORDER BY s0, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+        |g AS (SELECT *, CASE WHEN pm IS NULL OR s0 > pm THEN 1 ELSE 0 END AS nw FROM f),
+        |h AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY s0, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM g)
+        |SELECT user_id, CAST(island AS BIGINT) AS island_idx,
+        |  CAST(min(s0) AS BIGINT) AS island_start,
+        |  CAST(max(e0) AS BIGINT) AS island_end,
+        |  CAST(max(e0) - min(s0) AS BIGINT) AS span_us,
+        |  CAST(count(*) AS BIGINT) AS n_iv
+        |FROM h GROUP BY user_id, island
+        |ORDER BY user_id, island_idx""".stripMargin,
+
     // s23: the MERGE mirrored DECLARATIVELY — kept / updated / inserted
     // unions under the same md5 directive buckets (0 delete, 1 update,
     // 2 insert; bucket-3 ghost deletes touch nothing by construction)

@@ -2960,6 +2960,41 @@ object Queries {
       .orderBy("user_id", "click_id", "view_id")
   }
 
+  /** X38: interval islands merge (gaps-and-islands over genuine
+    * INTERVALS — the coverage-union op behind downtime accounting,
+    * validity-interval consolidation, and ad-occupancy billing; a28 and
+    * st02 sessionize POINT events by inter-event gap, here containment
+    * and overlap of [start, end) spans drive the union, which lag()
+    * cannot see — a long interval can swallow several later ones, so
+    * the boundary test is against the RUNNING MAX of interval ends, not
+    * the previous row's end). Each event carries a deterministic
+    * duration of (event_id % 8 + 1) * 3h against ~7h median per-user
+    * gaps, so disjoint, overlapping, and fully-contained intervals are
+    * all live at every SF. ONE window sort per user (running-max-end
+    * over preceding rows -> new-island flag -> running island counter)
+    * + one hash aggregate per island — the sort is the operator's
+    * intrinsic cost; keys partition it, nothing else shuffles. */
+  val x38IntervalIslands: Q = (s, dir) => {
+    val iv = events(s, dir).select(col("user_id"), col("event_id"),
+      col("__tsu").as("s0"),
+      (col("__tsu") + (col("event_id") % 8 + 1) * lit(10800000000L)).as("e0"))
+    val wPrev = Window.partitionBy("user_id").orderBy("s0", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("user_id").orderBy("s0", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.withColumn("__pm", max("e0").over(wPrev))
+      .withColumn("__new",
+        when(col("__pm").isNull || col("s0") > col("__pm"), 1L).otherwise(0L))
+      .withColumn("island", sum("__new").over(wRun))
+      .groupBy("user_id", "island")
+      .agg(min("s0").as("island_start"), max("e0").as("island_end"),
+        count(lit(1)).as("n_iv"))
+      .select(col("user_id"), col("island").as("island_idx"),
+        col("island_start"), col("island_end"),
+        (col("island_end") - col("island_start")).as("span_us"), col("n_iv"))
+      .orderBy("user_id", "island_idx")
+  }
+
   /** The distinct (user, page) incidence behind x22/x23 — the same
     * props.k page derivation as [[eventsBipartiteEdges]], kept as the
     * two-column frame [[graft.graph.Covisit]] projects. */
@@ -4329,6 +4364,7 @@ object Queries {
     "d25_crawl_diff" -> d25CrawlDiff,
     "x36_link_graph" -> x36LinkGraph,
     "x37_scc" -> x37Scc,
+    "x38_interval_islands" -> x38IntervalIslands,
     "t40_path_blocklist" -> t40PathBlocklist,
     "t41_token_budget" -> t41TokenBudget,
     "t42_markup_residue" -> t42MarkupResidue,

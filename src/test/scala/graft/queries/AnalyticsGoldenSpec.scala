@@ -208,4 +208,30 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       ("a", 0L) -> 2L, ("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L,
       ("b", 1L) -> 1L), s"got $got")
   }
+
+  test("x38: interval islands — overlap chains, full containment, singleton island") {
+    // durations are (event_id % 8 + 1) * 180 minutes; times in minutes.
+    // user 1 island 1: [0,180)+[60,420)+[200,740)+[300,1740) chain where the
+    // id=7 interval swallows everything after it (running-max-end, not lag);
+    // island 2: [2000,2180)+[2100,2820) with id=16's [2200,2380) FULLY
+    // CONTAINED (extends nothing, still merges). user 2: singleton.
+    val rows = Seq(
+      (0L, 0L, 1L, "t", 1.0),     // dur 180 -> [0, 180]
+      (1L, 60L, 1L, "t", 1.0),    // dur 360 -> [60, 420]
+      (2L, 200L, 1L, "t", 1.0),   // dur 540 -> [200, 740]
+      (7L, 300L, 1L, "t", 1.0),   // dur 1440 -> [300, 1740]
+      (8L, 2000L, 1L, "t", 1.0),  // dur 180 -> [2000, 2180]: new island
+      (3L, 2100L, 1L, "t", 1.0),  // dur 720 -> [2100, 2820]
+      (16L, 2200L, 1L, "t", 1.0), // dur 180 -> [2200, 2380]: contained
+      (24L, 100L, 2L, "t", 1.0))  // user 2 singleton [100, 280]
+    val dir = writeEvents(rows)
+    val M = 60000000L // minutes -> micros
+    val got = Queries.x38IntervalIslands(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(got === Map(
+      (1L, 1L) -> ((0L, 1740L * M, 4L)),
+      (1L, 2L) -> ((2000L * M, 2820L * M, 3L)),
+      (2L, 1L) -> ((100L * M, 280L * M, 1L))), s"got $got")
+  }
 }
