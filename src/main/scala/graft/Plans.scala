@@ -158,6 +158,11 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "a34_acf_hourly" -> ("Hourly ACF: one event-sized hash census to " +
+      "hours, then everything is spine-sized — per-type bounds fold, " +
+      "sequence explode, ONE window sort computing all 12 stacked " +
+      "lags, broadcast denominator join. No 12-way self-join, no " +
+      "event-sized sort."),
     "x38_interval_islands" -> ("Interval islands: one window sort per " +
       "user (running-max-end boundary test, running island counter) + " +
       "one per-island hash fold. The sort is the operator's intrinsic " +

@@ -2765,6 +2765,29 @@ object Oracle {
         |WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after
         |ORDER BY lang""".stripMargin,
 
+    // a34: same zero-filled spine and n-scaled integer centering; lags
+    // as a 12-row cross join + equi-join on (type, h - k) — semantics
+    // stated independently of the engine's window-lag implementation
+    "a34_acf_hourly" ->
+      """WITH hc AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hc GROUP BY 1),
+        |sp AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h FROM b),
+        |se AS (SELECT sp.event_type, sp.h, coalesce(hc.x, 0) AS x
+        |       FROM sp LEFT JOIN hc ON sp.event_type = hc.event_type AND sp.h = hc.h),
+        |st AS (SELECT event_type, sum(x) AS s, count(*) AS n FROM se GROUP BY 1),
+        |c AS (SELECT se.event_type, h, n * x - s AS cx FROM se JOIN st USING (event_type)),
+        |den AS (SELECT event_type, sum(cx * cx) AS den FROM c GROUP BY 1),
+        |num AS (SELECT a.event_type, k.lag_k, sum(a.cx * p.cx) AS num
+        |        FROM c a JOIN (SELECT unnest(range(1, 13)) AS lag_k) k ON true
+        |        JOIN c p ON p.event_type = a.event_type AND p.h = a.h - k.lag_k
+        |        GROUP BY 1, 2)
+        |SELECT n.event_type, CAST(n.lag_k AS BIGINT) AS lag_k,
+        |  CAST(n.num AS BIGINT) AS num, CAST(d.den AS BIGINT) AS den,
+        |  round(CAST(n.num AS DOUBLE) / d.den, 6) AS acf_r
+        |FROM num n JOIN den d USING (event_type)
+        |ORDER BY n.event_type, n.lag_k""".stripMargin,
+
     // x38: same deterministic durations, running-max-end boundary test,
     // running island counter, per-island fold
     "x38_interval_islands" ->

@@ -3803,6 +3803,53 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** A34: autocorrelation function of the hourly event-count series,
+    * lags 1..12 per event_type — the periodicity diagnostic the a33
+    * chi-square cannot give (chi-square says "hour mass is uneven",
+    * ACF says "it repeats with period p": bot retry storms show as
+    * spikes at their retry lag, diurnal traffic as a slow 12/24-hour
+    * wave, white noise as ~0 everywhere). The series zero-fills the
+    * full per-type hour spine (a29's discipline — a missing hour IS a
+    * zero observation, and skipping it would misalign every lag), and
+    * the statistic is INTEGER-EXACT: centered terms scaled by n
+    * (cx = n*x - S), numerator sum(cx_t * cx_{t-k}), denominator
+    * sum(cx^2) — the n^2 factor cancels in the ratio, so the only
+    * float is the final rounded quotient. ONE window sort per type
+    * computes all 12 lags (lag columns stacked back to rows — no
+    * 12-way self-join), denominator folds once per type and broadcasts
+    * back in-plan; everything after the hourly census is
+    * spine-sized, not event-sized. */
+  val a34AcfHourly: Q = (s, dir) => {
+    val K = 12
+    val hourly = events(s, dir)
+      .withColumn("h", expr("__tsu div 3600000000"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("x"))
+    val bounds = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+    val spine = bounds.select(col("event_type"),
+      explode(sequence(col("h0"), col("h1"))).as("h"))
+    val series = spine.join(hourly, Seq("event_type", "h"), "left_outer")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val stats = series.groupBy("event_type")
+      .agg(sum("x").as("S"), count(lit(1)).as("n"))
+    val c = series.join(broadcast(stats), Seq("event_type"))
+      .withColumn("cx", col("n") * col("x") - col("S"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val lagged = (1 to K).foldLeft(c)((df, k) =>
+      df.withColumn(s"l$k", lag("cx", k).over(w)))
+    val stacked = lagged.select(col("event_type"), col("cx"), expr(
+      s"stack($K, ${(1 to K).map(k => s"$k, l$k").mkString(", ")}) as (lag_k, cl)"))
+    val den = c.groupBy("event_type").agg(sum(col("cx") * col("cx")).as("den"))
+    stacked.filter(col("cl").isNotNull)
+      .groupBy("event_type", "lag_k")
+      .agg(sum(col("cx") * col("cl")).as("num"))
+      .join(broadcast(den), Seq("event_type"))
+      .select(col("event_type"), col("lag_k").cast("long").as("lag_k"),
+        col("num"), col("den"),
+        round(col("num").cast("double") / col("den"), 6).as("acf_r"))
+      .orderBy("event_type", "lag_k")
+  }
+
   val a31KsDrift: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val e = events(s, dir).select(col("event_type"), col("value"),
@@ -4496,6 +4543,7 @@ object Queries {
     "a31_ks_drift" -> a31KsDrift,
     "a32_zipf_fit" -> a32ZipfFit,
     "a33_hour_chi2" -> a33HourChi2,
+    "a34_acf_hourly" -> a34AcfHourly,
     "x35_fd_profile" -> x35FdProfile
   )
 }

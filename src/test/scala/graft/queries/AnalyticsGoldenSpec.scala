@@ -209,6 +209,23 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       ("b", 1L) -> 1L), s"got $got")
   }
 
+  test("a34: ACF — alternating series gives the hand-computed lag signs, zero-filled gaps") {
+    // two events in each of hours 0, 2, 4 -> spine [2,0,2,0,2] (hours 1 and
+    // 3 zero-filled), S=6, n=5, cx = 5x-6 = [4,-6,4,-6,4], den = 120.
+    // lag1 num = -96 -> r=-0.8; lag2 num = 68 -> r=0.566667; lags 5..12
+    // have no pairs and emit nothing.
+    val rows = Seq(
+      (1L, 0L, 1L, "t", 1.0), (2L, 1L, 1L, "t", 1.0),
+      (3L, 120L, 1L, "t", 1.0), (4L, 121L, 1L, "t", 1.0),
+      (5L, 240L, 1L, "t", 1.0), (6L, 241L, 1L, "t", 1.0))
+    val dir = writeEvents(rows)
+    val got = Queries.a34AcfHourly(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size === 4, s"lags 1..4 only, got $got")
+    assert(got(1L) === ((-96L, 120L, -0.8)), s"got $got")
+    assert(got(2L) === ((68L, 120L, 0.566667)), s"got $got")
+  }
+
   test("x38: interval islands — overlap chains, full containment, singleton island") {
     // durations are (event_id % 8 + 1) * 180 minutes; times in minutes.
     // user 1 island 1: [0,180)+[60,420)+[200,740)+[300,1740) chain where the
