@@ -158,6 +158,11 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "st22_watermark_audit" -> ("Watermark audit: distributed prefix " +
+      "scan — per-hour-bucket window sorts in parallel, cross-bucket " +
+      "prefix from the bucket-count-sized aggregate broadcast back, " +
+      "greatest() fuses the two. No global sort; the delay fan-out " +
+      "explodes 3 literals, and the census is one hash aggregate."),
     "a34_acf_hourly" -> ("Hourly ACF: one event-sized hash census to " +
       "hours, then everything is spine-sized — per-type bounds fold, " +
       "sequence explode, ONE window sort computing all 12 stacked " +

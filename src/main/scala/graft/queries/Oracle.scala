@@ -2765,6 +2765,32 @@ object Oracle {
         |WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after
         |ORDER BY lang""".stripMargin,
 
+    // st22: same planted arrival delays; lateness stated with ONE flat
+    // global running max over arrival order — the engine's two-phase
+    // bucketed prefix scan must be invisible
+    "st22_watermark_audit" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t,
+        |    CAST('0x' || substring(md5('arr:' || CAST(event_id AS VARCHAR)),1,8) AS BIGINT) % 10 AS d
+        |  FROM events),
+        |a AS (SELECT event_id, event_type, t,
+        |    t + CASE d WHEN 0 THEN 1800000000 WHEN 1 THEN 7200000000
+        |               WHEN 2 THEN 21600000000 ELSE 0 END AS arr
+        |  FROM e),
+        |r AS (SELECT event_type, t,
+        |    max(t) OVER (ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM a),
+        |l AS (SELECT event_type, greatest(coalesce(pm - t, 0), 0) AS late_us FROM r),
+        |x AS (SELECT event_type, late_us,
+        |    CAST(unnest([900, 3600, 14400]) AS BIGINT) AS delay_s FROM l)
+        |SELECT event_type, delay_s,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST((sum(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS drop_ppm,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us
+        |FROM x GROUP BY 1, 2 ORDER BY event_type, delay_s""".stripMargin,
+
     // a34: same zero-filled spine and n-scaled integer centering; lags
     // as a 12-row cross join + equi-join on (type, h - k) — semantics
     // stated independently of the engine's window-lag implementation

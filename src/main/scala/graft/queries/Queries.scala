@@ -1892,6 +1892,57 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** ST22: watermark-delay audit — THE capacity-planning census behind
+    * every watermark choice in the st-family (a delay too short drops
+    * real data silently; too long holds state forever): for candidate
+    * delays 15 min / 1 h / 4 h, how many events WOULD the watermark
+    * drop, per event_type, plus the worst observed lateness. Arrival
+    * order is planted deterministically (derive-then-detect: 10% of
+    * events arrive 30 min late, 10% 2 h, 10% 6 h via md5 directive —
+    * every delay tier catches a different subset, so all census classes
+    * are live at every SF); the detector sees only (arrival, event
+    * time). Lateness = running max of EVENT time over ARRIVAL order,
+    * minus own event time — computed as a DISTRIBUTED two-phase prefix
+    * scan, not a single global sort: per-hour-bucket window sorts run
+    * in parallel, the cross-bucket prefix is a max over the tiny
+    * per-bucket aggregate (bucket-count-sized, broadcast back), and
+    * greatest() fuses the two. The oracle states the same lateness with
+    * ONE flat global running max — the two-phase decomposition must be
+    * invisible. */
+  val st22WatermarkAudit: Q = (s, dir) => {
+    val e = events(s, dir).select(col("event_id"), col("event_type"), col("__tsu"))
+      .withColumn("__d", expr(
+        "cast(conv(substring(md5(concat('arr:', cast(event_id as string))),1,8),16,10) as bigint) % 10"))
+      .withColumn("arr", col("__tsu") +
+        when(col("__d") === 0, 1800000000L)
+          .when(col("__d") === 1, 7200000000L)
+          .when(col("__d") === 2, 21600000000L).otherwise(0L))
+      .withColumn("bkt", expr("arr div 3600000000"))
+    val wIn = Window.partitionBy("bkt").orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wB = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = e.groupBy("bkt").agg(max("__tsu").as("bm"))
+      .withColumn("bpm", max("bm").over(wB)).select("bkt", "bpm")
+    e.join(broadcast(bpre), Seq("bkt"))
+      .withColumn("__wm", max("__tsu").over(wIn))
+      .withColumn("late_us", greatest(
+        coalesce(col("bpm"), lit(Long.MinValue)),
+        coalesce(col("__wm"), lit(Long.MinValue)),
+        col("__tsu")) - col("__tsu"))
+      .select(col("event_type"), col("late_us"),
+        explode(array(lit(900L), lit(3600L), lit(14400L))).as("delay_s"))
+      .groupBy("event_type", "delay_s")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_us") > col("delay_s") * 1000000L, 1L)
+          .otherwise(0L)).as("n_dropped"),
+        max("late_us").as("max_late_us"))
+      .withColumn("drop_ppm", expr("(n_dropped * 1000000) div n"))
+      .select(col("event_type"), col("delay_s"), col("n"), col("n_dropped"),
+        col("drop_ppm"), col("max_late_us"))
+      .orderBy("event_type", "delay_s")
+  }
+
   /** ST18: batch mirror of the streaming exactly-once dedup
     * ([[graft.streaming.EventStreams.dedupEvents]]) — the at-least-once
     * delivery scenario stated deterministically: the input is the event
@@ -4504,6 +4555,7 @@ object Queries {
     "st14_upsert_state" -> st14UpsertState,
     "st15_decontaminate" -> st15Decontaminate,
     "st21_crawl_changes" -> st21CrawlChanges,
+    "st22_watermark_audit" -> st22WatermarkAudit,
     "s22_change_feed" -> s22ChangeFeed,
     "s23_merge_apply" -> s23MergeApply,
     "st16_full_join" -> st16FullJoin,

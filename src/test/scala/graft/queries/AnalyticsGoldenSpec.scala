@@ -226,6 +226,46 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
     assert(got(2L) === ((68L, 120L, 0.566667)), s"got $got")
   }
 
+  test("st22: watermark audit equals a flat scala recompute (third implementation)") {
+    // 60 events, event time scrambled vs id so the planted arrival jitter
+    // interleaves; the scala recompute is a THIRD statement of the
+    // semantics (flat sort + running max), independent of both the
+    // bucketed two-phase plan and the DuckDB window mirror.
+    val rows = (0 until 60).map { i =>
+      (i.toLong, ((i * 37) % 720).toLong, 1L, if (i % 2 == 0) "a" else "b", 1.0)
+    }
+    val dir = writeEvents(rows)
+    val got = Queries.st22WatermarkAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(5)))).toMap
+    // flat recompute
+    def d10(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arr:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % 10
+    }
+    val evs = rows.map { case (id, tmin, _, tp, _) =>
+      val t = tmin * 60000000L
+      val delay = d10(id) match {
+        case 0 => 1800000000L; case 1 => 7200000000L
+        case 2 => 21600000000L; case _ => 0L
+      }
+      (id, tp, t, t + delay)
+    }.sortBy(e => (e._4, e._1))
+    var runMax = Long.MinValue
+    val late = evs.map { case (_, tp, t, _) =>
+      val l = math.max(0L, (if (runMax == Long.MinValue) t else math.max(runMax, t)) - t)
+      runMax = math.max(runMax, t)
+      (tp, l)
+    }
+    for (tp <- Seq("a", "b"); ds <- Seq(900L, 3600L, 14400L)) {
+      val ls = late.filter(_._1 == tp).map(_._2)
+      val exp = (ls.count(_ > ds * 1000000L).toLong, ls.max)
+      assert(got((tp, ds)) === exp, s"($tp, $ds): got ${got((tp, ds))}, want $exp")
+    }
+    assert(late.exists(_._2 > 14400L * 1000000L),
+      "fixture must exercise the deepest delay tier")
+  }
+
   test("x38: interval islands — overlap chains, full containment, singleton island") {
     // durations are (event_id % 8 + 1) * 180 minutes; times in minutes.
     // user 1 island 1: [0,180)+[60,420)+[200,740)+[300,1740) chain where the
