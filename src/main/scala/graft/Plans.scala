@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "t43_sample_merge" -> ("KMV sample: bounded-heap TopK partials " +
+      "map-side, |strata| x k rows ever shuffled; the merge step is " +
+      "sample-sized (two k-row frames unioned, deduped by id, " +
+      "re-heaped) — the corpus is never rescanned."),
     "st22_watermark_audit" -> ("Watermark audit: distributed prefix " +
       "scan — per-hour-bucket window sorts in parallel, cross-bucket " +
       "prefix from the bucket-count-sized aggregate broadcast back, " +

@@ -2765,6 +2765,19 @@ object Oracle {
         |WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after
         |ORDER BY lang""".stripMargin,
 
+    // t43: the DIRECT bottom-k over the full corpus — the engine runs
+    // the two-step incremental merge, so the hash-compare IS the
+    // append==rebuild proof
+    "t43_sample_merge" ->
+      """WITH p AS (SELECT source, doc_id,
+        |    CAST('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) AS pri
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk
+        |      FROM p)
+        |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, pri
+        |FROM r WHERE rnk <= 16
+        |ORDER BY source, rnk""".stripMargin,
+
     // st22: same planted arrival delays; lateness stated with ONE flat
     // global running max over arrival order — the engine's two-phase
     // bucketed prefix scan must be invisible

@@ -1627,6 +1627,30 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** T43: mergeable per-source uniform sample ([[graft.llm.Samples]])
+    * — the KMV bottom-k-by-hash sketch sample a corpus pipeline
+    * MAINTAINS instead of re-drawing: consistent (a pure function of
+    * the id set — partitioning, arrival order, and executor count
+    * cannot change it, unlike rand()-based sampling) and mergeable
+    * (bottomK(A ∪ B) == merge(bottomK(A), bottomK(B)), priorities
+    * riding the sample rows). t06 keeps a hash FRACTION (size tracks
+    * the stratum), t15 draws ONE global weighted top-k; this holds
+    * exactly k per stratum and folds incrementally. The query RUNS the
+    * incremental path — sample 2/3 of the corpus, sample the remaining
+    * batch, merge — while the oracle states the DIRECT bottom-k over
+    * the full corpus: the hash-compare IS the append==rebuild proof.
+    * Scale: bounded-heap TopK partials map-side, |sources| x k rows
+    * ever shuffled, merge is sample-sized. */
+  val t43SampleMerge: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val s1 = graft.llm.Samples.bottomK(
+      docs.filter(col("doc_id") % 3 < 2), "source", "doc_id", 16)
+    val s2 = graft.llm.Samples.bottomK(
+      docs.filter(col("doc_id") % 3 === 2), "source", "doc_id", 16)
+    graft.llm.Samples.merge(s1, s2, "source", "doc_id", 16)
+      .orderBy("source", "rnk")
+  }
+
   // ===== streaming-shaped (batch-equivalent; streaming variant in tests) ====
 
   /** Tumbling-window aggregation via window() — identical shape to the
@@ -4466,6 +4490,7 @@ object Queries {
     "t40_path_blocklist" -> t40PathBlocklist,
     "t41_token_budget" -> t41TokenBudget,
     "t42_markup_residue" -> t42MarkupResidue,
+    "t43_sample_merge" -> t43SampleMerge,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

@@ -2036,4 +2036,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(naive(1L) != naive(2L) || naive(10L) != naive(11L),
       "fixture no longer demonstrates the naive-split leak — re-plant ids")
   }
+
+  test("t43 samples: union-stability, partition invariance, short strata") {
+    val s = spark
+    import s.implicits._
+    val all = (1L to 200L).map(i => (s"src${i % 3}", i)) ++
+      Seq(("tiny", 900L), ("tiny", 901L)) // stratum below k
+    val df = all.toDF("source", "doc_id")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("source", "rnk", "doc_id", "pri").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val direct = canon(Samples.bottomK(df, "source", "doc_id", 8))
+    // mergeable: any 3-way split folds back to the direct sample
+    val parts = Seq(
+      df.filter(col("doc_id") % 7 < 2), df.filter(col("doc_id") % 7 === 2),
+      df.filter(col("doc_id") % 7 > 2))
+    val merged = parts.map(Samples.bottomK(_, "source", "doc_id", 8))
+      .reduce(Samples.merge(_, _, "source", "doc_id", 8))
+    assert(canon(merged) === direct, "merge of split samples != direct sample")
+    // consistent: repartitioning cannot change the sample
+    assert(canon(Samples.bottomK(df.repartition(13), "source", "doc_id", 8))
+      === direct)
+    // short stratum returns all its rows, ranked
+    assert(direct.count(_._1 == "tiny") === 2)
+    // merging a sample with itself is a no-op (idempotent)
+    val s1 = Samples.bottomK(df, "source", "doc_id", 8)
+    assert(canon(Samples.merge(s1, s1, "source", "doc_id", 8)) === direct)
+  }
 }
