@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "a35_ldiversity" -> ("l-diversity: one partial-aggregated " +
+      "(class, sensitive) census over the corpus, then every fold is " +
+      "class-count-sized. No window, no second row scan; the verdict " +
+      "rule is a projection over the folded counts."),
     "t43_sample_merge" -> ("KMV sample: bounded-heap TopK partials " +
       "map-side, |strata| x k rows ever shuffled; the merge step is " +
       "sample-sized (two k-row frames unioned, deduped by id, " +

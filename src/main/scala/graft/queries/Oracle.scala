@@ -2765,6 +2765,28 @@ object Oracle {
         |WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after
         |ORDER BY lang""".stripMargin,
 
+    // a35: identical sensitive derivation (planted homogeneous nations),
+    // (class, sens) census, class-sized fold, same verdict rule
+    "a35_ldiversity" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    CASE WHEN c_nationkey % 5 = 4
+        |         THEN c_mktsegment || '-' || CAST(c_custkey % 40 AS VARCHAR)
+        |         ELSE c_mktsegment END AS segment,
+        |    CASE WHEN c_nationkey % 5 = 2 THEN 'fixed'
+        |         ELSE 'band' || CAST(CAST(floor(c_acctbal / 2000) AS BIGINT) AS VARCHAR)
+        |    END AS sens
+        |  FROM customer),
+        |cells AS (SELECT nation, segment, sens, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM c GROUP BY 1, 2, 3)
+        |SELECT nation, segment, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS l_distinct,
+        |  CAST(max(cnt) AS BIGINT) AS top_cnt,
+        |  CAST((max(cnt) * 1000000) // sum(cnt) AS BIGINT) AS top_share_ppm,
+        |  CASE WHEN sum(cnt) < 10 THEN 'k_fail'
+        |       WHEN count(*) < 3 THEN 'l_fail' ELSE 'ok' END AS verdict
+        |FROM cells GROUP BY nation, segment
+        |ORDER BY nation, segment""".stripMargin,
+
     // t43: the DIRECT bottom-k over the full corpus — the engine runs
     // the two-step incremental merge, so the hash-compare IS the
     // append==rebuild proof

@@ -3925,6 +3925,49 @@ object Queries {
       .orderBy("event_type", "lag_k")
   }
 
+  /** A35: l-diversity census (Machanavajjhala et al. 2007 — the
+    * homogeneity-attack gate k-anonymity misses: a class of >= k rows
+    * still leaks when its SENSITIVE attribute is uniform; a30 counts
+    * class sizes, THIS audits the sensitive distribution within each
+    * class): per quasi-identifier class (nation, segment), the distinct
+    * sensitive-value count (distinct-l), the top value's share in ppm
+    * (the attacker's posterior), and the release verdict — ok /
+    * k_fail (class too small) / l_fail (big enough but homogeneous).
+    * Sensitive values derive from acctbal bands, with nations = 2 mod 5
+    * planted to a single constant value (an all-same-diagnosis region)
+    * so l_fail is live at every SF alongside ok and k_fail. One
+    * corpus-sized (class, sensitive) census, then class-count-sized
+    * folds — the audit never touches rows twice. */
+  val a35LDiversity: Q = (s, dir) => {
+    val k = 10L
+    val l = 3L
+    val c = tbl(s, dir, "customer").select(
+      col("c_nationkey").cast("long").as("nation"),
+      // nations = 4 mod 5 report a fine-grained sub-segment (the
+      // over-specific QI that produces sub-k classes at EVERY SF — the
+      // failure mode the k check exists for)
+      when(col("c_nationkey") % 5 === 4,
+        concat(col("c_mktsegment"), lit("-"),
+          (col("c_custkey") % 40).cast("string")))
+        .otherwise(col("c_mktsegment")).as("segment"),
+      when(col("c_nationkey") % 5 === 2, lit("fixed"))
+        .otherwise(concat(lit("band"),
+          floor(col("c_acctbal") / 2000).cast("long").cast("string")))
+        .as("sens"))
+    c.groupBy("nation", "segment", "sens").agg(count(lit(1)).as("cnt"))
+      .groupBy("nation", "segment")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("l_distinct"),
+        max("cnt").as("top_cnt"))
+      .withColumn("top_share_ppm", expr("(top_cnt * 1000000) div n"))
+      .withColumn("verdict",
+        when(col("n") < k, lit("k_fail"))
+          .when(col("l_distinct") < l, lit("l_fail"))
+          .otherwise(lit("ok")))
+      .select(col("nation"), col("segment"), col("n"), col("l_distinct"),
+        col("top_cnt"), col("top_share_ppm"), col("verdict"))
+      .orderBy("nation", "segment")
+  }
+
   val a31KsDrift: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val e = events(s, dir).select(col("event_type"), col("value"),
@@ -4621,6 +4664,7 @@ object Queries {
     "a32_zipf_fit" -> a32ZipfFit,
     "a33_hour_chi2" -> a33HourChi2,
     "a34_acf_hourly" -> a34AcfHourly,
+    "a35_ldiversity" -> a35LDiversity,
     "x35_fd_profile" -> x35FdProfile
   )
 }

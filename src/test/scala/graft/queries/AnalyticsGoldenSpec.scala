@@ -175,6 +175,34 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
     assert(got.values.sum === rows.size.toLong, "released rows must conserve input")
   }
 
+  test("a35: l-diversity — ok / l_fail (homogeneous) / k_fail verdicts, refined-QI split") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_a35").toString
+    val rows =
+      // nation 0 seg A: 12 rows over 3 bands -> ok, top 4/12
+      (1L to 4L).map((_, 0L, "A", 100.0)) ++
+        (5L to 8L).map((_, 0L, "A", 2100.0)) ++
+        (9L to 12L).map((_, 0L, "A", 4100.0)) ++
+        // nation 2 (planted 'fixed'): 10 rows, spread bands but sens
+        // collapses -> l_fail, attacker posterior 100%
+        (13L to 22L).map(i => (i, 2L, "A", (i * 700).toDouble)) ++
+        // nation 1 seg B: 5 rows one band -> k_fail
+        (23L to 27L).map((_, 1L, "B", 50.0)) ++
+        // nation 4: QI refines by custkey % 40 -> (4, "A-1") n=3 k_fail
+        Seq((41L, 4L, "A", 100.0), (81L, 4L, "A", 100.0), (121L, 4L, "A", 100.0))
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = Queries.a35LDiversity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5), r.getString(6)))).toMap
+    assert(got === Map(
+      (0L, "A") -> ((12L, 3L, 333333L, "ok")),
+      (2L, "A") -> ((10L, 1L, 1000000L, "l_fail")),
+      (1L, "B") -> ((5L, 1L, 1000000L, "k_fail")),
+      (4L, "A-1") -> ((3L, 1L, 1000000L, "k_fail"))), s"got $got")
+  }
+
   test("x35: FD profile — key FD holds, violating custkey FDs counted exactly") {
     val s = spark
     import s.implicits._
