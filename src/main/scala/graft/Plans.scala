@@ -158,6 +158,11 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "p13_spatial_neighbors" -> ("Grid spatial join: 9x neighborhood " +
+      "explode + ONE cell equi-join + exact integer distance on " +
+      "candidates only — cost tracks point density per cell, never " +
+      "|P|^2; no cartesian node, no dedup pass (pairs unique by " +
+      "construction)."),
     "a35_ldiversity" -> ("l-diversity: one partial-aggregated " +
       "(class, sensitive) census over the corpus, then every fold is " +
       "class-count-sized. No window, no second row scan; the verdict " +

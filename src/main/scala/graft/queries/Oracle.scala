@@ -816,6 +816,23 @@ object Oracle {
 
     "p05_geo_rd_to_wgs84" -> geoSql,
 
+    // p13: same point derivation; pairs found INDEPENDENTLY via a
+    // bounding-box inequality join + exact integer check — the engine's
+    // grid-cell decomposition must be invisible
+    "p13_spatial_neighbors" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |    10000 + CAST('0x' || substring(md5('gx:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 250000 AS x,
+        |    300000 + CAST('0x' || substring(md5('gy:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 300000 AS y
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |FROM p a JOIN p b
+        |  ON a.id < b.id
+        | AND b.x BETWEEN a.x - 2000 AND a.x + 2000
+        | AND b.y BETWEEN a.y - 2000 AND a.y + 2000
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4000000
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "f01_temporal_filter" ->
       """SELECT o_orderkey, o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS od
         |FROM orders

@@ -333,6 +333,29 @@ object Queries {
       .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price_r"))
       .orderBy("month")
 
+  /** P13: grid-bucketed spatial self-join ([[graft.geo.SpatialJoin
+    * .withinDistance]]) — all point pairs within 2 km on synthesized
+    * in-domain RD coordinates (the proximity-dedup shape: duplicate
+    * listings at near-identical coordinates, sensor co-location,
+    * catchment overlap). The planar LSH-band trick: r-sized grid
+    * cells, candidates = equi-join of each point's 9-cell neighborhood
+    * against points' own cells (a within-r pair CANNOT span more than
+    * adjacent cells), exact integer dist^2 on candidates only — cost
+    * is density-bounded, never |P|^2, and each pair surfaces exactly
+    * once by construction (left side explodes the neighborhood, right
+    * side keeps one cell, id_a < id_b keeps one direction — no dedup
+    * pass). The oracle finds the same pairs via a bounding-box
+    * inequality join + exact check: grid decomposition must be
+    * invisible. */
+  val p13SpatialNeighbors: Q = (s, dir) => {
+    val pts = tbl(s, dir, "customer").selectExpr(
+      "c_custkey",
+      "10000 + cast(conv(substring(md5(concat('gx:', cast(c_custkey as string))),1,8),16,10) as bigint) % 250000 as x",
+      "300000 + cast(conv(substring(md5(concat('gy:', cast(c_custkey as string))),1,8),16,10) as bigint) % 300000 as y")
+    graft.geo.SpatialJoin.withinDistance(pts, "c_custkey", "x", "y", 2000L)
+      .orderBy("id_a", "id_b")
+  }
+
   /** P5: the RD->WGS84 polynomial UDF over synthesized in-domain RD coords.
     * Deterministic scalar UDF — Catalyst still prunes/pushes around it. */
   val p05GeoRdToWgs84: Q = (s, dir) =>
@@ -4441,6 +4464,7 @@ object Queries {
     "p10_concat" -> p10Concat,
     "p11_prefix_stats" -> p11PrefixStats,
     "p12_date_trunc" -> p12DateTrunc,
+    "p13_spatial_neighbors" -> p13SpatialNeighbors,
     "p05_geo_rd_to_wgs84" -> p05GeoRdToWgs84,
     "f01_temporal_filter" -> f01TemporalFilter,
     "f02_status_filter" -> f02StatusFilter,
