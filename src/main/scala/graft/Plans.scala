@@ -158,6 +158,11 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "v25_lloyd_step" -> ("Lloyd step: one corpus scan (in-row argmin " +
+      "over 8 literal centroids, codegen arithmetic), one k-row " +
+      "vec_sum aggregate with map-side partials, seed lookup via " +
+      "element_at on the literal seed table. Per-iteration cost = " +
+      "scan + k rows; nothing else shuffles."),
     "p13_spatial_neighbors" -> ("Grid spatial join: 9x neighborhood " +
       "explode + ONE cell equi-join + exact integer distance on " +
       "candidates only — cost tracks point density per cell, never " +

@@ -1194,6 +1194,35 @@ object Oracle {
          |ORDER BY vec_id""".stripMargin
     },
 
+    // v25: v23's assignment verbatim, then per-(cluster, dim) means via
+    // range-indexed unnest, movement/norm folded per cluster
+    "v25_lloyd_step" -> {
+      val d2 = "list_aggregate(list_transform(list_zip(e.embedding, c.embedding), " +
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')"
+      s"""WITH c AS (SELECT vec_id AS cluster_id, embedding FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, e.embedding, c.cluster_id, round($d2, 6) AS dist2
+         |       FROM embeddings e CROSS JOIN c),
+         |r AS (SELECT vec_id, embedding, cluster_id,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn
+         |      FROM sc),
+         |a AS (SELECT vec_id, embedding, cluster_id FROM r WHERE rn = 1),
+         |n AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_assigned FROM a GROUP BY 1),
+         |u AS (SELECT cluster_id, unnest(range(1, len(embedding) + 1)) AS dim, embedding FROM a),
+         |m AS (SELECT cluster_id, dim, avg(CAST(embedding[CAST(dim AS INT)] AS DOUBLE)) AS mv
+         |      FROM u GROUP BY 1, 2),
+         |su AS (SELECT cluster_id, unnest(range(1, len(embedding) + 1)) AS dim, embedding FROM c),
+         |sv AS (SELECT cluster_id, dim, CAST(embedding[CAST(dim AS INT)] AS DOUBLE) AS sv
+         |       FROM su)
+         |SELECT m.cluster_id, n.n_assigned,
+         |  round(sqrt(sum((m.mv - sv.sv) * (m.mv - sv.sv))), 6) AS movement_r,
+         |  round(sqrt(sum(m.mv * m.mv)), 6) AS new_norm_r
+         |FROM m JOIN sv ON m.cluster_id = sv.cluster_id AND m.dim = sv.dim
+         |JOIN n ON n.cluster_id = m.cluster_id
+         |GROUP BY m.cluster_id, n.n_assigned
+         |ORDER BY m.cluster_id""".stripMargin
+    },
+
     // same totalized components as t24, then the integer ppm weight —
     // cluster sizes and the 1/n division both exact integers
     "d19_soft_dedup_weights" -> {

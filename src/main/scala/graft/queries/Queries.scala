@@ -1525,6 +1525,55 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** V25: one k-means Lloyd UPDATE step — v23 is the assign half, this
+    * closes the loop (assign -> per-cluster mean -> how far each
+    * centroid moved), the convergence census a distributed k-means
+    * driver reads every iteration (movement ~ 0 = stop; a cluster's
+    * n_assigned collapsing = re-seed it). Assignment reuses v23's
+    * EXACT rule (rounded dist2, cluster-id tiebreak — the two queries
+    * can never disagree); the mean is the native vec_sum aggregate
+    * (map-side partials, one k-row result) divided in-plan, movement
+    * is the L2 distance to the seed via the literal seed table
+    * (element_at lookup, no second join), summaries rounded 6 (the x06
+    * centroid discipline). One corpus scan + one k-row aggregate per
+    * iteration — nothing else shuffles; the seed collect is the
+    * bounded 8-row model-as-data pattern. */
+  val v25LloydStep: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    // bounded, documented collect: 8 seed centroids (vec_id < 8)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    val scored = array(seeds.map { case (cid, c) =>
+      val cArr = array(c.map(lit): _*)
+      struct(
+        round(aggregate(
+          zip_with(col("__e"), cArr, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v), 6).as("dist2"),
+        lit(cid).as("cluster_id"))
+    }.toIndexedSeq: _*)
+    val seedLit = array(seeds.map { case (_, c) =>
+      array(c.map(lit): _*)
+    }.toIndexedSeq: _*)
+    emb.withColumn("__e", col("embedding").cast("array<double>"))
+      .withColumn("cluster_id",
+        element_at(array_sort(scored), 1).getField("cluster_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_assigned"),
+        graft.functions.VectorAggregates.vecSum(col("embedding")).as("__sum"))
+      .withColumn("__mean", transform(col("__sum"), x => x / col("n_assigned")))
+      .withColumn("__seed", element_at(seedLit, (col("cluster_id") + 1).cast("int")))
+      .select(col("cluster_id"), col("n_assigned"),
+        round(sqrt(aggregate(
+          zip_with(col("__mean"), col("__seed"), (m, sd) => (m - sd) * (m - sd)),
+          lit(0.0), (a, v) => a + v)), 6).as("movement_r"),
+        round(sqrt(aggregate(col("__mean"), lit(0.0), (a, v) => a + v * v)), 6)
+          .as("new_norm_r"))
+      .orderBy("cluster_id")
+  }
+
   /** V18: exact Maximum-Inner-Product Search ([[Similarity.mipsBrute]])
     * — the recommendation-serving primitive: top-k by RAW dot, not
     * cosine (magnitude is signal: popularity/quality-scaled item
@@ -4675,6 +4724,7 @@ object Queries {
     "d22_source_overlap" -> d22SourceOverlap,
     "d23_exact_substr" -> d23ExactSubstr,
     "v23_kmeans_assign" -> v23KmeansAssign,
+    "v25_lloyd_step" -> v25LloydStep,
     "x32_temporal_reach" -> x32TemporalReach,
     "s20_snapshot_expire" -> s20SnapshotExpire,
     "s21_table_history" -> s21TableHistory,

@@ -2037,6 +2037,25 @@ class LlmOpsSpec extends AnyFunSuite {
       "fixture no longer demonstrates the naive-split leak — re-plant ids")
   }
 
+  test("v25 lloyd step: hand-computed movement, counts, empty-cluster absence") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_v25").toString
+    // seeds 0..7 at x = 0, 10, ..., 70; one extra point at (2, 0) joins
+    // cluster 0 -> mean (1, 0), movement 1.0, norm 1.0; the rest keep
+    // their seed as sole member (movement 0)
+    val rows = (0L to 7L).map(i => (i, Array((i * 10).toFloat, 0f))) :+
+      (100L, Array(2f, 0f))
+    rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.Queries.v25LloydStep(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(0L) === ((2L, 1.0, 1.0)), s"got $got")
+    (1L to 7L).foreach { c =>
+      assert(got(c) === ((1L, 0.0, (c * 10).toDouble)), s"cluster $c: $got")
+    }
+    assert(got.size === 8)
+  }
+
   test("t43 samples: union-stability, partition invariance, short strata") {
     val s = spark
     import s.implicits._
