@@ -158,6 +158,11 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "x39_adamic_adar" -> ("Adamic-Adar: per-page candidate audiences " +
+      "sampled to bottom-64 by consistent hash (pair cost pins at " +
+      "pages x 64^2 regardless of corpus size), weights from the FULL " +
+      "audience census, pairs via one page-keyed equi-join, election " +
+      "one arg_max hash aggregate."),
     "v25_lloyd_step" -> ("Lloyd step: one corpus scan (in-row argmin " +
       "over 8 literal centroids, codegen arithmetic), one k-row " +
       "vec_sum aggregate with map-side partials, seed lookup via " +

@@ -2367,6 +2367,30 @@ object Oracle {
         |WHERE 50 * inter >= 17 * (c1.c + c2.c - inter)
         |ORDER BY p1, p2""".stripMargin,
 
+    // x39: same incidence/cap/rounded ln weights; the per-user election
+    // stated with row_number instead of the engine's arg_max
+    "x39_adamic_adar" ->
+      """WITH up AS (SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS p
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |dw AS (SELECT p, round(1.0 / ln(CAST(count(*) AS DOUBLE)), 6) AS w
+        |       FROM up GROUP BY p HAVING count(*) >= 2),
+        |cap AS (SELECT p, u FROM (
+        |    SELECT p, u, row_number() OVER (PARTITION BY p ORDER BY
+        |      CAST('0x' || substring(md5('smp:' || CAST(u AS VARCHAR)),1,8) AS BIGINT), u) AS rn
+        |    FROM up) WHERE rn <= 64),
+        |pr AS (SELECT a.u AS ua, b.u AS ub,
+        |         CAST(count(*) AS BIGINT) AS n_common, round(sum(dw.w), 6) AS aa_r
+        |       FROM cap a JOIN cap b ON a.p = b.p AND a.u < b.u
+        |       JOIN dw ON dw.p = a.p
+        |       GROUP BY 1, 2),
+        |bo AS (SELECT ua AS user_id, ub AS peer_id, n_common, aa_r FROM pr
+        |       UNION ALL SELECT ub, ua, n_common, aa_r FROM pr),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY aa_r DESC, peer_id) AS rn FROM bo)
+        |SELECT user_id, peer_id, n_common, aa_r FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
     // naive ordered-chain triangle enumeration (p1 < p2 < p3) over the
     // same thresholded edge set: each triangle appears once, so per-node
     // participation counts match the engine's degree-oriented form —

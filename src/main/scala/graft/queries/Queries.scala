@@ -3142,6 +3142,50 @@ object Queries {
       .orderBy("user_id", "island_idx")
   }
 
+  /** X39: Adamic-Adar link prediction (the second-degree affinity
+    * score behind "people you may know" / co-purchase recommendation —
+    * Adamic & Adar 2003): for user pairs sharing pages, score =
+    * sum over shared pages of 1/ln(page audience) — x22 weights pages
+    * EQUALLY inside Jaccard, AA discounts hub pages logarithmically
+    * (sharing a niche page is evidence, sharing the homepage is not),
+    * and each user elects ONE best predicted peer (aa DESC, peer ASC,
+    * via the k02 arg_max hash aggregate — never a window sort).
+    * Shared-entity pair generation costs sum-over-pages audience^2 —
+    * audiences GROW with the corpus (680+ per page at sf0.1, and a
+    * fixed drop-cap would empty the result) — so each page's CANDIDATE
+    * audience is sampled to its bottom-64 by the L172 consistent-hash
+    * priority ([[graft.llm.Samples.bottomK]] reused as the sampler):
+    * pair cost pins at pages x 64^2 REGARDLESS of corpus size, the
+    * sample is deterministic and merge-stable, and the WEIGHT still
+    * uses the page's FULL audience (the statistic is exact; only the
+    * candidate set is sampled — the d03 postings-cap discipline).
+    * Audience-1 pages can't form pairs and ln(1) = 0 would divide by
+    * zero, so the degree floor is 2; scores sum ROUNDED weights
+    * (round 6 — the t38/a32 ln-parity discipline). */
+  val x39AdamicAdar: Q = (s, dir) => {
+    val inc = covisitIncidence(s, dir).distinct()
+    val degW = inc.groupBy("p").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .withColumn("w", round(lit(1.0) / log(col("deg").cast("double")), 6))
+    val capped = graft.llm.Samples.bottomK(inc, "p", "u", 64).select("p", "u")
+    val e = capped.join(degW.select("p", "w"), Seq("p"))
+    val scored = e.select(col("p"), col("u").as("ua"), col("w"))
+      .join(e.select(col("p"), col("u").as("ub")), Seq("p"))
+      .filter(col("ua") < col("ub"))
+      .groupBy("ua", "ub")
+      .agg(count(lit(1)).as("n_common"), round(sum("w"), 6).as("aa_r"))
+    val both = scored.select(col("ua").as("user_id"), col("ub").as("peer_id"),
+        col("n_common"), col("aa_r"))
+      .unionByName(scored.select(col("ub").as("user_id"), col("ua").as("peer_id"),
+        col("n_common"), col("aa_r")))
+    both.groupBy("user_id")
+      .agg(max(struct(col("aa_r"), (-col("peer_id")).as("np"),
+        col("n_common").as("nc"))).as("__b"))
+      .select(col("user_id"), (-col("__b.np")).as("peer_id"),
+        col("__b.nc").as("n_common"), col("__b.aa_r").as("aa_r"))
+      .orderBy("user_id")
+  }
+
   /** The distinct (user, page) incidence behind x22/x23 — the same
     * props.k page derivation as [[eventsBipartiteEdges]], kept as the
     * two-column frame [[graft.graph.Covisit]] projects. */
@@ -4603,6 +4647,7 @@ object Queries {
     "x36_link_graph" -> x36LinkGraph,
     "x37_scc" -> x37Scc,
     "x38_interval_islands" -> x38IntervalIslands,
+    "x39_adamic_adar" -> x39AdamicAdar,
     "t40_path_blocklist" -> t40PathBlocklist,
     "t41_token_budget" -> t41TokenBudget,
     "t42_markup_residue" -> t42MarkupResidue,

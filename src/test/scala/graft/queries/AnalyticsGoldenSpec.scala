@@ -294,6 +294,30 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       "fixture must exercise the deepest delay tier")
   }
 
+  test("x39: adamic-adar — niche page outweighs hub, tie elects smallest peer, deg-1 silent") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_x39").toString
+    // niche page 100: users 1,2 (w = 1/ln2 = 1.442695); hub page 200:
+    // users 1..6 (w = 1/ln6 = 0.558111); page 300: user 7 only (deg 1,
+    // no pairs, user 7 absent)
+    val visits = Seq((1L, 100L), (2L, 100L)) ++
+      (1L to 6L).map((_, 200L)) ++ Seq((7L, 300L))
+    visits.zipWithIndex.map { case ((u, p), i) =>
+      (i.toLong, u, "t", 1.0, s"""{"k": $p}""")
+    }.toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("event_id") * 60000000L))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Queries.x39AdamicAdar(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 2L, 2.000806)), s"got $got")   // niche + hub
+    assert(got(2L) === ((1L, 2L, 2.000806)), s"got $got")
+    assert(got(3L) === ((1L, 1L, 0.558111)), s"got $got")   // tie -> peer 1
+    assert(!got.contains(7L), "degree-1 page must produce no prediction")
+    assert(got.size === 6)
+  }
+
   test("x38: interval islands — overlap chains, full containment, singleton island") {
     // durations are (event_id % 8 + 1) * 180 minutes; times in minutes.
     // user 1 island 1: [0,180)+[60,420)+[200,740)+[300,1740) chain where the
