@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "a36_benford" -> ("Benford census: one map-side digit census to 9 " +
+      "rows; everything after (total window, ppm shares, law join, " +
+      "verdicts) runs on the 9-row aggregate. Scan-bound by " +
+      "construction."),
     "x39_adamic_adar" -> ("Adamic-Adar: per-page candidate audiences " +
       "sampled to bottom-64 by consistent hash (pair cost pins at " +
       "pages x 64^2 regardless of corpus size), weights from the FULL " +

@@ -2835,6 +2835,25 @@ object Oracle {
         |WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after
         |ORDER BY lang""".stripMargin,
 
+    // a36: same integer-cents first digit, same ppm integer arithmetic,
+    // Benford constants as a VALUES table
+    "a36_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |b(digit, benford_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |SELECT c.digit, c.cnt,
+        |  CAST((c.cnt * 1000000) // t.n AS BIGINT) AS share_ppm,
+        |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST((c.cnt * 1000000) // t.n - b.benford_ppm AS BIGINT) AS excess_ppm,
+        |  CASE WHEN (c.cnt * 1000000) // t.n - b.benford_ppm > 35000 THEN 'over'
+        |       WHEN (c.cnt * 1000000) // t.n - b.benford_ppm < -35000 THEN 'under'
+        |       ELSE 'near' END AS verdict
+        |FROM c JOIN b ON b.digit = c.digit CROSS JOIN t
+        |ORDER BY c.digit""".stripMargin,
+
     // a35: identical sensitive derivation (planted homogeneous nations),
     // (class, sens) census, class-sized fold, same verdict rule
     "a35_ldiversity" ->

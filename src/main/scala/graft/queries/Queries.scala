@@ -4084,6 +4084,43 @@ object Queries {
       .orderBy("nation", "segment")
   }
 
+  /** A36: Benford first-digit census — the classic fabricated-data /
+    * broken-ETL tripwire (naturally-grown multiplicative quantities
+    * follow P(d) = log10(1 + 1/d); a synthesizer, a unit bug, or a
+    * truncated export bends the curve long before totals move): first
+    * significant digits taken from the INTEGER cents string (the
+    * double never crosses an engine boundary — cast-to-string of
+    * doubles differs between engines, of integers never), shares and
+    * the Benford law both in integer ppm (law constants precomputed:
+    * 301030, 176091, ...), excess = share - law is EXACT integer
+    * arithmetic end to end. Per digit: over / under / near verdict at
+    * +-35000 ppm (the synthetic prices deviate hard on most digits —
+    * the tail digits sit near the law, keeping all three verdicts live
+    * at every SF). One map-side census to 9 rows — scan-bound; the
+    * 9-row total is a window over the aggregated frame, not the
+    * corpus. */
+  val a36Benford: Q = (s, dir) => {
+    val benford = typedLit(Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L,
+      9L -> 45757L))
+    tbl(s, dir, "orders")
+      .select(expr(
+        "cast(substring(cast(cast(round(o_totalprice * 100) as bigint) as string), 1, 1) as bigint)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+      .withColumn("share_ppm", expr("(cnt * 1000000) div n"))
+      .withColumn("benford_ppm", element_at(benford, col("digit")))
+      .withColumn("excess_ppm", col("share_ppm") - col("benford_ppm"))
+      .withColumn("verdict",
+        when(col("excess_ppm") > 35000, lit("over"))
+          .when(col("excess_ppm") < -35000, lit("under"))
+          .otherwise(lit("near")))
+      .select(col("digit"), col("cnt"), col("share_ppm"), col("benford_ppm"),
+        col("excess_ppm"), col("verdict"))
+      .orderBy("digit")
+  }
+
   val a31KsDrift: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val e = events(s, dir).select(col("event_type"), col("value"),
@@ -4784,6 +4821,7 @@ object Queries {
     "a33_hour_chi2" -> a33HourChi2,
     "a34_acf_hourly" -> a34AcfHourly,
     "a35_ldiversity" -> a35LDiversity,
+    "a36_benford" -> a36Benford,
     "x35_fd_profile" -> x35FdProfile
   )
 }

@@ -203,6 +203,26 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       (4L, "A-1") -> ((3L, 1L, 1000000L, "k_fail"))), s"got $got")
   }
 
+  test("a36: benford — integer ppm shares, all three verdicts, cents digit extraction") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_a36").toString
+    val prices = Seq(100.00) ++ Seq.fill(2)(200.00) ++ Seq(300.00, 500.00) ++
+      Seq.fill(5)(900.00)
+    prices.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("o_orderkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = Queries.a36Benford(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getString(5)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 100000L, -201030L, "under")),
+      2L -> ((2L, 200000L, 23909L, "near")),
+      3L -> ((1L, 100000L, -24939L, "near")),
+      5L -> ((1L, 100000L, 20819L, "near")),
+      9L -> ((5L, 500000L, 454243L, "over"))), s"got $got")
+  }
+
   test("x35: FD profile — key FD holds, violating custkey FDs counted exactly") {
     val s = spark
     import s.implicits._
