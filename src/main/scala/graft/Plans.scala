@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "m09_audio_segments" -> ("VAD census: whole operator in-row (one " +
+      "transform over window indices + array folds) — map-only, zero " +
+      "shuffle, scan-bound. No explode: the flag array never leaves " +
+      "its row."),
     "a36_benford" -> ("Benford census: one map-side digit census to 9 " +
       "rows; everything after (total window, ppm shares, law join, " +
       "verdicts) runs on the 9-row aggregate. Scan-bound by " +

@@ -407,4 +407,49 @@ object Multimodal {
       .filter(col("ham") <= maxHam)
       .select("id_a", "id_b", "ham")
   }
+
+  /**
+   * VAD-style energy segmentation census — the silence-trim /
+   * speech-detection pass an audio-ingest pipeline runs before ASR or
+   * audio-token packing (how much of each clip is signal, how
+   * fragmented is it, how much leading/trailing silence can be
+   * trimmed). Real PCM decode stays behind the documented codec
+   * boundary; HERE energy is defined on the stored payload's
+   * codepoints (e(c) = max(codepoint - 32, 0): spaces/controls = 0 —
+   * the deterministic stand-in the m-family uses throughout), windowed
+   * at `window` chars (tail remainder dropped — full windows only),
+   * speech = window energy >= threshold. Whole operator is IN-ROW
+   * (one transform over window indices + array folds): map-only, zero
+   * shuffle, scan-bound.
+   *
+   * Output per row: n_windows, n_speech, n_segments (speech runs),
+   * lead_trim / tail_trim (silence windows before first / after last
+   * speech; = n_windows when the clip has no speech at all).
+   */
+  def vadCensus(df: DataFrame, waveCol: String, idCol: String,
+                window: Int = 16, threshold: Long = 400L): DataFrame = {
+    val w = window
+    df.withColumn("__nw", expr(s"length($waveCol) div $w"))
+      // sub-window rows have nothing to segment — and Spark's
+      // sequence(0, -1) would DESCEND, not return empty
+      .filter(col("__nw") >= 1)
+      .withColumn("__flags", expr(
+        s"""transform(sequence(0, cast(__nw - 1 as int)),
+           |  i -> aggregate(sequence(1, $w), 0L,
+           |         (acc, j) -> acc + bigint(greatest(
+           |           ascii(substring($waveCol, i * $w + j, 1)) - 32, 0))
+           |       ) >= $threshold)""".stripMargin))
+      .select(col(idCol),
+        col("__nw").as("n_windows"),
+        expr("bigint(size(filter(__flags, f -> f)))").as("n_speech"),
+        expr("""bigint(size(filter(sequence(0, cast(__nw - 1 as int)),
+               |  i -> __flags[i] and (i = 0 or not __flags[i - 1]))))"""
+          .stripMargin).as("n_segments"),
+        expr("""case when array_position(__flags, true) = 0 then __nw
+               |else array_position(__flags, true) - 1 end""".stripMargin)
+          .as("lead_trim"),
+        expr("""case when array_position(reverse(__flags), true) = 0 then __nw
+               |else array_position(reverse(__flags), true) - 1 end"""
+          .stripMargin).as("tail_trim"))
+  }
 }

@@ -2367,6 +2367,34 @@ object Oracle {
         |WHERE 50 * inter >= 17 * (c1.c + c2.c - inter)
         |ORDER BY p1, p2""".stripMargin,
 
+    // m09: same planted silence gap, codepoint energy, window flags,
+    // run/trim folds over the flag list (DuckDB lists are 1-based)
+    "m09_audio_segments" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
+        |    CAST('0x' || substring(md5('sil:' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, t, h, length(t) // 16 AS nw FROM d WHERE length(t) // 16 >= 6),
+        |w AS (SELECT doc_id, nw, t, 1 + (h // 8) % 3 AS lw,
+        |        h % (nw - (1 + (h // 8) % 3) + 1) AS sw FROM p),
+        |wav AS (SELECT doc_id, nw,
+        |    substring(t, 1, CAST(sw * 16 AS INT)) || repeat(' ', CAST(lw * 16 AS INT)) ||
+        |    substring(t, CAST((sw + lw) * 16 + 1 AS INT), CAST((nw - sw - lw) * 16 AS INT)) AS wave
+        |  FROM w),
+        |f AS (SELECT doc_id, nw,
+        |    list_transform(range(0, nw), i ->
+        |      list_aggregate(list_transform(range(1, 17), j ->
+        |        greatest(ascii(substring(wave, CAST(i * 16 + j AS INT), 1)) - 32, 0)),
+        |        'sum') >= 400) AS flags
+        |  FROM wav)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+        |  CAST(len(list_filter(flags, x -> x)) AS BIGINT) AS n_speech,
+        |  CAST(len(list_filter(range(0, nw),
+        |    i -> flags[CAST(i + 1 AS INT)] AND (i = 0 OR NOT flags[CAST(i AS INT)]))) AS BIGINT)
+        |    AS n_segments,
+        |  CAST(coalesce(list_position(flags, true) - 1, nw) AS BIGINT) AS lead_trim,
+        |  CAST(coalesce(list_position(list_reverse(flags), true) - 1, nw) AS BIGINT) AS tail_trim
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     // x39: same incidence/cap/rounded ln weights; the per-user election
     // stated with row_number instead of the engine's arg_max
     "x39_adamic_adar" ->

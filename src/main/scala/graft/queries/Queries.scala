@@ -4206,6 +4206,36 @@ object Queries {
         Multimodal.fromDocuments(tbl(s, dir, "documents")))
       .orderBy("doc_id")
 
+  /** M9: VAD-style energy segmentation census ([[Multimodal
+    * .vadCensus]]) — the silence-trim pass before ASR / audio-token
+    * packing: per clip, how many windows carry signal, how many speech
+    * RUNS there are, and the trimmable leading/trailing silence. A
+    * deterministic silence gap (1-3 windows of spaces at an md5-chosen
+    * window-aligned offset, overwriting the payload so length is
+    * preserved) is planted per document; the offset range includes
+    * both edges, so split clips (2+ segments), leading-silence and
+    * trailing-silence trims are all live at every SF. Energy is
+    * codepoint-based (the m-family's documented codec stand-in),
+    * windows of 16 chars, threshold 400 — natural text scores ~900,
+    * spaces 0. Map-only in-row operator, docs under 6 windows dropped
+    * (no room for the plant). */
+  val m09AudioSegments: Q = (s, dir) => {
+    val planted = tbl(s, dir, "documents")
+      .withColumn("__t", coalesce(col("text"), lit("")))
+      .withColumn("__h", expr(
+        "cast(conv(substring(md5(concat('sil:', cast(doc_id as string))),1,8),16,10) as bigint)"))
+      .withColumn("__nw", expr("length(__t) div 16"))
+      .filter(col("__nw") >= 6)
+      .withColumn("__lw", expr("1 + (__h div 8) % 3"))
+      .withColumn("__sw", expr("__h % (__nw - __lw + 1)"))
+      .withColumn("__wave", expr(
+        "concat(substring(__t, 1, cast(__sw * 16 as int)), " +
+          "repeat(' ', cast(__lw * 16 as int)), " +
+          "substring(__t, cast((__sw + __lw) * 16 + 1 as int), " +
+          "cast((__nw - __sw - __lw) * 16 as int)))"))
+    Multimodal.vadCensus(planted, "__wave", "doc_id").orderBy("doc_id")
+  }
+
   /** X13: snapshot diff (CDC) — classify rows across two dump generations
     * as added / removed / changed by a FULL OUTER join on the key with
     * content-hash comparison. The 100 TB shape of "what changed since last
@@ -4811,6 +4841,7 @@ object Queries {
     "s20_snapshot_expire" -> s20SnapshotExpire,
     "s21_table_history" -> s21TableHistory,
     "m08_frame_coherence" -> m08FrameCoherence,
+    "m09_audio_segments" -> m09AudioSegments,
     "t33_word_dropout" -> t33WordDropout,
     "t34_length_buckets" -> t34LengthBuckets,
     "x33_join_profile" -> x33JoinProfile,

@@ -2037,6 +2037,28 @@ class LlmOpsSpec extends AnyFunSuite {
       "fixture no longer demonstrates the naive-split leak — re-plant ids")
   }
 
+  test("m09 vad census: run splits, edge trims, silent clip, sub-window drop") {
+    val s = spark
+    import s.implicits._
+    val sp16 = " " * 16
+    val sig16 = "abcdefghijklmnop" // energy ~ 16 * ~70 >> 400
+    val waves = Seq(
+      (1L, sig16 + sp16 + sig16),          // split: 2 segments, no trims
+      (2L, sp16 + sig16 + sig16),          // leading silence: lead_trim 1
+      (3L, sig16 + sp16 + sp16),           // trailing: tail_trim 2
+      (4L, sp16 + sp16),                   // silent clip: all zeros, trims = nw
+      (5L, "short"))                       // < one window: dropped
+    val got = Multimodal.vadCensus(waves.toDF("id", "wave"), "wave", "id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got === Map(
+      1L -> ((3L, 2L, 2L, 0L, 0L)),
+      2L -> ((3L, 2L, 1L, 1L, 0L)),
+      3L -> ((3L, 1L, 1L, 0L, 2L)),
+      4L -> ((2L, 0L, 0L, 2L, 2L))), s"got $got")
+  }
+
   test("v25 lloyd step: hand-computed movement, counts, empty-cluster absence") {
     val s = spark
     import s.implicits._
