@@ -158,6 +158,11 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "t44_contam_score" -> ("Contamination score: bench shingle " +
+      "universe broadcast as a distinct hash set; the corpus streams " +
+      "map-side through a left-semi hash join and is never shuffled; " +
+      "zero-hit docs rejoin via a doc-id-keyed left-outer on the " +
+      "doc-sized frame."),
     "m09_audio_segments" -> ("VAD census: whole operator in-row (one " +
       "transform over window indices + array folds) — map-only, zero " +
       "shuffle, scan-bound. No explode: the flag array never leaves " +

@@ -1314,6 +1314,34 @@ object Oracle {
         |       CAST(max(shared) AS BIGINT) AS max_shared
         |FROM ov WHERE shared >= 2 GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // t44: same string-shingle mirror as d08, bench universe = %97 slice
+    // + planted full/40%-prefix leak copies; ppm over each doc's own set
+    "t44_contam_score" ->
+      """WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        |bench AS (
+        |  SELECT text FROM docs WHERE doc_id % 97 = 0
+        |  UNION ALL SELECT text FROM docs WHERE doc_id % 131 = 5
+        |  UNION ALL SELECT list_aggregate(
+        |      w[1:greatest(1, CAST((len(w) * 2) // 5 AS INT))], 'string_agg', ' ')
+        |    FROM (SELECT string_split(text, ' ') AS w FROM docs WHERE doc_id % 131 = 9)),
+        |bsh AS (SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
+        |          i -> list_aggregate(w[i:i+2], 'string_agg', chr(31)))) AS s
+        |        FROM (SELECT string_split(text, ' ') AS w FROM bench) WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |          i -> list_aggregate(w[i:i+2], 'string_agg', chr(31)))) AS s
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs)
+        |       WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+        |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM sh
+        |      WHERE s IN (SELECT s FROM bsh) GROUP BY 1)
+        |SELECT n.doc_id, n.n_sh, coalesce(h.n_hit, 0) AS n_hit,
+        |  CAST((coalesce(h.n_hit, 0) * 1000000) // n.n_sh AS BIGINT) AS contam_ppm,
+        |  CASE WHEN coalesce(h.n_hit, 0) = 0 THEN 'clean'
+        |       WHEN (coalesce(h.n_hit, 0) * 1000000) // n.n_sh <= 500000 THEN 'partial'
+        |       ELSE 'contaminated' END AS tier
+        |FROM n LEFT JOIN h ON n.doc_id = h.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
     // d03's candidate shape at w=4 with a >=2-shared-shingles gate
     // + classic levenshtein over the 10-word prefixes, identical in DuckDB.
     "d11_edit_distance" ->

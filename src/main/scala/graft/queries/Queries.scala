@@ -1723,6 +1723,33 @@ object Queries {
       .orderBy("source", "rnk")
   }
 
+  /** T44: graded contamination score ([[Dedup.contaminationScore]]) —
+    * d08 produces the binary drop list (>= k shingles shared with SOME
+    * bench doc); this prices EVERY training doc against the bench
+    * shingle UNIVERSE as a ppm fraction of the doc's own shingles,
+    * the number the removal policy actually consumes (drop
+    * contaminated, rewrite partial, keep clean). Bench = the %97 eval
+    * slice PLUS planted leaks — full copies of docs = 5 mod 131 (tier
+    * 'contaminated' live: ppm = 1e6) and 40%-prefix copies of docs =
+    * 9 mod 131 (tier 'partial' live at ~400k ppm, safely off the 50%
+    * boundary) — so all three tiers are live at every SF and the
+    * detector sees only text. Same scale shape as d08: broadcast
+    * bench universe, corpus streams map-side, never shuffled. */
+  val t44ContamScore: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"),
+      coalesce(col("text"), lit("")).as("text"))
+    val partials = docs.filter(col("doc_id") % 131 === 9)
+      .withColumn("__w", expr("split(text, ' ')"))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("array_join(slice(__w, 1, greatest(1, cast((size(__w) * 2) div 5 as int))), ' ')")
+          .as("text"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .unionByName(docs.filter(col("doc_id") % 131 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(partials)
+    Dedup.contaminationScore(docs, bench, w = 3).orderBy("doc_id")
+  }
+
   // ===== streaming-shaped (batch-equivalent; streaming variant in tests) ====
 
   /** Tumbling-window aggregation via window() — identical shape to the
@@ -4719,6 +4746,7 @@ object Queries {
     "t41_token_budget" -> t41TokenBudget,
     "t42_markup_residue" -> t42MarkupResidue,
     "t43_sample_merge" -> t43SampleMerge,
+    "t44_contam_score" -> t44ContamScore,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

@@ -2037,6 +2037,25 @@ class LlmOpsSpec extends AnyFunSuite {
       "fixture no longer demonstrates the naive-split leak — re-plant ids")
   }
 
+  test("t44 contamination score: exact ppm fractions and tier boundaries") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "one two three four five"),              // full copy -> 1e6 ppm
+      (2L, "one two three apple banana cherry"),    // 1 of 4 shingles -> 250000
+      (3L, "red green blue yellow"),                // no overlap -> clean
+      (4L, "ab"))                                   // < w words: no shingles, dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationScore(train, bench, w = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 3L, 1000000L, "contaminated")),
+      2L -> ((4L, 1L, 250000L, "partial")),
+      3L -> ((2L, 0L, 0L, "clean"))), s"got $got")
+  }
+
   test("m09 vad census: run splits, edge trims, silent clip, sub-window drop") {
     val s = spark
     import s.implicits._
