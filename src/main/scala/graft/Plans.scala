@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "a37_cusum" -> ("CUSUM changepoint: one event-sized hash census " +
+      "to hours, then spine-sized work only — per-type prefix sums " +
+      "from one window sort, argmax via arg_max hash aggregate, " +
+      "integer cross-multiplied ppm verdict."),
     "t44_contam_score" -> ("Contamination score: bench shingle " +
       "universe broadcast as a distinct hash set; the corpus streams " +
       "map-side through a left-semi hash join and is never shuffled; " +

@@ -2891,6 +2891,37 @@ object Oracle {
         |WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after
         |ORDER BY lang""".stripMargin,
 
+    // a37: same plant cut, zero-filled spine, integer CUSUM argmax
+    // (earliest-split tiebreak) and cross-multiplied ppm verdict
+    "a37_cusum" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tu, user_id FROM events
+        |  WHERE NOT (event_type = 'click' AND epoch_us(ts) >= 1705363200000000
+        |             AND user_id % 3 = 0)),
+        |hc AS (SELECT event_type, tu // 3600000000 AS h, CAST(count(*) AS BIGINT) AS x
+        |       FROM e GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hc GROUP BY 1),
+        |sp AS (SELECT event_type, h0, unnest(range(h0, h1 + 1)) AS h FROM b),
+        |se AS (SELECT sp.event_type, sp.h0, sp.h, coalesce(hc.x, 0) AS x
+        |       FROM sp LEFT JOIN hc ON sp.event_type = hc.event_type AND sp.h = hc.h),
+        |st AS (SELECT event_type, sum(x) AS s_total, count(*) AS n FROM se GROUP BY 1),
+        |cu AS (SELECT se.event_type, st.s_total, st.n, se.h0,
+        |         se.h - se.h0 + 1 AS t,
+        |         sum(x) OVER (PARTITION BY se.event_type ORDER BY se.h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |       FROM se JOIN st USING (event_type)),
+        |cc AS (SELECT *, abs(n * p - t * s_total) AS c FROM cu WHERE t < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY c DESC, t) AS rn FROM cc)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s_total AS BIGINT) AS s_total,
+        |  CAST(t AS BIGINT) AS cp_t, CAST(h0 + t AS BIGINT) AS cp_hour,
+        |  CAST(c AS BIGINT) AS cusum,
+        |  CAST((1000000 * n * abs(p * (n - t) - (s_total - p) * t))
+        |    // (s_total * t * (n - t)) AS BIGINT) AS reldiff_ppm,
+        |  CASE WHEN (1000000 * n * abs(p * (n - t) - (s_total - p) * t))
+        |    // (s_total * t * (n - t)) >= 100000 THEN 'shift' ELSE 'stable' END AS verdict
+        |FROM r WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
+
     // a36: same integer-cents first digit, same ppm integer arithmetic,
     // Benford constants as a VALUES table
     "a36_benford" ->

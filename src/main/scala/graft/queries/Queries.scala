@@ -4148,6 +4148,57 @@ object Queries {
       .orderBy("digit")
   }
 
+  /** A37: CUSUM changepoint census — the third member of the
+    * time-series triptych (a31/t36 = BETWEEN-snapshot drift, a34 =
+    * periodicity, THIS = WHEN did the level shift WITHIN one series:
+    * the deploy-broke-ingestion / bot-wave-started locator). Per
+    * event_type over the zero-filled hour spine: the classic offline
+    * CUSUM argmax — C_t = |n*P_t - t*S| maximized over split points
+    * (prefix sums from ONE window sort per type, spine-sized), then
+    * the shift priced as the relative mean difference in EXACT integer
+    * ppm via cross-multiplication (1e6 * n * |P(n-t) - (S-P)t| div
+    * (S t (n-t))) — verdict 'shift' at >= 10%. The plant: 'click'
+    * events from users = 0 mod 3 stop at 2024-01-16T00:00Z (a fixed
+    * absolute cut both engines state verbatim) — a ~33% level drop the
+    * detector must locate, while the untouched types stay 'stable';
+    * both verdicts live at every SF. Ties in C_t break to the earliest
+    * split. */
+  val a37Cusum: Q = (s, dir) => {
+    val cutUs = 1705363200000000L // 2024-01-16T00:00:00Z
+    val e = events(s, dir).filter(!(col("event_type") === "click" &&
+      col("__tsu") >= cutUs && col("user_id") % 3 === 0))
+    val hourly = e.withColumn("h", expr("__tsu div 3600000000"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("x"))
+    val bounds = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+    val spine = bounds.select(col("event_type"), col("h0"),
+      explode(sequence(col("h0"), col("h1"))).as("h"))
+    val series = spine.join(hourly, Seq("event_type", "h"), "left_outer")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val stats = series.groupBy("event_type")
+      .agg(sum("x").as("s_total"), count(lit(1)).as("n"))
+    val wc = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = series.join(broadcast(stats), Seq("event_type"))
+      .withColumn("t", col("h") - col("h0") + 1)
+      .withColumn("p", sum("x").over(wc))
+      .filter(col("t") < col("n"))
+      .withColumn("c", abs(col("n") * col("p") - col("t") * col("s_total")))
+    cum.groupBy("event_type", "s_total", "n", "h0")
+      .agg(max(struct(col("c"), (-col("t")).as("nt"), col("p"))).as("__b"))
+      .withColumn("cp_t", -col("__b.nt"))
+      .withColumn("__num", abs(col("__b.p") * (col("n") - col("cp_t"))
+        - (col("s_total") - col("__b.p")) * col("cp_t")))
+      .withColumn("reldiff_ppm", expr(
+        "(1000000 * n * __num) div (s_total * cp_t * (n - cp_t))"))
+      .select(col("event_type"), col("n"), col("s_total"),
+        col("cp_t"), (col("h0") + col("cp_t")).as("cp_hour"),
+        col("__b.c").as("cusum"), col("reldiff_ppm"),
+        when(col("reldiff_ppm") >= 100000, lit("shift"))
+          .otherwise(lit("stable")).as("verdict"))
+      .orderBy("event_type")
+  }
+
   val a31KsDrift: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val e = events(s, dir).select(col("event_type"), col("value"),
@@ -4881,6 +4932,7 @@ object Queries {
     "a34_acf_hourly" -> a34AcfHourly,
     "a35_ldiversity" -> a35LDiversity,
     "a36_benford" -> a36Benford,
+    "a37_cusum" -> a37Cusum,
     "x35_fd_profile" -> x35FdProfile
   )
 }

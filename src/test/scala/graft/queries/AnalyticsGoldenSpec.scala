@@ -314,6 +314,22 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       "fixture must exercise the deepest delay tier")
   }
 
+  test("a37: cusum — hand-computed argmax split, exact ppm, zero-filled interior") {
+    // series [2,2,2,0,0,2]: S=8, n=6, C_t = |6P - 8t| peaks at t=3 (C=12);
+    // reldiff = 1e6 * 6 * |6*3 - 2*3| / (8*3*3) = exactly 1000000 -> shift
+    val rows = Seq(
+      (1L, 0L, 1L, "a", 1.0), (2L, 10L, 1L, "a", 1.0),     // hour 0 x2
+      (3L, 60L, 1L, "a", 1.0), (4L, 70L, 1L, "a", 1.0),    // hour 1 x2
+      (5L, 120L, 1L, "a", 1.0), (6L, 130L, 1L, "a", 1.0),  // hour 2 x2
+      (7L, 300L, 1L, "a", 1.0), (8L, 310L, 1L, "a", 1.0))  // hour 5 x2
+    val dir = writeEvents(rows)
+    val got = Queries.a37Cusum(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    assert(got === Map(
+      "a" -> ((6L, 8L, 3L, 3L, 12L, 1000000L, "shift"))), s"got $got")
+  }
+
   test("x39: adamic-adar — niche page outweighs hub, tie elects smallest peer, deg-1 silent") {
     val s = spark
     import s.implicits._
