@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "st23_sample_maintain" -> ("Streaming KMV maintenance: per batch " +
+      "one bounded-heap sample of the batch + a sample-sized merge " +
+      "with the stored k-rows-per-stratum table; the corpus is never " +
+      "rescanned and replays are no-ops by set semantics."),
     "a37_cusum" -> ("CUSUM changepoint: one event-sized hash census " +
       "to hours, then spine-sized work only — per-type prefix sums " +
       "from one window sort, argmax via arg_max hash aggregate, " +

@@ -2963,6 +2963,19 @@ object Oracle {
         |FROM cells GROUP BY nation, segment
         |ORDER BY nation, segment""".stripMargin,
 
+    // st23: direct bottom-8 per lang over the FULL corpus — the engine
+    // path is incremental maintenance WITH a replayed batch, so the
+    // hash-compare is the maintenance==rebuild-under-redelivery proof
+    "st23_sample_maintain" ->
+      """WITH p AS (SELECT lang, doc_id,
+        |    CAST('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) AS pri
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rnk
+        |      FROM p)
+        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, pri
+        |FROM r WHERE rnk <= 8
+        |ORDER BY lang, rnk""".stripMargin,
+
     // t43: the DIRECT bottom-k over the full corpus — the engine runs
     // the two-step incremental merge, so the hash-compare IS the
     // append==rebuild proof

@@ -2066,6 +2066,27 @@ object Queries {
       .orderBy("event_type", "delay_s")
   }
 
+  /** ST23: streaming KMV-sample maintenance ([[graft.streaming
+    * .EventStreams.sampleBatch]]) — t43's mergeable sample run as a
+    * SINK: three micro-batches fold into the stored per-lang sample,
+    * and batch 2 is REPLAYED (at-least-once delivery) — the merge's
+    * set semantics make the replay a no-op, and the oracle states the
+    * DIRECT bottom-8 over the full corpus, so the hash-compare proves
+    * maintenance == rebuild EVEN UNDER REDELIVERY in one shot. Per
+    * batch the work is batch + sample-sized; the stored table is
+    * sample-sized; the corpus is never rescanned. StreamingSpec runs
+    * the same sink as a real readStream over the same splits. */
+  val st23SampleMaintain: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smp").toString + "/sample"
+    val docs = tbl(s, dir, "documents")
+    def batch(i: Int) = docs.filter(col("doc_id") % 3 === i)
+    graft.streaming.EventStreams.sampleBatch(batch(0), tmp, "lang", "doc_id", 8)
+    graft.streaming.EventStreams.sampleBatch(batch(1), tmp, "lang", "doc_id", 8)
+    graft.streaming.EventStreams.sampleBatch(batch(1), tmp, "lang", "doc_id", 8) // replay
+    graft.streaming.EventStreams.sampleBatch(batch(2), tmp, "lang", "doc_id", 8)
+    s.read.parquet(tmp).orderBy("lang", "rnk")
+  }
+
   /** ST18: batch mirror of the streaming exactly-once dedup
     * ([[graft.streaming.EventStreams.dedupEvents]]) — the at-least-once
     * delivery scenario stated deterministically: the input is the event
@@ -4888,6 +4909,7 @@ object Queries {
     "st15_decontaminate" -> st15Decontaminate,
     "st21_crawl_changes" -> st21CrawlChanges,
     "st22_watermark_audit" -> st22WatermarkAudit,
+    "st23_sample_maintain" -> st23SampleMaintain,
     "s22_change_feed" -> s22ChangeFeed,
     "s23_merge_apply" -> s23MergeApply,
     "st16_full_join" -> st16FullJoin,

@@ -538,6 +538,35 @@ object EventStreams {
       .partitionBy("__p").parquet(tableDir)
   }
 
+  /** Maintain the per-stratum KMV sample table under micro-batch
+    * ingest ([[graft.llm.Samples]] as a batch-apply / `foreachBatch`
+    * sink): each batch's k-rows-per-stratum sample folds into the
+    * stored sample — work is batch + sample-sized, the corpus is never
+    * rescanned — and the merge's SET semantics make the sink IDEMPOTENT
+    * under replays: a redelivered batch re-merges the same ids into the
+    * same sample (the at-least-once delivery story the additive
+    * maintained-agg sink explicitly cannot tell). The merged frame is
+    * localCheckpoint'd before the overwrite so the write never reads
+    * the files it is replacing. */
+  def sampleBatch(batch: DataFrame, tableDir: String, strat: String,
+                  id: String, k: Int): Unit = {
+    val spark = batch.sparkSession
+    val fresh = graft.llm.Samples.bottomK(batch, strat, id, k)
+    val merged =
+      if (new java.io.File(tableDir).exists())
+        graft.llm.Samples.merge(spark.read.parquet(tableDir), fresh,
+          strat, id, k)
+      else fresh
+    merged.localCheckpoint(true).write.mode("overwrite").parquet(tableDir)
+  }
+
+  /** [[sampleBatch]] as the streaming sink. */
+  def sampleStream(docs: DataFrame, tableDir: String, strat: String,
+                   id: String, k: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      sampleBatch(b, tableDir, strat, id, k)
+    }
+
   /** [[graft.relational.IncrementalAgg.applyDelta]] as a `foreachBatch`
     * streaming sink — the always-fresh maintained aggregate fed directly
     * from the stream: each micro-batch folds its (key, value) rows into

@@ -907,4 +907,36 @@ class StreamingSpec extends AnyFunSuite {
     // user 2: [65] stays open.
     assert(closed === Set((1L, 2L), (1L, 1L)))
   }
+
+  test("streaming sample sink: maintained sample == direct bottom-k, replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sample_t").toString + "/sample"
+    val stream = MemoryStream[(String, Long)]
+    val q = EventStreams.sampleStream(
+      stream.toDF().toDF("source", "doc_id"), dir, "source", "doc_id", k = 4)
+      .outputMode("update").start()
+    val batch2 = (31L to 60L).map(("a", _)) :+ (("b", 99L))
+    try {
+      stream.addData((1L to 30L).map(("a", _)): _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "rnk", "doc_id", "pri").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val all = ((1L to 60L).map(("a", _)) :+ (("b", 99L))).toDF("source", "doc_id")
+    val direct = canon(graft.llm.Samples.bottomK(all, "source", "doc_id", 4))
+    assert(canon(spark.read.parquet(dir)) === direct,
+      "maintained sample diverged from the direct bottom-k")
+    // sub-k stratum: 'b' has exactly one member
+    assert(direct.count(_._1 == "b") === 1)
+    // at-least-once: re-applying batch 2 must change nothing (set semantics)
+    EventStreams.sampleBatch(batch2.toDF("source", "doc_id"), dir,
+      "source", "doc_id", k = 4)
+    assert(canon(spark.read.parquet(dir)) === direct, "replayed batch mutated the sample")
+  }
 }
