@@ -158,6 +158,9 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "a38_gini_sources" -> ("Gini census: one corpus-sized per-source " +
+      "fold; the rank window, Gini cross-multiplication and top-k " +
+      "shares all run on the |sources|-row aggregate."),
     "st23_sample_maintain" -> ("Streaming KMV maintenance: per batch " +
       "one bounded-heap sample of the batch + a sample-sized merge " +
       "with the stored k-rows-per-stratum table; the corpus is never " +

@@ -2891,6 +2891,30 @@ object Oracle {
         |WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after
         |ORDER BY lang""".stripMargin,
 
+    // a38: same per-source census, rank window on the aggregate, exact
+    // cross-multiplied Gini and top-k shares
+    "a38_gini_sources" ->
+      """WITH bs AS (SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT source, 'docs' AS measure, docs AS x FROM bs
+        |      UNION ALL SELECT source, 'tokens', toks FROM bs),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY measure ORDER BY x, source) AS BIGINT) AS i,
+        |        CAST(count(*) OVER (PARTITION BY measure) AS BIGINT) AS nw
+        |      FROM m),
+        |g AS (SELECT measure, CAST(count(*) AS BIGINT) AS n_sources,
+        |        CAST(sum(x) AS BIGINT) AS total,
+        |        CAST(sum(i * x) AS BIGINT) AS iwx,
+        |        CAST(sum(CASE WHEN i > nw - 1 THEN x ELSE 0 END) AS BIGINT) AS t1,
+        |        CAST(sum(CASE WHEN i > nw - 5 THEN x ELSE 0 END) AS BIGINT) AS t5
+        |      FROM r GROUP BY 1)
+        |SELECT measure, n_sources, total,
+        |  CAST((1000000 * (2 * iwx - (n_sources + 1) * total)) // (n_sources * total) AS BIGINT)
+        |    AS gini_ppm,
+        |  CAST((t1 * 1000000) // total AS BIGINT) AS top1_ppm,
+        |  CAST((t5 * 1000000) // total AS BIGINT) AS top5_ppm
+        |FROM g ORDER BY measure""".stripMargin,
+
     // a37: same plant cut, zero-filled spine, integer CUSUM argmax
     // (earliest-split tiebreak) and cross-multiplied ppm verdict
     "a37_cusum" ->

@@ -4220,6 +4220,43 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** A38: source-concentration census (Gini + top-k shares) — the
+    * corpus-governance number behind "is the dataset really diverse or
+    * is it one crawl wearing twenty hats": per measure (doc count and
+    * token mass), the EXACT-integer Gini coefficient in ppm over the
+    * per-source masses — for sorted x_1 <= ... <= x_n, G = (2*sum(i *
+    * x_i) - (n+1)*S) / (n*S), cross-multiplied so no float exists —
+    * plus the top-1 and top-5 source shares in ppm (the practical
+    * dominance numbers a mixture rebalance consumes; t13/t23 enforce
+    * quotas, THIS measures whether they are needed). One corpus-sized
+    * census to |sources| rows; the rank window, folds, and shares all
+    * run on the 20-row aggregate. */
+  val a38GiniSources: Q = (s, dir) => {
+    val bySrc = tbl(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(coalesce(col("text"), lit("")), " "))).cast("long")
+          .as("toks"))
+    val m = bySrc.select(col("source"), lit("docs").as("measure"),
+        col("docs").as("x"))
+      .unionByName(bySrc.select(col("source"), lit("tokens").as("measure"),
+        col("toks").as("x")))
+    val w = Window.partitionBy("measure").orderBy("x", "source")
+    val ranked = m.withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("nw", count(lit(1)).over(Window.partitionBy("measure")))
+    ranked.groupBy("measure")
+      .agg(count(lit(1)).as("n_sources"), sum("x").as("total"),
+        sum(col("i") * col("x")).as("__iwx"),
+        sum(when(col("i") > col("nw") - 1, col("x")).otherwise(0L)).as("__t1"),
+        sum(when(col("i") > col("nw") - 5, col("x")).otherwise(0L)).as("__t5"))
+      .withColumn("gini_ppm", expr(
+        "(1000000 * (2 * __iwx - (n_sources + 1) * total)) div (n_sources * total)"))
+      .select(col("measure"), col("n_sources"), col("total"), col("gini_ppm"),
+        expr("(__t1 * 1000000) div total").as("top1_ppm"),
+        expr("(__t5 * 1000000) div total").as("top5_ppm"))
+      .orderBy("measure")
+  }
+
   val a31KsDrift: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val e = events(s, dir).select(col("event_type"), col("value"),
@@ -4955,6 +4992,7 @@ object Queries {
     "a35_ldiversity" -> a35LDiversity,
     "a36_benford" -> a36Benford,
     "a37_cusum" -> a37Cusum,
+    "a38_gini_sources" -> a38GiniSources,
     "x35_fd_profile" -> x35FdProfile
   )
 }

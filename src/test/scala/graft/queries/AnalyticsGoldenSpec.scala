@@ -314,6 +314,26 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       "fixture must exercise the deepest delay tier")
   }
 
+  test("a38: gini — hand-computed 312500 ppm, top shares, sub-5 pool") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_a38").toString
+    // per-source doc counts [1,1,2,4], every doc one word -> both measures
+    // share the numbers: G = (2*25 - 5*8)/(4*8) = 312500 ppm,
+    // top1 = 500000, top5 pools everything (n < 5) = 1000000
+    val docs = Seq(("A", "w"), ("B", "w"), ("C", "w"), ("C", "w"),
+      ("D", "w"), ("D", "w"), ("D", "w"), ("D", "w"))
+    docs.zipWithIndex.map { case ((src, t), i) => (i.toLong, t, src) }
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Queries.a38GiniSources(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      "docs" -> ((4L, 8L, 312500L, 500000L, 1000000L)),
+      "tokens" -> ((4L, 8L, 312500L, 500000L, 1000000L))), s"got $got")
+  }
+
   test("a37: cusum — hand-computed argmax split, exact ppm, zero-filled interior") {
     // series [2,2,2,0,0,2]: S=8, n=6, C_t = |6P - 8t| peaks at t=3 (C=12);
     // reldiff = 1e6 * 6 * |6*3 - 2*3| / (8*3*3) = exactly 1000000 -> shift
