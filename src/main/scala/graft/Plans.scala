@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "d26_threshold_audit" -> ("Threshold audit: the d03 skew-guarded " +
+      "candidate join at minJ 0 (cost bounded by the postings cap), " +
+      "then a band hash-census and a 21-row cumulative window — " +
+      "everything after the pair scoring is aggregate-sized."),
     "a38_gini_sources" -> ("Gini census: one corpus-sized per-source " +
       "fold; the rank window, Gini cross-multiplication and top-k " +
       "shares all run on the |sources|-row aggregate."),

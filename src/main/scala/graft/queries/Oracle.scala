@@ -1503,6 +1503,21 @@ object Oracle {
     // exact computation the LSH path approximates.
     "d04_minhash_lsh" -> jaccardSql(0.7),
 
+    // d26: ALL capped candidates (minJ 0 — the postings cap now BINDS, so
+    // the oracle mirrors it), banded by cross-multiplied exact Jaccard
+    "d26_threshold_audit" -> {
+      val pairsSql = jaccardSql(0.0,
+        postingsCap = Some(graft.llm.Dedup.NearDup.maxShinglePostings))
+      s"""WITH pr2 AS ($pairsSql),
+         |b AS (SELECT (inter * 20) // uni AS band, CAST(count(*) AS BIGINT) AS n_pairs
+         |      FROM pr2 GROUP BY 1)
+         |SELECT CAST(band AS BIGINT) AS band,
+         |  CAST(band * 50000 AS BIGINT) AS j_lo_ppm, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY band DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_or_above
+         |FROM b ORDER BY band""".stripMargin
+    },
+
     // d13 = d04 served from the persisted bucketed signature index: the
     // storage split must be invisible, so the oracle is d04's VERBATIM.
     "d13_indexed_neardup" -> jaccardSql(0.7),

@@ -861,6 +861,32 @@ object Queries {
     Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), w = 5, minJ = 0.2)
       .orderBy("id_a", "id_b")
 
+  /** D26: dedup threshold-sensitivity audit — the knob-setting census
+    * for the whole near-dup family (d03/d04/d13 all hinge on ONE
+    * number, minJ; this shows what each choice would keep): ALL
+    * candidate pairs (any shared rare shingle, minJ = 0) banded by
+    * exact Jaccard into 0.05-wide integer bands ((inter * 20) div uni
+    * — cross-multiplied, no float in the bucketing), with per-band
+    * counts and the cumulative pairs-at-or-above census (= the dedup
+    * edge count at every candidate threshold, read off one row).
+    * A mass of pairs hugging the chosen threshold = fragile config;
+    * a clean valley = robust. Candidate generation is the d03
+    * skew-guarded postings equi-join — cost bounded by the postings
+    * cap even at minJ 0 — and the band census + 21-row cumulative
+    * window are aggregate-sized. */
+  val d26ThresholdAudit: Q = (s, dir) => {
+    val pairs = Dedup.ngramJaccardPairs(tbl(s, dir, "documents"),
+      w = 5, minJ = 0.0)
+    val bands = pairs.withColumn("band", expr("(inter * 20) div uni"))
+      .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+    val wcum = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands.withColumn("n_at_or_above", sum("n_pairs").over(wcum))
+      .select(col("band"), (col("band") * 50000L).as("j_lo_ppm"),
+        col("n_pairs"), col("n_at_or_above"))
+      .orderBy("band")
+  }
+
   /** D17: asymmetric near-containment pairs
     * ([[Dedup.containmentPairs]]) — Broder's |A∩B|/|A| over the d03
     * shingle sets: catches the short-doc-quoted-in-long-doc case whose
@@ -4847,6 +4873,7 @@ object Queries {
     "t39_domain_reputation" -> t39DomainReputation,
     "d24_url_dedup" -> d24UrlDedup,
     "d25_crawl_diff" -> d25CrawlDiff,
+    "d26_threshold_audit" -> d26ThresholdAudit,
     "x36_link_graph" -> x36LinkGraph,
     "x37_scc" -> x37Scc,
     "x38_interval_islands" -> x38IntervalIslands,

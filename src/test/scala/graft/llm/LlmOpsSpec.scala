@@ -2037,6 +2037,23 @@ class LlmOpsSpec extends AnyFunSuite {
       "fixture no longer demonstrates the naive-split leak — re-plant ids")
   }
 
+  test("d26 threshold audit: exact bands, identical pair at 20, cumulative census") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d26").toString
+    val w9 = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    Seq(
+      (1L, w9),                            // A
+      (2L, w9),                            // B = A -> inter 5 uni 5, band 20
+      (3L, "w1 w2 w3 w4 w5 a b c d"))      // C shares one shingle -> 1/9, band 2
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Queries.d26ThresholdAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      20L -> ((1000000L, 1L, 1L)),
+      2L -> ((100000L, 2L, 3L))), s"got $got")
+  }
+
   test("t44 contamination score: exact ppm fractions and tier boundaries") {
     val s = spark
     import s.implicits._
