@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "x40_diameter_sweep" -> ("Double sweep: two shrinking-frontier BFS " +
+      "runs with localCheckpoint cuts; elections are 1-row limits, " +
+      "assembly is broadcast nested-loop over 1-row frames — no " +
+      "driver collect, no cartesian."),
     "d26_threshold_audit" -> ("Threshold audit: the d03 skew-guarded " +
       "candidate join at minJ 0 (cost bounded by the postings cap), " +
       "then a band hash-census and a 21-row cumulative window — " +

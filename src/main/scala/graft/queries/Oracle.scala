@@ -4030,6 +4030,35 @@ object Oracle {
     // x16/x18 discipline): the storage split must be invisible
     "x20_bfs_indexed" -> bfsSql,
 
+    // x40: both sweeps as recursive BFS closures; elections via
+    // 1-row ORDER BY ... LIMIT subqueries
+    "x40_diameter_sweep" ->
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT user_id AS src,
+        |    1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |s0 AS (SELECT min(src) AS seed FROM e),
+        |b1(node, dist) AS (
+        |  SELECT seed, 0 FROM s0
+        |  UNION
+        |  SELECT e.dst, b.dist + 1 FROM b1 b JOIN e ON e.src = b.node
+        |  WHERE b.dist < 12),
+        |d1 AS (SELECT node, min(dist) AS dist FROM b1 GROUP BY 1),
+        |u AS (SELECT node, dist FROM d1 ORDER BY dist DESC, node LIMIT 1),
+        |b2(node, dist) AS (
+        |  SELECT node, 0 FROM u
+        |  UNION
+        |  SELECT e.dst, b.dist + 1 FROM b2 b JOIN e ON e.src = b.node
+        |  WHERE b.dist < 12),
+        |d2 AS (SELECT node, min(dist) AS dist FROM b2 GROUP BY 1),
+        |v AS (SELECT node, dist FROM d2 ORDER BY dist DESC, node LIMIT 1)
+        |SELECT (SELECT seed FROM s0) AS seed,
+        |  (SELECT CAST(dist AS BIGINT) FROM u) AS ecc_seed,
+        |  (SELECT node FROM u) AS far_a,
+        |  (SELECT CAST(dist AS BIGINT) FROM v) AS diam_lb,
+        |  (SELECT node FROM v) AS far_b,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n_reached""".stripMargin,
+
     // one-row integer graph profile; components via the recursive CC
     // over the same canonical undirected edge set
     "x31_graph_summary" ->

@@ -4526,6 +4526,33 @@ object Queries {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
+  /** X40: double-sweep diameter estimate (the Magnien/Latapy/Habib
+    * lower-bound: BFS from any node, then BFS from the FARTHEST node
+    * found — the second eccentricity is a diameter lower bound, exact
+    * on trees and empirically tight on real graphs; x27 prices how
+    * CLOSE nodes are, this prices how FAR the graph stretches — the
+    * hop-budget number for frontier scheduling and gossip rounds).
+    * Two [[graft.graph.Bfs.bfsDistances]] runs (shrinking-frontier
+    * early exit, localCheckpoint lineage cuts); the farthest-node
+    * election is a 1-row limit over (dist DESC, node ASC) — no driver
+    * collect anywhere, the 1-row frames chain through broadcast
+    * nested-loop assembly (the x31 one-row-profile discipline).
+    * n_reached doubles as the seed-component size census. */
+  val x40DiameterSweep: Q = (s, dir) => {
+    val edges = eventsBipartiteEdges(tbl(s, dir, "events"))
+    val seed0 = edges.agg(min("src").as("node"))
+    val d1 = graft.graph.Bfs.bfsDistances(edges, seed0, maxHops = 12)
+    val u = d1.orderBy(col("dist").desc, col("node")).limit(1)
+    val d2 = graft.graph.Bfs.bfsDistances(edges, u.select("node"), maxHops = 12)
+    val v = d2.orderBy(col("dist").desc, col("node")).limit(1)
+    seed0.select(col("node").as("seed"))
+      .crossJoin(u.select(col("node").as("far_a"), col("dist").as("ecc_seed")))
+      .crossJoin(v.select(col("node").as("far_b"), col("dist").as("diam_lb")))
+      .crossJoin(d2.agg(count(lit(1)).as("n_reached")))
+      .select(col("seed"), col("ecc_seed"), col("far_a"), col("diam_lb"),
+        col("far_b"), col("n_reached"))
+  }
+
   /** X32: TEMPORAL reachability over the event contact graph
     * ([[graft.graph.Bfs.temporalArrivals]]) — earliest-arrival spread
     * from the x19 seed users where an edge propagates only FORWARD in
@@ -4878,6 +4905,7 @@ object Queries {
     "x37_scc" -> x37Scc,
     "x38_interval_islands" -> x38IntervalIslands,
     "x39_adamic_adar" -> x39AdamicAdar,
+    "x40_diameter_sweep" -> x40DiameterSweep,
     "t40_path_blocklist" -> t40PathBlocklist,
     "t41_token_budget" -> t41TokenBudget,
     "t42_markup_residue" -> t42MarkupResidue,

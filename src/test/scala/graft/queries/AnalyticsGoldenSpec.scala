@@ -350,6 +350,25 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       "a" -> ((6L, 8L, 3L, 3L, 12L, 1000000L, "shift"))), s"got $got")
   }
 
+  test("x40: double sweep — exact diameter on a path, unreached component excluded") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_x40").toString
+    // bipartite path 1 -p1- 2 -p2- 3 (diameter 4, exact for trees) plus a
+    // disconnected (9, p9) island the sweep must not count
+    val visits = Seq((1L, 1L), (2L, 1L), (2L, 2L), (3L, 2L), (9L, 9L))
+    visits.zipWithIndex.map { case ((u, p), i) =>
+      (i.toLong, u, "t", 1.0, s"""{"k": $p}""")
+    }.toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("event_id") * 60000000L))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Queries.x40DiameterSweep(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got === Seq((1L, 4L, 3L, 4L, 1L, 5L)), s"got $got")
+  }
+
   test("x39: adamic-adar — niche page outweighs hub, tie elects smallest peer, deg-1 silent") {
     val s = spark
     import s.implicits._
