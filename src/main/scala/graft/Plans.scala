@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "u02_impute_median" -> ("Median imputation: one window sort per " +
+      "nation over OBSERVED rows only (exact medians are sort-bound), " +
+      "|nations| medians broadcast back to the masked slice — the " +
+      "masked side never sorts."),
     "x40_diameter_sweep" -> ("Double sweep: two shrinking-frontier BFS " +
       "runs with localCheckpoint cuts; elections are 1-row limits, " +
       "assembly is broadcast nested-loop over 1-row frames — no " +

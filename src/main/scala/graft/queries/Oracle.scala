@@ -1018,6 +1018,24 @@ object Oracle {
         |       CASE WHEN p_size = 1 OR p_size > 48 THEN NULL ELSE CAST(p_size AS BIGINT) END AS size_clean
         |FROM part ORDER BY p_partkey""".stripMargin,
 
+    // u02: same mask directive, rank-based exact lower median per nation
+    // over observed cents, repaired rows join the medians back
+    "u02_impute_median" ->
+      """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    CAST('0x' || substring(md5('imp:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 10 < 2 AS masked
+        |  FROM customer),
+        |obs AS (SELECT *, row_number() OVER (PARTITION BY nation ORDER BY cents, c_custkey) AS rk,
+        |          CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS cnt
+        |        FROM c WHERE NOT masked),
+        |med AS (SELECT nation, cents AS median_cents, cnt AS n_obs
+        |        FROM obs WHERE rk = (cnt + 1) // 2)
+        |SELECT c.c_custkey, c.nation, med.n_obs, med.median_cents,
+        |  c.cents AS orig_cents, abs(c.cents - med.median_cents) AS abs_err_cents
+        |FROM c JOIN med USING (nation)
+        |WHERE c.masked
+        |ORDER BY c.c_custkey""".stripMargin,
+
     "d01_dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,

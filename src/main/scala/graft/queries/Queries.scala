@@ -846,6 +846,41 @@ object Queries {
           .otherwise(col("p_size")).cast("long").as("size_clean"))
       .orderBy("p_partkey")
 
+  /** U02: group-median imputation + quality audit — the repair half
+    * u01's null-out leaves open (detect dummies -> null -> THEN WHAT):
+    * masked values (a deterministic 20% md5 directive — the detector
+    * sees only masked/observed) are imputed with their nation's EXACT
+    * lower median of the observed balances in integer cents (rank
+    * (n+1) div 2 over (cents, custkey) — the k-th smallest VALUE is
+    * tie-order-independent, so both engines agree without any float),
+    * and because the plant knows the true value, every repaired row
+    * also carries its absolute imputation error — the audit number
+    * that tells you whether median-fill is good enough or a model
+    * imputer is warranted. One window sort per nation over observed
+    * rows (exact medians are sort-bound; at corpus scale swap in the
+    * a22 binned-quantile midpoint), medians broadcast back to the
+    * masked slice. */
+  val u02ImputeMedian: Q = (s, dir) => {
+    val c = tbl(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("nation"),
+      expr("cast(round(c_acctbal * 100) as bigint)").as("cents"),
+      expr("cast(conv(substring(md5(concat('imp:', cast(c_custkey as string))),1,8),16,10) as bigint) % 10 < 2")
+        .as("masked"))
+    val obs = c.filter(!col("masked"))
+    val med = obs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("nation").orderBy("cents", "c_custkey")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("nation")))
+      .filter(col("rk") === expr("(cnt + 1) div 2"))
+      .select(col("nation"), col("cents").as("median_cents"),
+        col("cnt").as("n_obs"))
+    c.filter(col("masked")).join(broadcast(med), Seq("nation"))
+      .select(col("c_custkey"), col("nation"), col("n_obs"),
+        col("median_cents"), col("cents").as("orig_cents"),
+        abs(col("cents") - col("median_cents")).as("abs_err_cents"))
+      .orderBy("c_custkey")
+  }
+
   // ===== LLM: dedup =========================================================
 
   /** Exact dedup groups: one shuffle on the content hash. */
@@ -4838,6 +4873,7 @@ object Queries {
     "a08_approx_distinct" -> a08ApproxDistinct,
     "x07_pivot" -> x07Pivot,
     "u01_null_dummies" -> u01NullDummies,
+    "u02_impute_median" -> u02ImputeMedian,
     "d01_dedup_exact_groups" -> d01DedupExactGroups,
     "d02_dedup_exact_keep" -> d02DedupExactKeep,
     "d03_neardup_ngram" -> d03NeardupNgram,

@@ -314,6 +314,35 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       "fixture must exercise the deepest delay tier")
   }
 
+  test("u02: median imputation equals a flat scala recompute; both row classes live") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_u02").toString
+    val rows = (1L to 60L).map(i => (i, (i % 3).toInt, (i * 37 % 500).toDouble / 1))
+    rows.toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    def maskedOf(id: Long): Boolean = {
+      val md = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"imp:$id").substring(0, 8)
+      java.lang.Long.parseLong(md, 16) % 10 < 2
+    }
+    val cents = rows.map { case (id, nat, bal) =>
+      (id, nat.toLong, math.round(bal * 100), maskedOf(id))
+    }
+    val expected = cents.filter(_._4).map { case (id, nat, orig, _) =>
+      val obs = cents.filter(r => r._2 == nat && !r._4)
+        .sortBy(r => (r._3, r._1)).map(_._3)
+      val med = obs((obs.size + 1) / 2 - 1)
+      id -> ((nat, obs.size.toLong, med, orig, math.abs(orig - med)))
+    }.toMap
+    assert(expected.nonEmpty, "fixture must mask at least one row")
+    assert(expected.size < 60, "fixture must keep observed rows")
+    val got = Queries.u02ImputeMedian(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected, s"got $got, want $expected")
+  }
+
   test("a38: gini — hand-computed 312500 ppm, top shares, sub-5 pool") {
     val s = spark
     import s.implicits._
