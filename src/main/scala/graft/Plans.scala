@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "e03_posexplode_rebuild" -> ("Explode/rebuild: one hash " +
+      "re-aggregation (no ORDER BY, no window) — ordering rides the " +
+      "row as a position and the rebuild is an in-row array_sort, so " +
+      "the roundtrip survives shuffle scrambling and task retries."),
     "u02_impute_median" -> ("Median imputation: one window sort per " +
       "nation over OBSERVED rows only (exact medians are sort-bound), " +
       "|nations| medians broadcast back to the masked slice — the " +

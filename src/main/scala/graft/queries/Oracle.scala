@@ -944,6 +944,15 @@ object Oracle {
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY word""".stripMargin,
 
+    // e03: the oracle answers with the ORIGINAL text and constant true —
+    // any out-of-order token in the engine's rebuild fails the hash
+    "e03_posexplode_rebuild" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_words,
+        |  coalesce(text, '') AS rebuilt,
+        |  true AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "a01_group_stats" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value_r,
         |       round(avg(value), 4) AS avg_value_r, min(value) AS min_value, max(value) AS max_value

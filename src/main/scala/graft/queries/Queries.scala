@@ -2922,6 +2922,35 @@ object Queries {
           .as("word"))
       .orderBy("doc_id", "word")
 
+  /** E03: order-preserving explode/rebuild roundtrip — the contract
+    * every shred-process-reassemble pipeline leans on (chunk a doc,
+    * process chunks independently, put the doc back together in
+    * order): posexplode carries the position, the shuffle is free to
+    * scramble rows, and the rebuild sorts (pos, token) structs IN-ROW
+    * after a hash re-aggregation — array_sort on the struct, never an
+    * ORDER BY. The query emits the rebuilt text plus an in-plan
+    * equality flag against the original; the oracle answers with the
+    * ORIGINAL text and a constant true, so a single out-of-order token
+    * anywhere in either SF fails the hash. The one subtlety a naive
+    * rebuild misses: collect_list's intra-group order is
+    * NON-DETERMINISTIC under retries — riding the position through the
+    * row is the only correct distributed rebuild. */
+  val e03PosexplodeRebuild: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    docs.select(col("doc_id"), col("text"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .groupBy("doc_id", "text")
+      .agg(collect_list(struct(col("pos"), col("word"))).as("__parts"))
+      .withColumn("rebuilt", expr(
+        "array_join(transform(array_sort(__parts), p -> p.word), ' ')"))
+      .select(col("doc_id"),
+        size(col("__parts")).cast("long").as("n_words"),
+        col("rebuilt"),
+        (col("rebuilt") === col("text")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   /** T15: weighted priority sampling — pick a fixed-size sample biased
     * toward heavier documents (here: by n_chars, the token-budget proxy),
     * deterministically: priority = md5-prefix32 DIV weight, keep the k
@@ -4864,6 +4893,7 @@ object Queries {
     "j13_entity_resolution" -> j13EntityResolution,
     "e01_explode_words" -> e01ExplodeWords,
     "e02_explode_outer" -> e02ExplodeOuter,
+    "e03_posexplode_rebuild" -> e03PosexplodeRebuild,
     "a01_group_stats" -> a01GroupStats,
     "a02_scalar_counts" -> a02ScalarCounts,
     "a03_distinct" -> a03Distinct,
