@@ -166,10 +166,12 @@ object Plans {
       "nation over OBSERVED rows only (exact medians are sort-bound), " +
       "|nations| medians broadcast back to the masked slice — the " +
       "masked side never sorts."),
-    "x40_diameter_sweep" -> ("Double sweep: two shrinking-frontier BFS " +
-      "runs with localCheckpoint cuts; elections are 1-row limits, " +
-      "assembly is broadcast nested-loop over 1-row frames — no " +
-      "driver collect, no cartesian."),
+    "x40_diameter_sweep" -> ("Double sweep: the loop-invariant edge " +
+      "frame materializes ONCE (not re-derived per frontier join — " +
+      "2.3x), then two shrinking-frontier BFS runs with " +
+      "localCheckpoint cuts; elections are 1-row limits, assembly is " +
+      "broadcast nested-loop over 1-row frames — no driver collect, " +
+      "no cartesian."),
     "d26_threshold_audit" -> ("Threshold audit: the d03 skew-guarded " +
       "candidate join at minJ 0 (cost bounded by the postings cap), " +
       "then a band hash-census and a 21-row cumulative window — " +
@@ -191,9 +193,10 @@ object Plans {
       "zero-hit docs rejoin via a doc-id-keyed left-outer on the " +
       "doc-sized frame."),
     "m09_audio_segments" -> ("VAD census: whole operator in-row (one " +
-      "transform over window indices + array folds) — map-only, zero " +
-      "shuffle, scan-bound. No explode: the flag array never leaves " +
-      "its row."),
+      "O(len) char split, O(w) array slices per window, array folds) " +
+      "— map-only, zero shuffle, scan-bound. Per-char substring " +
+      "against the full payload would be O(len^2) per row (3.3x); no " +
+      "explode: the flag array never leaves its row."),
     "a36_benford" -> ("Benford census: one map-side digit census to 9 " +
       "rows; everything after (total window, ppm shares, law join, " +
       "verdicts) runs on the 9-row aggregate. Scan-bound by " +

@@ -433,11 +433,14 @@ object Multimodal {
       // sub-window rows have nothing to segment — and Spark's
       // sequence(0, -1) would DESCEND, not return empty
       .filter(col("__nw") >= 1)
+      // ONE O(len) char split per row, then O(w) array slices per
+      // window — per-char substring against the full payload would
+      // rescan the string every call and make the row O(len^2)
+      .withColumn("__chars", expr(s"split($waveCol, '')"))
       .withColumn("__flags", expr(
         s"""transform(sequence(0, cast(__nw - 1 as int)),
-           |  i -> aggregate(sequence(1, $w), 0L,
-           |         (acc, j) -> acc + bigint(greatest(
-           |           ascii(substring($waveCol, i * $w + j, 1)) - 32, 0))
+           |  i -> aggregate(slice(__chars, i * $w + 1, $w), 0L,
+           |         (acc, c) -> acc + bigint(greatest(ascii(c) - 32, 0))
            |       ) >= $threshold)""".stripMargin))
       .select(col(idCol),
         col("__nw").as("n_windows"),

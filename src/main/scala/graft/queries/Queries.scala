@@ -4603,7 +4603,12 @@ object Queries {
     * nested-loop assembly (the x31 one-row-profile discipline).
     * n_reached doubles as the seed-component size census. */
   val x40DiameterSweep: Q = (s, dir) => {
+    // the edge frame is loop-invariant across ~10 frontier joins (two
+    // sweeps x rounds) — materialize it ONCE instead of re-running the
+    // scan+explode+distinct every round (the x19 loop-invariant lesson;
+    // at corpus scale this is the bfsIndexed bucketed layout)
     val edges = eventsBipartiteEdges(tbl(s, dir, "events"))
+      .localCheckpoint(true)
     val seed0 = edges.agg(min("src").as("node"))
     val d1 = graft.graph.Bfs.bfsDistances(edges, seed0, maxHops = 12)
     val u = d1.orderBy(col("dist").desc, col("node")).limit(1)
