@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "m10_shot_segments" -> ("Shot segmentation: one window sort per " +
+      "video serves both the lag pair and the running shot counter; " +
+      "per-shot lengths and the census are video-count-sized hash " +
+      "aggregates. Frames never leave their video's partition."),
     "e03_posexplode_rebuild" -> ("Explode/rebuild: one hash " +
       "re-aggregation (no ORDER BY, no window) — ordering rides the " +
       "row as a position and the rebuild is an in-row array_sort, so " +

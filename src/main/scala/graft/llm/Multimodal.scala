@@ -168,6 +168,46 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /**
+   * Shot-boundary segmentation — the cut detector downstream of
+   * [[frameCoherence]]'s statistics: a hard cut is a consecutive-frame
+   * perceptual-hash Hamming jump above `cutHam`, a shot is the run
+   * between cuts. The census per video (shot count, longest shot,
+   * first cut position) is what a video-curation pipeline keys on:
+   * single-shot clips batch differently from montages, and the first
+   * cut is the natural thumbnail boundary. Same frame/hash derivation
+   * as m08 (codegen perceptual_hash, codec behind the documented
+   * boundary); ONE window sort per video serves both the lag pair and
+   * the running shot counter; single-frame videos are one shot (no
+   * pair rows needed — the census runs on frames, not pairs).
+   */
+  def shotSegments(media: Dataset[MediaRecord], n: Int = 8,
+                   frameBytes: Int = 64, cutHam: Long = 21L): DataFrame = {
+    val frames = sampleFrames(media, n, frameBytes)
+      .select(col("doc_id"), posexplode(col("frames")).as(Seq("fi", "frame")))
+      .filter(octet_length(col("frame")) > 0)
+    val ph = frames.select(col("doc_id"), col("fi").cast("long").as("fi"),
+      graft.functions.MediaExpressions.perceptualHash(col("frame")).as("ph"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("fi")
+    val withCut = ph.withColumn("prev", lag(col("ph"), 1).over(byDoc))
+      .withColumn("cut", when(col("prev").isNotNull && expr(
+        "aggregate(zip_with(ph, prev, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), 0L, (a, v) -> a + v)")
+        > cutHam, 1L).otherwise(0L))
+      .withColumn("shot", sum("cut").over(byDoc
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val per = withCut.groupBy("doc_id", "shot").agg(count(lit(1)).as("len"))
+    val agg = per.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shots"), max("len").as("longest_shot"),
+        sum("len").as("n_frames"))
+    val fc = withCut.filter(col("cut") === 1)
+      .groupBy("doc_id").agg(min("fi").as("first_cut"))
+    agg.join(fc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_frames"), col("n_shots"),
+        col("longest_shot"), coalesce(col("first_cut"), lit(-1L)).as("first_cut_fi"))
+  }
+
   /** The fixed aspect-ratio bucket list of [[aspectBucket]] (the
     * SDXL-style bucketed-batching convention): portrait/landscape pairs
     * around square. `bh` values {1,3,4,9,16} — lcm 144 is the common

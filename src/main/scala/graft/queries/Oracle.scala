@@ -2097,6 +2097,50 @@ object Oracle {
         |       CAST(sum(ham) AS BIGINT) AS sum_ham
         |FROM pair GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // m10: the m08 frame/hash CTE chain verbatim, then cut flags, a
+    // running shot counter over FRAMES (single-frame docs = one shot),
+    // per-shot lengths, and the census
+    "m10_shot_segments" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE length(text) > 0),
+        |fr AS (SELECT doc_id, CAST(t.i AS BIGINT) AS fi,
+        |         substring(text, CAST(t.i * greatest(1, n // 8) + 1 AS INT), 64) AS f
+        |       FROM b, unnest(range(0, 8)) AS t(i)
+        |       WHERE t.i * greatest(1, n // 8) < n),
+        |ph AS (SELECT doc_id, fi, length(f) AS m,
+        |   list_transform(range(0, 64), j ->
+        |     coalesce(list_aggregate(list_transform(range(CAST(1 + j AS BIGINT), length(f) + 1, 64),
+        |        i -> ascii(substring(f, CAST(i AS INT), 1))), 'sum'), 0)) AS bs,
+        |   coalesce(list_aggregate(list_transform(range(1, length(f) + 1),
+        |        i -> ascii(substring(f, CAST(i AS INT), 1))), 'sum'), 0) AS total
+        | FROM fr),
+        |bits AS (SELECT doc_id, fi,
+        |   CAST(coalesce(list_aggregate(list_transform(range(0, 32), j ->
+        |     CASE WHEN bs[CAST(j + 1 AS INT)] * m > total * greatest(0, (m - j + 63) // 64)
+        |          THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), 'sum'), 0) AS BIGINT) AS h1,
+        |   CAST(coalesce(list_aggregate(list_transform(range(32, 64), j ->
+        |     CASE WHEN bs[CAST(j + 1 AS INT)] * m > total * greatest(0, (m - j + 63) // 64)
+        |          THEN CAST(power(2, j - 32) AS BIGINT) ELSE 0 END), 'sum'), 0) AS BIGINT) AS h2
+        | FROM ph),
+        |cuts AS (SELECT c.doc_id, c.fi,
+        |           CASE WHEN bit_count(xor(p.h1, c.h1)) + bit_count(xor(p.h2, c.h2)) > 21
+        |                THEN 1 ELSE 0 END AS cut
+        |         FROM bits c JOIN bits p
+        |           ON p.doc_id = c.doc_id AND p.fi = c.fi - 1),
+        |f2 AS (SELECT bits.doc_id, bits.fi, coalesce(cuts.cut, 0) AS cut
+        |       FROM bits LEFT JOIN cuts ON cuts.doc_id = bits.doc_id AND cuts.fi = bits.fi),
+        |sh AS (SELECT doc_id, fi, cut, sum(cut) OVER (PARTITION BY doc_id ORDER BY fi
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot FROM f2),
+        |per AS (SELECT doc_id, shot, CAST(count(*) AS BIGINT) AS len FROM sh GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shots,
+        |          CAST(max(len) AS BIGINT) AS longest_shot,
+        |          CAST(sum(len) AS BIGINT) AS n_frames FROM per GROUP BY 1),
+        |fc AS (SELECT doc_id, min(fi) AS first_cut FROM sh WHERE cut = 1 GROUP BY 1)
+        |SELECT agg.doc_id, n_frames, n_shots, longest_shot,
+        |  CAST(coalesce(fc.first_cut, -1) AS BIGINT) AS first_cut_fi
+        |FROM agg LEFT JOIN fc USING (doc_id)
+        |ORDER BY agg.doc_id""".stripMargin,
+
     "m05_video_neardup" -> {
       val cap = graft.llm.Multimodal.MediaNearDup.maxBandPostings
       s"""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents

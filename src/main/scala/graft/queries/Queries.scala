@@ -4462,6 +4462,21 @@ object Queries {
     Multimodal.vadCensus(planted, "__wave", "doc_id").orderBy("doc_id")
   }
 
+  /** M10: shot-boundary segmentation ([[Multimodal.shotSegments]]) —
+    * the cut detector downstream of m08's coherence statistics: a hard
+    * cut is a consecutive-frame perceptual-hash Hamming jump > 21
+    * (chosen inside the corpus's observed 2..40 pair-ham range so both
+    * single-shot and multi-shot classes are live at every SF), a shot
+    * is the run between cuts, and the census (n_shots, longest shot,
+    * first cut) is what video curation batches on. One window sort per
+    * video serves the lag pair AND the running shot counter;
+    * single-frame videos are one shot. Same ASCII oracle-parity guard
+    * story as m04/m05/m08 via the shared frame/hash derivation. */
+  val m10ShotSegments: Q = (s, dir) =>
+    Multimodal.shotSegments(
+        Multimodal.fromDocuments(tbl(s, dir, "documents")))
+      .orderBy("doc_id")
+
   /** X13: snapshot diff (CDC) — classify rows across two dump generations
     * as added / removed / changed by a FULL OUTER join on the key with
     * content-hash comparison. The 100 TB shape of "what changed since last
@@ -5106,6 +5121,7 @@ object Queries {
     "s21_table_history" -> s21TableHistory,
     "m08_frame_coherence" -> m08FrameCoherence,
     "m09_audio_segments" -> m09AudioSegments,
+    "m10_shot_segments" -> m10ShotSegments,
     "t33_word_dropout" -> t33WordDropout,
     "t34_length_buckets" -> t34LengthBuckets,
     "x33_join_profile" -> x33JoinProfile,

@@ -2073,6 +2073,28 @@ class LlmOpsSpec extends AnyFunSuite {
       3L -> ((2L, 0L, 0L, "clean"))), s"got $got")
   }
 
+  test("m10 shot segments: hard cut splits, static clip is one shot, single frame") {
+    val s = spark
+    import s.implicits._
+    // doc 1: frames 0-3 are 'abab...' (hash bits at odd positions),
+    // frames 4-7 are 'baba...' (bits at even positions) -> one 64-bit
+    // jump at fi=4: 2 shots. doc 2: identical frames -> 1 shot.
+    // doc 3: one char -> single frame, one shot, no pair rows.
+    val half = "ab" * 32
+    val flip = "ba" * 32
+    val docs = Seq(
+      (1L, half * 4 + flip * 4),
+      (2L, "ab" * 256),
+      (3L, "x")).toDF("doc_id", "text")
+    val got = Multimodal.shotSegments(Multimodal.fromDocuments(docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      1L -> ((8L, 2L, 4L, 4L)),
+      2L -> ((8L, 1L, 8L, -1L)),
+      3L -> ((1L, 1L, 1L, -1L))), s"got $got")
+  }
+
   test("m09 vad census: run splits, edge trims, silent clip, sub-window drop") {
     val s = spark
     import s.implicits._
