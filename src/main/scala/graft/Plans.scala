@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "a39_spearman" -> ("Spearman: one event-sized per-user fold, then " +
+      "everything is user-count-sized — two rank windows per type and " +
+      "one moment aggregate. try_divide keeps zero-variance groups " +
+      "null instead of ANSI-throwing."),
     "m10_shot_segments" -> ("Shot segmentation: one window sort per " +
       "video serves both the lag pair and the running shot counter; " +
       "per-shot lengths and the census are video-count-sized hash " +

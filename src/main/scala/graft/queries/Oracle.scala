@@ -2977,6 +2977,25 @@ object Oracle {
         |WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after
         |ORDER BY lang""".stripMargin,
 
+    // a39: same per-user fold, doubled average ranks, corr() of ranks
+    "a39_spearman" ->
+      """WITH pu AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_ev,
+        |    round(sum(value), 2) AS sum_v
+        |  FROM events GROUP BY 1, 2),
+        |pu2 AS (SELECT *, sum_v / n_ev AS avg_v FROM pu),
+        |r AS (SELECT event_type,
+        |    CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY n_ev)
+        |      + count(*) OVER (PARTITION BY event_type, n_ev) - 1 AS DOUBLE) AS r_n,
+        |    CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY sum_v)
+        |      + count(*) OVER (PARTITION BY event_type, sum_v) - 1 AS DOUBLE) AS r_s,
+        |    CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY avg_v)
+        |      + count(*) OVER (PARTITION BY event_type, avg_v) - 1 AS DOUBLE) AS r_a
+        |  FROM pu2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  round(corr(r_n, r_s), 6) AS rho_sum_r,
+        |  round(corr(r_n, r_a), 6) AS rho_avg_r
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // a38: same per-source census, rank window on the aggregate, exact
     // cross-multiplied Gini and top-k shares
     "a38_gini_sources" ->

@@ -4347,6 +4347,48 @@ object Queries {
       .orderBy("measure")
   }
 
+  /** A39: Spearman rank correlation — the robust sibling a09's Pearson
+    * cannot be (rank-based: outliers and any monotone rescaling leave
+    * rho untouched): per event_type over its USERS, does activity
+    * predict spend — rho(n_events, total value) reads strongly
+    * positive BY CONSTRUCTION (more events sum to more value: the live
+    * positive class), while rho(n_events, AVG value) reads ~0 (uniform
+    * per-event values: the live null class) — the pair a fraud screen
+    * actually compares, since a positive avg-rho is the "whales spend
+    * MORE PER EVENT" signal. Ties get textbook average ranks kept
+    * INTEGER by doubling (2*avg = 2*min_rank + tie_count - 1); rho is
+    * corr() of the doubled ranks (scaling-invariant), rounded 6. Per
+    * type: one user fold, two rank windows over |users| rows, one
+    * corr aggregate — everything after the per-user fold is
+    * user-count-sized. */
+  val a39Spearman: Q = (s, dir) => {
+    val perUser = events(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_ev"), round(sum("value"), 2).as("sum_v"))
+      .withColumn("avg_v", col("sum_v") / col("n_ev"))
+    def ranked2(c: String, out: String)(df: DataFrame): DataFrame = df
+      .withColumn("__r", rank().over(
+        Window.partitionBy("event_type").orderBy(col(c))).cast("long"))
+      .withColumn("__c", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col(c))))
+      .withColumn(out, (lit(2) * col("__r") + col("__c") - 1).cast("double"))
+      .drop("__r", "__c")
+    val r = ranked2("n_ev", "r_n")(
+      ranked2("sum_v", "r_s")(ranked2("avg_v", "r_a")(perUser)))
+    // corr() under ANSI throws DIVIDE_BY_ZERO on a zero-variance side
+    // (an all-tied rank column is legitimate input); try_divide of the
+    // explicit moments returns the null DuckDB's corr() gives
+    r.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        round(expr(
+          "try_divide(covar_samp(r_n, r_s), stddev_samp(r_n) * stddev_samp(r_s))"),
+          6).as("rho_sum_r"),
+        round(expr(
+          "try_divide(covar_samp(r_n, r_a), stddev_samp(r_n) * stddev_samp(r_a))"),
+          6).as("rho_avg_r"))
+      .orderBy("event_type")
+  }
+
   val a31KsDrift: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val e = events(s, dir).select(col("event_type"), col("value"),
@@ -5135,6 +5177,7 @@ object Queries {
     "a36_benford" -> a36Benford,
     "a37_cusum" -> a37Cusum,
     "a38_gini_sources" -> a38GiniSources,
+    "a39_spearman" -> a39Spearman,
     "x35_fd_profile" -> x35FdProfile
   )
 }

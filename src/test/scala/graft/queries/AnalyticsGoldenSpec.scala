@@ -343,6 +343,31 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
     assert(got === expected, s"got $got, want $expected")
   }
 
+  test("a39: spearman — rho +1/-1 on monotone fixtures, all-tied column yields null") {
+    // type a: activity 1..4, per-event value 10 -> sums 10..40 monotone
+    // (rho_sum = 1) but avg constant 10 (zero variance -> rho_avg null).
+    // type b: sums reversed -> rho_sum = -1; avgs also decrease -> -1.
+    var id = 0L
+    def evs(tp: String, user: Long, n: Int, v: Double) = (1 to n).map { _ =>
+      id += 1; (id, id % 300, user, tp, v)
+    }
+    val rows =
+      evs("a", 1L, 1, 10.0) ++ evs("a", 2L, 2, 10.0) ++
+        evs("a", 3L, 3, 10.0) ++ evs("a", 4L, 4, 10.0) ++
+        evs("b", 1L, 1, 40.0) ++ evs("b", 2L, 2, 15.0) ++
+        evs("b", 3L, 3, 20.0 / 3) ++ evs("b", 4L, 4, 2.5)
+    val dir = writeEvents(rows)
+    val got = Queries.a39Spearman(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("a")._1 === 4L)
+    assert(got("a")._2 === Some(1.0), s"got $got")
+    assert(got("a")._3 === None, "all-tied avg must yield null rho")
+    assert(got("b")._2 === Some(-1.0), s"got $got")
+    assert(got("b")._3 === Some(-1.0), s"got $got")
+  }
+
   test("a38: gini — hand-computed 312500 ppm, top shares, sub-5 pool") {
     val s = spark
     import s.implicits._
