@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "d27_sketch_calibration" -> ("Sketch calibration: signatures ride " +
+      "per-doc k-long arrays (one kernel pass), pairs come from the " +
+      "capped candidate join, the estimate is one in-row zip_with — " +
+      "no extra shuffle beyond the d03 pair machinery."),
     "a39_spearman" -> ("Spearman: one event-sized per-user fold, then " +
       "everything is user-count-sized — two rank windows per type and " +
       "one moment aggregate. try_divide keeps zero-variance groups " +

@@ -1530,6 +1530,52 @@ object Oracle {
     // exact computation the LSH path approximates.
     "d04_minhash_lsh" -> jaccardSql(0.7),
 
+    // d27: the FULL minhash signature kernel from first principles —
+    // per-word XXH64 (xxhWinCtes) -> splitmix64(whash ^ seed_i) ->
+    // per-seed SIGNED min (the engine compares signed longs, so the
+    // mirror's min runs over the signed reinterpretation); seed
+    // constants precomputed from the one JVM definition
+    "d27_sketch_calibration" -> {
+      val k = 16
+      def smxOf(x: String): String =
+        let(s"(($x) + 11400714819323198485) % $Mod", "z0",
+          let(mulmod("xor(z0, z0 >> 30)", BigInt("bf58476d1ce4e5b9", 16)), "z1",
+            let(mulmod("xor(z1, z1 >> 27)", BigInt("94d049bb133111eb", 16)), "z2",
+              "xor(z2, z2 >> 31)")))
+      val sigCols = (0 until k).map { i =>
+        val seed = java.lang.Long.toUnsignedString(
+          graft.llm.Dedup.splitmix64(0x5eed0000L + i))
+        s"min(${toSigned(smxOf(s"xor(whash, $seed::HUGEINT)"))}) AS s$i"
+      }.mkString(",\n|          ")
+      val matchSum = (0 until k)
+        .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $xxhWinCtes,
+         |sh AS (SELECT DISTINCT doc_id, whash FROM wins),
+         |sig AS (SELECT doc_id,
+         |          $sigCols
+         |        FROM sh GROUP BY doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |       FROM sh a JOIN sh b ON a.whash = b.whash AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |jac AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+         |          CAST(ca.n + cb.n - inter AS BIGINT) AS uni
+         |        FROM pr JOIN cnt ca ON ca.doc_id = pr.id_a
+         |        JOIN cnt cb ON cb.doc_id = pr.id_b
+         |        WHERE round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) >= 0.2),
+         |m AS (SELECT j.id_a, j.id_b, j.inter, j.uni,
+         |        CAST($matchSum AS BIGINT) AS est_matches
+         |      FROM jac j JOIN sig a ON a.doc_id = j.id_a
+         |      JOIN sig b ON b.doc_id = j.id_b)
+         |SELECT id_a, id_b,
+         |  CAST((inter * 1000000) // uni AS BIGINT) AS exact_ppm,
+         |  est_matches,
+         |  CAST((est_matches * 1000000) // $k AS BIGINT) AS est_ppm,
+         |  CAST((est_matches * 1000000) // $k - (inter * 1000000) // uni AS BIGINT) AS err_ppm
+         |FROM m ORDER BY id_a, id_b""".stripMargin
+    },
+
     // d26: ALL capped candidates (minJ 0 — the postings cap now BINDS, so
     // the oracle mirrors it), banded by cross-multiplied exact Jaccard
     "d26_threshold_audit" -> {

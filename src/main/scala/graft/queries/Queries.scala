@@ -922,6 +922,39 @@ object Queries {
       .orderBy("band")
   }
 
+  /** D27: sketch-calibration audit — the "trust your sketch" census
+    * for the d04/d13 minhash path (v09 audits ANN recall; THIS audits
+    * the dedup estimator): for every exact-Jaccard pair >= 0.2, the
+    * k=16 minhash signature's estimate (matching positions / k) laid
+    * against the exact value, err in ppm — the number that says
+    * whether the LSH band thresholds are calibrated or lying. The
+    * DuckDB oracle recomputes the FULL signature kernel from first
+    * principles (per-word XXH64 -> chained window hashLong ->
+    * splitmix64(h ^ seed_i) -> per-seed SIGNED min — the engine
+    * compares signed longs, so the mirror min must be over the
+    * signed reinterpretation), which makes this row family a
+    * bit-exactness proof of the entire minhash stack, not just a
+    * statistics check. Pair set is the d03 capped candidate join;
+    * signatures ride per-doc arrays (k longs), est is one in-row
+    * zip_with. */
+  val d27SketchCalibration: Q = (s, dir) => {
+    val k = 16
+    val docs = tbl(s, dir, "documents")
+    val signed = Dedup.withSignatures(docs, w = 5, k = k)
+    val pairs = Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.2)
+    val sa = signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sb = signed.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("est_matches", expr(
+        "bigint(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)))"))
+      .withColumn("exact_ppm", expr("(inter * 1000000) div uni"))
+      .withColumn("est_ppm", expr(s"(est_matches * 1000000) div $k"))
+      .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
+      .select(col("id_a"), col("id_b"), col("exact_ppm"), col("est_matches"),
+        col("est_ppm"), col("err_ppm"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** D17: asymmetric near-containment pairs
     * ([[Dedup.containmentPairs]]) — Broder's |A∩B|/|A| over the d03
     * shingle sets: catches the short-doc-quoted-in-long-doc case whose
@@ -5029,6 +5062,7 @@ object Queries {
     "d24_url_dedup" -> d24UrlDedup,
     "d25_crawl_diff" -> d25CrawlDiff,
     "d26_threshold_audit" -> d26ThresholdAudit,
+    "d27_sketch_calibration" -> d27SketchCalibration,
     "x36_link_graph" -> x36LinkGraph,
     "x37_scc" -> x37Scc,
     "x38_interval_islands" -> x38IntervalIslands,

@@ -2037,6 +2037,34 @@ class LlmOpsSpec extends AnyFunSuite {
       "fixture no longer demonstrates the naive-split leak — re-plant ids")
   }
 
+  test("d27 sketch calibration: identical pair estimates exactly 1.0, signature parity") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d27").toString
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, base), (2L, base),                       // identical: est == exact == 1
+      (3L, base + " extra tail words here"))        // near pair vs 1/2
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Queries.d27SketchCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    // identical docs: identical shingle sets -> identical signatures
+    assert(got((1L, 2L)) === ((1000000L, 16L, 0L)), s"got $got")
+    // near pairs exist and their estimate stays a valid fraction of k
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    got.foreach { case (_, (_, m, _)) => assert(m >= 0L && m <= 16L) }
+    // signature kernel parity: the UDF equals a flat scala recompute
+    val sh = Dedup.docShingleHashes(
+      Seq((9L, base)).toDF("doc_id", "text"), 5)
+      .select("sh").collect()(0).getSeq[Long](0)
+    val sig = Dedup.minhashSignature(sh, 16)
+    val viaUdf = Dedup.withSignatures(
+      Seq((9L, base)).toDF("doc_id", "text"), 5, 16)
+      .select("sig").collect()(0).getSeq[Long](0)
+    assert(sig.toSeq === viaUdf)
+  }
+
   test("d26 threshold audit: exact bands, identical pair at 20, cumulative census") {
     val s = spark
     import s.implicits._
