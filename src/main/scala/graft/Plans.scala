@@ -158,6 +158,10 @@ object Plans {
       "per row — no window, no second pass; ghost tombstones vanish in " +
       "the same join. Target side reads exchange-free from a " +
       "key-bucketed layout at corpus scale."),
+    "x41_interval_apportion" -> ("Apportionment: per-interval hour " +
+      "explode (fan-out = interval length in hours, never a spine " +
+      "join), clipped-overlap arithmetic in-row, ONE per-hour hash " +
+      "fold with map-side partials."),
     "d27_sketch_calibration" -> ("Sketch calibration: signatures ride " +
       "per-doc k-long arrays (one kernel pass), pairs come from the " +
       "capped candidate join, the estimate is one in-row zip_with — " +

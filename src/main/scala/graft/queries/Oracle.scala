@@ -3213,6 +3213,21 @@ object Oracle {
         |FROM num n JOIN den d USING (event_type)
         |ORDER BY n.event_type, n.lag_k""".stripMargin,
 
+    // x41: same planted durations as x38; per-interval hour range via
+    // range(), clipped overlap in exact micros, per-hour fold
+    "x41_interval_apportion" ->
+      """WITH iv AS (SELECT event_id, epoch_us(ts) AS s0,
+        |    epoch_us(ts) + (event_id % 8 + 1) * 10800000000 AS e0 FROM events),
+        |x AS (SELECT s0, e0,
+        |    unnest(range(s0 // 3600000000, (e0 - 1) // 3600000000 + 1)) AS h
+        |  FROM iv)
+        |SELECT CAST(h AS BIGINT) AS hour,
+        |  CAST(sum(least(e0, (h + 1) * 3600000000) - greatest(s0, h * 3600000000)) AS BIGINT)
+        |    AS busy_us,
+        |  CAST(count(*) AS BIGINT) AS n_iv
+        |FROM x GROUP BY h
+        |ORDER BY hour""".stripMargin,
+
     // x38: same deterministic durations, running-max-end boundary test,
     // running island counter, per-island fold
     "x38_interval_islands" ->

@@ -3357,6 +3357,35 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** X41: interval apportionment (pro-rating — the billing/capacity
+    * twin of x38's islands over the SAME planted intervals: x38 asks
+    * "how do intervals merge", THIS asks "how much interval MASS lands
+    * in each hour", the utilization/chargeback allocation where a
+    * session spanning 2.5 hours must bill 60+60+30 minutes, not 3
+    * rows): each interval explodes to exactly the hours it touches
+    * (sequence over its hour range — fan-out bounded by interval
+    * length, never a spine join), the per-hour contribution is the
+    * CLIPPED overlap min(e, hour_end) - max(s, hour_start) in exact
+    * micros, and the census folds per hour. Conservation is built into
+    * the hash-compare: clip errors would make some hour's mass differ.
+    * busy_us can exceed the hour (concurrent users) — it is mass, not
+    * share; n_iv counts contributing intervals. */
+  val x41IntervalApportion: Q = (s, dir) => {
+    val hourUs = 3600000000L
+    events(s, dir).select(col("event_id"),
+        col("__tsu").as("s0"),
+        (col("__tsu") + (col("event_id") % 8 + 1) * lit(10800000000L)).as("e0"))
+      .withColumn("h", explode(sequence(
+        expr(s"s0 div $hourUs"), expr(s"(e0 - 1) div $hourUs"))))
+      .withColumn("ov",
+        least(col("e0"), (col("h") + 1) * lit(hourUs))
+          - greatest(col("s0"), col("h") * lit(hourUs)))
+      .groupBy("h")
+      .agg(sum("ov").as("busy_us"), count(lit(1)).as("n_iv"))
+      .select(col("h").as("hour"), col("busy_us"), col("n_iv"))
+      .orderBy("hour")
+  }
+
   /** The distinct (user, page) incidence behind x22/x23 — the same
     * props.k page derivation as [[eventsBipartiteEdges]], kept as the
     * two-column frame [[graft.graph.Covisit]] projects. */
@@ -5068,6 +5097,7 @@ object Queries {
     "x38_interval_islands" -> x38IntervalIslands,
     "x39_adamic_adar" -> x39AdamicAdar,
     "x40_diameter_sweep" -> x40DiameterSweep,
+    "x41_interval_apportion" -> x41IntervalApportion,
     "t40_path_blocklist" -> t40PathBlocklist,
     "t41_token_budget" -> t41TokenBudget,
     "t42_markup_residue" -> t42MarkupResidue,

@@ -404,6 +404,20 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       "a" -> ((6L, 8L, 3L, 3L, 12L, 1000000L, "shift"))), s"got $got")
   }
 
+  test("x41: apportionment — clipped edges, full interior hours, mass conservation") {
+    // id 0 at minute 30: 3h interval [1800s, 12600s] -> 30min + 60 + 60 + 30
+    // id 8 at minute 0: 3h interval [0, 10800s] -> 60 + 60 + 60
+    val rows = Seq((0L, 30L, 1L, "t", 1.0), (8L, 0L, 2L, "t", 1.0))
+    val dir = writeEvents(rows)
+    val M = 60000000L
+    val got = Queries.x41IntervalApportion(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      0L -> ((90L * M, 2L)), 1L -> ((120L * M, 2L)),
+      2L -> ((120L * M, 2L)), 3L -> ((30L * M, 1L))), s"got $got")
+    assert(got.values.map(_._1).sum === 360L * M, "interval mass must conserve")
+  }
+
   test("x40: double sweep — exact diameter on a path, unreached component excluded") {
     val s = spark
     import s.implicits._
