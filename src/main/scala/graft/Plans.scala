@@ -162,6 +162,11 @@ object Plans {
       "explode (fan-out = interval length in hours, never a spine " +
       "join), clipped-overlap arithmetic in-row, ONE per-hour hash " +
       "fold with map-side partials."),
+    "x42_modularity" -> ("Modularity: one degree fold + one intra " +
+      "filter-fold over the edge list (both map-side-combinable hash " +
+      "aggregates), a |C|-row join, the 1-row m2 frame attached by " +
+      "broadcast — no collect, nothing bigger than |C| after the " +
+      "folds."),
     "d27_sketch_calibration" -> ("Sketch calibration: signatures ride " +
       "per-doc k-long arrays (one kernel pass), pairs come from the " +
       "capped candidate join, the estimate is one in-row zip_with — " +
@@ -182,6 +187,11 @@ object Plans {
       "nation over OBSERVED rows only (exact medians are sort-bound), " +
       "|nations| medians broadcast back to the masked slice — the " +
       "masked side never sorts."),
+    "u03_ffill" -> ("Forward-fill (LOCF): ONE window sort per user — " +
+      "a single hash exchange on user_id then an in-partition sort " +
+      "feeding last(ignoreNulls) over a running frame; no join, no " +
+      "second pass. At corpus scale the stream is bucketed by series " +
+      "key and the sort is within-bucket."),
     "x40_diameter_sweep" -> ("Double sweep: the loop-invariant edge " +
       "frame materializes ONCE (not re-derived per frontier join — " +
       "2.3x), then two shrinking-frontier BFS runs with " +

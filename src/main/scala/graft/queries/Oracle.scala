@@ -1045,6 +1045,27 @@ object Oracle {
         |WHERE c.masked
         |ORDER BY c.c_custkey""".stripMargin,
 
+    // u03: same md5 mask; the fill uses the engine-portable running-
+    // count group trick (each gap-group holds exactly one observation,
+    // at its head) instead of last_value IGNORE NULLS — same semantics,
+    // independent mechanism
+    "u03_ffill" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST('0x' || substring(md5('ffill:' || CAST(event_id AS VARCHAR)),1,8) AS BIGINT) % 4 = 0 AS masked
+        |  FROM events),
+        |g AS (SELECT *, CASE WHEN NOT masked THEN cents END AS obs,
+        |    count(CASE WHEN NOT masked THEN 1 END) OVER (
+        |      PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM e),
+        |f AS (SELECT event_id, user_id, masked,
+        |    max(obs) OVER (PARTITION BY user_id, grp) AS cents_filled
+        |  FROM g)
+        |SELECT event_id, user_id, masked, cents_filled,
+        |  masked AND cents_filled IS NOT NULL AS was_filled
+        |FROM f ORDER BY event_id""".stripMargin,
+
     "d01_dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
@@ -3227,6 +3248,34 @@ object Oracle {
         |  CAST(count(*) AS BIGINT) AS n_iv
         |FROM x GROUP BY h
         |ORDER BY hour""".stripMargin,
+
+    // x42: the x37 planted edges made undirected, block partition
+    // (id // 10), exact-integer folds, one rounded contribution
+    "x42_modularity" ->
+      """WITH n AS (SELECT doc_id AS id, doc_id // 10 AS b FROM documents),
+        |ring AS (SELECT id AS src, (id // 10) * 10 + (id % 10 + 1) % 10 AS dst
+        |         FROM n WHERE b % 5 <> 4),
+        |chain AS (SELECT id AS src, id - 1 AS dst FROM n
+        |          WHERE b % 5 = 4 AND id % 10 <> 0),
+        |cross_e AS (SELECT id AS src, id - 10 AS dst FROM n
+        |            WHERE b % 5 <> 0 AND id % 10 = 0),
+        |d0 AS (SELECT * FROM ring UNION ALL SELECT * FROM chain
+        |       UNION ALL SELECT * FROM cross_e),
+        |und AS (SELECT DISTINCT src, dst FROM
+        |        (SELECT src, dst FROM d0 UNION ALL SELECT dst, src FROM d0)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und),
+        |deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY 1),
+        |dc AS (SELECT id // 10 AS community, CAST(sum(d) AS BIGINT) AS deg_sum,
+        |         CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1),
+        |ic AS (SELECT src // 10 AS community, CAST(count(*) AS BIGINT) AS intra2
+        |       FROM und WHERE src // 10 = dst // 10 GROUP BY 1)
+        |SELECT dc.community, dc.n_nodes,
+        |  CAST(coalesce(ic.intra2, 0) AS BIGINT) AS intra2, dc.deg_sum, m.m2,
+        |  round(CAST(coalesce(ic.intra2, 0) AS DOUBLE) / m.m2
+        |    - (CAST(dc.deg_sum AS DOUBLE) / m.m2) * (CAST(dc.deg_sum AS DOUBLE) / m.m2),
+        |    6) AS q_contrib
+        |FROM dc LEFT JOIN ic USING (community) CROSS JOIN m
+        |ORDER BY dc.community""".stripMargin,
 
     // x38: same deterministic durations, running-max-end boundary test,
     // running island counter, per-island fold

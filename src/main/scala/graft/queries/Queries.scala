@@ -881,6 +881,38 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  /** U03: forward-fill imputation (LOCF — last observation carried
+    * forward, the time-series repair u02's cross-sectional median
+    * cannot do: a sensor/price/feature stream where a missing reading
+    * means "unchanged since the last good one", so the fill must come
+    * from the SAME series' past, never from the group): a deterministic
+    * 25% md5 mask nulls readings out, then each user's stream fills
+    * every gap with the most recent observed value in (ts, event_id)
+    * order — `last(ignoreNulls)` over a running window; rows before a
+    * user's first observation stay null (LOCF never invents a value),
+    * so both the filled and the unfillable classes are live. Exact
+    * integer cents, no float anywhere. ONE window sort per user (a
+    * single hash exchange on user_id, in-partition sort, no join, no
+    * second pass) — at corpus scale the stream is already bucketed by
+    * series key and the sort is within-bucket. The oracle fills via the
+    * engine-portable running-count group trick (each gap-group holds
+    * exactly one observation at its head), so the two engines agree on
+    * semantics, not on a shared window builtin. */
+  val u03Ffill: Q = (s, dir) => {
+    val e = events(s, dir).select(col("event_id"), col("user_id"), col("__tsu"),
+      expr("cast(round(value * 100) as bigint)").as("cents"),
+      expr("cast(conv(substring(md5(concat('ffill:', cast(event_id as string))),1,8),16,10) as bigint) % 4 = 0")
+        .as("masked"))
+      .withColumn("obs", when(!col("masked"), col("cents")))
+    val w = Window.partitionBy("user_id").orderBy(col("__tsu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("cents_filled", last(col("obs"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("masked"),
+        col("cents_filled"),
+        (col("masked") && col("cents_filled").isNotNull).as("was_filled"))
+      .orderBy("event_id")
+  }
+
   // ===== LLM: dedup =========================================================
 
   /** Exact dedup groups: one shuffle on the content hash. */
@@ -2619,9 +2651,12 @@ object Queries {
     * chain-of-5 cross edges between block heads keep the DuckDB
     * reachability closure linear in the corpus. Detector sees only the
     * edge list. */
-  val x37Scc: Q = (s, dir) => {
-    val n = tbl(s, dir, "documents")
-      .select(col("doc_id").as("id"), expr("doc_id div 10").as("b"))
+  /** The planted block graph shared by x37/x42: docs in blocks of 10 —
+    * directed rings in four of five blocks, a descending chain in the
+    * fifth, and one cross edge entering each block (except b%5==0) at
+    * its id%10==0 node. Dense inside blocks, sparse between — the
+    * structure x37 peels into SCCs and x42 scores as communities. */
+  def plantedBlockEdges(n: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ring = n.filter(col("b") % 5 =!= 4)
       .select(col("id").as("src"),
         (expr("id div 10") * 10 + (col("id") % 10 + 1) % 10).as("dst"))
@@ -2629,8 +2664,37 @@ object Queries {
       .select(col("id").as("src"), (col("id") - 1).as("dst"))
     val cross = n.filter(col("b") % 5 =!= 0 && col("id") % 10 === 0)
       .select(col("id").as("src"), (col("id") - 10).as("dst"))
-    graft.graph.Scc.stronglyConnected(ring.union(chain).union(cross))
+    ring.union(chain).union(cross)
+  }
+
+  val x37Scc: Q = (s, dir) => {
+    val n = tbl(s, dir, "documents")
+      .select(col("doc_id").as("id"), expr("doc_id div 10").as("b"))
+    graft.graph.Scc.stronglyConnected(plantedBlockEdges(n))
       .orderBy("node")
+  }
+
+  /** X42: modularity census ([[graft.graph.Modularity.census]]) — the
+    * "is this clustering real" score for ANY community assignment the
+    * engine produces (x28 label prop, d07 components, domain grouping):
+    * Q = sum_c [L_c/m - (d_c/2m)^2], intra-community edge mass minus
+    * the degree-preserving random-rewire expectation. Scored here: the
+    * planted block partition (id div 10) over the x37 graph made
+    * undirected — blocks are dense (rings/chains), cross edges sparse,
+    * so every contribution is live-positive and the census proves the
+    * planted structure is detectable. Everything is exact-integer off
+    * the directed-both-ways edge rows (m2 = 2m = row count, intra2 =
+    * 2L_c, deg folds); the only float is the final contribution,
+    * rounded 6 (the x26 discipline). One degree fold + one intra fold +
+    * a |C|-row join; the 1-row m2 frame attaches by broadcast. */
+  val x42Modularity: Q = (s, dir) => {
+    val n = tbl(s, dir, "documents")
+      .select(col("doc_id").as("id"), expr("doc_id div 10").as("b"))
+    val d0 = plantedBlockEdges(n)
+    val und = d0.union(d0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    graft.graph.Modularity.census(und, c => floor(c / lit(10)).cast("long"))
+      .orderBy("community")
   }
 
   /** X36: outlink extraction + site-level link graph
@@ -5028,6 +5092,7 @@ object Queries {
     "x07_pivot" -> x07Pivot,
     "u01_null_dummies" -> u01NullDummies,
     "u02_impute_median" -> u02ImputeMedian,
+    "u03_ffill" -> u03Ffill,
     "d01_dedup_exact_groups" -> d01DedupExactGroups,
     "d02_dedup_exact_keep" -> d02DedupExactKeep,
     "d03_neardup_ngram" -> d03NeardupNgram,
@@ -5098,6 +5163,7 @@ object Queries {
     "x39_adamic_adar" -> x39AdamicAdar,
     "x40_diameter_sweep" -> x40DiameterSweep,
     "x41_interval_apportion" -> x41IntervalApportion,
+    "x42_modularity" -> x42Modularity,
     "t40_path_blocklist" -> t40PathBlocklist,
     "t41_token_budget" -> t41TokenBudget,
     "t42_markup_residue" -> t42MarkupResidue,

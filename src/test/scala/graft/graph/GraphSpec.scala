@@ -489,4 +489,23 @@ class GraphSpec extends AnyFunSuite {
     assert(harm === Map(1L -> 3L, 2L -> 16L, 3L -> 12L, 4L -> 16L, 5L -> 3L),
       s"got $harm")
   }
+
+  test("modularity census: two bridged triangles golden; one-community Q is 0") {
+    // triangles {0,1,2} and {10,11,12} (doubled edges) + bridge 2-10:
+    // m2 = 14; community = id div 10. Each community: intra2 = 6,
+    // deg_sum = 7 -> q = 6/14 - (7/14)^2 = 3/14 - ... = 0.178571
+    val tri = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 10L -> 11L, 11L -> 12L,
+      12L -> 10L, 2L -> 10L)
+    val und = edgesDf(tri.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+    val got = Modularity.census(und, c => floor(c / lit(10)).cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      0L -> ((3L, 6L, 7L, 14L, 0.178571)),
+      1L -> ((3L, 6L, 7L, 14L, 0.178571))), s"got $got")
+    // whole graph as one community: Q = m2/m2 - 1^2 = 0 by definition
+    val one = Modularity.census(und, _ => lit(0L)).collect()
+    assert(one.length === 1 && one(0).getDouble(5) === 0.0, s"got ${one.toSeq}")
+  }
 }

@@ -343,6 +343,39 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
     assert(got === expected, s"got $got, want $expected")
   }
 
+  test("u03: forward-fill equals a flat scala LOCF; filled and leading-null classes live") {
+    def maskedOf(id: Long): Boolean = {
+      val md = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"ffill:$id").substring(0, 8)
+      java.lang.Long.parseLong(md, 16) % 4 == 0
+    }
+    // pick a masked id to open user 2's stream (leading-null class) and
+    // an unmasked one to open user 1's (so user 1's later masked rows fill)
+    val maskedId = (0L to 63L).find(maskedOf).get
+    val openId = (0L to 63L).find(!maskedOf(_)).get
+    val user1 = (0L to 63L).filter(i => i != maskedId && i != openId).take(10)
+    val rows = (openId +: user1).zipWithIndex.map { case (id, t) =>
+      (id, t.toLong, 1L, "t", (id * 3 % 7).toDouble)
+    } :+ ((maskedId, 99L, 2L, "t", 5.0))
+    val dir = writeEvents(rows)
+    val expected = rows.groupBy(_._3).flatMap { case (_, rs) =>
+      var lastObs: Option[Long] = None
+      rs.sortBy(r => (r._2, r._1)).map { r =>
+        val cents = math.round(r._5 * 100)
+        val m = maskedOf(r._1)
+        if (!m) lastObs = Some(cents)
+        r._1 -> ((r._3, m, lastObs, m && lastObs.nonEmpty))
+      }
+    }
+    assert(expected.exists(e => e._2._2 && e._2._3.nonEmpty), "filled class must be live")
+    assert(expected.exists(e => e._2._2 && e._2._3.isEmpty), "leading-null class must be live")
+    val got = Queries.u03Ffill(spark, dir).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    }.toMap
+    assert(got === expected, s"got $got, want $expected")
+  }
+
   test("a39: spearman — rho +1/-1 on monotone fixtures, all-tied column yields null") {
     // type a: activity 1..4, per-event value 10 -> sums 10..40 monotone
     // (rho_sum = 1) but avg constant 10 (zero variance -> rho_avg null).
