@@ -162,6 +162,10 @@ object Plans {
       "explode (fan-out = interval length in hours, never a spine " +
       "join), clipped-overlap arithmetic in-row, ONE per-hour hash " +
       "fold with map-side partials."),
+    "a40_theil_sen" -> ("Theil-Sen: one (day, hour) count fold, then " +
+      "a per-day equi-join whose fan-out is <= 276 BY CONSTRUCTION " +
+      "(24 points max), one window sort per day for the value-at-rank " +
+      "median — never corpus^2, never a global sort."),
     "x42_modularity" -> ("Modularity: one degree fold + one intra " +
       "filter-fold over the edge list (both map-side-combinable hash " +
       "aggregates), a |C|-row join, the 1-row m2 frame attached by " +
@@ -192,6 +196,10 @@ object Plans {
       "feeding last(ignoreNulls) over a running frame; no join, no " +
       "second pass. At corpus scale the stream is bucketed by series " +
       "key and the sort is within-bucket."),
+    "u04_winsorize" -> ("Winsorize: one window sort per nation for " +
+      "rank-exact bounds, the |nations|-row bounds frame broadcast " +
+      "back, one clip-and-fold hash aggregate with map-side partials " +
+      "— the fold side never sorts."),
     "x40_diameter_sweep" -> ("Double sweep: the loop-invariant edge " +
       "frame materializes ONCE (not re-derived per frontier join — " +
       "2.3x), then two shrinking-frontier BFS runs with " +

@@ -1066,6 +1066,29 @@ object Oracle {
         |  masked AND cents_filled IS NOT NULL AS was_filled
         |FROM f ORDER BY event_id""".stripMargin,
 
+    // u04: rank-exact p05/p95 bounds (k_lo = ceil(n/20) and its top
+    // mirror), clip counts and the exact winsorized integer sum
+    "u04_winsorize" ->
+      """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |r AS (SELECT *, row_number() OVER (
+        |      PARTITION BY nation ORDER BY cents, c_custkey) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS n FROM c),
+        |b AS (SELECT nation, min(cents) AS lo_cents, max(cents) AS hi_cents,
+        |    max(n) AS n
+        |  FROM r WHERE rk = (n + 19) // 20 OR rk = n + 1 - (n + 19) // 20
+        |  GROUP BY nation)
+        |SELECT c.nation, b.n, b.lo_cents, b.hi_cents,
+        |  CAST(sum(CASE WHEN c.cents < b.lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN c.cents > b.hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  CAST(sum(greatest(least(c.cents, b.hi_cents), b.lo_cents)) AS BIGINT)
+        |    AS sum_winsor
+        |FROM c JOIN b USING (nation)
+        |GROUP BY c.nation, b.n, b.lo_cents, b.hi_cents
+        |ORDER BY c.nation""".stripMargin,
+
     "d01_dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
@@ -3045,6 +3068,26 @@ object Oracle {
         |ORDER BY lang""".stripMargin,
 
     // a39: same per-user fold, doubled average ranks, corr() of ranks
+    // a40: hourly counts per day, bounded pairwise slopes (<= 276/day),
+    // value at lower-median rank over (slope, hi, hj)
+    "a40_theil_sen" ->
+      """WITH hc AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    (epoch_us(ts) // 3600000000) % 24 AS h, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.day, a.h AS hi, b.h AS hj,
+        |    CAST(b.c - a.c AS DOUBLE) / (b.h - a.h) AS slope
+        |  FROM hc a JOIN hc b ON a.day = b.day AND a.h < b.h),
+        |r AS (SELECT *, row_number() OVER (
+        |      PARTITION BY day ORDER BY slope, hi, hj) AS rk,
+        |    count(*) OVER (PARTITION BY day) AS np FROM p),
+        |nh AS (SELECT day, CAST(count(*) AS BIGINT) AS n_hours
+        |       FROM hc GROUP BY 1)
+        |SELECT r.day, nh.n_hours, CAST(r.np AS BIGINT) AS n_pairs,
+        |  round(r.slope, 6) AS slope
+        |FROM r JOIN nh USING (day)
+        |WHERE rk = (np + 1) // 2
+        |ORDER BY r.day""".stripMargin,
+
     "a39_spearman" ->
       """WITH pu AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_ev,
         |    round(sum(value), 2) AS sum_v

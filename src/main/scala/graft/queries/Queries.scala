@@ -913,6 +913,46 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** U04: winsorization census (the bounded-influence repair
+    * completing the u-family's heavy-tail toolkit — u01 nulls dummies
+    * OUT, u02/u03 fill gaps IN, THIS caps what stays: every value
+    * clipped into [p05, p95] before any moment statistic, the standard
+    * pre-treatment without which one whale balance owns the mean):
+    * per-nation bounds are rank-exact order statistics — k_lo =
+    * ceil(n/20), the k_lo-th smallest and its mirror from the top over
+    * (cents, custkey) — value-at-rank, tie-order-independent, NO float
+    * anywhere (integer cents in, clipped integer sum out). One window
+    * sort per nation for ranks, the |nations|-row bounds frame
+    * broadcast back, one clip-and-fold pass — the fold side never
+    * sorts. The census reports the bounds, both clip counts (the
+    * outlier mass the analyst is about to erase — winsorize blind and
+    * you hide real whales), and the exact winsorized sum. */
+  val u04Winsorize: Q = (s, dir) => {
+    val c = tbl(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("nation"),
+      expr("cast(round(c_acctbal * 100) as bigint)").as("cents"))
+    val ranked = c
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("nation").orderBy("cents", "c_custkey")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("nation")))
+    val bounds = ranked
+      .withColumn("k_lo", expr("(n + 19) div 20"))
+      .filter(col("rk") === col("k_lo") ||
+        col("rk") === col("n") + 1 - col("k_lo"))
+      .groupBy("nation").agg(min("cents").as("lo_cents"),
+        max("cents").as("hi_cents"), max("n").as("n"))
+    c.join(broadcast(bounds), Seq("nation"))
+      .groupBy(col("nation"), col("n"), col("lo_cents"), col("hi_cents"))
+      .agg(
+        sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L))
+          .as("n_clip_hi"),
+        sum(greatest(least(col("cents"), col("hi_cents")), col("lo_cents")))
+          .as("sum_winsor"))
+      .orderBy("nation")
+  }
+
   // ===== LLM: dedup =========================================================
 
   /** Exact dedup groups: one shuffle on the content hash. */
@@ -4538,6 +4578,44 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** A40: Theil-Sen robust trend (the median-slope estimator — the
+    * trend a19's OLS cannot be trusted for when one hour spikes: OLS
+    * drags toward any outlier, Theil-Sen is the MEDIAN of all pairwise
+    * slopes, with a 29% breakdown point — the corpus-health "is ingest
+    * actually drifting or did one hour burst" number, completing the
+    * robust family a25 MAD / a39 Spearman started): per day, hourly
+    * event counts (<= 24 points, so the pairwise fan-out is <= 276 BY
+    * CONSTRUCTION — the self-join is an equi-join on day, never
+    * corpus^2), slope of each (hi < hj) pair = exact-integer deltas
+    * divided once in doubles, and the day's estimate is the VALUE at
+    * lower-median rank over (slope, hi, hj) — value-at-rank is
+    * tie-order-independent, the u02 discipline. Days with a single
+    * live hour have no pairs and are absent (a slope needs two
+    * points). One count fold + one bounded per-day join + one window
+    * sort per day. */
+  val a40TheilSen: Q = (s, dir) => {
+    val hc = events(s, dir)
+      .select(expr("__tsu div 86400000000").as("day"),
+        expr("(__tsu div 3600000000) % 24").as("h"))
+      .groupBy("day", "h").agg(count(lit(1)).as("c"))
+    val pairs = hc.select(col("day"), col("h").as("hi"), col("c").as("ci"))
+      .join(hc.select(col("day"), col("h").as("hj"), col("c").as("cj")),
+        Seq("day"))
+      .filter(col("hi") < col("hj"))
+      .withColumn("slope",
+        (col("cj") - col("ci")).cast("double") / (col("hj") - col("hi")))
+    val wd = Window.partitionBy("day")
+    pairs
+      .withColumn("rk", row_number().over(
+        wd.orderBy(col("slope"), col("hi"), col("hj"))))
+      .withColumn("np", count(lit(1)).over(wd))
+      .filter(col("rk") === expr("(np + 1) div 2"))
+      .join(hc.groupBy("day").agg(count(lit(1)).as("n_hours")), Seq("day"))
+      .select(col("day"), col("n_hours"), col("np").as("n_pairs"),
+        round(col("slope"), 6).as("slope"))
+      .orderBy("day")
+  }
+
   /** X35: functional-dependency profile (Metanome-style data
     * profiling — the schema-inference signal that decides key choice,
     * normalization, and CDC merge keys): for each candidate LHS -> RHS
@@ -5093,6 +5171,7 @@ object Queries {
     "u01_null_dummies" -> u01NullDummies,
     "u02_impute_median" -> u02ImputeMedian,
     "u03_ffill" -> u03Ffill,
+    "u04_winsorize" -> u04Winsorize,
     "d01_dedup_exact_groups" -> d01DedupExactGroups,
     "d02_dedup_exact_keep" -> d02DedupExactKeep,
     "d03_neardup_ngram" -> d03NeardupNgram,
@@ -5308,6 +5387,7 @@ object Queries {
     "a37_cusum" -> a37Cusum,
     "a38_gini_sources" -> a38GiniSources,
     "a39_spearman" -> a39Spearman,
+    "a40_theil_sen" -> a40TheilSen,
     "x35_fd_profile" -> x35FdProfile
   )
 }

@@ -376,6 +376,38 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
     assert(got === expected, s"got $got, want $expected")
   }
 
+  test("u04: winsorize clips exactly one row per tail on the 40-row hand fixture") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_u04").toString
+    // cents 100..4000: n=40 -> k_lo = 2 -> bounds [200, 3900]; the min
+    // and max rows clip, the winsorized sum swaps 100->200, 4000->3900
+    (1L to 40L).map(i => (i, 7, i.toDouble))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = Queries.u04Winsorize(spark, dir).collect()
+    assert(got.length === 1, s"got ${got.toSeq}")
+    val r = got(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((7L, 40L, 200L, 3900L, 1L, 1L, 82000L)), s"got $r")
+  }
+
+  test("a40: Theil-Sen shrugs off the outlier hour OLS would chase") {
+    // one day, hourly counts 1/2/3/10: slopes 1,1,3,1,4,7 -> sorted
+    // 1,1,1,3,4,7, n=6, lower-median rank 3 -> slope 1.0 (OLS ~ 2.7)
+    val counts = Seq(0L -> 1, 1L -> 2, 2L -> 3, 3L -> 10)
+    val rows = counts.flatMap { case (h, c) =>
+      (0 until c).map(i => (h * 100 + i, h * 60 + i % 30, 1L, "t", 1.0))
+    }.map { case (id, t, u, ty, v) => (id.toLong, t.toLong, u, ty, v) }
+    val dir = writeEvents(rows)
+    val got = Queries.a40TheilSen(spark, dir).collect()
+    assert(got.length === 1, s"got ${got.toSeq}")
+    val r = got(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+      ((0L, 4L, 6L, 1.0)), s"got ${r}")
+  }
+
   test("a39: spearman — rho +1/-1 on monotone fixtures, all-tied column yields null") {
     // type a: activity 1..4, per-event value 10 -> sums 10..40 monotone
     // (rho_sum = 1) but avg constant 10 (zero variance -> rho_avg null).
