@@ -162,6 +162,10 @@ object Plans {
       "explode (fan-out = interval length in hours, never a spine " +
       "join), clipped-overlap arithmetic in-row, ONE per-hour hash " +
       "fold with map-side partials."),
+    "a41_mann_whitney" -> ("Mann-Whitney/AUC: one rank window + one " +
+      "tie-count window per event_type (same exchange), then one hash " +
+      "fold — integer 2U, one ppm division; no float, no second " +
+      "shuffle."),
     "a40_theil_sen" -> ("Theil-Sen: one (day, hour) count fold, then " +
       "a per-day equi-join whose fan-out is <= 276 BY CONSTRUCTION " +
       "(24 points max), one window sort per day for the value-at-rank " +

@@ -3088,6 +3088,26 @@ object Oracle {
         |WHERE rk = (np + 1) // 2
         |ORDER BY r.day""".stripMargin,
 
+    // a41: doubled average ranks (2*min_rank + tie_count - 1), integer
+    // 2U and one ppm division at the end — the a39 tie discipline
+    "a41_mann_whitney" ->
+      """WITH e AS (SELECT event_type, user_id % 2 = 0 AS is_a,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *, CAST(rank() OVER (
+        |      PARTITION BY event_type ORDER BY cents) AS BIGINT) AS mr,
+        |    CAST(count(*) OVER (PARTITION BY event_type, cents) AS BIGINT) AS tc
+        |  FROM e),
+        |f AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN is_a THEN 2 * mr + tc - 1 ELSE 0 END) AS BIGINT)
+        |      AS r2_a
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  r2_a - n_a * (n_a + 1) AS u2_a,
+        |  (1000000 * (r2_a - n_a * (n_a + 1))) // (2 * n_a * n_b) AS auc_ppm
+        |FROM f ORDER BY event_type""".stripMargin,
+
     "a39_spearman" ->
       """WITH pu AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_ev,
         |    round(sum(value), 2) AS sum_v

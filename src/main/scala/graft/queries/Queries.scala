@@ -4616,6 +4616,40 @@ object Queries {
       .orderBy("day")
   }
 
+  /** A41: Mann-Whitney rank-sum / exact AUC (the nonparametric A/B
+    * effect size — a31's KS says the distributions DIFFER, THIS says
+    * by how much and in whose favor: U/(n_a*n_b) is the probability a
+    * random A-cohort value outranks a B one — which is ALSO exactly
+    * ROC-AUC when the "cohort" is a binary label and the value a
+    * classifier score, so the same operator grades t20-style quality
+    * classifiers; robust to outliers and any monotone rescaling):
+    * cohorts = user-id parity per event_type; ties get textbook
+    * average ranks kept INTEGER by doubling (2*avg = 2*min_rank +
+    * tie_count - 1, the a39 discipline), 2U_A = sum(2r over A) -
+    * n_a(n_a+1), auc_ppm = one integer division at the end — NO float
+    * anywhere. One rank window per event_type + one tie-count window
+    * + one fold; AUC 500000 = no effect. */
+  val a41MannWhitney: Q = (s, dir) => {
+    val e = events(s, dir).select(col("event_type"),
+      (col("user_id") % 2 === 0).as("is_a"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+    val ranked = e
+      .withColumn("mr", rank().over(
+        Window.partitionBy("event_type").orderBy("cents")).cast("long"))
+      .withColumn("tc", count(lit(1)).over(
+        Window.partitionBy("event_type", "cents")))
+      .withColumn("r2", lit(2L) * col("mr") + col("tc") - 1L)
+    ranked.groupBy("event_type")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("is_a"), col("r2")).otherwise(0L)).as("r2_a"))
+      .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1))
+      .withColumn("auc_ppm", expr("(1000000 * u2_a) div (2 * n_a * n_b)"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("u2_a"),
+        col("auc_ppm"))
+      .orderBy("event_type")
+  }
+
   /** X35: functional-dependency profile (Metanome-style data
     * profiling — the schema-inference signal that decides key choice,
     * normalization, and CDC merge keys): for each candidate LHS -> RHS
@@ -5388,6 +5422,7 @@ object Queries {
     "a38_gini_sources" -> a38GiniSources,
     "a39_spearman" -> a39Spearman,
     "a40_theil_sen" -> a40TheilSen,
+    "a41_mann_whitney" -> a41MannWhitney,
     "x35_fd_profile" -> x35FdProfile
   )
 }

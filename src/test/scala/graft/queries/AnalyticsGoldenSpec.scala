@@ -393,6 +393,25 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       ((7L, 40L, 200L, 3900L, 1L, 1L, 82000L)), s"got $r")
   }
 
+  test("a41: Mann-Whitney — clean separation gives AUC 1.0; a cross-cohort tie averages") {
+    // type "s": A (even users) = {10.0, 20.0}, B = {1.0, 2.0} -> every A
+    // beats every B: u2 = 2*n_a*n_b, auc_ppm = 1000000.
+    // type "t": A = {1.0, 2.0}, B = {1.0} -> tied pair contributes 1/2:
+    // U_A = 1.5 of 2 -> u2_a = 3, auc_ppm = 750000.
+    val rows = Seq(
+      (1L, 0L, 2L, "s", 10.0), (2L, 1L, 4L, "s", 20.0),
+      (3L, 2L, 1L, "s", 1.0), (4L, 3L, 3L, "s", 2.0),
+      (5L, 4L, 2L, "t", 1.0), (6L, 5L, 4L, "t", 2.0),
+      (7L, 6L, 1L, "t", 1.0))
+    val dir = writeEvents(rows)
+    val got = Queries.a41MannWhitney(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "s" -> ((2L, 2L, 8L, 1000000L)),
+      "t" -> ((2L, 1L, 3L, 750000L))), s"got $got")
+  }
+
   test("a40: Theil-Sen shrugs off the outlier hour OLS would chase") {
     // one day, hourly counts 1/2/3/10: slopes 1,1,3,1,4,7 -> sorted
     // 1,1,1,3,4,7, n=6, lower-median rank 3 -> slope 1.0 (OLS ~ 2.7)
