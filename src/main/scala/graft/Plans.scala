@@ -162,6 +162,11 @@ object Plans {
       "explode (fan-out = interval length in hours, never a spine " +
       "join), clipped-overlap arithmetic in-row, ONE per-hour hash " +
       "fold with map-side partials."),
+    "m11_constellation" -> ("Constellation match: one window sort per " +
+      "track (peak test + constellation leads share it), candidates " +
+      "from the df-capped postings EQUI-join (cost follows postings, " +
+      "never pairs), offset vote = hash folds + a struct arg_max — " +
+      "no window over the pair space, no cartesian."),
     "a41_mann_whitney" -> ("Mann-Whitney/AUC: one rank window + one " +
       "tie-count window per event_type (same exchange), then one hash " +
       "fold — integer 2U, one ppm division; no float, no second " +

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -466,6 +467,88 @@ object Multimodal {
    * lead_trim / tail_trim (silence windows before first / after last
    * speech; = n_windows when the clip has no speech at all).
    */
+  /** Shazam-style constellation fingerprint matching — the audio
+    * IDENTIFICATION operator (m04/m05 ask "are these two media files
+    * near-identical", THIS asks "does track B contain a clip of track
+    * A, and at what time offset": the catalog-match / royalty-audit /
+    * re-upload-detection primitive). The classic shape, over the
+    * stubbed codec's deterministic frames:
+    *
+    *   1. frame hashes (one in-row chunking per track),
+    *   2. PEAKS — frames that locally dominate (strict vs left, >= vs
+    *      right so plateaus keep their first frame; missing neighbors
+    *      are -1 so edge frames can peak) — the sparsification that
+    *      makes fingerprints robust and postings small,
+    *   3. constellation keys — each anchor peak paired with its next
+    *      `fanout` peaks, key = md5(h_anchor : h_target : dt) so a
+    *      match requires two peaks AND their spacing to agree,
+    *   4. candidate pairs by EQUI-JOIN on the key (df-capped postings,
+    *      the d03 hub guard — cost follows postings, never pairs),
+    *   5. per-pair offset VOTE: a true containment puts all its
+    *      matches at ONE offset (t_a - t_b); scattered offsets are
+    *      noise. arg_max by (votes, then smallest offset) via a
+    *      struct max — never a window sort over the pair space.
+    *
+    * Per track: one window sort (serves the lag/lead peak test AND the
+    * constellation leads). Cross-track cost rides the capped postings
+    * equi-join. minMatches suppresses coincidental key collisions. */
+  def constellationMatches(tracks: DataFrame, idCol: String, waveCol: String,
+                           frameChars: Int = 16, fanout: Int = 3,
+                           postingsCap: Int = 32, minMatches: Long = 4L): DataFrame = {
+    val fc = frameChars
+    val wt = Window.partitionBy("tid").orderBy("t")
+    val frames = tracks
+      .withColumn("__nw", expr(s"length($waveCol) div $fc"))
+      .filter(col("__nw") >= 3)
+      // one O(len) char split per row (the vadCensus discipline), then
+      // O(fc) slices per frame — never a per-frame rescan of the string
+      .withColumn("__chars", expr(s"split($waveCol, '')"))
+      .select(col(idCol).as("tid"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(__nw - 1 as int)),
+             |  i -> cast(conv(substring(md5(array_join(
+             |         slice(__chars, i * $fc + 1, $fc), '')), 1, 12),
+             |       16, 10) as bigint))""".stripMargin))
+          .as(Seq("t", "fh")))
+      // posexplode positions are INT; everything downstream (offsets,
+      // votes) is BIGINT
+      .select(col("tid"), col("t").cast("long").as("t"), col("fh"))
+    val peaks = frames
+      .withColumn("__l", lag("fh", 1, -1L).over(wt))
+      .withColumn("__r", lead("fh", 1, -1L).over(wt))
+      .filter(col("fh") > col("__l") && col("fh") >= col("__r"))
+      .select("tid", "t", "fh")
+    val withLeads = (1 to fanout).foldLeft(peaks) { (df, k) =>
+      df.withColumn(s"__t$k", lead("t", k).over(wt))
+        .withColumn(s"__h$k", lead("fh", k).over(wt))
+    }
+    val post0 = withLeads
+      .withColumn("__tg", explode(array((1 to fanout).map(k =>
+        struct(col(s"__t$k").as("t2"), col(s"__h$k").as("h2"))): _*)))
+      .filter(col("__tg.t2").isNotNull)
+      .select(col("tid"), col("t"),
+        md5(concat_ws(":", col("fh"), col("__tg.h2"),
+          col("__tg.t2") - col("t"))).as("key"))
+    val posts = post0
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("key").orderBy("tid", "t")))
+      .filter(col("__rn") <= postingsCap)
+      .drop("__rn")
+    val cand = posts.as("a").join(posts.as("b"),
+        col("a.key") === col("b.key") && col("a.tid") < col("b.tid"))
+      .select(col("a.tid").as("track_a"), col("b.tid").as("track_b"),
+        (col("a.t") - col("b.t")).as("offset"))
+    val votes = cand.groupBy("track_a", "track_b", "offset")
+      .agg(count(lit(1)).as("v"))
+    votes.groupBy("track_a", "track_b")
+      .agg(sum("v").as("n_matches"), count(lit(1)).as("n_offsets"),
+        max(struct(col("v"), (-col("offset")).as("no"))).as("__b"))
+      .filter(col("n_matches") >= minMatches)
+      .select(col("track_a"), col("track_b"), col("n_matches"),
+        col("n_offsets"), (-col("__b.no")).as("best_offset"),
+        col("__b.v").as("votes_best"))
+  }
+
   def vadCensus(df: DataFrame, waveCol: String, idCol: String,
                 window: Int = 16, threshold: Long = 400L): DataFrame = {
     val w = window

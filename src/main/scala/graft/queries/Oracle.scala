@@ -2190,6 +2190,58 @@ object Oracle {
     // m10: the m08 frame/hash CTE chain verbatim, then cut flags, a
     // running shot counter over FRAMES (single-frame docs = one shot),
     // per-shot lengths, and the census
+    // m11: full constellation mirror — frames, -1-padded peak test,
+    // 3 lead unions, df-capped postings, key equi-join, offset vote
+    "m11_constellation" ->
+      """WITH base AS (SELECT doc_id, coalesce(text, '') AS w FROM documents
+        |  WHERE length(coalesce(text, '')) // 16 >= 12),
+        |tr AS (SELECT doc_id * 2 AS tid, w AS wave FROM base
+        |       UNION ALL
+        |       SELECT doc_id * 2 + 1, substring(w, 49) FROM base
+        |       WHERE doc_id % 5 = 0),
+        |fr0 AS (SELECT tid, wave, unnest(range(0, length(wave) // 16)) AS i
+        |        FROM tr WHERE length(wave) // 16 >= 3),
+        |fr AS (SELECT tid, CAST(i AS BIGINT) AS t,
+        |    CAST('0x' || substring(md5(
+        |      substring(wave, CAST(i * 16 + 1 AS INT), 16)), 1, 12) AS BIGINT) AS fh
+        |  FROM fr0),
+        |pk AS (SELECT tid, t, fh FROM (
+        |    SELECT tid, t, fh,
+        |      lag(fh, 1, -1) OVER (PARTITION BY tid ORDER BY t) AS l,
+        |      lead(fh, 1, -1) OVER (PARTITION BY tid ORDER BY t) AS r
+        |    FROM fr) WHERE fh > l AND fh >= r),
+        |ld AS (SELECT tid, t, fh,
+        |    lead(t, 1) OVER w AS t1, lead(fh, 1) OVER w AS h1,
+        |    lead(t, 2) OVER w AS t2, lead(fh, 2) OVER w AS h2,
+        |    lead(t, 3) OVER w AS t3, lead(fh, 3) OVER w AS h3
+        |  FROM pk WINDOW w AS (PARTITION BY tid ORDER BY t)),
+        |po0 AS (
+        |  SELECT tid, t, md5(CAST(fh AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)
+        |    || ':' || CAST(t1 - t AS VARCHAR)) AS key FROM ld WHERE t1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT tid, t, md5(CAST(fh AS VARCHAR) || ':' || CAST(h2 AS VARCHAR)
+        |    || ':' || CAST(t2 - t AS VARCHAR)) FROM ld WHERE t2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT tid, t, md5(CAST(fh AS VARCHAR) || ':' || CAST(h3 AS VARCHAR)
+        |    || ':' || CAST(t3 - t AS VARCHAR)) FROM ld WHERE t3 IS NOT NULL),
+        |po AS (SELECT tid, t, key FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key ORDER BY tid, t) AS rn
+        |    FROM po0) WHERE rn <= 32),
+        |cd AS (SELECT a.tid AS track_a, b.tid AS track_b, a.t - b.t AS off
+        |       FROM po a JOIN po b ON a.key = b.key AND a.tid < b.tid),
+        |vt AS (SELECT track_a, track_b, off, CAST(count(*) AS BIGINT) AS v
+        |       FROM cd GROUP BY 1, 2, 3),
+        |ag AS (SELECT track_a, track_b, CAST(sum(v) AS BIGINT) AS n_matches,
+        |         CAST(count(*) AS BIGINT) AS n_offsets FROM vt GROUP BY 1, 2),
+        |bst AS (SELECT track_a, track_b, off AS best_offset, v AS votes_best
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY track_a, track_b
+        |            ORDER BY v DESC, off) AS rn FROM vt) WHERE rn = 1)
+        |SELECT ag.track_a, ag.track_b, ag.n_matches, ag.n_offsets,
+        |  CAST(bst.best_offset AS BIGINT) AS best_offset, bst.votes_best
+        |FROM ag JOIN bst USING (track_a, track_b)
+        |WHERE ag.n_matches >= 4
+        |ORDER BY ag.track_a, ag.track_b""".stripMargin,
+
     "m10_shot_segments" ->
       """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
         |           WHERE length(text) > 0),

@@ -4757,6 +4757,33 @@ object Queries {
         Multimodal.fromDocuments(tbl(s, dir, "documents")))
       .orderBy("doc_id")
 
+  /** M11: constellation fingerprint matching
+    * ([[Multimodal.constellationMatches]]) — audio IDENTIFICATION:
+    * does track B contain a clip of track A, and at what offset (the
+    * catalog-match / re-upload-detection primitive m04/m05's whole-file
+    * near-dup cannot answer). Fixture: every eligible doc is a master
+    * track (id*2); docs with doc_id % 5 == 0 additionally publish a
+    * CLIP track (id*2+1) = the master wave minus its first 3 frames —
+    * the re-upload-with-a-trimmed-intro case — so every planted pair
+    * must surface with best_offset exactly 3 and one offset class;
+    * sf0.1's planted exact-dup texts add the offset-0 "same recording
+    * twice" class. Peaks -> constellation keys -> capped-postings
+    * equi-join -> per-pair offset vote; min-match floor suppresses
+    * coincidence. */
+  val m11Constellation: Q = (s, dir) => {
+    val base = tbl(s, dir, "documents")
+      .withColumn("__w", coalesce(col("text"), lit("")))
+      .filter(expr("length(__w) div 16 >= 12"))
+    val masters = base.select((col("doc_id") * 2).as("track_id"),
+      col("__w").as("wave"))
+    val clips = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") * 2 + 1).as("track_id"),
+        expr("substring(__w, 49)").as("wave"))
+    Multimodal.constellationMatches(masters.union(clips),
+        "track_id", "wave")
+      .orderBy("track_a", "track_b")
+  }
+
   /** X13: snapshot diff (CDC) — classify rows across two dump generations
     * as added / removed / changed by a FULL OUTER join on the key with
     * content-hash comparison. The 100 TB shape of "what changed since last
@@ -5407,6 +5434,7 @@ object Queries {
     "m08_frame_coherence" -> m08FrameCoherence,
     "m09_audio_segments" -> m09AudioSegments,
     "m10_shot_segments" -> m10ShotSegments,
+    "m11_constellation" -> m11Constellation,
     "t33_word_dropout" -> t33WordDropout,
     "t34_length_buckets" -> t34LengthBuckets,
     "x33_join_profile" -> x33JoinProfile,

@@ -2123,6 +2123,31 @@ class LlmOpsSpec extends AnyFunSuite {
       3L -> ((1L, 1L, 1L, -1L))), s"got $got")
   }
 
+  test("m11 constellation: planted clip at offset 3, identical pair at 0, unrelated absent") {
+    // deterministic pseudo-random waves, 32 frames (512 chars) each
+    def wave(seed: String): String = (0 until 32).map { i =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$seed:$i").substring(0, 16)
+    }.mkString
+    val shared = wave("C")
+    // doc 5 (% 5 == 0) -> master track 10 AND clip track 11 (wave minus
+    // the first 3 frames); docs 1,2 -> identical masters (tracks 2, 4);
+    // doc 3 -> unrelated master (track 6)
+    val df = docsDf(Seq(5L -> wave("A"), 1L -> shared, 2L -> shared,
+      3L -> wave("Z")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_m11").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Queries.m11Constellation(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === Set((2L, 4L), (10L, 11L)), s"got $got")
+    val (idN, idOffs, idBest, idVotes) = got((2L, 4L))
+    assert(idOffs === 1L && idBest === 0L && idVotes === idN && idN >= 4L,
+      s"identical pair: $got")
+    val (clN, clOffs, clBest, clVotes) = got((10L, 11L))
+    assert(clOffs === 1L && clBest === 3L && clVotes === clN && clN >= 4L,
+      s"clip pair: $got")
+  }
+
   test("m09 vad census: run splits, edge trims, silent clip, sub-window drop") {
     val s = spark
     import s.implicits._
