@@ -162,6 +162,11 @@ object Plans {
       "explode (fan-out = interval length in hours, never a spine " +
       "join), clipped-overlap arithmetic in-row, ONE per-hour hash " +
       "fold with map-side partials."),
+    "t45_pmi_collocations" -> ("PMI: map-only in-row bigram explode, " +
+      "one bigram fold + one unigram fold (map-side partials), the " +
+      "collocation floor applied BEFORE the vocab-sized unigram " +
+      "equi-joins, 1-row totals frame broadcast — no sort, no " +
+      "cartesian."),
     "m11_constellation" -> ("Constellation match: one window sort per " +
       "track (peak test + constellation leads share it), candidates " +
       "from the df-capped postings EQUI-join (cost follows postings, " +

@@ -1387,6 +1387,28 @@ object Oracle {
 
     // t44: same string-shingle mirror as d08, bench universe = %97 slice
     // + planted full/40%-prefix leak copies; ppm over each doc's own set
+    // t45: exact-integer unigram/bigram folds over bigram-able docs,
+    // ratio stays integer until one double division + ln + round
+    "t45_pmi_collocations" ->
+      """WITH tok AS (SELECT string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents WHERE len(string_split(coalesce(text, ''), ' ')) >= 2),
+        |uni AS (SELECT unnest(w) AS word FROM tok),
+        |uc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+        |bp AS (SELECT w, unnest(range(1, len(w))) AS i FROM tok),
+        |bi AS (SELECT w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2
+        |       FROM bp),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM bi
+        |       GROUP BY 1, 2 HAVING count(*) >= 10),
+        |tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n_uni,
+        |          CAST(sum(len(w) - 1) AS BIGINT) AS n_bi FROM tok)
+        |SELECT bc.w1, bc.w2, bc.c_xy, a.c AS c_x, b.c AS c_y,
+        |  round(ln(CAST(bc.c_xy * tot.n_uni * tot.n_uni AS DOUBLE)
+        |    / CAST(tot.n_bi * a.c * b.c AS DOUBLE)), 6) AS pmi_r
+        |FROM bc JOIN uc a ON a.word = bc.w1
+        |JOIN uc b ON b.word = bc.w2
+        |CROSS JOIN tot
+        |ORDER BY bc.w1, bc.w2""".stripMargin,
+
     "t44_contam_score" ->
       """WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
         |bench AS (

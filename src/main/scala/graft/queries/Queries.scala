@@ -1916,6 +1916,44 @@ object Queries {
     Dedup.contaminationScore(docs, bench, w = 3).orderBy("doc_id")
   }
 
+  /** T45: PMI collocation census (pointwise mutual information — the
+    * corpus-linguistics "these two words belong together" score behind
+    * phrase mining, tokenizer-merge candidates (the statistical cousin
+    * of t16's BPE pair counting) and stop-phrase detection: pmi =
+    * ln(p(xy) / (p(x)p(y))) = ln(c_xy * N_uni^2 / (N_bi * c_x * c_y)),
+    * positive = the pair co-occurs more than its words' frequencies
+    * predict): bigram and unigram counts are exact-integer folds, the
+    * ratio stays INTEGER until one double division + one ln + one
+    * round at the end (the x39 ln-parity discipline); the collocation
+    * floor (c_xy >= 10) kills the noise tail BEFORE the unigram joins.
+    * Map-only in-row bigram explode, one bigram fold + one unigram
+    * fold, two equi-joins on word (vocab-sized, shuffle-partitioned at
+    * corpus scale), 1-row totals frame attached by broadcast. */
+  val t45PmiCollocations: Q = (s, dir) => {
+    val toks = tbl(s, dir, "documents")
+      .select(split(coalesce(col("text"), lit("")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val uni = toks.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(expr(
+        "transform(sequence(0, cast(size(w) - 2 as int)), i -> struct(w[i] as w1, w[i + 1] as w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 10)
+    val totals = toks.agg(
+      sum(size(col("w")).cast("long")).as("n_uni"),
+      sum((size(col("w")) - 1).cast("long")).as("n_bi"))
+    bi.join(uni.select(col("word").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        round(log((col("c_xy") * col("n_uni") * col("n_uni")).cast("double") /
+          (col("n_bi") * col("c_x") * col("c_y")).cast("double")), 6)
+          .as("pmi_r"))
+      .orderBy("w1", "w2")
+  }
+
   // ===== streaming-shaped (batch-equivalent; streaming variant in tests) ====
 
   /** Tumbling-window aggregation via window() — identical shape to the
@@ -5309,6 +5347,7 @@ object Queries {
     "t42_markup_residue" -> t42MarkupResidue,
     "t43_sample_merge" -> t43SampleMerge,
     "t44_contam_score" -> t44ContamScore,
+    "t45_pmi_collocations" -> t45PmiCollocations,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

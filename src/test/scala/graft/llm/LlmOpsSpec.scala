@@ -2123,6 +2123,24 @@ class LlmOpsSpec extends AnyFunSuite {
       3L -> ((1L, 1L, 1L, -1L))), s"got $got")
   }
 
+  test("t45 pmi collocations: floor kills the rare pair, pmi matches the hand ratio") {
+    // doc 1: "a b" x12 -> 24 tokens, bigrams (a,b) x12, (b,a) x11;
+    // doc 2: "c d" -> one bigram, below the floor of 10.
+    // corpus: n_uni = 26, n_bi = 24, c(a) = c(b) = 12
+    val df = docsDf(Seq(1L -> Seq.fill(12)("a b").mkString(" "), 2L -> "c d"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_t45").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    def pmi(cxy: Long): Double =
+      BigDecimal(math.log(cxy.toDouble * 26 * 26 / (24.0 * 12 * 12)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.queries.Queries.t45PmiCollocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      ("a", "b") -> ((12L, 12L, 12L, pmi(12))),
+      ("b", "a") -> ((11L, 12L, 12L, pmi(11)))), s"got $got")
+  }
+
   test("m11 constellation: planted clip at offset 3, identical pair at 0, unrelated absent") {
     // deterministic pseudo-random waves, 32 frames (512 chars) each
     def wave(seed: String): String = (0 until 32).map { i =>
