@@ -162,6 +162,11 @@ object Plans {
       "explode (fan-out = interval length in hours, never a spine " +
       "join), clipped-overlap arithmetic in-row, ONE per-hour hash " +
       "fold with map-side partials."),
+    "st24_stream_ffill" -> ("Streaming LOCF: keyed state is a constant " +
+      "(hasLast, lastVal) summary + only the rows above the watermark " +
+      "(O(horizon), not O(stream)); rows emit exactly once in " +
+      "event-time order when the watermark passes them; replays dedup " +
+      "by event_id. Batch run = same code path, everything emits."),
     "t45_pmi_collocations" -> ("PMI: map-only in-row bigram explode, " +
       "one bigram fold + one unigram fold (map-side partials), the " +
       "collocation floor applied BEFORE the vocab-sized unigram " +

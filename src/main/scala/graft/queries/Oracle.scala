@@ -1066,6 +1066,25 @@ object Oracle {
         |  masked AND cents_filled IS NOT NULL AS was_filled
         |FROM f ORDER BY event_id""".stripMargin,
 
+    // st24: u03's group-trick LOCF restated over the FfillOut schema —
+    // the stream must emit exactly the batch fill
+    "st24_stream_ffill" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST('0x' || substring(md5('ffill:' || CAST(event_id AS VARCHAR)),1,8) AS BIGINT) % 4 = 0 AS masked
+        |  FROM events),
+        |g AS (SELECT *, CASE WHEN NOT masked THEN cents END AS obs,
+        |    count(CASE WHEN NOT masked THEN 1 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM e),
+        |f AS (SELECT user_id, event_id, ts_us, masked,
+        |    max(obs) OVER (PARTITION BY user_id, grp) AS cents_filled
+        |  FROM g)
+        |SELECT user_id, event_id, ts_us, masked, cents_filled,
+        |  masked AND cents_filled IS NOT NULL AS was_filled
+        |FROM f ORDER BY event_id""".stripMargin,
+
     // u04: rank-exact p05/p95 bounds (k_lo = ceil(n/20) and its top
     // mirror), clip counts and the exact winsorized integer sum
     "u04_winsorize" ->

@@ -2311,6 +2311,30 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** ST24 batch mirror: streaming forward-fill
+    * ([[graft.streaming.EventStreams.ffillStream]]) — u03's LOCF repair
+    * run UNBOUNDED: each reading emits with its series' most recent
+    * observed value, exactly once, in event-time order, under late /
+    * out-of-order / replayed delivery (rows buffer until the watermark
+    * passes them; a constant (hasLast, lastVal) summary absorbs
+    * everything below it — O(watermark horizon) state). Same 25% md5
+    * mask as u03; on this bounded run the same flatMapGroupsWithState
+    * code path emits everything, and the oracle is u03's group-trick
+    * fill restated over the FfillOut schema. StreamingSpec proves
+    * stream == batch across chunkings, late delivery and replays. */
+  val st24StreamFfill: Q = (s, dir) => {
+    import s.implicits._
+    val readings = eventsTs(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        when(expr(
+          "cast(conv(substring(md5(concat('ffill:', cast(event_id as string))),1,8),16,10) as bigint) % 4 = 0"),
+          lit(null).cast("long"))
+          .otherwise(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .as[graft.streaming.EventStreams.Reading]
+    graft.streaming.EventStreams.ffillStream(readings).toDF()
+      .orderBy("event_id")
+  }
+
   /** ST19: batch mirror of the streaming near-dup dedup
     * ([[graft.streaming.EventStreams.dedupNearStream]]) — keep-first per
     * content fingerprint, stated as the deterministic min-doc_id election
@@ -5439,6 +5463,7 @@ object Queries {
     "st21_crawl_changes" -> st21CrawlChanges,
     "st22_watermark_audit" -> st22WatermarkAudit,
     "st23_sample_maintain" -> st23SampleMaintain,
+    "st24_stream_ffill" -> st24StreamFfill,
     "s22_change_feed" -> s22ChangeFeed,
     "s23_merge_apply" -> s23MergeApply,
     "st16_full_join" -> st16FullJoin,

@@ -458,6 +458,96 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** One sensor/price reading: `cents` empty = the reading is missing
+    * and must be forward-filled from the same series' past. */
+  final case class Reading(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, cents: Option[Long])
+
+  /** Per-series LOCF state: the last observed value at or below the
+    * watermark (constant size) + only the rows still above it.
+    * `pending` tuples are (event_id, ts_micros, cents-or-MinValue). */
+  final case class FfillState(hasLast: Boolean, lastVal: Long,
+      pending: Seq[(Long, Long, Long)])
+
+  final case class FfillOut(user_id: Long, event_id: Long, ts_us: Long,
+      masked: Boolean, cents_filled: Option[Long], was_filled: Boolean)
+
+  /**
+   * Streaming forward-fill (LOCF) — the unbounded twin of the u03 batch
+   * repair: each reading is emitted with the series' most recent
+   * OBSERVED value at or before it, exactly once, in event-time order,
+   * even under late / out-of-order / re-delivered arrivals (pending
+   * rows dedup by event_id, so replays are idempotent).
+   *
+   * Correct event-time LOCF cannot emit a row the moment it arrives: a
+   * later-delivered earlier observation could change its fill. So rows
+   * buffer in keyed state until the watermark passes them — at that
+   * point nothing admissible can precede them — then emit in (ts, id)
+   * order, threading the running last-observed value. A row at ts can
+   * only be reordered by rows still >= the watermark, all of which are
+   * strictly later, so the emitted prefix (and the carried last-value)
+   * is final.
+   *
+   * State is bounded: per series, a constant (hasLast, lastVal) summary
+   * absorbs everything below the watermark; only rows above it are held
+   * verbatim — O(watermark horizon), not O(stream length). An
+   * event-time timeout re-fires the group on watermark advances so held
+   * rows drain without needing fresh input for that key.
+   *
+   * Batch execution (no watermark): all rows of a series arrive in one
+   * invocation and everything emits — the bounded mirror st24 checks
+   * against the DuckDB oracle; StreamingSpec proves stream == batch
+   * across chunkings, late delivery and replays.
+   */
+  def ffillStream(readings: Dataset[Reading],
+                  watermark: String = "1 hour"): Dataset[FfillOut] = {
+    implicit val outEnc = Encoders.product[FfillOut]
+    implicit val stateEnc = Encoders.product[FfillState]
+    val Missing = Long.MinValue
+
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
+    def update(userId: Long, rows: Iterator[Reading],
+        state: GroupState[FfillState]): Iterator[FfillOut] = {
+      val inc = rows.map(r =>
+        (r.event_id, micros(r.ts), r.cents.getOrElse(Missing))).toSeq
+      val st = state.getOption.getOrElse(FfillState(false, 0L, Seq.empty))
+      val all = (st.pending ++ inc).distinctBy(_._1)
+        .sortBy { case (id, t, _) => (t, id) }
+      val wm = try state.getCurrentWatermarkMs()
+        catch { case _: UnsupportedOperationException => -1L }
+
+      var has = st.hasLast
+      var last = st.lastVal
+      def emit(r: (Long, Long, Long)): FfillOut = {
+        val missing = r._3 == Missing
+        if (!missing) { has = true; last = r._3 }
+        FfillOut(userId, r._1, r._2, missing,
+          if (has) Some(last) else None, missing && has)
+      }
+
+      if (wm < 0L) return all.map(emit).iterator // bounded input
+
+      // a pending row is final once even its millisecond floor is below
+      // the watermark — every admissible future row is strictly later
+      val (ripe, hold) = all.partition(_._2 / 1000L < wm)
+      val out = ripe.map(emit) // threads has/last through the prefix
+      if (hold.nonEmpty || has) {
+        state.update(FfillState(has, last, hold))
+        if (hold.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
+      } else state.remove()
+      out.iterator
+    }
+
+    readings.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /**
    * Stream-stream interval join: each click is paired with the same user's
    * views in the preceding `lookbackMinutes`. Both sides carry a watermark

@@ -852,6 +852,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((ts(0).getTime, ts(140).getTime, 8L)))
   }
 
+  test("streaming forward-fill: late/replayed/re-chunked delivery fills identically") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{FfillOut, Reading}
+    // user 1: obs 100 @5, missing @20, obs 300 @70, missing @80;
+    // user 2: missing @10 (leading — must stay unfilled)
+    val r5 = Reading(0, ts(5), 1, Some(100L))
+    val r20 = Reading(1, ts(20), 1, None)
+    val r70 = Reading(2, ts(70), 1, Some(300L))
+    val r80 = Reading(3, ts(80), 1, None)
+    val r15 = Reading(4, ts(15), 2, None)
+    val probe = Reading(99, ts(600), 9, Some(0L)) // watermark -> min 540
+
+    def run(name: String)(chunks: Seq[Seq[Reading]]): Set[(Long, Long, Boolean, Option[Long], Boolean)] = {
+      val stream = MemoryStream[Reading]
+      val q = EventStreams.ffillStream(stream.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks.foreach { c => stream.addData(c: _*); q.processAllAvailable() }
+        stream.addData(Reading(100, ts(610), 9, Some(0L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[FfillOut].collect()
+        .filter(_.user_id != 9L)
+        .map(o => (o.user_id, o.event_id, o.masked, o.cents_filled, o.was_filled))
+        .toSet
+    }
+
+    val expected = Set(
+      (1L, 0L, false, Some(100L), false),
+      (1L, 1L, true, Some(100L), true),
+      (1L, 2L, false, Some(300L), false),
+      (1L, 3L, true, Some(300L), true),
+      (2L, 4L, true, None, false))
+
+    val inOrder = run("ffill_inorder")(Seq(Seq(r5, r20, r70, r80, r15), Seq(probe)))
+    // out-of-order: r70 delivered before r20 (chunk 1 moves the
+    // watermark only to minute 10, so r20/r15 are late-but-admissible),
+    // plus a replay of r5
+    val late = run("ffill_late")(Seq(Seq(r5, r70), Seq(r20, r5, r80, r15), Seq(probe)))
+    assert(inOrder === expected, s"in-order: $inOrder")
+    assert(late === expected, s"late: $late")
+
+    // bounded run: same code path, everything emits, equals the batch fill
+    val bounded = EventStreams.ffillStream(
+        Seq(r5, r20, r70, r80, r15).toDS())
+      .collect()
+      .map(o => (o.user_id, o.event_id, o.masked, o.cents_filled, o.was_filled))
+      .toSet
+    assert(bounded === expected, s"bounded: $bounded")
+  }
+
   test("event-time sessionizer: late, replayed, re-chunked delivery yields identical sessions") {
     val s = spark
     import s.implicits._
