@@ -190,6 +190,11 @@ object Plans {
       "aggregates), a |C|-row join, the 1-row m2 frame attached by " +
       "broadcast — no collect, nothing bigger than |C| after the " +
       "folds."),
+    "x43_bowtie" -> ("Bow-tie: composition — SCC peel (shrinking edge " +
+      "set, localCheckpoint cuts) + giant election as a 1-row limit + " +
+      "TWO shrinking-frontier BFS sweeps over the ONCE-materialized " +
+      "edge frame; classification is three left joins + one hash " +
+      "fold. No collect, no cartesian."),
     "d27_sketch_calibration" -> ("Sketch calibration: signatures ride " +
       "per-doc k-long arrays (one kernel pass), pairs come from the " +
       "capped candidate join, the estimate is one in-row zip_with — " +

@@ -3405,6 +3405,23 @@ object Oracle {
         |FROM x GROUP BY h
         |ORDER BY hour""".stripMargin,
 
+    // x43: the oracle states the ANALYTIC truth of the planted
+    // structure (groups isolated; per group blocks 1-3 weld into the
+    // SCC, block 4 only descends into it, block 0 is only reached;
+    // giant = min-id tie-break -> group 0); the Spark side must
+    // reproduce it structurally via SCC + two BFS sweeps
+    "x43_bowtie" ->
+      """WITH n AS (SELECT doc_id AS id, (doc_id // 10) % 5 AS r,
+        |    doc_id // 50 AS g FROM documents),
+        |c AS (SELECT id,
+        |    CASE WHEN g = 0 AND r IN (1, 2, 3) THEN 'core'
+        |         WHEN g = 0 AND r = 4 THEN 'in'
+        |         WHEN g = 0 AND r = 0 THEN 'out'
+        |         ELSE 'other' END AS cls FROM n)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(id) AS min_node, max(id) AS max_node
+        |FROM c GROUP BY cls ORDER BY cls""".stripMargin,
+
     // x42: the x37 planted edges made undirected, block partition
     // (id // 10), exact-integer folds, one rounded contribution
     "x42_modularity" ->

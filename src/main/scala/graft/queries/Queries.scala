@@ -2799,6 +2799,55 @@ object Queries {
       .orderBy("community")
   }
 
+  /** X43: bow-tie decomposition (the Broder et al. web-structure census
+    * — the macro map every crawl-curation strategy starts from: which
+    * pages sit in the giant strongly-connected CORE, which only feed
+    * INTO it, which are only reached OUT of it, and which are off the
+    * map entirely; crawl budget, link-spam triage and canonical-URL
+    * election all read off this 4-way split). Composition, not a new
+    * kernel: x37's SCC peel elects the giant component (max size, min
+    * id — deterministic), then TWO shrinking-frontier BFS sweeps
+    * ([[graft.graph.Bfs.bfsDistances]]) from the core — forward along
+    * edges for OUT, along REVERSED edges for IN — classify every node;
+    * the edge frame materializes ONCE for all three passes (the x40
+    * loop-invariant lesson). Fixture: the planted block graph + an
+    * up-cross edge from blocks b%5 in {1,2}, which welds blocks 1-3 of
+    * each group into a 30-node SCC and leaves block 4 pure-IN (its
+    * chain only descends) and block 0 pure-OUT — all four classes live
+    * by construction, and the STRUCTURAL pipeline must reproduce the
+    * analytic truth the oracle states directly. */
+  val x43Bowtie: Q = (s, dir) => {
+    val n = tbl(s, dir, "documents")
+      .select(col("doc_id").as("id"), expr("doc_id div 10").as("b"))
+    val up = n.filter((col("b") % 5 === 1 || col("b") % 5 === 2) &&
+        col("id") % 10 === 5)
+      .select(col("id").as("src"), (col("id") + 10).as("dst"))
+    val edges = plantedBlockEdges(n).union(up).localCheckpoint(true)
+    val scc = graft.graph.Scc.stronglyConnected(edges)
+    val giant = scc.select("scc_id", "scc_size").distinct()
+      .orderBy(col("scc_size").desc, col("scc_id").asc).limit(1)
+      .select("scc_id")
+    val core = scc.join(broadcast(giant), Seq("scc_id"))
+      .select("node").localCheckpoint(true)
+    val outReach = graft.graph.Bfs.bfsDistances(edges, core, maxHops = 40)
+      .select(col("node"), lit(true).as("__out"))
+    val inReach = graft.graph.Bfs.bfsDistances(
+        edges.select(col("dst").as("src"), col("src").as("dst")),
+        core, maxHops = 40)
+      .select(col("node"), lit(true).as("__in"))
+    n.select(col("id").as("node"))
+      .join(core.withColumn("__core", lit(true)), Seq("node"), "left")
+      .join(inReach, Seq("node"), "left")
+      .join(outReach, Seq("node"), "left")
+      .withColumn("cls", when(col("__core"), "core")
+        .when(col("__in"), "in")
+        .when(col("__out"), "out")
+        .otherwise("other"))
+      .groupBy("cls").agg(count(lit(1)).as("n_nodes"),
+        min("node").as("min_node"), max("node").as("max_node"))
+      .orderBy("cls")
+  }
+
   /** X36: outlink extraction + site-level link graph
     * ([[WebOps.linkGraph]]) — the bridge from raw HTML-ish text to the
     * graph family (x16 PageRank / x24 TrustRank run on exactly this edge
@@ -5366,6 +5415,7 @@ object Queries {
     "x40_diameter_sweep" -> x40DiameterSweep,
     "x41_interval_apportion" -> x41IntervalApportion,
     "x42_modularity" -> x42Modularity,
+    "x43_bowtie" -> x43Bowtie,
     "t40_path_blocklist" -> t40PathBlocklist,
     "t41_token_budget" -> t41TokenBudget,
     "t42_markup_residue" -> t42MarkupResidue,

@@ -508,4 +508,22 @@ class GraphSpec extends AnyFunSuite {
     val one = Modularity.census(und, _ => lit(0L)).collect()
     assert(one.length === 1 && one(0).getDouble(5) === 0.0, s"got ${one.toSeq}")
   }
+
+  test("x43 bow-tie: structural SCC+BFS classification equals the planted truth") {
+    val s = spark
+    import s.implicits._
+    // two 50-id groups: per group blocks 1-3 weld into the 30-node SCC,
+    // block 4 is pure-IN, block 0 pure-OUT; giant = group 0 by min id,
+    // so group 1 lands entirely in 'other'
+    val dir = java.nio.file.Files.createTempDirectory("graft_x43").toString
+    (0L until 100L).toDF("doc_id").write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Queries.x43Bowtie(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      "core" -> ((30L, 10L, 39L)),
+      "in" -> ((10L, 40L, 49L)),
+      "out" -> ((10L, 0L, 9L)),
+      "other" -> ((50L, 50L, 99L))), s"got $got")
+  }
 }
