@@ -162,6 +162,11 @@ object Plans {
       "explode (fan-out = interval length in hours, never a spine " +
       "join), clipped-overlap arithmetic in-row, ONE per-hour hash " +
       "fold with map-side partials."),
+    "t46_js_divergence" -> ("JSD drift: per-source word folds, each " +
+      "pair's union vocab via TWO broadcast joins + one hash fold " +
+      "(never a per-pair full-outer), one rounded sum per pair. " +
+      "Pairing is |sources|^2 — the dashboard shape; pin a reference " +
+      "per source and the identical plan is linear."),
     "st24_stream_ffill" -> ("Streaming LOCF: keyed state is a constant " +
       "(hasLast, lastVal) summary + only the rows above the watermark " +
       "(O(horizon), not O(stream)); rows emit exactly once in " +
@@ -177,6 +182,10 @@ object Plans {
       "from the df-capped postings EQUI-join (cost follows postings, " +
       "never pairs), offset vote = hash folds + a struct arg_max — " +
       "no window over the pair space, no cartesian."),
+    "a42_markov_transitions" -> ("Markov census: one lag window per " +
+      "user, exact transition hash fold with map-side partials, " +
+      "|types|^2-sized result joined to broadcast row totals, one ppm " +
+      "division — no float."),
     "a41_mann_whitney" -> ("Mann-Whitney/AUC: one rank window + one " +
       "tie-count window per event_type (same exchange), then one hash " +
       "fold — integer 2U, one ppm division; no float, no second " +

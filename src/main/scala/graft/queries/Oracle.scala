@@ -1406,6 +1406,38 @@ object Oracle {
 
     // t44: same string-shingle mirror as d08, bench universe = %97 slice
     // + planted full/40%-prefix leak copies; ppm over each doc's own set
+    // t46: same pair/union-vocab assembly (two joins + fold, no full
+    // outer), identical term expression shape, one rounded sum
+    "t46_js_divergence" ->
+      """WITH cnt AS (SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+        |      FROM cnt GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |pairs AS (SELECT a.source AS s1, b.source AS s2
+        |          FROM tot a JOIN tot b ON a.source < b.source),
+        |r AS (SELECT p.s1, p.s2, c.word, c.c AS c1, CAST(0 AS BIGINT) AS c2
+        |      FROM c JOIN pairs p ON c.source = p.s1
+        |      UNION ALL
+        |      SELECT p.s1, p.s2, c.word, CAST(0 AS BIGINT), c.c
+        |      FROM c JOIN pairs p ON c.source = p.s2),
+        |g AS (SELECT s1, s2, word, CAST(sum(c1) AS BIGINT) AS c1,
+        |        CAST(sum(c2) AS BIGINT) AS c2
+        |      FROM r GROUP BY 1, 2, 3),
+        |t AS (SELECT g.s1, g.s2,
+        |    CASE WHEN g.c1 > 0 THEN 0.5 * (CAST(g.c1 AS DOUBLE) / a.n)
+        |      * ln(2.0 * (CAST(g.c1 AS DOUBLE) / a.n)
+        |        / ((CAST(g.c1 AS DOUBLE) / a.n) + (CAST(g.c2 AS DOUBLE) / b.n)))
+        |      ELSE 0.0 END
+        |    + CASE WHEN g.c2 > 0 THEN 0.5 * (CAST(g.c2 AS DOUBLE) / b.n)
+        |      * ln(2.0 * (CAST(g.c2 AS DOUBLE) / b.n)
+        |        / ((CAST(g.c1 AS DOUBLE) / a.n) + (CAST(g.c2 AS DOUBLE) / b.n)))
+        |      ELSE 0.0 END AS term
+        |  FROM g JOIN tot a ON a.source = g.s1 JOIN tot b ON b.source = g.s2)
+        |SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_words,
+        |  round(sum(term), 6) AS jsd_r
+        |FROM t GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
+
     // t45: exact-integer unigram/bigram folds over bigram-able docs,
     // ratio stays integer until one double division + ln + round
     "t45_pmi_collocations" ->
@@ -3180,6 +3212,22 @@ object Oracle {
         |FROM r JOIN nh USING (day)
         |WHERE rk = (np + 1) // 2
         |ORDER BY r.day""".stripMargin,
+
+    // a42: one lag per user stream, exact transition fold, one ppm
+    // division against the from-type row total
+    "a42_markov_transitions" ->
+      """WITH e AS (SELECT event_type, coalesce(
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id), '(start)') AS prev
+        |  FROM events),
+        |t AS (SELECT prev AS from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+        |      FROM t GROUP BY 1)
+        |SELECT t.from_type, t.to_type, t.n, r.row_n,
+        |  (1000000 * t.n) // r.row_n AS p_ppm
+        |FROM t JOIN r USING (from_type)
+        |ORDER BY t.from_type, t.to_type""".stripMargin,
 
     // a41: doubled average ranks (2*min_rank + tie_count - 1), integer
     // 2U and one ppm division at the end — the a39 tie discipline

@@ -1954,6 +1954,54 @@ object Queries {
       .orderBy("w1", "w2")
   }
 
+  /** T46: Jensen-Shannon vocabulary drift (the source-vs-source
+    * distributional distance a31's KS gives for NUMBERS, stated for
+    * TEXT: JSD between two sources' word distributions — symmetric,
+    * bounded [0, ln 2], finite even on disjoint vocabularies (where
+    * plain KL blows up) — the pairwise drift matrix a corpus-mixture
+    * dashboard renders, and the trigger for re-weighting t23's mixture
+    * when one source's language shifts): exact-integer word counts per
+    * source, each pair's union vocabulary assembled by TWO broadcast
+    * joins + a hash fold (never a per-pair full-outer), term =
+    * 0.5*p*ln(2p/(p+q)) + 0.5*q*ln(2q/(p+q)) with absent sides
+    * contributing exactly 0, one rounded sum per pair (the x39
+    * ln-parity discipline). Pairing is |sources|^2 — the DASHBOARD
+    * shape; at corpus scale you pin one reference distribution per
+    * source and the same plan is linear. */
+  val t46JsDivergence: Q = (s, dir) => {
+    val cnt = tbl(s, dir, "documents")
+      .select(col("source"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+    val srcs = tot.select("source")
+    val pairs = srcs.as("a").join(srcs.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"))
+    val r1 = cnt.join(broadcast(pairs), col("source") === col("s1"))
+      .select(col("s1"), col("s2"), col("word"),
+        col("c").as("c1"), lit(0L).as("c2"))
+    val r2 = cnt.join(broadcast(pairs), col("source") === col("s2"))
+      .select(col("s1"), col("s2"), col("word"),
+        lit(0L).as("c1"), col("c").as("c2"))
+    val g = r1.union(r2).groupBy("s1", "s2", "word")
+      .agg(sum("c1").as("c1"), sum("c2").as("c2"))
+      .join(broadcast(tot.select(col("source").as("s1"), col("n").as("n1"))),
+        Seq("s1"))
+      .join(broadcast(tot.select(col("source").as("s2"), col("n").as("n2"))),
+        Seq("s2"))
+    val p = col("c1").cast("double") / col("n1")
+    val q = col("c2").cast("double") / col("n2")
+    val term =
+      when(col("c1") > 0, lit(0.5) * p * log(lit(2.0) * p / (p + q)))
+        .otherwise(lit(0.0)) +
+      when(col("c2") > 0, lit(0.5) * q * log(lit(2.0) * q / (p + q)))
+        .otherwise(lit(0.0))
+    g.groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n_words"), round(sum(term), 6).as("jsd_r"))
+      .orderBy("s1", "s2")
+  }
+
   // ===== streaming-shaped (batch-equivalent; streaming variant in tests) ====
 
   /** Tumbling-window aggregation via window() — identical shape to the
@@ -4727,6 +4775,34 @@ object Queries {
       .orderBy("day")
   }
 
+  /** A42: Markov transition census (the user-journey model a14's
+    * fixed-sequence funnel cannot express: the FULL first-order
+    * transition matrix — from every event type to every next type —
+    * estimated per stream, with row-normalized probabilities; churn
+    * prediction, next-action ranking and anomaly scoring all start
+    * from this matrix): prev = one lag over each user's (ts, id)-
+    * ordered stream, transitions fold exactly (integer counts), row
+    * shares are ONE ppm integer division against the from-type total
+    * — no float. '(start)' rows (a stream's first event) are a live
+    * class: they estimate the initial-state distribution. ONE window
+    * sort per user + one hash fold + one broadcast-sized row-total
+    * join. */
+  val a42MarkovTransitions: Q = (s, dir) => {
+    val e = events(s, dir)
+      .withColumn("prev", coalesce(
+        lag("event_type", 1).over(
+          Window.partitionBy("user_id").orderBy(col("__tsu"), col("event_id"))),
+        lit("(start)")))
+    val trans = e.groupBy(col("prev").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum("n").as("row_n"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("row_n"),
+        expr("(1000000 * n) div row_n").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** A41: Mann-Whitney rank-sum / exact AUC (the nonparametric A/B
     * effect size — a31's KS says the distributions DIFFER, THIS says
     * by how much and in whose favor: U/(n_a*n_b) is the probability a
@@ -5422,6 +5498,7 @@ object Queries {
     "t43_sample_merge" -> t43SampleMerge,
     "t44_contam_score" -> t44ContamScore,
     "t45_pmi_collocations" -> t45PmiCollocations,
+    "t46_js_divergence" -> t46JsDivergence,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,
@@ -5565,6 +5642,7 @@ object Queries {
     "a39_spearman" -> a39Spearman,
     "a40_theil_sen" -> a40TheilSen,
     "a41_mann_whitney" -> a41MannWhitney,
+    "a42_markov_transitions" -> a42MarkovTransitions,
     "x35_fd_profile" -> x35FdProfile
   )
 }

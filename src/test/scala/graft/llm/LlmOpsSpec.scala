@@ -2141,6 +2141,33 @@ class LlmOpsSpec extends AnyFunSuite {
       ("b", "a") -> ((11L, 12L, 12L, pmi(11)))), s"got $got")
   }
 
+  test("t46 jsd: disjoint vocabularies hit exactly ln 2; overlap matches the hand sum") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a a b", "X"), (2L, "a b b", "Y"), (3L, "c", "Z"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_t46").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // X vs Y over {a, b}: both directions mirror -> 2 * [(1/3)ln(4/3) +
+    // (1/6)ln(2/3)]; X/Y vs Z are vocabulary-disjoint -> exactly ln 2
+    def term(c1: Long, n1: Long, c2: Long, n2: Long): Double = {
+      val p = c1.toDouble / n1; val q = c2.toDouble / n2
+      (if (c1 > 0) 0.5 * p * math.log(2.0 * p / (p + q)) else 0.0) +
+        (if (c2 > 0) 0.5 * q * math.log(2.0 * q / (p + q)) else 0.0)
+    }
+    val xy = r6(term(2, 3, 1, 3) + term(1, 3, 2, 3))
+    val ln2 = r6(math.log(2.0))
+    val got = graft.queries.Queries.t46JsDivergence(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      ("X", "Y") -> ((2L, xy)),
+      ("X", "Z") -> ((3L, ln2)),
+      ("Y", "Z") -> ((3L, ln2))), s"got $got")
+  }
+
   test("m11 constellation: planted clip at offset 3, identical pair at 0, unrelated absent") {
     // deterministic pseudo-random waves, 32 frames (512 chars) each
     def wave(seed: String): String = (0 until 32).map { i =>

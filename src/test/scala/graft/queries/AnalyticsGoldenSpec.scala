@@ -412,6 +412,22 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       "t" -> ((2L, 1L, 3L, 750000L))), s"got $got")
   }
 
+  test("a42: Markov transitions — hand matrix, (start) rows estimate the initial state") {
+    // user 1: a -> b -> a -> b ; user 2: a -> a
+    val rows = Seq((0L, 0L, 1L, "a", 1.0), (1L, 1L, 1L, "b", 1.0),
+      (2L, 2L, 1L, "a", 1.0), (3L, 3L, 1L, "b", 1.0),
+      (4L, 0L, 2L, "a", 1.0), (5L, 1L, 2L, "a", 1.0))
+    val dir = writeEvents(rows)
+    val got = Queries.a42MarkovTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("(start)", "a") -> ((2L, 2L, 1000000L)),
+      ("a", "b") -> ((2L, 3L, 666666L)),
+      ("a", "a") -> ((1L, 3L, 333333L)),
+      ("b", "a") -> ((1L, 1L, 1000000L))), s"got $got")
+  }
+
   test("a40: Theil-Sen shrugs off the outlier hour OLS would chase") {
     // one day, hourly counts 1/2/3/10: slopes 1,1,3,1,4,7 -> sorted
     // 1,1,1,3,4,7, n=6, lower-median rank 3 -> slope 1.0 (OLS ~ 2.7)
