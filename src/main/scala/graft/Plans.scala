@@ -233,6 +233,11 @@ object Plans {
       "rank-exact bounds, the |nations|-row bounds frame broadcast " +
       "back, one clip-and-fold hash aggregate with map-side partials " +
       "— the fold side never sorts."),
+    "u05_golden_record" -> ("Survivorship: every per-field election is " +
+      "a struct arg-min/arg-max inside ONE entity-keyed hash " +
+      "aggregate (+ one (entity, value) fold per majority column, " +
+      "joined back entity-keyed) — map-side partials everywhere, " +
+      "never a window over the record space, never a sort."),
     "x40_diameter_sweep" -> ("Double sweep: the loop-invariant edge " +
       "frame materializes ONCE (not re-derived per frontier join — " +
       "2.3x), then two shrinking-frontier BFS runs with " +

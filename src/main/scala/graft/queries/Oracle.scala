@@ -1066,6 +1066,36 @@ object Oracle {
         |  masked AND cents_filled IS NOT NULL AS was_filled
         |FROM f ORDER BY event_id""".stripMargin,
 
+    // u05: same planted versions; each election restated with
+    // row_number windows instead of the engine's struct arg-max
+    "u05_golden_record" ->
+      """WITH c AS (SELECT c_custkey AS key, c_name AS name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    c_mktsegment AS seg FROM customer),
+        |v AS (SELECT key, 1000 + key % 7 AS ts, name, cents, seg FROM c
+        |  UNION ALL SELECT key, 2000 + key % 5, name || '-ext', NULL, seg
+        |    FROM c WHERE key % 3 = 0
+        |  UNION ALL SELECT key, 500, substring(name, 1, 5), cents + 100, 'STALE'
+        |    FROM c WHERE key % 5 = 0),
+        |base AS (SELECT key, CAST(count(*) AS BIGINT) AS n_versions,
+        |         CAST(max(ts) AS BIGINT) AS ts_latest FROM v GROUP BY 1),
+        |nm AS (SELECT key, name AS name_golden FROM (
+        |    SELECT key, name, row_number() OVER (PARTITION BY key
+        |      ORDER BY length(name) DESC, name) AS rn FROM v) WHERE rn = 1),
+        |ct AS (SELECT key, cents AS cents_golden FROM (
+        |    SELECT key, cents, row_number() OVER (PARTITION BY key
+        |      ORDER BY ts DESC) AS rn FROM v WHERE cents IS NOT NULL)
+        |  WHERE rn = 1),
+        |sgc AS (SELECT key, seg, count(*) AS n FROM v GROUP BY 1, 2),
+        |sg AS (SELECT key, seg AS seg_golden FROM (
+        |    SELECT key, seg, row_number() OVER (PARTITION BY key
+        |      ORDER BY n DESC, seg) AS rn FROM sgc) WHERE rn = 1)
+        |SELECT base.key, base.n_versions, base.ts_latest, nm.name_golden,
+        |  ct.cents_golden, sg.seg_golden
+        |FROM base JOIN nm USING (key) LEFT JOIN ct USING (key)
+        |JOIN sg USING (key)
+        |ORDER BY base.key""".stripMargin,
+
     // st24: u03's group-trick LOCF restated over the FfillOut schema —
     // the stream must emit exactly the batch fill
     "st24_stream_ffill" ->

@@ -953,6 +953,44 @@ object Queries {
       .orderBy("nation")
   }
 
+  /** U05: golden-record survivorship
+    * ([[graft.relational.RecordLinkage.survivorship]]) — the step AFTER
+    * j13's linkage: clustered duplicate records merge into ONE record
+    * under per-field policies (the MDM playbook — k02's last-wins takes
+    * the whole newest ROW; survivorship elects per FIELD, so the newest
+    * record's null cannot clobber an older good value): name = longest
+    * (tie -> lexicographically smallest), balance = most recent
+    * NON-NULL by ts, segment = majority vote (tie -> smallest). Fixture
+    * plants up to three versions per customer — the original, a newer
+    * '-ext' rename with a NULL balance (freshness-vs-completeness
+    * conflict live), and a stale truncated-name variant with a drifted
+    * balance and a 'STALE' segment (majority + tie classes live; real
+    * segments sort before 'STALE', so 1-1 ties keep the real value).
+    * Every election is a deterministic struct arg-min/arg-max fold —
+    * never a window over the record space. */
+  val u05GoldenRecord: Q = (s, dir) => {
+    val c = tbl(s, dir, "customer").select(col("c_custkey").as("key"),
+      col("c_name").as("name"),
+      expr("cast(round(c_acctbal * 100) as bigint)").as("cents"),
+      col("c_mktsegment").as("seg"))
+    val v0 = c.select(col("key"), (lit(1000L) + col("key") % 7).as("ts"),
+      col("name"), col("cents"), col("seg"))
+    val v1 = c.filter(col("key") % 3 === 0)
+      .select(col("key"), (lit(2000L) + col("key") % 5).as("ts"),
+        concat(col("name"), lit("-ext")).as("name"),
+        lit(null).cast("long").as("cents"), col("seg"))
+    val v2 = c.filter(col("key") % 5 === 0)
+      .select(col("key"), lit(500L).as("ts"),
+        substring(col("name"), 1, 5).as("name"),
+        (col("cents") + 100L).as("cents"), lit("STALE").as("seg"))
+    graft.relational.RecordLinkage.survivorship(
+        v0.unionByName(v1).unionByName(v2),
+        entity = "key", ts = "ts",
+        longestCols = Seq("name"), lastNonNullCols = Seq("cents"),
+        majorityCols = Seq("seg"))
+      .orderBy("key")
+  }
+
   // ===== LLM: dedup =========================================================
 
   /** Exact dedup groups: one shuffle on the content hash. */
@@ -5420,6 +5458,7 @@ object Queries {
     "u02_impute_median" -> u02ImputeMedian,
     "u03_ffill" -> u03Ffill,
     "u04_winsorize" -> u04Winsorize,
+    "u05_golden_record" -> u05GoldenRecord,
     "d01_dedup_exact_groups" -> d01DedupExactGroups,
     "d02_dedup_exact_keep" -> d02DedupExactKeep,
     "d03_neardup_ngram" -> d03NeardupNgram,

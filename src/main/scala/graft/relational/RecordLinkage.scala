@@ -48,4 +48,45 @@ object RecordLinkage {
     }
     perPass.reduce(_ unionByName _).distinct()
   }
+
+  /** Survivorship (golden-record merge) — the step AFTER linkage: once
+    * records are clustered under an entity id, elect ONE value per
+    * field under per-field policies (the MDM playbook):
+    *
+    *   - `longestCols`: longest value wins, ties to the
+    *     lexicographically smallest — completeness proxy for names.
+    *   - `lastNonNullCols`: the most recent NON-NULL value by `ts`
+    *     wins — freshness without letting a null clobber data.
+    *   - `majorityCols`: most frequent value wins, ties to the
+    *     smallest — consensus for categorical fields.
+    *
+    * Every election is a deterministic arg-min/arg-max over a struct
+    * ordering (value-at-rank, tie-order-independent — the k02/u02
+    * discipline): one hash aggregate per entity for the in-row
+    * policies plus one (entity, value) fold per majority column, all
+    * map-side-combinable; majority results join back entity-keyed.
+    * Never a window over the record space, never a sort. */
+  def survivorship(records: DataFrame, entity: String, ts: String,
+                   longestCols: Seq[String], lastNonNullCols: Seq[String],
+                   majorityCols: Seq[String]): DataFrame = {
+    val aggs =
+      Seq(count(lit(1)).as("n_versions"), max(col(ts)).as("ts_latest")) ++
+      longestCols.map(c =>
+        min(struct((-length(col(c))).as("nl"), col(c).as("v")))
+          .getField("v").as(s"${c}_golden")) ++
+      lastNonNullCols.map(c =>
+        max(when(col(c).isNotNull,
+            struct(col(ts).as("t"), col(c).as("v"))))
+          .getField("v").as(s"${c}_golden"))
+    val base = records.groupBy(col(entity))
+      .agg(aggs.head, aggs.tail: _*)
+    majorityCols.foldLeft(base) { (acc, c) =>
+      val vote = records.groupBy(col(entity), col(c))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col(entity))
+        .agg(min(struct((-col("__n")).as("nn"), col(c).as("v")))
+          .getField("v").as(s"${c}_golden"))
+      acc.join(vote, Seq(entity))
+    }
+  }
 }

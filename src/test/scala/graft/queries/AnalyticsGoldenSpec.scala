@@ -412,6 +412,33 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       "t" -> ((2L, 1L, 3L, 750000L))), s"got $got")
   }
 
+  test("u05: survivorship — freshness/completeness conflict, majority and 1-1 tie") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_u05").toString
+    // keys chosen per class: 1 = single version; 3 = v0+v1 (newer null
+    // balance must NOT clobber); 5 = v0+v2 (1-1 seg tie -> real seg
+    // sorts before 'STALE'); 15 = all three (majority seg)
+    Seq((1L, "Anna Longname", 0, 10.00, "MACH"),
+      (3L, "Bob", 0, 20.00, "AUTO"),
+      (5L, "Christopher", 0, 30.00, "FURN"),
+      (15L, "Dee", 0, 40.00, "HOUS"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = Queries.u05GoldenRecord(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getString(5)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 1001L, "Anna Longname", 1000L, "MACH")),
+      // v1 at ts 2003 has NULL cents -> v0's 2000 survives; '-ext' is longest
+      3L -> ((2L, 2003L, "Bob-ext", 2000L, "AUTO")),
+      // v2 truncates to 'Chris', drifts cents at OLDER ts -> v0 wins both;
+      // seg tie 1-1 -> 'FURN' < 'STALE'
+      5L -> ((2L, 1005L, "Christopher", 3000L, "FURN")),
+      // all three: majority seg 2x HOUS beats STALE; freshest non-null = v0
+      15L -> ((3L, 2000L, "Dee-ext", 4000L, "HOUS"))), s"got $got")
+  }
+
   test("a42: Markov transitions — hand matrix, (start) rows estimate the initial state") {
     // user 1: a -> b -> a -> b ; user 2: a -> a
     val rows = Seq((0L, 0L, 1L, "a", 1.0), (1L, 1L, 1L, "b", 1.0),
