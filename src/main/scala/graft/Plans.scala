@@ -233,6 +233,10 @@ object Plans {
       "rank-exact bounds, the |nations|-row bounds frame broadcast " +
       "back, one clip-and-fold hash aggregate with map-side partials " +
       "— the fold side never sorts."),
+    "p14_polygon_census" -> ("Polygon census: every measure is an " +
+      "in-row higher-order aggregate over the closed ring — map-only, " +
+      "no explode, no shuffle; a billion polygons cost one " +
+      "projection. Integer arithmetic; two final rounded divisions."),
     "u05_golden_record" -> ("Survivorship: every per-field election is " +
       "a struct arg-min/arg-max inside ONE entity-keyed hash " +
       "aggregate (+ one (entity, value) fold per majority column, " +

@@ -819,6 +819,37 @@ object Oracle {
     // p13: same point derivation; pairs found INDEPENDENTLY via a
     // bounding-box inequality join + exact integer check — the engine's
     // grid-cell decomposition must be invisible
+    // p14: same planted pentagon ring, the shoelace/centroid/edge sums
+    // as list_transform folds, two final rounded divisions
+    "p14_polygon_census" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    50000 + o_orderkey % 200000 AS cx,
+        |    350000 + (o_orderkey * 7) % 250000 AS cy,
+        |    1 + o_orderkey % 13 AS sc FROM orders),
+        |r AS (SELECT o_orderkey,
+        |    [cx + 2 * sc, cx + sc, cx - sc, cx - 2 * sc, cx, cx + 2 * sc] AS xs,
+        |    [cy, cy + 2 * sc, cy + 2 * sc, cy, cy - 3 * sc, cy] AS ys
+        |  FROM o),
+        |m AS (SELECT o_orderkey, xs, ys,
+        |    CAST(list_sum(list_transform(range(1, 6), i ->
+        |      xs[CAST(i AS INT)] * ys[CAST(i + 1 AS INT)]
+        |      - xs[CAST(i + 1 AS INT)] * ys[CAST(i AS INT)])) AS BIGINT) AS area2
+        |  FROM r)
+        |SELECT o_orderkey, area2,
+        |  CAST(list_sum(list_transform(range(1, 6), i ->
+        |    (xs[CAST(i + 1 AS INT)] - xs[CAST(i AS INT)]) * (xs[CAST(i + 1 AS INT)] - xs[CAST(i AS INT)])
+        |    + (ys[CAST(i + 1 AS INT)] - ys[CAST(i AS INT)]) * (ys[CAST(i + 1 AS INT)] - ys[CAST(i AS INT)]))) AS BIGINT)
+        |    AS e2sum,
+        |  round(CAST(CAST(list_sum(list_transform(range(1, 6), i ->
+        |    (xs[CAST(i AS INT)] + xs[CAST(i + 1 AS INT)])
+        |    * (xs[CAST(i AS INT)] * ys[CAST(i + 1 AS INT)] - xs[CAST(i + 1 AS INT)] * ys[CAST(i AS INT)]))) AS BIGINT) AS DOUBLE)
+        |    / CAST(3 * area2 AS DOUBLE), 6) AS cx_r,
+        |  round(CAST(CAST(list_sum(list_transform(range(1, 6), i ->
+        |    (ys[CAST(i AS INT)] + ys[CAST(i + 1 AS INT)])
+        |    * (xs[CAST(i AS INT)] * ys[CAST(i + 1 AS INT)] - xs[CAST(i + 1 AS INT)] * ys[CAST(i AS INT)]))) AS BIGINT) AS DOUBLE)
+        |    / CAST(3 * area2 AS DOUBLE), 6) AS cy_r
+        |FROM m ORDER BY o_orderkey""".stripMargin,
+
     "p13_spatial_neighbors" ->
       """WITH p AS (SELECT c_custkey AS id,
         |    10000 + CAST('0x' || substring(md5('gx:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 250000 AS x,

@@ -356,6 +356,45 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** P14: polygon census ([[graft.geo.Polygon]]) — exact shoelace
+    * area, centroid and an integer perimeter proxy over planted
+    * pentagon rings (the zonal-geometry primitives downstream of P9's
+    * ring extraction: parcel-area stats, label-point election,
+    * degenerate-geometry screens — all start from these three
+    * numbers). Every measure is an in-row higher-order `aggregate`
+    * over the CLOSED vertex arrays — map-only, no explode, no
+    * shuffle; 64-bit integer arithmetic throughout, the only floats
+    * are the two final centroid divisions (rounded 6). Fixture: a
+    * pentagon centered on the p05 coordinate plant, scaled by
+    * s = 1 + key % 13 — area2 = 24s^2 and centroid = (cx, cy - s/18)
+    * analytically, which the spec pins. */
+  val p14PolygonCensus: Q = (s, dir) => {
+    val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+      (lit(50000L) + col("o_orderkey") % 200000).as("cx"),
+      (lit(350000L) + (col("o_orderkey") * 7) % 250000).as("cy"),
+      (lit(1L) + col("o_orderkey") % 13).as("sc"))
+    val withRing = o
+      .withColumn("xs", array(
+        col("cx") + lit(2L) * col("sc"), col("cx") + col("sc"),
+        col("cx") - col("sc"), col("cx") - lit(2L) * col("sc"),
+        col("cx"), col("cx") + lit(2L) * col("sc")))
+      .withColumn("ys", array(
+        col("cy"), col("cy") + lit(2L) * col("sc"),
+        col("cy") + lit(2L) * col("sc"), col("cy"),
+        col("cy") - lit(3L) * col("sc"), col("cy")))
+      .withColumn("area2",
+        graft.geo.Polygon.area2(col("xs"), col("ys")))
+    withRing.select(col("o_orderkey"), col("area2"),
+        graft.geo.Polygon.edgeLen2Sum(col("xs"), col("ys")).as("e2sum"),
+        round(graft.geo.Polygon.centroidNum(col("xs"), col("xs"), col("ys"))
+          .cast("double") / (lit(3L) * col("area2")).cast("double"), 6)
+          .as("cx_r"),
+        round(graft.geo.Polygon.centroidNum(col("ys"), col("xs"), col("ys"))
+          .cast("double") / (lit(3L) * col("area2")).cast("double"), 6)
+          .as("cy_r"))
+      .orderBy("o_orderkey")
+  }
+
   /** P5: the RD->WGS84 polynomial UDF over synthesized in-domain RD coords.
     * Deterministic scalar UDF — Catalyst still prunes/pushes around it. */
   val p05GeoRdToWgs84: Q = (s, dir) =>
@@ -5430,6 +5469,7 @@ object Queries {
     "p11_prefix_stats" -> p11PrefixStats,
     "p12_date_trunc" -> p12DateTrunc,
     "p13_spatial_neighbors" -> p13SpatialNeighbors,
+    "p14_polygon_census" -> p14PolygonCensus,
     "p05_geo_rd_to_wgs84" -> p05GeoRdToWgs84,
     "f01_temporal_filter" -> f01TemporalFilter,
     "f02_status_filter" -> f02StatusFilter,

@@ -58,4 +58,24 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must produce pairs")
     assert(pairs(pts, r) === brute)
   }
+
+  test("p14 polygon census: analytic pentagon — area2 = 24s^2, centroid (cx, cy - s/18)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_p14").toString
+    (1L to 5L).toDF("o_orderkey").write.parquet(s"$dir/orders.parquet")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.queries.Queries.p14PolygonCensus(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val expected = (1L to 5L).map { k =>
+      val cx = 50000L + k % 200000
+      val cy = 350000L + (k * 7) % 250000
+      val sc = 1L + k % 13
+      k -> ((24L * sc * sc, 40L * sc * sc,
+        cx.toDouble, r6(cy.toDouble - sc.toDouble / 18.0)))
+    }.toMap
+    assert(got === expected, s"got $got, want $expected")
+  }
 }
