@@ -182,6 +182,11 @@ object Plans {
       "from the df-capped postings EQUI-join (cost follows postings, " +
       "never pairs), offset vote = hash folds + a struct arg_max — " +
       "no window over the pair space, no cartesian."),
+    "a43_gains_table" -> ("Gains table: ONE global sort (the decile " +
+      "cut is inherently total — at corpus scale swap in a22 " +
+      "binned-quantile cut points), then a 10-row fold + a 10-row " +
+      "running window; all ratios are ppm divisions of exact " +
+      "integers."),
     "a42_markov_transitions" -> ("Markov census: one lag window per " +
       "user, exact transition hash fold with map-side partials, " +
       "|types|^2-sized result joined to broadcast row totals, one ppm " +

@@ -3274,6 +3274,29 @@ object Oracle {
         |WHERE rk = (np + 1) // 2
         |ORDER BY r.day""".stripMargin,
 
+    // a43: same plant, ntile over (score DESC, key), exact cumulative
+    // folds, ppm divisions of exact integers
+    "a43_gains_table" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    CAST('0x' || substring(md5('chrn:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 5 = 0 AS label
+        |  FROM customer),
+        |s AS (SELECT *, cents + CASE WHEN label THEN 2000 ELSE 0 END AS score
+        |      FROM c),
+        |d AS (SELECT CAST(ntile(10) OVER (ORDER BY score DESC, c_custkey) AS BIGINT)
+        |        AS decile, label FROM s),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |      FROM d GROUP BY 1),
+        |r AS (SELECT *, CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+        |        CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+        |        CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+        |        CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+        |      FROM g)
+        |SELECT decile, n, n_pos, (1000000 * n_pos) // n AS rate_ppm, cum_pos,
+        |  (1000000 * cum_pos * tot_n) // (cum_n * tot_pos) AS cum_lift_ppm
+        |FROM r ORDER BY decile""".stripMargin,
+
     // a42: one lag per user stream, exact transition fold, one ppm
     // division against the from-type row total
     "a42_markov_transitions" ->

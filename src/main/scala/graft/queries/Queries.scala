@@ -4852,6 +4852,47 @@ object Queries {
       .orderBy("day")
   }
 
+  /** A43: decile gains/lift table (the OTHER half of classifier
+    * evaluation — a41's AUC is one number, THIS is the deployment
+    * curve: rank by score, cut into deciles, and read off how much of
+    * the positive class the top-k% captures (campaign targeting, fraud
+    * review queues and quality-threshold picks are all "how deep do I
+    * dig" decisions made off this table)): label = a deterministic 20%
+    * md5 plant, score = balance cents shifted for positives (so the
+    * ranking is informative but imperfect — every decile is live);
+    * deciles via ntile(10) over (score DESC, key) — the tie-break
+    * makes bucket assignment total and engine-agnostic; per-decile
+    * and CUMULATIVE positive counts fold exactly, lift = ONE ppm
+    * integer division of exact integers (cum_pos * total_n vs cum_n *
+    * total_pos) — no float anywhere. One window sort (the decile cut)
+    * + one 10-row fold + a 10-row running window. */
+  val a43GainsTable: Q = (s, dir) => {
+    val c = tbl(s, dir, "customer").select(col("c_custkey"),
+      expr("cast(round(c_acctbal * 100) as bigint)").as("cents"),
+      expr("cast(conv(substring(md5(concat('chrn:', cast(c_custkey as string))),1,8),16,10) as bigint) % 5 = 0")
+        .as("label"))
+      .withColumn("score",
+        col("cents") + when(col("label"), lit(2000L)).otherwise(lit(0L)))
+    val dec = c.withColumn("decile", ntile(10).over(
+        Window.orderBy(col("score").desc, col("c_custkey"))).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_pos", sum("n_pos").over(w))
+      .crossJoin(broadcast(dec.agg(sum("n").as("tot_n"),
+        sum("n_pos").as("tot_pos"))))
+      .select(col("decile"), col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) div n").as("rate_ppm"),
+        col("cum_pos"),
+        expr("(1000000 * cum_pos * tot_n) div (cum_n * tot_pos)")
+          .as("cum_lift_ppm"))
+      .orderBy("decile")
+  }
+
   /** A42: Markov transition census (the user-journey model a14's
     * fixed-sequence funnel cannot express: the FULL first-order
     * transition matrix — from every event type to every next type —
@@ -5722,6 +5763,7 @@ object Queries {
     "a40_theil_sen" -> a40TheilSen,
     "a41_mann_whitney" -> a41MannWhitney,
     "a42_markov_transitions" -> a42MarkovTransitions,
+    "a43_gains_table" -> a43GainsTable,
     "x35_fd_profile" -> x35FdProfile
   )
 }

@@ -412,6 +412,30 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       "t" -> ((2L, 1L, 3L, 750000L))), s"got $got")
   }
 
+  test("a43: gains table — a perfect ranking's top decile captures all positives") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_a43").toString
+    // find 2 planted-positive keys among 0..99, give everyone equal
+    // cents: the +2000 shift makes the ranking PERFECT -> both
+    // positives land in decile 1, lift there = tot_n/tot_pos
+    def lbl(id: Long): Boolean = {
+      val md = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"chrn:$id").substring(0, 8)
+      java.lang.Long.parseLong(md, 16) % 5 == 0
+    }
+    val keys = (0L to 99L).filter(lbl).take(2) ++ (0L to 99L).filterNot(lbl).take(18)
+    keys.map(k => (k, 0, 10.00)).toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = Queries.a43GainsTable(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // 20 rows -> 10 deciles of 2; decile 1 = the two positives
+    assert(got(1L) === ((2L, 2L, 1000000L, 2L, 10000000L)), s"got $got")
+    assert((2L to 10L).forall(d => got(d) === ((2L, 0L, 0L, 2L,
+      (1000000L * 2 * 20) / (2 * d * 2)))), s"got $got")
+  }
+
   test("u05: survivorship — freshness/completeness conflict, majority and 1-1 tie") {
     val s = spark
     import s.implicits._
