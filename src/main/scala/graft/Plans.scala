@@ -238,6 +238,11 @@ object Plans {
       "rank-exact bounds, the |nations|-row bounds frame broadcast " +
       "back, one clip-and-fold hash aggregate with map-side partials " +
       "— the fold side never sorts."),
+    "s24_delete_vectors" -> ("MoR deletes: each delete writes only " +
+      "positions (O(|deleted|) append, base untouched); the read is " +
+      "ONE anti-join on the distinct position set, strategy left to " +
+      "AQE (broadcast for small DVs, shuffle for mass deletes — " +
+      "forcing broadcast would OOM exactly when deletes are largest)."),
     "p14_polygon_census" -> ("Polygon census: every measure is an " +
       "in-row higher-order aggregate over the closed ring — map-only, " +
       "no explode, no shuffle; a billion polygons cost one " +

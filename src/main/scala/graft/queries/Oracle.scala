@@ -819,6 +819,12 @@ object Oracle {
     // p13: same point derivation; pairs found INDEPENDENTLY via a
     // bounding-box inequality join + exact integer check — the engine's
     // grid-cell decomposition must be invisible
+    // s24: the MoR read must reproduce the plain predicate filter
+    "s24_delete_vectors" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE NOT (lang = 'zh' OR source = 'src3')
+        |ORDER BY doc_id""".stripMargin,
+
     // p14: same planted pentagon ring, the shoelace/centroid/edge sums
     // as list_transform folds, two final rounded divisions
     "p14_polygon_census" ->

@@ -4336,6 +4336,36 @@ object Queries {
     merged.orderBy("o_orderkey")
   }
 
+  /** S24: merge-on-read positional deletes
+    * ([[graft.relational.DeleteVectors]]) — the Iceberg/Delta
+    * deletion-vector shape s23's MERGE rewrite avoids paying
+    * per-delete: deleting from a 100 TB base must not rewrite the
+    * base, so a delete writes only the POSITIONS (O(|deleted|) bytes,
+    * parquet APPEND — concurrent delete writers never rewrite each
+    * other) and the reader subtracts them with one anti-join at scan
+    * time. Two delete batches land here (a lang purge, then a source
+    * takedown) with DELIBERATE overlap — docs matching both are
+    * deleted twice, and the DISTINCT position set makes the replay a
+    * no-op (the st18 idempotence story for deletes). The readback is
+    * the full surviving projection, so one wrongly-kept or
+    * wrongly-dropped row fails the hash; the oracle is the plain
+    * predicate filter the MoR pipeline must reproduce. */
+  val s24DeleteVectors: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    val base = tbl(s, dir, "documents")
+      .withColumn("_pos", row_number().over(
+        Window.orderBy("doc_id")).cast("long"))
+    base.write.mode("overwrite").parquet(s"$tmp/base")
+    val b = s.read.parquet(s"$tmp/base")
+    graft.relational.DeleteVectors.appendDeletes(
+      b.filter(col("lang") === "zh").select("_pos"), s"$tmp/dv")
+    graft.relational.DeleteVectors.appendDeletes(
+      b.filter(col("source") === "src3").select("_pos"), s"$tmp/dv")
+    graft.relational.DeleteVectors.read(s, s"$tmp/base", s"$tmp/dv")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** S20: snapshot EXPIRY ([[graft.relational.Versioned.expire]]) — the
     * retention half s19 left as policy: three commits, then expire to
     * the newest two; the query ASSERTS in-plan that v1's directory is
@@ -5713,6 +5743,7 @@ object Queries {
     "st24_stream_ffill" -> st24StreamFfill,
     "s22_change_feed" -> s22ChangeFeed,
     "s23_merge_apply" -> s23MergeApply,
+    "s24_delete_vectors" -> s24DeleteVectors,
     "st16_full_join" -> st16FullJoin,
     "st17_rate_limit" -> st17RateLimit,
     "st18_dedup_redelivery" -> st18DedupRedelivery,

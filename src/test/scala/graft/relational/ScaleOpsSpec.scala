@@ -1271,4 +1271,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(d.size == 64 && (0L until 64L).forall(i => d(i) == i),
       "path-graph hop distances must be node index")
   }
+
+  test("delete vectors: MoR read == filtered base, overlapping re-delete is a no-op") {
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_dv_spec").toString
+    (1L to 10L).map(i => (i, i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "_pos", "parity")
+      .write.parquet(s"$tmp/base")
+    val b = spark.read.parquet(s"$tmp/base")
+    // no DV dir yet: base verbatim
+    assert(DeleteVectors.read(spark, s"$tmp/base", s"$tmp/dv").count() === 10L)
+    // batch 1 deletes evens, batch 2 deletes ids <= 4 (overlaps 2 and 4)
+    DeleteVectors.appendDeletes(
+      b.filter(col("parity") === "even").select("_pos"), s"$tmp/dv")
+    DeleteVectors.appendDeletes(
+      b.filter(col("id") <= 4).select("_pos"), s"$tmp/dv")
+    val kept = DeleteVectors.read(spark, s"$tmp/base", s"$tmp/dv")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(5L, 7L, 9L), s"got $kept")
+    // replaying batch 2 verbatim changes nothing (idempotent deletes)
+    DeleteVectors.appendDeletes(
+      b.filter(col("id") <= 4).select("_pos"), s"$tmp/dv")
+    val again = DeleteVectors.read(spark, s"$tmp/base", s"$tmp/dv")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again === kept)
+  }
 }
