@@ -182,6 +182,10 @@ object Plans {
       "from the df-capped postings EQUI-join (cost follows postings, " +
       "never pairs), offset vote = hash folds + a struct arg_max — " +
       "no window over the pair space, no cartesian."),
+    "a44_calibration" -> ("Calibration/ECE: one corpus fold to 10 " +
+      "bins (map-side partials), a 10-row fold, a broadcast 1-row ECE " +
+      "attach — every number an integer ppm division, no sort, no " +
+      "float."),
     "a43_gains_table" -> ("Gains table: ONE global sort (the decile " +
       "cut is inherently total — at corpus scale swap in a22 " +
       "binned-quantile cut points), then a 10-row fold + a 10-row " +

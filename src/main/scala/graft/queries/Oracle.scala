@@ -3280,6 +3280,27 @@ object Oracle {
         |WHERE rk = (np + 1) // 2
         |ORDER BY r.day""".stripMargin,
 
+    // a44: same plants, equal-width ppm bins, integer ppm divisions,
+    // n-weighted gap sum divided once
+    "a44_calibration" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CAST('0x' || substring(md5('chrn:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 5 = 0 AS label,
+        |    CAST('0x' || substring(md5('pred:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 500000 AS h
+        |  FROM customer),
+        |p AS (SELECT *, h + CASE WHEN label THEN 400000 ELSE 50000 END AS pred_ppm
+        |      FROM c),
+        |b AS (SELECT pred_ppm // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(pred_ppm) AS BIGINT) AS sum_pred
+        |  FROM p GROUP BY 1),
+        |g AS (SELECT bin, n, n_pos, sum_pred // n AS mean_pred_ppm,
+        |    (1000000 * n_pos) // n AS obs_ppm,
+        |    abs((1000000 * n_pos) // n - sum_pred // n) AS gap_ppm FROM b),
+        |e AS (SELECT CAST(sum(n * gap_ppm) // sum(n) AS BIGINT) AS ece_ppm FROM g)
+        |SELECT g.bin, g.n, g.n_pos, g.mean_pred_ppm, g.obs_ppm, g.gap_ppm,
+        |  e.ece_ppm
+        |FROM g CROSS JOIN e ORDER BY g.bin""".stripMargin,
+
     // a43: same plant, ntile over (score DESC, key), exact cumulative
     // folds, ppm divisions of exact integers
     "a43_gains_table" ->

@@ -4923,6 +4923,43 @@ object Queries {
       .orderBy("decile")
   }
 
+  /** A44: calibration census / ECE (the THIRD leg of classifier
+    * evaluation — a41's AUC says the model RANKS well, a43's gains say
+    * how deep to dig, THIS asks whether the scores MEAN what they say:
+    * a "0.8" bucket should convert 80% of the time — the property
+    * thresholded decisions and expected-cost formulas silently assume;
+    * reliability diagram + expected calibration error): predictions =
+    * a deterministic ppm plant where positives skew high but overlap
+    * (so bins are mixed and gaps live), 10 equal-width ppm bins;
+    * per bin the OBSERVED rate and MEAN prediction are single integer
+    * ppm divisions, the gap their absolute difference, and ECE = the
+    * n-weighted gap sum divided ONCE — every number exact-integer, NO
+    * float. One corpus fold to bins + a 10-row fold + a broadcast
+    * 1-row ECE attach. */
+  val a44CalibrationCensus: Q = (s, dir) => {
+    val c = tbl(s, dir, "customer").select(col("c_custkey"),
+      expr("cast(conv(substring(md5(concat('chrn:', cast(c_custkey as string))),1,8),16,10) as bigint) % 5 = 0")
+        .as("label"),
+      expr("cast(conv(substring(md5(concat('pred:', cast(c_custkey as string))),1,8),16,10) as bigint) % 500000")
+        .as("h"))
+      .withColumn("pred_ppm",
+        col("h") + when(col("label"), lit(400000L)).otherwise(lit(50000L)))
+    val bins = c
+      .withColumn("bin", expr("pred_ppm div 100000"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        sum("pred_ppm").as("sum_pred"))
+      .withColumn("mean_pred_ppm", expr("sum_pred div n"))
+      .withColumn("obs_ppm", expr("(1000000 * n_pos) div n"))
+      .withColumn("gap_ppm", abs(col("obs_ppm") - col("mean_pred_ppm")))
+    val ece = bins.agg(expr("sum(n * gap_ppm) div sum(n)").as("ece_ppm"))
+    bins.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_pred_ppm"),
+        col("obs_ppm"), col("gap_ppm"), col("ece_ppm"))
+      .orderBy("bin")
+  }
+
   /** A42: Markov transition census (the user-journey model a14's
     * fixed-sequence funnel cannot express: the FULL first-order
     * transition matrix — from every event type to every next type —
@@ -5795,6 +5832,7 @@ object Queries {
     "a41_mann_whitney" -> a41MannWhitney,
     "a42_markov_transitions" -> a42MarkovTransitions,
     "a43_gains_table" -> a43GainsTable,
+    "a44_calibration" -> a44CalibrationCensus,
     "x35_fd_profile" -> x35FdProfile
   )
 }

@@ -436,6 +436,42 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       (1000000L * 2 * 20) / (2 * d * 2)))), s"got $got")
   }
 
+  test("a44: calibration — hand bins, exact gaps, n-weighted ECE") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_a44").toString
+    // recompute the whole census flat from the same md5 plants over a
+    // fixed key range, then compare Spark's result exactly
+    def h32(p: String, id: Long): Long = {
+      val md = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$p:$id").substring(0, 8)
+      java.lang.Long.parseLong(md, 16)
+    }
+    val keys = (0L until 60L)
+    keys.map(k => (k, 0, 1.00)).toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val rows = keys.map { k =>
+      val label = h32("chrn", k) % 5 == 0
+      val pred = h32("pred", k) % 500000 + (if (label) 400000L else 50000L)
+      (pred / 100000, label, pred)
+    }
+    val flat = rows.groupBy(_._1).map { case (bin, rs) =>
+      val n = rs.size.toLong
+      val pos = rs.count(_._2).toLong
+      val mp = rs.map(_._3).sum / n
+      val obs = 1000000L * pos / n
+      bin -> ((n, pos, mp, obs, math.abs(obs - mp)))
+    }
+    val ece = flat.values.map(v => v._1 * v._5).sum / flat.values.map(_._1).sum
+    val got = Queries.a44CalibrationCensus(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === flat.map { case (b, v) =>
+      b -> ((v._1, v._2, v._3, v._4, v._5, ece)) }, s"got $got, want $flat ece $ece")
+    assert(flat.size >= 3 && flat.values.exists(_._5 > 0),
+      "fixture must produce multiple bins and a live gap")
+  }
+
   test("u05: survivorship — freshness/completeness conflict, majority and 1-1 tie") {
     val s = spark
     import s.implicits._
