@@ -182,6 +182,10 @@ object Plans {
       "from the df-capped postings EQUI-join (cost follows postings, " +
       "never pairs), offset vote = hash folds + a struct arg_max — " +
       "no window over the pair space, no cartesian."),
+    "d28_cdc_edit_stability" -> ("CDC stability audit: both variants " +
+      "chunk through the map-only in-kernel fold (no word rows, no " +
+      "window), then three hash folds + two |docs|-row joins — the " +
+      "edit-locality bound costs nothing corpus-shaped."),
     "a44_calibration" -> ("Calibration/ECE: one corpus fold to 10 " +
       "bins (map-side partials), a 10-row fold, a broadcast 1-row ECE " +
       "attach — every number an integer ppm division, no sort, no " +

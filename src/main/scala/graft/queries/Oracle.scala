@@ -1578,6 +1578,47 @@ object Oracle {
     // md5-prefix-mod-4 word boundary rule, the same running-sum chunk ids,
     // the same space-joined chunk md5 — then the shared-chunk stats. All
     // selection is integer; only the informational fraction is rounded.
+    // d28: both variants through the d12 window-chunker mirror, then
+    // distinct-set compare per doc
+    "d28_cdc_edit_stability" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |ed AS (SELECT doc_id, list_concat(list_concat(
+        |         w[1:CAST(len(w) // 2 AS INT)],
+        |         [CASE WHEN doc_id % 2 = 0 THEN 'zzedit' ELSE 'zzy' END]),
+        |         w[CAST(len(w) // 2 + 1 AS INT):]) AS w FROM d),
+        |ow AS (SELECT doc_id, unnest(w) AS word,
+        |         generate_subscripts(w, 1) AS pos FROM d),
+        |ew AS (SELECT doc_id, unnest(w) AS word,
+        |         generate_subscripts(w, 1) AS pos FROM ed),
+        |oc AS (SELECT DISTINCT doc_id, md5(string_agg(word, ' ' ORDER BY pos))
+        |         AS chunk_hash
+        |       FROM (SELECT doc_id, pos, word, sum(CASE WHEN
+        |           CAST('0x' || substring(md5(word), 1, 4) AS BIGINT) % 4 = 0
+        |           THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS chunk_id FROM ow)
+        |       GROUP BY doc_id, chunk_id),
+        |ec AS (SELECT DISTINCT doc_id, md5(string_agg(word, ' ' ORDER BY pos))
+        |         AS chunk_hash
+        |       FROM (SELECT doc_id, pos, word, sum(CASE WHEN
+        |           CAST('0x' || substring(md5(word), 1, 4) AS BIGINT) % 4 = 0
+        |           THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS chunk_id FROM ew)
+        |       GROUP BY doc_id, chunk_id),
+        |cm AS (SELECT oc.doc_id, CAST(count(*) AS BIGINT) AS n_common
+        |       FROM oc JOIN ec ON oc.doc_id = ec.doc_id
+        |         AND oc.chunk_hash = ec.chunk_hash GROUP BY 1),
+        |no AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_orig
+        |       FROM oc GROUP BY 1),
+        |ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_edit
+        |       FROM ec GROUP BY 1)
+        |SELECT no.doc_id, no.n_orig, ne.n_edit,
+        |  CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+        |  no.n_orig - CAST(coalesce(cm.n_common, 0) AS BIGINT) AS ch_orig,
+        |  ne.n_edit - CAST(coalesce(cm.n_common, 0) AS BIGINT) AS ch_edit
+        |FROM no JOIN ne USING (doc_id) LEFT JOIN cm USING (doc_id)
+        |ORDER BY no.doc_id""".stripMargin,
+
     "d12_chunk_dedup" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
         |             generate_subscripts(string_split(text, ' '), 1) AS pos

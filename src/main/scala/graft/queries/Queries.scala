@@ -1149,6 +1149,48 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** D28: CDC edit-stability audit (the promise content-defined
+    * chunking is CHOSEN for, measured: a one-word edit must perturb
+    * only the chunk(s) it touches — fixed-width windows shift EVERY
+    * downstream chunk and re-upload the whole tail; this census is the
+    * number that justifies d12/d14's chunker, and the regression
+    * tripwire if the boundary rule ever changes): every doc gets an
+    * edited twin (one sentinel word inserted at its middle word
+    * position), both variants chunk through the SAME in-kernel fold
+    * ([[Dedup.cdcChunkHashes]]), and the per-doc census compares the
+    * distinct chunk-hash SETS — n_common survives the edit, ch_orig /
+    * ch_edit are the lost/gained chunks. CDC's locality bound: the
+    * edit lands in ONE original chunk, so ch_orig <= 1 and ch_edit
+    * <= 2 (2 iff the sentinel is itself a boundary word and splits
+    * the chunk — even docs insert the interior word 'zzedit', odd
+    * docs the boundary word 'zzy', so BOTH classes are live) — the
+    * spec asserts the bound for every doc. Chunking is map-only; the
+    * census is three hash folds + two |docs|-row joins. */
+  val d28CdcEditStability: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 2)
+    val edited = docs.withColumn("__w", split(col("text"), " "))
+      .withColumn("__p", expr("size(__w) div 2"))
+      .withColumn("__sent", when(col("doc_id") % 2 === 0, lit("zzedit"))
+        .otherwise(lit("zzy")))
+      .withColumn("text", expr(
+        "array_join(concat(slice(__w, 1, __p), array(__sent), " +
+          "slice(__w, __p + 1, size(__w) - __p)), ' ')"))
+      .select(col("doc_id"), col("text"))
+    val o = Dedup.cdcChunkHashes(docs).distinct()
+    val e = Dedup.cdcChunkHashes(edited).distinct()
+    val common = o.join(e, Seq("doc_id", "chunk_hash"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    o.groupBy("doc_id").agg(count(lit(1)).as("n_orig"))
+      .join(e.groupBy("doc_id").agg(count(lit(1)).as("n_edit")), Seq("doc_id"))
+      .join(common, Seq("doc_id"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(col("doc_id"), col("n_orig"), col("n_edit"), col("n_common"),
+        (col("n_orig") - col("n_common")).as("ch_orig"),
+        (col("n_edit") - col("n_common")).as("ch_edit"))
+      .orderBy("doc_id")
+  }
+
   /** D14: exact substring-span dedup REMOVER ([[Dedup.chunkDedupRemove]])
     * — rewrites each doc with already-seen CDC chunks cut out (keep rule:
     * first-owner doc by min doc_id), the Lee et al. 2022 removal step
@@ -5671,6 +5713,7 @@ object Queries {
     "d25_crawl_diff" -> d25CrawlDiff,
     "d26_threshold_audit" -> d26ThresholdAudit,
     "d27_sketch_calibration" -> d27SketchCalibration,
+    "d28_cdc_edit_stability" -> d28CdcEditStability,
     "x36_link_graph" -> x36LinkGraph,
     "x37_scc" -> x37Scc,
     "x38_interval_islands" -> x38IntervalIslands,

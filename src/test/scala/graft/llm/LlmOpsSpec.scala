@@ -2141,6 +2141,31 @@ class LlmOpsSpec extends AnyFunSuite {
       ("b", "a") -> ((11L, 12L, 12L, pmi(11)))), s"got $got")
   }
 
+  test("d28 cdc stability: one-word edit perturbs at most 1 orig / 2 edit chunks") {
+    // 30 pseudo-random docs (10-40 words, deterministic vocab) — the
+    // CDC locality bound must hold for EVERY doc, whatever the
+    // boundary layout around its middle word
+    val docs = (1L to 30L).map { d =>
+      val n = 10 + (d * 7 % 31).toInt
+      d -> (0 until n).map(i =>
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"w:${(d * 31 + i * 17) % 97}").substring(0, 6)).mkString(" ")
+    }
+    val df = docsDf(docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_d28").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Queries.d28CdcEditStability(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length === 30, s"got ${got.length}")
+    got.foreach { case (d, nO, nE, nC, chO, chE) =>
+      assert(chO >= 0 && chO <= 1, s"doc $d: ch_orig $chO breaks the CDC bound")
+      assert(chE >= 1 && chE <= 2, s"doc $d: ch_edit $chE breaks the CDC bound")
+      assert(nO - chO === nC && nE - chE === nC, s"doc $d: census identity")
+    }
+    assert(got.exists(_._6 === 2), "the boundary-sentinel split class should be live")
+  }
+
   test("t46 jsd: disjoint vocabularies hit exactly ln 2; overlap matches the hand sum") {
     val s = spark
     import s.implicits._
