@@ -186,6 +186,10 @@ object Plans {
       "chunk through the map-only in-kernel fold (no word rows, no " +
       "window), then three hash folds + two |docs|-row joins — the " +
       "edit-locality bound costs nothing corpus-shaped."),
+    "a45_seasonal_backtest" -> ("Seasonal backtest: one (type, hour) " +
+      "count fold, forecast via ONE self-equi-join on the shifted " +
+      "hour key (never a window over the series), one per-type fold; " +
+      "ppm divisions of exact integers."),
     "a44_calibration" -> ("Calibration/ECE: one corpus fold to 10 " +
       "bins (map-side partials), a 10-row fold, a broadcast 1-row ECE " +
       "attach — every number an integer ppm division, no sort, no " +

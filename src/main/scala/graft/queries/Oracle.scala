@@ -3321,6 +3321,25 @@ object Oracle {
         |WHERE rk = (np + 1) // 2
         |ORDER BY r.day""".stripMargin,
 
+    // a45: hourly counts, forecast = the lag-24 count via a shifted
+    // equi-join, integer error folds, two ppm divisions
+    "a45_seasonal_backtest" ->
+      """WITH hc AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT a.event_type, a.c, f.c AS f, abs(a.c - f.c) AS abs_err
+        |      FROM hc a JOIN hc f
+        |        ON a.event_type = f.event_type AND a.hr = f.hr + 24)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(c) AS BIGINT) AS total_actual,
+        |  CAST(sum(abs_err) AS BIGINT) AS total_abs_err,
+        |  (1000000 * CAST(sum(abs_err) AS BIGINT)) // CAST(count(*) AS BIGINT)
+        |    AS mae_uhr,
+        |  (1000000 * CAST(sum(abs_err) AS BIGINT)) // CAST(sum(c) AS BIGINT)
+        |    AS wape_ppm
+        |FROM s GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // a44: same plants, equal-width ppm bins, integer ppm divisions,
     // n-weighted gap sum divided once
     "a44_calibration" ->

@@ -4965,6 +4965,40 @@ object Queries {
       .orderBy("decile")
   }
 
+  /** A45: seasonal-naive backtest (the forecasting-evaluation family
+    * opener — before any model earns a slot, it must beat the
+    * cheapest seasonal baseline "this hour = the same hour yesterday";
+    * this census IS that baseline's scorecard, the denominator of
+    * every MASE-style skill metric): per (event_type, absolute hour)
+    * exact counts, forecast = the count 24 hours earlier (ONE
+    * self-equi-join on the shifted hour key — never a window over the
+    * whole series), errors exact integers, and the two deployment
+    * numbers per type: MAE ppm and WAPE ppm (total |err| over total
+    * actual — the aggregate-safe form of MAPE that a zero-actual hour
+    * cannot blow up). Only hours with BOTH an actual and a lag-24
+    * counterpart score (the backtest convention). One count fold + one
+    * shifted equi-join + one per-type fold; ppm divisions of exact
+    * integers — no float. */
+  val a45SeasonalBacktest: Q = (s, dir) => {
+    val hc = events(s, dir)
+      .select(col("event_type"), expr("__tsu div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+    val scored = hc.join(
+        hc.select(col("event_type"), (col("hr") + 24).as("hr"),
+          col("c").as("f")),
+        Seq("event_type", "hr"))
+      .withColumn("abs_err", abs(col("c") - col("f")))
+    scored.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum("c").as("total_actual"),
+        sum("abs_err").as("total_abs_err"))
+      .select(col("event_type"), col("n_hours"), col("total_actual"),
+        col("total_abs_err"),
+        expr("(1000000 * total_abs_err) div n_hours").as("mae_uhr"),
+        expr("(1000000 * total_abs_err) div total_actual").as("wape_ppm"))
+      .orderBy("event_type")
+  }
+
   /** A44: calibration census / ECE (the THIRD leg of classifier
     * evaluation — a41's AUC says the model RANKS well, a43's gains say
     * how deep to dig, THIS asks whether the scores MEAN what they say:
@@ -5876,6 +5910,7 @@ object Queries {
     "a42_markov_transitions" -> a42MarkovTransitions,
     "a43_gains_table" -> a43GainsTable,
     "a44_calibration" -> a44CalibrationCensus,
+    "a45_seasonal_backtest" -> a45SeasonalBacktest,
     "x35_fd_profile" -> x35FdProfile
   )
 }

@@ -436,6 +436,23 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       (1000000L * 2 * 20) / (2 * d * 2)))), s"got $got")
   }
 
+  test("a45: seasonal backtest — lag-24 pairing, exact MAE/WAPE, unpaired hours excluded") {
+    // type t: hour 0 -> 3 events, hour 24 -> 5 (err 2), hour 25 -> 4
+    // (no hour-1 counterpart: excluded), hour 48 -> 5 (err 0 vs hour 24)
+    val mk = (id: Long, hr: Long, n: Int) =>
+      (0 until n).map(i => (id * 100 + i, hr * 60 + i.toLong, 1L, "t", 1.0))
+    val rows = mk(1, 0, 3) ++ mk(2, 24, 5) ++ mk(3, 25, 4) ++ mk(4, 48, 5)
+    val dir = writeEvents(rows)
+    val got = Queries.a45SeasonalBacktest(spark, dir).collect()
+    assert(got.length === 1, s"got ${got.toSeq}")
+    val r = got(0)
+    // scored hours: 24 (5 vs 3 -> err 2) and 48 (5 vs 5 -> err 0):
+    // n=2, actual=10, abs_err=2, mae = 2e6/2 = 1e6, wape = 2e6/10 = 2e5
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ===
+      (("t", 2L, 10L, 2L, 1000000L, 200000L)), s"got $r")
+  }
+
   test("a44: calibration — hand bins, exact gaps, n-weighted ECE") {
     val s = spark
     import s.implicits._
