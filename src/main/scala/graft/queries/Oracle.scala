@@ -3381,7 +3381,8 @@ object Oracle {
         |        CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
         |      FROM g)
         |SELECT decile, n, n_pos, (1000000 * n_pos) // n AS rate_ppm, cum_pos,
-        |  (1000000 * cum_pos * tot_n) // (cum_n * tot_pos) AS cum_lift_ppm
+        |  CAST((CAST(1000000 AS HUGEINT) * cum_pos * tot_n)
+        |    // (CAST(cum_n AS HUGEINT) * tot_pos) AS BIGINT) AS cum_lift_ppm
         |FROM r ORDER BY decile""".stripMargin,
 
     // a42: one lag per user stream, exact transition fold, one ppm

