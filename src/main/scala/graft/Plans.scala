@@ -751,22 +751,35 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val byName = Queries.all.toMap
+    val curated = headline.toMap
     val sb = new StringBuilder
-    sb.append("# PLANS — physical-plan audit of the headline queries\n\n")
+    sb.append("# PLANS — physical-plan audit of every registered query\n\n")
     sb.append("Generated by `sbt \"runMain graft.Plans\"` at sf0.001 (plan shape is\n")
     sb.append("scale-invariant for a fixed query). Executable assertions for these\n")
-    sb.append("properties live in `graft.queries.PlanSpec`.\n")
-    headline.foreach { case (name, why) =>
-      val df = byName(name)(spark, sf)
-      df.collect() // finalize AQE
-      sb.append(s"\n## $name\n\n$why\n\n```\n")
-      sb.append(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode).take(8000))
-      sb.append("\n```\n")
+    sb.append("properties live in `graft.queries.PlanSpec` (incl. the no-cartesian\n")
+    sb.append("sweep over the full registry). Curated sections carry a per-plan\n")
+    sb.append("scale rationale; the rest exist so a plan regression is DIFFABLE —\n")
+    sb.append("their scale contracts live in the query scaladoc (Queries.scala).\n")
+    var n = 0
+    Queries.all.foreach { case (name, fn) =>
+      val why = curated.getOrElse(name,
+        "Plan dump for regression diffing; scale rationale in the query's " +
+          "scaladoc (Queries.scala), cartesian guard in PlanSpec.")
+      try {
+        val df = fn(spark, sf)
+        df.collect() // finalize AQE
+        sb.append(s"\n## $name\n\n$why\n\n```\n")
+        sb.append(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode).take(8000))
+        sb.append("\n```\n")
+        n += 1
+      } catch { case e: Throwable =>
+        sb.append(s"\n## $name\n\n$why\n\nPLAN DUMP FAILED: ${e.getMessage}\n")
+      }
+      SessionResources.release(spark)
     }
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"wrote $out (${headline.size} plans)")
+    println(s"wrote $out ($n plans of ${Queries.all.size} queries)")
     spark.stop()
   }
 }

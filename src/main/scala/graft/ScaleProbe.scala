@@ -61,19 +61,12 @@ object ScaleProbe {
     r
   }
 
-  def main(args: Array[String]): Unit = {
-    implicit val spark: SparkSession = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_scaleprobe_wh")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val sf = "/root/testdata/sf0.1"
-    val big = "/tmp/sf1_synth"
-
+  /** The 10x "sf1" synthesis — shared with [[graft.tools.AbBench]]'s
+    * indexed10x target: replicate sf0.1 documents/embeddings/events 10x
+    * with deterministic rotation/shift so distributions stay realistic
+    * (disjoint shingle sets, fresh user id ranges, preserved page-hub
+    * skew) instead of forming artificial duplicate clusters. */
+  def synth10x(spark: SparkSession, sf: String, big: String): Unit = {
     // 10x documents: copy k rotates each doc's words by 17*k positions, so
     // shingle sets across copies are (mostly) disjoint — realistic unique-
     // shingle distribution instead of artificial 10-copy dup clusters.
@@ -114,6 +107,22 @@ object ScaleProbe {
             .cast("string"), lit("}")), col("props")))
     }.reduce(_ unionByName _)
     evRot.write.mode("overwrite").parquet(s"$big/events.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_scaleprobe_wh")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.1"
+    val big = "/tmp/sf1_synth"
+
+    synth10x(spark, sf, big)
     println(s"[probe] docs10 = ${spark.read.parquet(s"$big/documents.parquet").count()}, " +
       s"emb10 = ${spark.read.parquet(s"$big/embeddings.parquet").count()}, " +
       s"ev10 = ${spark.read.parquet(s"$big/events.parquet").count()}")

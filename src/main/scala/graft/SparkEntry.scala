@@ -21,16 +21,22 @@ object SparkEntry {
     Queries.all.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (v03_ann_lsh, v05_ann_ivf, v12_indexed_ivf, v13_pq_ann,
-    * v14_indexed_pq, v15_ivfpq, v16_indexed_ivfpq, d16_semantic_dedup,
-    * a08_approx_distinct, a16_approx_percentiles)
-    * -> rows-only check,
-    * each backed by a [[VerifyExtras]] bound in verify_extras.json.
+    * the same parquet tables. Omitted ONLY for the two genuinely
+    * randomized estimators (a08_approx_distinct, a16_approx_percentiles
+    * — HLL/KLL sketch internals with no deterministic SQL equivalent)
+    * -> rows-only check, each backed by a [[VerifyExtras]] error-bound
+    * in verify_extras.json.
     * r11 flipped x25_kcore/x30_ktruss (fixpoint unrolled as chained
     * MATERIALIZED CTEs) and d05_simhash/t04_fingerprint (FNV-1a/
     * splitmix64/XXH64 reproduced bit-exactly in HUGEINT mod-2^64 SQL)
-    * from rows-only to hash-exact; their VerifyExtras recomputes remain
-    * as independent second evidence. */
+    * from rows-only to hash-exact; r12 flipped the entire remaining ANN
+    * family — v03_ann_lsh, d16_semantic_dedup, v05/v12 (IVF),
+    * v13/v14 (PQ), v15/v16 (IVFADC) — by mirroring the float pipelines
+    * too: splitmix64-derived hyperplanes, the deterministic Lloyd
+    * quantizer (hash-ordered sample, stride init, 5 unrolled iterations,
+    * float-cast means), per-subspace L2 codebooks, residual encode and
+    * raw-double ADC shortlists, all reproduced bit-exactly in SQL
+    * (Oracle.scala's ANN-mirror section). VerifyExtras recomputes remain
+    * as independent second evidence for all flipped queries. */
   def oracleSql: Map[String, String] = Oracle.sql
 }

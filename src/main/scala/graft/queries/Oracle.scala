@@ -588,6 +588,384 @@ object Oracle {
   private def toSigned(x: String): String =
     s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - $Mod ELSE ($x) END AS BIGINT)"
 
+  /** splitmix64 of a non-negative HUGEINT < 2^64 (Dedup.splitmix64). */
+  private def splitmixSql(x: String): String =
+    let(s"(($x) + 11400714819323198485) % $Mod", "z0",
+      let(mulmod("xor(z0, z0 >> 30)", BigInt("bf58476d1ce4e5b9", 16)), "z1",
+        let(mulmod("xor(z1, z1 >> 27)", BigInt("94d049bb133111eb", 16)), "z2",
+          "xor(z2, z2 >> 31)")))
+
+  // ===== bit-exact float mirrors of the ANN family =========================
+  //
+  // v03 (hyperplane LSH), d16 (SemDeDup) and v05/v12 (IVF serve) are
+  // deterministic float pipelines end to end, so their oracles reproduce
+  // the full engine math — including the trained k-means centroids — in
+  // DuckDB SQL (the r11 d05/t04 precedent extended from integer hashing
+  // to IEEE float):
+  //  - float -> double casts are exact, so per-element products match;
+  //  - DuckDB's list 'sum' folds sequentially like the JVM kernels'
+  //    while-loops (already proven bit-exact by the v01/v02 cosine
+  //    oracles over the same corpus);
+  //  - IEEE doubles make +, *, /, sqrt and the float round-trip
+  //    CAST(x AS FLOAT) deterministic and engine-independent;
+  //  - every argmax/rank tie is broken on an integer id on both sides.
+  // The Lloyd chain below reproduces Similarity.ivfCentroids exactly:
+  // hash-ordered top-20000 sample (xxhash64 == XXH64.hashLong mirrored in
+  // HUGEINT), k = clamp(round(sqrt(n))), stride init, 5 unrolled
+  // iterations of {unit-normalize centroids, argmax-dot assignment
+  // (lowest index ties), per-cluster mean in SAMPLE ORDER, empty cluster
+  // keeps previous}, means cast back to FLOAT per dim. MATERIALIZED is
+  // load-bearing: each CTE is referenced repeatedly and DuckDB would
+  // otherwise re-evaluate the whole chain per reference. Dim is pinned
+  // to the testdata's 64 (a regeneration at another dim fails the hash
+  // compare loudly, never silently). Validated bit-exact against JVM
+  // centroid dumps and the Spark result dumps at sf0.01 AND sf0.1.
+
+  /** dot(a, b) in exact engine order for float/double lists. */
+  private def fdot(a: String, b: String): String = dot(a, b)
+
+  /** Lloyd-chain CTE text ending in: smp(pos, v) hash-ordered sample,
+    * c5(cl, cen) trained float centroids, uf(cl, u) unit rows,
+    * asg(vec_id, cl) full-corpus nearest-centroid assignment. */
+  private val lloydCtes: String = {
+    val hashOrd = toSigned(xxhashLong("CAST(vec_id AS HUGEINT)", "42::HUGEINT"))
+    def units(src: String, name: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT cl, CASE WHEN ns = 0 THEN list_transform(cen, x -> 0.0)
+         |         ELSE list_transform(cen, x -> CAST(x AS DOUBLE) * (1.0 / sqrt(ns))) END AS u
+         |  FROM (SELECT cl, cen, ${sumSq.format("cen")} AS ns FROM $src))""".stripMargin
+    val head =
+      s"""smp AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY $hashOrd, vec_id) AS pos, embedding AS v
+         |  FROM embeddings QUALIFY pos <= 20000),
+         |prm AS MATERIALIZED (
+         |  SELECT n, GREATEST(1, n // k) AS stride, k FROM (
+         |    SELECT n, LEAST(n, GREATEST(4, CAST(floor(sqrt(CAST(n AS DOUBLE)) + 0.5) AS BIGINT))) AS k
+         |    FROM (SELECT count(*) AS n FROM smp))),
+         |c0 AS MATERIALIZED (
+         |  SELECT r.cl, s.v AS cen
+         |  FROM (SELECT unnest(range(0, (SELECT k FROM prm))) AS cl) r
+         |  JOIN prm ON true
+         |  JOIN smp s ON s.pos = ((r.cl * prm.stride) % prm.n) + 1)""".stripMargin
+    val iters = (0 until 5).map { it =>
+      s"""${units(s"c$it", s"u$it")},
+         |a$it AS MATERIALIZED (
+         |  SELECT pos, cl FROM (
+         |    SELECT s.pos, u.cl,
+         |      row_number() OVER (PARTITION BY s.pos ORDER BY ${fdot("s.v", "u.u")} DESC, u.cl) AS rn
+         |    FROM smp s CROSS JOIN u$it u) WHERE rn = 1),
+         |g$it AS MATERIALIZED (
+         |  SELECT a.cl, dd.d, list_aggregate(list(CAST(s.v[dd.d] AS DOUBLE) ORDER BY s.pos), 'sum') AS sm,
+         |         count(*) AS cnt
+         |  FROM a$it a JOIN smp s USING (pos), range(1, 65) dd(d)
+         |  GROUP BY a.cl, dd.d),
+         |n$it AS MATERIALIZED (
+         |  SELECT cl, list(CAST(sm / cnt AS FLOAT) ORDER BY d) AS cen FROM g$it GROUP BY cl),
+         |c${it + 1} AS MATERIALIZED (
+         |  SELECT c.cl, coalesce(n.cen, c.cen) AS cen FROM c$it c LEFT JOIN n$it n USING (cl))""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""${units("c5", "uf")},
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT e.vec_id, u.cl,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${fdot("e.embedding", "u.u")} DESC, u.cl) AS rn
+         |    FROM embeddings e CROSS JOIN uf u) WHERE rn = 1)""".stripMargin
+    s"$head,\n$iters,\n$tail"
+  }
+
+  /** v03 mirror: 16-table/4-plane random-hyperplane LSH. Plane component
+    * (table t, plane p, dim d) = splitmix64(42 ^ t<<42 ^ p<<21 ^ d)
+    * top-53 bits mapped to [-1, 1) — power-of-two scaling, so the
+    * HUGEINT -> DOUBLE conversion is exact (Similarity.planeComponent).
+    * Bucket = sign bits of the per-plane dot folds; candidates share a
+    * (table, bucket) cell; exact round-6 cosine rerank, (cos DESC, id)
+    * rank — the TopK heap's own tie order. */
+  private val v03Sql: String = {
+    val smx = splitmixSql(
+      "xor(xor(xor(42::HUGEINT, CAST(t AS HUGEINT) << 42), " +
+        "CAST(p AS HUGEINT) << 21), CAST(d AS HUGEINT))")
+    s"""WITH planes AS MATERIALIZED (
+       |  SELECT t, p, d,
+       |    (CAST(($smx) >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0) AS comp
+       |  FROM range(0, 16) tt(t), range(0, 4) pp(p), range(0, 64) dd(d)),
+       |planes_l AS MATERIALIZED (
+       |  SELECT t, p, list(comp ORDER BY d) AS pl FROM planes GROUP BY t, p),
+       |sig AS MATERIALIZED (
+       |  SELECT e.vec_id, l.t, l.p, ${fdot("e.embedding", "l.pl")} AS s
+       |  FROM embeddings e CROSS JOIN planes_l l),
+       |bkt AS MATERIALIZED (
+       |  SELECT vec_id, t,
+       |    sum(CASE WHEN s >= 0 THEN 1 << CAST(p AS INT) ELSE 0 END) AS bucket
+       |  FROM sig GROUP BY vec_id, t),
+       |qb AS (SELECT vec_id AS query_id, t, bucket FROM bkt WHERE vec_id < 32),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+       |  FROM bkt cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+       |  WHERE cb.vec_id <> qb.query_id),
+       |sc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round(${fdot("q.embedding", "e.embedding")} / (${norm("q.embedding")} * ${norm("e.embedding")}), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+       |  JOIN embeddings q ON q.vec_id = c.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk, cos
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** d16 mirror: the full SemDeDup pipeline on the mirrored quantizer —
+    * round-6 cosine to the RAW (non-unit) assigned centroid, within-
+    * cluster pairs at cos >= 0.35, transitive closure as a recursive
+    * reachability CTE (comp_id = min reachable id), survivor = arg-min
+    * (cos_c, vec_id) per component. */
+  private val d16Sql: String =
+    s"""WITH RECURSIVE $lloydCtes,
+       |sc0 AS MATERIALIZED (
+       |  SELECT a.cl, e.vec_id, e.embedding,
+       |    round(${fdot("e.embedding", "c.cen")} / (${norm("e.embedding")} * ${norm("c.cen")}), 6) AS cos_c
+       |  FROM embeddings e JOIN asg a USING (vec_id) JOIN c5 c ON c.cl = a.cl),
+       |prs AS MATERIALIZED (
+       |  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+       |  FROM sc0 l JOIN sc0 r ON l.cl = r.cl AND l.vec_id < r.vec_id
+       |  WHERE round(${fdot("l.embedding", "r.embedding")} / (${norm("l.embedding")} * ${norm("r.embedding")}), 6) >= 0.35),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS vec_id, LEAST(a, min(b)) AS comp_id FROM reach GROUP BY a),
+       |keepers AS MATERIALIZED (
+       |  SELECT comp_id, vec_id AS keep_id FROM (
+       |    SELECT c.comp_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY c.comp_id ORDER BY s.cos_c, c.vec_id) AS rn
+       |    FROM comp c JOIN sc0 s USING (vec_id)) WHERE rn = 1)
+       |SELECT s.vec_id, CAST(s.cl AS BIGINT) AS cl,
+       |  coalesce(c.comp_id, s.vec_id) AS comp_id, s.cos_c,
+       |  (c.comp_id IS NULL OR k.keep_id = s.vec_id) AS kept
+       |FROM sc0 s
+       |LEFT JOIN comp c USING (vec_id)
+       |LEFT JOIN keepers k ON k.comp_id = c.comp_id
+       |ORDER BY s.vec_id""".stripMargin
+
+  /** v05/v12 mirror (one SQL serves both — the indexed serve path scores
+    * the identical candidate set because a corpus vector lives in exactly
+    * one inverted list): 12-probe IVF over the mirrored quantizer, exact
+    * round-6 cosine rerank, (cos DESC, id) rank. */
+  private val v05Sql: String =
+    s"""WITH $lloydCtes,
+       |qp AS MATERIALIZED (
+       |  SELECT query_id, cl FROM (
+       |    SELECT e.vec_id AS query_id, u.cl,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${fdot("e.embedding", "u.u")} DESC, u.cl) AS rn
+       |    FROM embeddings e CROSS JOIN uf u WHERE e.vec_id < 32) WHERE rn <= 12),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+       |  FROM qp q JOIN asg a USING (cl)
+       |  WHERE a.vec_id <> q.query_id),
+       |sc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round(${fdot("q.embedding", "e.embedding")} / (${norm("q.embedding")} * ${norm("e.embedding")}), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+       |  JOIN embeddings q ON q.vec_id = c.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk, cos
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Squared L2 between two float/double lists in exact engine order:
+    * per-dim diff (the exact difference of two floats fits a double, so
+    * double-subtract == float-subtract pre-rounding), sequential sum. */
+  private def l2sq(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), " +
+      "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')"
+
+  /** unitVec mirror: float unit-normalization (each element rounds back
+    * to FLOAT — double-divide + FLOAT cast == the JVM (x / n).toFloat);
+    * the zero vector stays itself. */
+  private def unitF(v: String, nrm: String): String =
+    s"CASE WHEN $nrm = 0 THEN $v " +
+      s"ELSE list_transform($v, x -> CAST(CAST(x AS DOUBLE) / $nrm AS FLOAT)) END"
+
+  /** Per-element float residual a - b (Similarity's Array.tabulate float
+    * subtraction — see [[l2sq]] for why double-sub + FLOAT cast is the
+    * identical rounding). */
+  private def fsubF(a: String, b: String): String =
+    s"list_transform(list_zip($a, $b), " +
+      "x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS FLOAT))"
+
+  /** kmeansL2 mirror (Similarity.kmeansL2): the subspace-sized L2 Lloyd
+    * chain over a `(pos, s, sv)` subvector CTE named `input` — stride
+    * init from the hash-ordered sample, 5 unrolled iterations of
+    * {nearest-L2 assignment (lowest index ties), per-(subspace, cluster)
+    * mean in SAMPLE ORDER cast back to FLOAT, empty cluster keeps
+    * previous}. Ends in `b5(s, cl, cen)` — one ksub=16 codebook per
+    * subspace. A `pprm(n, k, stride)` CTE must be emitted once before. */
+  private def pqBookChain(input: String): String = {
+    val init =
+      s"""b0 AS MATERIALIZED (
+         |  SELECT ns.s, r.cl, ns.sv AS cen
+         |  FROM (SELECT unnest(range(0, (SELECT k FROM pprm))) AS cl) r
+         |  JOIN pprm ON true
+         |  JOIN $input ns ON ns.pos = ((r.cl * pprm.stride) % pprm.n) + 1)""".stripMargin
+    val iters = (0 until 5).map { it =>
+      s"""pa$it AS MATERIALIZED (
+         |  SELECT pos, s, cl FROM (
+         |    SELECT n.pos, n.s, b.cl,
+         |      row_number() OVER (PARTITION BY n.pos, n.s ORDER BY ${l2sq("n.sv", "b.cen")}, b.cl) AS rn
+         |    FROM $input n JOIN b$it b ON b.s = n.s) WHERE rn = 1),
+         |pg$it AS MATERIALIZED (
+         |  SELECT a.s, a.cl, dd.d,
+         |    list_aggregate(list(CAST(n.sv[dd.d] AS DOUBLE) ORDER BY n.pos), 'sum') AS sm,
+         |    count(*) AS cnt
+         |  FROM pa$it a JOIN $input n USING (pos, s), range(1, 9) dd(d)
+         |  GROUP BY a.s, a.cl, dd.d),
+         |pn$it AS MATERIALIZED (
+         |  SELECT s, cl, list(CAST(sm / cnt AS FLOAT) ORDER BY d) AS cen
+         |  FROM pg$it GROUP BY s, cl),
+         |b${it + 1} AS MATERIALIZED (
+         |  SELECT b.s, b.cl, coalesce(n.cen, b.cen) AS cen
+         |  FROM b$it b LEFT JOIN pn$it n USING (s, cl))""".stripMargin
+    }.mkString(",\n")
+    s"$init,\n$iters"
+  }
+
+  /** Shared ADC tail: `adc(query_id, neighbor_id, adc)` -> 192-shortlist
+    * by (adc ASC, id ASC) — the TopK heap's (-adc DESC, id ASC) order —
+    * then the exact round-6 cosine rerank to top-5. */
+  private val pqTailSql: String =
+    s"""short AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= 192),
+       |rsc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round(${fdot("q.embedding", "e.embedding")} / (${norm("q.embedding")} * ${norm("e.embedding")}), 6) AS cos
+       |  FROM short c
+       |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+       |  JOIN embeddings q ON q.vec_id = c.query_id),
+       |rr AS (SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk, cos
+       |  FROM rsc)
+       |SELECT query_id, neighbor_id, rnk, cos FROM rr WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** v13/v14 mirror (one SQL serves both — the indexed serve scores the
+    * identical shortlist): flat PQ — codebooks trained per subspace over
+    * the UNIT-NORMALIZED hash-ordered sample (Similarity.pqCodebooks),
+    * corpus encoded to nearest codes, per-query ADC table, 192-shortlist
+    * by raw-double ADC, exact rerank. The ADC sum over subspaces runs in
+    * s ORDER (ordered-list fold), matching the engine's
+    * aggregate(transform(codes, ...)) left fold. */
+  private val v13Sql: String = {
+    val hashOrd = toSigned(xxhashLong("CAST(vec_id AS HUGEINT)", "42::HUGEINT"))
+    s"""WITH smp AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY $hashOrd, vec_id) AS pos, embedding AS v
+       |  FROM embeddings QUALIFY pos <= 20000),
+       |nsmp0 AS MATERIALIZED (
+       |  SELECT pos, ${unitF("v", "nrm")} AS nv
+       |  FROM (SELECT pos, v, ${norm("v")} AS nrm FROM smp)),
+       |nsmp AS MATERIALIZED (
+       |  SELECT pos, ss.s, nv[ss.s * 8 + 1 : ss.s * 8 + 8] AS sv
+       |  FROM nsmp0, range(0, 8) ss(s)),
+       |pprm AS MATERIALIZED (
+       |  SELECT n, LEAST(16, n) AS k, GREATEST(1, n // LEAST(16, n)) AS stride
+       |  FROM (SELECT count(*) AS n FROM smp)),
+       |${pqBookChain("nsmp")},
+       |ne AS MATERIALIZED (
+       |  SELECT vec_id, ${unitF("embedding", "nrm")} AS nv
+       |  FROM (SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings)),
+       |nsub AS MATERIALIZED (
+       |  SELECT vec_id, ss.s, nv[ss.s * 8 + 1 : ss.s * 8 + 8] AS sv
+       |  FROM ne, range(0, 8) ss(s)),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id AS neighbor_id, s, cl AS code FROM (
+       |    SELECT n.vec_id, n.s, b.cl,
+       |      row_number() OVER (PARTITION BY n.vec_id, n.s ORDER BY ${l2sq("n.sv", "b.cen")}, b.cl) AS rn
+       |    FROM nsub n JOIN b5 b ON b.s = n.s) WHERE rn = 1),
+       |qtab AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, q.s, b.cl AS code, ${l2sq("q.sv", "b.cen")} AS d2
+       |  FROM nsub q JOIN b5 b ON b.s = q.s WHERE q.vec_id < 32),
+       |adc AS MATERIALIZED (
+       |  SELECT c.neighbor_id, t.query_id,
+       |    list_aggregate(list(t.d2 ORDER BY t.s), 'sum') AS adc
+       |  FROM codes c JOIN qtab t ON t.s = c.s AND t.code = c.code
+       |  WHERE t.query_id <> c.neighbor_id
+       |  GROUP BY c.neighbor_id, t.query_id),
+       |$pqTailSql""".stripMargin
+  }
+
+  /** v15/v16 mirror (one SQL serves both): IVFADC — the coarse Lloyd
+    * quantizer (same chain as d16/v05) composed with PQ codebooks trained
+    * on coarse-cell RESIDUALS of the normalized sample
+    * (Similarity.ivfPqResidualBooks). Cell assignment here runs on the
+    * NORMALIZED vector (the engine's encode/probe UDFs normalize first);
+    * residual reference points are the FLOAT unit centroids `cus`; each
+    * query carries one ADC table per probed cell, keyed (cl, s, code). */
+  private val v15Sql: String =
+    s"""WITH $lloydCtes,
+       |cus AS MATERIALIZED (
+       |  SELECT cl, ${unitF("cen", "nrm")} AS cu
+       |  FROM (SELECT cl, cen, ${norm("cen")} AS nrm FROM c5)),
+       |ne AS MATERIALIZED (
+       |  SELECT vec_id, ${unitF("embedding", "nrm")} AS nv
+       |  FROM (SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings)),
+       |nasg AS MATERIALIZED (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT n.vec_id, u.cl,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY ${fdot("n.nv", "u.u")} DESC, u.cl) AS rn
+       |    FROM ne n CROSS JOIN uf u) WHERE rn = 1),
+       |nsmp0 AS MATERIALIZED (
+       |  SELECT pos, ${unitF("v", "nrm")} AS nv
+       |  FROM (SELECT pos, v, ${norm("v")} AS nrm FROM smp)),
+       |rasg AS MATERIALIZED (
+       |  SELECT pos, cl FROM (
+       |    SELECT n.pos, u.cl,
+       |      row_number() OVER (PARTITION BY n.pos ORDER BY ${fdot("n.nv", "u.u")} DESC, u.cl) AS rn
+       |    FROM nsmp0 n CROSS JOIN uf u) WHERE rn = 1),
+       |rsmp AS MATERIALIZED (
+       |  SELECT n.pos, ss.s, (${fsubF("n.nv", "c.cu")})[ss.s * 8 + 1 : ss.s * 8 + 8] AS sv
+       |  FROM nsmp0 n JOIN rasg a USING (pos) JOIN cus c USING (cl), range(0, 8) ss(s)),
+       |pprm AS MATERIALIZED (
+       |  SELECT n, LEAST(16, n) AS k, GREATEST(1, n // LEAST(16, n)) AS stride
+       |  FROM (SELECT count(*) AS n FROM smp)),
+       |${pqBookChain("rsmp")},
+       |rsub AS MATERIALIZED (
+       |  SELECT n.vec_id, a.cl, ss.s,
+       |    (${fsubF("n.nv", "c.cu")})[ss.s * 8 + 1 : ss.s * 8 + 8] AS sv
+       |  FROM ne n JOIN nasg a USING (vec_id) JOIN cus c USING (cl), range(0, 8) ss(s)),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id AS neighbor_id, cl, s, code FROM (
+       |    SELECT n.vec_id, n.cl, n.s, b.cl AS code,
+       |      row_number() OVER (PARTITION BY n.vec_id, n.s ORDER BY ${l2sq("n.sv", "b.cen")}, b.cl) AS rn
+       |    FROM rsub n JOIN b5 b ON b.s = n.s) WHERE rn = 1),
+       |qp AS MATERIALIZED (
+       |  SELECT query_id, cl FROM (
+       |    SELECT n.vec_id AS query_id, u.cl,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY ${fdot("n.nv", "u.u")} DESC, u.cl) AS rn
+       |    FROM ne n CROSS JOIN uf u WHERE n.vec_id < 32) WHERE rn <= 12),
+       |qrsub AS MATERIALIZED (
+       |  SELECT q.query_id, q.cl, ss.s,
+       |    (${fsubF("n.nv", "c.cu")})[ss.s * 8 + 1 : ss.s * 8 + 8] AS sv
+       |  FROM qp q JOIN ne n ON n.vec_id = q.query_id JOIN cus c USING (cl),
+       |       range(0, 8) ss(s)),
+       |qtab AS MATERIALIZED (
+       |  SELECT q.query_id, q.cl, q.s, b.cl AS code, ${l2sq("q.sv", "b.cen")} AS d2
+       |  FROM qrsub q JOIN b5 b ON b.s = q.s),
+       |adc AS MATERIALIZED (
+       |  SELECT c.neighbor_id, t.query_id,
+       |    list_aggregate(list(t.d2 ORDER BY t.s), 'sum') AS adc
+       |  FROM codes c JOIN qtab t ON t.cl = c.cl AND t.s = c.s AND t.code = c.code
+       |  WHERE t.query_id <> c.neighbor_id
+       |  GROUP BY c.neighbor_id, t.query_id),
+       |$pqTailSql""".stripMargin
+
   /** d05 mirror: FNV-1a (UTF-16 units == ASCII bytes here) + splitmix64
     * per word (Dedup.hash64), then 64 per-bit +/-1 votes and the sign
     * vector (Dedup.simhash64). string_split keeps empty words, matching
@@ -597,10 +975,7 @@ object Oracle {
       "list_transform(range(1, length(word)+1), i -> " +
       s"CAST(unicode(substr(word, CAST(i AS INT), 1)) AS HUGEINT))), " +
       s"(h, c) -> ${mulmod("xor(h, c)", BigInt("100000001b3", 16))})"
-    val smx = let(s"($fnv + 11400714819323198485) % $Mod", "z0",
-      let(mulmod("xor(z0, z0 >> 30)", BigInt("bf58476d1ce4e5b9", 16)), "z1",
-        let(mulmod("xor(z1, z1 >> 27)", BigInt("94d049bb133111eb", 16)), "z2",
-          "xor(z2, z2 >> 31)")))
+    val smx = splitmixSql(fnv)
     s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
        |wh AS (SELECT doc_id, $smx AS h FROM w),
        |bits AS (SELECT doc_id, b,
@@ -1894,6 +2269,19 @@ object Oracle {
          |       1000000 * cell.cnt // tot.n AS row_ppm
          |FROM cell JOIN tot USING (lang)
          |ORDER BY lang, lang_guess""".stripMargin,
+
+    // ANN family bit-exact float mirrors (see the section above the sql
+    // map): v03 hyperplane-LSH, d16 SemDeDup, and the IVF serve paths
+    // v05/v12 — one SQL serves both IVF forms, their candidate sets and
+    // scores are identical by construction.
+    "v03_ann_lsh" -> v03Sql,
+    "d16_semantic_dedup" -> d16Sql,
+    "v05_ann_ivf" -> v05Sql,
+    "v12_indexed_ivf" -> v05Sql,
+    "v13_pq_ann" -> v13Sql,
+    "v14_indexed_pq" -> v13Sql,
+    "v15_ivfpq" -> v15Sql,
+    "v16_indexed_ivfpq" -> v15Sql,
 
     "v01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 32),

@@ -34,6 +34,13 @@ object AbBench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // indexed10x is its own protocol (build timed separately, JSON line
+    // out) — the r11 verdict's ask #3: prove the indexed-serve crossover
+    // at "sf1" (the deterministic 10x sf0.1 synthesis). The sf0.1
+    // measurements showed indexed SLOWER (bucketed-scan fixed cost);
+    // this artifact is the scale point where the amortization wins.
+    if (what == "indexed10x") { runIndexed10x(spark, reps); spark.stop(); return }
+
     val variants: Seq[(String, () => DataFrame)] = what match {
       case "pii" =>
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -56,5 +63,70 @@ object AbBench {
         f"min=${s.head}%.3f s  n=$reps  all=${s.map(x => f"$x%.3f").mkString(",")}")
     }
     spark.stop()
+  }
+
+  /** Indexed-serve crossover at 10x sf0.1 (the "sf1" synthesis): for each
+    * (inline, indexed) pair the index is built ONCE (timed separately —
+    * it amortizes over every serve), then serves alternate with the
+    * inline twin so ambient drift cancels. Emits ONE JSON line — the
+    * committed artifact is BENCH_SF1_SUBSET.json. */
+  private def runIndexed10x(spark: SparkSession, reps: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val big = "/tmp/sf1_synth"
+    if (!new java.io.File(s"$big/events.parquet").exists()) {
+      println("[ab] synthesizing 10x sf0.1 at " + big)
+      graft.ScaleProbe.synth10x(spark, "/root/testdata/sf0.1", big)
+    }
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      graft.SessionResources.release(spark)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val ev = spark.read.parquet(s"$big/events.parquet")
+    val bip = graft.queries.Queries.eventsBipartiteEdges(ev)
+    val seeds = ev.filter(col("user_id") % 50 === 0)
+      .select(col("user_id").as("node")).distinct()
+    val e = spark.read.parquet(s"$big/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 32)
+
+    val tEdgeBuild = timed {
+      graft.graph.PageRank.buildEdgeLayout(bip, "ab10x_layout", buckets = 32) }
+    val tSignBuild = timed {
+      graft.llm.Similarity.buildSignIndex(e, "ab10x_sign", buckets = 32) }
+
+    val pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("x18_pagerank_10iter",
+        () => graft.graph.PageRank.pageRankFixed(bip, iters = 10, checkpointEvery = 5),
+        () => graft.graph.PageRank.pageRankIndexed(spark, "ab10x_layout",
+          iters = 10, checkpointEvery = 5)),
+      ("x20_bfs",
+        () => graft.graph.Bfs.bfsDistances(bip, seeds, maxHops = 4),
+        () => graft.graph.Bfs.bfsIndexed(spark, "ab10x_layout", seeds, maxHops = 4)),
+      ("v11_hamming",
+        () => graft.llm.Similarity.hammingAnn(e, q, 5),
+        () => graft.llm.Similarity.hammingRerankIndexed(spark, "ab10x_sign", q, 5)))
+
+    val out = pairs.map { case (name, inline, indexed) =>
+      force(inline()); force(indexed()) // warm-up both
+      var si, sx = Vector.empty[Double]
+      for (_ <- 1 to reps) {
+        si :+= timed(force(inline()))
+        sx :+= timed(force(indexed()))
+      }
+      val (mi, mx) = (si.sorted.apply(si.size / 2), sx.sorted.apply(sx.size / 2))
+      println(f"[ab] indexed10x/$name%-20s inline=$mi%.2f s  indexed=$mx%.2f s  " +
+        f"(all inline=${si.map(x => f"$x%.2f").mkString(",")}; " +
+        f"indexed=${sx.map(x => f"$x%.2f").mkString(",")})")
+      f""""$name":{"inline_median_s":$mi%.3f,"indexed_median_s":$mx%.3f}"""
+    }
+    val load = new java.io.File("/proc/loadavg") // recorded like Bench.scala
+    val loadavg = scala.util.Try(
+      scala.io.Source.fromFile(load).mkString.split(" ").head.toDouble).getOrElse(-1.0)
+    println(s"""{"metric":"indexed_vs_inline_10x","rows":{"events":${ev.count()},"embeddings":${e.count()}},""" +
+      f""""build_s":{"edge_layout":$tEdgeBuild%.3f,"sign_index":$tSignBuild%.3f},""" +
+      s""""pairs":{${out.mkString(",")}},"reps":$reps,"loadavg":$loadavg}""")
   }
 }
