@@ -89,7 +89,25 @@ object AbBench {
     val bip = graft.queries.Queries.eventsBipartiteEdges(ev)
     val seeds = ev.filter(col("user_id") % 50 === 0)
       .select(col("user_id").as("node")).distinct()
-    val e = spark.read.parquet(s"$big/embeddings.parquet")
+    // the graph pairs run at 10x; the hamming pair needs a corpus big
+    // enough that the serve-side SCAN difference shows (the sign index's
+    // value is 32x less data read per serve — invisible while the raw
+    // float corpus still fits page cache). 1000x sf0.1 = 2M vectors
+    // (~0.5 GB raw floats vs ~16 MB packed signatures).
+    val eBigPath = s"$big/embeddings_1000x.parquet"
+    if (!new java.io.File(eBigPath).exists()) {
+      val e10 = spark.read.parquet(s"$big/embeddings.parquet")
+      // offset stays under 2^31: the hamming heap packs (ham, id) into
+      // one long with a 31-bit id field
+      (0 until 100).map { k =>
+        e10.withColumn("vec_id", col("vec_id") + lit(k * 20000000L))
+          .withColumn("embedding",
+            concat(slice(col("embedding"), lit(k % 63 + 1), lit(100000)),
+              slice(col("embedding"), 1, k % 63)).cast("array<float>"))
+      }.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(eBigPath)
+    }
+    val e = spark.read.parquet(eBigPath)
     val q = e.filter(col("vec_id") < 32)
 
     val tEdgeBuild = timed {
@@ -105,7 +123,7 @@ object AbBench {
       ("x20_bfs",
         () => graft.graph.Bfs.bfsDistances(bip, seeds, maxHops = 4),
         () => graft.graph.Bfs.bfsIndexed(spark, "ab10x_layout", seeds, maxHops = 4)),
-      ("v11_hamming",
+      ("v11_hamming_1000x",
         () => graft.llm.Similarity.hammingAnn(e, q, 5),
         () => graft.llm.Similarity.hammingRerankIndexed(spark, "ab10x_sign", q, 5)))
 
@@ -125,7 +143,7 @@ object AbBench {
     val load = new java.io.File("/proc/loadavg") // recorded like Bench.scala
     val loadavg = scala.util.Try(
       scala.io.Source.fromFile(load).mkString.split(" ").head.toDouble).getOrElse(-1.0)
-    println(s"""{"metric":"indexed_vs_inline_10x","rows":{"events":${ev.count()},"embeddings":${e.count()}},""" +
+    println(s"""{"metric":"indexed_vs_inline_10x","rows":{"events":${ev.count()},"embeddings_1000x":${e.count()}},""" +
       f""""build_s":{"edge_layout":$tEdgeBuild%.3f,"sign_index":$tSignBuild%.3f},""" +
       s""""pairs":{${out.mkString(",")}},"reps":$reps,"loadavg":$loadavg}""")
   }
