@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** End-to-end BAG pipeline over the synthetic fixture (FIXTURES.md §A). */
+@graft.SlowTest
 class BagPipelineSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Integer PageRank: hand-computed star-graph golden + determinism. */
+@graft.SlowTest
 class GraphSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = SparkSession.builder()

@@ -10,6 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
  * fingerprint determinism. Runs on /root/testdata/sf0.001 plus tiny
  * in-memory fixtures.
  */
+@graft.SlowTest
 class LlmOpsSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = SparkSession.builder()

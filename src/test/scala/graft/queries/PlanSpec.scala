@@ -15,6 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
  * in any registered query, and no dimension-side shuffle exchanges where a
  * broadcast was intended.
  */
+@graft.SlowTest
 class PlanSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = SparkSession.builder()

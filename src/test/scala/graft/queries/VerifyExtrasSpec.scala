@@ -11,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
  * a deliberately corrupted dump (the check must go red) — a checker that
  * cannot fail is no evidence at all.
  */
+@graft.SlowTest
 class VerifyExtrasSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = SparkSession.builder()

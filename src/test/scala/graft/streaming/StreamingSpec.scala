@@ -11,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
  * keyed-state sessionizer run on a MemoryStream and must agree with their
  * batch mirrors (st01/st02 shapes in graft.queries.Queries).
  */
+@graft.SlowTest
 class StreamingSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = SparkSession.builder()
