@@ -3310,6 +3310,60 @@ object Oracle {
         |       CAST(sum(CAST(round(quality_score * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_quality_bp
         |FROM sm GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // x44: the composed corpus-build chain — x08's quality mirror,
+    // keep-first dedup as row_number, d08's string-shingle overlap at
+    // w=5 against the bucket-99 base-family holdout, then t08's
+    // recursive greedy packer over the survivors
+    "x44_corpus_build" ->
+      """WITH RECURSIVE
+        |trn AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE CAST('0x' || substring(md5(CAST(doc_id % 10000000 AS VARCHAR)), 1, 8) AS BIGINT) % 100 <> 99),
+        |bch AS (SELECT doc_id, text FROM documents
+        |  WHERE CAST('0x' || substring(md5(CAST(doc_id % 10000000 AS VARCHAR)), 1, 8) AS BIGINT) % 100 = 99
+        |    AND doc_id < 10000000),
+        |q AS (SELECT doc_id, lang, text,
+        |    len(string_split(text, ' ')) AS n_words0,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to'))) AS stop0
+        |  FROM trn),
+        |sc AS (SELECT doc_id, lang, text, CAST(n_words0 AS BIGINT) AS n_words,
+        |    round(least(1.0, n_words0 / 200.0) * 0.5 + (CAST(stop0 AS DOUBLE) / n_words0) * 0.5, 4) AS quality_score
+        |  FROM q),
+        |dd AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS drn
+        |       FROM sc WHERE quality_score >= 0.2),
+        |ded AS (SELECT doc_id, lang, text, n_words FROM dd WHERE drn = 1),
+        |ttok AS (SELECT doc_id, string_split(text, ' ') AS w FROM ded),
+        |tsh AS (SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |      i -> list_aggregate(w[i:i+4], 'string_agg', chr(31)))) AS s
+        |    FROM ttok WHERE len(w) >= 5)),
+        |btok AS (SELECT doc_id, string_split(text, ' ') AS w FROM bch),
+        |bsh AS (SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |      i -> list_aggregate(w[i:i+4], 'string_agg', chr(31)))) AS s
+        |    FROM btok WHERE len(w) >= 5)),
+        |ov AS (SELECT t.doc_id, b.doc_id AS bid, count(*) AS shared
+        |       FROM tsh t JOIN bsh b ON t.s = b.s GROUP BY 1, 2),
+        |cont AS (SELECT DISTINCT doc_id FROM ov WHERE shared >= 2),
+        |sm AS (SELECT d.doc_id, d.lang, d.n_words FROM ded d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM cont)
+        |    AND CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+        |        < CASE WHEN d.lang = 'en' THEN 30 ELSE 10 END),
+        |d2 AS (SELECT doc_id, lang, n_words,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM sm),
+        |p AS (
+        |  SELECT doc_id, lang, n_words, rn,
+        |         CAST(0 AS BIGINT) AS seq_id, n_words AS seq_tokens
+        |  FROM d2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.doc_id, d.lang, d.n_words, d.rn,
+        |         CASE WHEN p.seq_tokens + d.n_words > 256
+        |              THEN p.seq_id + 1 ELSE p.seq_id END,
+        |         CASE WHEN p.seq_tokens + d.n_words > 256
+        |              THEN d.n_words ELSE p.seq_tokens + d.n_words END
+        |  FROM p JOIN d2 d ON d.lang = p.lang AND d.rn = p.rn + 1)
+        |SELECT doc_id, lang, n_words, seq_id, seq_tokens
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     // IDENTICAL pattern text both engines (interpolated from TextOps.Pii —
     // common Java-regex/RE2 subset, greedy, no alternation); replacement
     // order email -> ip -> phone; audit counts are placeholder counts

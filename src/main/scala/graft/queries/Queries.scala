@@ -2720,6 +2720,47 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** X44: the COMPOSED corpus-build chain as one registered, oracled
+    * query — x08's quality->dedup->sample pipeline extended with the two
+    * stages a real pretraining build adds between them: decontamination
+    * (d08's 5-gram-overlap broadcast anti-join against a held-out
+    * benchmark FAMILY — doc_id % 1e7 groups rotated synthesis siblings
+    * with their original, so eval near-duplicates can't train) and t08's
+    * greedy token-budget packing. One lineage end to end: no collect
+    * between stages, dedup is ONE arg_max hash aggregate, the bench
+    * side broadcasts (eval sets are small by nature), packing is the
+    * single stratum-key shuffle. The 10x artifact
+    * (graft.tools.CorpusBuild10x / CORPUS_BUILD_10X.md) runs THIS
+    * function; the oracle restates every stage in SQL — the quality
+    * score from x08's mirror, keep-first dedup as a row_number, the
+    * w=5 string-shingle overlap from d08's mirror, and t08's recursive
+    * packer — so the full chain is hash-exact, not just its pieces. */
+  def x44Chain(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val base = col("doc_id") % 10000000L
+    val bench = docs.filter(sampleBucket(base) === 99 &&
+      col("doc_id") < 10000000L)
+    val train = docs.filter(sampleBucket(base) =!= 99)
+    val scored = TextOps.qualityStats(train)
+      .filter(col("quality_score") >= 0.2)
+    val sCols = scored.columns
+    val deduped = scored.groupBy(md5(col("text")).as("__h"))
+      .agg(graft.functions.VectorAggregates.argMax(-col("doc_id"),
+        struct(sCols.map(col).toIndexedSeq: _*)).as("__w"))
+      .select(sCols.map(c => col(s"__w.$c").as(c)).toIndexedSeq: _*)
+    // 5-word windows: the realistic decontamination granularity for
+    // ~54-word docs (production builds use 8-13-gram overlap; 3-grams
+    // over the small synthetic vocabulary would flag half the corpus)
+    val contaminated = Dedup.decontaminate(deduped, bench,
+      w = 5, minShared = 2).select(col("doc_id"))
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val sampled = clean.filter(sampleBucket(col("doc_id")) <
+      when(col("lang") === "en", 30).otherwise(10))
+    TextOps.packSequences(sampled, budget = 256L)
+  }
+
+  val x44CorpusBuild: Q = (s, dir) => x44Chain(s, dir).orderBy("doc_id")
+
   /** T7: within-doc repetition ratio (duplicate w-gram fraction) — the
     * Gopher-style repetition quality gate, map-only over native kernels. */
   val t07Repetition: Q = (s, dir) =>
@@ -5823,6 +5864,7 @@ object Queries {
     "x05_range_join" -> x05RangeJoin,
     "x06_label_centroids" -> x06LabelCentroids,
     "x08_training_mix" -> x08TrainingMix,
+    "x44_corpus_build" -> x44CorpusBuild,
     "x09_salted_agg" -> x09SaltedAgg,
     "x02_rollup" -> x02Rollup,
     "x10_cube" -> x10Cube,
