@@ -1561,6 +1561,56 @@ object Oracle {
     "d03_neardup_ngram" ->
       jaccardSql(0.2, postingsCap = Some(graft.llm.Dedup.NearDup.maxShinglePostings)),
 
+    // d29: bucketed deterministic negative sampling — md5 bucket + rank
+    // resolution, direct d03-pair exclusion (same capped jaccard CTEs),
+    // first 4 distinct survivors by draw order
+    "d29_negative_sampling" -> {
+      val cap = graft.llm.Dedup.NearDup.maxShinglePostings
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+         |          i -> list_aggregate(w[i:i+4], 'string_agg', chr(31)))) AS s
+         |        FROM tok WHERE len(w) >= 5),
+         |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $cap),
+         |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |cpair AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |pr AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |       FROM cpair c JOIN sh a ON a.doc_id = c.id_a
+         |       JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s GROUP BY 1, 2),
+         |jac AS (SELECT id_a, id_b
+         |        FROM pr JOIN cnt ca ON ca.doc_id = pr.id_a
+         |        JOIN cnt cb ON cb.doc_id = pr.id_b
+         |        WHERE round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) >= 0.2),
+         |ex AS (SELECT id_a AS anchor_id, id_b AS neg_id FROM jac
+         |       UNION ALL SELECT id_b, id_a FROM jac),
+         |bkt AS (SELECT doc_id,
+         |    CAST('0x' || substring(md5('g:' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 64 AS g
+         |  FROM documents),
+         |rk AS (SELECT doc_id, g,
+         |    CAST(row_number() OVER (PARTITION BY g ORDER BY doc_id) - 1 AS BIGINT) AS r
+         |  FROM bkt),
+         |gsz AS (SELECT g, CAST(count(*) AS BIGINT) AS gsz FROM bkt GROUP BY 1),
+         |dr AS (SELECT d.doc_id AS anchor_id, j.j,
+         |    CAST('0x' || substring(md5('b:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)),1,8) AS BIGINT) % 64 AS g,
+         |    CAST('0x' || substring(md5('p:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)),1,8) AS BIGINT) AS p
+         |  FROM documents d, (SELECT unnest(range(1, 7)) AS j) j
+         |  WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),1,8) AS BIGINT) % 100 < 10),
+         |cand AS (SELECT dr.anchor_id, dr.j, rk.doc_id AS neg_id
+         |  FROM dr JOIN gsz USING (g) JOIN rk ON rk.g = dr.g AND rk.r = dr.p % gsz.gsz),
+         |kept AS (SELECT anchor_id, neg_id, min(j) AS j FROM cand
+         |  WHERE neg_id <> anchor_id
+         |    AND NOT EXISTS (SELECT 1 FROM ex
+         |          WHERE ex.anchor_id = cand.anchor_id AND ex.neg_id = cand.neg_id)
+         |  GROUP BY 1, 2),
+         |rkd AS (SELECT anchor_id, neg_id, j,
+         |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY j, neg_id) AS BIGINT) AS rnk
+         |  FROM kept)
+         |SELECT anchor_id, rnk, neg_id, CAST(j AS BIGINT) AS draw
+         |FROM rkd WHERE rnk <= 4 ORDER BY anchor_id, rnk""".stripMargin
+    },
+
     // Broder containment over the SAME shingle/candidate CTEs as d03,
     // but normalized by the contained side's set size, both directions
     "d17_containment" -> {
@@ -2079,6 +2129,52 @@ object Oracle {
         |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx, u.c AS chunk,
         |       CAST(len(string_split(u.c, ' ')) AS BIGINT) AS n_tok
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // t47: t26's chunker at w=s=10, the t03 stopword argmax per window,
+    // per-doc census with a lag-based switch count and the struct
+    // arg-min majority election (ties to the alphabetically smallest)
+    "t47_codeswitch_census" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t2 AS (SELECT doc_id, w, len(w) AS l FROM t),
+        |c AS (SELECT doc_id, unnest(list_transform(
+        |        range(0, CASE WHEN l <= 10 THEN 1 ELSE (l - 10 + 9) // 10 + 1 END),
+        |        i -> struct_pack(i := i,
+        |               c := array_to_string(w[i*10+1:i*10+10], ' ')))) AS u
+        |      FROM t2),
+        |cw AS (SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        |        string_split(u.c, ' ') AS ws FROM c),
+        |sc AS (SELECT doc_id, chunk_idx,
+        |  CAST(len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(ws, x -> x IN ('el','que','los','una','es'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(ws, x -> x IN ('le','les','des','une','est'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(ws, x -> x IN ('de','shi','le','bu','wo'))) AS BIGINT) AS s_zh
+        |  FROM cw),
+        |g AS (SELECT doc_id, chunk_idx,
+        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_guess
+        |  FROM sc),
+        |sw AS (SELECT doc_id, lang_guess,
+        |  CASE WHEN lag(lang_guess) OVER (PARTITION BY doc_id ORDER BY chunk_idx)
+        |            IS DISTINCT FROM lang_guess
+        |        AND lag(lang_guess) OVER (PARTITION BY doc_id ORDER BY chunk_idx)
+        |            IS NOT NULL
+        |       THEN 1 ELSE 0 END AS switch
+        |  FROM g),
+        |cen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |        CAST(count(DISTINCT lang_guess) AS BIGINT) AS n_langs,
+        |        CAST(sum(switch) AS BIGINT) AS n_switches
+        |  FROM sw GROUP BY 1),
+        |vt AS (SELECT doc_id, lang_guess, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |mj AS (SELECT doc_id, lang_guess AS major_lang FROM (
+        |    SELECT doc_id, lang_guess,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang_guess) AS rn
+        |    FROM vt) WHERE rn = 1)
+        |SELECT cen.doc_id, cen.n_windows, cen.n_langs, cen.n_switches,
+        |  mj.major_lang, cen.n_langs > 1 AS is_mixed
+        |FROM cen JOIN mj USING (doc_id) ORDER BY cen.doc_id""".stripMargin,
 
     // the admission complement of d08: admitted = incoming docs with NO
     // bench doc sharing >= 2 shingles (same string-shingle/64-bit-hash
@@ -3765,6 +3861,43 @@ object Oracle {
 
     // a45: hourly counts, forecast = the lag-24 count via a shifted
     // equi-join, integer error folds, two ppm divisions
+    // a46: same md5 raters, 3x3 confusion marginals/diagonal, po/pe/kappa
+    // as exact ppm integer divisions (HUGEINT for the marginal product —
+    // all operands positive by fixture construction, so DuckDB's floor
+    // division and Spark's truncate-toward-zero div agree)
+    "a46_cohens_kappa" ->
+      """WITH r AS (SELECT c_custkey AS key,
+        |    CAST('0x' || substring(md5('ra:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 3 AS a,
+        |    CAST('0x' || substring(md5('rb:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 5 AS agree_roll,
+        |    CAST('0x' || substring(md5('rc:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 2 AS shift
+        |  FROM customer),
+        |rb AS (SELECT key, a,
+        |    CASE WHEN agree_roll < 3 THEN a ELSE (a + 1 + shift) % 3 END AS b
+        |  FROM r),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree FROM rb),
+        |ma AS (SELECT a AS class, CAST(count(*) AS BIGINT) AS n_a FROM rb GROUP BY 1),
+        |mb AS (SELECT b AS class, CAST(count(*) AS BIGINT) AS n_b FROM rb GROUP BY 1),
+        |dg AS (SELECT a AS class, CAST(count(*) AS BIGINT) AS n_both FROM rb WHERE a = b GROUP BY 1),
+        |pc AS (SELECT coalesce(ma.class, mb.class, dg.class) AS class,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+        |    coalesce(n_both, 0) AS n_both
+        |  FROM ma FULL JOIN mb ON ma.class = mb.class
+        |  FULL JOIN dg ON coalesce(ma.class, mb.class) = dg.class),
+        |sm AS (SELECT n, n_agree,
+        |    (1000000 * n_agree) // n AS po_ppm,
+        |    CAST((CAST(1000000 AS HUGEINT) * marg)
+        |      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+        |  FROM (SELECT any_value(n) AS n, any_value(n_agree) AS n_agree,
+        |          CAST(sum(CAST(n_a AS HUGEINT) * n_b) AS HUGEINT) AS marg
+        |        FROM pc CROSS JOIN tot)),
+        |sm2 AS (SELECT n, n_agree, po_ppm, pe_ppm,
+        |    (1000000 * (po_ppm - pe_ppm)) // (1000000 - pe_ppm) AS kappa_ppm
+        |  FROM sm)
+        |SELECT pc.class, pc.n_a, pc.n_b, pc.n_both,
+        |  sm2.n, sm2.n_agree, sm2.po_ppm, sm2.pe_ppm, sm2.kappa_ppm
+        |FROM pc CROSS JOIN sm2 ORDER BY pc.class""".stripMargin,
+
     "a45_seasonal_backtest" ->
       """WITH hc AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
         |    CAST(count(*) AS BIGINT) AS c

@@ -1288,6 +1288,63 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** D29: deterministic negative sampling for contrastive training —
+    * the batch-prep step an embedding-training pipeline runs after
+    * dedup: every anchor needs k negatives that are NOT near-duplicates
+    * of the anchor (a near-dup negative is a FALSE negative and
+    * actively corrupts the contrastive objective — the reason this op
+    * belongs next to the dedup family rather than plain sampling).
+    * Fully deterministic and distributed: every doc hashes into one of
+    * 64 buckets and gets a WITHIN-BUCKET rank (the only window here is
+    * partitioned by bucket — bucket count is the scale knob: size B so
+    * |corpus|/B fits a task, and the global-sort ring a naive
+    * shuffled-ring sampler needs never exists); each anchor draws 6
+    * candidate (bucket, position) pairs from md5 streams, candidates
+    * resolve via ONE equi-join on (bucket, rank mod bucket-size), then
+    * self-hits and direct d03 near-dup pairs of the anchor are
+    * anti-joined away and the first 4 survivors by draw order are kept
+    * (6 draws for 4 slots = the over-provisioning that makes the
+    * exclusion non-truncating at realistic dup rates; anchors with
+    * fewer survivors keep what they have — the audit-visible case).
+    * Integer/md5 end to end — fully oracle-able. */
+  val d29NegativeSampling: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val bkt = docs.select(col("doc_id"),
+      expr("cast(conv(substring(md5(concat('g:', cast(doc_id as string))),1,8),16,10) as bigint) % 64")
+        .as("g"))
+    val ranked = bkt.withColumn("r",
+      (row_number().over(Window.partitionBy("g").orderBy("doc_id")) - 1)
+        .cast("long"))
+    val sizes = bkt.groupBy("g").agg(count(lit(1)).as("gsz"))
+    val draws = docs.filter(sampleBucket(col("doc_id")) < 10)
+      .select(col("doc_id").as("anchor_id"))
+      .select(col("anchor_id"), explode(typedLit(List(1, 2, 3, 4, 5, 6))).as("j"))
+      .withColumn("g",
+        expr("cast(conv(substring(md5(concat('b:', cast(anchor_id as string), ':', cast(j as string))),1,8),16,10) as bigint) % 64"))
+      .withColumn("p",
+        expr("cast(conv(substring(md5(concat('p:', cast(anchor_id as string), ':', cast(j as string))),1,8),16,10) as bigint)"))
+    val cand = draws.join(broadcast(sizes), Seq("g"))
+      .withColumn("r", col("p") % col("gsz"))
+      .join(ranked, Seq("g", "r"))
+      .select(col("anchor_id"), col("j"), col("doc_id").as("neg_id"))
+    val pairs = Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.2)
+      .select(col("id_a"), col("id_b"))
+    val ex = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .select(col("id_a").as("anchor_id"), col("id_b").as("neg_id"))
+    val kept = cand.filter(col("neg_id") =!= col("anchor_id"))
+      .join(ex, Seq("anchor_id", "neg_id"), "left_anti")
+      // a bucket can be drawn twice for one anchor and resolve to the
+      // same doc — negatives must be distinct within an anchor's set
+      .groupBy(col("anchor_id"), col("neg_id")).agg(min(col("j")).as("j"))
+    kept.withColumn("rnk", row_number().over(
+        Window.partitionBy("anchor_id").orderBy("j", "neg_id")).cast("long"))
+      .filter(col("rnk") <= 4)
+      .select(col("anchor_id"), col("rnk"), col("neg_id"),
+        col("j").cast("long").as("draw"))
+      .orderBy("anchor_id", "rnk")
+  }
+
   /** D19: SOFT dedup — down-weight instead of drop: every doc keeps a
     * sampling weight 1/|near-dup cluster| (ppm, integer division), so a
     * 5-way duplicated page contributes one page's worth of expected
@@ -1530,6 +1587,44 @@ object Queries {
   val t26ChunkWindows: Q = (s, dir) =>
     TextOps.chunkWindows(tbl(s, dir, "documents"), w = 32, s = 24)
       .orderBy("doc_id", "chunk_idx")
+
+  /** T47: code-switching census — the mixed-language detector a
+    * WHOLE-DOC langid (t03) is structurally blind to: a half-English/
+    * half-Spanish page argmaxes to one label and then either pollutes
+    * the en bucket or is lost to es, when the right routing is "mixed"
+    * (drop, split, or route to a multilingual pipeline — the CCNet/
+    * fastText curation step after per-doc labeling). Mechanism: the doc
+    * is cut into non-overlapping 10-word windows (t26's chunker at
+    * w = s = 10, map-only), EACH window classified with t03's stopword
+    * argmax, then a per-doc census: window count, distinct guessed
+    * langs, the majority lang (ties to the alphabetically smallest via
+    * the struct arg-min — no vote sort), and the SWITCH count (adjacent
+    * windows disagreeing — a lag over each doc's own windows, the only
+    * window function here and bounded by the doc's chunk count, never
+    * the corpus). is_mixed = more than one guessed lang. All counting
+    * — integer-exact, fully mirrorable. */
+  val t47CodeswitchCensus: Q = (s, dir) => {
+    val wins = TextOps.chunkWindows(tbl(s, dir, "documents"), w = 10, s = 10)
+    val lid = TextOps.langIdScores(wins, textCol = "chunk")
+      .select(col("doc_id"), col("chunk_idx"), col("lang_guess"))
+    val sw = lid.withColumn("prev", lag(col("lang_guess"), 1).over(
+        Window.partitionBy("doc_id").orderBy("chunk_idx")))
+      .withColumn("switch",
+        when(col("prev").isNotNull && col("prev") =!= col("lang_guess"), 1L)
+          .otherwise(0L))
+    val votes = lid.groupBy(col("doc_id"), col("lang_guess"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("lang_guess").as("v")))
+        .getField("v").as("major_lang"))
+    sw.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("lang_guess")).as("n_langs"),
+        sum(col("switch")).as("n_switches"))
+      .join(votes, Seq("doc_id"))
+      .withColumn("is_mixed", col("n_langs") > 1)
+      .orderBy("doc_id")
+  }
 
   /** Quality scoring (length/stopword/avg-word-length stats). */
   val t02TextQuality: Q = (s, dir) =>
@@ -5113,6 +5208,59 @@ object Queries {
       .orderBy("bin")
   }
 
+  /** A46: Cohen's kappa — inter-annotator agreement, the label-QUALITY
+    * census the evaluation family (a41 AUC ranks, a43 gains deploys,
+    * a44 ECE calibrates) still lacked: before any label trains or
+    * evaluates a model, "do two raters even agree beyond chance?" is
+    * the gate (kappa is THE standard: raw agreement po is inflated by
+    * chance agreement pe whenever classes are imbalanced; kappa =
+    * (po - pe) / (1 - pe) corrects it). Fixture: two deterministic
+    * md5 raters over 3 classes — rater B copies A on a planted ~3/5
+    * of keys and otherwise picks a DIFFERENT class, so po (forced +
+    * chance diagonal) and pe (marginal products) are both live and
+    * po > pe by construction (kappa stays positive — integer division
+    * below truncates toward zero in Spark but floors in DuckDB, so the
+    * fixture keeps every division on positive operands). All integer:
+    * po_ppm exact, pe_ppm = 1e6 * sum_c(nA_c * nB_c) / n^2 with
+    * DECIMAL(38,0)/HUGEINT intermediates (the a43 overflow
+    * discipline — the marginal product is corpus^2-sized), kappa_ppm
+    * one ppm division of exact integers. One corpus fold to the 3x3
+    * confusion diagonal + two 3-row marginal folds + a broadcast
+    * 1-row summary attach. */
+  val a46CohensKappa: Q = (s, dir) => {
+    val r = tbl(s, dir, "customer").select(col("c_custkey").as("key"),
+      expr("cast(conv(substring(md5(concat('ra:', cast(c_custkey as string))),1,8),16,10) as bigint) % 3")
+        .as("a"),
+      expr("cast(conv(substring(md5(concat('rb:', cast(c_custkey as string))),1,8),16,10) as bigint) % 5")
+        .as("agree_roll"),
+      expr("cast(conv(substring(md5(concat('rc:', cast(c_custkey as string))),1,8),16,10) as bigint) % 2")
+        .as("shift"))
+      .withColumn("b", when(col("agree_roll") < 3, col("a"))
+        .otherwise((col("a") + lit(1L) + col("shift")) % 3))
+    val tot = r.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+    val ma = r.groupBy(col("a").as("class")).agg(count(lit(1)).as("n_a"))
+    val mb = r.groupBy(col("b").as("class")).agg(count(lit(1)).as("n_b"))
+    val diag = r.filter(col("a") === col("b"))
+      .groupBy(col("a").as("class")).agg(count(lit(1)).as("n_both"))
+    val perClass = ma.join(mb, Seq("class"), "full")
+      .join(diag, Seq("class"), "full")
+      .select(col("class"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"))
+    val summary = perClass.crossJoin(broadcast(tot))
+      .agg(first(col("n")).as("n"), first(col("n_agree")).as("n_agree"),
+        expr("sum(cast(n_a as decimal(38,0)) * n_b)").as("marg"))
+      .select(col("n"), col("n_agree"),
+        expr("(1000000 * n_agree) div n").as("po_ppm"),
+        expr("(cast(1000000 as decimal(38,0)) * marg) div (cast(n as decimal(38,0)) * n)")
+          .as("pe_ppm"))
+      .select(col("n"), col("n_agree"), col("po_ppm"), col("pe_ppm"),
+        expr("(1000000 * (po_ppm - pe_ppm)) div (1000000 - pe_ppm)")
+          .as("kappa_ppm"))
+    perClass.crossJoin(broadcast(summary)).orderBy("class")
+  }
+
   /** A42: Markov transition census (the user-journey model a14's
     * fixed-sequence funnel cannot express: the FULL first-order
     * transition matrix — from every event type to every next type —
@@ -5825,6 +5973,7 @@ object Queries {
     "d26_threshold_audit" -> d26ThresholdAudit,
     "d27_sketch_calibration" -> d27SketchCalibration,
     "d28_cdc_edit_stability" -> d28CdcEditStability,
+    "d29_negative_sampling" -> d29NegativeSampling,
     "x36_link_graph" -> x36LinkGraph,
     "x37_scc" -> x37Scc,
     "x38_interval_islands" -> x38IntervalIslands,
@@ -5840,6 +5989,7 @@ object Queries {
     "t44_contam_score" -> t44ContamScore,
     "t45_pmi_collocations" -> t45PmiCollocations,
     "t46_js_divergence" -> t46JsDivergence,
+    "t47_codeswitch_census" -> t47CodeswitchCensus,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,
@@ -5989,6 +6139,7 @@ object Queries {
     "a43_gains_table" -> a43GainsTable,
     "a44_calibration" -> a44CalibrationCensus,
     "a45_seasonal_backtest" -> a45SeasonalBacktest,
+    "a46_cohens_kappa" -> a46CohensKappa,
     "x35_fd_profile" -> x35FdProfile
   )
 }

@@ -2287,4 +2287,63 @@ class LlmOpsSpec extends AnyFunSuite {
     val s1 = Samples.bottomK(df, "source", "doc_id", 8)
     assert(canon(Samples.merge(s1, s1, "source", "doc_id", 8)) === direct)
   }
+
+  test("t47: code-switch census — hand windows, switch count, majority election") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t47").toString
+    val en = Seq.fill(2)("the of and to a").mkString(" ")         // 10 en words
+    val es = Seq.fill(2)("el que los una es").mkString(" ")       // 10 es words
+    val fr = Seq.fill(2)("les des une est est").mkString(" ")     // 10 fr words
+    Seq(
+      // doc 1: [en, es, en] -> 3 windows, 2 langs, 2 switches, major en
+      (1L, s"$en $es $en", "en", "src1", 92L),
+      // doc 2: [en] -> single window, pure
+      (2L, en, "en", "src1", 29L),
+      // doc 3: [fr, fr, fr-tail(5 words)] -> pure fr, zero switches
+      (3L, s"$fr $fr les des une est est", "fr", "src2", 83L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Queries.t47CodeswitchCensus(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getBoolean(5)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2L, 2L, "en", true)),
+      2L -> ((1L, 1L, 0L, "en", false)),
+      3L -> ((3L, 1L, 0L, "fr", false))), s"got $got")
+  }
+
+  test("d29: negative sampling — no self, no near-dup contamination, <= 4 distinct, deterministic") {
+    val s = spark
+    import s.implicits._
+    val got = graft.queries.Queries.d29NegativeSampling(spark, sf)
+    val rows = got.as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "no negatives sampled at sf0.001")
+    // the false-negative guard IS the op: no sampled negative may be a
+    // direct near-dup pair of its anchor, and never the anchor itself
+    val pairs = Dedup.ngramJaccardPairs(
+        spark.read.parquet(s"$sf/documents.parquet"), w = 5, minJ = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    rows.foreach { case (anchor, _, neg, _) =>
+      assert(anchor != neg, s"self-negative for $anchor")
+      assert(!pairs.contains((anchor, neg)),
+        s"near-dup false negative: anchor $anchor got $neg")
+    }
+    // per-anchor contract: <= 4, distinct negatives, rnk dense from 1
+    rows.groupBy(_._1).foreach { case (anchor, rs) =>
+      assert(rs.length <= 4, s"anchor $anchor has ${rs.length} negatives")
+      assert(rs.map(_._3).distinct.length === rs.length,
+        s"anchor $anchor has duplicate negatives")
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq,
+        s"anchor $anchor rnk not dense")
+    }
+    // deterministic: a second evaluation returns the identical set
+    val again = graft.queries.Queries.d29NegativeSampling(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.toSet === rows.toSet, "re-evaluation changed the sample")
+    // distributed contract: no cartesian product in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "d29 plans a cartesian")
+  }
 }

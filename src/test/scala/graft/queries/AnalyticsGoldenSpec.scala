@@ -453,6 +453,48 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
       (("t", 2L, 10L, 2L, 1000000L, 200000L)), s"got $r")
   }
 
+  test("a46: Cohen's kappa — flat recompute of raters, marginals, po/pe/kappa") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_a46").toString
+    def h32(p: String, id: Long): Long = {
+      val md = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$p:$id").substring(0, 8)
+      java.lang.Long.parseLong(md, 16)
+    }
+    val keys = (0L until 90L)
+    keys.map(k => (k, 0, 1.00)).toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    // third implementation: flat scala over the same md5 plants
+    val rated = keys.map { k =>
+      val a = h32("ra", k) % 3
+      val b = if (h32("rb", k) % 5 < 3) a else (a + 1 + h32("rc", k) % 2) % 3
+      (a, b)
+    }
+    val n = rated.size.toLong
+    val nAgree = rated.count { case (a, b) => a == b }.toLong
+    val nA = rated.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nB = rated.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nBoth = rated.filter(r => r._1 == r._2)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val po = 1000000L * nAgree / n
+    val marg = (0L to 2L).map(c =>
+      BigInt(nA.getOrElse(c, 0L)) * BigInt(nB.getOrElse(c, 0L))).sum
+    val pe = (BigInt(1000000) * marg / (BigInt(n) * n)).toLong
+    val kappa = 1000000L * (po - pe) / (1000000L - pe)
+    assert(po > pe && kappa > 0, s"fixture must keep kappa positive: po=$po pe=$pe")
+    // classes with disagreement must exist (pe < po < 1e6)
+    assert(po < 1000000L, "fixture must contain disagreements")
+    val got = Queries.a46CohensKappa(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    val want = (0L to 2L).map(c => c -> ((nA.getOrElse(c, 0L),
+      nB.getOrElse(c, 0L), nBoth.getOrElse(c, 0L),
+      n, nAgree, po, pe, kappa))).toMap
+    assert(got === want, s"got $got\nwant $want")
+  }
+
   test("a44: calibration — hand bins, exact gaps, n-weighted ECE") {
     val s = spark
     import s.implicits._
