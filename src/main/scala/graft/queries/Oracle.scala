@@ -3865,6 +3865,45 @@ object Oracle {
     // as exact ppm integer divisions (HUGEINT for the marginal product —
     // all operands positive by fixture construction, so DuckDB's floor
     // division and Spark's truncate-toward-zero div agree)
+    // a47: same md5 gold/pred plant, contingency cells + marginals,
+    // per-cell ppm contributions truncate once on positive operands
+    // (HUGEINT: n_pg^2 is corpus^2-sized), purity rows via arg-min
+    "a47_bcubed" ->
+      """WITH r AS (SELECT
+        |    CAST('0x' || substring(md5('bg:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 7 AS gold,
+        |    CAST('0x' || substring(md5('bc:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 10 AS copy_roll,
+        |    CAST('0x' || substring(md5('bn:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 5 AS noise
+        |  FROM customer),
+        |p AS (SELECT gold,
+        |    CASE WHEN copy_roll < 7 THEN gold ELSE noise + 7 END AS pred
+        |  FROM r),
+        |cells AS (SELECT pred, gold, CAST(count(*) AS BIGINT) AS n_pg
+        |  FROM p GROUP BY 1, 2),
+        |np AS (SELECT pred, CAST(sum(n_pg) AS BIGINT) AS n_p FROM cells GROUP BY 1),
+        |ng AS (SELECT gold, CAST(sum(n_pg) AS BIGINT) AS n_g FROM cells GROUP BY 1),
+        |sized AS (SELECT c.pred, c.gold, c.n_pg, np.n_p, ng.n_g
+        |  FROM cells c JOIN np USING (pred) JOIN ng USING (gold)),
+        |sm AS (SELECT n,
+        |    CAST(ps // n AS BIGINT) AS prec_ppm,
+        |    CAST(rs // n AS BIGINT) AS rec_ppm
+        |  FROM (SELECT CAST(sum(n_pg) AS BIGINT) AS n,
+        |          sum((CAST(1000000 AS HUGEINT) * n_pg * n_pg) // n_p) AS ps,
+        |          sum((CAST(1000000 AS HUGEINT) * n_pg * n_pg) // n_g) AS rs
+        |        FROM sized)),
+        |sm2 AS (SELECT n, prec_ppm, rec_ppm,
+        |    (2 * prec_ppm * rec_ppm) // (prec_ppm + rec_ppm) AS f1_ppm
+        |  FROM sm),
+        |pg AS (SELECT gold AS gold_class, any_value(n_g) AS n_g,
+        |    max(n_pg) AS n_best,
+        |    min(struct_pack(nc := -n_pg, v := pred)).v AS best_pred
+        |  FROM sized GROUP BY 1),
+        |pg2 AS (SELECT gold_class, n_g, best_pred, n_best,
+        |    (1000000 * n_best) // n_g AS purity_ppm
+        |  FROM pg)
+        |SELECT pg2.gold_class, pg2.n_g, pg2.best_pred, pg2.n_best,
+        |  pg2.purity_ppm, sm2.n, sm2.prec_ppm, sm2.rec_ppm, sm2.f1_ppm
+        |FROM pg2 CROSS JOIN sm2 ORDER BY pg2.gold_class""".stripMargin,
+
     "a46_cohens_kappa" ->
       """WITH r AS (SELECT c_custkey AS key,
         |    CAST('0x' || substring(md5('ra:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 3 AS a,

@@ -5261,6 +5261,63 @@ object Queries {
     perClass.crossJoin(broadcast(summary)).orderBy("class")
   }
 
+  /** A47: B-cubed precision/recall/F1 — the clustering-quality scorecard
+    * the dedup family (d04/d05/d07/d16) reports to: pair-counting
+    * metrics (Rand) drown small clusters and purity alone rewards
+    * shattering, B-cubed is the accepted extrinsic standard (Bagga &
+    * Baldwin) because it averages PER ITEM: precision_i = the fraction
+    * of item i's predicted cluster sharing its gold class, recall_i =
+    * the fraction of its gold class captured by its cluster. The sums
+    * collapse onto the (pred, gold) CONTINGENCY TABLE — sum_i n_pg/n_p
+    * = sum_cells n_pg^2/n_p — so the whole metric is one corpus fold
+    * to cells + two marginal folds, NEVER per-pair (the property that
+    * makes it runnable on a 100 TB dedup output; cells are bounded by
+    * min(#pred, #gold) x overlap, not n^2). Fixture: 7 md5 gold
+    * classes, pred copies gold on a planted ~7/10 of keys and
+    * otherwise lands in 5 disjoint noise clusters (ids 7-11), so both
+    * error modes are live (split: gold mass leaking to noise clusters
+    * hurts recall; the noise clusters MIX gold classes, hurting
+    * precision). Integer end to end: per-cell ppm contributions
+    * truncate once on positive operands (Spark div == DuckDB // there),
+    * DECIMAL(38,0)/HUGEINT widening because n_pg^2 is corpus^2-sized
+    * (the a43/a46 overflow discipline); per-gold purity rows ride along
+    * (majority pred via the struct arg-min, lowest id ties). */
+  val a47Bcubed: Q = (s, dir) => {
+    val r = tbl(s, dir, "customer").select(
+      expr("cast(conv(substring(md5(concat('bg:', cast(c_custkey as string))),1,8),16,10) as bigint) % 7")
+        .as("gold"),
+      expr("cast(conv(substring(md5(concat('bc:', cast(c_custkey as string))),1,8),16,10) as bigint) % 10")
+        .as("copy_roll"),
+      expr("cast(conv(substring(md5(concat('bn:', cast(c_custkey as string))),1,8),16,10) as bigint) % 5")
+        .as("noise"))
+      .withColumn("pred",
+        when(col("copy_roll") < 7, col("gold")).otherwise(col("noise") + lit(7L)))
+    val cells = r.groupBy("pred", "gold").agg(count(lit(1)).as("n_pg"))
+    val np = cells.groupBy("pred").agg(sum("n_pg").as("n_p"))
+    val ng = cells.groupBy("gold").agg(sum("n_pg").as("n_g"))
+    val sized = cells.join(broadcast(np), Seq("pred"))
+      .join(broadcast(ng), Seq("gold"))
+    val summary = sized.agg(
+      sum("n_pg").as("n"),
+      expr("sum((cast(1000000 as decimal(38,0)) * n_pg * n_pg) div n_p)").as("ps"),
+      expr("sum((cast(1000000 as decimal(38,0)) * n_pg * n_pg) div n_g)").as("rs"))
+      .select(col("n"),
+        expr("cast(ps div n as bigint)").as("prec_ppm"),
+        expr("cast(rs div n as bigint)").as("rec_ppm"))
+      .withColumn("f1_ppm",
+        expr("(2 * prec_ppm * rec_ppm) div (prec_ppm + rec_ppm)"))
+    val perGold = sized.groupBy(col("gold").as("gold_class"))
+      .agg(first("n_g").as("n_g"), max("n_pg").as("n_best"),
+        min(struct((-col("n_pg")).as("nc"), col("pred").as("v")))
+          .getField("v").as("best_pred"))
+      .withColumn("purity_ppm", expr("(1000000 * n_best) div n_g"))
+    perGold.crossJoin(broadcast(summary))
+      .select(col("gold_class"), col("n_g"), col("best_pred"), col("n_best"),
+        col("purity_ppm"), col("n"), col("prec_ppm"), col("rec_ppm"),
+        col("f1_ppm"))
+      .orderBy("gold_class")
+  }
+
   /** A42: Markov transition census (the user-journey model a14's
     * fixed-sequence funnel cannot express: the FULL first-order
     * transition matrix — from every event type to every next type —
@@ -6140,6 +6197,7 @@ object Queries {
     "a44_calibration" -> a44CalibrationCensus,
     "a45_seasonal_backtest" -> a45SeasonalBacktest,
     "a46_cohens_kappa" -> a46CohensKappa,
+    "a47_bcubed" -> a47Bcubed,
     "x35_fd_profile" -> x35FdProfile
   )
 }

@@ -495,6 +495,55 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
     assert(got === want, s"got $got\nwant $want")
   }
 
+  test("a47: B-cubed — flat recompute of cells, marginals, P/R/F1, purity") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_a47").toString
+    def h32(p: String, id: Long): Long = {
+      val md = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$p:$id").substring(0, 8)
+      java.lang.Long.parseLong(md, 16)
+    }
+    val keys = (0L until 90L)
+    keys.map(k => (k, 0, 1.00)).toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    // third implementation: flat scala over the same md5 plants
+    val items = keys.map { k =>
+      val gold = h32("bg", k) % 7
+      val pred = if (h32("bc", k) % 10 < 7) gold else h32("bn", k) % 5 + 7
+      (pred, gold)
+    }
+    val n = items.size.toLong
+    val cells = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val np = items.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ng = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // per-cell ppm truncation, then one division by n — the query's rule
+    val ps = cells.map { case ((p, _), c) =>
+      BigInt(1000000) * c * c / np(p) }.sum
+    val rs = cells.map { case ((_, g), c) =>
+      BigInt(1000000) * c * c / ng(g) }.sum
+    val prec = (ps / n).toLong
+    val rec = (rs / n).toLong
+    val f1 = 2L * prec * rec / (prec + rec)
+    // fixture liveness: noise clusters exist and both metrics are < 1
+    assert(items.exists(_._1 >= 7), "fixture must plant noise clusters")
+    assert(prec < 1000000L && rec < 1000000L,
+      s"fixture must keep both error modes live: P=$prec R=$rec")
+    assert(rec < prec, "splitting gold mass must hurt recall most here")
+    val got = Queries.a47Bcubed(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    val want = (0L to 6L).map { g =>
+      val mine = cells.collect { case ((p, gg), c) if gg == g => (p, c) }
+      val nBest = mine.values.max
+      val bestPred = mine.toSeq.map { case (p, c) => (-c, p) }.min._2
+      g -> ((ng(g), bestPred, nBest, 1000000L * nBest / ng(g),
+        n, prec, rec, f1))
+    }.toMap
+    assert(got === want, s"got $got\nwant $want")
+  }
+
   test("a44: calibration — hand bins, exact gaps, n-weighted ECE") {
     val s = spark
     import s.implicits._
