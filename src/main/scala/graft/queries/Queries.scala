@@ -1603,6 +1603,65 @@ object Queries {
     * window function here and bounded by the doc's chunk count, never
     * the corpus). is_mixed = more than one guessed lang. All counting
     * — integer-exact, fully mirrorable. */
+  /** T48: SFT conversation assembly — the gate between raw interaction
+    * logs and instruction-tuning data: flat per-turn events become
+    * per-conversation training rows ONLY if they pass the structural
+    * contract every chat template assumes (a single violation —
+    * assistant-first, doubled user turns, a system prompt injected
+    * mid-dialog — silently corrupts the loss mask downstream, which is
+    * why this validates BEFORE rendering, not after). Conversations
+    * key on (user_id, day) — a map-only bucketing, no sessionize
+    * window — then per conversation: turn order = (ts, event_id),
+    * roles planted by md5 (user/assistant/system so every violation
+    * class is live), the gate = {system only at turn 1, non-system
+    * turns strictly alternate user-first, >= 2 non-system turns,
+    * rendered template within the char budget}, and the rendered
+    * '<|role|>text' template built by the array_sort(collect_list)
+    * in-group fold (the t11 line-rebuild idiom — deterministic order,
+    * NO per-turn window sort). ONE shuffle on the conversation key;
+    * both windows and the fold share it (Catalyst reuses the
+    * exchange). Per-conversation state is bounded by the day bucket —
+    * the property that lets the same plan stream (st08's session
+    * window is the streaming twin). */
+  val t48SftAssembly: Q = (s, dir) => {
+    val wC = Window.partitionBy("user_id", "day").orderBy("__tsu", "event_id")
+    // pos2 = running non-system count INCLUDING the current row — for a
+    // non-system turn it is exactly its 1-based alternation slot, so the
+    // violation flag is per-row and the whole gate folds in ONE pass
+    // (the (__tsu, event_id) ordering is unique, so the default RANGE
+    // frame equals ROWS on both engines). One scan, one exchange, one
+    // Window node (both functions share partitioning and ordering), no
+    // join.
+    val turns = events(s, dir)
+      .withColumn("day", expr("__tsu div 86400000000"))
+      .withColumn("rr",
+        expr("cast(conv(substring(md5(concat('role:', cast(event_id as string))),1,8),16,10) as bigint) % 10"))
+      .withColumn("role", when(col("rr") < 4, "user")
+        .when(col("rr") < 9, "assistant").otherwise("system"))
+      .withColumn("pos", row_number().over(wC))
+      .withColumn("pos2",
+        sum(when(col("role") =!= "system", 1L).otherwise(0L)).over(wC))
+      .withColumn("viol", when(col("role") =!= "system" &&
+        ((col("pos2") % 2 === 1 && col("role") =!= "user") ||
+          (col("pos2") % 2 === 0 && col("role") =!= "assistant")), 1L)
+        .otherwise(0L))
+    turns.groupBy("user_id", "day").agg(
+      count(lit(1)).as("n_turns"),
+      sum(when(col("role") =!= "system", 1L).otherwise(0L)).as("n_nonsys"),
+      sum(when(col("role") === "system" && col("pos") > 1, 1L).otherwise(0L))
+        .as("n_sys_late"),
+      sum(col("viol")).as("n_role_viol"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"),
+        concat(lit("<|"), col("role"), lit("|>"), col("event_type"))
+          .as("part")))), x => x.getField("part")), "").as("rendered"))
+      .select(col("user_id"), col("day"), col("n_turns"), col("n_nonsys"),
+        col("n_sys_late"), col("n_role_viol"), col("rendered"),
+        length(col("rendered")).cast("long").as("n_chars"))
+      .withColumn("kept", col("n_role_viol") === 0 && col("n_sys_late") === 0 &&
+        col("n_nonsys") >= 2 && col("n_chars") <= 60)
+      .orderBy("user_id", "day")
+  }
+
   val t47CodeswitchCensus: Q = (s, dir) => {
     val wins = TextOps.chunkWindows(tbl(s, dir, "documents"), w = 10, s = 10)
     val lid = TextOps.langIdScores(wins, textCol = "chunk")
@@ -6047,6 +6106,7 @@ object Queries {
     "t45_pmi_collocations" -> t45PmiCollocations,
     "t46_js_divergence" -> t46JsDivergence,
     "t47_codeswitch_census" -> t47CodeswitchCensus,
+    "t48_sft_assembly" -> t48SftAssembly,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

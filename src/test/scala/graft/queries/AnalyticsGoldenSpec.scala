@@ -29,6 +29,61 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
     dir
   }
 
+  test("t48: SFT assembly — every gate branch on hand conversations") {
+    def h32(p: String, id: Long): Long = {
+      val md = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$p:$id").substring(0, 8)
+      java.lang.Long.parseLong(md, 16)
+    }
+    def roleOf(id: Long): String = {
+      val r = h32("role", id) % 10
+      if (r < 4) "user" else if (r < 9) "assistant" else "system"
+    }
+    // mine event_ids whose md5-planted role matches the script — the
+    // spec drives the SAME plant the query uses, no fixture backdoor
+    val used = scala.collection.mutable.Set[Long]()
+    def pick(role: String): Long = {
+      var i = 0L
+      while (used(i) || roleOf(i) != role) i += 1
+      used += i; i
+    }
+    val convs: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("user", "assistant", "user", "assistant"), // kept
+      2L -> Seq("system", "user", "assistant"),            // leading system ok
+      3L -> Seq("assistant", "user"),                      // assistant-first
+      4L -> Seq("user", "user", "assistant"),              // doubled user
+      5L -> Seq("user", "system", "assistant"),            // system mid-dialog
+      6L -> Seq("user"),                                   // too short
+      7L -> Seq("user", "assistant", "user", "assistant",
+        "user", "assistant"),                              // over char budget
+      8L -> Seq("system"))                                 // all-system (left join)
+    val rows = convs.flatMap { case (u, roles) =>
+      roles.zipWithIndex.map { case (role, k) =>
+        (pick(role), u * 1440L + k, u, "view", 1.0) }
+    }
+    val dir = writeEvents(rows)
+    val got = Queries.t48SftAssembly(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7),
+        r.getBoolean(8)))).toMap
+    convs.foreach { case (u, roles) =>
+      val nonsys = roles.filter(_ != "system")
+      val viol = nonsys.zipWithIndex.count { case (ro, i) =>
+        (i % 2 == 0 && ro != "user") || (i % 2 == 1 && ro != "assistant") }
+      val sysLate = roles.zipWithIndex.count { case (ro, i) =>
+        ro == "system" && i > 0 }
+      val rend = roles.map(ro => s"<|$ro|>view").mkString
+      val kept = viol == 0 && sysLate == 0 && nonsys.size >= 2 &&
+        rend.length <= 60
+      val want = ((roles.size.toLong, nonsys.size.toLong, sysLate.toLong,
+        viol.toLong, rend, rend.length.toLong, kept))
+      assert(got((u, u.toLong)) === want, s"conv $u: got ${got((u, u))}")
+    }
+    // liveness: exactly the two contract-clean short conversations survive
+    assert(got.values.count(_._7) === 2)
+    assert(got.size === 8)
+  }
+
   test("a25: median, MAD, and the 3-MAD census match the hand computation") {
     // cents: 100 x3, 200 x4, 300 x2, 10000 x1 -> n=10, med=200 (rank 5),
     // devs: 100 x5(3+2), 0 x4, 9800 x1 -> MAD=100 (rank 5); outliers:
