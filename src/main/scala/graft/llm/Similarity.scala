@@ -459,6 +459,74 @@ object Similarity {
   val IvfTrainingSample = 20000
 
   /**
+   * Top principal component by driver-local power iteration over the
+   * bounded hash-ordered training sample (the [[ivfCentroids]] sample
+   * discipline: ONE corpus scan, driver memory sampleSize x dim) — the
+   * dimensionality-reduction primitive of the embedding surface: the
+   * projection cuts serve-time dims, and the residual norm is the
+   * out-of-distribution flag (a row the component can't explain is a
+   * row the training distribution didn't contain).
+   *
+   * Deterministic end to end, in the Lloyd-codebook discipline that
+   * makes the DuckDB mirror bit-exact: all-positive start 1/sqrt(dim)
+   * (exact for power-of-two dims), per-dim means and every accumulation
+   * fold SEQUENTIALLY in sample order, each iterate unit-normalized in
+   * double then cast back to FLOAT per dim (the float round-trip is the
+   * cross-engine synchronization point). The data is CENTERED (true
+   * PCA, not just the top singular direction of the raw matrix).
+   *
+   * Returns (per-dim means, unit component as float, ||C v|| of the
+   * last iteration — the scatter-matrix top-eigenvalue estimate).
+   * Power iteration per Golub & Van Loan, Matrix Computations §7.3;
+   * the reference (digitaldutch/BAG_parser) has no vector surface.
+   */
+  def pcaPower(emb: DataFrame, iters: Int = 4,
+               sampleSize: Int = IvfTrainingSample): (Array[Double], Array[Float], Double) = {
+    val sample = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pcaPower: empty corpus")
+    val n = sample.length
+    val dim = sample.head.length
+    val mu = new Array[Double](dim)
+    var i = 0
+    while (i < n) {
+      var d = 0
+      while (d < dim) { mu(d) += sample(i)(d); d += 1 }
+      i += 1
+    }
+    var d0 = 0
+    while (d0 < dim) { mu(d0) /= n; d0 += 1 }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val u = new Array[Double](dim)
+      i = 0
+      while (i < n) {
+        var w = 0.0
+        var d = 0
+        while (d < dim) { w += (sample(i)(d) - mu(d)) * v(d); d += 1 }
+        d = 0
+        while (d < dim) { u(d) += w * (sample(i)(d) - mu(d)); d += 1 }
+        i += 1
+      }
+      var nm = 0.0
+      var d = 0
+      while (d < dim) { nm += u(d) * u(d); d += 1 }
+      nm = math.sqrt(nm)
+      lambda = nm
+      val vf = new Array[Double](dim)
+      d = 0
+      while (d < dim) { vf(d) = (u(d) / nm).toFloat.toDouble; d += 1 }
+      v = vf
+      it += 1
+    }
+    (mu, v.map(_.toFloat), lambda)
+  }
+
+  /**
    * Deterministic sampled k-means coarse quantizer. ONE distributed pass:
    * a hash-ordered top-`sampleSize` sample (TakeOrdered — per-partition
    * top-k + driver merge, never a full sort) is collected, and Lloyd

@@ -674,6 +674,60 @@ object Oracle {
     s"$head,\n$iters,\n$tail"
   }
 
+  /** v26 mirror: power-iteration PCA — the lloydCtes float discipline
+    * applied to the scatter matrix. Hash-ordered sample; per-dim means
+    * as sample-order list folds; 4 unrolled iterations of {centered
+    * per-row dot against the current component, per-dim sample-order
+    * accumulation of w_i * centered_i, norm, unit-normalize, float
+    * round-trip per dim}; then the map-only serve: centered projection
+    * (score) + residual fold per corpus row, round-6, the final norm as
+    * the lambda literal. The residual square is written as t * t with
+    * the subexpression duplicated — NEVER power(t, 2), whose libm
+    * contract does not promise exactness. Dim pinned to 64 like the
+    * Lloyd chain (a regeneration at another dim fails loudly). */
+  private val v26Sql: String = {
+    val hashOrd = toSigned(xxhashLong("CAST(vec_id AS HUGEINT)", "42::HUGEINT"))
+    val iters = (0 until 4).map { it =>
+      s"""w$it AS MATERIALIZED (
+         |  SELECT s.pos, list_aggregate(list_transform(list_zip(s.v, mul.mu, p$it.p),
+         |    x -> (CAST(x[1] AS DOUBLE) - x[2]) * CAST(x[3] AS DOUBLE)), 'sum') AS w
+         |  FROM smp s CROSS JOIN mul CROSS JOIN p$it),
+         |u$it AS MATERIALIZED (
+         |  SELECT dd.d, list_aggregate(list(w.w * (CAST(s.v[dd.d] AS DOUBLE) - mu.m)
+         |    ORDER BY s.pos), 'sum') AS u
+         |  FROM smp s JOIN w$it w USING (pos), range(1, 65) dd(d)
+         |  JOIN mu ON mu.d = dd.d GROUP BY dd.d),
+         |nm$it AS MATERIALIZED (
+         |  SELECT sqrt(list_aggregate(list(u * u ORDER BY d), 'sum')) AS nm FROM u$it),
+         |p${it + 1} AS MATERIALIZED (
+         |  SELECT list(CAST(u / nm AS FLOAT) ORDER BY d) AS p
+         |  FROM u$it CROSS JOIN nm$it)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH smp AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY $hashOrd, vec_id) AS pos, embedding AS v
+       |  FROM embeddings QUALIFY pos <= 20000),
+       |mu AS MATERIALIZED (
+       |  SELECT dd.d, list_aggregate(list(CAST(s.v[dd.d] AS DOUBLE) ORDER BY s.pos), 'sum')
+       |    / (SELECT count(*) FROM smp) AS m
+       |  FROM smp s, range(1, 65) dd(d) GROUP BY dd.d),
+       |mul AS MATERIALIZED (SELECT list(m ORDER BY d) AS mu FROM mu),
+       |p0 AS (SELECT list_transform(range(1, 65), x -> 0.125) AS p),
+       |$iters,
+       |sc AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    list_aggregate(list_transform(list_zip(e.embedding, mul.mu, p4.p),
+       |      x -> (CAST(x[1] AS DOUBLE) - x[2]) * CAST(x[3] AS DOUBLE)), 'sum') AS score
+       |  FROM embeddings e CROSS JOIN mul CROSS JOIN p4)
+       |SELECT s.vec_id, round(s.score, 6) AS score_r,
+       |  round(list_aggregate(list_transform(list_zip(e.embedding, mul.mu, p4.p),
+       |    x -> ((CAST(x[1] AS DOUBLE) - x[2]) - s.score * CAST(x[3] AS DOUBLE))
+       |       * ((CAST(x[1] AS DOUBLE) - x[2]) - s.score * CAST(x[3] AS DOUBLE))), 'sum'), 6)
+       |    AS resid2_r,
+       |  (SELECT round(nm, 6) FROM nm3) AS lambda_r
+       |FROM sc s JOIN embeddings e USING (vec_id) CROSS JOIN mul CROSS JOIN p4
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
   /** v03 mirror: 16-table/4-plane random-hyperplane LSH. Plane component
     * (table t, plane p, dim d) = splitmix64(42 ^ t<<42 ^ p<<21 ^ d)
     * top-53 bits mapped to [-1, 1) — power-of-two scaling, so the
@@ -1778,6 +1832,8 @@ object Oracle {
 
     // v25: v23's assignment verbatim, then per-(cluster, dim) means via
     // range-indexed unnest, movement/norm folded per cluster
+    "v26_pca_power" -> v26Sql,
+
     "v25_lloyd_step" -> {
       val d2 = "list_aggregate(list_transform(list_zip(e.embedding, c.embedding), " +
         "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +

@@ -2040,6 +2040,42 @@ object Queries {
       .orderBy("cluster_id")
   }
 
+  /** V26: top principal component + whitening-lite serve
+    * ([[Similarity.pcaPower]]) — the missing piece between the raw
+    * embedding column and everything downstream of it: the projection
+    * (score) is the 1-d feature a calibration/drift censor reads, and
+    * the residual norm is the out-of-distribution flag (a vector the
+    * dominant direction can't explain came from outside the training
+    * distribution — the admission-control signal d20/v09 want). TRAIN
+    * is the trained-op pattern the IVF/PQ family established: one
+    * corpus scan collects the bounded hash-ordered sample, 4 power
+    * iterations run driver-local with sequential folds, and the means
+    * + component ride the serve plan as LITERALS (model-as-data).
+    * SERVE is map-only at scan speed: per row one centered dot
+    * (score), one residual fold — zero shuffle, zero join; the only
+    * exchange is the output sort. Every float op is in the mirror
+    * discipline (double accumulation in pinned order, float round-trip
+    * per iteration, round-6 outputs), so the whole train+serve chain
+    * is DuckDB-hash-exact like d16/v13/v15. */
+  val v26PcaPower: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    val (mu, pc, lambda) = Similarity.pcaPower(emb)
+    val muLit = array(mu.map(lit).toIndexedSeq: _*)
+    val pcLit = array(pc.map(p => lit(p.toDouble)).toIndexedSeq: _*)
+    emb.withColumn("__c",
+      zip_with(col("embedding").cast("array<double>"), muLit, (x, m) => x - m))
+      .withColumn("__score",
+        aggregate(zip_with(col("__c"), pcLit, (c, p) => c * p),
+          lit(0.0), (a, x) => a + x))
+      .select(col("vec_id"),
+        round(col("__score"), 6).as("score_r"),
+        round(aggregate(zip_with(col("__c"), pcLit,
+          (c, p) => (c - col("__score") * p) * (c - col("__score") * p)),
+          lit(0.0), (a, x) => a + x), 6).as("resid2_r"),
+        round(lit(lambda), 6).as("lambda_r"))
+      .orderBy("vec_id")
+  }
+
   /** V18: exact Maximum-Inner-Product Search ([[Similarity.mipsBrute]])
     * — the recommendation-serving primitive: top-k by RAW dot, not
     * cosine (magnitude is signal: popularity/quality-scaled item
@@ -6229,6 +6265,7 @@ object Queries {
     "d23_exact_substr" -> d23ExactSubstr,
     "v23_kmeans_assign" -> v23KmeansAssign,
     "v25_lloyd_step" -> v25LloydStep,
+    "v26_pca_power" -> v26PcaPower,
     "x32_temporal_reach" -> x32TemporalReach,
     "s20_snapshot_expire" -> s20SnapshotExpire,
     "s21_table_history" -> s21TableHistory,

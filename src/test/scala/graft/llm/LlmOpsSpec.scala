@@ -1818,6 +1818,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Map(("sA", "sB") -> 1L), s"got $got")
   }
 
+  test("v26 PCA power iteration: unit component, dominant axis, eigen residual, Pythagoras serve") {
+    val s = spark
+    import s.implicits._
+    // variance overwhelmingly along dim 0 — the component must find it
+    val vecs = (0 until 12).map(i => (i.toLong,
+      Array(i.toFloat, (i % 3) * 0.05f, (i % 2) * 0.02f, 0.01f * i)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_v26").toString
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val emb = graft.queries.Queries.embeddings(spark, dir)
+    val (mu, pc, lambda) = Similarity.pcaPower(emb)
+    val dim = 4
+    assert(math.abs(math.sqrt(pc.map(p => p.toDouble * p).sum) - 1.0) < 1e-6,
+      "component must be unit")
+    assert(math.abs(pc(0)) > 0.99, s"dominant axis missed: ${pc.toSeq}")
+    assert(lambda > 0.0)
+    // independent eigen post-condition: C pc ~ rayleigh * pc with C the
+    // centered scatter matrix folded flat from the fixture itself
+    val centered = vecs.map { case (_, x) =>
+      Array.tabulate(dim)(d => x(d).toDouble - mu(d)) }
+    val cpc = Array.tabulate(dim) { d =>
+      centered.map(c => c(d) * c.zip(pc.map(_.toDouble)).map {
+        case (a, b) => a * b }.sum).sum }
+    val rayleigh = cpc.zip(pc.map(_.toDouble)).map { case (a, b) => a * b }.sum
+    val residNorm = math.sqrt(cpc.zip(pc.map(_.toDouble)).map {
+      case (a, b) => val t = a - rayleigh * b; t * t }.sum)
+    assert(residNorm / rayleigh < 0.01,
+      s"not an eigenvector: resid $residNorm vs rayleigh $rayleigh")
+    assert(math.abs(lambda - rayleigh) / rayleigh < 0.01,
+      s"lambda $lambda vs rayleigh $rayleigh")
+    // serve: per-row Pythagoras (unit component: score^2 + resid2 = |c|^2)
+    val got = graft.queries.Queries.v26PcaPower(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.size === 12)
+    vecs.foreach { case (id, x) =>
+      val c = Array.tabulate(dim)(d => x(d).toDouble - mu(d))
+      val c2 = c.map(v => v * v).sum
+      val (score, resid2, lamR) = got(id)
+      assert(resid2 >= 0.0)
+      assert(math.abs(score * score + resid2 - c2) < 1e-3,
+        s"row $id: $score^2 + $resid2 != $c2")
+      assert(math.abs(lamR - lambda) < 1e-6, s"lambda_r $lamR vs $lambda")
+    }
+    // determinism: a second train+serve run is identical
+    val again = graft.queries.Queries.v26PcaPower(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(again === got)
+  }
+
   test("v23 k-means assignment: nearest seed, round-6 tie to the lower cluster id, seeds self-assign") {
     val s = spark
     import s.implicits._
