@@ -685,7 +685,11 @@ object Oracle {
     * the subexpression duplicated — NEVER power(t, 2), whose libm
     * contract does not promise exactness. Dim pinned to 64 like the
     * Lloyd chain (a regeneration at another dim fails loudly). */
-  private val v26Sql: String = {
+  /** PCA power-iteration CTE text (no WITH) ending in: mul(mu) per-dim
+    * mean list, p4(p) trained float component, nm3(nm) final norm =
+    * lambda, and rs(vec_id, score, resid2_r) the full-corpus serve —
+    * shared by the v26 dump and the x45 coreset composition. */
+  private val pcaCtes: String = {
     val hashOrd = toSigned(xxhashLong("CAST(vec_id AS HUGEINT)", "42::HUGEINT"))
     val iters = (0 until 4).map { it =>
       s"""w$it AS MATERIALIZED (
@@ -703,7 +707,7 @@ object Oracle {
          |  SELECT list(CAST(u / nm AS FLOAT) ORDER BY d) AS p
          |  FROM u$it CROSS JOIN nm$it)""".stripMargin
     }.mkString(",\n")
-    s"""WITH smp AS MATERIALIZED (
+    s"""smp AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY $hashOrd, vec_id) AS pos, embedding AS v
        |  FROM embeddings QUALIFY pos <= 20000),
        |mu AS MATERIALIZED (
@@ -717,16 +721,21 @@ object Oracle {
        |  SELECT e.vec_id,
        |    list_aggregate(list_transform(list_zip(e.embedding, mul.mu, p4.p),
        |      x -> (CAST(x[1] AS DOUBLE) - x[2]) * CAST(x[3] AS DOUBLE)), 'sum') AS score
-       |  FROM embeddings e CROSS JOIN mul CROSS JOIN p4)
-       |SELECT s.vec_id, round(s.score, 6) AS score_r,
-       |  round(list_aggregate(list_transform(list_zip(e.embedding, mul.mu, p4.p),
-       |    x -> ((CAST(x[1] AS DOUBLE) - x[2]) - s.score * CAST(x[3] AS DOUBLE))
-       |       * ((CAST(x[1] AS DOUBLE) - x[2]) - s.score * CAST(x[3] AS DOUBLE))), 'sum'), 6)
-       |    AS resid2_r,
-       |  (SELECT round(nm, 6) FROM nm3) AS lambda_r
-       |FROM sc s JOIN embeddings e USING (vec_id) CROSS JOIN mul CROSS JOIN p4
-       |ORDER BY s.vec_id""".stripMargin
+       |  FROM embeddings e CROSS JOIN mul CROSS JOIN p4),
+       |rs AS MATERIALIZED (
+       |  SELECT s.vec_id, s.score,
+       |    round(list_aggregate(list_transform(list_zip(e.embedding, mul.mu, p4.p),
+       |      x -> ((CAST(x[1] AS DOUBLE) - x[2]) - s.score * CAST(x[3] AS DOUBLE))
+       |         * ((CAST(x[1] AS DOUBLE) - x[2]) - s.score * CAST(x[3] AS DOUBLE))), 'sum'), 6)
+       |      AS resid2_r
+       |  FROM sc s JOIN embeddings e USING (vec_id) CROSS JOIN mul CROSS JOIN p4)""".stripMargin
   }
+
+  private val v26Sql: String =
+    s"""WITH $pcaCtes
+       |SELECT vec_id, round(score, 6) AS score_r, resid2_r,
+       |  (SELECT round(nm, 6) FROM nm3) AS lambda_r
+       |FROM rs ORDER BY vec_id""".stripMargin
 
   /** v03 mirror: 16-table/4-plane random-hyperplane LSH. Plane component
     * (table t, plane p, dim d) = splitmix64(42 ^ t<<42 ^ p<<21 ^ d)
@@ -1833,6 +1842,32 @@ object Oracle {
     // v25: v23's assignment verbatim, then per-(cluster, dim) means via
     // range-indexed unnest, movement/norm folded per cluster
     "v26_pca_power" -> v26Sql,
+
+    // x45: the embedding-side composed chain — pcaCtes' trained serve
+    // (rs) + v23's verbatim seed assignment, admission on the ROUNDED
+    // residual (cross-engine stable), per-cluster (resid2, id) election
+    "x45_coreset" -> {
+      val d2 = "list_aggregate(list_transform(list_zip(e.embedding, c.embedding), " +
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')"
+      s"""WITH $pcaCtes,
+         |c AS (SELECT vec_id AS cluster_id, embedding FROM embeddings WHERE vec_id < 8),
+         |scd AS (SELECT e.vec_id, c.cluster_id, round($d2, 6) AS dist2
+         |        FROM embeddings e CROSS JOIN c),
+         |asg AS (SELECT vec_id, cluster_id FROM (
+         |          SELECT vec_id, cluster_id,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn
+         |          FROM scd) WHERE rn = 1),
+         |adm AS (SELECT a.cluster_id, r.vec_id, round(r.score, 6) AS score_r, r.resid2_r
+         |        FROM rs r JOIN asg a USING (vec_id) WHERE r.resid2_r <= 0.99),
+         |w AS (SELECT cluster_id, vec_id, score_r, resid2_r,
+         |        row_number() OVER (PARTITION BY cluster_id ORDER BY resid2_r, vec_id) AS rnk,
+         |        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_admitted
+         |      FROM adm)
+         |SELECT cluster_id, CAST(rnk AS BIGINT) AS rnk, vec_id, score_r, resid2_r,
+         |  n_admitted
+         |FROM w WHERE rnk <= 4 ORDER BY cluster_id, rnk""".stripMargin
+    },
 
     "v25_lloyd_step" -> {
       val d2 = "list_aggregate(list_transform(list_zip(e.embedding, c.embedding), " +

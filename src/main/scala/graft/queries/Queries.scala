@@ -2076,6 +2076,65 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** X45: coreset / representative selection — the embedding-side
+    * composed chain (x44 is the TEXT-side sibling): out-of-distribution
+    * admission (v26's PCA residual gates what the training distribution
+    * can explain) -> coverage assignment (v23's exact nearest-seed
+    * rule keeps every region represented) -> per-cluster election (the
+    * lowest-residual members are the PROTOTYPES — the rows a
+    * distillation/few-shot/annotation budget should spend on first).
+    * Selecting representatives this way is the standard coreset recipe
+    * (cluster-then-elect beats global top-k, which collapses onto one
+    * dense region). The composition is the point: both trained models
+    * (component + seeds) ride the plan as literals, serve is ONE
+    * map-only scan (assignment + projection + residual per row, zero
+    * joins), admission is a scan filter on the ROUNDED residual
+    * (cross-engine stable), and the only shuffle is the per-cluster
+    * election window — bounded per cluster, early-stopped by rnk <= 4.
+    * End-to-end DuckDB-hash-exact, so no silent drift hides between
+    * the stages. */
+  val x45Coreset: Q = (s, dir) => {
+    val emb = embeddings(s, dir)
+    val (mu, pc, _) = Similarity.pcaPower(emb)
+    val muLit = array(mu.map(lit).toIndexedSeq: _*)
+    val pcLit = array(pc.map(p => lit(p.toDouble)).toIndexedSeq: _*)
+    // bounded, documented collect: 8 seed centroids (vec_id < 8)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    val scored = array(seeds.map { case (cid, c) =>
+      val cArr = array(c.map(lit): _*)
+      struct(
+        round(aggregate(
+          zip_with(col("__e"), cArr, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v), 6).as("dist2"),
+        lit(cid).as("cluster_id"))
+    }.toIndexedSeq: _*)
+    val served = emb.withColumn("__e", col("embedding").cast("array<double>"))
+      .withColumn("cluster_id",
+        element_at(array_sort(scored), 1).getField("cluster_id"))
+      .withColumn("__c", zip_with(col("__e"), muLit, (x, m) => x - m))
+      .withColumn("__score",
+        aggregate(zip_with(col("__c"), pcLit, (c, p) => c * p),
+          lit(0.0), (a, x) => a + x))
+      .withColumn("resid2_r", round(aggregate(zip_with(col("__c"), pcLit,
+        (c, p) => (c - col("__score") * p) * (c - col("__score") * p)),
+        lit(0.0), (a, x) => a + x), 6))
+      .filter(col("resid2_r") <= 0.99)
+    val wC = Window.partitionBy("cluster_id")
+    served
+      .withColumn("rnk", row_number().over(
+        wC.orderBy(col("resid2_r"), col("vec_id"))))
+      .withColumn("n_admitted", count(lit(1)).over(wC))
+      .filter(col("rnk") <= 4)
+      .select(col("cluster_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id"), round(col("__score"), 6).as("score_r"),
+        col("resid2_r"), col("n_admitted"))
+      .orderBy("cluster_id", "rnk")
+  }
+
   /** V18: exact Maximum-Inner-Product Search ([[Similarity.mipsBrute]])
     * — the recommendation-serving primitive: top-k by RAW dot, not
     * cosine (magnitude is signal: popularity/quality-scaled item
@@ -6266,6 +6325,7 @@ object Queries {
     "v23_kmeans_assign" -> v23KmeansAssign,
     "v25_lloyd_step" -> v25LloydStep,
     "v26_pca_power" -> v26PcaPower,
+    "x45_coreset" -> x45Coreset,
     "x32_temporal_reach" -> x32TemporalReach,
     "s20_snapshot_expire" -> s20SnapshotExpire,
     "s21_table_history" -> s21TableHistory,

@@ -1868,6 +1868,67 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("x45 coreset: flat recompute of admission, assignment, election; both gates live") {
+    val s = spark
+    import s.implicits._
+    // 8 spread seeds (ids 0-7) + 24 members hanging off seeds 0/1 with
+    // linearly growing off-axis offsets, so the PCA residual ordering is
+    // strict and the tau = 0.99 admission gate REJECTS the far tail
+    val seeds8 = (0 until 8).map(i => (i.toLong,
+      Array(10.0f * i, 0.0f, 0.0f, 0.0f)))
+    val members = (0 until 24).map { j =>
+      val base = seeds8(j % 2)._2
+      (100L + j, Array(base(0) + 0.1f * (j + 1), 0.12f * j, 0.05f * j, 0.0f))
+    }
+    val vecs = seeds8 ++ members
+    val dir = java.nio.file.Files.createTempDirectory("graft_x45").toString
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val emb = graft.queries.Queries.embeddings(spark, dir)
+    val (mu, pc, _) = Similarity.pcaPower(emb)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dim = 4
+    def serve(x: Array[Float]): (Double, Double) = {
+      val c = Array.tabulate(dim)(d => x(d).toDouble - mu(d))
+      var sc = 0.0
+      var d = 0
+      while (d < dim) { sc += c(d) * pc(d).toDouble; d += 1 }
+      var r = 0.0
+      d = 0
+      while (d < dim) {
+        val t = c(d) - sc * pc(d).toDouble; r += t * t; d += 1
+      }
+      (round6(sc), round6(r))
+    }
+    def assign(x: Array[Float]): Long =
+      seeds8.map { case (cid, sv) =>
+        var d2 = 0.0
+        var d = 0
+        while (d < dim) {
+          val t = x(d).toDouble - sv(d).toDouble; d2 += t * t; d += 1
+        }
+        (round6(d2), cid)
+      }.min._2
+    // flat pipeline: admit on the rounded residual, elect per cluster
+    val admitted = vecs.map { case (id, x) =>
+      val (sc, r2) = serve(x); (assign(x), id, sc, r2)
+    }.filter(_._4 <= 0.99)
+    assert(admitted.nonEmpty && admitted.size < vecs.size,
+      s"both admission branches must be live: ${admitted.size}/${vecs.size}")
+    val want = admitted.groupBy(_._1).toSeq.flatMap { case (cl, rows) =>
+      val n = rows.size.toLong
+      rows.sortBy(r => (r._4, r._2)).take(4).zipWithIndex.map {
+        case ((_, id, sc, r2), i) => (cl, i + 1L, id, sc, r2, n) }
+    }.sortBy(r => (r._1, r._2))
+    val got = graft.queries.Queries.x45Coreset(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(got === want, s"got\n${got.mkString("\n")}\nwant\n${want.mkString("\n")}")
+    // the election cap must bind somewhere (a cluster with > 4 admitted)
+    assert(admitted.groupBy(_._1).values.exists(_.size > 4),
+      "fixture must exercise the rnk <= 4 cap")
+  }
+
   test("v23 k-means assignment: nearest seed, round-6 tie to the lower cluster id, seeds self-assign") {
     val s = spark
     import s.implicits._
