@@ -3987,6 +3987,43 @@ object Oracle {
     // as exact ppm integer divisions (HUGEINT for the marginal product —
     // all operands positive by fixture construction, so DuckDB's floor
     // division and Spark's truncate-toward-zero div agree)
+    // a48: same md5 raters/coverage/shift plants, per-(item, class) counts,
+    // doubled per-item disagreement keeps 1/(m_u - 1) integral (m_u in
+    // {2, 3}), one truncating ppm division with HUGEINT intermediates
+    "a48_krippendorff" ->
+      """WITH base AS (SELECT c_custkey AS key,
+        |    CAST('0x' || substring(md5('kb:' || CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 3 AS base
+        |  FROM customer),
+        |rt AS (SELECT b.key, b.base, r.rater,
+        |    CAST('0x' || substring(md5('kc' || r.rater || ':' || CAST(b.key AS VARCHAR)),1,8) AS BIGINT) % 3 AS cover,
+        |    CAST('0x' || substring(md5('kv' || r.rater || ':' || CAST(b.key AS VARCHAR)),1,8) AS BIGINT) % 4 AS roll,
+        |    CAST('0x' || substring(md5('ks' || r.rater || ':' || CAST(b.key AS VARCHAR)),1,8) AS BIGINT) % 2 AS shift
+        |  FROM base b CROSS JOIN (SELECT unnest(range(0, 3)) AS rater) r),
+        |ratings AS (SELECT key,
+        |    CASE WHEN roll < 3 THEN base ELSE (base + 1 + shift) % 3 END AS val
+        |  FROM rt WHERE cover <> 0),
+        |pic AS (SELECT key, val, CAST(count(*) AS BIGINT) AS r_uc
+        |  FROM ratings GROUP BY 1, 2),
+        |pi AS (SELECT key, CAST(sum(r_uc) AS BIGINT) AS m_u,
+        |    CAST(sum(r_uc * (r_uc - 1)) AS BIGINT) AS agree_pairs
+        |  FROM pic GROUP BY 1 HAVING sum(r_uc) >= 2),
+        |pi2 AS (SELECT key, m_u,
+        |    (2 * (m_u * (m_u - 1) - agree_pairs)) // (m_u - 1) AS o2_u FROM pi),
+        |marg AS (SELECT pic.val AS class, CAST(sum(pic.r_uc) AS BIGINT) AS n_c
+        |  FROM pic JOIN pi2 USING (key) GROUP BY 1),
+        |sm AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM pi2) AS n_items,
+        |    (SELECT CAST(sum(o2_u) AS BIGINT) FROM pi2) AS o2,
+        |    CAST(sum(n_c) AS BIGINT) AS n,
+        |    sum(CAST(n_c AS HUGEINT) * n_c) AS sq
+        |  FROM marg),
+        |sm2 AS (SELECT n_items, o2, n,
+        |    CAST(1000000 - (CAST(1000000 AS HUGEINT) * o2 * (n - 1))
+        |      // (2 * (CAST(n AS HUGEINT) * n - sq)) AS BIGINT) AS alpha_ppm
+        |  FROM sm)
+        |SELECT marg.class, marg.n_c, sm2.n_items, sm2.o2, sm2.n, sm2.alpha_ppm
+        |FROM marg CROSS JOIN sm2 ORDER BY marg.class""".stripMargin,
+
     // a47: same md5 gold/pred plant, contingency cells + marginals,
     // per-cell ppm contributions truncate once on positive operands
     // (HUGEINT: n_pg^2 is corpus^2-sized), purity rows via arg-min

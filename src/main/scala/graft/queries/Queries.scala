@@ -5415,6 +5415,65 @@ object Queries {
     perClass.crossJoin(broadcast(summary)).orderBy("class")
   }
 
+  /** A48: Krippendorff's alpha — a46's kappa generalized to the shape
+    * real annotation tables actually have: MISSING ratings (raters skip
+    * items; kappa needs a complete two-rater grid, alpha is THE
+    * standard whenever coverage is partial or raters > 2). Nominal
+    * form: alpha = 1 - Do/De over the coincidence matrix, where each
+    * item with m_u >= 2 ratings contributes its ordered rating pairs
+    * weighted 1/(m_u - 1). With 3 raters m_u is 2 or 3, so DOUBLING
+    * the per-item disagreement (2 * d_u / (m_u - 1) is 2*d_u or d_u —
+    * both integers) keeps the whole computation exact: d_u =
+    * m_u(m_u-1) - sum_c r_uc(r_uc-1) (ordered pairs minus agreeing
+    * ones), marginals n_c are plain rating counts over kept items, and
+    * alpha_ppm = 1e6 - (1e6 * O2 * (n-1)) div (2 * (n^2 - sum n_c^2))
+    * — ONE truncating division on positive operands (fixture keeps
+    * agreement above chance), DECIMAL(38,0)/HUGEINT because n_c
+    * products are corpus^2-sized (the a43/a46/a47 discipline).
+    * Fixture: 3 md5 raters, each covering a planted ~2/3 of items,
+    * ~3/4 of ratings copying the item's base class — missingness,
+    * m_u=2 vs 3, agreement and disagreement all live. Shape: one scan
+    * exploding 3 in-row rater structs (map-only), a per-(item, class)
+    * fold, a per-item fold, 3-row marginals, broadcast summary. */
+  val a48Krippendorff: Q = (s, dir) => {
+    val base = tbl(s, dir, "customer").select(col("c_custkey").as("key"),
+      expr("cast(conv(substring(md5(concat('kb:', cast(c_custkey as string))),1,8),16,10) as bigint) % 3")
+        .as("base"))
+    val ratings = base.select(col("key"), col("base"),
+      explode(array((0 until 3).map { r =>
+        struct(lit(r.toLong).as("rater"),
+          expr(s"cast(conv(substring(md5(concat('kc$r:', cast(key as string))),1,8),16,10) as bigint) % 3")
+            .as("cover"),
+          expr(s"cast(conv(substring(md5(concat('kv$r:', cast(key as string))),1,8),16,10) as bigint) % 4")
+            .as("roll"),
+          expr(s"cast(conv(substring(md5(concat('ks$r:', cast(key as string))),1,8),16,10) as bigint) % 2")
+            .as("shift"))
+      }: _*)).as("r"))
+      .filter(col("r.cover") =!= 0) // rater skips ~1/3 of items
+      .select(col("key"),
+        when(col("r.roll") < 3, col("base"))
+          .otherwise((col("base") + lit(1L) + col("r.shift")) % 3).as("val"))
+    val perItemClass = ratings.groupBy("key", "val").agg(count(lit(1)).as("r_uc"))
+    val perItem = perItemClass.groupBy("key").agg(
+      sum("r_uc").as("m_u"),
+      sum(expr("r_uc * (r_uc - 1)")).as("agree_pairs"))
+      .filter(col("m_u") >= 2)
+      .withColumn("d_u", expr("m_u * (m_u - 1) - agree_pairs"))
+      .withColumn("o2_u", expr("(2 * d_u) div (m_u - 1)"))
+    val kept = perItemClass.join(perItem.select("key"), Seq("key"))
+    val marg = kept.groupBy(col("val").as("class")).agg(sum("r_uc").as("n_c"))
+    val summary = perItem.agg(count(lit(1)).as("n_items"), sum("o2_u").as("o2"))
+      .crossJoin(broadcast(marg.agg(sum("n_c").as("n"),
+        expr("sum(cast(n_c as decimal(38,0)) * n_c)").as("sq"))))
+      .select(col("n_items"), col("o2"), col("n"),
+        expr("cast(1000000 - (cast(1000000 as decimal(38,0)) * o2 * (n - 1)) div (2 * (cast(n as decimal(38,0)) * n - sq)) as bigint)")
+          .as("alpha_ppm"))
+    marg.crossJoin(broadcast(summary))
+      .select(col("class"), col("n_c"), col("n_items"), col("o2"), col("n"),
+        col("alpha_ppm"))
+      .orderBy("class")
+  }
+
   /** A47: B-cubed precision/recall/F1 — the clustering-quality scorecard
     * the dedup family (d04/d05/d07/d16) reports to: pair-counting
     * metrics (Rand) drown small clusters and purity alone rewards
@@ -6355,6 +6414,7 @@ object Queries {
     "a45_seasonal_backtest" -> a45SeasonalBacktest,
     "a46_cohens_kappa" -> a46CohensKappa,
     "a47_bcubed" -> a47Bcubed,
+    "a48_krippendorff" -> a48Krippendorff,
     "x35_fd_profile" -> x35FdProfile
   )
 }

@@ -550,6 +550,53 @@ class AnalyticsGoldenSpec extends AnyFunSuite {
     assert(got === want, s"got $got\nwant $want")
   }
 
+  test("a48: Krippendorff alpha — flat recompute with missing ratings, m_u in {2,3}") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_a48").toString
+    def h32(p: String, id: Long): Long = {
+      val md = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$p:$id").substring(0, 8)
+      java.lang.Long.parseLong(md, 16)
+    }
+    val keys = (0L until 90L)
+    keys.map(k => (k, 0, 1.00)).toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    // third implementation: flat scala over the same md5 plants
+    val ratings = keys.flatMap { k =>
+      val base = h32("kb", k) % 3
+      (0 until 3).flatMap { r =>
+        if (h32(s"kc$r", k) % 3 == 0) None
+        else Some(k -> (if (h32(s"kv$r", k) % 4 < 3) base
+        else (base + 1 + h32(s"ks$r", k) % 2) % 3))
+      }
+    }
+    val byItem = ratings.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .filter(_._2.size >= 2)
+    assert(byItem.values.map(_.size).toSet === Set(2, 3),
+      "fixture must exercise both m_u = 2 and m_u = 3")
+    val o2 = byItem.values.map { vs =>
+      val m = vs.size.toLong
+      val agree = vs.groupBy(identity).values
+        .map(g => g.size.toLong * (g.size - 1)).sum
+      2L * (m * (m - 1) - agree) / (m - 1)
+    }.sum
+    val nC = byItem.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val n = nC.values.sum
+    val sq = nC.values.map(c => BigInt(c) * c).sum
+    val alpha = (BigInt(1000000) -
+      BigInt(1000000) * o2 * (n - 1) / (2 * (BigInt(n) * n - sq))).toLong
+    assert(o2 > 0 && alpha > 0 && alpha < 1000000L,
+      s"agreement must be above chance but imperfect: o2=$o2 alpha=$alpha")
+    val got = Queries.a48Krippendorff(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val want = (0L to 2L).map(c => c -> ((nC.getOrElse(c, 0L),
+      byItem.size.toLong, o2, n, alpha))).toMap
+    assert(got === want, s"got $got\nwant $want")
+  }
+
   test("a47: B-cubed — flat recompute of cells, marginals, P/R/F1, purity") {
     val s = spark
     import s.implicits._
