@@ -1190,6 +1190,36 @@ object Oracle {
     sb.toString
   }
 
+  /** t48's gate mirror — also serves st25, the streaming form of the
+    * same operator (keyed-state assembler; StreamingSpec proves
+    * stream == batch), the v11/v12 shared-SQL precedent. */
+  private def t48Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    event_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |d AS (SELECT user_id, day, event_type,
+      |    CASE WHEN CAST('0x' || substring(md5('role:' || CAST(event_id AS VARCHAR)),1,8) AS BIGINT) % 10 < 4 THEN 'user'
+      |         WHEN CAST('0x' || substring(md5('role:' || CAST(event_id AS VARCHAR)),1,8) AS BIGINT) % 10 < 9 THEN 'assistant'
+      |         ELSE 'system' END AS role,
+      |    row_number() OVER w AS pos,
+      |    sum(CASE WHEN CAST('0x' || substring(md5('role:' || CAST(event_id AS VARCHAR)),1,8) AS BIGINT) % 10 < 9 THEN 1 ELSE 0 END)
+      |      OVER w AS pos2
+      |  FROM e WINDOW w AS (PARTITION BY user_id, day ORDER BY tsu, event_id)),
+      |r AS (SELECT *, CASE WHEN role <> 'system' AND
+      |    ((pos2 % 2 = 1 AND role <> 'user') OR (pos2 % 2 = 0 AND role <> 'assistant'))
+      |    THEN 1 ELSE 0 END AS viol FROM d),
+      |c AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_turns,
+      |    CAST(sum(CASE WHEN role <> 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_nonsys,
+      |    CAST(sum(CASE WHEN role = 'system' AND pos > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_sys_late,
+      |    CAST(sum(viol) AS BIGINT) AS n_role_viol,
+      |    string_agg('<|' || role || '|>' || event_type, '' ORDER BY pos) AS rendered
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, day, n_turns, n_nonsys, n_sys_late, n_role_viol,
+      |  rendered, CAST(length(rendered) AS BIGINT) AS n_chars,
+      |  (n_role_viol = 0 AND n_sys_late = 0 AND n_nonsys >= 2
+      |    AND length(rendered) <= 60) AS kept
+      |FROM c ORDER BY user_id, day""".stripMargin
+
   val sql: Map[String, String] = Map(
     "s05_scan_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice
@@ -2227,33 +2257,12 @@ object Oracle {
     // t48: (user_id, day) conversations, md5-planted roles; pos2 = running
     // non-system count (unique ordering, RANGE==ROWS) makes the alternation
     // violation per-row, so the whole gate is one window + one fold —
-    // same single-pass shape as the Spark plan, every count BIGINT
-    "t48_sft_assembly" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-        |    event_id, event_type, epoch_us(ts) AS tsu FROM events),
-        |d AS (SELECT user_id, day, event_type,
-        |    CASE WHEN CAST('0x' || substring(md5('role:' || CAST(event_id AS VARCHAR)),1,8) AS BIGINT) % 10 < 4 THEN 'user'
-        |         WHEN CAST('0x' || substring(md5('role:' || CAST(event_id AS VARCHAR)),1,8) AS BIGINT) % 10 < 9 THEN 'assistant'
-        |         ELSE 'system' END AS role,
-        |    row_number() OVER w AS pos,
-        |    sum(CASE WHEN CAST('0x' || substring(md5('role:' || CAST(event_id AS VARCHAR)),1,8) AS BIGINT) % 10 < 9 THEN 1 ELSE 0 END)
-        |      OVER w AS pos2
-        |  FROM e WINDOW w AS (PARTITION BY user_id, day ORDER BY tsu, event_id)),
-        |r AS (SELECT *, CASE WHEN role <> 'system' AND
-        |    ((pos2 % 2 = 1 AND role <> 'user') OR (pos2 % 2 = 0 AND role <> 'assistant'))
-        |    THEN 1 ELSE 0 END AS viol FROM d),
-        |c AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_turns,
-        |    CAST(sum(CASE WHEN role <> 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_nonsys,
-        |    CAST(sum(CASE WHEN role = 'system' AND pos > 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_sys_late,
-        |    CAST(sum(viol) AS BIGINT) AS n_role_viol,
-        |    string_agg('<|' || role || '|>' || event_type, '' ORDER BY pos) AS rendered
-        |  FROM r GROUP BY 1, 2)
-        |SELECT user_id, day, n_turns, n_nonsys, n_sys_late, n_role_viol,
-        |  rendered, CAST(length(rendered) AS BIGINT) AS n_chars,
-        |  (n_role_viol = 0 AND n_sys_late = 0 AND n_nonsys >= 2
-        |    AND length(rendered) <= 60) AS kept
-        |FROM c ORDER BY user_id, day""".stripMargin,
+    // same single-pass shape as the Spark plan, every count BIGINT.
+    // st25 is the SAME operator on the streaming engine (keyed-state
+    // assembler, StreamingSpec proves stream == batch) — shared mirror,
+    // the v11/v12 precedent.
+    "st25_sft_gate" -> t48Sql,
+    "t48_sft_assembly" -> t48Sql,
 
     "t47_codeswitch_census" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -2765,6 +2765,28 @@ object Queries {
     * code path emits everything, and the oracle is u03's group-trick
     * fill restated over the FfillOut schema. StreamingSpec proves
     * stream == batch across chunkings, late delivery and replays. */
+  /** ST25: the streaming SFT conversation gate
+    * ([[graft.streaming.EventStreams.sftGateStream]]) run in its
+    * bounded/batch execution — t48's gate as keyed state: turns buffer
+    * per (user_id, day) deduplicated by event_id, the gate fires
+    * exactly once when the event-time watermark passes the day
+    * boundary, and the emitted row is computed over the (tsu,
+    * event_id)-sorted buffer — the batch ordering, so stream == batch
+    * row for row (StreamingSpec proves it across late/replayed/
+    * re-chunked delivery). Oracle: t48's mirror VERBATIM — the two
+    * forms are the same operator on different execution engines, the
+    * v11/v12 shared-SQL precedent. */
+  val st25SftGate: Q = (s, dir) => {
+    import s.implicits._
+    val evs = events(s, dir)
+      .withColumn("ts", timestamp_micros(col("__tsu")))
+      .select(col("event_id"), col("ts"), col("__tsu").as("tsu"),
+        col("user_id"), col("event_type"))
+      .as[graft.streaming.EventStreams.TurnRow]
+    graft.streaming.EventStreams.sftGateStream(evs).toDF()
+      .orderBy("user_id", "day")
+  }
+
   val st24StreamFfill: Q = (s, dir) => {
     import s.implicits._
     val readings = eventsTs(s, dir)
@@ -6354,6 +6376,7 @@ object Queries {
     "st22_watermark_audit" -> st22WatermarkAudit,
     "st23_sample_maintain" -> st23SampleMaintain,
     "st24_stream_ffill" -> st24StreamFfill,
+    "st25_sft_gate" -> st25SftGate,
     "s22_change_feed" -> s22ChangeFeed,
     "s23_merge_apply" -> s23MergeApply,
     "s24_delete_vectors" -> s24DeleteVectors,

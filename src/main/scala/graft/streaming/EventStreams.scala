@@ -861,6 +861,109 @@ object EventStreams {
     * A view's user/key columns come from ITS side when the click side is
     * null — the caller coalesces, the batch mirror st16 shows the
     * canonical totalized projection. */
+  /** One conversation turn: `tsu` carries exact event-time MICROS (the
+    * batch mirror orders on micros; ms would merge distinct turns), `ts`
+    * exists only for the watermark. */
+  final case class TurnRow(event_id: Long, ts: java.sql.Timestamp,
+      tsu: Long, user_id: Long, event_type: String)
+
+  /** Buffered turns of one open (user, day) conversation, deduplicated
+    * by event_id so re-delivery is idempotent. */
+  final case class SftState(turns: Seq[(Long, Long, String)])
+
+  final case class SftGateOut(user_id: Long, day: Long, n_turns: Long,
+      n_nonsys: Long, n_sys_late: Long, n_role_viol: Long, rendered: String,
+      n_chars: Long, kept: Boolean)
+
+  /** The md5 role plant of the batch gate (t48), computed in-kernel:
+    * first 8 md5 hex chars of "role:<id>" mod 10 -> user/assistant/system. */
+  private def roleOf(eventId: Long): String = {
+    val h = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"role:$eventId").substring(0, 8), 16) % 10
+    if (h < 4) "user" else if (h < 9) "assistant" else "system"
+  }
+
+  /**
+   * Streaming SFT conversation gate — the incremental twin of the batch
+   * assembler (t48_sft_assembly): conversations key on (user_id, day),
+   * turns buffer in keyed state (deduplicated by event_id, so replays
+   * are idempotent), and the gate fires EXACTLY ONCE per conversation,
+   * when the event-time watermark passes the day boundary — at that
+   * point no admissible turn can still arrive (any day-D event is below
+   * the watermark and the engine drops it), so the emitted row is
+   * final. Late/out-of-order/re-chunked delivery within the watermark
+   * yields the identical row because the gate computes over the
+   * (tsu, event_id)-SORTED buffer, exactly the batch ordering.
+   *
+   * State is bounded by the day bucket (the t48 scale contract carried
+   * over): a conversation's turns live at most one day + watermark
+   * horizon, then the timeout evicts the key entirely.
+   *
+   * Batch execution (no watermark): all turns of a conversation arrive
+   * in one invocation and the complete gate row emits — the bounded-run
+   * contract st24/ffill established. Batch mirror: t48_sft_assembly.
+   */
+  def sftGateStream(events: Dataset[TurnRow],
+                    watermark: String = "1 hour"): Dataset[SftGateOut] = {
+    implicit val outEnc = Encoders.product[SftGateOut]
+    implicit val stateEnc = Encoders.product[SftState]
+    val dayUs = 86400000000L
+
+    def gate(userId: Long, day: Long,
+             turns: Seq[(Long, Long, String)]): SftGateOut = {
+      val sorted = turns.sortBy { case (id, t, _) => (t, id) }
+      var pos2 = 0L
+      var viol = 0L
+      var sysLate = 0L
+      var nonsys = 0L
+      val sb = new StringBuilder
+      sorted.zipWithIndex.foreach { case ((id, _, typ), idx) =>
+        val role = roleOf(id)
+        if (role != "system") {
+          pos2 += 1
+          nonsys += 1
+          if ((pos2 % 2 == 1 && role != "user") ||
+            (pos2 % 2 == 0 && role != "assistant")) viol += 1
+        } else if (idx > 0) sysLate += 1
+        sb.append("<|").append(role).append("|>").append(typ)
+      }
+      val rendered = sb.result()
+      SftGateOut(userId, day, sorted.size.toLong, nonsys, sysLate, viol,
+        rendered, rendered.length.toLong,
+        viol == 0L && sysLate == 0L && nonsys >= 2L && rendered.length <= 60)
+    }
+
+    def update(key: (Long, Long), rows: Iterator[TurnRow],
+        state: GroupState[SftState]): Iterator[SftGateOut] = {
+      val (userId, day) = key
+      val incoming = rows.map(r => (r.event_id, r.tsu, r.event_type)).toSeq
+      val all = (state.getOption.map(_.turns).getOrElse(Seq.empty) ++ incoming)
+        .distinctBy(_._1)
+      val wm = try state.getCurrentWatermarkMs()
+        catch { case _: UnsupportedOperationException => -1L }
+      val dayEndMs = (day + 1) * dayUs / 1000L
+      if (wm < 0L) {
+        // bounded input: the conversation is complete, emit now
+        Iterator.single(gate(userId, day, all))
+      } else if (wm >= dayEndMs) {
+        // every day-D event is < dayEndMs <= wm: nothing admissible left
+        state.remove()
+        Iterator.single(gate(userId, day, all))
+      } else {
+        state.update(SftState(all))
+        state.setTimeoutTimestamp(math.max(dayEndMs, wm + 1))
+        Iterator.empty
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(r => (r.user_id, r.tsu / dayUs))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   def clickViewJoinFull(events: DataFrame, watermark: String = "2 hours",
                         lookbackMinutes: Int = 60): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")

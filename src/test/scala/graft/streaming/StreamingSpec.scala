@@ -853,6 +853,93 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((ts(0).getTime, ts(140).getTime, 8L)))
   }
 
+  test("streaming SFT gate: one emission per conversation, stream == batch mirror under late/replayed delivery") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{SftGateOut, TurnRow}
+    def h32(p: String, id: Long): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$p:$id").substring(0, 8), 16)
+    def roleClass(id: Long): String = {
+      val r = h32("role", id) % 10
+      if (r < 4) "user" else if (r < 9) "assistant" else "system"
+    }
+    val used = scala.collection.mutable.Set[Long]()
+    def pick(role: String): Long = {
+      var i = 0L
+      while (used(i) || roleClass(i) != role) i += 1
+      used += i; i
+    }
+    // epoch-based ts so the watermark horizon and the tsu-derived day
+    // bucket share one clock (the registered query's ts = micros(tsu))
+    def turn(min: Long, user: Long, role: String, typ: String): TurnRow =
+      TurnRow(pick(role), new java.sql.Timestamp(min * 60000L),
+        min * 60000000L, user, typ)
+    // u1 day0: clean user/assistant/user -> kept
+    val a1 = turn(5, 1, "user", "view")
+    val a2 = turn(10, 1, "assistant", "click")
+    val a3 = turn(15, 1, "user", "view")
+    // u2 day0: assistant-first -> two violations, dropped
+    val b1 = turn(20, 2, "assistant", "view")
+    val b2 = turn(25, 2, "user", "view")
+    // u1 day1: single turn -> too short, dropped
+    val c1 = turn(1445, 1, "user", "view")
+    val all = Seq(a1, a2, a3, b1, b2, c1)
+    // probes (user 9, day 3) push the watermark past both day ends
+    def probe(id: Long, min: Long) =
+      TurnRow(1000L + id, new java.sql.Timestamp(min * 60000L),
+        min * 60000000L, 9L, "view")
+
+    val expected = Set(
+      (1L, 0L, 3L, 3L, 0L, 0L,
+        "<|user|>view<|assistant|>click<|user|>view", 42L, true),
+      (2L, 0L, 2L, 2L, 0L, 2L,
+        "<|assistant|>view<|user|>view", 29L, false),
+      (1L, 1L, 1L, 1L, 0L, 0L, "<|user|>view", 12L, false))
+
+    def run(name: String)(chunks: Seq[Seq[TurnRow]]): Set[(Long, Long, Long, Long, Long, Long, String, Long, Boolean)] = {
+      val stream = MemoryStream[TurnRow]
+      val q = EventStreams.sftGateStream(stream.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks.foreach { c => stream.addData(c: _*); q.processAllAvailable() }
+        stream.addData(probe(0, 4500)); q.processAllAvailable()
+        stream.addData(probe(1, 4510)); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[SftGateOut].collect()
+        .filter(_.user_id != 9L)
+        .map(o => (o.user_id, o.day, o.n_turns, o.n_nonsys, o.n_sys_late,
+          o.n_role_viol, o.rendered, o.n_chars, o.kept)).toSet
+    }
+
+    val inOrder = run("sft_inorder")(Seq(all))
+    assert(inOrder === expected, s"in-order: $inOrder")
+    // out-of-order chunks + a replay of a3: identical conversations
+    // (c1 rides last — its day-1 event time advances the watermark past
+    // day-0 admissibility, exactly the ordering a real stream respects)
+    val late = run("sft_late")(
+      Seq(Seq(a3, a2), Seq(b2, a1, a3), Seq(b1), Seq(c1)))
+    assert(late === expected, s"late: $late")
+
+    // bounded run: same code path, every conversation emits
+    val bounded = EventStreams.sftGateStream(all.toDS()).collect()
+      .map(o => (o.user_id, o.day, o.n_turns, o.n_nonsys, o.n_sys_late,
+        o.n_role_viol, o.rendered, o.n_chars, o.kept)).toSet
+    assert(bounded === expected, s"bounded: $bounded")
+
+    // and the registered BATCH mirror over the same rows agrees row for row
+    val dir = java.nio.file.Files.createTempDirectory("graft_st25").toString
+    all.map(t => (t.event_id, t.ts, t.user_id, t.event_type, 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Queries.t48SftAssembly(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7),
+        r.getBoolean(8))).toSet
+    assert(batch === expected, s"batch mirror: $batch")
+  }
+
   test("streaming forward-fill: late/replayed/re-chunked delivery fills identically") {
     val s = spark
     import s.implicits._
