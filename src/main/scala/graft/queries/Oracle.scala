@@ -2264,6 +2264,36 @@ object Oracle {
     "st25_sft_gate" -> t48Sql,
     "t48_sft_assembly" -> t48Sql,
 
+    // t49: t02's proven round-4 score recovered as an exact e4 integer,
+    // DESC-cumulative survivors over <= 11 bucket rows per lang, ppm of
+    // the same-partition totals
+    "t49_quality_tradeoff" ->
+      """WITH q AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to'))) AS stop0
+        |  FROM documents),
+        |sc AS (SELECT lang, n_words,
+        |    CAST(round(round(least(1.0, n_words / 200.0) * 0.5 +
+        |      (CAST(stop0 AS DOUBLE) / n_words) * 0.5, 4) * 10000) AS BIGINT) // 1000
+        |      AS bucket
+        |  FROM q),
+        |b AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_words) AS BIGINT) AS n_tokens
+        |  FROM sc GROUP BY 1, 2),
+        |w AS (SELECT lang, bucket, n_docs, n_tokens,
+        |    CAST(sum(n_docs) OVER dsc AS BIGINT) AS kept_docs,
+        |    CAST(sum(n_tokens) OVER dsc AS BIGINT) AS kept_tokens,
+        |    CAST(sum(n_docs) OVER al AS BIGINT) AS tot_docs,
+        |    CAST(sum(n_tokens) OVER al AS BIGINT) AS tot_tokens
+        |  FROM b WINDOW dsc AS (PARTITION BY lang ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    al AS (PARTITION BY lang))
+        |SELECT lang, bucket, n_docs, n_tokens, kept_docs, kept_tokens,
+        |  (1000000 * kept_docs) // tot_docs AS kept_docs_ppm,
+        |  (1000000 * kept_tokens) // tot_tokens AS kept_tokens_ppm
+        |FROM w ORDER BY lang, bucket""".stripMargin,
+
     "t47_codeswitch_census" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |t2 AS (SELECT doc_id, w, len(w) AS l FROM t),

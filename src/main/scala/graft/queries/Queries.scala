@@ -1662,6 +1662,41 @@ object Queries {
       .orderBy("user_id", "day")
   }
 
+  /** T49: quality-gate operating-point table — the "choose your
+    * threshold" artifact a corpus owner reads BEFORE wiring t02's score
+    * into a filter (d26 audits DEDUP thresholds, this audits the
+    * quality gate): for every threshold bucket, how many docs and
+    * tokens survive, absolute and as ppm of the language's corpus —
+    * the retention/quality trade-off curve that decides the operating
+    * point (gate at 0.3 and keep 80% of tokens, or at 0.6 and keep
+    * 35%?). Integer-exact bucketing: score_e4 = round(score * 10000)
+    * recovers the round-4 score as an exact integer on both engines,
+    * bucket = score_e4 div 1000; survivors-at-threshold is a
+    * DESC-cumulative sum over each language's <= 11 bucket rows — a
+    * bounded window, no second corpus pass; totals ride the same
+    * partition. ONE corpus fold + an 11-row-per-lang window. */
+  val t49QualityTradeoff: Q = (s, dir) => {
+    val q = TextOps.qualityStats(tbl(s, dir, "documents"))
+      .select(col("lang"), col("n_words"),
+        expr("cast(round(quality_score * 10000) as bigint) div 1000")
+          .as("bucket"))
+    val b = q.groupBy("lang", "bucket").agg(
+      count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"))
+    val wCum = Window.partitionBy("lang")
+      .orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+    b.withColumn("kept_docs", sum("n_docs").over(wCum))
+      .withColumn("kept_tokens", sum("n_tokens").over(wCum))
+      .withColumn("tot_docs", sum("n_docs").over(wAll))
+      .withColumn("tot_tokens", sum("n_tokens").over(wAll))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("n_tokens"),
+        col("kept_docs"), col("kept_tokens"),
+        expr("(1000000 * kept_docs) div tot_docs").as("kept_docs_ppm"),
+        expr("(1000000 * kept_tokens) div tot_tokens").as("kept_tokens_ppm"))
+      .orderBy("lang", "bucket")
+  }
+
   val t47CodeswitchCensus: Q = (s, dir) => {
     val wins = TextOps.chunkWindows(tbl(s, dir, "documents"), w = 10, s = 10)
     val lid = TextOps.langIdScores(wins, textCol = "chunk")
@@ -6283,6 +6318,7 @@ object Queries {
     "t46_js_divergence" -> t46JsDivergence,
     "t47_codeswitch_census" -> t47CodeswitchCensus,
     "t48_sft_assembly" -> t48SftAssembly,
+    "t49_quality_tradeoff" -> t49QualityTradeoff,
     "t12_bigram_lm" -> t12BigramLm,
     "t13_source_quota" -> t13SourceQuota,
     "t14_novelty" -> t14Novelty,

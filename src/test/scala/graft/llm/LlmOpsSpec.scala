@@ -1767,6 +1767,28 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t49 quality trade-off: hand goldens for buckets, DESC survivors, per-lang ppm") {
+    val s = spark
+    import s.implicits._
+    // scores: d1 = .01 + 3/4*.5 = .385 -> bucket 3; d2 = .005 -> 0;
+    // d3 = .005 + .5 = .505 -> 5; d4 (nl) = .005 + .25 = .255 -> 2
+    val df = Seq(
+      (1L, "the a of x", "en"), (2L, "x y", "en"),
+      (3L, "the to", "en"), (4L, "a b", "nl"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_t49").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val res = graft.queries.Queries.t49QualityTradeoff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(res === Seq(
+      ("en", 0L, 1L, 2L, 3L, 8L, 1000000L, 1000000L),
+      ("en", 3L, 1L, 4L, 2L, 6L, 666666L, 750000L),
+      ("en", 5L, 1L, 2L, 1L, 2L, 333333L, 250000L),
+      ("nl", 2L, 1L, 2L, 1L, 2L, 1000000L, 1000000L)), s"got $res")
+  }
+
   test("lexical diversity: hand goldens for TTR and hapax on planted repetition") {
     val df = docsDf(Seq(
       1L -> "a a b",               // 3 words, 2 types, 1 hapax
