@@ -182,8 +182,11 @@ object Multimodal {
    * the running shot counter; single-frame videos are one shot (no
    * pair rows needed — the census runs on frames, not pairs).
    */
-  def shotSegments(media: Dataset[MediaRecord], n: Int = 8,
-                   frameBytes: Int = 64, cutHam: Long = 21L): DataFrame = {
+  /** (doc_id, fi, cut, shot) — every sampled frame with its hash-jump
+    * cut flag and running shot id; the shared substrate of the shot
+    * census (m10) and the audio-to-shot alignment (m12). */
+  def cutFrames(media: Dataset[MediaRecord], n: Int = 8,
+                frameBytes: Int = 64, cutHam: Long = 21L): DataFrame = {
     val frames = sampleFrames(media, n, frameBytes)
       .select(col("doc_id"), posexplode(col("frames")).as(Seq("fi", "frame")))
       .filter(octet_length(col("frame")) > 0)
@@ -191,13 +194,18 @@ object Multimodal {
       graft.functions.MediaExpressions.perceptualHash(col("frame")).as("ph"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("fi")
-    val withCut = ph.withColumn("prev", lag(col("ph"), 1).over(byDoc))
+    ph.withColumn("prev", lag(col("ph"), 1).over(byDoc))
       .withColumn("cut", when(col("prev").isNotNull && expr(
         "aggregate(zip_with(ph, prev, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), 0L, (a, v) -> a + v)")
         > cutHam, 1L).otherwise(0L))
       .withColumn("shot", sum("cut").over(byDoc
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)))
+  }
+
+  def shotSegments(media: Dataset[MediaRecord], n: Int = 8,
+                   frameBytes: Int = 64, cutHam: Long = 21L): DataFrame = {
+    val withCut = cutFrames(media, n, frameBytes, cutHam)
     val per = withCut.groupBy("doc_id", "shot").agg(count(lit(1)).as("len"))
     val agg = per.groupBy("doc_id")
       .agg(count(lit(1)).as("n_shots"), max("len").as("longest_shot"),
@@ -549,12 +557,14 @@ object Multimodal {
         col("__b.v").as("votes_best"))
   }
 
-  def vadCensus(df: DataFrame, waveCol: String, idCol: String,
-                window: Int = 16, threshold: Long = 400L): DataFrame = {
+  /** Adds `__nw` (window count) and `__flags` (per-window speech
+    * booleans) — the VAD substrate shared by the census (m09) and the
+    * audio-to-shot alignment (m12). Sub-window rows are filtered (and
+    * Spark's sequence(0, -1) would DESCEND, not return empty). */
+  def vadFlags(df: DataFrame, waveCol: String,
+               window: Int = 16, threshold: Long = 400L): DataFrame = {
     val w = window
     df.withColumn("__nw", expr(s"length($waveCol) div $w"))
-      // sub-window rows have nothing to segment — and Spark's
-      // sequence(0, -1) would DESCEND, not return empty
       .filter(col("__nw") >= 1)
       // ONE O(len) char split per row, then O(w) array slices per
       // window — per-char substring against the full payload would
@@ -565,6 +575,11 @@ object Multimodal {
            |  i -> aggregate(slice(__chars, i * $w + 1, $w), 0L,
            |         (acc, c) -> acc + bigint(greatest(ascii(c) - 32, 0))
            |       ) >= $threshold)""".stripMargin))
+  }
+
+  def vadCensus(df: DataFrame, waveCol: String, idCol: String,
+                window: Int = 16, threshold: Long = 400L): DataFrame = {
+    vadFlags(df, waveCol, window, threshold)
       .select(col(idCol),
         col("__nw").as("n_windows"),
         expr("bigint(size(filter(__flags, f -> f)))").as("n_speech"),

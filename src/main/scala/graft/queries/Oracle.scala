@@ -3451,6 +3451,84 @@ object Oracle {
 
     // m09: same planted silence gap, codepoint energy, window flags,
     // run/trim folds over the flag list (DuckDB lists are 1-based)
+    // m12: m09's VAD-flag CTEs + run extraction, m10's hash-cut chain +
+    // per-shot intervals, overlap in integer 1/(nw*F) duration units,
+    // (ov DESC, shot ASC) election via row_number
+    "m12_av_align" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
+        |    CAST('0x' || substring(md5('sil:' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, t, h, length(t) // 16 AS nw FROM d WHERE length(t) // 16 >= 6),
+        |w AS (SELECT doc_id, nw, t, 1 + (h // 8) % 3 AS lw,
+        |        h % (nw - (1 + (h // 8) % 3) + 1) AS sw FROM p),
+        |wav AS (SELECT doc_id, nw,
+        |    substring(t, 1, CAST(sw * 16 AS INT)) || repeat(' ', CAST(lw * 16 AS INT)) ||
+        |    substring(t, CAST((sw + lw) * 16 + 1 AS INT), CAST((nw - sw - lw) * 16 AS INT)) AS wave
+        |  FROM w),
+        |f AS (SELECT doc_id, nw,
+        |    list_transform(range(0, nw), i ->
+        |      list_aggregate(list_transform(range(1, 17), j ->
+        |        greatest(ascii(substring(wave, CAST(i * 16 + j AS INT), 1)) - 32, 0)),
+        |        'sum') >= 400) AS flags
+        |  FROM wav),
+        |runs AS (SELECT doc_id, nw,
+        |    list_filter(range(0, nw), i -> flags[CAST(i + 1 AS INT)]
+        |      AND (i = 0 OR NOT flags[CAST(i AS INT)])) AS ss,
+        |    list_filter(range(0, nw), i -> flags[CAST(i + 1 AS INT)]
+        |      AND (i = nw - 1 OR NOT flags[CAST(i + 2 AS INT)])) AS ee
+        |  FROM f),
+        |segs AS (SELECT doc_id, nw, CAST(u.k AS BIGINT) AS seg_idx,
+        |    CAST(u.s AS BIGINT) AS sw, CAST(u.e AS BIGINT) AS ew
+        |  FROM (SELECT doc_id, nw, unnest(list_transform(range(0, len(ss)),
+        |          k -> struct_pack(k := k, s := ss[CAST(k + 1 AS INT)],
+        |                           e := ee[CAST(k + 1 AS INT)]))) AS u
+        |        FROM runs)),
+        |b AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE length(text) > 0),
+        |fr AS (SELECT doc_id, CAST(t.i AS BIGINT) AS fi,
+        |         substring(text, CAST(t.i * greatest(1, n // 8) + 1 AS INT), 64) AS f
+        |       FROM b, unnest(range(0, 8)) AS t(i)
+        |       WHERE t.i * greatest(1, n // 8) < n),
+        |ph AS (SELECT doc_id, fi, length(f) AS m,
+        |   list_transform(range(0, 64), j ->
+        |     coalesce(list_aggregate(list_transform(range(CAST(1 + j AS BIGINT), length(f) + 1, 64),
+        |        i -> ascii(substring(f, CAST(i AS INT), 1))), 'sum'), 0)) AS bs,
+        |   coalesce(list_aggregate(list_transform(range(1, length(f) + 1),
+        |        i -> ascii(substring(f, CAST(i AS INT), 1))), 'sum'), 0) AS total
+        | FROM fr),
+        |bits AS (SELECT doc_id, fi,
+        |   CAST(coalesce(list_aggregate(list_transform(range(0, 32), j ->
+        |     CASE WHEN bs[CAST(j + 1 AS INT)] * m > total * greatest(0, (m - j + 63) // 64)
+        |          THEN CAST(power(2, j) AS BIGINT) ELSE 0 END), 'sum'), 0) AS BIGINT) AS h1,
+        |   CAST(coalesce(list_aggregate(list_transform(range(32, 64), j ->
+        |     CASE WHEN bs[CAST(j + 1 AS INT)] * m > total * greatest(0, (m - j + 63) // 64)
+        |          THEN CAST(power(2, j - 32) AS BIGINT) ELSE 0 END), 'sum'), 0) AS BIGINT) AS h2
+        | FROM ph),
+        |cuts AS (SELECT c.doc_id, c.fi,
+        |           CASE WHEN bit_count(xor(p.h1, c.h1)) + bit_count(xor(p.h2, c.h2)) > 21
+        |                THEN 1 ELSE 0 END AS cut
+        |         FROM bits c JOIN bits p
+        |           ON p.doc_id = c.doc_id AND p.fi = c.fi - 1),
+        |f2 AS (SELECT bits.doc_id, bits.fi, coalesce(cuts.cut, 0) AS cut
+        |       FROM bits LEFT JOIN cuts ON cuts.doc_id = bits.doc_id AND cuts.fi = bits.fi),
+        |sh AS (SELECT doc_id, fi, cut, sum(cut) OVER (PARTITION BY doc_id ORDER BY fi
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot FROM f2),
+        |shiv AS (SELECT doc_id, shot, CAST(min(fi) AS BIGINT) AS sf,
+        |           CAST(max(fi) AS BIGINT) AS ef FROM sh GROUP BY 1, 2),
+        |fcnt AS (SELECT doc_id, CAST(sum(ef - sf + 1) AS BIGINT) AS fn
+        |         FROM shiv GROUP BY 1),
+        |ovl AS (SELECT s.doc_id, s.seg_idx, s.sw, s.ew, v.shot,
+        |    least((s.ew + 1) * c.fn, (v.ef + 1) * s.nw) -
+        |      greatest(s.sw * c.fn, v.sf * s.nw) AS ov
+        |  FROM segs s JOIN shiv v USING (doc_id) JOIN fcnt c USING (doc_id)),
+        |el AS (SELECT doc_id, seg_idx, sw, ew, shot, ov,
+        |    row_number() OVER (PARTITION BY doc_id, seg_idx ORDER BY ov DESC, shot) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY doc_id, seg_idx) AS BIGINT) AS n_shots_hit
+        |  FROM ovl WHERE ov > 0)
+        |SELECT doc_id, seg_idx, sw, ew, shot AS best_shot, ov AS ov_units,
+        |  n_shots_hit
+        |FROM el WHERE rn = 1 ORDER BY doc_id, seg_idx""".stripMargin,
+
     "m09_audio_segments" ->
       """WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
         |    CAST('0x' || substring(md5('sil:' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) AS h

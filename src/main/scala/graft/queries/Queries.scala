@@ -5725,8 +5725,11 @@ object Queries {
     * windows of 16 chars, threshold 400 — natural text scores ~900,
     * spaces 0. Map-only in-row operator, docs under 6 windows dropped
     * (no room for the plant). */
-  val m09AudioSegments: Q = (s, dir) => {
-    val planted = tbl(s, dir, "documents")
+  /** m09/m12 shared plant: the doc text as a synthetic waveform with an
+    * md5-planted silence gap (length and position doc-deterministic), so
+    * every VAD branch is live at every SF. */
+  private def m09Planted(docs: DataFrame): DataFrame =
+    docs
       .withColumn("__t", coalesce(col("text"), lit("")))
       .withColumn("__h", expr(
         "cast(conv(substring(md5(concat('sil:', cast(doc_id as string))),1,8),16,10) as bigint)"))
@@ -5739,7 +5742,58 @@ object Queries {
           "repeat(' ', cast(__lw * 16 as int)), " +
           "substring(__t, cast((__sw + __lw) * 16 + 1 as int), " +
           "cast((__nw - __sw - __lw) * 16 as int)))"))
-    Multimodal.vadCensus(planted, "__wave", "doc_id").orderBy("doc_id")
+      .drop("__nw")
+
+  val m09AudioSegments: Q = (s, dir) =>
+    Multimodal.vadCensus(m09Planted(tbl(s, dir, "documents")),
+      "__wave", "doc_id").orderBy("doc_id")
+
+  /** M12: audio-to-shot alignment — the subtitle/ASR-to-scene primitive
+    * every audiovisual training pipeline needs between its per-modality
+    * segmenters and its caption packer: m09's speech segments (VAD runs
+    * over the planted waveform) land on m10's shots (hash-jump cuts),
+    * each segment electing its DOMINANT shot by overlap (max overlap,
+    * lowest shot id ties) so a speech span becomes a training pair with
+    * ONE visual context. The two timelines have different clocks
+    * (windows vs frames); overlap is computed in 1/(nw*F) duration
+    * units — integer cross-multiplication, NO float time math (the
+    * m07 aspect-bucket discipline). Segment extraction is in-row list
+    * algebra over the VAD flags (run starts/ends zipped); the join is
+    * doc-local (<= nw segments x <= 8 shots per doc — bounded, never
+    * corpus x corpus), one shuffle on doc_id. */
+  val m12AvAlign: Q = (s, dir) => {
+    val docs = tbl(s, dir, "documents")
+    val segs = Multimodal.vadFlags(m09Planted(docs), "__wave")
+      .withColumn("__starts", expr(
+        "filter(sequence(0, cast(__nw - 1 as int)), " +
+          "i -> __flags[i] and (i = 0 or not __flags[i - 1]))"))
+      .withColumn("__ends", expr(
+        "filter(sequence(0, cast(__nw - 1 as int)), " +
+          "i -> __flags[i] and (i = cast(__nw - 1 as int) or not __flags[i + 1]))"))
+      .select(col("doc_id"), col("__nw").as("nw"),
+        posexplode(arrays_zip(col("__starts"), col("__ends")))
+          .as(Seq("seg_idx", "se")))
+      .select(col("doc_id"), col("nw"),
+        col("seg_idx").cast("long").as("seg_idx"),
+        col("se.__starts").cast("long").as("sw"),
+        col("se.__ends").cast("long").as("ew"))
+    val shots = Multimodal.cutFrames(Multimodal.fromDocuments(docs))
+      .groupBy("doc_id", "shot").agg(min("fi").as("sf"), max("fi").as("ef"))
+    val fcount = shots.groupBy("doc_id")
+      .agg(sum(col("ef") - col("sf") + 1).as("F"))
+    segs.join(shots, Seq("doc_id")).join(fcount, Seq("doc_id"))
+      .withColumn("ov",
+        least((col("ew") + 1) * col("F"), (col("ef") + 1) * col("nw")) -
+          greatest(col("sw") * col("F"), col("sf") * col("nw")))
+      .filter(col("ov") > 0)
+      .groupBy("doc_id", "seg_idx")
+      .agg(first("sw").as("sw"), first("ew").as("ew"),
+        count(lit(1)).as("n_shots_hit"),
+        min(struct((-col("ov")).as("no"), col("shot").as("sh"))).as("b"))
+      .select(col("doc_id"), col("seg_idx"), col("sw"), col("ew"),
+        col("b.sh").as("best_shot"), (-col("b.no")).as("ov_units"),
+        col("n_shots_hit"))
+      .orderBy("doc_id", "seg_idx")
   }
 
   /** M10: shot-boundary segmentation ([[Multimodal.shotSegments]]) —
@@ -6450,7 +6504,8 @@ object Queries {
     "m08_frame_coherence" -> m08FrameCoherence,
     "m09_audio_segments" -> m09AudioSegments,
     "m10_shot_segments" -> m10ShotSegments,
-    "m11_constellation" -> m11Constellation,
+    "m12_av_align" -> m12AvAlign,
+    "m11_constellation" ->m11Constellation,
     "t33_word_dropout" -> t33WordDropout,
     "t34_length_buckets" -> t34LengthBuckets,
     "x33_join_profile" -> x33JoinProfile,

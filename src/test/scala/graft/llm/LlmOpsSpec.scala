@@ -2235,6 +2235,71 @@ class LlmOpsSpec extends AnyFunSuite {
       3L -> ((2L, 0L, 0L, "clean"))), s"got $got")
   }
 
+  test("m12 av-align: flat recompute of VAD runs + overlap election against library shots") {
+    val s = spark
+    import s.implicits._
+    val half = "ab" * 32
+    val flip = "ba" * 32
+    val docs = Seq(
+      (1L, half * 4 + flip * 4),   // 2 shots, 512 chars -> nw = 32
+      (2L, "ab" * 128),            // 1 shot, 256 chars -> nw = 16
+      (3L, "cd" * 96),             // 1 shot, nw = 12
+      (4L, " " * 128))             // all silence -> no segments, no rows
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_m12").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    def h32(p: String, id: Long): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$p:$id").substring(0, 8), 16)
+    // flat m09 plant + VAD runs (independent of the library expressions)
+    def segments(id: Long, t: String): Seq[(Long, Long, Long)] = {
+      val nw = t.length / 16
+      val h = h32("sil", id)
+      val lw = (1 + (h / 8) % 3).toInt
+      val sw = (h % (nw - lw + 1)).toInt
+      val wave = t.take(sw * 16) + " " * (lw * 16) +
+        t.slice((sw + lw) * 16, nw * 16)
+      val flags = (0 until nw).map { i =>
+        wave.slice(i * 16, i * 16 + 16).map(c => math.max(c.toInt - 32, 0)).sum >= 400
+      }
+      val starts = (0 until nw).filter(i => flags(i) && (i == 0 || !flags(i - 1)))
+      val ends = (0 until nw).filter(i => flags(i) && (i == nw - 1 || !flags(i + 1)))
+      starts.zip(ends).zipWithIndex.map { case ((a, b), k) =>
+        (k.toLong, a.toLong, b.toLong) }
+    }
+    // shots from the proven library kernel (m10's own spec covers it)
+    val shots = Multimodal.cutFrames(Multimodal.fromDocuments(docs))
+      .groupBy("doc_id", "shot")
+      .agg(min("fi").as("sf"), max("fi").as("ef")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+    val want = Seq(1L -> (half * 4 + flip * 4), 2L -> ("ab" * 128),
+      3L -> ("cd" * 96), 4L -> (" " * 128)).flatMap { case (id, t) =>
+      val nw = (t.length / 16).toLong
+      val sh = shots.getOrElse(id, Seq.empty)
+      val fn = sh.map { case (_, sf, ef) => ef - sf + 1 }.sum
+      segments(id, t).flatMap { case (k, sw, ew) =>
+        val hits = sh.map { case (shot, sf, ef) =>
+          (shot, math.min((ew + 1) * fn, (ef + 1) * nw) -
+            math.max(sw * fn, sf * nw))
+        }.filter(_._2 > 0)
+        if (hits.isEmpty) None
+        else {
+          val best = hits.map { case (shot, ov) => (-ov, shot) }.min
+          Some((id, k, sw, ew, best._2, -best._1, hits.size.toLong))
+        }
+      }
+    }
+    val got = graft.queries.Queries.m12AvAlign(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(got === want, s"got\n${got.mkString("\n")}\nwant\n${want.mkString("\n")}")
+    assert(want.nonEmpty && !want.exists(_._1 == 4L),
+      "silent doc must produce no rows; others must align")
+    assert(want.exists(_._7 > 1L),
+      "at least one segment must span a cut (n_shots_hit > 1)")
+  }
+
   test("m10 shot segments: hard cut splits, static clip is one shot, single frame") {
     val s = spark
     import s.implicits._
