@@ -737,7 +737,41 @@ object Plans {
       "COUNTS — two tiny aggregations, rows never touched again."),
     "x35_fd_profile" -> ("FD profile: per candidate one (lhs, rhs) " +
       "dedup with map-side partials + a per-lhs count — shuffle is " +
-      "distinct pairs; verdicts are exact, not sampled."))
+      "distinct pairs; verdicts are exact, not sampled."),
+    "a47_bcubed" -> ("B-cubed: the per-item sums collapse onto the " +
+      "(pred, gold) contingency table — one corpus fold to cells + two " +
+      "broadcast marginals. Cells are bounded by cluster overlap, never " +
+      "n^2 pairs; at 100 TB the metric costs one aggregation."),
+    "a48_krippendorff" -> ("Krippendorff alpha: one scan explodes 3 " +
+      "in-row rater structs (map-only), then two bounded folds " +
+      "(per-item, per-class) and a broadcast summary — missingness is a " +
+      "filter, never a join against a ratings table."),
+    "t48_sft_assembly" -> ("SFT gate: ONE scan, ONE exchange on the " +
+      "conversation key — pos2-as-running-count makes the alternation " +
+      "violation per-row, so both window functions and the render fold " +
+      "share one partitioning; no join, no second pass."),
+    "t49_quality_tradeoff" -> ("Quality operating points: one corpus " +
+      "fold to (lang, bucket) cells, then an 11-row-per-lang window — " +
+      "the threshold sweep costs one aggregation regardless of corpus " +
+      "size; no per-threshold rescans."),
+    "st25_sft_gate" -> ("Streaming SFT gate in bounded execution: the " +
+      "flatMapGroupsWithState assembler — one exchange on the " +
+      "conversation key, state bounded by the day bucket. The plan is " +
+      "the streaming twin of t48's; semantics proven equal in " +
+      "StreamingSpec."),
+    "v26_pca_power" -> ("PCA serve: train is ONE bounded TakeOrdered " +
+      "sample collect + driver-local iterations; serve is map-only at " +
+      "scan speed (centered dot + residual per row, component as plan " +
+      "literal) — zero shuffle, zero join; only the output sort " +
+      "exchanges."),
+    "x45_coreset" -> ("Coreset: both trained models ride as literals; " +
+      "assignment + projection + residual are ONE map-only scan, " +
+      "admission is a scan filter, and the only shuffle is the " +
+      "per-cluster election window (early-stopped at rnk <= 4)."),
+    "m12_av_align" -> ("AV align: segment extraction is in-row list " +
+      "algebra; the interval join is doc-local (<= nw segments x <= 8 " +
+      "shots), one shuffle on doc_id — never a corpus-level interval " +
+      "join."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
