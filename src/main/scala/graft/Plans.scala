@@ -771,7 +771,11 @@ object Plans {
     "m12_av_align" -> ("AV align: segment extraction is in-row list " +
       "algebra; the interval join is doc-local (<= nw segments x <= 8 " +
       "shots), one shuffle on doc_id — never a corpus-level interval " +
-      "join."))
+      "join."),
+    "x46_zonemap_census" -> ("Zone-map census: one corpus scan feeds " +
+      "the per-file zone-map and match folds; the probe x file " +
+      "intersection is a 40 x 16 broadcast join. The census itself is " +
+      "the scale argument — it MEASURES what pruning saves at 100 TB."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

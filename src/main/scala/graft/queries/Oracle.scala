@@ -5392,6 +5392,53 @@ object Oracle {
     // SQL is GENERATED from the same loop as the engine's Column form
     // (Layout.zValueSql), so the two expressions can never drift. All
     // outputs integer.
+    // x46: the same generated z expression over the 8-bit-normalized
+    // dims, value-based file buckets, per-file zone maps, probe-grid
+    // intersection counts — files AND rows read per layout vs true matches
+    "x46_zonemap_census" -> {
+      val z = graft.relational.Layout.zValueSql("c8", "h8")
+      s"""WITH rows0 AS (SELECT doc_id, lang,
+         |    least(n_chars // 4, 255) AS c8,
+         |    (CAST('0x' || substring(md5(lang),1,4) AS BIGINT)) // 256 AS h8
+         |  FROM documents),
+         |mx AS (SELECT max(doc_id) AS m FROM rows0),
+         |wf AS (SELECT r.*, ($z) // ${1L << 12} AS zfile,
+         |    doc_id // ((mx.m // 16) + 1) AS lfile
+         |  FROM rows0 r CROSS JOIN mx),
+         |zm AS (SELECT zfile AS f, min(c8) AS min_c, max(c8) AS max_c,
+         |    min(h8) AS min_h, max(h8) AS max_h,
+         |    CAST(count(*) AS BIGINT) AS n_rows FROM wf GROUP BY 1),
+         |lm AS (SELECT lfile AS f, min(c8) AS min_c, max(c8) AS max_c,
+         |    min(h8) AS min_h, max(h8) AS max_h,
+         |    CAST(count(*) AS BIGINT) AS n_rows FROM wf GROUP BY 1),
+         |pr AS (SELECT DISTINCT lang, h8 FROM rows0),
+         |probes AS (SELECT pr.lang, pr.h8, CAST(b.i * 32 AS BIGINT) AS band_lo
+         |  FROM pr CROSS JOIN (SELECT unnest(range(0, 8)) AS i) b),
+         |zr AS (SELECT p.lang, p.band_lo,
+         |    CAST(sum(CASE WHEN z.f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS z_files_read,
+         |    CAST(sum(coalesce(z.n_rows, 0)) AS BIGINT) AS z_rows_read
+         |  FROM probes p LEFT JOIN zm z
+         |    ON z.min_c <= p.band_lo + 31 AND z.max_c >= p.band_lo
+         |    AND z.min_h <= p.h8 AND z.max_h >= p.h8
+         |  GROUP BY 1, 2),
+         |lr AS (SELECT p.lang, p.band_lo,
+         |    CAST(sum(CASE WHEN l.f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS lin_files_read,
+         |    CAST(sum(coalesce(l.n_rows, 0)) AS BIGINT) AS lin_rows_read
+         |  FROM probes p LEFT JOIN lm l
+         |    ON l.min_c <= p.band_lo + 31 AND l.max_c >= p.band_lo
+         |    AND l.min_h <= p.h8 AND l.max_h >= p.h8
+         |  GROUP BY 1, 2),
+         |mt AS (SELECT lang, (c8 // 32) * 32 AS band_lo,
+         |    CAST(count(*) AS BIGINT) AS n_match FROM rows0 GROUP BY 1, 2)
+         |SELECT zr.lang, zr.band_lo, coalesce(mt.n_match, 0) AS n_match,
+         |  zr.z_files_read, lr.lin_files_read, zr.z_rows_read, lr.lin_rows_read
+         |FROM zr JOIN lr USING (lang, band_lo)
+         |LEFT JOIN mt USING (lang, band_lo)
+         |ORDER BY zr.lang, zr.band_lo""".stripMargin
+    },
+
     "s13_zorder_layout" ->
       s"""WITH d AS (SELECT lang, n_chars,
          |    CAST('0x' || substring(md5(lang), 1, 4) AS BIGINT) AS lh

@@ -284,6 +284,62 @@ object Queries {
       .orderBy("z_bucket")
   }
 
+  /** X46: zone-map skip census — the NUMBER behind the s13 z-order
+    * claim: how many files (and rows) does a (lang, length-band) probe
+    * actually read under a z-ordered layout vs the naive
+    * ingestion-order layout? Parquet/Iceberg/Delta pruning is exactly
+    * this comparison of per-file min/max stats against the predicate,
+    * so the census is computed LOGICALLY — files are value-based
+    * buckets (z div 2^12 for the z-layout: the top 2 bits of EACH
+    * dimension, a balanced 4x4 grid; doc_id div width for linear —
+    * both the real boundary rules of a range-partitioned write, and
+    * deterministic, unlike repartitionByRange's sampled boundaries).
+    * Dimensions are normalized to 8 bits each (c8 = chars div 4, h8 =
+    * top byte of the 16-bit lang hash) BEFORE interleaving — z-order
+    * only prunes on a dimension whose bits actually vary inside the
+    * interleave, the bit-balance lesson itself. Per probe x layout:
+    * files read (zone map intersects), rows read (their row counts),
+    * and the TRUE match count — so the row is the read-amplification
+    * scorecard (z reads ~matches, linear reads ~everything). One
+    * corpus scan for both zone-map folds + the match fold; the probe x
+    * file join is 40 x 16 broadcast rows. */
+  val x46ZonemapCensus: Q = (s, dir) => {
+    val rows = tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+      expr("least(n_chars div 4, 255)").as("c8"),
+      expr("cast(conv(substring(md5(lang),1,4),16,10) as bigint) div 256")
+        .as("h8"))
+    val maxId = rows.agg(max("doc_id").as("m"))
+    val withFiles = rows
+      .withColumn("z", graft.relational.Layout.zValue(col("c8"), col("h8")))
+      .withColumn("zfile", expr(s"z div ${1L << 12}"))
+      .crossJoin(broadcast(maxId))
+      .withColumn("lfile", expr("doc_id div ((m div 16) + 1)"))
+    def zoneMap(fileCol: String) = withFiles.groupBy(col(fileCol).as("f"))
+      .agg(min("c8").as("min_c"), max("c8").as("max_c"),
+        min("h8").as("min_h"), max("h8").as("max_h"),
+        count(lit(1)).as("n_rows"))
+    val zm = zoneMap("zfile")
+    val lm = zoneMap("lfile")
+    val probes = rows.select("lang", "h8").distinct()
+      .crossJoin(s.range(0, 8).select((col("id") * 32).as("band_lo")))
+    def reads(m: DataFrame, pfx: String) = probes.join(broadcast(m),
+        col("min_c") <= col("band_lo") + 31 && col("max_c") >= col("band_lo") &&
+          col("min_h") <= col("h8") && col("max_h") >= col("h8"), "left")
+      .groupBy("lang", "band_lo")
+      .agg(sum(when(col("f").isNotNull, 1L).otherwise(0L))
+        .as(s"${pfx}_files_read"),
+        sum(coalesce(col("n_rows"), lit(0L))).as(s"${pfx}_rows_read"))
+    val matches = rows.withColumn("band_lo", expr("(c8 div 32) * 32"))
+      .groupBy("lang", "band_lo").agg(count(lit(1)).as("n_match"))
+    reads(zm, "z").join(reads(lm, "lin"), Seq("lang", "band_lo"))
+      .join(matches, Seq("lang", "band_lo"), "left")
+      .select(col("lang"), col("band_lo"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        col("z_files_read"), col("lin_files_read"),
+        col("z_rows_read"), col("lin_rows_read"))
+      .orderBy("lang", "band_lo")
+  }
+
   /** S14: small-file compaction + full-fidelity readback
     * ([[graft.relational.Compaction.compactDir]]): the table maintenance
     * op of a long-lived ingest. A 64-file micro-batched layout (one file
@@ -6498,6 +6554,7 @@ object Queries {
     "v25_lloyd_step" -> v25LloydStep,
     "v26_pca_power" -> v26PcaPower,
     "x45_coreset" -> x45Coreset,
+    "x46_zonemap_census" -> x46ZonemapCensus,
     "x32_temporal_reach" -> x32TemporalReach,
     "s20_snapshot_expire" -> s20SnapshotExpire,
     "s21_table_history" -> s21TableHistory,

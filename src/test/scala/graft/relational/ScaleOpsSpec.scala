@@ -723,6 +723,66 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"overlap join fell back to a non-equi plan:\n$p")
   }
 
+  test("x46 zonemap census: flat recompute; z-layout strictly beats linear on a clustered probe") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 langs x 40 docs with lang-correlated lengths, ids shuffled by md5
+    // so the LINEAR layout decorrelates from both probe dimensions
+    def h32(p: String, v: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$p:$v").substring(0, 8), 16)
+    val langs = Seq("en", "de", "zh")
+    val docs = (0 until 120).map { i =>
+      val lang = langs(i % 3)
+      val len = 60 + (i % 3) * 150 + (h32("len", i.toString) % 80).toInt
+      (h32("id", i.toString) % 100000, "x" * len, lang, len.toLong)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_x46").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    // flat recompute from first principles
+    def zOf(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))).sum
+    val rows = (0 until 120).map { i =>
+      val lang = langs(i % 3)
+      val len = 60 + (i % 3) * 150 + (h32("len", i.toString) % 80).toInt
+      val c8 = math.min(len / 4, 255).toLong
+      val h8 = java.lang.Long.parseLong(org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(lang).substring(0, 4), 16) / 256
+      (h32("id", i.toString) % 100000, lang, c8, h8)
+    }
+    val m = rows.map(_._1).max
+    val zoneZ = rows.groupBy(r => zOf(r._3, r._4) / 4096).view.mapValues(g =>
+      (g.map(_._3).min, g.map(_._3).max, g.map(_._4).min, g.map(_._4).max,
+        g.size.toLong)).toMap
+    val zoneL = rows.groupBy(r => r._1 / (m / 16 + 1)).view.mapValues(g =>
+      (g.map(_._3).min, g.map(_._3).max, g.map(_._4).min, g.map(_._4).max,
+        g.size.toLong)).toMap
+    val want = (for {
+      (lang, h8) <- rows.map(r => (r._2, r._4)).distinct
+      band <- 0 until 8
+    } yield {
+      val lo = band * 32L
+      def hit(z: Map[_, (Long, Long, Long, Long, Long)]) =
+        z.values.filter(v => v._1 <= lo + 31 && v._2 >= lo &&
+          v._3 <= h8 && v._4 >= h8).toSeq
+      val nm = rows.count(r => r._2 == lang && r._3 / 32 * 32 == lo).toLong
+      (lang, lo, nm, hit(zoneZ).size.toLong, hit(zoneL).size.toLong,
+        hit(zoneZ).map(_._5).sum, hit(zoneL).map(_._5).sum)
+    }).sortBy(r => (r._1, r._2))
+    val got = graft.queries.Queries.x46ZonemapCensus(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === want, s"got\n${got.mkString("\n")}\nwant\n${want.mkString("\n")}")
+    // the census must SHOW the win: on every live probe the z-layout
+    // reads no more rows than linear, and strictly fewer somewhere
+    val live = got.filter(_._3 > 0)
+    assert(live.nonEmpty && live.forall(r => r._6 <= r._7))
+    assert(live.exists(r => r._6 < r._7),
+      "z-order must strictly beat linear on at least one probe")
+  }
+
   test("zValue: Morton interleave goldens, clamping, and two-dimensional locality") {
     val s = spark
     import s.implicits._
