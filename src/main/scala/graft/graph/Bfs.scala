@@ -70,35 +70,46 @@ object Bfs {
     def view: DataFrame = blocks.map(_._2).reduce(_ union _)
   }
 
-  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  /** `edgeRowsHint >= 0` sizes the loop's shuffles from the edge count
+    * and skips AQE's per-stage re-planning jobs inside the hop loop
+    * ([[graft.LoopConf]]) — pass it when the caller already materialized
+    * the edge frame and knows its count; -1 keeps the session conf. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                   edgeRowsHint: Long = -1L): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    // one stored block per hop for the OUTPUT (disjoint, never rewritten);
-    // the anti-join side folds the same node sets with bounded fan-in
-    val frontiers = scala.collection.mutable.ArrayBuffer(
-      seeds.select(col("node").cast("long").as("node")).distinct()
-        .select(col("node"), lit(0L).as("dist"))
-        .localCheckpoint(true))
-    val known = new FoldedSet
-    known.add(frontiers.last.select("node"))
-    var h = 1
-    var exhausted = frontiers.last.isEmpty
-    while (h <= maxHops && !exhausted) {
-      val frontier = frontiers.last
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node")).distinct()
-        .join(known.view, Seq("node"), "left_anti")
-        .select(col("node"), lit(h.toLong).as("dist"))
-        .localCheckpoint(true)
-      frontiers += next
-      known.add(next.select("node"))
-      exhausted = next.isEmpty
-      h += 1
+    def loop(): DataFrame = {
+      // one stored block per hop for the OUTPUT (disjoint, never
+      // rewritten); the anti-join side folds the same node sets with
+      // bounded fan-in
+      val frontiers = scala.collection.mutable.ArrayBuffer(
+        seeds.select(col("node").cast("long").as("node")).distinct()
+          .select(col("node"), lit(0L).as("dist"))
+          .localCheckpoint(true))
+      val known = new FoldedSet
+      known.add(frontiers.last.select("node"))
+      var h = 1
+      var exhausted = frontiers.last.isEmpty
+      while (h <= maxHops && !exhausted) {
+        val frontier = frontiers.last
+        val next = frontier.join(e, frontier("node") === e("src"))
+          .select(e("dst").as("node")).distinct()
+          .join(known.view, Seq("node"), "left_anti")
+          .select(col("node"), lit(h.toLong).as("dist"))
+          .localCheckpoint(true)
+        frontiers += next
+        known.add(next.select("node"))
+        exhausted = next.isEmpty
+        h += 1
+      }
+      // hop blocks are pairwise disjoint by the anti-join: plain union,
+      // no min-aggregate needed
+      frontiers.reduce(_ union _)
     }
-    // hop blocks are pairwise disjoint by the anti-join: plain union,
-    // no min-aggregate needed
-    frontiers.reduce(_ union _)
+    if (edgeRowsHint >= 0L)
+      graft.LoopConf.scoped(edges.sparkSession, edgeRowsHint)(loop())
+    else loop()
   }
 
   /**
@@ -117,8 +128,11 @@ object Bfs {
    * [[bfsIndexed]] bucketed-layout serving applies unchanged.
    */
   def landmarkDistances(edges: DataFrame, landmarks: DataFrame,
-                        maxHops: Int): DataFrame = {
+                        maxHops: Int, edgeRowsHint: Long = -1L): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
+    if (edgeRowsHint >= 0L)
+      return graft.LoopConf.scoped(edges.sparkSession, edgeRowsHint)(
+        landmarkDistances(edges, landmarks, maxHops, -1L))
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val frontiers = scala.collection.mutable.ArrayBuffer(
@@ -142,6 +156,66 @@ object Bfs {
       h += 1
     }
     frontiers.reduce(_ union _)
+  }
+
+  /**
+   * Reachable SET within `maxHops` of the seeds — [[bfsDistances]] when
+   * only MEMBERSHIP matters (the bow-tie IN/OUT classification, crawl
+   * closure audits): same frontier discipline, but because no per-hop
+   * distance must be attributed, `hopsPerRound` expansion hops fuse into
+   * each materialized round (optimization guide §1.2: these loops are
+   * barrier-bound — the r12 probe measured the x43 sweeps at ~3 one-task
+   * jobs per hop at bench scale, and on a cluster every barrier is a full
+   * synchronization round trip). Within a fused batch each hop anti-joins
+   * the in-plan union of the known set and the batch's earlier frontiers,
+   * so expansion work stays frontier-sized; the known set re-materializes
+   * once per BATCH instead of once per hop. Output: (node) — exactly
+   * `bfsDistances(...).select("node")`, proven by GraphSpec.
+   */
+  def reachableSet(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                   hopsPerRound: Int = 4,
+                   edgeRowsHint: Long = -1L): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    require(hopsPerRound >= 1, "hopsPerRound must be >= 1")
+    if (edgeRowsHint >= 0L)
+      return graft.LoopConf.scoped(edges.sparkSession, edgeRowsHint)(
+        reachableSet(edges, seeds, maxHops, hopsPerRound, -1L))
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val seed0 = seeds.select(col("node").cast("long").as("node")).distinct()
+      .localCheckpoint(true)
+    // known set = lazy union of per-batch stored blocks (pairwise
+    // disjoint by the per-hop anti-joins); block count is hops/k, so the
+    // anti-join fan-in stays bounded without per-hop known rewrites
+    var blocks: List[DataFrame] = List(seed0)
+    def known: DataFrame = blocks.reduce(_ union _)
+    var frontier = seed0
+    var h = 0
+    var exhausted = seed0.isEmpty
+    while (h < maxHops && !exhausted) {
+      var acc = known // in-plan: known + this batch's earlier frontiers
+      var f = frontier
+      var batchNew: DataFrame = null
+      var k = 0
+      while (k < hopsPerRound && h < maxHops) {
+        // alias-qualified join: within a fused batch the frontier chain
+        // shares e's lineage, so Dataset-handle column refs are ambiguous
+        f = f.alias("__f").join(e.alias("__e"),
+            col("__f.node") === col("__e.src"))
+          .select(col("__e.dst").as("node")).distinct()
+          .join(acc, Seq("node"), "left_anti")
+        acc = acc.union(f)
+        batchNew = if (batchNew == null) f else batchNew.union(f)
+        k += 1; h += 1
+      }
+      // per-hop frontiers are pairwise disjoint, so the batch block needs
+      // no distinct; one materialize + one emptiness probe per BATCH
+      val blk = batchNew.localCheckpoint(true)
+      exhausted = blk.isEmpty
+      if (!exhausted) blocks = blk :: blocks
+      frontier = blk
+    }
+    known
   }
 
   /** BFS served from a [[PageRank.buildEdgeLayout]] layout: the
@@ -177,8 +251,11 @@ object Bfs {
    * cut per round.
    */
   def temporalArrivals(contacts: DataFrame, seeds: DataFrame,
-                       maxHops: Int): DataFrame = {
+                       maxHops: Int, edgeRowsHint: Long = -1L): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
+    if (edgeRowsHint >= 0L)
+      return graft.LoopConf.scoped(contacts.sparkSession, edgeRowsHint)(
+        temporalArrivals(contacts, seeds, maxHops, -1L))
     val e = contacts.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("ts").cast("long").as("ts"))
     var arr = seeds.select(col("node").cast("long").as("node")).distinct()

@@ -128,8 +128,16 @@ object Covisit {
    * `(node, core_deg)` for k-core members, `core_deg` the within-core
    * degree (>= k by construction).
    */
-  def kCore(edges: DataFrame, k: Int): DataFrame = {
+  /** `peelsPerRound`: peel passes fused into each materialized round —
+    * the peel is confluent (removing sub-k nodes in any grouping reaches
+    * the same fixpoint), so fusing k passes between lineage cuts halves+
+    * the barrier count (the r12 probe measured these loops
+    * scheduling-bound at bench scale; on a cluster each barrier is a
+    * full synchronization round trip) at the cost of at most one wasted
+    * in-plan pass after convergence. */
+  def kCore(edges: DataFrame, k: Int, peelsPerRound: Int = 1): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(peelsPerRound >= 1, "peelsPerRound must be >= 1")
     var e = edges.select(col("p1").cast("long").as("a"), col("p2").cast("long").as("b"))
       .select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
@@ -138,18 +146,24 @@ object Covisit {
       .localCheckpoint(true)
     var n = e.count()
     var converged = n == 0L
-    while (!converged) {
-      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("src").as("node"))
-        .localCheckpoint(true)
-      val e2 = e
-        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint(true)
-      val n2 = e2.count()
-      converged = n2 == n || n2 == 0L
-      e = e2
-      n = n2
+    // the peel is a many-round loop over monotonically shrinking state:
+    // size its shuffles once from the edge count (graft.LoopConf)
+    graft.LoopConf.scoped(edges.sparkSession, n) {
+      while (!converged) {
+        var cur = e
+        for (_ <- 1 to peelsPerRound) {
+          val keep = cur.groupBy("src").agg(count(lit(1)).as("d"))
+            .filter(col("d") >= k).select(col("src").as("node"))
+          cur = cur
+            .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        }
+        val e2 = cur.localCheckpoint(true)
+        val n2 = e2.count()
+        converged = n2 == n || n2 == 0L
+        e = e2
+        n = n2
+      }
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
@@ -176,6 +190,10 @@ object Covisit {
       .distinct().localCheckpoint(true)
     var n = e.count()
     var converged = n == 0L
+    // NOT LoopConf-scoped (unlike kCore/SCC/BFS): each round's triangle
+    // enumeration is real compute (the wedge join), which wants AQE's
+    // dynamic post-shuffle sizing — an edge-count-derived constant
+    // under-parallelizes the wedge stage (r12 probe: scoping cost +0.8 s)
     while (!converged) {
       val sup = edgeSupport(e)
       val e2 = e.join(sup.filter(col("support") >= k - 2), Seq("a", "b"), "left_semi")

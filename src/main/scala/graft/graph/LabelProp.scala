@@ -32,26 +32,34 @@ object LabelProp {
 
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // the edge list is loop-invariant and its upstream derivation (JSON
+    // extraction, explode, distinct) would otherwise re-run every round:
+    // cut it to stored blocks once (the x40 loop-invariant lesson), and
+    // the count that sizes the loop's shuffles (graft.LoopConf) reads the
+    // stored blocks for free
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    var labels = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val votes = e.join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      // (cnt, -label) is unique per node (one vote row per label), so the
-      // arg_max determinism contract holds; max == (cnt DESC, label ASC)
-      val winners = votes.groupBy("node")
-        .agg(graft.functions.VectorAggregates.argMax(
-          struct(col("cnt"), -col("label")), col("label")).as("new_label"))
-      labels = labels.join(winners, Seq("node"), "left")
-        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val edgeRows = e.count()
+    graft.LoopConf.scoped(edges.sparkSession, edgeRows) {
+      var labels = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        .withColumn("label", col("node"))
         .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val votes = e.join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        // (cnt, -label) is unique per node (one vote row per label), so the
+        // arg_max determinism contract holds; max == (cnt DESC, label ASC)
+        val winners = votes.groupBy("node")
+          .agg(graft.functions.VectorAggregates.argMax(
+            struct(col("cnt"), -col("label")), col("label")).as("new_label"))
+        labels = labels.join(winners, Seq("node"), "left")
+          .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+          .localCheckpoint(true)
+      }
+      labels
     }
-    labels
   }
 }

@@ -40,8 +40,22 @@ import org.apache.spark.sql.functions._
  */
 object Scc {
 
+  /** `hopsPerRound`: propagation hops fused into each materialized round
+    * (optimization guide §1.2/§2: the fixpoint loops here are
+    * SCHEDULING-bound at small scale — the r12 probe measured x37 at 169
+    * one-task jobs — and synchronization-bound on a cluster, where every
+    * barrier is a full round trip; both propagation passes are monotone
+    * lattice folds, so fusing k hops between lineage cuts reaches the
+    * SAME fixpoint with 1/k of the barriers at <= one wasted in-plan hop
+    * past convergence). Convergence is detected on the materialized
+    * frame with one scalar aggregate per round — sum(color) strictly
+    * decreases / reach count strictly increases until fixpoint — instead
+    * of a per-row change flag, so the probe action is a metadata-cheap
+    * scan of the checkpointed blocks. */
   def stronglyConnected(edges: DataFrame, maxOuterRounds: Int = 25,
-                        maxFixpointRounds: Int = 200): DataFrame = {
+                        maxFixpointRounds: Int = 200,
+                        hopsPerRound: Int = 1): DataFrame = {
+    require(hopsPerRound >= 1, "hopsPerRound must be >= 1")
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
     var rem = e0.localCheckpoint(true)
@@ -51,52 +65,103 @@ object Scc {
     var done: DataFrame = null
     var outer = 0
     var remaining = nodes.count()
+    val edgeRows = rem.count()
+    // Every round below is loop-internal materialization over state that
+    // only SHRINKS from here: size the loop's shuffle once (LoopConf).
+    graft.LoopConf.scoped(edges.sparkSession, edgeRows) {
     while (remaining > 0 && outer < maxOuterRounds) {
-      // 1. forward-min coloring to fixpoint
-      var colors = nodes.withColumn("color", col("node")).localCheckpoint(true)
-      var changed = 1L
+      // 1. forward-min coloring to fixpoint: k fused hops per round, each
+      //    hop ONE exchange — state and edge-propagated candidates union
+      //    into a single min-aggregate on node (instead of join-back +
+      //    merge, which cost two more exchanges per hop).
+      //    sum(color) over the node frame is strictly monotone decreasing
+      //    under the min-fold (colors only ever decrease), so round-over-
+      //    round equality of the exact DECIMAL(38,0) sum IS the fixpoint.
+      var colors = nodes.withColumn("color", col("node"))
+        .groupBy("node").agg(min("color").as("color")) // establish hash(node)
+        .localCheckpoint(true)
+      def colorSum(df: DataFrame): java.math.BigDecimal = {
+        val v = df.agg(sum(col("color").cast("decimal(38,0)"))).head().get(0)
+        if (v == null) java.math.BigDecimal.ZERO
+        else v.asInstanceOf[java.math.BigDecimal]
+      }
+      var prevSum = colorSum(colors)
+      var converged = remaining == 0
       var it = 0
-      while (changed > 0 && it < maxFixpointRounds) {
-        val prop = rem
+      while (!converged && it < maxFixpointRounds) {
+        var cur = colors
+        var h = 0
+        while (h < hopsPerRound && it + h < maxFixpointRounds) {
+          cur = cur.unionByName(
+              rem.join(cur.select(col("node").as("src"), col("color")), "src")
+                .select(col("dst").as("node"), col("color")))
+            .groupBy("node").agg(min("color").as("color"))
+          h += 1
+        }
+        it += h
+        colors = cur.localCheckpoint(true)
+        val s = colorSum(colors)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        if (sys.env.contains("GRAFT_LOOP_DEBUG"))
+          System.err.println(s"[scc] outer=$outer colorIt=$it converged=$converged")
+      }
+      require(converged || {
+        // cap hit mid-batch: one more single-hop probe decides exactness
+        val probe = rem
           .join(colors.select(col("node").as("src"), col("color").as("c")), "src")
           .groupBy(col("dst").as("node")).agg(min(col("c")).as("pc"))
-        val next = colors.join(prop, Seq("node"), "left")
-          .select(col("node"),
-            least(col("color"), coalesce(col("pc"), col("color"))).as("color"),
-            (coalesce(col("pc"), col("color")) < col("color")).as("__chg"))
-          .localCheckpoint(true)
-        changed = next.filter(col("__chg")).count()
-        colors = next.drop("__chg")
-        it += 1
-      }
-      require(changed == 0,
-        s"SCC coloring did not converge in $maxFixpointRounds rounds")
+        colors.join(probe, Seq("node"), "left")
+          .filter(coalesce(col("pc"), col("color")) < col("color")).isEmpty
+      }, s"SCC coloring did not converge in $maxFixpointRounds rounds")
 
-      // 2. backward reach from every root, within its color region
+      // 2. backward reach from every root, within its color region: the
+      //    reach flag is monotone increasing, so the reached-row count is
+      //    the convergence scalar. Same k-hop fusion; per hop the hits
+      //    aggregate to one per-node color-set row (groupBy on the 8-byte
+      //    node id — the hop's single exchange) and merge back through a
+      //    join both of whose sides already carry hash(node).
       var reached = colors
         .withColumn("r", col("node") === col("color")).localCheckpoint(true)
-      changed = 1L
+      var prevReached = reached.filter(col("r")).count()
+      converged = false
       it = 0
-      while (changed > 0 && it < maxFixpointRounds) {
-        val hit = rem
+      while (!converged && it < maxFixpointRounds) {
+        var cur = reached
+        var h = 0
+        while (h < hopsPerRound && it + h < maxFixpointRounds) {
+          val hit = rem
+            .join(cur.select(col("node").as("dst"), col("color").as("dc"),
+              col("r").as("dr")), "dst")
+            .filter(col("dr"))
+            .groupBy(col("src").as("node"))
+            .agg(collect_set(col("dc")).as("__hc"))
+          cur = cur.join(hit, Seq("node"), "left")
+            .select(col("node"), col("color"),
+              (col("r") || coalesce(array_contains(col("__hc"), col("color")),
+                lit(false))).as("r"))
+          h += 1
+        }
+        it += h
+        reached = cur.localCheckpoint(true)
+        val n = reached.filter(col("r")).count()
+        converged = n == prevReached
+        prevReached = n
+      }
+      require(converged || {
+        val probe = rem
           .join(reached.select(col("node").as("dst"), col("color").as("dc"),
             col("r").as("dr")), "dst")
           .filter(col("dr"))
           .select(col("src").as("node"), col("dc").as("color"))
           .distinct()
-        val next = reached
-          .join(hit.withColumn("__hit", lit(true)), Seq("node", "color"), "left")
-          .select(col("node"), col("color"),
-            (col("r") || coalesce(col("__hit"), lit(false))).as("r"),
-            (!col("r") && coalesce(col("__hit"), lit(false))).as("__chg"))
-          .localCheckpoint(true)
-        changed = next.filter(col("__chg")).count()
-        reached = next.drop("__chg")
-        it += 1
-      }
-      require(changed == 0,
-        s"SCC backward reach did not converge in $maxFixpointRounds rounds")
+        reached.filter(!col("r"))
+          .join(probe, Seq("node", "color"), "left_semi").isEmpty
+      }, s"SCC backward reach did not converge in $maxFixpointRounds rounds")
 
+      if (sys.env.contains("GRAFT_LOOP_DEBUG"))
+        System.err.println(s"[scc] outer=$outer colorHops+reachHops done, " +
+          s"remaining=$remaining prevReached=$prevReached")
       val members = reached.filter(col("r"))
         .select(col("node"), col("color").as("scc_id")).localCheckpoint(true)
       done = (if (done == null) members else done.union(members))
@@ -109,6 +174,7 @@ object Scc {
         .select("src", "dst").localCheckpoint(true)
       remaining = nodes.count()
       outer += 1
+    }
     }
     require(remaining == 0,
       s"SCC peeling exceeded $maxOuterRounds outer rounds")

@@ -30,6 +30,29 @@ object Queries {
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[tbl]] + a scan-parallelism floor for COMPUTE-HEAVY per-row work
+    * (optimization guide §2.5 "input skew: one huge unsplittable file —
+    * repartition immediately after the read"): a small parquet table is
+    * one row group, so its scan is ONE task no matter how many cores the
+    * session has, and a query whose per-row kernel is expensive (md5 per
+    * word, levenshtein, shingle hashing, polygon folds) runs the whole
+    * map stage single-threaded. A round-robin repartition to the
+    * session's core count right after the scan moves the heavy
+    * projection onto every core for the cost of shuffling the (tiny,
+    * pre-projection) source bytes once. Scale-adaptive by construction:
+    * when the scan already yields >= defaultParallelism splits (any
+    * real corpus), this is the identity — no exchange is added at
+    * 100 TB, where the 128 MB split cap governs parallelism. Results
+    * are partitioning-independent (every query's output is
+    * deterministically ordered and its aggregates integer-exact or
+    * rounded), which the multi-core-count driver contract already
+    * requires. */
+  def tblPar(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = tbl(s, dir, name)
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Scratch directory for queries that must materialize an intermediate
     * table (sinks, versioned tables, ANN indexes). Registered for
     * recursive deletion at JVM exit so repeated bench/correctness runs
@@ -452,7 +475,7 @@ object Queries {
     * s = 1 + key % 13 — area2 = 24s^2 and centroid = (cx, cy - s/18)
     * analytically, which the spec pins. */
   val p14PolygonCensus: Q = (s, dir) => {
-    val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+    val o = tblPar(s, dir, "orders").select(col("o_orderkey"),
       (lit(50000L) + col("o_orderkey") % 200000).as("cx"),
       (lit(350000L) + (col("o_orderkey") * 7) % 250000).as("cy"),
       (lit(1L) + col("o_orderkey") % 13).as("sc"))
@@ -1204,7 +1227,7 @@ object Queries {
     * sketch rule (row_number over the identical (md5-prefix, shingle)
     * order), so the result hash-compares exactly. */
   val d18ContainmentSketch: Q = (s, dir) =>
-    Dedup.containmentSketchPairs(tbl(s, dir, "documents"), w = 5, k = 16, minC = 0.5)
+    Dedup.containmentSketchPairs(tblPar(s, dir, "documents"), w = 5, k = 16, minC = 0.5)
       .orderBy("contained_id", "container_id")
 
   /** MinHash-LSH near-dup — banded signatures, candidate equi-join, exact
@@ -3420,17 +3443,21 @@ object Queries {
         col("id") % 10 === 5)
       .select(col("id").as("src"), (col("id") + 10).as("dst"))
     val edges = plantedBlockEdges(n).union(up).localCheckpoint(true)
+    val edgeRows = edges.count()
     val scc = graft.graph.Scc.stronglyConnected(edges)
     val giant = scc.select("scc_id", "scc_size").distinct()
       .orderBy(col("scc_size").desc, col("scc_id").asc).limit(1)
       .select("scc_id")
     val core = scc.join(broadcast(giant), Seq("scc_id"))
       .select("node").localCheckpoint(true)
-    val outReach = graft.graph.Bfs.bfsDistances(edges, core, maxHops = 40)
+    // membership-only sweeps: the hop-batched reachability closure
+    // (identical node set to bfsDistances, 1/4 the barriers — guide §1.2)
+    val outReach = graft.graph.Bfs.reachableSet(edges, core, maxHops = 40,
+        edgeRowsHint = edgeRows)
       .select(col("node"), lit(true).as("__out"))
-    val inReach = graft.graph.Bfs.bfsDistances(
+    val inReach = graft.graph.Bfs.reachableSet(
         edges.select(col("dst").as("src"), col("src").as("dst")),
-        core, maxHops = 40)
+        core, maxHops = 40, edgeRowsHint = edgeRows)
       .select(col("node"), lit(true).as("__in"))
     n.select(col("id").as("node"))
       .join(core.withColumn("__core", lit(true)), Seq("node"), "left")
@@ -4914,7 +4941,7 @@ object Queries {
       i => substring(md5(concat(col("doc_id").cast("string"), lit(":"),
         i.cast("string"))), 1, 1) =!= "0")
     val kept = transform(keptIdx, i => element_at(ws, i))
-    tbl(s, dir, "documents")
+    tblPar(s, dir, "documents")
       .select(col("doc_id"), size(ws).cast("long").as("n_words"),
         (size(ws) - size(kept)).cast("long").as("n_dropped"),
         concat_ws(" ", kept).as("aug_text"))
@@ -6041,10 +6068,13 @@ object Queries {
     // at corpus scale this is the bfsIndexed bucketed layout)
     val edges = eventsBipartiteEdges(tbl(s, dir, "events"))
       .localCheckpoint(true)
+    val edgeRows = edges.count()
     val seed0 = edges.agg(min("src").as("node"))
-    val d1 = graft.graph.Bfs.bfsDistances(edges, seed0, maxHops = 12)
+    val d1 = graft.graph.Bfs.bfsDistances(edges, seed0, maxHops = 12,
+      edgeRowsHint = edgeRows)
     val u = d1.orderBy(col("dist").desc, col("node")).limit(1)
-    val d2 = graft.graph.Bfs.bfsDistances(edges, u.select("node"), maxHops = 12)
+    val d2 = graft.graph.Bfs.bfsDistances(edges, u.select("node"), maxHops = 12,
+      edgeRowsHint = edgeRows)
     val v = d2.orderBy(col("dist").desc, col("node")).limit(1)
     seed0.select(col("node").as("seed"))
       .crossJoin(u.select(col("node").as("far_a"), col("dist").as("ecc_seed")))
@@ -6076,7 +6106,9 @@ object Queries {
       .select(col("e.src"), col("e.dst"), col("e.ts"))
     val seeds = ev.filter(col("user_id") % 50 === 0)
       .select(col("user_id").as("node")).distinct()
-    graft.graph.Bfs.temporalArrivals(contacts, seeds, maxHops = 4)
+    val c = contacts.localCheckpoint(true)
+    graft.graph.Bfs.temporalArrivals(c, seeds, maxHops = 4,
+        edgeRowsHint = c.count())
       .select(col("node").as("node_id"),
         when(col("node") >= 1000000L, lit("page")).otherwise(lit("user"))
           .as("node_type"),
@@ -6132,7 +6164,12 @@ object Queries {
     val ev = tbl(s, dir, "events")
     val seeds = ev.filter(col("user_id") % 50 === 0)
       .select(col("user_id").as("node")).distinct()
-    graft.graph.Bfs.bfsDistances(eventsBipartiteEdges(ev), seeds, maxHops = 4)
+    // loop-invariant edges: materialize once (the x40 lesson) instead of
+    // re-deriving JSON-extract + explode + distinct every hop; the count
+    // sizes the loop shuffles (LoopConf)
+    val edges = eventsBipartiteEdges(ev).localCheckpoint(true)
+    graft.graph.Bfs.bfsDistances(edges, seeds, maxHops = 4,
+        edgeRowsHint = edges.count())
       .select(col("node").as("node_id"),
         when(col("node") >= 1000000L, lit("page")).otherwise(lit("user")).as("node_type"),
         col("dist"))
@@ -6172,7 +6209,9 @@ object Queries {
     val ev = tbl(s, dir, "events")
     val lms = ev.filter(col("user_id") % 100 === 0)
       .select(col("user_id").as("node")).distinct()
-    graft.graph.Bfs.landmarkDistances(eventsBipartiteEdges(ev), lms, maxHops = 4)
+    val edges = eventsBipartiteEdges(ev).localCheckpoint(true)
+    graft.graph.Bfs.landmarkDistances(edges, lms, maxHops = 4,
+        edgeRowsHint = edges.count())
       .filter(col("dist") >= 1)
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_lm"), sum(expr("12 div dist")).as("harm12"))
