@@ -43,6 +43,36 @@ object LoopConf {
       (stateRows + RowsPerTask - 1) / RowsPerTask)).toInt
   }
 
+  /**
+   * Run `body` with AQE coalescing switched from parallelism-first to
+   * TARGET-SIZE partition coalescing (the Spark-documented setting for
+   * respecting `advisoryPartitionSizeInBytes`). For PLAN-HEAVY pipelines
+   * — wide multi-join chains whose serialized stage fragment is large —
+   * per-task cost is dominated by task-binary deserialization (the r12
+   * j00 probe: executor threads sitting in ObjectInputStream.readObject
+   * inside Task.run), so the default "keep one partition per core even
+   * at 1 MB each" multiplies a fixed 100-300 ms deserialize by the core
+   * count on every stage. Size-based coalescing makes the task count
+   * track the DATA, which is also the right behavior at 100 TB (guide
+   * §2.2: fewer, larger reduce partitions). Scoped per pipeline, not
+   * session-wide: compute-dense queries with small shuffle bytes
+   * (levenshtein scoring, md5 kernels) legitimately want
+   * parallelism-first. Actions inside `body` run under the scope; the
+   * caller's conf is restored on exit.
+   */
+  def scopedPlanHeavy[T](spark: SparkSession,
+                         advisoryBytes: Long = 8L * 1024 * 1024)(body: => T): T = {
+    val conf = spark.conf
+    val k1 = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val k2 = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val o1 = conf.get(k1, "true")
+    val o2 = conf.get(k2, "67108864b")
+    conf.set(k1, "false")
+    conf.set(k2, advisoryBytes.toString)
+    try body
+    finally { conf.set(k1, o1); conf.set(k2, o2) }
+  }
+
   /** Run `body` with loop-tuned shuffle settings; restore on exit. */
   def scoped[T](spark: SparkSession, stateRows: Long)(body: => T): T = {
     val conf = spark.conf

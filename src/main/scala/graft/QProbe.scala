@@ -55,7 +55,9 @@ object QProbe {
           System.err.println(f"[stage] id=${s.stageInfo.stageId}%4d " +
             f"wall=${ms.getOrElse(-1L)}%6dms tasks=${s.stageInfo.numTasks}%4d " +
             f"exec=${if (m != null) m.executorRunTime else -1}%7dms " +
-            s"name=${s.stageInfo.name.take(60)}")
+            f"deser=${if (m != null) m.executorDeserializeTime else -1}%6dms " +
+            f"gc=${if (m != null) m.jvmGCTime else -1}%5dms " +
+            s"name=${s.stageInfo.name.take(40)}")
         }
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = ()

@@ -130,6 +130,15 @@ object Queries {
     }
   }
 
+  /** [[embeddings]] through the [[tblPar]] scan-parallelism floor — the
+    * vector kernels (dot products, quantizers, grid scoring) are heavy
+    * per-row work over another single-row-group table. */
+  def embeddingsPar(s: SparkSession, dir: String): DataFrame = {
+    val df = embeddings(s, dir)
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   // ===== sources / projections / scalar transforms ==========================
@@ -585,8 +594,15 @@ object Queries {
     * test-only re-statement. All output columns are ints/strings by fixture
     * construction, so the hash compare is exact. */
   val j00AdressenBuild: Q = (s, dir) => {
-    val cur = graft.curate.Adressen.curated(
-      BagFixture.tables(s, dir), graft.Config(asOfDate = "2024-06-30"))
+    // plan-heavy chain: the orphan-count action inside curated() runs
+    // under size-based AQE coalescing (LoopConf.scopedPlanHeavy — task
+    // count tracks data, not cores; see the task-binary-deserialization
+    // note there), and the persisted curate layer inherits the coalesced
+    // partitioning for the J6 tail
+    val cur = graft.LoopConf.scopedPlanHeavy(s) {
+      graft.curate.Adressen.curated(
+        BagFixture.tables(s, dir), graft.Config(asOfDate = "2024-06-30"))
+    }
     cur.select(
       col("nummer_id"),
       col("nummer_begindatum_geldigheid"), col("nummer_einddatum_geldigheid"),
@@ -1148,7 +1164,7 @@ object Queries {
 
   /** n-gram Jaccard near-dup via shingle inverted index (no cartesian). */
   val d03NeardupNgram: Q = (s, dir) =>
-    Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), w = 5, minJ = 0.2)
+    Dedup.ngramJaccardPairs(tblPar(s, dir, "documents"), w = 5, minJ = 0.2)
       .orderBy("id_a", "id_b")
 
   /** D26: dedup threshold-sensitivity audit — the knob-setting census
@@ -1165,7 +1181,7 @@ object Queries {
     * cap even at minJ 0 — and the band census + 21-row cumulative
     * window are aggregate-sized. */
   val d26ThresholdAudit: Q = (s, dir) => {
-    val pairs = Dedup.ngramJaccardPairs(tbl(s, dir, "documents"),
+    val pairs = Dedup.ngramJaccardPairs(tblPar(s, dir, "documents"),
       w = 5, minJ = 0.0)
     val bands = pairs.withColumn("band", expr("(inter * 20) div uni"))
       .groupBy("band").agg(count(lit(1)).as("n_pairs"))
@@ -1194,7 +1210,7 @@ object Queries {
     * zip_with. */
   val d27SketchCalibration: Q = (s, dir) => {
     val k = 16
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     val signed = Dedup.withSignatures(docs, w = 5, k = k)
     val pairs = Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.2)
     val sa = signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
@@ -1216,7 +1232,7 @@ object Queries {
     * Jaccard stays tiny because the union is container-sized. Both
     * directions evaluated per candidate pair. */
   val d17Containment: Q = (s, dir) =>
-    Dedup.containmentPairs(tbl(s, dir, "documents"), w = 5, minC = 0.5)
+    Dedup.containmentPairs(tblPar(s, dir, "documents"), w = 5, minC = 0.5)
       .orderBy("contained_id", "container_id")
 
   /** D18: bottom-k sketch-accelerated containment
@@ -1234,7 +1250,7 @@ object Queries {
     * verify. P(miss | j>=0.7) < 1e-4, so it reproduces the exact-Jaccard
     * oracle at these scale factors while staying sub-quadratic. */
   val d04MinhashLsh: Q = (s, dir) =>
-    Dedup.minhashLshPairs(tbl(s, dir, "documents"), w = 5, k = 32, bands = 16,
+    Dedup.minhashLshPairs(tblPar(s, dir, "documents"), w = 5, k = 32, bands = 16,
       minJ = 0.7)
       .orderBy("id_a", "id_b")
 
@@ -1273,7 +1289,7 @@ object Queries {
     * spec asserts the bound for every doc. Chunking is map-only; the
     * census is three hash folds + two |docs|-row joins. */
   val d28CdcEditStability: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 2)
     val edited = docs.withColumn("__w", split(col("text"), " "))
       .withColumn("__p", expr("size(__w) div 2"))
@@ -1304,7 +1320,7 @@ object Queries {
     * re-assembly are hash/doc-id-keyed aggregations with map-side
     * partials; order-stable rebuild via in-aggregate array_sort. */
   val d14ChunkRemove: Q = (s, dir) =>
-    Dedup.chunkDedupRemove(tbl(s, dir, "documents")).orderBy("doc_id")
+    Dedup.chunkDedupRemove(tblPar(s, dir, "documents")).orderBy("doc_id")
 
   /** ST9 batch mirror: cross-corpus near-dup ADMISSION — the streaming
     * ingest front door's gate ([[graft.streaming.EventStreams
@@ -1317,7 +1333,7 @@ object Queries {
     * proves stream==batch on planted cross-corpus dups for BOTH streaming
     * forms. */
   val st09NearDupAdmission: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
     val index = Dedup.withSignatures(corpus, w = 5, k = 32)
@@ -1332,7 +1348,7 @@ object Queries {
     * pairs / 201 dup docs at sf0.01). The scale path swaps the exact pair
     * kernel for LSH candidates via [[Dedup.embeddingNearDupFrom]]. */
   val d06EmbeddingNeardup: Q = (s, dir) =>
-    Dedup.embeddingNearDup(embeddings(s, dir), tau = 0.35)
+    Dedup.embeddingNearDup(embeddingsPar(s, dir), tau = 0.35)
       .orderBy("doc_id")
 
   /** D16: SemDeDup — semantic dedup with cluster-bounded pairwise search
@@ -1345,7 +1361,7 @@ object Queries {
     * equality, and LlmOpsSpec pins the pair-pruning contract against the
     * exact grid. */
   val d16SemanticDedup: Q = (s, dir) =>
-    Dedup.semanticDedup(embeddings(s, dir), tau = 0.35)
+    Dedup.semanticDedup(embeddingsPar(s, dir), tau = 0.35)
       .orderBy("vec_id")
 
   /** D7: transitive near-dup clusters — connected components over the d03
@@ -1359,7 +1375,7 @@ object Queries {
     * what the tiny-cluster structure of near-dup graphs keeps small. */
   val d07DedupComponents: Q = (s, dir) => {
     val comps = Dedup.dedupComponents(
-      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), w = 5, minJ = 0.2)
+      Dedup.ngramJaccardPairs(tblPar(s, dir, "documents"), w = 5, minJ = 0.2)
         .select("id_a", "id_b"))
     comps.join(
         comps.groupBy("comp_id").agg(count(lit(1)).as("n_members")), "comp_id")
@@ -1512,7 +1528,7 @@ object Queries {
     * every SF: 12 contaminated docs at sf0.01, ~1.6k at sf0.1). Bench
     * postings broadcast; the corpus is never shuffled. */
   val d08Decontaminate: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     Dedup.decontaminate(
         train = docs.filter(col("doc_id") % 97 =!= 0),
         bench = docs.filter(col("doc_id") % 97 === 0),
@@ -1530,14 +1546,14 @@ object Queries {
     * XXH64 window-hash SQL (t04's core) + the identical gaps-and-islands
     * merge. */
   val d23ExactSubstr: Q = (s, dir) =>
-    Dedup.exactSubstrSpans(tbl(s, dir, "documents"), w = 5)
+    Dedup.exactSubstrSpans(tblPar(s, dir, "documents"), w = 5)
       .orderBy("doc_id", "span_start")
 
   /** D11: edit-distance near-dup pairs ([[Dedup.editDistancePairs]]) —
     * 4-gram-shingle candidate generation (>= 2 shared) + bounded-prefix
     * thresholded-levenshtein verify. */
   val d11EditDistance: Q = (s, dir) =>
-    Dedup.editDistancePairs(tbl(s, dir, "documents"), w = 4, maxDist = 30)
+    Dedup.editDistancePairs(tblPar(s, dir, "documents"), w = 4, maxDist = 30)
       .orderBy("id_a", "id_b")
 
   /** D12: content-defined chunking shared-content audit
@@ -1546,7 +1562,7 @@ object Queries {
     * identical chunking (same md5-prefix boundary rule, same running-sum
     * chunk ids, same joined-chunk md5) in SQL. */
   val d12ChunkDedup: Q = (s, dir) =>
-    Dedup.chunkSharedContent(tbl(s, dir, "documents"), modBoundary = 4)
+    Dedup.chunkSharedContent(tblPar(s, dir, "documents"), modBoundary = 4)
       .orderBy("doc_id")
 
   /** D10: incremental dedup ([[Dedup.incrementalDedup]]) — admit the new
@@ -1572,7 +1588,7 @@ object Queries {
     * their shingles explode. A different bench split (mod 89) keeps the two
     * queries' answers independently non-trivial. */
   val d09BloomDecontaminate: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     Dedup.decontaminateBloom(
         train = docs.filter(col("doc_id") % 89 =!= 0),
         bench = docs.filter(col("doc_id") % 89 === 0),
@@ -1632,8 +1648,8 @@ object Queries {
     * beyond the pair graph is the log-diameter component closure and one
     * map-only labeling pass. */
   val t24LeakfreeSplit: Q = (s, dir) =>
-    Dedup.leakFreeSplit(tbl(s, dir, "documents"),
-        Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), w = 5, minJ = 0.2),
+    Dedup.leakFreeSplit(tblPar(s, dir, "documents"),
+        Dedup.ngramJaccardPairs(tblPar(s, dir, "documents"), w = 5, minJ = 0.2),
         holdoutPct = 10)
       .orderBy("doc_id")
 
@@ -1777,7 +1793,7 @@ object Queries {
   }
 
   val t47CodeswitchCensus: Q = (s, dir) => {
-    val wins = TextOps.chunkWindows(tbl(s, dir, "documents"), w = 10, s = 10)
+    val wins = TextOps.chunkWindows(tblPar(s, dir, "documents"), w = 10, s = 10)
     val lid = TextOps.langIdScores(wins, textCol = "chunk")
       .select(col("doc_id"), col("chunk_idx"), col("lang_guess"))
     val sw = lid.withColumn("prev", lag(col("lang_guess"), 1).over(
@@ -1808,7 +1824,7 @@ object Queries {
 
   /** Language-ID heuristic (closed-form stopword argmax). */
   val t03Langid: Q = (s, dir) =>
-    TextOps.langIdScores(tbl(s, dir, "documents"))
+    TextOps.langIdScores(tblPar(s, dir, "documents"))
       .select("doc_id", "s_de", "s_en", "s_es", "s_fr", "s_zh", "lang_guess")
       .orderBy("doc_id")
 
@@ -1858,7 +1874,7 @@ object Queries {
     * the spec). Hash-exact: both rankings share the round-6 cosine
     * total order. */
   val v24FilteredKnn: Q = (s, dir) => {
-    val emb = embeddings(s, dir)
+    val emb = embeddingsPar(s, dir)
     Similarity.filteredKnnAudit(emb, emb.filter(col("vec_id") < 32),
         col("label") % 7 === 0)
       .orderBy("query_id")
@@ -1875,7 +1891,7 @@ object Queries {
     * — no recall floor needed. Truncation is a map-only `slice`;
     * cosine renormalizes per-space by construction. */
   val v20Matryoshka: Q = (s, dir) => {
-    val emb = embeddings(s, dir)
+    val emb = embeddingsPar(s, dir)
     val tr = emb.withColumn("embedding", slice(col("embedding"), 1, 16))
     val full = Similarity.knnBrute(emb, emb.filter(col("vec_id") < 32), k = 5)
       .select(col("query_id"), col("neighbor_id"))
@@ -1898,7 +1914,7 @@ object Queries {
     * nodes x k. Oracle: the full quadratic with the same threshold and
     * (cos DESC, neighbor ASC) total order. */
   val v19KnnGraph: Q = (s, dir) =>
-    Similarity.knnGraph(embeddings(s, dir), k = 3, minCos = 0.3)
+    Similarity.knnGraph(embeddingsPar(s, dir), k = 3, minCos = 0.3)
       .orderBy("vec_id", "rnk")
 
   /** V21: MUTUAL kNN pairs — the reliable-match criterion of bitext /
@@ -1909,7 +1925,7 @@ object Queries {
     * graph with a self-join on the reversed edge (ids-only shuffle);
     * output canonical (a < b) pairs with both ranks. */
   val v21MutualKnn: Q = (s, dir) => {
-    val g = Similarity.knnGraph(embeddings(s, dir), k = 3, minCos = 0.3)
+    val g = Similarity.knnGraph(embeddingsPar(s, dir), k = 3, minCos = 0.3)
       .select(col("vec_id"), col("neighbor_id"), col("rnk"))
     val rev = g.select(col("vec_id").as("neighbor_id"),
       col("neighbor_id").as("vec_id"), col("rnk").as("rnk_back"))
@@ -1933,7 +1949,7 @@ object Queries {
     * L104 kNN graph (block-grid pairs, bounded heap) + one tiny
     * per-node stats aggregate + ids-only joins. */
   val v22MarginMining: Q = (s, dir) => {
-    val g = Similarity.knnGraph(embeddings(s, dir), k = 3, minCos = 0.3)
+    val g = Similarity.knnGraph(embeddingsPar(s, dir), k = 3, minCos = 0.3)
       .withColumn("cos_i", round(col("cos") * 1e6).cast("long"))
       .select("vec_id", "neighbor_id", "cos_i")
     val stats = g.groupBy("vec_id")
@@ -1965,7 +1981,7 @@ object Queries {
     * on (doc, cnt), no window, no in-row quadratic. */
   val t30Repetition: Q = (s, dir) => {
     val ws = split(col("text"), " ")
-    val counts = tbl(s, dir, "documents")
+    val counts = tblPar(s, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
         explode(transform(sequence(lit(1), size(ws) - 2),
@@ -2027,7 +2043,7 @@ object Queries {
     * layout) and a query touches its phrases' buckets, zero corpus
     * exchange — the serve here is that plan's in-frame form. */
   val t32PhraseIndex: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     // the postings ARE the index: materialize once (the m05/v11 build
     // discipline) — election and serve would otherwise each re-run the
     // corpus-wide shingle materialization
@@ -2083,7 +2099,7 @@ object Queries {
     * per row in double (float widened first), so round-6 is
     * cross-engine exact. */
   val v23KmeansAssign: Q = (s, dir) => {
-    val emb = embeddings(s, dir)
+    val emb = embeddingsPar(s, dir)
     // bounded, documented collect: 8 seed centroids (vec_id < 8)
     val seeds = emb.filter(col("vec_id") < 8)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -2268,14 +2284,14 @@ object Queries {
     * in LlmOpsSpec), no driver collect, no corpus broadcast — shuffle is
     * n x numBlocks embedding copies and each task holds two blocks. */
   val v02CosinePairs: Q = (s, dir) =>
-    Similarity.cosinePairsGrid(embeddings(s, dir), minCos = 0.3)
+    Similarity.cosinePairsGrid(embeddingsPar(s, dir), minCos = 0.3)
       .orderBy("id_a", "id_b")
 
   /** ANN via multi-table random-hyperplane LSH — bucketed equi-join
     * candidates, exact rerank; the 100 TB path (rows-only check; recall is
     * asserted against brute force in ScalaTest). */
   val v03AnnLsh: Q = (s, dir) => {
-    val emb = embeddings(s, dir)
+    val emb = embeddingsPar(s, dir)
     Similarity.annLsh(emb, emb.filter(col("vec_id") < 32), k = 5)
       .orderBy("query_id", "rnk")
   }
@@ -2340,7 +2356,7 @@ object Queries {
     * oracle recomputes the identical hash from the ASCII text bytes and
     * compares all pairs quadratically (oracle role only). */
   val m04PhashNearDup: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     // Oracle-parity guard: the DuckDB mirror recomputes the hash over
     // CHARACTERS (ascii(substring(...))) while the engine hashes payload
     // BYTES — equal only for pure-ASCII text. Assert the fixture property
@@ -2364,7 +2380,7 @@ object Queries {
     * m04; the DuckDB mirror recomputes frame slicing + per-frame hash +
     * pairwise popcount from the text bytes. */
   val m05VideoNearDup: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     val t = coalesce(col("text"), lit(""))
     val guarded = docs.withColumn("text", concat(col("text"),
       coalesce(assert_true(octet_length(t) === length(t),
@@ -2411,7 +2427,7 @@ object Queries {
     * detector sees only text. Same scale shape as d08: broadcast
     * bench universe, corpus streams map-side, never shuffled. */
   val t44ContamScore: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents").select(col("doc_id"),
+    val docs = tblPar(s, dir, "documents").select(col("doc_id"),
       coalesce(col("text"), lit("")).as("text"))
     val partials = docs.filter(col("doc_id") % 131 === 9)
       .withColumn("__w", expr("split(text, ' ')"))
@@ -2654,7 +2670,7 @@ object Queries {
     * in StreamingSpec — which proves stream == batch on planted
     * contamination and that the bloom tier alone never decides a drop. */
   val st15Decontaminate: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     graft.streaming.EventStreams.decontaminateStream(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
@@ -2927,7 +2943,7 @@ object Queries {
     * Scale: fingerprinting is map-only; the election is one equi-shuffle
     * on the 16-byte fingerprint + a semi-join — no text moves twice. */
   val st19NearDedupElection: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     // same VALUE as EventStreams.nearDupFingerprintMd5, different
     // physical shape: the streaming form must carry the fingerprint
     // in-row (it is the state key), but in-row min-over-md5 runs the
@@ -3003,7 +3019,7 @@ object Queries {
     * doc_id tie-break: the identical total order in both engines, so
     * ntile splits identically. */
   val t22QualityBuckets: Q = (s, dir) =>
-    TextOps.qualityBuckets(tbl(s, dir, "documents"))
+    TextOps.qualityBuckets(tblPar(s, dir, "documents"))
       .orderBy("doc_id")
 
   /** V13: product-quantization ANN ([[Similarity.annPq]]) — the third
@@ -3013,7 +3029,7 @@ object Queries {
     * order. Rows-only (approximate semantics); VerifyExtras asserts a
     * recall@5 floor vs brute force, like v03/v05. */
   val v13PqAnn: Q = (s, dir) => {
-    val emb = embeddings(s, dir)
+    val emb = embeddingsPar(s, dir)
     Similarity.annPq(emb, emb.filter(col("vec_id") < 32), k = 5)
       .orderBy("query_id", "rnk")
   }
@@ -3022,7 +3038,7 @@ object Queries {
     * storage-compression op of an embedding pipeline. Output is the audit
     * view: per-vector scale + quantized checksum. */
   val v06Quantize: Q = (s, dir) =>
-    embeddings(s, dir)
+    embeddingsPar(s, dir)
       // floor the scale at the min subnormal: an all-zero vector must
       // quantize to zeros, not divide 0/0 into a NaN that ANSI cast rejects
       .withColumn("scale",
@@ -3163,7 +3179,7 @@ object Queries {
   /** T9: TF-IDF top-3 terms per document — integer-deterministic ranking
     * (tf desc, df asc, term asc), informational rounded score. */
   val t09Tfidf: Q = (s, dir) =>
-    TextOps.tfidfTopTerms(tbl(s, dir, "documents"), k = 3)
+    TextOps.tfidfTopTerms(tblPar(s, dir, "documents"), k = 3)
       .orderBy("doc_id", "rnk")
 
   /** T10: PII redaction. The synthetic tables carry no PII-shaped text
@@ -3195,7 +3211,7 @@ object Queries {
     * at the driver's SF. Winner election shuffles (hash, id, line_no)
     * only; see [[Dedup.lineDedup]]. */
   val t11LineDedup: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     val words = split(col("text"), " ")
     val lines = docs.select(col("doc_id"), posexplode(
         transform(
@@ -3219,7 +3235,7 @@ object Queries {
     * SAME source is host chrome and is removed from all of them. Same
     * 10-word-chunk line segmentation as t11. */
   val t35Boilerplate: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     val words = split(col("text"), " ")
     val lines = docs.select(col("doc_id"), col("source"), posexplode(
         transform(
@@ -3590,7 +3606,7 @@ object Queries {
     val blocks = transform(
       sequence(lit(0), ceil(size(words) / lit(10.0)).cast("int") - 1),
       i => array_join(slice(words, i * 10 + 1, lit(10)), " "))
-    tbl(s, dir, "documents")
+    tblPar(s, dir, "documents")
       .select(col("doc_id"), blocks.as("bl"))
       .select(col("doc_id"),
         size(col("bl")).cast("long").as("n_lines"),
@@ -3635,7 +3651,7 @@ object Queries {
     * the binary path is a COARSE pre-filter needing an exact rerank
     * stage (which is how v08's production use composes). */
   val v09AnnRecallAudit: Q = (s, dir) => {
-    val emb = embeddings(s, dir)
+    val emb = embeddingsPar(s, dir)
     val queries = emb.filter(col("vec_id") < 32)
     val exact = Similarity.knnBrute(emb, queries, k = 5)
       .select(col("query_id"), col("neighbor_id"))
@@ -3856,7 +3872,7 @@ object Queries {
     * pair as ascii(c1)*65536 + ascii(c2), so the integer tie-break is
     * exactly lexicographic pair order — selection never leaves integers. */
   val t16BpeMerges: Q = (s, dir) =>
-    tbl(s, dir, "documents")
+    tblPar(s, dir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
       .select(col("lang"), explode(expr(
@@ -3912,7 +3928,7 @@ object Queries {
   }
 
   val t17BpeEncode: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     TextOps.bpeEncode(docs, bpeMergesTop8(docs)).orderBy("doc_id")
   }
 
@@ -3924,7 +3940,7 @@ object Queries {
     * kernel (one byte scan per merge), then one partial-aggregated
     * roll-up per language; ratios as integer ppm. */
   val t28Fertility: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     val enc = TextOps.bpeEncode(docs, bpeMergesTop8(docs))
     docs.select(col("doc_id"), col("lang"),
         TextOps.wordCount(col("text")).cast("long").as("nw"))
@@ -3968,7 +3984,7 @@ object Queries {
     * of per-bucket micro-logs — the only FP step is one rounding per
     * model bucket, identical on both engines. */
   val t19DsirWeights: Q = (s, dir) =>
-    TextOps.dsirWeights(tbl(s, dir, "documents"), isTarget = col("lang") === "en")
+    TextOps.dsirWeights(tblPar(s, dir, "documents"), isTarget = col("lang") === "en")
       .orderBy("doc_id")
 
   /** T20: hashed linear quality classifier ([[TextOps.qualityScoreLinear]])
@@ -3976,7 +3992,7 @@ object Queries {
     * (deterministic fixture weights). Integer-exact end to end; pure
     * map (one in-kernel fold per doc, no explode/join/shuffle). */
   val t20QualityClassifier: Q = (s, dir) =>
-    TextOps.qualityScoreLinear(tbl(s, dir, "documents")).orderBy("doc_id")
+    TextOps.qualityScoreLinear(tblPar(s, dir, "documents")).orderBy("doc_id")
 
   /** D15: cluster-keep-BEST dedup policy — near-dup components (the d07
     * closure) each keep their highest-QUALITY member instead of the
@@ -3988,7 +4004,7 @@ object Queries {
     * one winner row per component crosses the shuffle, never a window
     * sort. */
   val d15ClusterKeepBest: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     val comps = Dedup.dedupComponents(
       Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.2).select("id_a", "id_b"))
     val scored = TextOps.qualityScoreLinear(docs)
@@ -4011,7 +4027,7 @@ object Queries {
     * Two partial-aggregated shuffles over 8-byte shingle hashes (document
     * frequency, then the per-doc rollup); text never shuffles. */
   val t14Novelty: Q = (s, dir) => {
-    val sh = Dedup.docShingleHashes(tbl(s, dir, "documents"), 3)
+    val sh = Dedup.docShingleHashes(tblPar(s, dir, "documents"), 3)
     val postings = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfreq = postings.groupBy("s").agg(count(lit(1)).as("df"))
     postings.join(dfreq, "s")
@@ -4027,7 +4043,7 @@ object Queries {
     * partial-aggregated equi-joins on word/bigram keys; V is a plan
     * constant; the FP mean is rounded (accumulation order). */
   val t12BigramLm: Q = (s, dir) =>
-    TextOps.bigramLm(tbl(s, dir, "documents")).orderBy("doc_id")
+    TextOps.bigramLm(tblPar(s, dir, "documents")).orderBy("doc_id")
 
   /** X9: hot-key-safe aggregation — the two-phase salted groupBy
     * ([[graft.relational.Skew.saltedAgg]]) must return exactly the plain
@@ -4229,7 +4245,7 @@ object Queries {
     * props.k page derivation as [[eventsBipartiteEdges]], kept as the
     * two-column frame [[graft.graph.Covisit]] projects. */
   private def covisitIncidence(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "events")
+    tblPar(s, dir, "events")
       .select(col("user_id").as("u"),
         get_json_object(col("props"), "$.k").cast("long").as("p"))
       .filter(col("p").isNotNull)
@@ -5792,7 +5808,7 @@ object Queries {
     * identical average-hash from the text bytes. */
   val m08FrameCoherence: Q = (s, dir) =>
     Multimodal.frameCoherence(
-        Multimodal.fromDocuments(tbl(s, dir, "documents")))
+        Multimodal.fromDocuments(tblPar(s, dir, "documents")))
       .orderBy("doc_id")
 
   /** M9: VAD-style energy segmentation census ([[Multimodal
@@ -5828,7 +5844,7 @@ object Queries {
       .drop("__nw")
 
   val m09AudioSegments: Q = (s, dir) =>
-    Multimodal.vadCensus(m09Planted(tbl(s, dir, "documents")),
+    Multimodal.vadCensus(m09Planted(tblPar(s, dir, "documents")),
       "__wave", "doc_id").orderBy("doc_id")
 
   /** M12: audio-to-shot alignment — the subtitle/ASR-to-scene primitive
@@ -5845,7 +5861,7 @@ object Queries {
     * doc-local (<= nw segments x <= 8 shots per doc — bounded, never
     * corpus x corpus), one shuffle on doc_id. */
   val m12AvAlign: Q = (s, dir) => {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblPar(s, dir, "documents")
     val segs = Multimodal.vadFlags(m09Planted(docs), "__wave")
       .withColumn("__starts", expr(
         "filter(sequence(0, cast(__nw - 1 as int)), " +
@@ -5891,7 +5907,7 @@ object Queries {
     * story as m04/m05/m08 via the shared frame/hash derivation. */
   val m10ShotSegments: Q = (s, dir) =>
     Multimodal.shotSegments(
-        Multimodal.fromDocuments(tbl(s, dir, "documents")))
+        Multimodal.fromDocuments(tblPar(s, dir, "documents")))
       .orderBy("doc_id")
 
   /** M11: constellation fingerprint matching
@@ -5908,7 +5924,7 @@ object Queries {
     * equi-join -> per-pair offset vote; min-match floor suppresses
     * coincidence. */
   val m11Constellation: Q = (s, dir) => {
-    val base = tbl(s, dir, "documents")
+    val base = tblPar(s, dir, "documents")
       .withColumn("__w", coalesce(col("text"), lit("")))
       .filter(expr("length(__w) div 16 >= 12"))
     val masters = base.select((col("doc_id") * 2).as("track_id"),
