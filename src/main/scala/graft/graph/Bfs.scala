@@ -158,73 +158,14 @@ object Bfs {
     frontiers.reduce(_ union _)
   }
 
-  /**
-   * Reachable SET within `maxHops` of the seeds — [[bfsDistances]] when
-   * only MEMBERSHIP matters (the bow-tie IN/OUT classification, crawl
-   * closure audits): same frontier discipline, but because no per-hop
-   * distance must be attributed, `hopsPerRound` expansion hops fuse into
-   * each materialized round (optimization guide §1.2: these loops are
-   * barrier-bound — the r12 probe measured the x43 sweeps at ~3 one-task
-   * jobs per hop at bench scale, and on a cluster every barrier is a full
-   * synchronization round trip). Within a fused batch each hop anti-joins
-   * the in-plan union of the known set and the batch's earlier frontiers,
-   * so expansion work stays frontier-sized; the known set re-materializes
-   * once per BATCH instead of once per hop. Output: (node) — exactly
-   * `bfsDistances(...).select("node")`, proven by GraphSpec.
-   */
-  def reachableSet(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-                   hopsPerRound: Int = 4,
-                   edgeRowsHint: Long = -1L): DataFrame = {
-    require(maxHops >= 0, "maxHops must be >= 0")
-    require(hopsPerRound >= 1, "hopsPerRound must be >= 1")
-    if (edgeRowsHint >= 0L)
-      return graft.LoopConf.scoped(edges.sparkSession, edgeRowsHint)(
-        reachableSet(edges, seeds, maxHops, hopsPerRound, -1L))
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    val seed0 = seeds.select(col("node").cast("long").as("node")).distinct()
-      .localCheckpoint(true)
-    // known set = lazy union of per-batch stored blocks (pairwise
-    // disjoint by the per-hop anti-joins); block count is hops/k, so the
-    // anti-join fan-in stays bounded without per-hop known rewrites
-    var blocks: List[DataFrame] = List(seed0)
-    def known: DataFrame = blocks.reduce(_ union _)
-    var frontier = seed0
-    var h = 0
-    var exhausted = seed0.isEmpty
-    while (h < maxHops && !exhausted) {
-      var acc = known // in-plan: known + this batch's earlier frontiers
-      var f = frontier
-      var batchNew: DataFrame = null
-      var k = 0
-      while (k < hopsPerRound && h < maxHops) {
-        // alias-qualified join: within a fused batch the frontier chain
-        // shares e's lineage, so Dataset-handle column refs are ambiguous
-        f = f.alias("__f").join(e.alias("__e"),
-            col("__f.node") === col("__e.src"))
-          .select(col("__e.dst").as("node")).distinct()
-          .join(acc, Seq("node"), "left_anti")
-        acc = acc.union(f)
-        batchNew = if (batchNew == null) f else batchNew.union(f)
-        k += 1; h += 1
-      }
-      // per-hop frontiers are pairwise disjoint, so the batch block needs
-      // no distinct; one materialize + one emptiness probe per BATCH
-      val blk = batchNew.localCheckpoint(true)
-      exhausted = blk.isEmpty
-      if (!exhausted) blocks = blk :: blocks
-      frontier = blk
-    }
-    known
-  }
-
   /** BFS served from a [[PageRank.buildEdgeLayout]] layout: the
     * loop-invariant edge side reads the src-bucketed store, so each
     * round shuffles only the frontier. */
   def bfsIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
-                 seeds: DataFrame, maxHops: Int): DataFrame =
+                 seeds: DataFrame, maxHops: Int,
+                 edgeRowsHint: Long = -1L): DataFrame =
     bfsDistances(graft.relational.Bucketing.read(spark, s"${name}_edges"),
-      seeds, maxHops)
+      seeds, maxHops, edgeRowsHint)
 
   /**
    * TEMPORAL (time-respecting) reachability — earliest-arrival BFS over

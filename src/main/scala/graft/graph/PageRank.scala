@@ -103,8 +103,11 @@ object PageRank {
     * are untouched — the storage split is invisible in the result
     * (GraphSpec proves indexed == direct bit-for-bit). A growing graph
     * appends batches via [[appendToEdgeLayout]] without rebuilding. */
+  /** Returns the deduped edge-row count (computed anyway for bucket
+    * auto-sizing) so serve-side loops can size their shuffles from it
+    * ([[graft.LoopConf]]) without re-scanning the store. */
   def buildEdgeLayout(edges: DataFrame, name: String, buckets: Int = 0,
-                      basePath: Option[String] = None): Unit = {
+                      basePath: Option[String] = None): Long = {
     import graft.relational.Bucketing
     def sub(part: String) = basePath.map(p => s"$p/$part")
     // the deduped edge list feeds all three writes (and the bucket
@@ -121,10 +124,11 @@ object PageRank {
       // 2.5x the serve cost (probe-measured), and 32 on a 10^9-edge graph
       // is 500M rows per bucket file. The count() materializes the
       // persisted frame the first write needs anyway.
+      val n = e.count()
       val b =
         if (buckets > 0) buckets
         else math.max(8, math.min(1024,
-          ((e.count() + RowsPerBucket - 1) / RowsPerBucket).toInt))
+          ((n + RowsPerBucket - 1) / RowsPerBucket).toInt))
       Bucketing.writeBucketed(e, s"${name}_edges", "src", b,
         path = sub("edges"))
       Bucketing.writeBucketed(
@@ -134,6 +138,7 @@ object PageRank {
         e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct(),
         s"${name}_nodes", "node", b,
         path = sub("nodes"))
+      n
     } finally e.unpersist()
   }
 

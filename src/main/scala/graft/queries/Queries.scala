@@ -1164,7 +1164,7 @@ object Queries {
 
   /** n-gram Jaccard near-dup via shingle inverted index (no cartesian). */
   val d03NeardupNgram: Q = (s, dir) =>
-    Dedup.ngramJaccardPairs(tblPar(s, dir, "documents"), w = 5, minJ = 0.2)
+    Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), w = 5, minJ = 0.2)
       .orderBy("id_a", "id_b")
 
   /** D26: dedup threshold-sensitivity audit — the knob-setting census
@@ -1181,7 +1181,7 @@ object Queries {
     * cap even at minJ 0 — and the band census + 21-row cumulative
     * window are aggregate-sized. */
   val d26ThresholdAudit: Q = (s, dir) => {
-    val pairs = Dedup.ngramJaccardPairs(tblPar(s, dir, "documents"),
+    val pairs = Dedup.ngramJaccardPairs(tbl(s, dir, "documents"),
       w = 5, minJ = 0.0)
     val bands = pairs.withColumn("band", expr("(inter * 20) div uni"))
       .groupBy("band").agg(count(lit(1)).as("n_pairs"))
@@ -1210,7 +1210,7 @@ object Queries {
     * zip_with. */
   val d27SketchCalibration: Q = (s, dir) => {
     val k = 16
-    val docs = tblPar(s, dir, "documents")
+    val docs = tbl(s, dir, "documents")
     val signed = Dedup.withSignatures(docs, w = 5, k = k)
     val pairs = Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.2)
     val sa = signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
@@ -1232,7 +1232,7 @@ object Queries {
     * Jaccard stays tiny because the union is container-sized. Both
     * directions evaluated per candidate pair. */
   val d17Containment: Q = (s, dir) =>
-    Dedup.containmentPairs(tblPar(s, dir, "documents"), w = 5, minC = 0.5)
+    Dedup.containmentPairs(tbl(s, dir, "documents"), w = 5, minC = 0.5)
       .orderBy("contained_id", "container_id")
 
   /** D18: bottom-k sketch-accelerated containment
@@ -1250,7 +1250,7 @@ object Queries {
     * verify. P(miss | j>=0.7) < 1e-4, so it reproduces the exact-Jaccard
     * oracle at these scale factors while staying sub-quadratic. */
   val d04MinhashLsh: Q = (s, dir) =>
-    Dedup.minhashLshPairs(tblPar(s, dir, "documents"), w = 5, k = 32, bands = 16,
+    Dedup.minhashLshPairs(tbl(s, dir, "documents"), w = 5, k = 32, bands = 16,
       minJ = 0.7)
       .orderBy("id_a", "id_b")
 
@@ -1333,7 +1333,7 @@ object Queries {
     * proves stream==batch on planted cross-corpus dups for BOTH streaming
     * forms. */
   val st09NearDupAdmission: Q = (s, dir) => {
-    val docs = tblPar(s, dir, "documents")
+    val docs = tbl(s, dir, "documents")
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
     val index = Dedup.withSignatures(corpus, w = 5, k = 32)
@@ -1348,7 +1348,7 @@ object Queries {
     * pairs / 201 dup docs at sf0.01). The scale path swaps the exact pair
     * kernel for LSH candidates via [[Dedup.embeddingNearDupFrom]]. */
   val d06EmbeddingNeardup: Q = (s, dir) =>
-    Dedup.embeddingNearDup(embeddingsPar(s, dir), tau = 0.35)
+    Dedup.embeddingNearDup(embeddings(s, dir), tau = 0.35)
       .orderBy("doc_id")
 
   /** D16: SemDeDup — semantic dedup with cluster-bounded pairwise search
@@ -1361,7 +1361,7 @@ object Queries {
     * equality, and LlmOpsSpec pins the pair-pruning contract against the
     * exact grid. */
   val d16SemanticDedup: Q = (s, dir) =>
-    Dedup.semanticDedup(embeddingsPar(s, dir), tau = 0.35)
+    Dedup.semanticDedup(embeddings(s, dir), tau = 0.35)
       .orderBy("vec_id")
 
   /** D7: transitive near-dup clusters — connected components over the d03
@@ -1375,7 +1375,7 @@ object Queries {
     * what the tiny-cluster structure of near-dup graphs keeps small. */
   val d07DedupComponents: Q = (s, dir) => {
     val comps = Dedup.dedupComponents(
-      Dedup.ngramJaccardPairs(tblPar(s, dir, "documents"), w = 5, minJ = 0.2)
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), w = 5, minJ = 0.2)
         .select("id_a", "id_b"))
     comps.join(
         comps.groupBy("comp_id").agg(count(lit(1)).as("n_members")), "comp_id")
@@ -1528,7 +1528,7 @@ object Queries {
     * every SF: 12 contaminated docs at sf0.01, ~1.6k at sf0.1). Bench
     * postings broadcast; the corpus is never shuffled. */
   val d08Decontaminate: Q = (s, dir) => {
-    val docs = tblPar(s, dir, "documents")
+    val docs = tbl(s, dir, "documents")
     Dedup.decontaminate(
         train = docs.filter(col("doc_id") % 97 =!= 0),
         bench = docs.filter(col("doc_id") % 97 === 0),
@@ -1546,14 +1546,14 @@ object Queries {
     * XXH64 window-hash SQL (t04's core) + the identical gaps-and-islands
     * merge. */
   val d23ExactSubstr: Q = (s, dir) =>
-    Dedup.exactSubstrSpans(tblPar(s, dir, "documents"), w = 5)
+    Dedup.exactSubstrSpans(tbl(s, dir, "documents"), w = 5)
       .orderBy("doc_id", "span_start")
 
   /** D11: edit-distance near-dup pairs ([[Dedup.editDistancePairs]]) —
     * 4-gram-shingle candidate generation (>= 2 shared) + bounded-prefix
     * thresholded-levenshtein verify. */
   val d11EditDistance: Q = (s, dir) =>
-    Dedup.editDistancePairs(tblPar(s, dir, "documents"), w = 4, maxDist = 30)
+    Dedup.editDistancePairs(tbl(s, dir, "documents"), w = 4, maxDist = 30)
       .orderBy("id_a", "id_b")
 
   /** D12: content-defined chunking shared-content audit
@@ -1588,7 +1588,7 @@ object Queries {
     * their shingles explode. A different bench split (mod 89) keeps the two
     * queries' answers independently non-trivial. */
   val d09BloomDecontaminate: Q = (s, dir) => {
-    val docs = tblPar(s, dir, "documents")
+    val docs = tbl(s, dir, "documents")
     Dedup.decontaminateBloom(
         train = docs.filter(col("doc_id") % 89 =!= 0),
         bench = docs.filter(col("doc_id") % 89 === 0),
@@ -1648,8 +1648,8 @@ object Queries {
     * beyond the pair graph is the log-diameter component closure and one
     * map-only labeling pass. */
   val t24LeakfreeSplit: Q = (s, dir) =>
-    Dedup.leakFreeSplit(tblPar(s, dir, "documents"),
-        Dedup.ngramJaccardPairs(tblPar(s, dir, "documents"), w = 5, minJ = 0.2),
+    Dedup.leakFreeSplit(tbl(s, dir, "documents"),
+        Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), w = 5, minJ = 0.2),
         holdoutPct = 10)
       .orderBy("doc_id")
 
@@ -1824,7 +1824,7 @@ object Queries {
 
   /** Language-ID heuristic (closed-form stopword argmax). */
   val t03Langid: Q = (s, dir) =>
-    TextOps.langIdScores(tblPar(s, dir, "documents"))
+    TextOps.langIdScores(tbl(s, dir, "documents"))
       .select("doc_id", "s_de", "s_en", "s_es", "s_fr", "s_zh", "lang_guess")
       .orderBy("doc_id")
 
@@ -1874,7 +1874,7 @@ object Queries {
     * the spec). Hash-exact: both rankings share the round-6 cosine
     * total order. */
   val v24FilteredKnn: Q = (s, dir) => {
-    val emb = embeddingsPar(s, dir)
+    val emb = embeddings(s, dir)
     Similarity.filteredKnnAudit(emb, emb.filter(col("vec_id") < 32),
         col("label") % 7 === 0)
       .orderBy("query_id")
@@ -1891,7 +1891,7 @@ object Queries {
     * — no recall floor needed. Truncation is a map-only `slice`;
     * cosine renormalizes per-space by construction. */
   val v20Matryoshka: Q = (s, dir) => {
-    val emb = embeddingsPar(s, dir)
+    val emb = embeddings(s, dir)
     val tr = emb.withColumn("embedding", slice(col("embedding"), 1, 16))
     val full = Similarity.knnBrute(emb, emb.filter(col("vec_id") < 32), k = 5)
       .select(col("query_id"), col("neighbor_id"))
@@ -1914,7 +1914,7 @@ object Queries {
     * nodes x k. Oracle: the full quadratic with the same threshold and
     * (cos DESC, neighbor ASC) total order. */
   val v19KnnGraph: Q = (s, dir) =>
-    Similarity.knnGraph(embeddingsPar(s, dir), k = 3, minCos = 0.3)
+    Similarity.knnGraph(embeddings(s, dir), k = 3, minCos = 0.3)
       .orderBy("vec_id", "rnk")
 
   /** V21: MUTUAL kNN pairs — the reliable-match criterion of bitext /
@@ -2284,7 +2284,7 @@ object Queries {
     * in LlmOpsSpec), no driver collect, no corpus broadcast — shuffle is
     * n x numBlocks embedding copies and each task holds two blocks. */
   val v02CosinePairs: Q = (s, dir) =>
-    Similarity.cosinePairsGrid(embeddingsPar(s, dir), minCos = 0.3)
+    Similarity.cosinePairsGrid(embeddings(s, dir), minCos = 0.3)
       .orderBy("id_a", "id_b")
 
   /** ANN via multi-table random-hyperplane LSH — bucketed equi-join
@@ -2356,7 +2356,7 @@ object Queries {
     * oracle recomputes the identical hash from the ASCII text bytes and
     * compares all pairs quadratically (oracle role only). */
   val m04PhashNearDup: Q = (s, dir) => {
-    val docs = tblPar(s, dir, "documents")
+    val docs = tbl(s, dir, "documents")
     // Oracle-parity guard: the DuckDB mirror recomputes the hash over
     // CHARACTERS (ascii(substring(...))) while the engine hashes payload
     // BYTES — equal only for pure-ASCII text. Assert the fixture property
@@ -2380,7 +2380,7 @@ object Queries {
     * m04; the DuckDB mirror recomputes frame slicing + per-frame hash +
     * pairwise popcount from the text bytes. */
   val m05VideoNearDup: Q = (s, dir) => {
-    val docs = tblPar(s, dir, "documents")
+    val docs = tbl(s, dir, "documents")
     val t = coalesce(col("text"), lit(""))
     val guarded = docs.withColumn("text", concat(col("text"),
       coalesce(assert_true(octet_length(t) === length(t),
@@ -2427,7 +2427,7 @@ object Queries {
     * detector sees only text. Same scale shape as d08: broadcast
     * bench universe, corpus streams map-side, never shuffled. */
   val t44ContamScore: Q = (s, dir) => {
-    val docs = tblPar(s, dir, "documents").select(col("doc_id"),
+    val docs = tbl(s, dir, "documents").select(col("doc_id"),
       coalesce(col("text"), lit("")).as("text"))
     val partials = docs.filter(col("doc_id") % 131 === 9)
       .withColumn("__w", expr("split(text, ' ')"))
@@ -3038,7 +3038,7 @@ object Queries {
     * storage-compression op of an embedding pipeline. Output is the audit
     * view: per-vector scale + quantized checksum. */
   val v06Quantize: Q = (s, dir) =>
-    embeddingsPar(s, dir)
+    embeddings(s, dir)
       // floor the scale at the min subnormal: an all-zero vector must
       // quantize to zeros, not divide 0/0 into a NaN that ANSI cast rejects
       .withColumn("scale",
@@ -3179,7 +3179,7 @@ object Queries {
   /** T9: TF-IDF top-3 terms per document — integer-deterministic ranking
     * (tf desc, df asc, term asc), informational rounded score. */
   val t09Tfidf: Q = (s, dir) =>
-    TextOps.tfidfTopTerms(tblPar(s, dir, "documents"), k = 3)
+    TextOps.tfidfTopTerms(tbl(s, dir, "documents"), k = 3)
       .orderBy("doc_id", "rnk")
 
   /** T10: PII redaction. The synthetic tables carry no PII-shaped text
@@ -3211,7 +3211,7 @@ object Queries {
     * at the driver's SF. Winner election shuffles (hash, id, line_no)
     * only; see [[Dedup.lineDedup]]. */
   val t11LineDedup: Q = (s, dir) => {
-    val docs = tblPar(s, dir, "documents")
+    val docs = tbl(s, dir, "documents")
     val words = split(col("text"), " ")
     val lines = docs.select(col("doc_id"), posexplode(
         transform(
@@ -3235,7 +3235,7 @@ object Queries {
     * SAME source is host chrome and is removed from all of them. Same
     * 10-word-chunk line segmentation as t11. */
   val t35Boilerplate: Q = (s, dir) => {
-    val docs = tblPar(s, dir, "documents")
+    val docs = tbl(s, dir, "documents")
     val words = split(col("text"), " ")
     val lines = docs.select(col("doc_id"), col("source"), posexplode(
         transform(
@@ -3466,12 +3466,10 @@ object Queries {
       .select("scc_id")
     val core = scc.join(broadcast(giant), Seq("scc_id"))
       .select("node").localCheckpoint(true)
-    // membership-only sweeps: the hop-batched reachability closure
-    // (identical node set to bfsDistances, 1/4 the barriers — guide §1.2)
-    val outReach = graft.graph.Bfs.reachableSet(edges, core, maxHops = 40,
+    val outReach = graft.graph.Bfs.bfsDistances(edges, core, maxHops = 40,
         edgeRowsHint = edgeRows)
       .select(col("node"), lit(true).as("__out"))
-    val inReach = graft.graph.Bfs.reachableSet(
+    val inReach = graft.graph.Bfs.bfsDistances(
         edges.select(col("dst").as("src"), col("src").as("dst")),
         core, maxHops = 40, edgeRowsHint = edgeRows)
       .select(col("node"), lit(true).as("__in"))
@@ -3651,7 +3649,7 @@ object Queries {
     * the binary path is a COARSE pre-filter needing an exact rerank
     * stage (which is how v08's production use composes). */
   val v09AnnRecallAudit: Q = (s, dir) => {
-    val emb = embeddingsPar(s, dir)
+    val emb = embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 32)
     val exact = Similarity.knnBrute(emb, queries, k = 5)
       .select(col("query_id"), col("neighbor_id"))
@@ -4004,7 +4002,7 @@ object Queries {
     * one winner row per component crosses the shuffle, never a window
     * sort. */
   val d15ClusterKeepBest: Q = (s, dir) => {
-    val docs = tblPar(s, dir, "documents")
+    val docs = tbl(s, dir, "documents")
     val comps = Dedup.dedupComponents(
       Dedup.ngramJaccardPairs(docs, w = 5, minJ = 0.2).select("id_a", "id_b"))
     val scored = TextOps.qualityScoreLinear(docs)
@@ -4027,7 +4025,7 @@ object Queries {
     * Two partial-aggregated shuffles over 8-byte shingle hashes (document
     * frequency, then the per-doc rollup); text never shuffles. */
   val t14Novelty: Q = (s, dir) => {
-    val sh = Dedup.docShingleHashes(tblPar(s, dir, "documents"), 3)
+    val sh = Dedup.docShingleHashes(tbl(s, dir, "documents"), 3)
     val postings = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfreq = postings.groupBy("s").agg(count(lit(1)).as("df"))
     postings.join(dfreq, "s")
@@ -5808,7 +5806,7 @@ object Queries {
     * identical average-hash from the text bytes. */
   val m08FrameCoherence: Q = (s, dir) =>
     Multimodal.frameCoherence(
-        Multimodal.fromDocuments(tblPar(s, dir, "documents")))
+        Multimodal.fromDocuments(tbl(s, dir, "documents")))
       .orderBy("doc_id")
 
   /** M9: VAD-style energy segmentation census ([[Multimodal
@@ -5907,7 +5905,7 @@ object Queries {
     * story as m04/m05/m08 via the shared frame/hash derivation. */
   val m10ShotSegments: Q = (s, dir) =>
     Multimodal.shotSegments(
-        Multimodal.fromDocuments(tblPar(s, dir, "documents")))
+        Multimodal.fromDocuments(tbl(s, dir, "documents")))
       .orderBy("doc_id")
 
   /** M11: constellation fingerprint matching
@@ -6199,12 +6197,13 @@ object Queries {
     * The oracle is x19's VERBATIM: the storage split must be invisible. */
   val x20BfsIndexed: Q = (s, dir) => {
     val ev = tbl(s, dir, "events")
-    graft.graph.PageRank.buildEdgeLayout(
+    val edgeRows = graft.graph.PageRank.buildEdgeLayout(
       eventsBipartiteEdges(ev), "graft_x20_bfs",
       basePath = Some(scratch("graft_x20_bfs")))
     val seeds = ev.filter(col("user_id") % 50 === 0)
       .select(col("user_id").as("node")).distinct()
-    graft.graph.Bfs.bfsIndexed(s, "graft_x20_bfs", seeds, maxHops = 4)
+    graft.graph.Bfs.bfsIndexed(s, "graft_x20_bfs", seeds, maxHops = 4,
+      edgeRowsHint = edgeRows)
       .select(col("node").as("node_id"),
         when(col("node") >= 1000000L, lit("page")).otherwise(lit("user")).as("node_type"),
         col("dist"))
