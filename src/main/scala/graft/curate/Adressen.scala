@@ -163,20 +163,20 @@ object Adressen {
     // hash partitioning and the whole enrichment chain runs without
     // another exchange of the wide frame (r11: the old `.as("__k")`
     // severed that link and bought an extra full shuffle + sort).
-    // max over ONE struct whose leading field is the ord key and whose tail
-    // is the full payload: identical winner to the previous
-    // arg_max((vbo_id, full row), payload) — struct comparison is
-    // lexicographic with null-smallest on both forms — but it runs as a
-    // DeclarativeAggregate inside whole-stage codegen (unsafe-row
-    // comparisons, no per-row object state), where the
-    // TypedImperativeAggregate form copied two 24-field InternalRows per
-    // input row; this one aggregate was the largest single CPU sink of
-    // the curate chain at bench scale (r12 probe).
+    // NOTE (r12): a built-in max(struct(ord, payload...)) was tried here —
+    // it elects the identical winner, but a struct-typed aggregation
+    // buffer is not hash-map-mutable, so it PLANS AS A SORT AGGREGATE and
+    // the 1M-address BAG probe measured curate 14 s -> 45 s (the sort of
+    // the full five-way-wide frame). The TypedImperativeAggregate arg_max
+    // keeps the ObjectHashAggregate plan: map-side partials, no sort.
     val j1Cols = j1.columns
     val j1Rest = j1Cols.filter(_ != "nummer_id").toIndexedSeq
+    val j1Ord = struct((col("verblijfsobject_id") +:
+      j1Cols.toIndexedSeq.zipWithIndex.map { case (c, i) => col(c).as(s"__t$i") }): _*)
     val adressen0 = j1.groupBy(col("nummer_id"))
-      .agg(max(struct((col("verblijfsobject_id").as("__ord") +:
-        j1Rest.map(c => col(c).as(c))): _*)).as("__w"))
+      .agg(graft.functions.VectorAggregates.argMax(
+        j1Ord,
+        struct(j1Rest.map(col): _*)).as("__w"))
       .select((col("nummer_id") +: j1Rest.map(c => col(s"__w.$c").as(c))): _*)
 
     // ---- J3: multi-pand repair (database_sqlite.py:398-437).

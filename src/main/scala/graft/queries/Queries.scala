@@ -3466,13 +3466,26 @@ object Queries {
       .select("scc_id")
     val core = scc.join(broadcast(giant), Seq("scc_id"))
       .select("node").localCheckpoint(true)
-    val outReach = graft.graph.Bfs.bfsDistances(edges, core, maxHops = 40,
-        edgeRowsHint = edgeRows)
+    // The OUT sweep (forward edges) and IN sweep (reversed edges) are
+    // independent BFS closures from the same seed set — fuse them into
+    // ONE loop over the union graph with the reversed copy offset into a
+    // disjoint id space (doc ids are << 2^40). Round count becomes
+    // max(ecc_out, ecc_in) instead of their sum, and since each round of
+    // this loop is barrier-bound at bench scale (guide §1.2), that
+    // halves the sweeps' wall time; at cluster scale it halves the
+    // synchronization rounds. Classification reads membership by id
+    // range — identical sets to two separate sweeps.
+    val OFF = 1L << 40
+    val sweepEdges = edges.unionByName(
+      edges.select((col("dst") + OFF).as("src"), (col("src") + OFF).as("dst")))
+    val sweepSeeds = core.unionByName(core.select((col("node") + OFF).as("node")))
+    val reach = graft.graph.Bfs.bfsDistances(sweepEdges, sweepSeeds,
+        maxHops = 40, edgeRowsHint = 2 * edgeRows)
+      .select("node").localCheckpoint(true)
+    val outReach = reach.filter(col("node") < OFF)
       .select(col("node"), lit(true).as("__out"))
-    val inReach = graft.graph.Bfs.bfsDistances(
-        edges.select(col("dst").as("src"), col("src").as("dst")),
-        core, maxHops = 40, edgeRowsHint = edgeRows)
-      .select(col("node"), lit(true).as("__in"))
+    val inReach = reach.filter(col("node") >= OFF)
+      .select((col("node") - OFF).as("node"), lit(true).as("__in"))
     n.select(col("id").as("node"))
       .join(core.withColumn("__core", lit(true)), Seq("node"), "left")
       .join(inReach, Seq("node"), "left")
