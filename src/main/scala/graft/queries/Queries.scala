@@ -6312,7 +6312,11 @@ object Queries {
     * degree. Every statistic an exact integer from partial-aggregated
     * shuffles; the closure moves 8-byte labels only. */
   val x31GraphSummary: Q = (s, dir) => {
-    val e = eventsBipartiteEdges(tbl(s, dir, "events"))
+    // the edge frame feeds THREE profile branches (degree fold, component
+    // closure, edge count): materialize it once instead of re-running the
+    // JSON-extract + explode + distinct derivation per branch (the x40
+    // loop-invariant lesson applied to a fan-out plan)
+    val e = eventsBipartiteEdges(tbl(s, dir, "events")).localCheckpoint(true)
     val und = e.filter(col("src") < col("dst"))
       .select(col("src").as("id_a"), col("dst").as("id_b")).distinct()
     val comps = Dedup.dedupComponents(und)
