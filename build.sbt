@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver tails sbt's output and json.loads the final line;
+// sbt's default LoggedOutput prefixes every forked-process line with
+// "[info] ", which breaks that parse (r12 PERF had two rounds of empty
+// per_query blocks from exactly this). StdoutOutput passes the forked
+// JVM's stdout through undecorated so the bench's compact JSON summary
+// line reaches the driver bare.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3525,7 +3525,7 @@ object Oracle {
         |    row_number() OVER (PARTITION BY doc_id, seg_idx ORDER BY ov DESC, shot) AS rn,
         |    CAST(count(*) OVER (PARTITION BY doc_id, seg_idx) AS BIGINT) AS n_shots_hit
         |  FROM ovl WHERE ov > 0)
-        |SELECT doc_id, seg_idx, sw, ew, shot AS best_shot, ov AS ov_units,
+        |SELECT doc_id, seg_idx, sw, ew, CAST(shot AS BIGINT) AS best_shot, ov AS ov_units,
         |  n_shots_hit
         |FROM el WHERE rn = 1 ORDER BY doc_id, seg_idx""".stripMargin,
 

@@ -50,6 +50,15 @@ def main(sfdir, outdir):
             print(f"SKIP {name} (no dump in {outdir})")
             continue
         try:
+            # Type gate (r12 m12_av_align): python fetchall coerces DuckDB
+            # HUGEINT to int, so a value-only compare is blind to the type
+            # class that breaks the driver's Arrow-path hash (HUGEINT
+            # fetches as double there, so "1" hashes as "1.0"). Flag any
+            # oracle output column whose DuckDB type Spark cannot emit.
+            o_types = {c: str(t).upper() for c, t in
+                       zip(*[con.sql(sql).columns, con.sql(sql).types])}
+            bad_types = {c: t for c, t in o_types.items()
+                         if "HUGEINT" in t}
             spark_rel = con.execute(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
             s_cols = [d[0] for d in spark_rel.description]
@@ -60,9 +69,15 @@ def main(sfdir, outdir):
             schema_match = sorted(s_cols) == sorted(o_cols)
             rows_match = len(s_rows) == len(o_rows)
             hash_match = schema_match and table_key(s_rows, s_cols) == table_key(o_rows, o_cols)
+            # a HUGEINT output column fails the query even when the values
+            # compare equal here — the driver's type-aware hash will drift
+            if bad_types:
+                hash_match = False
             results[name] = {"schema": schema_match, "rows": rows_match,
                              "hash": hash_match,
                              "n_spark": len(s_rows), "n_oracle": len(o_rows)}
+            if bad_types:
+                results[name]["oracle_bad_types"] = bad_types
             if not schema_match:
                 results[name]["spark_cols"] = s_cols
                 results[name]["oracle_cols"] = o_cols
