@@ -64,6 +64,36 @@ object Covisit {
    * user). `maxFanout = 0` (default, and the registered query's form)
    * is exact end to end.
    */
+  /** r13 A/B variant of [[jaccardEdges]] pair generation: instead of the
+    * equi self-join on `u` (two sorted sides + SortMergeJoin + the full
+    * C(fanout,2) pair-row stream into the partial agg), group each user's
+    * page set into ONE row (sort_array(collect_list)) and emit its ordered
+    * pairs in-row. Same C(f,2) arithmetic cost and the same exchange count
+    * (one by u, one by (p1,p2)) — what it deletes is the SMJ's two sorts
+    * and the join machinery. Pair multiset is identical by construction:
+    * `up` is distinct, so each user's pages are unique and the emitted
+    * (min, max) pairs don't depend on collect order once sorted. */
+  private[graft] def jaccardEdgesEmit(incidence: DataFrame, tauNum: Long,
+                                      tauDen: Long): DataFrame = {
+    require(tauNum >= 0 && tauDen > 0, "threshold must be a non-negative rational")
+    val up = materialized(
+      incidence.select(col("u"), col("p").cast("long").as("p")).distinct())
+    val pairs = up.groupBy("u")
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))")).as("pr"))
+      .select(col("pr.x").as("p1"), col("pr.y").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("inter"))
+    val sizes = up.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    pairs
+      .join(broadcast(sizes.select(col("p").as("p1"), col("c").as("c1"))), Seq("p1"))
+      .join(broadcast(sizes.select(col("p").as("p2"), col("c").as("c2"))), Seq("p2"))
+      .withColumn("uni", col("c1") + col("c2") - col("inter"))
+      .filter(lit(tauDen) * col("inter") >= lit(tauNum) * col("uni"))
+      .select("p1", "p2", "inter", "uni")
+  }
+
   def jaccardEdges(incidence: DataFrame, tauNum: Long, tauDen: Long,
                    maxFanout: Int = 0): DataFrame = {
     require(tauNum >= 0 && tauDen > 0, "threshold must be a non-negative rational")
@@ -194,8 +224,18 @@ object Covisit {
     // enumeration is real compute (the wedge join), which wants AQE's
     // dynamic post-shuffle sizing — an edge-count-derived constant
     // under-parallelizes the wedge stage (r12 probe: scoping cost +0.8 s)
+    //
+    // r13: each round CHECKPOINTS its support frame, and the terminal
+    // round's support IS the final answer — convergence via n2 == n means
+    // every edge of e passed `support >= k-2`, so `sup` (computed over
+    // exactly that e) is complete for the survivors. The r12 form ended
+    // with `e.join(edgeSupport(e), ...)`, paying one full extra triangle
+    // enumeration after the fixpoint (~1/(rounds+1) of the query).
+    // The loop's e is already a localCheckpoint, so edgeSupport skips its
+    // persist+count round trip (materializeInput = false).
+    var sup: DataFrame = null
     while (!converged) {
-      val sup = edgeSupport(e)
+      sup = edgeSupport(e, materializeInput = false).localCheckpoint(true)
       val e2 = e.join(sup.filter(col("support") >= k - 2), Seq("a", "b"), "left_semi")
         .localCheckpoint(true)
       val n2 = e2.count()
@@ -203,16 +243,26 @@ object Covisit {
       e = e2
       n = n2
     }
-    e.join(edgeSupport(e), Seq("a", "b"), "left")
-      .select(col("a").as("p1"), col("b").as("p2"),
-        coalesce(col("support"), lit(0L)).as("support"))
+    if (sup == null) // empty input graph: no support was ever computed
+      e.select(col("a").as("p1"), col("b").as("p2"), lit(0L).as("support"))
+    else
+      e.join(sup, Seq("a", "b"), "left")
+        .select(col("a").as("p1"), col("b").as("p2"),
+          coalesce(col("support"), lit(0L)).as("support"))
   }
 
   /** Per-edge triangle support over a canonical (a < b) edge list:
     * every triangle credits its three edges once. Same oriented wedge
-    * enumeration as [[triangleCounts]], exploded per edge. */
-  private def edgeSupport(e0: DataFrame): DataFrame = {
-    val e = materialized(e0.select(col("a"), col("b")))
+    * enumeration as [[triangleCounts]], exploded per edge.
+    * `materializeInput = false` skips the persist+count when the caller's
+    * frame is already materialized (a loop checkpoint): the three subtree
+    * reads (degrees, orientation, closure) then re-scan stored blocks
+    * instead of paying a per-round cache write + count job. */
+  private def edgeSupport(e0: DataFrame,
+                          materializeInput: Boolean = true): DataFrame = {
+    val e =
+      if (materializeInput) materialized(e0.select(col("a"), col("b")))
+      else e0.select(col("a"), col("b"))
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val oriented = e

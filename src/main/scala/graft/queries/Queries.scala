@@ -2106,16 +2106,12 @@ object Queries {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
       .sortBy(_._1)
-    val scored = array(seeds.map { case (cid, c) =>
-      val cArr = array(c.map(lit): _*)
-      struct(
-        round(aggregate(
-          zip_with(col("__e"), cArr, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v), 6).as("dist2"),
-        lit(cid).as("cluster_id"))
-    }.toIndexedSeq: _*)
-    emb.withColumn("__e", col("embedding").cast("array<double>"))
-      .withColumn("__best", element_at(array_sort(scored), 1))
+    // r13: assignment through the codegen NearestSeed kernel — identical
+    // rule and bit-identical (rounded dist2, id-tiebreak) output to the
+    // round-6 HOF array_sort it replaces (VectorKernelSpec), one tight
+    // primitive loop per row instead of 8 interpreted zip_with+aggregate
+    emb.withColumn("__best", graft.functions.VectorExpressions.nearestSeed(
+        col("embedding"), seeds.map(_._1).toSeq, seeds.map(_._2.toSeq).toSeq))
       .select(col("vec_id"), col("__best.cluster_id").as("cluster_id"),
         col("__best.dist2").as("dist2_r"))
       .orderBy("vec_id")
@@ -2142,20 +2138,16 @@ object Queries {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
       .sortBy(_._1)
-    val scored = array(seeds.map { case (cid, c) =>
-      val cArr = array(c.map(lit): _*)
-      struct(
-        round(aggregate(
-          zip_with(col("__e"), cArr, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v), 6).as("dist2"),
-        lit(cid).as("cluster_id"))
-    }.toIndexedSeq: _*)
     val seedLit = array(seeds.map { case (_, c) =>
       array(c.map(lit): _*)
     }.toIndexedSeq: _*)
-    emb.withColumn("__e", col("embedding").cast("array<double>"))
-      .withColumn("cluster_id",
-        element_at(array_sort(scored), 1).getField("cluster_id"))
+    // r13: v23's exact assignment rule through the codegen NearestSeed
+    // kernel (bit-identical; VectorKernelSpec) — the two queries still
+    // cannot disagree, and the scan loses its interpreted HOF chain
+    emb.withColumn("cluster_id",
+        graft.functions.VectorExpressions.nearestSeed(col("embedding"),
+          seeds.map(_._1).toSeq, seeds.map(_._2.toSeq).toSeq)
+          .getField("cluster_id"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_assigned"),
         graft.functions.VectorAggregates.vecSum(col("embedding")).as("__sum"))
@@ -2190,18 +2182,16 @@ object Queries {
   val v26PcaPower: Q = (s, dir) => {
     val emb = embeddings(s, dir)
     val (mu, pc, lambda) = Similarity.pcaPower(emb)
-    val muLit = array(mu.map(lit).toIndexedSeq: _*)
-    val pcLit = array(pc.map(p => lit(p.toDouble)).toIndexedSeq: _*)
-    emb.withColumn("__c",
-      zip_with(col("embedding").cast("array<double>"), muLit, (x, m) => x - m))
-      .withColumn("__score",
-        aggregate(zip_with(col("__c"), pcLit, (c, p) => c * p),
-          lit(0.0), (a, x) => a + x))
-      .select(col("vec_id"),
-        round(col("__score"), 6).as("score_r"),
-        round(aggregate(zip_with(col("__c"), pcLit,
-          (c, p) => (c - col("__score") * p) * (c - col("__score") * p)),
-          lit(0.0), (a, x) => a + x), 6).as("resid2_r"),
+    // r13: serve through the codegen PcaScore/PcaResid2 kernels — the
+    // same sequential double folds over the float-widened row, asserted
+    // bit-identical to the HOF chain in VectorKernelSpec; round-6 stays
+    // Spark-side, so the output contract is untouched
+    val pcD = pc.map(_.toDouble).toSeq
+    emb.select(col("vec_id"),
+        round(graft.functions.VectorExpressions.pcaScore(
+          col("embedding"), mu.toSeq, pcD), 6).as("score_r"),
+        round(graft.functions.VectorExpressions.pcaResid2(
+          col("embedding"), mu.toSeq, pcD), 6).as("resid2_r"),
         round(lit(lambda), 6).as("lambda_r"))
       .orderBy("vec_id")
   }
@@ -2226,32 +2216,28 @@ object Queries {
   val x45Coreset: Q = (s, dir) => {
     val emb = embeddings(s, dir)
     val (mu, pc, _) = Similarity.pcaPower(emb)
-    val muLit = array(mu.map(lit).toIndexedSeq: _*)
-    val pcLit = array(pc.map(p => lit(p.toDouble)).toIndexedSeq: _*)
+    val pcD = pc.map(_.toDouble).toSeq
     // bounded, documented collect: 8 seed centroids (vec_id < 8)
     val seeds = emb.filter(col("vec_id") < 8)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
       .sortBy(_._1)
-    val scored = array(seeds.map { case (cid, c) =>
-      val cArr = array(c.map(lit): _*)
-      struct(
-        round(aggregate(
-          zip_with(col("__e"), cArr, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v), 6).as("dist2"),
-        lit(cid).as("cluster_id"))
-    }.toIndexedSeq: _*)
-    val served = emb.withColumn("__e", col("embedding").cast("array<double>"))
+    // r13: the whole serve row (assignment + projection + residual) runs
+    // through the codegen kernels — bit-identical to the HOF chain
+    // (VectorKernelSpec); at ~825 µs/row interpreted, the serve scan was
+    // the query's dominant cost
+    val served = emb
       .withColumn("cluster_id",
-        element_at(array_sort(scored), 1).getField("cluster_id"))
-      .withColumn("__c", zip_with(col("__e"), muLit, (x, m) => x - m))
+        graft.functions.VectorExpressions.nearestSeed(col("embedding"),
+          seeds.map(_._1).toSeq, seeds.map(_._2.toSeq).toSeq)
+          .getField("cluster_id"))
       .withColumn("__score",
-        aggregate(zip_with(col("__c"), pcLit, (c, p) => c * p),
-          lit(0.0), (a, x) => a + x))
-      .withColumn("resid2_r", round(aggregate(zip_with(col("__c"), pcLit,
-        (c, p) => (c - col("__score") * p) * (c - col("__score") * p)),
-        lit(0.0), (a, x) => a + x), 6))
+        graft.functions.VectorExpressions.pcaScore(
+          col("embedding"), mu.toSeq, pcD))
+      .withColumn("resid2_r",
+        round(graft.functions.VectorExpressions.pcaResid2(
+          col("embedding"), mu.toSeq, pcD), 6))
       .filter(col("resid2_r") <= 0.99)
     val wC = Window.partitionBy("cluster_id")
     served
@@ -4255,6 +4241,10 @@ object Queries {
   /** The distinct (user, page) incidence behind x22/x23 — the same
     * props.k page derivation as [[eventsBipartiteEdges]], kept as the
     * two-column frame [[graft.graph.Covisit]] projects. */
+  /** Exposed for the AbBench jpairs A/B (r13). */
+  private[graft] def covisitIncidenceFor(s: SparkSession, dir: String): DataFrame =
+    covisitIncidence(s, dir)
+
   private def covisitIncidence(s: SparkSession, dir: String): DataFrame =
     tblPar(s, dir, "events")
       .select(col("user_id").as("u"),

@@ -47,6 +47,43 @@ object AbBench {
         Seq(
           "kernel" -> (() => graft.llm.TextOps.piiRedact(docs)),
           "spec3pass" -> (() => graft.llm.TextOps.piiRedactSpec(docs)))
+      case "wcpred" =>
+        // r13: the docShingleHashes gate predicate — native byte-scan
+        // word_count vs size(split(...)) allocation, on the full d18-ish
+        // shingle derivation so the filter sits where the real plans put it
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        def sh(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+          .select(col("doc_id"),
+            graft.functions.TextExpressions.shingleHashes(col("text"), 5).as("sh"))
+          .withColumn("n_sh", size(col("sh")).cast("long"))
+        Seq(
+          "wordcount" -> (() => sh(
+            graft.functions.TextExpressions.wordCount(col("text")) >= 5)),
+          "splitsize" -> (() => sh(size(split(col("text"), " ")) >= 5)))
+      case "jpairs" =>
+        // r13: jaccardEdges pair generation — SMJ self-join vs in-row
+        // grouped emitter, on the real x22 incidence
+        import org.apache.spark.sql.functions._
+        def inc = graft.queries.Queries.covisitIncidenceFor(spark, sfDir)
+        def withShj[T](f: => T): T = {
+          val k = "spark.sql.join.preferSortMergeJoin"
+          val prev = spark.conf.getOption(k)
+          spark.conf.set(k, "false")
+          try f finally prev match {
+            case Some(v) => spark.conf.set(k, v); case None => spark.conf.unset(k)
+          }
+        }
+        Seq(
+          "selfjoin" -> (() => graft.graph.Covisit.jaccardEdges(inc, 17, 50)),
+          // the conf must be live at ACTION time: force inside the scope,
+          // hand the runner a no-op frame (costs ~ms against a 1.3 s body)
+          "selfjoin_shj" -> (() => withShj {
+            graft.graph.Covisit.jaccardEdges(inc, 17, 50)
+              .write.format("noop").mode("overwrite").save()
+            spark.range(0).toDF()
+          }),
+          "emit" -> (() => graft.graph.Covisit.jaccardEdgesEmit(inc, 17, 50)))
       case other => sys.error(s"unknown A/B target: $other")
     }
 
