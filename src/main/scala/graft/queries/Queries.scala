@@ -726,13 +726,23 @@ object Queries {
           " substring(p_name, cast(1 + ((__h div 8) % length(p_name)) as int) + 1)) end as name_dirty",
         "p_brand as brand",
         "cast(p_size + ((__h div 4) % 2) as int) as size_dirty")
-    val cand = graft.relational.RecordLinkage.candidates(
+    val cand0 = graft.relational.RecordLinkage.candidates(
       parts, "p_partkey", cat, "cat_id",
       Seq(
         (concat(col("p_brand"), lit("|"), expr("p_size div 4")),
           concat(col("brand"), lit("|"), expr("size_dirty div 4"))),
         (concat(substring(col("p_name"), 1, 4), lit("|"), col("p_size")),
           concat(substring(col("name_dirty"), 1, 4), lit("|"), col("size_dirty")))))
+    // r13: spread the scoring scan across the session's cores. The
+    // candidate frame is two longs per row, so AQE's byte-based
+    // coalescing collapses it to bytes/minPartitionSize partitions
+    // (QProbe: the levenshtein stage ran as 2 tasks x ~600 ms at 32
+    // cores) — but per-row cost here is a levenshtein, ~3 orders of
+    // magnitude more compute per byte than the stages that sizing is
+    // tuned for. The round-robin exchange moves only (p_partkey, cat_id)
+    // pairs; at corpus scale candidate rows per core only grow, so a
+    // defaultParallelism fan-out never under-splits relative to today.
+    val cand = cand0.repartition(s.sparkContext.defaultParallelism)
     val scored = cand.join(parts, Seq("p_partkey")).join(cat, Seq("cat_id"))
       .withColumn("lev", levenshtein(col("p_name"), col("name_dirty")).cast("long"))
       .withColumn("sdiff", abs(col("p_size") - col("size_dirty")).cast("long"))
@@ -4614,17 +4624,26 @@ object Queries {
       .withColumn("pos", row_number().over(
         Window.partitionBy("user_id", "sid").orderBy("__tsu", "event_id")))
       .select("user_id", "sid", "pos", "event_type")
-    val p1 = d.groupBy("user_id", "sid")
-      .agg(min(when(col("event_type") === "view", col("pos"))).as("p1"))
-    val p2 = d.join(p1, Seq("user_id", "sid"))
-      .groupBy("user_id", "sid")
-      .agg(min(when(col("event_type") === "click" && col("pos") > col("p1"),
-        col("pos"))).as("p2"))
-    val p3 = d.join(p2, Seq("user_id", "sid"))
-      .groupBy("user_id", "sid")
-      .agg(min(when(col("event_type") === "purchase" && col("pos") > col("p2"),
-        col("pos"))).as("p3"))
-    p1.join(p2, Seq("user_id", "sid")).join(p3, Seq("user_id", "sid"))
+    // r13: the three chained conditional-min aggregates each re-ran the
+    // whole two-window subtree (ReuseExchange dedupes the exchange, not
+    // the sort+window above it — QProbe showed five ~300 ms single-task
+    // window passes) and joined back on the session key. The funnel per
+    // session only needs each stage's ORDERED position list, so collect
+    // the three per-session lists in ONE aggregate and elect p1/p2/p3
+    // in-row (arrays are session-sized — bounded by the gap rule, never
+    // corpus-shaped). Value-identical by construction: array_min over
+    // the filtered list is exactly min(when(...)), and a null stage
+    // null-propagates through the `>` into the next filter as before.
+    // Both groupBys ride the window's user_id partitioning — the whole
+    // query keeps ONE corpus-sized exchange.
+    val sess = d.groupBy("user_id", "sid").agg(
+      collect_list(when(col("event_type") === "view", col("pos"))).as("vs"),
+      collect_list(when(col("event_type") === "click", col("pos"))).as("cs"),
+      collect_list(when(col("event_type") === "purchase", col("pos"))).as("ps"))
+    sess
+      .withColumn("p1", array_min(col("vs")))
+      .withColumn("p2", array_min(filter(col("cs"), c => c > col("p1"))))
+      .withColumn("p3", array_min(filter(col("ps"), x => x > col("p2"))))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         sum(when(col("p1").isNotNull, 1L).otherwise(0L)).as("s_view"),
