@@ -742,7 +742,12 @@ object Queries {
     // tuned for. The round-robin exchange moves only (p_partkey, cat_id)
     // pairs; at corpus scale candidate rows per core only grow, so a
     // defaultParallelism fan-out never under-splits relative to today.
-    val cand = cand0.repartition(s.sparkContext.defaultParallelism)
+    // HASH repartition on the (nearly unique) candidate key, not
+    // round-robin: a keyless repartition(n) first locally SORTS its
+    // input (sortBeforeRepartition, guide §2.5) — measured as a net
+    // ~0.25 s loss at sf0.1 despite the widened scoring stage.
+    val cand = cand0.repartition(s.sparkContext.defaultParallelism,
+      col("cat_id"), col("p_partkey"))
     val scored = cand.join(parts, Seq("p_partkey")).join(cat, Seq("cat_id"))
       .withColumn("lev", levenshtein(col("p_name"), col("name_dirty")).cast("long"))
       .withColumn("sdiff", abs(col("p_size") - col("size_dirty")).cast("long"))
