@@ -4263,7 +4263,11 @@ object Queries {
   private def covisitIncidence(s: SparkSession, dir: String): DataFrame =
     tblPar(s, dir, "events")
       .select(col("user_id").as("u"),
-        get_json_object(col("props"), "$.k").cast("long").as("p"))
+        // r13: the codegen single-key JSON kernel — exactly
+        // get_json_object(props,'$.k').cast(long) incl. ANSI throw
+        // behavior (JsonKeyLongSpec), at raw-projection cost instead of
+        // a Jackson parse per row
+        graft.functions.JsonExpressions.jsonKeyLong(col("props"), "k").as("p"))
       .filter(col("p").isNotNull)
 
   /** X22: co-visitation similarity graph — page pairs whose audience
@@ -6081,7 +6085,9 @@ object Queries {
   def eventsBipartiteEdges(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val e0 = events
       .select(col("user_id").as("src"),
-        (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("dst"))
+        // r13: codegen JSON kernel, == get_json_object+cast (spec-exact)
+        (graft.functions.JsonExpressions.jsonKeyLong(col("props"), "k")
+          + 1000000L).as("dst"))
       .filter(col("dst").isNotNull)
       .distinct()
     e0.select(explode(array(
@@ -6138,7 +6144,9 @@ object Queries {
   val x32TemporalReach: Q = (s, dir) => {
     val ev = events(s, dir)
     val touches = ev.select(col("user_id").as("u"),
-        (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("p"),
+        // r13: codegen JSON kernel, == get_json_object+cast (spec-exact)
+        (graft.functions.JsonExpressions.jsonKeyLong(col("props"), "k")
+          + 1000000L).as("p"),
         col("__tsu").as("ts"))
       .filter(col("p").isNotNull)
     val contacts = touches.select(explode(array(

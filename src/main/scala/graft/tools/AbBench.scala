@@ -84,6 +84,20 @@ object AbBench {
             spark.range(0).toDF()
           }),
           "emit" -> (() => graft.graph.Covisit.jaccardEdgesEmit(inc, 17, 50)))
+      case "jsonk" =>
+        // r13 scoping: what does get_json_object('$.k') actually cost on
+        // the events scan vs a raw projection of the same column?
+        import org.apache.spark.sql.functions._
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        Seq(
+          "get_json_object" -> (() => ev.select(
+            get_json_object(col("props"), "$.k").cast("long").as("p"))),
+          "raw_len" -> (() => ev.select(length(col("props")).cast("long").as("p"))),
+          "from_json" -> (() => ev.select(
+            from_json(col("props"), "k LONG", Map.empty[String, String])
+              .getField("k").as("p"))),
+          "json_key_long" -> (() => ev.select(
+            graft.functions.JsonExpressions.jsonKeyLong(col("props"), "k").as("p"))))
       case other => sys.error(s"unknown A/B target: $other")
     }
 
