@@ -59,7 +59,7 @@ object Bfs {
       var w = 1L
       var blk = block
       while (blocks.nonEmpty && blocks.head._1 == w) {
-        blk = blk.union(blocks.head._2).localCheckpoint(true)
+        blk = blk.union(blocks.head._2).localCheckpoint(false)
         w *= 2
         blocks = blocks.tail
       }
@@ -97,7 +97,9 @@ object Bfs {
           .select(e("dst").as("node")).distinct()
           .join(known.view, Seq("node"), "left_anti")
           .select(col("node"), lit(h.toLong).as("dist"))
-          .localCheckpoint(true)
+          // r13: lazy — the isEmpty probe (and the next hop's join)
+          // materialize the blocks; the plan cut is identical
+          .localCheckpoint(false)
         frontiers += next
         known.add(next.select("node"))
         exhausted = next.isEmpty
@@ -149,7 +151,7 @@ object Bfs {
         .select(col("seed"), e("dst").as("node")).distinct()
         .join(known.view, Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(h.toLong).as("dist"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       frontiers += next
       known.add(next.select("seed", "node"))
       exhausted = next.isEmpty
@@ -211,10 +213,10 @@ object Bfs {
         .agg(min(col("ts")).as("arr"))
       val merged = arr.unionByName(next)
         .groupBy("node").agg(min("arr").as("arr"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // delta frontier: nodes whose minimal arrival changed this round
       frontier = merged.join(arr, Seq("node", "arr"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       arr = merged
       hop += 1
     }

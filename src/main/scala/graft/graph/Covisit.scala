@@ -188,7 +188,8 @@ object Covisit {
             .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
             .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         }
-        val e2 = cur.localCheckpoint(true)
+        // r13: lazy — the convergence count materializes the blocks
+        val e2 = cur.localCheckpoint(false)
         val n2 = e2.count()
         converged = n2 == n || n2 == 0L
         e = e2
@@ -235,9 +236,10 @@ object Covisit {
     // persist+count round trip (materializeInput = false).
     var sup: DataFrame = null
     while (!converged) {
-      sup = edgeSupport(e, materializeInput = false).localCheckpoint(true)
+      // r13: lazy — e2's count materializes BOTH checkpoints in one job
+      sup = edgeSupport(e, materializeInput = false).localCheckpoint(false)
       val e2 = e.join(sup.filter(col("support") >= k - 2), Seq("a", "b"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val n2 = e2.count()
       converged = n2 == n || n2 == 0L
       e = e2

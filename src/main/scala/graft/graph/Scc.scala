@@ -99,7 +99,11 @@ object Scc {
           h += 1
         }
         it += h
-        colors = cur.localCheckpoint(true)
+        // r13: LAZY checkpoint — the colorSum probe right below is a
+        // full-scan aggregate, so it materializes the checkpoint blocks
+        // and computes the convergence scalar in ONE job (the eager form
+        // paid a separate materialization job per hop)
+        colors = cur.localCheckpoint(false)
         val s = colorSum(colors)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
@@ -122,7 +126,7 @@ object Scc {
       //    node id — the hop's single exchange) and merge back through a
       //    join both of whose sides already carry hash(node).
       var reached = colors
-        .withColumn("r", col("node") === col("color")).localCheckpoint(true)
+        .withColumn("r", col("node") === col("color")).localCheckpoint(false)
       var prevReached = reached.filter(col("r")).count()
       converged = false
       it = 0
@@ -143,7 +147,7 @@ object Scc {
           h += 1
         }
         it += h
-        reached = cur.localCheckpoint(true)
+        reached = cur.localCheckpoint(false) // materialized by the count probe
         val n = reached.filter(col("r")).count()
         converged = n == prevReached
         prevReached = n
@@ -162,16 +166,19 @@ object Scc {
       if (sys.env.contains("GRAFT_LOOP_DEBUG"))
         System.err.println(s"[scc] outer=$outer colorHops+reachHops done, " +
           s"remaining=$remaining prevReached=$prevReached")
+      // r13: lazy round-tail checkpoints — nodes is materialized by the
+      // remaining-count probe, members/done/rem by their first consumer;
+      // the plan cut (LogicalRDD leaf) happens either way
       val members = reached.filter(col("r"))
-        .select(col("node"), col("color").as("scc_id")).localCheckpoint(true)
+        .select(col("node"), col("color").as("scc_id")).localCheckpoint(false)
       done = (if (done == null) members else done.union(members))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       nodes = nodes.join(members.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       rem = rem
         .join(members.select(col("node").as("src")), Seq("src"), "left_anti")
         .join(members.select(col("node").as("dst")), Seq("dst"), "left_anti")
-        .select("src", "dst").localCheckpoint(true)
+        .select("src", "dst").localCheckpoint(false)
       remaining = nodes.count()
       outer += 1
     }

@@ -3395,6 +3395,10 @@ object Queries {
     * fifth, and one cross edge entering each block (except b%5==0) at
     * its id%10==0 node. Dense inside blocks, sparse between — the
     * structure x37 peels into SCCs and x42 scores as communities. */
+  /** Exposed for the AbBench scchops A/B (r13). */
+  private[graft] def plantedBlockEdgesFor(n: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    plantedBlockEdges(n)
+
   def plantedBlockEdges(n: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ring = n.filter(col("b") % 5 =!= 4)
       .select(col("id").as("src"),

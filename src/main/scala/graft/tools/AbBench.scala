@@ -98,6 +98,19 @@ object AbBench {
               .getField("k").as("p"))),
           "json_key_long" -> (() => ev.select(
             graft.functions.JsonExpressions.jsonKeyLong(col("props"), "k").as("p"))))
+      case "scchops" =>
+        // r13: SCC hop fusion under LoopConf (AQE-off loops) — r12
+        // rejected hopsPerRound with AQE ON; the loop conf changed since
+        import org.apache.spark.sql.functions._
+        def edges = {
+          val n = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id").as("id"), expr("doc_id div 10").as("b"))
+          graft.queries.Queries.plantedBlockEdgesFor(n)
+        }
+        Seq(
+          "hops1" -> (() => graft.graph.Scc.stronglyConnected(edges)),
+          "hops2" -> (() => graft.graph.Scc.stronglyConnected(edges, hopsPerRound = 2)),
+          "hops4" -> (() => graft.graph.Scc.stronglyConnected(edges, hopsPerRound = 4)))
       case other => sys.error(s"unknown A/B target: $other")
     }
 
